@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central loader for the driver-generated fixture tables.
+  *
+  * Every query in the engine goes through here so that the one genuinely
+  * table-specific normalization — the `events.ts` nanosecond timestamp
+  * (Spark 4.1.2 cannot read INT64 TIMESTAMP(NANOS) parquet natively; see
+  * SURVEY.md §1.3) — happens in exactly one place. Reference basis: the
+  * reference system stores table data as files in object storage
+  * (yc-data-proc-metadata-import `metastore-import.tf:165-179`); paths are
+  * parameterized so s3a://bucket/... is a config change, not a code change.
+  *
+  * Scale note (100 TB): reads are plain `spark.read.parquet` — no caching,
+  * no collect — so predicate pushdown / column pruning / partition pruning
+  * reach the scan unimpeded and the same code runs unchanged on a cluster.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one fixture table from `sfDir`, normalized. */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" =>
+        // ts is INT64 TIMESTAMP(NANOS) — read as raw nanos, truncate to µs
+        // (matches the DuckDB oracle's CAST(ts AS TIMESTAMP) truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      case n =>
+        spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  /** Scratch directory for derived fixtures (CSV/JSON round-trips,
+    * partitioned rewrites, catalog warehouses). Keyed by sf dir so
+    * concurrent runs at different scale factors never collide.
+    * Never inside /root/testdata (read-only).
+    */
+  def scratch(sfDir: String, tag: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"target/scratch/$key/$tag"
+    new java.io.File(dir).getParentFile.mkdirs()
+    dir
+  }
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 group D — aggregation.
+  *
+  * Reference basis [SVC] (`metastore-import.tf:196,:245`).
+  *
+  * Scale notes (100 TB): every groupBy below is a hash aggregate with
+  * automatic partial (map-side) aggregation before the shuffle — the
+  * per-key cardinality reaching the exchange is the group count, not the
+  * row count. `approx_count_distinct` is the HLL++ sketch (constant
+  * memory per key, mergeable); exact `countDistinct` expands — use it
+  * only when keys-per-group are bounded. GROUPING SETS / ROLLUP / CUBE
+  * use Spark's Expand operator (one pass, n× row amplification pre-agg,
+  * still map-side combined).
+  */
+object Aggregates extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape — the flagship.
+    "agg_hash_group" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_count_distinct" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "agg_multi_distinct" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // HLL sketch — no DuckDB oracle (sketch internals differ); ScalaTest
+    // asserts within 5% of exact.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), asc("g_flag"), asc("g_status"))
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      val r = Tables(s, d, "region")
+      val n = Tables(s, d, "nation")
+      val c = Tables(s, d, "customer")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal")), 4).as("sum_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    "agg_having" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 4).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("sum_price") > 200000.0)
+        .orderBy("o_custkey")
+    }),
+
+    "agg_stats" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(min(col("l_quantity")), 4).as("min_qty"),
+          round(max(col("l_quantity")), 4).as("max_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_collect_sorted" -> ((s, d) => {
+      val n = Tables(s, d, "nation")
+      val sup = Tables(s, d, "supplier")
+      n.join(sup, n("n_nationkey") === sup("s_nationkey"), "inner")
+        .groupBy(col("n_name"))
+        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"))
+        .orderBy("n_name")
+    }),
+
+    "agg_min_max_by" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+          round(max(col("o_totalprice")), 4).as("top_price"))
+        .orderBy("o_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_hash_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty,
+        | ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        | ROUND(AVG(l_quantity), 4) AS avg_qty,
+        | ROUND(AVG(l_discount), 4) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_customers,
+        | COUNT(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
+        | COUNT(DISTINCT o_orderpriority) AS n_prios, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        | (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        | g_flag, g_status""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_custs,
+        | ROUND(SUM(c_acctbal), 4) AS sum_bal
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST,
+        | o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS sum_price,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING ROUND(SUM(o_totalprice), 4) > 200000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+        | ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        | ROUND(MIN(l_quantity), 4) AS min_qty,
+        | ROUND(MAX(l_quantity), 4) AS max_qty,
+        | ROUND(AVG(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT n_name, LIST_SORT(LIST(s_name)) AS suppliers
+        |FROM nation JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_min_max_by" ->
+      """SELECT o_custkey,
+        | ARG_MAX(o_orderkey, o_totalprice) AS top_order,
+        | ARG_MIN(o_orderkey, o_totalprice) AS bottom_order,
+        | ROUND(MAX(o_totalprice), 4) AS top_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  )
+}

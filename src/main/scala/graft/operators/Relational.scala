@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 groups B (projection / filter / predicates) and C (joins).
+  *
+  * Reference basis [SVC]: the reference provisions Spark+Hive engines
+  * (yc-data-proc-metadata-import `metastore-import.tf:196,:245`), whose
+  * relational operator surface is the declared contract.
+  *
+  * Scale notes (100 TB):
+  *  - Filters/projections are plain Catalyst expressions → pushed to the
+  *    parquet scan (PushedFilters / pruned ReadSchema), verified in
+  *    RelationalSpec.
+  *  - Joins declare intent only; Catalyst + AQE pick broadcast vs SMJ vs
+  *    shuffled-hash at runtime. `join_broadcast` pins a broadcast for the
+  *    small dimension (`part`) — the right call at any scale since dims
+  *    grow slower than facts. Theta/interval joins are bounded by an
+  *    equi-key conjunct (brand / synthetic user key) so they plan as an
+  *    equi-join with residual condition, NOT a cartesian product.
+  */
+object Relational extends QueryGroup {
+
+  // ---------------------------------------------------------------- group B
+
+  private val qB: Map[String, Q] = Map(
+    "project_select" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "filter_compound" -> ((s, d) => {
+      Tables(s, d, "part")
+        .filter(col("p_size").between(10, 30)
+          && (col("p_type").like("PROMO%")
+            || col("p_brand").isin("Brand#1", "Brand#2"))
+          && !(col("p_retailprice") < 920.0))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    "filter_null_3vl" -> ((s, d) => {
+      // nullable-ized balance: negatives → NULL, then 3VL probes
+      val c = Tables(s, d, "customer")
+        .withColumn("bal",
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      // the 3VL probe surfaces UNKNOWN explicitly as 'U' — nullable
+      // boolean outputs hash unstably across engines (NULL vs NaN).
+      c.select(
+        col("c_custkey"),
+        col("bal").isNull.as("bal_is_null"),
+        col("bal").isNotNull.as("bal_is_not_null"),
+        (col("bal") <=> lit(1000.0)).as("bal_nd_1000"),
+        when(col("bal") > 1000.0, "T")
+          .when(!(col("bal") > 1000.0), "F")
+          .otherwise("U").as("bal_gt_1000"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  private val oB: Map[String, String] = Map(
+    "project_select" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_compound" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 30
+        |  AND (p_type LIKE 'PROMO%' OR p_brand IN ('Brand#1','Brand#2'))
+        |  AND NOT (p_retailprice < 920.0)
+        |ORDER BY p_partkey""".stripMargin,
+    "filter_null_3vl" ->
+      """SELECT c_custkey,
+        | bal IS NULL AS bal_is_null,
+        | bal IS NOT NULL AS bal_is_not_null,
+        | bal IS NOT DISTINCT FROM 1000.0 AS bal_nd_1000,
+        | CASE WHEN bal > 1000.0 THEN 'T'
+        |      WHEN NOT (bal > 1000.0) THEN 'F'
+        |      ELSE 'U' END AS bal_gt_1000
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin
+  )
+
+  // ---------------------------------------------------------------- group C
+
+  private val qC: Map[String, Q] = Map(
+    "join_inner_equi" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "join_broadcast" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val p = Tables(s, d, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+          round(col("p_retailprice"), 4).as("p_retailprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "join_sortmerge" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    "join_right_outer" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    "join_full_outer" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier")
+      val c = Tables(s, d, "customer")
+      sup.join(c, sup("s_nationkey") === c("c_nationkey"), "full")
+        .select(
+          coalesce(sup("s_nationkey"), c("c_nationkey")).as("nationkey"),
+          col("s_suppkey"), col("c_custkey"))
+        .orderBy(asc_nulls_first("nationkey"), asc_nulls_first("s_suppkey"),
+          asc_nulls_first("c_custkey"))
+    }),
+
+    // semi/anti against the negative-balance customer subset so both
+    // sides are non-trivially populated (every customer has orders in
+    // the fixtures, so the naive anti-join would be vacuously empty).
+    "join_left_semi" -> ((s, d) => {
+      val c = Tables(s, d, "customer").filter(col("c_acctbal") < 0)
+      val o = Tables(s, d, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "join_left_anti" -> ((s, d) => {
+      val c = Tables(s, d, "customer").filter(col("c_acctbal") < 0)
+      val o = Tables(s, d, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "join_cross" -> ((s, d) => {
+      val r = Tables(s, d, "region")
+      val n = Tables(s, d, "nation")
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+          col("n_name"))
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    // non-equi pair join, bounded by the brand equi-key so it plans as an
+    // equi-join with residual — NOT a cartesian; survives scale-up.
+    "join_theta_range" -> ((s, d) => {
+      val p1 = Tables(s, d, "part").as("p1")
+      val p2 = Tables(s, d, "part").as("p2")
+      p1.join(p2,
+          col("p1.p_brand") === col("p2.p_brand")
+            && col("p1.p_size") < col("p2.p_size")
+            && col("p2.p_size") - col("p1.p_size") <= lit(2))
+        .select(col("p1.p_brand").as("brand"),
+          col("p1.p_partkey").as("pk1"), col("p2.p_partkey").as("pk2"),
+          col("p1.p_size").as("size1"), col("p2.p_size").as("size2"))
+        .orderBy("brand", "pk1", "pk2")
+    }),
+
+    // events shifted back 29 years to overlap the order-date domain, then
+    // range-joined per synthetic user key (user_id = o_custkey).
+    "join_interval" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
+      val o = Tables(s, d, "orders")
+      e.join(o,
+          col("user_id") === col("o_custkey")
+            && col("o_orderdate") <= col("ts2")
+            && col("ts2") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id", "o_orderkey")
+    }),
+
+    // as-of: latest order of the same synthetic user at/before event time.
+    "join_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "events")
+        .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
+      val o = Tables(s, d, "orders")
+      val joined = e.join(o,
+        col("user_id") === col("o_custkey")
+          && col("o_orderdate") <= col("ts2"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    })
+  )
+
+  private val oC: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey,
+        | ROUND(o_totalprice, 4) AS o_totalprice, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand,
+        | ROUND(p_retailprice, 4) AS p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_sortmerge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "join_right_outer" ->
+      """SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+        | s_suppkey, c_custkey
+        |FROM supplier FULL OUTER JOIN customer ON s_nationkey = c_nationkey
+        |ORDER BY nationkey NULLS FIRST, s_suppkey NULLS FIRST,
+        | c_custkey NULLS FIRST""".stripMargin,
+    "join_left_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT p1.p_brand AS brand, p1.p_partkey AS pk1, p2.p_partkey AS pk2,
+        | p1.p_size AS size1, p2.p_size AS size2
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+        | AND p2.p_size - p1.p_size <= 2
+        |ORDER BY brand, pk1, pk2""".stripMargin,
+    "join_interval" ->
+      """SELECT event_id, o_orderkey, o_orderdate
+        |FROM (SELECT event_id, user_id,
+        |        CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
+        |JOIN orders o ON e.user_id = o.o_custkey
+        | AND o.o_orderdate <= e.ts2
+        | AND e.ts2 < o.o_orderdate + INTERVAL 30 DAY
+        |ORDER BY event_id, o_orderkey""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT event_id, user_id,
+        |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
+        |  JOIN orders o ON e.user_id = o.o_custkey
+        |   AND o.o_orderdate <= e.ts2)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+  )
+
+  val queries: Map[String, Q] = qB ++ qC
+  val oracles: Map[String, String] = oB ++ oC
+}

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 group E — window functions, sort, limit, top-k, set ops.
+  *
+  * Reference basis [SVC] (`metastore-import.tf:196,:245`).
+  *
+  * Scale notes (100 TB): window functions shuffle once on the
+  * partitionBy key and sort within partitions — keys here (mktsegment,
+  * custkey, brand) are well-distributed; no single-partition global
+  * windows except the small `part`-table range frame. Global sort +
+  * limit plans as TakeOrderedAndProject (per-partition top-k, then a
+  * driver-side merge of k·p rows, never a full global sort).
+  */
+object Windows extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    "win_ranking" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal"), 4).as("acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_running_rows" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_range_frame" -> ((s, d) => {
+      // DataFrame rangeBetween only takes Long offsets; a double-valued
+      // RANGE frame is SQL-only syntax, so use expression form.
+      Tables(s, d, "part")
+        .selectExpr("p_partkey", "round(p_retailprice, 4) AS price",
+          """round(sum(p_retailprice) OVER (ORDER BY p_retailprice
+            | RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING), 4)
+            | AS near_sum""".stripMargin,
+          """count(1) OVER (ORDER BY p_retailprice
+            | RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS near_cnt""".stripMargin)
+        .orderBy("p_partkey")
+    }),
+
+    "win_moving_avg" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .select(col("day"), col("n_events"),
+          round(avg(col("n_events")).over(w), 4).as("ma7"))
+        .orderBy("day")
+    }),
+
+    "win_analytic" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          first(col("c_custkey")).over(wFull).as("poorest"),
+          last(col("c_custkey")).over(wFull).as("richest"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cdist"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    "sort_multi_nulls" -> ((s, d) => {
+      Tables(s, d, "customer")
+        .withColumn("bal",
+          when(col("c_acctbal") < 0, lit(null))
+            .otherwise(round(col("c_acctbal"), 4)))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal"))
+        .orderBy(col("c_nationkey").asc, col("bal").desc_nulls_last,
+          col("c_custkey").asc)
+    }),
+
+    "limit_offset" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")
+        .offset(10).limit(20)
+    }),
+
+    "topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables(s, d, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("rn"), col("p_partkey"),
+          round(col("p_retailprice"), 4).as("price"))
+        .orderBy("p_brand", "rn")
+    }),
+
+    "set_union_all" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"))
+      val lo = o.filter(col("o_orderkey") % 2 === 0)
+      val hi = o.filter(col("o_orderkey") % 2 =!= 0)
+      lo.unionAll(hi).orderBy("o_orderkey")
+    }),
+
+    "set_union_distinct" -> ((s, d) => {
+      // overlapping halves → distinct recovers the full key set exactly once
+      val o = Tables(s, d, "orders").select(col("o_orderkey"))
+      val a = o.filter(col("o_orderkey") % 3 <= 1)
+      val b = o.filter(col("o_orderkey") % 3 >= 1)
+      a.union(b).distinct().orderBy("o_orderkey")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = Tables(s, d, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey"))
+      c.intersect(sup).orderBy("nationkey")
+    }),
+
+    "set_except" -> ((s, d) => {
+      // even orderkeys minus multiples of 4 → keys ≡ 2 (mod 4);
+      // deterministic and non-empty at every scale factor.
+      val o = Tables(s, d, "orders").select(col("o_orderkey"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .except(o.filter(col("o_orderkey") % 4 === 0))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_ranking" ->
+      """SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 4) AS acctbal,
+        | ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+        | DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | LAG(o_orderkey, 1) OVER w AS prev_order,
+        | LEAD(o_orderkey, 1) OVER w AS next_order,
+        | DATE_DIFF('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_running_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |   AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT p_partkey, ROUND(p_retailprice, 4) AS price,
+        | ROUND(SUM(p_retailprice) OVER w, 4) AS near_sum,
+        | COUNT(*) OVER w AS near_cnt
+        |FROM part
+        |WINDOW w AS (ORDER BY p_retailprice
+        |  RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING)
+        |ORDER BY p_partkey""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT day, n_events,
+        | ROUND(AVG(n_events) OVER (ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM (SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+        |        COUNT(*) AS n_events FROM events GROUP BY 1)
+        |ORDER BY day""".stripMargin,
+    "win_analytic" ->
+      """SELECT c_mktsegment, c_custkey,
+        | FIRST_VALUE(c_custkey) OVER wf AS poorest,
+        | LAST_VALUE(c_custkey) OVER wf AS richest,
+        | ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 4) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal ASC, c_custkey ASC),
+        |  wf AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal ASC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "sort_multi_nulls" ->
+      """SELECT c_custkey, c_nationkey,
+        | CASE WHEN c_acctbal < 0 THEN NULL
+        |      ELSE ROUND(c_acctbal, 4) END AS bal
+        |FROM customer
+        |ORDER BY c_nationkey ASC, bal DESC NULLS LAST, c_custkey ASC""".stripMargin,
+    "limit_offset" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+    "topk_per_group" ->
+      """SELECT p_brand, rn, p_partkey, price FROM (
+        |  SELECT p_brand, p_partkey, ROUND(p_retailprice, 4) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part) WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+    "set_union_all" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey FROM orders WHERE o_orderkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <= 1
+        |UNION
+        |SELECT o_orderkey FROM orders WHERE o_orderkey % 3 >= 1
+        |ORDER BY o_orderkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
