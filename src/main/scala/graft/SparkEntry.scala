@@ -13,9 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
+    sources.Scans,
     operators.Relational,
     operators.Aggregates,
-    operators.Windows)
+    operators.Windows,
+    functions.ScalarFns)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape *through the session catalog*: lineitem registered as

@@ -1,0 +1,264 @@
+package graft.functions
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 group F — scalar expression families, one query per
+  * family, each exercising 5–10 built-ins.
+  *
+  * Reference basis [SVC] (`metastore-import.tf:196,:245`).
+  *
+  * All of these are codegen'd Catalyst expressions
+  * (org.apache.spark.sql.functions._) — no UDFs in the hot path, so
+  * every query stays inside WholeStageCodegen and scales linearly.
+  *
+  * Dialect discipline (SURVEY.md §7 watch-list 6): shapes chosen to be
+  * expressible identically in DuckDB — e.g. split_part over array
+  * indexing (1-based in both), positive-operand mod (DuckDB mod is
+  * signed, Spark pmod is not), no double→int casts (DuckDB rounds,
+  * Spark truncates), math outputs ROUND(...,4) to absorb last-ulp libm
+  * differences.
+  */
+object ScalarFns extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) => {
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          upper(col("p_name")).as("name_up"),
+          lower(col("p_type")).as("type_lo"),
+          trim(col("p_name")).as("name_trim"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          length(col("p_name")).as("name_len"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          regexp_replace(col("p_name"), "a", "@").as("name_at"),
+          translate(col("p_brand"), "#", "_").as("brand_us"))
+        .orderBy("p_partkey")
+    }),
+
+    "fn_datetime" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          // DATE-typed outputs render as date-vs-midnight-timestamp across
+          // engines' dataframe bridges — emit ISO strings instead.
+          date_add(col("o_orderdate"), 30).cast(StringType).as("plus30"),
+          date_sub(col("o_orderdate"), 15).cast(StringType).as("minus15"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_95"),
+          date_trunc("month", col("o_orderdate")).cast(DateType)
+            .cast(StringType).as("month_start"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          last_day(col("o_orderdate")).cast(StringType).as("eom"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_math" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price_r2"),
+          bround(col("l_extendedprice"), 0).as("price_even"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+          round(log(col("l_extendedprice")), 4).as("price_ln"),
+          round(log10(col("l_extendedprice")), 4).as("price_log10"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+          signum(col("l_discount") - 0.05).cast(IntegerType).as("disc_sign"),
+          round(greatest(col("l_quantity"), col("l_discount") * 100), 4)
+            .as("gr"),
+          round(least(col("l_quantity"), col("l_discount") * 100), 4)
+            .as("le"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "fn_conditional" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "platinum")
+            .when(col("o_totalprice") > 150000, "gold")
+            .otherwise("standard").as("tier"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_or_open"),
+          expr("if(o_totalprice > 100000, 'big', 'small')").as("size_tag"),
+          expr("nvl(nullif(o_orderpriority, '5-LOW'), 'LOWEST')")
+            .as("prio_or_lowest"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_cast_decimal" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .withColumn("price_dec", col("o_totalprice").cast(DecimalType(12, 2)))
+      // decimal arithmetic runs exact (no double drift), but the final
+      // output casts to double/string — decimal columns materialize
+      // differently across engines' dataframe bridges.
+      o.groupBy(col("o_orderstatus"))
+        .agg(
+          sum(col("price_dec")).cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("sum_dec"),
+          avg(col("price_dec")).cast(DecimalType(18, 4)).cast(DoubleType)
+            .as("avg_dec"),
+          max(col("price_dec").cast(StringType)).as("max_dec_str"),
+          sum(col("o_orderkey").cast(DoubleType)).as("sum_key_dbl"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "fn_array" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .withColumn("tokens", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          array_contains(col("tokens"), "the").as("has_the"),
+          array_join(slice(col("tokens"), 1, 3), " ").as("first3"),
+          array_join(sort_array(array_distinct(col("tokens"))), " ")
+            .as("vocab"),
+          array_join(transform(slice(col("tokens"), 1, 3),
+            x => upper(x)), " ").as("first3_up"),
+          size(filter(col("tokens"), x => length(x) > 4)).as("n_long"),
+          aggregate(col("tokens"), lit(0L),
+            (acc, x) => acc + length(x)).as("total_len"),
+          array_join(flatten(array(slice(col("tokens"), 1, 2),
+            slice(col("tokens"), 3, 2))), " ").as("first4_flat"))
+        .orderBy("doc_id")
+    }),
+
+    "fn_map" -> ((s, d) => {
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          array_join(sort_array(map_keys(m)), ",").as("keys_sorted"),
+          size(map_keys(m)).as("n_keys"),
+          element_at(m, "k").as("k_val"),
+          element_at(map_concat(m, map(lit("extra"), lit(1L))), "extra")
+            .as("extra_val"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, d) => {
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), schema).getField("k").as("k_long"),
+          to_json(struct(col("event_id"), col("event_type"))).as("as_json"))
+        .orderBy("event_id")
+    }),
+
+    "fn_explode" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        | CONCAT_WS('-', p_brand, p_type) AS brand_type,
+        | SUBSTRING(p_name, 1, 10) AS name10,
+        | UPPER(p_name) AS name_up, LOWER(p_type) AS type_lo,
+        | TRIM(p_name) AS name_trim, LPAD(p_brand, 12, '*') AS brand_pad,
+        | LENGTH(p_name) AS name_len,
+        | SPLIT_PART(p_name, ' ', 1) AS first_word,
+        | REGEXP_EXTRACT(p_type, '^(\w+)', 1) AS type_head,
+        | REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_at,
+        | TRANSLATE(p_brand, '#', '_') AS brand_us
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        | EXTRACT(YEAR FROM o_orderdate) AS yr,
+        | EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+        | EXTRACT(MONTH FROM o_orderdate) AS mo,
+        | EXTRACT(DAY FROM o_orderdate) AS dom,
+        | EXTRACT(DOY FROM o_orderdate) AS doy,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+        | CAST(CAST(o_orderdate AS DATE) - 15 AS VARCHAR) AS minus15,
+        | DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |   AS days_since_95,
+        | CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR)
+        |   AS month_start,
+        | STRFTIME(o_orderdate, '%Y-%m') AS ym,
+        | CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice, 2) AS price_r2,
+        | ROUND_EVEN(l_extendedprice, 0) AS price_even,
+        | CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        | ROUND(ABS(l_discount - 0.05), 4) AS disc_dev,
+        | ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+        | ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+        | ROUND(LN(l_extendedprice), 4) AS price_ln,
+        | ROUND(LOG10(l_extendedprice), 4) AS price_log10,
+        | MOD(l_orderkey, 7) AS key_mod7,
+        | CAST(SIGN(l_discount - 0.05) AS INTEGER) AS disc_sign,
+        | ROUND(GREATEST(l_quantity, l_discount * 100), 4) AS gr,
+        | ROUND(LEAST(l_quantity, l_discount * 100), 4) AS le
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000 THEN 'platinum'
+        |      WHEN o_totalprice > 150000 THEN 'gold'
+        |      ELSE 'standard' END AS tier,
+        | COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        | IF(o_totalprice > 100000, 'big', 'small') AS size_tag,
+        | IFNULL(NULLIF(o_orderpriority, '5-LOW'), 'LOWEST') AS prio_or_lowest
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_cast_decimal" ->
+      """SELECT o_orderstatus,
+        | CAST(CAST(SUM(price_dec) AS DECIMAL(18,2)) AS DOUBLE) AS sum_dec,
+        | CAST(CAST(AVG(price_dec) AS DECIMAL(18,4)) AS DOUBLE) AS avg_dec,
+        | MAX(CAST(price_dec AS VARCHAR)) AS max_dec_str,
+        | SUM(CAST(o_orderkey AS DOUBLE)) AS sum_key_dbl
+        |FROM (SELECT o_orderstatus, o_orderkey,
+        |        CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        | LEN(tokens) AS n_tokens,
+        | LIST_CONTAINS(tokens, 'the') AS has_the,
+        | ARRAY_TO_STRING(tokens[1:3], ' ') AS first3,
+        | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(tokens)), ' ') AS vocab,
+        | ARRAY_TO_STRING(LIST_TRANSFORM(tokens[1:3], x -> UPPER(x)), ' ')
+        |   AS first3_up,
+        | LEN(LIST_FILTER(tokens, x -> LENGTH(x) > 4)) AS n_long,
+        | CAST(LIST_SUM(LIST_TRANSFORM(tokens, x -> LENGTH(x))) AS BIGINT)
+        |   AS total_len,
+        | ARRAY_TO_STRING(FLATTEN([tokens[1:2], tokens[3:4]]), ' ')
+        |   AS first4_flat
+        |FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS tokens FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        | ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS keys_sorted,
+        | LEN(json_keys(props)) AS n_keys,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(1 AS BIGINT) AS extra_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        | CAST(to_json(struct_pack(event_id := event_id,
+        |   event_type := event_type)) AS VARCHAR) AS as_json
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_explode" ->
+      """SELECT doc_id,
+        | UNNEST(GENERATE_SERIES(1, LEN(STR_SPLIT(text, ' ')))) - 1 AS pos,
+        | UNNEST(STR_SPLIT(text, ' ')) AS token
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

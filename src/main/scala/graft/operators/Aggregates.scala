@@ -59,7 +59,8 @@ object Aggregates extends QueryGroup {
     "agg_approx_distinct" -> ((s, d) => {
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("approx_orders"))
         .orderBy("l_returnflag")
     }),
 

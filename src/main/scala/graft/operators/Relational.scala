@@ -36,10 +36,10 @@ object Relational extends QueryGroup {
 
     "filter_compound" -> ((s, d) => {
       Tables(s, d, "part")
-        .filter(col("p_size").between(10, 30)
+        .filter(col("p_size").between(10, 40)
           && (col("p_type").like("PROMO%")
             || col("p_brand").isin("Brand#1", "Brand#2"))
-          && !(col("p_retailprice") < 920.0))
+          && !(col("p_retailprice") < 905.0))
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
           "p_retailprice")
         .orderBy("p_partkey")
@@ -72,9 +72,9 @@ object Relational extends QueryGroup {
     "filter_compound" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part
-        |WHERE p_size BETWEEN 10 AND 30
+        |WHERE p_size BETWEEN 10 AND 40
         |  AND (p_type LIKE 'PROMO%' OR p_brand IN ('Brand#1','Brand#2'))
-        |  AND NOT (p_retailprice < 920.0)
+        |  AND NOT (p_retailprice < 905.0)
         |ORDER BY p_partkey""".stripMargin,
     "filter_null_3vl" ->
       """SELECT c_custkey,

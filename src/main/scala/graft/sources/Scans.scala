@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 group A — scans / sources / sinks.
+  *
+  * Reference basis [OBJ]: the reference's data substrate is files in
+  * S3-compatible object storage (`metastore-import.tf:165-179`); [HMS]
+  * for partitioned layout + catalog-registered tables (the metastore's
+  * core objects, `metastore-import.tf:112-117`).
+  *
+  * Derived fixtures (CSV/JSON round-trips, partitioned rewrite) are
+  * written to target/scratch — never into the read-only testdata dir —
+  * and rewritten idempotently with mode=overwrite.
+  *
+  * Scale notes (100 TB): all writers are straight DataFrameWriter paths
+  * (distributed, no driver collect). `scan_partition_prune` asserts the
+  * layout that makes 100 TB queryable at all: hive-partitioned dirs +
+  * partition pruning so a one-partition query reads one partition's
+  * files (PartitionFilters in the scan node, checked in ScansSpec).
+  */
+object Scans extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> ((s, d) => {
+      Tables(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "scan_csv_schema" -> ((s, d) => {
+      val dir = Tables.scratch(d, "nation_csv")
+      Tables(s, d, "nation").write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(dir)
+        .orderBy("n_nationkey")
+    }),
+
+    "scan_json_lines" -> ((s, d) => {
+      val dir = Tables.scratch(d, "region_json")
+      Tables(s, d, "region")
+        .select(col("r_regionkey"), struct(col("r_name").as("name")).as("meta"))
+        .write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .select(col("r_regionkey"), col("meta.name").as("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    "scan_partition_prune" -> ((s, d) => {
+      val dir = Tables.scratch(d, "lineitem_by_flag")
+      Tables(s, d, "lineitem")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "sink_parquet_roundtrip" -> ((s, d) => {
+      val dir = Tables.scratch(d, "supplier_rt_parquet")
+      Tables(s, d, "supplier").write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
+    "sink_csv_roundtrip" -> ((s, d) => {
+      val dir = Tables.scratch(d, "supplier_rt_csv")
+      Tables(s, d, "supplier").write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).option("header", "true").csv(dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
+    "catalog_table_scan" -> ((s, d) => {
+      // saveAsTable registers data + schema in the session catalog; the
+      // read resolves purely by name — the reference's metastore-backed
+      // read path in miniature (SURVEY.md §3.1 entry point 1).
+      // a fresh session's in-memory catalog forgets the table while its
+      // warehouse dir survives on disk → LOCATION_ALREADY_EXISTS; clear
+      // both before writing so the query is idempotent across sessions.
+      s.sql("DROP TABLE IF EXISTS graft_supplier")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, "graft_supplier")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables(s, d, "supplier").write.mode("overwrite")
+        .saveAsTable("graft_supplier")
+      s.table("graft_supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    })
+  )
+
+  private val supplierSql =
+    """SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_csv_schema" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "scan_json_lines" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_partition_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sink_parquet_roundtrip" -> supplierSql,
+    "sink_csv_roundtrip" -> supplierSql,
+    "catalog_table_scan" -> supplierSql
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB design checks from
+  * SURVEY.md §4.2. Correctness says the answer is right; these say the
+  * plan would still be the right plan at 1000× the data. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter is pushed down to the parquet scan") {
+    val df = Tables(spark, sf, "part").filter(col("p_size") > 20)
+      .select("p_partkey", "p_size")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,20)]"),
+      s"no pushed filter in:\n$scan")
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val df = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan not pruned:\n$scan")
+  }
+
+  test("join_broadcast plans a broadcast hash join") {
+    assert(planOf("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge hint pins a sort-merge join") {
+    assert(planOf("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("scan_partition_prune scans only the selected partition") {
+    // run once to materialize the partitioned scratch dir
+    SparkEntry.queries("scan_partition_prune")(spark, sf).count()
+    val dir = Tables.scratch(sf, "lineitem_by_flag")
+    val df = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition filter in:\n$scan")
+  }
+
+  test("theta join is equi-join on brand with residual, not cartesian") {
+    val plan = planOf("join_theta_range")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+  }
+
+  test("limit_offset plans per-partition top-k, not a full global sort") {
+    assert(planOf("limit_offset").contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    // AQE hides codegen spans until the final plan exists — execute first.
+    val df = SparkEntry.queries("agg_hash_group")(spark, sf)
+    df.collect() // count() would execute a different plan; AQE finalizes this one
+    // codegen spans render as "*(n)" in the plan string
+    assert("""\*\(\d+\) HashAggregate""".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined,
+      s"no codegen'd HashAggregate in:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, ex) <- exact) {
+      val ap = approx(flag)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05,
+        s"flag=$flag approx=$ap exact=$ex")
+    }
+  }
+}
