@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Relational,
     operators.Aggregates,
     operators.Windows,
-    functions.ScalarFns)
+    functions.ScalarFns,
+    catalog.DdlQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape *through the session catalog*: lineitem registered as

@@ -1,0 +1,174 @@
+package graft.catalog
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 group G — DDL / catalog / metadata transfer, the
+  * reference's core [HMS] (README_en.md:3; Thrift metastore at
+  * metastore-import.tf:112-117; symmetric clusters :181-278).
+  *
+  * Every query is self-contained and idempotent: it provisions its own
+  * database/tables (dropping stale state AND stale warehouse dirs first
+  * — a fresh session's in-memory catalog forgets tables while their
+  * directories survive) so Verify can run keys in any order, repeatedly.
+  */
+object DdlQueries extends QueryGroup {
+
+  /** Drop `db`.`tbl` plus any stale warehouse directory left by a
+    * previous session. */
+  private def dropTableAndLocation(s: SparkSession, db: String,
+      tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS `$db`.`$tbl`")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, s"$db.db/$tbl")
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+  }
+
+  private def freshDb(s: SparkSession, db: String): Unit =
+    s.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  val queries: Map[String, Q] = Map(
+    "ddl_create_database" -> ((s, _) => {
+      s.sql("DROP DATABASE IF EXISTS graft_ddl_db CASCADE")
+      s.sql("CREATE DATABASE graft_ddl_db COMMENT 'graft ddl probe'")
+      s.sql("SHOW DATABASES")
+        .filter(col("namespace") === "graft_ddl_db")
+    }),
+
+    // the tutorial's create-on-source step: external table over existing
+    // parquet, schema inferred from the files, data never copied.
+    "ddl_create_external_table" -> ((s, d) => {
+      freshDb(s, "graft_ext")
+      s.sql("DROP TABLE IF EXISTS graft_ext.lineitem_ext")
+      s.sql(s"""CREATE TABLE graft_ext.lineitem_ext
+               |USING parquet LOCATION '$d/lineitem.parquet'""".stripMargin)
+      s.table("graft_ext.lineitem_ext")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "ddl_ctas_insert" -> ((s, d) => {
+      freshDb(s, "graft_ext")
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src")
+      dropTableAndLocation(s, "graft_ext", "status_agg")
+      s.sql(
+        """CREATE TABLE graft_ext.status_agg USING parquet AS
+          |SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |       ROUND(SUM(o_totalprice), 4) AS sum_price
+          |FROM orders_src WHERE o_orderstatus = 'F'
+          |GROUP BY o_orderstatus""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_ext.status_agg
+          |SELECT o_orderstatus, COUNT(*), ROUND(SUM(o_totalprice), 4)
+          |FROM orders_src WHERE o_orderstatus <> 'F'
+          |GROUP BY o_orderstatus""".stripMargin)
+      s.table("graft_ext.status_agg").orderBy("o_orderstatus")
+    }),
+
+    "ddl_describe_show" -> ((s, d) => {
+      freshDb(s, "graft_ext")
+      s.sql("DROP TABLE IF EXISTS graft_ext.nation_desc")
+      s.sql(s"""CREATE TABLE graft_ext.nation_desc
+               |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
+      val described = s.sql("DESCRIBE TABLE graft_ext.nation_desc")
+        .select(col("col_name"), col("data_type"))
+      val shown = s.sql("SHOW TABLES IN graft_ext")
+        .filter(col("tableName") === "nation_desc")
+        .select(col("tableName").as("col_name"),
+          lit("<table>").as("data_type"))
+      described.unionAll(shown).orderBy("col_name")
+    }),
+
+    "ddl_alter_drop" -> ((s, d) => {
+      import s.implicits._
+      freshDb(s, "graft_ext")
+      s.sql("DROP TABLE IF EXISTS graft_ext.alter_probe")
+      s.sql(s"""CREATE TABLE graft_ext.alter_probe
+               |USING parquet LOCATION '$d/region.parquet'""".stripMargin)
+      s.sql("""ALTER TABLE graft_ext.alter_probe
+              |SET TBLPROPERTIES ('graft.note' = 'v1')""".stripMargin)
+      val note = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          "alter_probe", Some("graft_ext")))
+        .properties.getOrElse("graft.note", "<missing>")
+      s.sql("DROP TABLE graft_ext.alter_probe")
+      val dropped = !s.catalog.tableExists("graft_ext.alter_probe")
+      Seq(("graft.note", note), ("dropped", dropped.toString))
+        .toDF("key", "value").orderBy("key")
+    }),
+
+    "meta_export" -> ((s, d) => {
+      import s.implicits._
+      fixtureCatalog(s, d)
+      val snap = CatalogTransfer.export(s, Seq("graft_meta"))
+      s.createDataset(snap.tables)
+        .select(col("db"), col("name"), col("tableType"), col("provider"),
+          size(col("columns")).as("n_columns"))
+        .orderBy("db", "name")
+    }),
+
+    "meta_import" -> ((s, d) => {
+      import s.implicits._
+      fixtureCatalog(s, d)
+      val dir = Tables.scratch(d, "meta_import_snapshot")
+      CatalogTransfer.write(s, CatalogTransfer.export(s, Seq("graft_meta")), dir)
+      s.sql("DROP DATABASE graft_meta CASCADE") // the "cluster destroyed"
+      val created =
+        CatalogTransfer.importInto(s, CatalogTransfer.read(s, dir))
+      created.toDF("recreated_table").orderBy("recreated_table")
+    }),
+
+    // the reference's flagship scenario end-to-end: table created on the
+    // "source", metadata exported, catalog destroyed, metadata imported,
+    // SELECT by name works and data is intact (files never moved).
+    "meta_roundtrip" -> ((s, d) => {
+      s.sql("DROP DATABASE IF EXISTS graft_src CASCADE")
+      s.sql("CREATE DATABASE graft_src")
+      s.sql(s"""CREATE TABLE graft_src.nation_rt
+               |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
+      val dir = Tables.scratch(d, "meta_roundtrip_snapshot")
+      CatalogTransfer.write(s, CatalogTransfer.export(s, Seq("graft_src")), dir)
+      s.sql("DROP DATABASE graft_src CASCADE")
+      CatalogTransfer.importInto(s, CatalogTransfer.read(s, dir))
+      s.table("graft_src.nation_rt")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    })
+  )
+
+  /** Fixture catalog for export/import probes: one plain external table,
+    * one partitioned external table (partitions are the metastore's core
+    * object — SURVEY.md §2 group A basis). */
+  private def fixtureCatalog(s: SparkSession, d: String): Unit = {
+    s.sql("DROP DATABASE IF EXISTS graft_meta CASCADE")
+    s.sql("CREATE DATABASE graft_meta")
+    s.sql(s"""CREATE TABLE graft_meta.nation_meta
+             |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
+    val partDir = Tables.scratch(d, "lineitem_by_flag")
+    // reuse the partitioned rewrite if present; create it if not
+    if (!new java.io.File(partDir, "_SUCCESS").exists())
+      Tables(s, d, "lineitem").write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(partDir)
+    s.sql(CatalogTransfer.externalPartitionedDdl(s,
+      "graft_meta.lineitem_part",
+      new java.io.File(partDir).getAbsolutePath, Seq("l_returnflag")))
+    s.catalog.recoverPartitions("graft_meta.lineitem_part")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ddl_create_external_table" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "ddl_ctas_insert" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "meta_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+  )
+}
