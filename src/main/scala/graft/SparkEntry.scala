@@ -18,7 +18,9 @@ object SparkEntry {
     operators.Aggregates,
     operators.Windows,
     functions.ScalarFns,
-    catalog.DdlQueries)
+    functions.Udfs,
+    catalog.DdlQueries,
+    streaming.StreamOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape *through the session catalog*: lineitem registered as

@@ -28,9 +28,11 @@ object Tables {
       case "events" =>
         // ts is INT64 TIMESTAMP(NANOS) — read as raw nanos, truncate to µs
         // (matches the DuckDB oracle's CAST(ts AS TIMESTAMP) truncation).
+        // `div` = integer division; `/` would go through double and lose
+        // microsecond precision at 1.7e18-nanosecond magnitudes.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case n =>
         spark.read.parquet(s"$sfDir/$n.parquet")
     }

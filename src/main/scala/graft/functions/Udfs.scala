@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 group I — user-defined scalar / aggregate / table
+  * functions through the public extension surface.
+  *
+  * Reference basis [SVC] (`metastore-import.tf:196,:245`).
+  *
+  * Scale notes: a Scala UDF breaks codegen fusion but still runs fully
+  * distributed per-partition — acceptable for genuinely custom logic,
+  * never for anything functions._ can express (the arithmetic here is
+  * deliberately also SQL-expressible so the oracle can diff it). The
+  * typed Aggregator compiles to a partial-merge aggregate: map-side
+  * reduction, one shuffle of (sum, weight) pairs, no row explosion.
+  */
+object Udfs extends QueryGroup {
+
+  /** Multiplicative-hash checksum, also expressible in plain SQL (the
+    * oracle re-derives it arithmetically). */
+  private def checksum(key: Long): Long =
+    (key * 2654435761L % 1000000007L) % 97L
+
+  /** Weighted mean of (value, weight) — typed Aggregator UDAF. */
+  object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    def finish(r: (Double, Double)): Double =
+      if (r._2 == 0.0) 0.0 else r._1 / r._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, Q] = Map(
+    // registered for BOTH DataFrame use and SQL-by-name use.
+    "udf_scalar" -> ((s, d) => {
+      val ck = udf(checksum _)
+      s.udf.register("graft_checksum", ck)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_udf")
+      val viaSql = s.sql(
+        """SELECT o_orderkey, graft_checksum(o_orderkey) AS ck
+          |FROM orders_udf""".stripMargin)
+      viaSql.filter(col("ck") < 50).orderBy("o_orderkey")
+    }),
+
+    "udaf_aggregator" -> ((s, d) => {
+      val wm = udaf(WeightedMean)
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("weighted_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // table-generating function: one row in, N rows out, via typed
+    // flatMap (public API; same semantics as a Catalyst Generator).
+    "udtf_generator" -> ((s, d) => {
+      import s.implicits._
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .as[(Long, String)]
+        .flatMap { case (key, prio) =>
+          prio.split("-").iterator.zipWithIndex.map {
+            case (piece, i) => (key, i, piece)
+          }
+        }
+        .toDF("o_orderkey", "pos", "piece")
+        .orderBy("o_orderkey", "pos")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "udf_scalar" ->
+      """SELECT o_orderkey,
+        | (o_orderkey * 2654435761 % 1000000007) % 97 AS ck
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761 % 1000000007) % 97 < 50
+        |ORDER BY o_orderkey""".stripMargin,
+    "udaf_aggregator" ->
+      """SELECT l_returnflag,
+        | ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+        |   AS weighted_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "udtf_generator" ->
+      """SELECT o_orderkey,
+        | UNNEST(GENERATE_SERIES(1, LEN(STR_SPLIT(o_orderpriority, '-')))) - 1
+        |   AS pos,
+        | UNNEST(STR_SPLIT(o_orderpriority, '-')) AS piece
+        |FROM orders ORDER BY o_orderkey, pos""".stripMargin
+  )
+}

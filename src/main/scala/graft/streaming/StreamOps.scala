@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2 group H — Structured Streaming over the `events` table.
+  *
+  * Reference basis [SVC]: the provisioned Spark stack includes
+  * Structured Streaming (`metastore-import.tf:196,:245`).
+  *
+  * These queries run REAL streaming executions: a file source replays
+  * the events parquet, the query runs through the streaming engine into
+  * a memory sink synchronously, and the declared DataFrame is the sink
+  * table — so the driver's DuckDB diff checks actual streaming output
+  * against the batch-equivalent SQL (Spark's incrementalization
+  * guarantee, tested at the harness surface). Multi-batch semantics
+  * (watermark late-drop, cross-batch state) live in StreamingSpec,
+  * which feeds hand-ordered micro-batches through MemoryStream.
+  *
+  * Scale note (100 TB): all stateful ops key their state by window /
+  * user / event id — state partitions by key across executors; the
+  * watermark bounds state size; nothing here accumulates unbounded
+  * driver-side state.
+  */
+object StreamOps extends QueryGroup {
+
+  /** Streaming view of the events table (same ns-timestamp
+    * normalization as Tables — file sources need an explicit schema). */
+  def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$sfDir/events.parquet").schema
+    // the file stream source wants a directory — replay the sf dir
+    // filtered down to the events file.
+    s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the sink's content. */
+  def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+      runToTable(agg, "graft_stream_tumbling", "complete")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    "stream_sliding" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        // sum, not avg: the fixture values carry 4 decimals, so a sum
+        // rounded at 4 can't land on a rounding half-boundary — avg÷n can
+        // (observed: 29.51875 rounding differently per engine).
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+      runToTable(agg, "graft_stream_sliding", "complete")
+        .select(col("window.start").as("window_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start")
+    }),
+
+    "stream_session" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToTable(agg, "graft_stream_session", "complete")
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // real watermark wiring (10 min); late-drop behavior across batches
+    // is asserted in StreamingSpec — a single replay batch can't observe
+    // drops (the watermark only advances between batches), so this
+    // declared query is a rows-only check.
+    "stream_watermark_late" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      runToTable(agg, "graft_stream_watermark", "update")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // duplicate the stream (union with itself), then streaming dedup on
+    // event_id recovers each event exactly once.
+    "stream_dedup" -> ((s, d) => {
+      val e = eventsStream(s, d).select("event_id", "event_type")
+      val deduped = e.union(e).dropDuplicates("event_id")
+      runToTable(deduped, "graft_stream_dedup", "append")
+        .orderBy("event_id")
+    }),
+
+    // explicit keyed state: running per-user event count via
+    // flatMapGroupsWithState (update mode, one batch → final counts).
+    "stream_stateful_count" -> ((s, d) => {
+      import s.implicits._
+      val updateFn = (userId: Long, events: Iterator[Event],
+          state: GroupState[Long]) => {
+        val n = state.getOption.getOrElse(0L) + events.size
+        state.update(n)
+        Iterator((userId, n))
+      }
+      val counted = eventsStream(s, d).as[Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(updateFn)
+        .toDF("user_id", "n_events")
+      runToTable(counted, "graft_stream_stateful", "update")
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        | event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT ws AS window_start, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 4) AS sum_value
+        |FROM (SELECT value,
+        |        CAST(TO_TIMESTAMP(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 900)
+        |          * 900 - UNNEST([0, 1, 2, 3]) * 900) AS TIMESTAMP) AS ws
+        |      FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |flagged AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN LAG(t) OVER w IS NULL
+        |           OR t - LAG(t) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sess AS (
+        |  SELECT user_id, t,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(t) AS session_start,
+        | MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    "stream_stateful_count" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

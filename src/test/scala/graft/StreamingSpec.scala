@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Multi-batch streaming semantics that single-replay queries can't
+  * observe: watermark late-drop in append mode, cross-batch keyed state,
+  * and stream-vs-batch equality (Spark's incrementalization guarantee).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermark drops late events in append mode across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_late").start()
+    try {
+      // batch 1: two events in window [00:00,00:10)
+      input.addData((ts(1), "a"), (ts(5), "a"))
+      q.processAllAvailable()
+      // batch 2: event at 00:31 → watermark = 00:21 → window [0,10) closes
+      input.addData((ts(31), "a"))
+      q.processAllAvailable()
+      // batch 3: LATE event for the closed window — must be dropped
+      input.addData((ts(2), "a"))
+      q.processAllAvailable()
+      // batch 4: push watermark far ahead so every open window closes
+      input.addData((ts(120), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_late")
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the closed window keeps count 2 — the late event did not revise it
+    assert(out("2024-01-01 00:00:00") == 2L,
+      s"late event was not dropped: $out")
+    assert(out("2024-01-01 00:30:00") == 1L)
+  }
+
+  test("stateful count accumulates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val input = MemoryStream[(Long, Double)]
+    val fn = (uid: Long, rows: Iterator[(Long, Double)],
+        state: GroupState[Long]) => {
+      val n = state.getOption.getOrElse(0L) + rows.size
+      state.update(n)
+      Iterator((uid, n))
+    }
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+    val q = counted.toDF("user_id", "n").writeStream
+      .outputMode("update").format("memory").queryName("state_acc").start()
+    try {
+      input.addData((7L, 1.0), (7L, 2.0), (9L, 1.0))
+      q.processAllAvailable()
+      input.addData((7L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("state_acc")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(7L -> 3L, 9L -> 1L), s"got $rows")
+  }
+
+  test("streamed tumbling counts equal batch computation") {
+    val streamed = SparkEntry.queries("stream_tumbling")(spark, sf)
+      .select("window_start", "event_type", "n_events")
+    val batch = Tables(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch tumbling aggregation differ")
+  }
+
+  test("streamed session windows equal batch session_window") {
+    val streamed = SparkEntry.queries("stream_session")(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch session windows differ")
+  }
+}
