@@ -20,7 +20,10 @@ object SparkEntry {
     functions.ScalarFns,
     functions.Udfs,
     catalog.DdlQueries,
-    streaming.StreamOps)
+    streaming.StreamOps,
+    nlp.TextOps,
+    sim.VectorOps,
+    sim.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape *through the session catalog*: lineitem registered as

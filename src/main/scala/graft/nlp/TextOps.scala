@@ -1,0 +1,370 @@
+package graft.nlp
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 group J (text half) — LLM-training-pipeline text ops
+  * [NS]: tokenization/TF-IDF/n-grams/corpus stats, four dedup families
+  * (exact hash, MinHash+LSH, n-gram Jaccard via inverted index, SimHash),
+  * and text analysis (quality scoring, language-ID heuristic, token
+  * counting, rolling-hash fingerprinting).
+  *
+  * Scale design (100 TB):
+  *  - Everything is shuffle-friendly DataFrame ops — band-key groupBys,
+  *    inverted-index joins, no driver collects, no unbounded crossJoin.
+  *  - MinHash+LSH is the scale path for near-dup: candidate generation
+  *    is a groupBy on (band, band-hash) — cost scales with true
+  *    collisions, not n². The exact-Jaccard verify touches only
+  *    candidates.
+  *  - All randomness is seeded hashing (xxhash64 / LCG / polynomial-mod)
+  *    — never rand() — so every result is deterministic and
+  *    oracle-checkable.
+  *  - Fixture bounding: pair-producing queries restrict to doc_id<1000
+  *    (where the constructed near-dups live) so the DuckDB oracle's
+  *    quadratic check stays cheap; the Spark pipelines themselves are
+  *    the scalable form and run unbounded on a cluster.
+  */
+object TextOps extends QueryGroup {
+
+  private val M = 1000000007L // prime modulus for portable hashes
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** Word trigram shingle set (distinct), as a SQL expression over a
+    * `tokens` array column. */
+  private val shingles3 =
+    """array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)),
+      |  i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1),
+      |              ' ', element_at(tokens, i + 2))))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // -------------------------------------------------------- NLP basics
+
+    "nlp_tokenize_tf" -> ((s, d) => {
+      docs(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    "nlp_tfidf" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 4)
+            .as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    "nlp_ngrams" -> ((s, d) => {
+      val bi = docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("bigram", explode(expr(
+          """transform(sequence(1, greatest(size(tokens) - 1, 0)),
+            |  i -> concat(element_at(tokens, i), ' ',
+            |              element_at(tokens, i + 1)))""".stripMargin)))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram").asc)
+      bi.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("bigram"), col("n"))
+        .orderBy("lang", "rn")
+    }),
+
+    "nlp_lang_stats" -> ((s, d) => {
+      docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // ---------------------------------------------------- deduplication
+
+    // exact dedup on content hash over a corpus with constructed
+    // duplicates (the fixtures have no exact dups, so re-append every
+    // third doc under a shifted id — dedup keeps the lowest id).
+    "dedup_exact" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val dups = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      base.union(dups)
+        .withColumn("h", sha2(col("text"), 256))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keeper")
+    }),
+
+    // MinHash + LSH near-dup: shingle → 64-perm signature (seeded
+    // xxhash64 family) → 16 bands × 4 rows → band-bucket groupBy →
+    // candidate pairs → exact-Jaccard verify ≥ 0.8.
+    "dedup_minhash" -> ((s, d) => {
+      val sub = docs(s, d).filter(col("doc_id") < 1000)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("sh", expr(shingles3))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+      val sig = sub.withColumn("sig", expr(
+        """transform(sequence(0, 63),
+          |  p -> array_min(transform(sh, t -> xxhash64(t, p))))""".stripMargin))
+      val bands = sig.select(col("doc_id"), col("sh"),
+          posexplode(expr(
+            """transform(sequence(0, 15),
+              |  b -> hash(slice(sig, b * 4 + 1, 4)))""".stripMargin))
+            .as(Seq("band", "band_hash")))
+      // candidate pairs: docs sharing a band bucket (distinct over bands)
+      val a = bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val cand = a.join(b, Seq("band", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      cand
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // exact n-gram Jaccard dedup via the scalable two-phase plan:
+    // inverted-index join proposes candidates (pairs sharing >=1
+    // shingle — a superset of any Jaccard>=t pair), exact set
+    // intersection verifies.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sets = docs(s, d).filter(col("doc_id") < 1000)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("sh", expr(
+          """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
+            |  i -> concat(element_at(tokens, i), ' ',
+            |              element_at(tokens, i + 1))))""".stripMargin))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+      val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+      val cand = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 64-bit SimHash (xxhash64 per token, ±1 per bit, sign → bit).
+    // Engine-internal hash ⇒ no SQL oracle; SimHashSpec asserts
+    // near-dup pairs land within small Hamming distance.
+    "dedup_simhash" -> ((s, d) => {
+      val sub = docs(s, d).filter(col("doc_id") < 1000)
+        .withColumn("tokens", array_distinct(split(col("text"), " ")))
+      val sim = sub.withColumn("simhash", expr(
+        """aggregate(sequence(0, 63),
+          |  0L,
+          |  (acc, k) -> acc + if(
+          |    aggregate(tokens,
+          |      0L,
+          |      (s, t) -> s + if(((xxhash64(t) >> k) & 1) = 1, 1L, -1L)) >= 0,
+          |    shiftleft(1L, k), 0L))""".stripMargin))
+      sim.select(col("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------- text analysis
+
+    "text_quality" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("total_len", expr(
+          "aggregate(tokens, 0L, (acc, x) -> acc + length(x))"))
+        .withColumn("n_stop", expr(
+          """size(filter(tokens,
+            |  x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          col("total_len"),
+          expr("(total_len * 10000) div size(tokens)").as("avg_len_x1e4"),
+          expr("(n_stop * 10000) div size(tokens)").as("stop_x1e4"),
+          (size(col("tokens")) >= 20 && col("total_len") >= 100)
+            .as("quality_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic: marker-token hit counts, argmax with a
+    // fixed tie order — deterministic and SQL-expressible.
+    "text_langid" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("s_en", expr("size(filter(tokens, x -> x = 'the'))"))
+        .withColumn("s_sql", expr(
+          "size(filter(tokens, x -> x = 'table' OR x = 'scan'))"))
+        .withColumn("s_ops", expr(
+          "size(filter(tokens, x -> x = 'sort' OR x = 'merge'))"))
+        .select(col("doc_id"), col("lang"), col("s_en"), col("s_sql"),
+          col("s_ops"),
+          when(col("s_en") >= col("s_sql") && col("s_en") >= col("s_ops"), "en")
+            .when(col("s_sql") >= col("s_ops"), "sql")
+            .otherwise("ops").as("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // whitespace tokens + a BPE-ish subword estimate (4-char chunks).
+    "text_tokens" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("tokens")).as("n_ws_tokens"),
+          expr("aggregate(tokens, 0L, (acc, x) -> acc + ((length(x) + 3) div 4))")
+            .as("n_subwords"),
+          size(array_distinct(col("tokens"))).as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // polynomial rolling hash over characters, mod a prime — portable
+    // across engines (same fold order, no 64-bit overflow).
+    "text_fingerprint" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), expr(
+          s"""aggregate(transform(split(text, ''), c -> cast(ascii(c) AS BIGINT)),
+             |  0L, (acc, c) -> (acc * 31 + c) % $M)""".stripMargin)
+          .as("fingerprint"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "nlp_tokenize_tf" ->
+      """SELECT doc_id, term, COUNT(*) AS tf
+        |FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term
+        |      FROM documents WHERE doc_id % 5 = 0)
+        |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    "nlp_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        | ROUND(tf.tf * LN((n.n + 1) / (dfreq.df + 1.0)), 4) AS tfidf
+        |FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |WHERE tf.doc_id % 10 = 0
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    "nlp_ngrams" ->
+      """SELECT lang, rn, bigram, n FROM (
+        |  SELECT lang, bigram, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, bigram ASC) AS rn
+        |  FROM (SELECT lang, bigram, COUNT(*) AS n
+        |        FROM (SELECT lang, UNNEST(LIST_TRANSFORM(
+        |            GENERATE_SERIES(1, GREATEST(LEN(STR_SPLIT(text,' ')) - 1, 0)),
+        |            i -> STR_SPLIT(text,' ')[i] || ' ' || STR_SPLIT(text,' ')[i+1]))
+        |            AS bigram
+        |          FROM documents) AS g
+        |        GROUP BY lang, bigram) counted) ranked
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "nlp_lang_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "dedup_exact" ->
+      """SELECT h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM (
+        |  SELECT doc_id, SHA256(text) AS h FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, SHA256(text) FROM documents
+        |  WHERE doc_id % 3 = 0)
+        |GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
+    "dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+        |        WHERE doc_id < 1000)
+        |  WHERE LEN(t) > 2)
+        |SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |      / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+        |      AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |   AND ABS(LEN(a.sh) - LEN(b.sh)) * 4 <= GREATEST(LEN(a.sh), LEN(b.sh)))
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+        |        WHERE doc_id < 1000)
+        |  WHERE LEN(t) > 1)
+        |SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |      / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+        |      AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, LEN(t) AS n_tokens, total_len,
+        | (total_len * 10000) // LEN(t) AS avg_len_x1e4,
+        | (n_stop * 10000) // LEN(t) AS stop_x1e4,
+        | LEN(t) >= 20 AND total_len >= 100 AS quality_ok
+        |FROM (SELECT doc_id, t,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(t, x -> LENGTH(x))) AS BIGINT)
+        |    AS total_len,
+        |  CAST(LEN(LIST_FILTER(t, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |    OR x = 'and')) AS BIGINT) AS n_stop
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, lang, s_en, s_sql, s_ops,
+        | CASE WHEN s_en >= s_sql AND s_en >= s_ops THEN 'en'
+        |      WHEN s_sql >= s_ops THEN 'sql' ELSE 'ops' END AS predicted
+        |FROM (SELECT doc_id, lang,
+        |  LEN(LIST_FILTER(t, x -> x = 'the')) AS s_en,
+        |  LEN(LIST_FILTER(t, x -> x = 'table' OR x = 'scan')) AS s_sql,
+        |  LEN(LIST_FILTER(t, x -> x = 'sort' OR x = 'merge')) AS s_ops
+        |  FROM (SELECT doc_id, lang, STR_SPLIT(text, ' ') AS t FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, LEN(t) AS n_ws_tokens,
+        | CAST(LIST_SUM(LIST_TRANSFORM(t, x -> (LENGTH(x) + 3) // 4))
+        |   AS BIGINT) AS n_subwords,
+        | LEN(LIST_DISTINCT(t)) AS n_distinct
+        |FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         | LIST_REDUCE(
+         |   LIST_PREPEND(CAST(0 AS BIGINT),
+         |     LIST_TRANSFORM(STR_SPLIT(text, ''),
+         |       c -> CAST(UNICODE(c) AS BIGINT))),
+         |   (acc, c) -> (acc * 31 + c) % $M) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,216 @@
+package graft.sim
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 group J (vector half) — similarity search and multimodal
+  * assembly over the `embeddings` table (dim=64 float vectors) [NS].
+  *
+  * Scale design (100 TB):
+  *  - Brute-force top-k broadcasts the SMALL query side against the full
+  *    corpus — each executor scans its partition once; no shuffle of the
+  *    big side. This is the correctness baseline.
+  *  - `sim_lsh_buckets` is the scale path: deterministic
+  *    random-hyperplane signatures bucket the corpus with one narrow
+  *    shuffle; at 100 TB the top-k search joins query buckets to
+  *    corpus buckets instead of scanning everything.
+  *  - Embeddings cast float→double BEFORE any reduction (DuckDB reduces
+  *    in double; float-order drift would break the hash-match), and all
+  *    dot/norm folds are left-to-right sequential in both engines so
+  *    the doubles agree bit-for-bit.
+  *  - Hyperplanes come from an integer LCG keyed by (plane, dim) —
+  *    seeded determinism, no rand(), exactly reproducible in SQL.
+  */
+object VectorOps extends QueryGroup {
+
+  private val dim = 64
+  private val nPlanes = 16
+
+  /** LCG-derived hyperplane coefficient in [-1024, 1023]. */
+  private def coef(plane: Int, i: Int): Long =
+    ((1103515245L * (plane * dim + i) + 12345L) % 2048L) - 1024L
+
+  /** embeddings with the vector cast to double. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+
+  /** Sequential-fold dot product of two array<double> columns (matches
+    * the oracle's LIST_REDUCE order). */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  private def norm(a: String): String =
+    s"sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x))"
+
+  private def cosExpr(a: String, b: String): String =
+    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+
+  /** DuckDB mirror of dot/norm/cos with identical fold order. */
+  private def oDot(a: String, b: String): String =
+    s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
+      s"GENERATE_SERIES(1, $dim), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private def oNorm(a: String): String =
+    s"SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
+      s"GENERATE_SERIES(1, $dim), i -> $a[i] * $a[i])), (x, y) -> x + y))"
+
+  private def oCos(a: String, b: String): String =
+    s"${oDot(a, b)} / (${oNorm(a)} * ${oNorm(b)})"
+
+  /** All (query × candidate, cosine) pairs for query ids ≡ 0 mod m. */
+  private def pairs(s: SparkSession, d: String, m: Int): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(cosExpr("qv", "v")))
+  }
+
+  private def oPairs(m: Int): String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $m = 0),
+       |pairs AS (
+       |  SELECT qid, vec_id, label, ${oCos("qv", "v")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> qid)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // brute-force cosine top-5 per query vector (baseline ANN).
+    "sim_cosine_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      pairs(s, d, 100)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id").as("neighbor"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rn")
+    }),
+
+    // kNN label vote (k=5): majority label among the 5 nearest, ties →
+    // smaller label; compared against ground truth.
+    "sim_knn_label" -> ((s, d) => {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val top5 = pairs(s, d, 100)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      val votes = top5.groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("label").asc)
+      val pred = votes.withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("qid"), col("label").as("predicted"), col("n_votes"))
+      val truth = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("qid"), col("label").as("actual"))
+      pred.join(truth, "qid")
+        .select(col("qid"), col("predicted"), col("n_votes"), col("actual"),
+          (col("predicted") === col("actual")).as("correct"))
+        .orderBy("qid")
+    }),
+
+    // near-dup by embedding cosine: nearest neighbor per query + dup flag.
+    "dedup_embed_cosine" -> ((s, d) => {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      pairs(s, d, 50)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("nn"),
+          round(col("cos"), 4).as("cos"),
+          (col("cos") >= 0.95).as("is_dup"))
+        .orderBy("qid")
+    }),
+
+    // deterministic random-hyperplane LSH bucketing — the 100 TB path.
+    "sim_lsh_buckets" -> ((s, d) => {
+      val bitExprs = (0 until nPlanes).map { h =>
+        val arr = (1 to dim).map(i => s"${coef(h, i)}D").mkString("array(", ", ", ")")
+        s"if(${dot("v", arr)} >= 0, ${1L << h}L, 0L)"
+      }
+      emb(s, d)
+        .withColumn("bucket", expr(bitExprs.mkString("(", " + ", ")")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("bucket")
+    }),
+
+    // multimodal record assembly: text metadata + embedding in one row,
+    // filtered on both modalities.
+    "mm_multimodal_join" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val e = emb(s, d)
+      docs.join(e, docs("doc_id") === e("vec_id"), "inner")
+        .withColumn("meta",
+          struct(col("lang"), col("source"), col("n_chars")))
+        .filter(col("meta.n_chars") > 200 && size(col("embedding")) === dim)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.source").as("source"), col("meta.n_chars").as("n_chars"),
+          col("label"), round(expr(norm("v")), 4).as("emb_norm"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val oracleTopK =
+    s"""${oPairs(100)}
+       |SELECT qid, rn, vec_id AS neighbor, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> oracleTopK,
+    "sim_knn_label" ->
+      s"""${oPairs(100)},
+         |top5 AS (SELECT qid, vec_id, label FROM (
+         |  SELECT qid, vec_id, label, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs) WHERE rn <= 5),
+         |votes AS (SELECT qid, label, COUNT(*) AS n_votes FROM top5
+         |  GROUP BY qid, label),
+         |pred AS (SELECT qid, label AS predicted, n_votes FROM (
+         |  SELECT qid, label, n_votes, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY n_votes DESC, label ASC) AS vr FROM votes) WHERE vr = 1)
+         |SELECT p.qid, p.predicted, p.n_votes, e.label AS actual,
+         | p.predicted = e.label AS correct
+         |FROM pred p JOIN embeddings e ON p.qid = e.vec_id
+         |ORDER BY p.qid""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""${oPairs(50)}
+         |SELECT qid, vec_id AS nn, ROUND(cos, 4) AS cos,
+         | cos >= 0.95 AS is_dup FROM (
+         |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs)
+         |WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "sim_lsh_buckets" -> {
+      val bitSql = (0 until nPlanes).map { h =>
+        val arr = (1 to dim).map(i => s"CAST(${coef(h, i)} AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${oDot("v", arr)} >= 0 THEN ${1L << h} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id, label,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT bucket, COUNT(*) AS n_vecs,
+         | COUNT(DISTINCT label) AS n_labels
+         |FROM (SELECT vec_id, label, $bitSql AS bucket FROM e)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+    "mm_multimodal_join" ->
+      s"""SELECT doc_id, lang, source, n_chars, label,
+         | ROUND(${oNorm("v")}, 4) AS emb_norm
+         |FROM documents JOIN (SELECT vec_id, label,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    embedding
+         |  FROM embeddings) ON doc_id = vec_id
+         |WHERE n_chars > 200 AND LEN(embedding) = $dim
+         |ORDER BY doc_id""".stripMargin
+  )
+}

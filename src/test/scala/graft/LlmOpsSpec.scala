@@ -1,0 +1,83 @@
+package graft
+
+import graft.sim.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Non-oracled group J ops: SimHash clustering behavior and the
+  * multimodal decode plumbing. Data-driven: the sf0.001 and sf0.01
+  * document fixtures are different corpora, so expected near-dup pairs
+  * are computed, never hardcoded. */
+class LlmOpsSpec extends SparkSpec {
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  /** Exact word-trigram Jaccard ≥ 0.8 pairs by brute force (the slow
+    * independent baseline the LSH path must reproduce). */
+  private def exactPairs(): Set[(Long, Long)] = {
+    val sets = Tables(spark, sf, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)),
+          |  i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1),
+          |              ' ', element_at(tokens, i + 2))))""".stripMargin))
+      .select(col("doc_id"), col("sh"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private lazy val truePairs: Set[(Long, Long)] = exactPairs()
+
+  test("minhash LSH reproduces the exact brute-force pair set") {
+    val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "fixture has no near-dup pairs to find")
+    assert(lsh == truePairs,
+      s"LSH missed ${truePairs -- lsh}, extra ${lsh -- truePairs}")
+  }
+
+  test("simhash separates near-dups from unrelated docs") {
+    val sims = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = truePairs.toSeq.map { case (a, b) => hamming(sims(a), sims(b)) }
+    val ids = sims.keys.toSeq.sorted
+    val random = ids.take(40).zip(ids.reverse.take(40))
+      .filterNot(p => truePairs.contains(p) || p._1 == p._2)
+      .map { case (a, b) => hamming(sims(a), sims(b)) }
+    val nearAvg = near.sum.toDouble / near.size
+    val randAvg = random.sum.toDouble / random.size
+    assert(nearAvg + 8 <= randAvg,
+      s"no simhash separation: near-dup avg $nearAvg vs random avg $randAvg")
+  }
+
+  test("simhash is deterministic across runs") {
+    val r1 = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+    val r2 = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+    assert(r1.sameElements(r2))
+  }
+
+  test("multimodal decode pipeline emits faithful byte features") {
+    val feats: DataFrame = SparkEntry.queries("mm_decode_pipeline")(spark, sf)
+    val docs: Map[Long, String] = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = feats.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == docs.size)
+    for ((id, nBytes, head, ck) <- got.take(20)) {
+      val bytes = docs(id).getBytes("UTF-8")
+      val (en, eh, eck) = Multimodal.decodeStub(bytes)
+      assert(nBytes == en && head == eh && ck == eck,
+        s"doc $id features mismatch")
+    }
+  }
+}
