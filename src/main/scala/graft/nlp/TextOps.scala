@@ -119,23 +119,37 @@ object TextOps extends QueryGroup {
         .withColumn("sh", expr(shingles3))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), col("sh"))
-      val sig = sub.withColumn("sig", expr(
-        """transform(sequence(0, 63),
-          |  p -> array_min(transform(sh, t -> xxhash64(t, p))))""".stripMargin))
-      val bands = sig.select(col("doc_id"), col("sh"),
-          posexplode(expr(
-            """transform(sequence(0, 15),
-              |  b -> hash(slice(sig, b * 4 + 1, 4)))""".stripMargin))
-            .as(Seq("band", "band_hash")))
-      // candidate pairs: docs sharing a band bucket (distinct over bands)
-      val a = bands.select(col("band"), col("band_hash"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = bands.select(col("band"), col("band_hash"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val cand = a.join(b, Seq("band", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      // signature via 64 codegen'd min-aggregates over the exploded
+      // shingle postings — one shuffle keyed by doc_id; bands carry only
+      // (band, hash, doc_id), never the shingle arrays.
+      val exploded = sub.select(col("doc_id"), explode(col("sh")).as("t"))
+      val minAggs = (0 until 64)
+        .map(p => min(xxhash64(col("t"), lit(p))).as(s"m$p"))
+      val sig = exploded.groupBy("doc_id")
+        .agg(minAggs.head, minAggs.tail: _*)
+        .withColumn("sig", array((0 until 64).map(p => col(s"m$p")): _*))
+        .select(col("doc_id"), col("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, 15),
+            |  b -> hash(slice(sig, b * 4 + 1, 4)))""".stripMargin))
+          .as(Seq("band", "band_hash")))
+      // bucket-local pair expansion: collect each band bucket's doc ids
+      // (dup buckets are tiny — cost scales with true collisions) and
+      // expand ordered pairs in-place; the signature subtree runs once.
+      val cand = bands.groupBy(col("band"), col("band_hash"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+            |  i -> transform(slice(ids, i + 1, size(ids) - i),
+            |       j -> struct(element_at(ids, i) AS a, j AS b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
       cand
+        .join(sub.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sub.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard",
           col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -144,10 +158,10 @@ object TextOps extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // exact n-gram Jaccard dedup via the scalable two-phase plan:
-    // inverted-index join proposes candidates (pairs sharing >=1
-    // shingle — a superset of any Jaccard>=t pair), exact set
-    // intersection verifies.
+    // exact n-gram Jaccard dedup via the scalable inverted-index plan:
+    // |A∩B| falls directly out of the posting-list self-join as a
+    // groupBy count — no set arrays ever shuffle, so the heavy exchange
+    // carries only (doc_a, doc_b) pairs. Sizes join in afterwards.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val sets = docs(s, d).filter(col("doc_id") < 1000)
         .withColumn("tokens", split(col("text"), " "))
@@ -158,16 +172,15 @@ object TextOps extends QueryGroup {
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), col("sh"))
       val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-      val cand = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
+      val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
         .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")

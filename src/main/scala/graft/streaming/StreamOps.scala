@@ -39,13 +39,20 @@ object StreamOps extends QueryGroup {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the sink's content. */
+    * return the sink's content. State-store instances scale with
+    * shuffle partitions; for a single-file local replay 8 is plenty
+    * (a real cluster deployment would keep the session default). */
   def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
