@@ -87,6 +87,17 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    "sink_orc_roundtrip" -> ((s, d) => {
+      // ORC: the Hive-native columnar format the reference's clusters
+      // default to — round-trip must be lossless like parquet.
+      val dir = Tables.scratch(d, "supplier_rt_orc")
+      Tables(s, d, "supplier").write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     "catalog_table_scan" -> ((s, d) => {
       // saveAsTable registers data + schema in the session catalog; the
       // read resolves purely by name — the reference's metastore-backed
@@ -125,6 +136,7 @@ object Scans extends QueryGroup {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_parquet_roundtrip" -> supplierSql,
     "sink_csv_roundtrip" -> supplierSql,
+    "sink_orc_roundtrip" -> supplierSql,
     "catalog_table_scan" -> supplierSql
   )
 }

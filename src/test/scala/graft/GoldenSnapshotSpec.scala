@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.catalog.CatalogTransfer
+
+/** Golden-file test (SURVEY.md §5.2 #4): the canonical JSON rendering of
+  * a fixed fixture catalog is committed and diffed — any change to the
+  * snapshot schema or scrubbing rules shows up as a golden diff. Paths
+  * are relativized so the golden file is machine-independent. */
+class GoldenSnapshotSpec extends SparkSpec {
+
+  private val goldenPath = "src/test/resources/golden/meta_export.json"
+
+  test("meta_export canonical snapshot matches the committed golden file") {
+    spark.sql("DROP DATABASE IF EXISTS graft_golden CASCADE")
+    spark.sql("CREATE DATABASE graft_golden COMMENT 'golden fixture db'")
+    spark.sql(s"""CREATE TABLE graft_golden.nation_g
+                 |USING parquet LOCATION '$sf/nation.parquet'""".stripMargin)
+    spark.sql("""ALTER TABLE graft_golden.nation_g
+                |SET TBLPROPERTIES ('graft.kind' = 'golden')""".stripMargin)
+    spark.sql(s"""CREATE TABLE graft_golden.region_g
+                 |USING parquet LOCATION '$sf/region.parquet'""".stripMargin)
+    val snap = CatalogTransfer.export(spark, Seq("graft_golden"))
+    val got = CatalogTransfer.toCanonicalJson(spark, snap)
+      .replace(s"file:$sf", "file:<SF>") + "\n"
+    val p = Paths.get(goldenPath)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, got)
+      fail(s"golden file created at $goldenPath — commit it and re-run")
+    }
+    assert(got == Files.readString(p),
+      s"snapshot drifted from golden; got:\n$got")
+  }
+}

@@ -63,6 +63,26 @@ class PlanSpec extends SparkSpec {
       s"no codegen'd HashAggregate in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("no query plans a cartesian product (except the declared cross join)") {
+    // brute-force similarity intentionally broadcast-NLJs the tiny query
+    // side against one corpus scan; everything else must plan hash/merge.
+    // nlp_tfidf broadcast-crossjoins a single-row corpus count (the
+    // scalar-subquery pattern) — also fine.
+    val nljAllowed = Set("sim_cosine_topk", "sim_knn_label",
+      "dedup_embed_cosine", "join_cross", "nlp_tfidf")
+    val skip = Set("join_cross") ++
+      SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!nljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
