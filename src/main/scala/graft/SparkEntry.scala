@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Relational,
     operators.Aggregates,
     operators.Windows,
+    operators.ScaleOps,
     functions.ScalarFns,
     functions.Udfs,
     catalog.DdlQueries,

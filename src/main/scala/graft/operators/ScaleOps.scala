@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: the two classic remedies for shuffle
+  * pathologies at 100 TB, demonstrated as first-class queries whose
+  * results are provably identical to the plain formulations.
+  *
+  *  - Skew salting: a hot join key melts one reducer; salting splits
+  *    each key into S sub-keys (fact side picks a deterministic salt,
+  *    dimension side replicates S ways) so the hot key spreads across S
+  *    tasks. Result is bitwise the plain join.
+  *  - Bucketing: pre-shuffling both tables into B buckets on the join
+  *    key at write time makes every later join on that key exchange-free
+  *    (verified in PlanSpec: zero Exchange nodes in the join subtree).
+  */
+object ScaleOps extends QueryGroup {
+
+  private val S = 8 // salt fan-out
+
+  val queries: Map[String, Q] = Map(
+    "join_skew_salted" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)))
+      val o = Tables(s, d, "orders")
+        .withColumn("salt", explode(lit((0 until S).toArray)))
+      li.join(o,
+          li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    "join_bucketed" -> ((s, d) => {
+      bucketedTables(s, d)
+      val li = s.table("graft_bkt_lineitem")
+      val o = s.table("graft_bkt_orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  /** (Re)write both sides bucketed by the join key — the write-time
+    * shuffle that every subsequent co-located join amortizes. */
+  def bucketedTables(s: SparkSession, d: String): Unit = {
+    for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, t)
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .write.bucketBy(S, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.bucketBy(S, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

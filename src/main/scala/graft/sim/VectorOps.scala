@@ -33,20 +33,20 @@ object VectorOps extends QueryGroup {
     ((1103515245L * (plane * dim + i) + 12345L) % 2048L) - 1024L
 
   /** embeddings with the vector cast to double. */
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     Tables(s, d, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+  }
 
-  /** Sequential-fold dot product of two array<double> columns (matches
-    * the oracle's LIST_REDUCE order). */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Codegen'd sequential-fold dot / cosine (graft.functions
+    * VectorExpressions — tight primitive loops, same left-to-right
+    * accumulation order as the oracle's LIST_REDUCE). */
+  private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  private def norm(a: String): String =
-    s"sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x))"
+  private def norm(a: String): String = s"sqrt(graft_dot($a, $a))"
 
-  private def cosExpr(a: String, b: String): String =
-    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+  private def cosExpr(a: String, b: String): String = s"graft_cosine($a, $b)"
 
   /** DuckDB mirror of dot/norm/cos with identical fold order. */
   private def oDot(a: String, b: String): String =

@@ -83,6 +83,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join runs with zero exchanges") {
+    import graft.operators.ScaleOps
+    ScaleOps.bucketedTables(spark, sf)
+    val li = spark.table("graft_bkt_lineitem")
+    val o = spark.table("graft_bkt_orders")
+    // at sf0.001 the planner rightly prefers broadcast; pin SMJ so the
+    // bucketed (pre-shuffled) path is exercised
+    val joined = li.hint("merge")
+      .join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
