@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Aggregates,
     operators.Windows,
     operators.ScaleOps,
+    operators.Analytics,
     functions.ScalarFns,
     functions.Udfs,
     catalog.DdlQueries,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** Composite analytical queries — TPC-H shapes adapted to the fixture
+  * schema, exercising multi-join star topologies end-to-end (the kind of
+  * query a user of the reference's provisioned Spark/Hive cluster runs
+  * daily). Catalyst freely reorders these joins; dimension sides are
+  * broadcast-eligible; AQE resizes the shuffles.
+  */
+object Analytics extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    // Q3 shape: shipping priority — top revenue orders for one segment.
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Q5 shape: local-supplier revenue per nation within one region.
+    "q5_local_supplier" -> ((s, d) => {
+      val r = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = Tables(s, d, "nation")
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem")
+      val sup = Tables(s, d, "supplier")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey")
+          && c("c_nationkey") === sup("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Q10 shape: returned-item losses per customer, top 20.
+    "q10_returned_items" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val n = Tables(s, d, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS lost_revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+  )
+}

@@ -120,6 +120,21 @@ object StreamOps extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // stream-static join: each micro-batch of events joins the static
+    // customer dimension (broadcast-eligible — the standard enrichment
+    // topology at any scale).
+    "stream_static_join" -> ((s, d) => {
+      val dim = graft.Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventsStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+      runToTable(enriched, "graft_stream_static", "complete")
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     // explicit keyed state: running per-user event count via
     // flatMapGroupsWithState (update mode, one batch → final counts).
     "stream_stateful_count" -> ((s, d) => {
@@ -173,6 +188,12 @@ object StreamOps extends QueryGroup {
     "stream_dedup" ->
       """SELECT DISTINCT event_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin
