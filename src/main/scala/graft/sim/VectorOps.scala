@@ -143,6 +143,33 @@ object VectorOps extends QueryGroup {
         .orderBy("bucket")
     }),
 
+    // LSH-bucketed ANN: the scale path for top-k — hash corpus and
+    // queries with 6 hyperplanes (64 buckets), search only bucket
+    // co-residents. At 100 TB this turns a full-corpus scan per query
+    // into a bucket-keyed equi-join; recall vs brute force is measured
+    // in VectorOpsSpec.
+    "sim_ann_lsh" -> ((s, d) => {
+      val bitExprs = (0 until 6).map { h =>
+        val arr = (1 to dim).map(i => s"${coef(h, i)}D").mkString("array(", ", ", ")")
+        s"if(graft_dot(v, $arr) >= 0, ${1L << h}L, 0L)"
+      }
+      val bucketed = emb(s, d)
+        .withColumn("bucket", expr(bitExprs.mkString("(", " + ", ")")))
+      val q = bucketed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("bucket"), col("vec_id").as("nn"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid")
+    }),
+
     // multimodal record assembly: text metadata + embedding in one row,
     // filtered on both modalities.
     "mm_multimodal_join" -> ((s, d) => {
@@ -202,6 +229,26 @@ object VectorOps extends QueryGroup {
          | COUNT(DISTINCT label) AS n_labels
          |FROM (SELECT vec_id, label, $bitSql AS bucket FROM e)
          |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+    "sim_ann_lsh" -> {
+      val bitSql = (0 until 6).map { h =>
+        val arr = (1 to dim).map(i => s"CAST(${coef(h, i)} AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${oDot("v", arr)} >= 0 THEN ${1L << h} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, $bitSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b
+         |      WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT qid, b.bucket, b.vec_id, ${oCos("qv", "b.v")} AS cos
+         |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid)
+         |SELECT qid, bucket, vec_id AS nn, ROUND(cos, 4) AS cos FROM (
+         |  SELECT qid, bucket, vec_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM pairs) WHERE rn = 1 ORDER BY qid""".stripMargin
     },
     "mm_multimodal_join" ->
       s"""SELECT doc_id, lang, source, n_chars, label,
