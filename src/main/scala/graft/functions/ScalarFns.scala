@@ -153,6 +153,32 @@ object ScalarFns extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    "fn_bitwise" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("and255"),
+          (col("o_orderkey").bitwiseOR(lit(16L))).as("or16"),
+          (col("o_orderkey").bitwiseXOR(lit(85L))).as("xor85"),
+          bit_count(col("o_orderkey")).as("popcount"))
+        .orderBy("o_orderkey")
+    }),
+
+    // error-safe variants: NULL instead of ANSI runtime errors.
+    "fn_try" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // floor-scaled, not round(): these quotients land exactly on
+          // rounding half-boundaries (4-decimal price / small int) where
+          // HALF_UP and DuckDB's rounding disagree; floor is unambiguous.
+          (floor(try_divide(col("l_extendedprice"),
+            col("l_quantity") - 10.0) * 10000) / 10000).as("per_unit_maybe"),
+          expr("try_cast(concat('x', l_returnflag) AS DOUBLE)").as("bad_num"),
+          expr("try_cast(l_quantity AS STRING)").as("qty_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "fn_explode" -> ((s, d) => {
       Tables(s, d, "documents")
         .filter(col("doc_id") % 10 === 0)
@@ -254,6 +280,23 @@ object ScalarFns extends QueryGroup {
         | CAST(to_json(struct_pack(event_id := event_id,
         |   event_type := event_type)) AS VARCHAR) AS as_json
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey << 3 AS shl3,
+        | o_orderkey >> 2 AS shr2,
+        | o_orderkey & 255 AS and255,
+        | o_orderkey | 16 AS or16,
+        | XOR(o_orderkey, 85) AS xor85,
+        | CAST(BIT_COUNT(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber,
+        | FLOOR(CASE WHEN l_quantity - 10.0 = 0 THEN NULL
+        |   ELSE l_extendedprice / (l_quantity - 10.0) END * 10000) / 10000
+        |   AS per_unit_maybe,
+        | TRY_CAST('x' || l_returnflag AS DOUBLE) AS bad_num,
+        | TRY_CAST(l_quantity AS VARCHAR) AS qty_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_explode" ->
       """SELECT doc_id,
         | UNNEST(GENERATE_SERIES(1, LEN(STR_SPLIT(text, ' ')))) - 1 AS pos,

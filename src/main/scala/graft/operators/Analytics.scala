@@ -48,6 +48,25 @@ object Analytics extends QueryGroup {
         .orderBy(col("n_name"))
     }),
 
+    // the raw-SQL surface: a complete CTE + join + window query text run
+    // through spark.sql over catalog-registered views — what a Zeppelin
+    // user of the reference cluster types.
+    "sql_cte_window" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("sql_orders")
+      Tables(s, d, "customer").createOrReplaceTempView("sql_customer")
+      s.sql(
+        """WITH spend AS (
+          |  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend,
+          |         COUNT(*) AS n_orders
+          |  FROM sql_orders GROUP BY o_custkey)
+          |SELECT c.c_mktsegment, s.o_custkey, s.total_spend, s.n_orders,
+          |  RANK() OVER (PARTITION BY c.c_mktsegment
+          |    ORDER BY s.total_spend DESC, s.o_custkey ASC) AS spend_rank
+          |FROM spend s JOIN sql_customer c ON s.o_custkey = c.c_custkey
+          |WHERE s.n_orders >= 2
+          |ORDER BY c.c_mktsegment, spend_rank""".stripMargin)
+    }),
+
     // Q10 shape: returned-item losses per customer, top 20.
     "q10_returned_items" -> ((s, d) => {
       val c = Tables(s, d, "customer")
@@ -86,6 +105,17 @@ object Analytics extends QueryGroup {
         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "sql_cte_window" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_mktsegment, s.o_custkey, s.total_spend, s.n_orders,
+        |  RANK() OVER (PARTITION BY c.c_mktsegment
+        |    ORDER BY s.total_spend DESC, s.o_custkey ASC) AS spend_rank
+        |FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+        |WHERE s.n_orders >= 2
+        |ORDER BY c.c_mktsegment, spend_rank""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS lost_revenue

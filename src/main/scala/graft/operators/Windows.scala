@@ -91,6 +91,23 @@ object Windows extends QueryGroup {
         .orderBy("c_mktsegment", "c_custkey")
     }),
 
+    // nth_value + first/last with IGNORE NULLS over a nullable-ized
+    // column — null-skipping analytic semantics.
+    "win_nth_ignore_nulls" -> ((s, d) => {
+      val base = Tables(s, d, "customer")
+        .withColumn("bal",
+          when(col("c_acctbal") < 0, lit(null))
+            .otherwise(round(col("c_acctbal"), 4)))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      base.select(col("c_mktsegment"), col("c_custkey"), col("bal"),
+          first(col("bal"), ignoreNulls = true).over(w).as("first_bal"),
+          last(col("bal"), ignoreNulls = true).over(w).as("last_bal"),
+          nth_value(col("bal"), 3, ignoreNulls = true).over(w).as("third_bal"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     "sort_multi_nulls" -> ((s, d) => {
       Tables(s, d, "customer")
         .withColumn("bal",
@@ -205,6 +222,18 @@ object Windows extends QueryGroup {
         |  wf AS (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal ASC, c_custkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "win_nth_ignore_nulls" ->
+      """SELECT c_mktsegment, c_custkey, bal,
+        | FIRST_VALUE(bal IGNORE NULLS) OVER w AS first_bal,
+        | LAST_VALUE(bal IGNORE NULLS) OVER w AS last_bal,
+        | NTH_VALUE(bal, 3 IGNORE NULLS) OVER w AS third_bal
+        |FROM (SELECT c_mktsegment, c_custkey,
+        |        CASE WHEN c_acctbal < 0 THEN NULL
+        |             ELSE ROUND(c_acctbal, 4) END AS bal
+        |      FROM customer)
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "sort_multi_nulls" ->
       """SELECT c_custkey, c_nationkey,

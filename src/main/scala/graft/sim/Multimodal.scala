@@ -32,7 +32,29 @@ object Multimodal extends QueryGroup {
     (bytes.length, if (bytes.isEmpty) -1 else bytes(0) & 0xff, sum)
   }
 
+  final case class Frame(doc_id: Long, frame_no: Int, frame_bytes: Int,
+      frame_checksum: Long)
+
   val queries: Map[String, Q] = Map(
+    // frame sampling: 1→N expansion of a media blob into fixed-stride
+    // chunks ("frames"), the video/audio sampling topology — each frame
+    // re-enters the decode path independently.
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"),
+          col("lang"), col("n_chars"))
+        .as[MediaRow]
+      val frameSize = 64
+      media.flatMap { r =>
+        r.media.grouped(frameSize).zipWithIndex.map { case (chunk, i) =>
+          val (n, _, ck) = decodeStub(chunk)
+          Frame(r.doc_id, i, n, ck)
+        }
+      }.toDF()
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // binary media column + struct metadata → per-partition batch decode.
     "mm_decode_pipeline" -> ((s, d) => {
       import s.implicits._

@@ -87,6 +87,37 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    // schema evolution: two parquet slices with differing schemas read
+    // back with mergeSchema — the added column is null for old files.
+    "scan_merge_schema" -> ((s, d) => {
+      val dir = Tables.scratch(d, "supplier_evolved")
+      val sup = Tables(s, d, "supplier")
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_name"))
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      sup.filter(col("s_suppkey") % 2 =!= 0)
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .orderBy("s_suppkey")
+    }),
+
+    // write-optimized layout: range-repartition + in-partition sort (the
+    // layout that makes downstream range scans and merge joins cheap);
+    // round-trip content must be unchanged.
+    "sink_sorted_layout" -> ((s, d) => {
+      val dir = Tables.scratch(d, "orders_sorted_layout")
+      Tables(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "sink_orc_roundtrip" -> ((s, d) => {
       // ORC: the Hive-native columnar format the reference's clusters
       // default to — round-trip must be lossless like parquet.
@@ -137,6 +168,14 @@ object Scans extends QueryGroup {
     "sink_parquet_roundtrip" -> supplierSql,
     "sink_csv_roundtrip" -> supplierSql,
     "sink_orc_roundtrip" -> supplierSql,
+    "scan_merge_schema" ->
+      """SELECT s_suppkey, s_name,
+        | CASE WHEN s_suppkey % 2 = 0 THEN NULL
+        |      ELSE ROUND(s_acctbal, 4) END AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "sink_sorted_layout" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "catalog_table_scan" -> supplierSql
   )
 }
