@@ -153,6 +153,34 @@ object ScalarFns extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // DataFrameNaFunctions: fill / replace / drop over nullable-ized cols.
+    "fn_na_ops" -> ((s, d) => {
+      val base = Tables(s, d, "customer")
+        .withColumn("bal",
+          when(col("c_acctbal") < 0, lit(null))
+            .otherwise(round(col("c_acctbal"), 4)))
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .select(col("c_custkey"), col("bal"), col("seg"))
+      base.na.fill(Map("bal" -> 0.0, "seg" -> "UNKNOWN"))
+        .na.replace("seg", Map("MACHINERY" -> "MACHINES"))
+        .orderBy("c_custkey")
+    }),
+
+    // nested struct surgery: withField / dropFields, then flatten.
+    "fn_struct_field" -> ((s, d) => {
+      val withS = Tables(s, d, "customer")
+        .withColumn("s", struct(col("c_custkey").as("key"),
+          col("c_acctbal").as("bal")))
+      val reshaped = withS.withColumn("s",
+        col("s").withField("bal_r", floor(col("s.bal")))
+          .withField("tier",
+            when(col("s.bal") > 5000, "high").otherwise("low"))
+          .dropFields("bal"))
+      reshaped.select(col("s.key").as("c_custkey"),
+          col("s.bal_r").as("bal_r"), col("s.tier").as("tier"))
+        .orderBy("c_custkey")
+    }),
+
     "fn_bitwise" -> ((s, d) => {
       Tables(s, d, "orders")
         .select(col("o_orderkey"),
@@ -280,6 +308,17 @@ object ScalarFns extends QueryGroup {
         | CAST(to_json(struct_pack(event_id := event_id,
         |   event_type := event_type)) AS VARCHAR) AS as_json
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_na_ops" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 0.0 ELSE ROUND(c_acctbal, 4) END AS bal,
+        | CASE WHEN c_mktsegment = 'BUILDING' THEN 'UNKNOWN'
+        |      WHEN c_mktsegment = 'MACHINERY' THEN 'MACHINES'
+        |      ELSE c_mktsegment END AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_struct_field" ->
+      """SELECT c_custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_r,
+        | CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_bitwise" ->
       """SELECT o_orderkey,
         | o_orderkey << 3 AS shl3,

@@ -130,6 +130,44 @@ object Aggregates extends QueryGroup {
         .orderBy("n_name")
     }),
 
+    // pivot: one output column per status value (fixed value list →
+    // single pass, no second job to discover values).
+    "agg_pivot" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 4))
+        .orderBy("o_orderpriority")
+    }),
+
+    // exact interpolated percentiles (both engines: rank = p·(n−1),
+    // linear interpolation — identical arithmetic on identical doubles).
+    "agg_percentile" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5D)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9D)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25D)"), 4).as("p25_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_corr_bool" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov_p"),
+          bool_and(col("l_discount") >= 0).as("all_nonneg_disc"),
+          bool_or(col("l_quantity") > 45).as("any_big_qty"),
+          count_if(col("l_discount") > 0.05).as("n_high_disc"))
+        .orderBy("l_linestatus")
+    }),
+
     "agg_min_max_by" -> ((s, d) => {
       Tables(s, d, "orders")
         .groupBy(col("o_custkey"))
@@ -201,6 +239,28 @@ object Aggregates extends QueryGroup {
       """SELECT n_name, LIST_SORT(LIST(s_name)) AS suppliers
         |FROM nation JOIN supplier ON n_nationkey = s_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        | ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS F,
+        | ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS O,
+        | ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
+        | ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_corr_bool" ->
+      """SELECT l_linestatus,
+        | ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_s,
+        | ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS cov_p,
+        | BOOL_AND(l_discount >= 0) AS all_nonneg_disc,
+        | BOOL_OR(l_quantity > 45) AS any_big_qty,
+        | CAST(COUNT_IF(l_discount > 0.05) AS BIGINT) AS n_high_disc
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "agg_min_max_by" ->
       """SELECT o_custkey,
         | ARG_MAX(o_orderkey, o_totalprice) AS top_order,

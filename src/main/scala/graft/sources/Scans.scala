@@ -87,6 +87,15 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    // the range source: Spark's built-in parallel generator (a real
+    // distributed source — each partition generates its slice).
+    "scan_range" -> ((s, d) => {
+      s.range(0, 1000)
+        .select(col("id"), (col("id") * 2).as("doubled"),
+          (col("id") % 7).as("mod7"))
+        .orderBy("id")
+    }),
+
     // schema evolution: two parquet slices with differing schemas read
     // back with mergeSchema — the added column is null for old files.
     "scan_merge_schema" -> ((s, d) => {
@@ -168,6 +177,9 @@ object Scans extends QueryGroup {
     "sink_parquet_roundtrip" -> supplierSql,
     "sink_csv_roundtrip" -> supplierSql,
     "sink_orc_roundtrip" -> supplierSql,
+    "scan_range" ->
+      """SELECT range AS id, range * 2 AS doubled, range % 7 AS mod7
+        |FROM range(0, 1000) ORDER BY id""".stripMargin,
     "scan_merge_schema" ->
       """SELECT s_suppkey, s_name,
         | CASE WHEN s_suppkey % 2 = 0 THEN NULL

@@ -135,6 +135,43 @@ object StreamOps extends QueryGroup {
         .orderBy("c_mktsegment", "event_type")
     }),
 
+    // stream-stream inner join: even-id events matched to the next odd
+    // id — both sides are live streams, state-backed symmetric hash join.
+    "stream_stream_join" -> ((s, d) => {
+      val e = eventsStream(s, d)
+      val left = e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("left_id"),
+          col("event_type").as("left_type"))
+      val right = e.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id").as("right_id"),
+          col("event_type").as("right_type"))
+      val joined = left.join(right,
+        col("right_id") === col("left_id") + 1, "inner")
+      runToTable(joined, "graft_stream_stream", "append")
+        .orderBy("left_id")
+    }),
+
+    // foreachBatch: the escape hatch sink — each micro-batch lands as
+    // parquet through the batch writer, then reads back losslessly.
+    "stream_foreach_batch" -> ((s, d) => {
+      val out = graft.Tables.scratch(d, "stream_fb_out")
+      val cp = graft.Tables.scratch(d, "stream_fb_cp")
+      for (p <- Seq(out, cp))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val src = eventsStream(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(out).orderBy("event_id")
+    }),
+
     // explicit keyed state: running per-user event count via
     // flatMapGroupsWithState (update mode, one batch → final counts).
     "stream_stateful_count" -> ((s, d) => {
@@ -188,6 +225,15 @@ object StreamOps extends QueryGroup {
     "stream_dedup" ->
       """SELECT DISTINCT event_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT a.event_id AS left_id, a.event_type AS left_type,
+        | b.event_id AS right_id, b.event_type AS right_type
+        |FROM events a JOIN events b ON b.event_id = a.event_id + 1
+        |WHERE a.event_id % 2 = 0 AND b.event_id % 2 <> 0
+        |ORDER BY left_id""".stripMargin,
+    "stream_foreach_batch" ->
+      """SELECT event_id, event_type, ROUND(value, 4) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_static_join" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
         | ROUND(SUM(value), 4) AS sum_value
