@@ -186,6 +186,38 @@ object TextOps extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // fuzzy dedup verification: edit distance over candidate pairs only
+    // (candidates from the bigram inverted index — never all-pairs; the
+    // O(len²) levenshtein touches ~25 pairs, not 500k).
+    "dedup_fuzzy_pairs" -> ((s, d) => {
+      val sub = docs(s, d).filter(col("doc_id") < 1000)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("sh", expr(
+          """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
+            |  i -> concat(element_at(tokens, i), ' ',
+            |              element_at(tokens, i + 1))))""".stripMargin))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("text"), col("sh"))
+      val inv = sub.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sub.select(col("doc_id"), size(col("sh")).as("n"))
+      val cand = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      cand
+        .join(sub.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(sub.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+        .withColumn("sim_x1e4", expr(
+          "10000 - (edit_dist * 10000) div greatest(length(ta), length(tb))"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("sim_x1e4"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // 64-bit SimHash (xxhash64 per token, ±1 per bit, sign → bit).
     // Engine-internal hash ⇒ no SQL oracle; SimHashSpec asserts
     // near-dup pairs land within small Hamming distance.
@@ -342,6 +374,26 @@ object TextOps extends QueryGroup {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_fuzzy_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM (SELECT doc_id, text, STR_SPLIT(text, ' ') AS t FROM documents
+        |        WHERE doc_id < 1000)
+        |  WHERE LEN(t) > 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.text AS ta, b.text AS tb
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
+        |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5)
+        |SELECT doc_a, doc_b,
+        | LEVENSHTEIN(ta, tb) AS edit_dist,
+        | 10000 - (LEVENSHTEIN(ta, tb) * 10000)
+        |   // GREATEST(LENGTH(ta), LENGTH(tb)) AS sim_x1e4
+        |FROM cand ORDER BY doc_a, doc_b""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, LEN(t) AS n_tokens, total_len,
         | (total_len * 10000) // LEN(t) AS avg_len_x1e4,

@@ -127,6 +127,25 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // small-files compaction: re-land a many-file dataset as few large
+    // files — the operational fix for the small-files problem at scale
+    // (content must be byte-identical up to row order).
+    "sink_compact" -> ((s, d) => {
+      val frag = Tables.scratch(d, "orders_fragmented")
+      val compact = Tables.scratch(d, "orders_compacted")
+      Tables(s, d, "orders").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(2)
+        .write.mode("overwrite").parquet(compact)
+      val nFiles = new java.io.File(compact)
+        .listFiles.count(_.getName.endsWith(".parquet"))
+      require(nFiles <= 2, s"compaction left $nFiles files")
+      s.read.parquet(compact)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "sink_orc_roundtrip" -> ((s, d) => {
       // ORC: the Hive-native columnar format the reference's clusters
       // default to — round-trip must be lossless like parquet.
@@ -186,6 +205,9 @@ object Scans extends QueryGroup {
         |      ELSE ROUND(s_acctbal, 4) END AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "sink_sorted_layout" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sink_compact" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "catalog_table_scan" -> supplierSql
