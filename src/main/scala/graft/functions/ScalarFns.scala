@@ -207,6 +207,36 @@ object ScalarFns extends QueryGroup {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // higher-order predicates + array constructors.
+    "fn_hof" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .withColumn("tokens", split(col("text"), " "))
+        .select(col("doc_id"),
+          exists(col("tokens"), x => length(x) > 8).as("has_long"),
+          forall(col("tokens"), x => length(x) >= 2).as("all_ge2"),
+          array_position(col("tokens"), "the").as("first_the"),
+          array_join(array_repeat(col("lang"), 3), "-").as("lang_x3"),
+          size(sequence(lit(1), col("n_chars") % 10 + 1)).as("seq_len"))
+        .orderBy("doc_id")
+    }),
+
+    // date/time constructors + epoch round-trips.
+    "fn_datetime_make" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .withColumn("dom", dayofmonth(col("o_orderdate")))
+        .select(col("o_orderkey"),
+          make_date(col("yr"), col("mo"), col("dom")).cast(StringType)
+            .as("rebuilt_date"),
+          make_timestamp(col("yr"), col("mo"), col("dom"),
+            lit(12), lit(30), lit(0)).as("noonish"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          to_timestamp(unix_timestamp(col("o_orderdate"))
+            .cast("timestamp")).as("roundtrip_ts"))
+        .orderBy("o_orderkey")
+    }),
+
     "fn_explode" -> ((s, d) => {
       Tables(s, d, "documents")
         .filter(col("doc_id") % 10 === 0)
@@ -336,6 +366,29 @@ object ScalarFns extends QueryGroup {
         | TRY_CAST('x' || l_returnflag AS DOUBLE) AS bad_num,
         | TRY_CAST(l_quantity AS VARCHAR) AS qty_str
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_hof" ->
+      """SELECT doc_id,
+        | LEN(LIST_FILTER(t, x -> LENGTH(x) > 8)) > 0 AS has_long,
+        | LEN(LIST_FILTER(t, x -> NOT (LENGTH(x) >= 2))) = 0 AS all_ge2,
+        | CAST(COALESCE(LIST_POSITION(t, 'the'), 0) AS BIGINT) AS first_the,
+        | ARRAY_TO_STRING([lang, lang, lang], '-') AS lang_x3,
+        | CAST(n_chars % 10 + 1 AS INTEGER) AS seq_len
+        |FROM (SELECT doc_id, lang, n_chars, STR_SPLIT(text, ' ') AS t
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "fn_datetime_make" ->
+      """SELECT o_orderkey,
+        | CAST(MAKE_DATE(yr, mo, dom) AS VARCHAR) AS rebuilt_date,
+        | MAKE_TIMESTAMP(yr, mo, dom, 12, 30, 0) AS noonish,
+        | CAST(EPOCH(DATE_TRUNC('second', CAST(o_orderdate AS TIMESTAMP)))
+        |   AS BIGINT) AS epoch_s,
+        | DATE_TRUNC('second', CAST(o_orderdate AS TIMESTAMP)) AS roundtrip_ts
+        |FROM (SELECT o_orderkey, o_orderdate,
+        |        EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |        EXTRACT(MONTH FROM o_orderdate) AS mo,
+        |        EXTRACT(DAY FROM o_orderdate) AS dom
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_explode" ->
       """SELECT doc_id,
         | UNNEST(GENERATE_SERIES(1, LEN(STR_SPLIT(text, ' ')))) - 1 AS pos,

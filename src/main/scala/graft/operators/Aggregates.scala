@@ -168,6 +168,23 @@ object Aggregates extends QueryGroup {
         .orderBy("l_linestatus")
     }),
 
+    // linear-regression aggregates (slope/intercept/r², co-moments).
+    "agg_regression" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("r2"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("avg_x"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_min_max_by" -> ((s, d) => {
       Tables(s, d, "orders")
         .groupBy(col("o_custkey"))
@@ -261,6 +278,14 @@ object Aggregates extends QueryGroup {
         | BOOL_OR(l_quantity > 45) AS any_big_qty,
         | CAST(COUNT_IF(l_discount > 0.05) AS BIGINT) AS n_high_disc
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        | ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+        | ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+        | ROUND(REGR_R2(l_extendedprice, l_quantity), 4) AS r2,
+        | ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS avg_x,
+        | CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_min_max_by" ->
       """SELECT o_custkey,
         | ARG_MAX(o_orderkey, o_totalprice) AS top_order,
