@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
-/** Native Catalyst expressions for the vector hot path.
+/** Native Catalyst expressions for the vector hot path [NS: BASELINE.json
+  * north_star — similarity search at 100 TB scale].
   *
   * The higher-order-function formulation (`aggregate(zip_with(...))`)
   * evaluates interpreted lambdas per element; these expressions compile

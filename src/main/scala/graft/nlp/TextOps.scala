@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 group J (text half) — LLM-training-pipeline text ops
-  * [NS]: tokenization/TF-IDF/n-grams/corpus stats, four dedup families
+  * [NS: BASELINE.json north_star "dedup, text analysis"]: tokenization/TF-IDF/n-grams/corpus stats, four dedup families
   * (exact hash, MinHash+LSH, n-gram Jaccard via inverted index, SimHash),
   * and text analysis (quality scoring, language-ID heuristic, token
   * counting, rolling-hash fingerprinting).

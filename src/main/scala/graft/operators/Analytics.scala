@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Composite analytical queries — TPC-H shapes adapted to the fixture
   * schema, exercising multi-join star topologies end-to-end (the kind of
   * query a user of the reference's provisioned Spark/Hive cluster runs
-  * daily). Catalyst freely reorders these joins; dimension sides are
+  * daily — reference basis [SVC]: services = HDFS/HIVE/SPARK/YARN at
+  * yc-data-proc-metadata-import metastore-import.tf:196 and :245). Catalyst freely reorders these joins; dimension sides are
   * broadcast-eligible; AQE resizes the shuffles.
   */
 object Analytics extends QueryGroup {

@@ -4,7 +4,8 @@ import graft.{QueryGroup, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-technique operators: the two classic remedies for shuffle
+/** Scale-technique operators [SVC: yc-data-proc-metadata-import
+  * metastore-import.tf:196,:245]: the two classic remedies for shuffle
   * pathologies at 100 TB, demonstrated as first-class queries whose
   * results are provably identical to the plain formulations.
   *

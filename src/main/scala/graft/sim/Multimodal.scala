@@ -3,7 +3,8 @@ package graft.sim
 import graft.{QueryGroup, Tables}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing [NS]: media as opaque `binary` columns with
+/** Multimodal-column plumbing [NS: BASELINE.json north_star "multimodal
+  * columns"]: media as opaque `binary` columns with
   * typed metadata, batch-shaped feature extraction over partitions.
   *
   * The decode step is a clearly-marked deterministic STUB (image/audio

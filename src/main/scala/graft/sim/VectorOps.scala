@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 group J (vector half) — similarity search and multimodal
-  * assembly over the `embeddings` table (dim=64 float vectors) [NS].
+  * assembly over the `embeddings` table (dim=64 float vectors)
+  * [NS: BASELINE.json north_star "similarity search"].
   *
   * Scale design (100 TB):
   *  - Brute-force top-k broadcasts the SMALL query side against the full
