@@ -31,7 +31,8 @@ final case class TableInfo(
     location: String,           // empty for location-less tables
     columns: Seq[ColumnInfo],   // data columns then partition columns
     properties: Seq[PropKV],    // sorted by key, volatile keys scrubbed
-    comment: String)
+    comment: String,
+    viewText: String)           // CREATE VIEW body; empty for tables
 
 final case class DatabaseInfo(name: String, description: String)
 
@@ -71,25 +72,24 @@ object CatalogTransfer {
       // listTables also returns session temp views (no database
       // qualifier) — keep only identifiers actually owned by `db`.
       cat.listTables(db).filter(_.database.contains(db))
-        .sortBy(_.table).flatMap { ident =>
+        .sortBy(_.table).map { ident =>
         val t = cat.getTableMetadata(ident)
-        if (t.tableType.name == "VIEW") None
-        else {
-          val partCols = t.partitionColumnNames.toSet
-          val cols = t.schema.fields.map { f =>
-            ColumnInfo(f.name, f.dataType.sql, f.nullable,
-              partCols.contains(f.name))
-          }.toSeq
-          Some(TableInfo(
-            db = db,
-            name = ident.table,
-            tableType = t.tableType.name,
-            provider = t.provider.getOrElse("parquet"),
-            location = t.storage.locationUri.map(_.toString).getOrElse(""),
-            columns = cols,
-            properties = scrub(t.properties),
-            comment = t.comment.getOrElse("")))
-        }
+        val partCols = t.partitionColumnNames.toSet
+        val cols = t.schema.fields.map { f =>
+          ColumnInfo(f.name, f.dataType.sql, f.nullable,
+            partCols.contains(f.name))
+        }.toSeq
+        TableInfo(
+          db = db,
+          name = ident.table,
+          tableType = t.tableType.name,
+          provider = t.provider.getOrElse(
+            if (t.tableType.name == "VIEW") "view" else "parquet"),
+          location = t.storage.locationUri.map(_.toString).getOrElse(""),
+          columns = cols,
+          properties = scrub(t.properties),
+          comment = t.comment.getOrElse(""),
+          viewText = t.viewText.getOrElse(""))
       }
     }
     CatalogSnapshot(databases, tables)
@@ -174,11 +174,18 @@ object CatalogTransfer {
     snap.databases.foreach { db =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(db.name)}")
     }
-    snap.tables.foreach { t =>
+    // plain tables first, then views (views may reference tables)
+    val ordered = snap.tables.sortBy(t => (t.tableType == "VIEW", t.db, t.name))
+    ordered.foreach { t =>
       if (overwrite)
-        spark.sql(s"DROP TABLE IF EXISTS ${q(t.db)}.${q(t.name)}")
+        spark.sql(
+          if (t.tableType == "VIEW") s"DROP VIEW IF EXISTS ${q(t.db)}.${q(t.name)}"
+          else s"DROP TABLE IF EXISTS ${q(t.db)}.${q(t.name)}")
       if (!spark.catalog.tableExists(s"${t.db}.${t.name}")) {
-        spark.sql(createTableDdl(t))
+        if (t.tableType == "VIEW")
+          spark.sql(s"CREATE VIEW ${q(t.db)}.${q(t.name)} AS ${t.viewText}")
+        else
+          spark.sql(createTableDdl(t))
         if (t.columns.exists(_.isPartition) && t.location.nonEmpty)
           spark.catalog.recoverPartitions(s"${t.db}.${t.name}")
         created += s"${t.db}.${t.name}"

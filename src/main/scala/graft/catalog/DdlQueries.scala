@@ -100,6 +100,66 @@ object DdlQueries extends QueryGroup {
         .toDF("key", "value").orderBy("key")
     }),
 
+    // views: logical tables whose definition (not data) lives in the
+    // catalog — first-class HMS objects.
+    "ddl_view" -> ((s, d) => {
+      freshDb(s, "graft_ext")
+      s.sql("DROP VIEW IF EXISTS graft_ext.spend_view")
+      s.sql("DROP TABLE IF EXISTS graft_ext.orders_ext")
+      s.sql(s"""CREATE TABLE graft_ext.orders_ext
+               |USING parquet LOCATION '$d/orders.parquet'""".stripMargin)
+      // permanent views may only reference permanent catalog objects
+      s.sql(
+        """CREATE VIEW graft_ext.spend_view AS
+          |SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |       ROUND(SUM(o_totalprice), 4) AS sum_price
+          |FROM graft_ext.orders_ext GROUP BY o_orderstatus""".stripMargin)
+      s.table("graft_ext.spend_view").orderBy("o_orderstatus")
+    }),
+
+    // explicit partition management: ADD/DROP PARTITION with locations —
+    // the metastore's bread-and-butter objects (SHOW PARTITIONS view).
+    "ddl_partition_mgmt" -> ((s, d) => {
+      freshDb(s, "graft_ext")
+      val partDir = Tables.scratch(d, "lineitem_by_flag")
+      if (!new java.io.File(partDir, "_SUCCESS").exists())
+        Tables(s, d, "lineitem").write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(partDir)
+      val abs = new java.io.File(partDir).getAbsolutePath
+      s.sql("DROP TABLE IF EXISTS graft_ext.li_pm")
+      s.sql(CatalogTransfer.externalPartitionedDdl(s,
+        "graft_ext.li_pm", abs, Seq("l_returnflag")))
+      // manage partitions explicitly instead of bulk recovery
+      s.sql(s"""ALTER TABLE graft_ext.li_pm ADD IF NOT EXISTS
+               |PARTITION (l_returnflag='A') LOCATION '$abs/l_returnflag=A'
+               |PARTITION (l_returnflag='N') LOCATION '$abs/l_returnflag=N'
+               |PARTITION (l_returnflag='R') LOCATION '$abs/l_returnflag=R'""".stripMargin)
+      s.sql("ALTER TABLE graft_ext.li_pm DROP IF EXISTS PARTITION (l_returnflag='N')")
+      // rows visible = exactly the two remaining partitions
+      s.table("graft_ext.li_pm")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ANALYZE: statistics recorded in the catalog (what CBO reads; in
+    // the reference these live in HMS table parameters).
+    "ddl_analyze_stats" -> ((s, d) => {
+      import s.implicits._
+      freshDb(s, "graft_ext")
+      s.sql("DROP TABLE IF EXISTS graft_ext.nation_stats")
+      s.sql(s"""CREATE TABLE graft_ext.nation_stats
+               |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
+      s.sql("ANALYZE TABLE graft_ext.nation_stats COMPUTE STATISTICS")
+      val stats = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          "nation_stats", Some("graft_ext")))
+        .stats
+      Seq(("row_count", stats.flatMap(_.rowCount).map(_.toString)
+          .getOrElse("<none>")),
+        ("has_size", stats.nonEmpty.toString))
+        .toDF("stat", "value").orderBy("stat")
+    }),
+
     "meta_export" -> ((s, d) => {
       import s.implicits._
       fixtureCatalog(s, d)
@@ -167,6 +227,14 @@ object DdlQueries extends QueryGroup {
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | ROUND(SUM(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "ddl_view" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "ddl_partition_mgmt" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "meta_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin

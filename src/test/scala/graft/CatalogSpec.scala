@@ -79,11 +79,29 @@ class CatalogSpec extends SparkSpec {
     val t = TableInfo("db1", "t1", "EXTERNAL", "parquet", "/data/t1",
       Seq(ColumnInfo("a", "BIGINT", nullable = true, isPartition = false),
         ColumnInfo("p", "STRING", nullable = true, isPartition = true)),
-      Seq(PropKV("k", "v")), "a comment")
+      Seq(PropKV("k", "v")), "a comment", "")
     val ddl = CatalogTransfer.createTableDdl(t)
     assert(ddl == "CREATE TABLE `db1`.`t1` (`a` BIGINT, `p` STRING) " +
       "USING parquet PARTITIONED BY (`p`) COMMENT 'a comment' " +
       "LOCATION '/data/t1' TBLPROPERTIES ('k' = 'v')")
+  }
+
+  test("views round-trip through the snapshot (definition, not data)") {
+    spark.sql("DROP DATABASE IF EXISTS graft_vrt CASCADE")
+    spark.sql("CREATE DATABASE graft_vrt")
+    spark.sql(s"""CREATE TABLE graft_vrt.nation_b
+                 |USING parquet LOCATION '$sf/nation.parquet'""".stripMargin)
+    spark.sql("""CREATE VIEW graft_vrt.nation_v AS
+                |SELECT n_regionkey, COUNT(*) AS n FROM graft_vrt.nation_b
+                |GROUP BY n_regionkey""".stripMargin)
+    val before = spark.table("graft_vrt.nation_v").collect().toSet
+    val dir = Tables.scratch(sf, "catalog_view_rt")
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("graft_vrt")), dir)
+    spark.sql("DROP DATABASE graft_vrt CASCADE")
+    val created = CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+    assert(created.contains("graft_vrt.nation_v"), s"view not recreated: $created")
+    assert(spark.table("graft_vrt.nation_v").collect().toSet == before)
   }
 
   test("import is idempotent when tables already exist") {
