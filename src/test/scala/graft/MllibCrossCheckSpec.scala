@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the hand-rolled MinHash+LSH dedup against MLlib's
+  * MinHashLSH on the same corpus: two independent implementations of the
+  * same sketch family must agree on the high-similarity pair set. */
+class MllibCrossCheckSpec extends SparkSpec {
+
+  test("MLlib MinHashLSH finds the same near-dup pairs") {
+    val ourPairs = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ourPairs.nonEmpty)
+
+    val shingled = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 1000)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)),
+          |  i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1),
+          |              ' ', element_at(tokens, i + 2))))""".stripMargin))
+      .filter(size(col("sh")) > 2)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val featured = tf.transform(shingled).select("doc_id", "features")
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(16).setSeed(42L)
+    val model = lsh.fit(featured)
+    // jaccard DISTANCE threshold 0.2 == similarity 0.8
+    val mlPairs = model
+      .approxSimilarityJoin(featured, featured, 0.2, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+      .filter(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mlPairs == ourPairs,
+      s"MLlib found ${mlPairs -- ourPairs} extra, missed ${ourPairs -- mlPairs}")
+  }
+}
