@@ -190,7 +190,7 @@ object TextOps extends QueryGroup {
     // (candidates from the bigram inverted index — never all-pairs; the
     // O(len²) levenshtein touches ~25 pairs, not 500k).
     "dedup_fuzzy_pairs" -> ((s, d) => {
-      val sub = docs(s, d).filter(col("doc_id") < 1000)
+      val sub = docs(s, d).filter(col("doc_id") < 500)
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("sh", expr(
           """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
@@ -380,7 +380,7 @@ object TextOps extends QueryGroup {
         |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
         |      i -> t[i] || ' ' || t[i+1])) AS sh
         |  FROM (SELECT doc_id, text, STR_SPLIT(text, ' ') AS t FROM documents
-        |        WHERE doc_id < 1000)
+        |        WHERE doc_id < 500)
         |  WHERE LEN(t) > 1),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
