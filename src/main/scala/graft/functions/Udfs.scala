@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
 object Udfs extends QueryGroup {
 
   /** Multiplicative-hash checksum, also expressible in plain SQL (the
-    * oracle re-derives it arithmetically). */
+    * oracle re-derives it arithmetically). The key is reduced mod a
+    * small prime BEFORE multiplying so the product stays < 2^52 at any
+    * key scale — Scala Long wraparound and DuckDB BIGINT overflow
+    * semantics differ, and this keeps both engines exactly in range. */
   private def checksum(key: Long): Long =
-    (key * 2654435761L % 1000000007L) % 97L
+    ((key % 1000003L) * 2654435761L % 1000000007L) % 97L
 
   /** Weighted mean of (value, weight) — typed Aggregator UDAF. */
   object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
@@ -79,9 +82,9 @@ object Udfs extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "udf_scalar" ->
       """SELECT o_orderkey,
-        | (o_orderkey * 2654435761 % 1000000007) % 97 AS ck
+        | ((o_orderkey % 1000003) * 2654435761 % 1000000007) % 97 AS ck
         |FROM orders
-        |WHERE (o_orderkey * 2654435761 % 1000000007) % 97 < 50
+        |WHERE ((o_orderkey % 1000003) * 2654435761 % 1000000007) % 97 < 50
         |ORDER BY o_orderkey""".stripMargin,
     "udaf_aggregator" ->
       """SELECT l_returnflag,

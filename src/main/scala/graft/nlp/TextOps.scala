@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH is the scale path for near-dup: candidate generation
   *    is a groupBy on (band, band-hash) — cost scales with true
   *    collisions, not n². The exact-Jaccard verify touches only
-  *    candidates.
+  *    candidates. Exact duplicates collapse to one signature row before
+  *    banding and buckets are hard-capped at [[TextOps.maxBucket]], so a
+  *    boilerplate-heavy corpus (millions of identical pages) cannot
+  *    materialize an unbounded bucket row on one executor.
   *  - All randomness is seeded hashing (xxhash64 / LCG / polynomial-mod)
   *    — never rand() — so every result is deterministic and
   *    oracle-checkable.
@@ -110,53 +113,12 @@ object TextOps extends QueryGroup {
         .orderBy("keeper")
     }),
 
-    // MinHash + LSH near-dup: shingle → 64-perm signature (seeded
-    // xxhash64 family) → 16 bands × 4 rows → band-bucket groupBy →
-    // candidate pairs → exact-Jaccard verify ≥ 0.8.
-    "dedup_minhash" -> ((s, d) => {
-      val sub = docs(s, d).filter(col("doc_id") < 1000)
-        .withColumn("tokens", split(col("text"), " "))
-        .withColumn("sh", expr(shingles3))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"))
-      // signature via 64 codegen'd min-aggregates over the exploded
-      // shingle postings — one shuffle keyed by doc_id; bands carry only
-      // (band, hash, doc_id), never the shingle arrays.
-      val exploded = sub.select(col("doc_id"), explode(col("sh")).as("t"))
-      val minAggs = (0 until 64)
-        .map(p => min(xxhash64(col("t"), lit(p))).as(s"m$p"))
-      val sig = exploded.groupBy("doc_id")
-        .agg(minAggs.head, minAggs.tail: _*)
-        .withColumn("sig", array((0 until 64).map(p => col(s"m$p")): _*))
-        .select(col("doc_id"), col("sig"))
-      val bands = sig.select(col("doc_id"),
-        posexplode(expr(
-          """transform(sequence(0, 15),
-            |  b -> hash(slice(sig, b * 4 + 1, 4)))""".stripMargin))
-          .as(Seq("band", "band_hash")))
-      // bucket-local pair expansion: collect each band bucket's doc ids
-      // (dup buckets are tiny — cost scales with true collisions) and
-      // expand ordered pairs in-place; the signature subtree runs once.
-      val cand = bands.groupBy(col("band"), col("band_hash"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-            |  i -> transform(slice(ids, i + 1, size(ids) - i),
-            |       j -> struct(element_at(ids, i) AS a, j AS b))))""".stripMargin))
-          .as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .distinct()
-      cand
-        .join(sub.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sub.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // MinHash + LSH near-dup: exact-text collapse → shingle → 64-perm
+    // signature (seeded xxhash64 family) → 16 bands × 4 rows → CAPPED
+    // band-bucket groupBy → candidate pairs → exact-Jaccard verify ≥ 0.8
+    // → expand back through the duplicate groups.
+    "dedup_minhash" -> ((s, d) =>
+      minhashPairs(shingled(docs(s, d).filter(col("doc_id") < 1000)))),
 
     // exact n-gram Jaccard dedup via the scalable inverted-index plan:
     // |A∩B| falls directly out of the posting-list self-join as a
@@ -297,6 +259,110 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     })
   )
+
+  /** Band buckets are truncated to this many distinct-text
+    * representatives. Exact duplicates can't inflate a bucket (they
+    * collapse to one signature row first), so only adversarial
+    * near-identical boilerplate hits the cap — those candidates are
+    * dropped (bounded recall loss) instead of materializing an unbounded
+    * collect_set row on one executor. */
+  val maxBucket = 100
+
+  /** (doc_id, text) rows → (doc_id, text, sh) with the distinct word
+    * trigram shingle set; docs too short to shingle drop out. */
+  def shingled(in: DataFrame): DataFrame =
+    in.withColumn("tokens", split(col("text"), " "))
+      .withColumn("sh", expr(shingles3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("text"), col("sh"))
+
+  /** Exact-duplicate collapse: one representative (min doc_id) per
+    * distinct text. Only narrow (doc_id, sha256) pairs shuffle — the
+    * text/shingle arrays stay in place. Returns (doc_id, rep). */
+  def dupGroups(sub: DataFrame): DataFrame = {
+    val hashes = sub.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val groups = hashes.groupBy("h").agg(min(col("doc_id")).as("rep"))
+    hashes.join(groups, "h").select(col("doc_id"), col("rep"))
+  }
+
+  /** LSH band buckets over the distinct-text representatives of `sub`
+    * ((doc_id, text, sh) rows): (band, band_hash, ids) with ids capped
+    * at [[maxBucket]] per bucket. The cap is enforced BEFORE collection
+    * (row_number within the bucket), so no aggregation buffer ever holds
+    * more than maxBucket ids — the 100 TB boilerplate-corpus guard. */
+  def minhashBuckets(sub: DataFrame): DataFrame = {
+    val members = dupGroups(sub)
+    val reps = sub.join(
+      members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    // signature via 64 codegen'd min-aggregates over the exploded
+    // shingle postings — one shuffle keyed by doc_id; bands carry only
+    // (band, hash, doc_id), never the shingle arrays.
+    val exploded = reps.select(col("doc_id"), explode(col("sh")).as("t"))
+    val minAggs = (0 until 64)
+      .map(p => min(xxhash64(col("t"), lit(p))).as(s"m$p"))
+    val sig = exploded.groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .withColumn("sig", array((0 until 64).map(p => col(s"m$p")): _*))
+      .select(col("doc_id"), col("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, 15),
+          |  b -> hash(slice(sig, b * 4 + 1, 4)))""".stripMargin))
+        .as(Seq("band", "band_hash")))
+    val wB = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    bands
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= maxBucket)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+  }
+
+  /** Full MinHash+LSH near-dup pair set (Jaccard ≥ 0.8) over `sub`
+    * ((doc_id, text, sh) rows). Candidate generation runs over one
+    * representative per distinct text; verified representative pairs are
+    * expanded back through the duplicate groups (identical text ⇒
+    * Jaccard is exactly the representative pair's), and within-group
+    * pairs are emitted at Jaccard 1.0 without touching the shingles. */
+  def minhashPairs(sub: DataFrame): DataFrame = {
+    val members = dupGroups(sub)
+    // bucket-local pair expansion: dup buckets are tiny post-collapse —
+    // cost scales with true collisions; the signature subtree runs once.
+    val cand = minhashBuckets(sub)
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |       j -> struct(element_at(ids, i) AS a, j AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val shOnly = sub.select(col("doc_id"), col("sh"))
+    val repPairs = cand
+      .join(shOnly.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shOnly.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("jaccard"))
+    val crossPairs = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")),
+        "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")),
+        "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val withinPairs = members.as("m1")
+      .join(members.as("m2"), col("m1.rep") === col("m2.rep") &&
+        col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    crossPairs.union(withinPairs)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   val oracles: Map[String, String] = Map(
     "nlp_tokenize_tf" ->

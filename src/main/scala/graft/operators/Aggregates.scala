@@ -121,12 +121,17 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // the collected list is emitted delimiter-joined: array-typed output
+    // columns (like maps) can't be canonicalized by the driver's compare
+    // (SURVEY.md §5.2), and the string carries identical information.
     "agg_collect_sorted" -> ((s, d) => {
       val n = Tables(s, d, "nation")
       val sup = Tables(s, d, "supplier")
       n.join(sup, n("n_nationkey") === sup("s_nationkey"), "inner")
         .groupBy(col("n_name"))
-        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"))
+        .agg(array_join(sort_array(collect_list(col("s_name"))), "|")
+          .as("suppliers"),
+          count(lit(1)).as("n_suppliers"))
         .orderBy("n_name")
     }),
 
@@ -253,7 +258,9 @@ object Aggregates extends QueryGroup {
         | ROUND(AVG(l_quantity), 4) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect_sorted" ->
-      """SELECT n_name, LIST_SORT(LIST(s_name)) AS suppliers
+      """SELECT n_name,
+        | ARRAY_TO_STRING(LIST_SORT(LIST(s_name)), '|') AS suppliers,
+        | COUNT(*) AS n_suppliers
         |FROM nation JOIN supplier ON n_nationkey = s_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_pivot" ->

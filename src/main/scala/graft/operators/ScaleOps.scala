@@ -49,9 +49,19 @@ object ScaleOps extends QueryGroup {
   )
 
   /** (Re)write both sides bucketed by the join key — the write-time
-    * shuffle that every subsequent co-located join amortizes. */
+    * shuffle that every subsequent co-located join amortizes. Idempotent
+    * per input dir: when both tables already exist for this `d` (marker
+    * property), the rewrite is skipped so queries measure the
+    * exchange-free join, not the table build. */
   def bucketedTables(s: SparkSession, d: String): Unit = {
-    for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+    val names = Seq("graft_bkt_lineitem", "graft_bkt_orders")
+    val fresh = names.forall { t =>
+      s.catalog.tableExists(t) && s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .properties.get("graft.sfdir").contains(d)
+    }
+    if (fresh) return
+    for (t <- names) {
       s.sql(s"DROP TABLE IF EXISTS $t")
       val wh = new org.apache.hadoop.fs.Path(
         s.sessionState.conf.warehousePath, t)
@@ -65,6 +75,8 @@ object ScaleOps extends QueryGroup {
       .select("o_orderkey", "o_orderstatus", "o_orderpriority")
       .write.bucketBy(S, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_bkt_orders")
+    for (t <- names)
+      s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.sfdir' = '$d')")
   }
 
   val oracles: Map[String, String] = Map(

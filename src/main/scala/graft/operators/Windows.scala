@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): window functions shuffle once on the
   * partitionBy key and sort within partitions — keys here (mktsegment,
-  * custkey, brand) are well-distributed; no single-partition global
-  * windows except the small `part`-table range frame. Global sort +
+  * custkey, brand) are well-distributed; the only global (unpartitioned)
+  * window runs over ~30 post-aggregation daily rows. Global sort +
   * limit plans as TakeOrderedAndProject (per-partition top-k, then a
   * driver-side merge of k·p rows, never a full global sort).
   */
@@ -55,13 +55,17 @@ object Windows extends QueryGroup {
 
     "win_range_frame" -> ((s, d) => {
       // DataFrame rangeBetween only takes Long offsets; a double-valued
-      // RANGE frame is SQL-only syntax, so use expression form.
+      // RANGE frame is SQL-only syntax, so use expression form. The
+      // window partitions by p_brand: an unpartitioned RANGE frame is a
+      // single-task global sort at 100× — the brand key shuffles once
+      // and sorts within well-distributed partitions instead.
       Tables(s, d, "part")
-        .selectExpr("p_partkey", "round(p_retailprice, 4) AS price",
-          """round(sum(p_retailprice) OVER (ORDER BY p_retailprice
+        .selectExpr("p_partkey", "p_brand", "round(p_retailprice, 4) AS price",
+          """round(sum(p_retailprice) OVER (PARTITION BY p_brand
+            | ORDER BY p_retailprice
             | RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING), 4)
             | AS near_sum""".stripMargin,
-          """count(1) OVER (ORDER BY p_retailprice
+          """count(1) OVER (PARTITION BY p_brand ORDER BY p_retailprice
             | RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS near_cnt""".stripMargin)
         .orderBy("p_partkey")
     }),
@@ -196,11 +200,11 @@ object Windows extends QueryGroup {
         |   AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_range_frame" ->
-      """SELECT p_partkey, ROUND(p_retailprice, 4) AS price,
+      """SELECT p_partkey, p_brand, ROUND(p_retailprice, 4) AS price,
         | ROUND(SUM(p_retailprice) OVER w, 4) AS near_sum,
         | COUNT(*) OVER w AS near_cnt
         |FROM part
-        |WINDOW w AS (ORDER BY p_retailprice
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice
         |  RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING)
         |ORDER BY p_partkey""".stripMargin,
     "win_moving_avg" ->

@@ -161,7 +161,10 @@ object VectorOps extends QueryGroup {
           col("bucket").as("qbucket"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id").asc)
-      bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      // no broadcast pin: at this scale AQE broadcasts the tiny query
+      // side on its own; at 100× (query side = a real corpus slice) the
+      // same hint-free code lets the planner pick SMJ on the bucket key.
+      bucketed.join(q, col("bucket") === col("qbucket"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos", expr(cosExpr("qv", "v")))
         .withColumn("rn", row_number().over(w))

@@ -129,16 +129,22 @@ object Scans extends QueryGroup {
 
     // small-files compaction: re-land a many-file dataset as few large
     // files — the operational fix for the small-files problem at scale
-    // (content must be byte-identical up to row order).
+    // (content must be byte-identical up to row order). repartition, not
+    // coalesce: coalesce(2) propagates upstream and collapses the READ
+    // to 2 tasks; repartition keeps the scan parallel (64 read tasks)
+    // and pays one shuffle to land exactly 2 output files.
     "sink_compact" -> ((s, d) => {
       val frag = Tables.scratch(d, "orders_fragmented")
       val compact = Tables.scratch(d, "orders_compacted")
-      Tables(s, d, "orders").repartition(64)
-        .write.mode("overwrite").parquet(frag)
-      s.read.parquet(frag).coalesce(2)
+      if (!new java.io.File(frag, "_SUCCESS").exists())
+        Tables(s, d, "orders").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).repartition(2)
         .write.mode("overwrite").parquet(compact)
-      val nFiles = new java.io.File(compact)
-        .listFiles.count(_.getName.endsWith(".parquet"))
+      val outPath = new org.apache.hadoop.fs.Path(compact)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nFiles = fs.globStatus(new org.apache.hadoop.fs.Path(
+        compact, "*.parquet")).length
       require(nFiles <= 2, s"compaction left $nFiles files")
       s.read.parquet(compact)
         .select(col("o_orderkey"), col("o_custkey"),

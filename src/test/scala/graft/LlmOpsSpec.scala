@@ -36,13 +36,48 @@ class LlmOpsSpec extends SparkSpec {
 
   private lazy val truePairs: Set[(Long, Long)] = exactPairs()
 
-  test("minhash LSH reproduces the exact brute-force pair set") {
+  test("minhash LSH pairs are verified-exact with high recall") {
     val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truePairs.nonEmpty, "fixture has no near-dup pairs to find")
-    assert(lsh == truePairs,
-      s"LSH missed ${truePairs -- lsh}, extra ${lsh -- truePairs}")
+    // every emitted pair passed the exact-Jaccard verify → no false
+    // positives, ever; recall is probabilistic (a pair at j marginally
+    // ≥0.8 misses all 16 bands with prob ~(1-j⁴)¹⁶), so assert a bound
+    // rather than fragile set equality (currently 1.0 on the fixtures).
+    assert((lsh -- truePairs).isEmpty,
+      s"false positives survived the exact verify: ${lsh -- truePairs}")
+    val recall = (lsh intersect truePairs).size.toDouble / truePairs.size
+    assert(recall >= 0.95, s"LSH recall $recall; missed ${truePairs -- lsh}")
+  }
+
+  test("10k injected exact copies: pair set stable, no bucket blowup") {
+    import graft.nlp.TextOps
+    val baseDocs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 1000).select("doc_id", "text")
+    val base = TextOps.shingled(baseDocs)
+    val origPairs = TextOps.minhashPairs(base)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneText = base.orderBy("doc_id").select("text").head.getString(0)
+    val copies = spark.range(10000)
+      .select((col("id") + 2000000L).as("doc_id"), lit(oneText).as("text"))
+    val injected = TextOps.shingled(baseDocs.union(copies))
+    // the copies collapse to one signature row, so no band bucket may
+    // grow past the cap (the executor-OOM hazard at 100 TB)...
+    val maxSize = TextOps.minhashBuckets(injected)
+      .agg(max(size(col("ids")))).head.getInt(0)
+    assert(maxSize <= TextOps.maxBucket,
+      s"bucket of size $maxSize exceeds cap ${TextOps.maxBucket}")
+    // ...and the non-degenerate pair set (pairs among original docs) is
+    // exactly what it was without the copies.
+    val nonDegenerate = TextOps.minhashPairs(injected)
+      .filter(col("doc_a") < 2000000L && col("doc_b") < 2000000L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nonDegenerate == origPairs,
+      s"copies changed the pair set: missing ${origPairs -- nonDegenerate}, " +
+        s"extra ${nonDegenerate -- origPairs}")
   }
 
   test("simhash separates near-dups from unrelated docs") {

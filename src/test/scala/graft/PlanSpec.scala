@@ -53,6 +53,13 @@ class PlanSpec extends SparkSpec {
     assert(planOf("limit_offset").contains("TakeOrderedAndProject"))
   }
 
+  test("win_range_frame runs a partitioned window, not a global sort") {
+    val plan = planOf("win_range_frame")
+    assert(plan.contains("Window") &&
+      plan.contains("hashpartitioning(p_brand"),
+      s"range-frame window is not partitioned by brand:\n$plan")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE hides codegen spans until the final plan exists — execute first.
     val df = SparkEntry.queries("agg_hash_group")(spark, sf)
