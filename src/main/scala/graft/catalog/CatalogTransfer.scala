@@ -19,9 +19,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * pruning works on the target immediately after import.
   */
 final case class ColumnInfo(
-    name: String, dataType: String, nullable: Boolean, isPartition: Boolean)
+    name: String, dataType: String, nullable: Boolean, isPartition: Boolean,
+    comment: String = "")
 
 final case class PropKV(key: String, value: String)
+
+/** One catalog-registered partition: its spec (sorted key=value pairs)
+  * and explicit storage location. HMS preserves per-partition storage
+  * descriptors — partitions added with custom LOCATION clauses are not
+  * recoverable from the directory layout, so the snapshot must carry
+  * them. */
+final case class PartitionInfo(spec: Seq[PropKV], location: String)
 
 final case class TableInfo(
     db: String,
@@ -32,7 +40,16 @@ final case class TableInfo(
     columns: Seq[ColumnInfo],   // data columns then partition columns
     properties: Seq[PropKV],    // sorted by key, volatile keys scrubbed
     comment: String,
-    viewText: String)           // CREATE VIEW body; empty for tables
+    viewText: String,           // CREATE VIEW body; empty for tables
+    viewDefaultDb: String = "", // db unqualified view refs resolve against
+    numBuckets: Int = 0,        // 0 = unbucketed
+    bucketCols: Seq[String] = Nil,
+    sortCols: Seq[String] = Nil,
+    partitions: Seq[PartitionInfo] = Nil,
+    inputFormat: String = "",   // hive-SerDe storage (provider == hive)
+    outputFormat: String = "",
+    serde: String = "",
+    serdeProps: Seq[PropKV] = Nil)
 
 final case class DatabaseInfo(name: String, description: String)
 
@@ -46,7 +63,11 @@ object CatalogTransfer {
   private val volatilePropPrefixes = Seq(
     "transient_lastDdlTime", "spark.sql.create.version",
     "spark.sql.statistics", "created", "numFiles", "totalSize",
-    "option.path", "path", "external")
+    "option.path", "path", "external",
+    // view bookkeeping is regenerated on CREATE VIEW; the resolution
+    // database is carried first-class as TableInfo.viewDefaultDb
+    "view.", "spark.sql.sources.schema", "bucketing_version",
+    "last_modified", "COLUMN_STATS_ACCURATE", "numRows", "rawDataSize")
 
   private def scrub(props: Map[String, String]): Seq[PropKV] =
     props.toSeq
@@ -77,19 +98,49 @@ object CatalogTransfer {
         val partCols = t.partitionColumnNames.toSet
         val cols = t.schema.fields.map { f =>
           ColumnInfo(f.name, f.dataType.sql, f.nullable,
-            partCols.contains(f.name))
+            partCols.contains(f.name), f.getComment().getOrElse(""))
         }.toSeq
+        val isView = t.tableType.name == "VIEW"
+        val provider = t.provider.getOrElse(if (isView) "view" else "parquet")
+        // partitions are first-class HMS objects with their own storage
+        // descriptors — capture (spec, location) so custom-LOCATION
+        // partitions survive import (recoverPartitions only finds
+        // hive-layout subdirectories).
+        val parts =
+          if (partCols.nonEmpty && !isView)
+            cat.listPartitions(ident).map { p =>
+              PartitionInfo(
+                p.spec.toSeq.sortBy(_._1).map { case (k, v) => PropKV(k, v) },
+                p.storage.locationUri.map(_.toString).getOrElse(""))
+            }.sortBy(_.spec.map(kv => s"${kv.key}=${kv.value}").mkString("/"))
+          else Nil
         TableInfo(
           db = db,
           name = ident.table,
           tableType = t.tableType.name,
-          provider = t.provider.getOrElse(
-            if (t.tableType.name == "VIEW") "view" else "parquet"),
+          provider = provider,
           location = t.storage.locationUri.map(_.toString).getOrElse(""),
           columns = cols,
           properties = scrub(t.properties),
           comment = t.comment.getOrElse(""),
-          viewText = t.viewText.getOrElse(""))
+          viewText = t.viewText.getOrElse(""),
+          viewDefaultDb =
+            if (isView) t.viewCatalogAndNamespace.lastOption.getOrElse(db)
+            else "",
+          numBuckets = t.bucketSpec.map(_.numBuckets).getOrElse(0),
+          bucketCols = t.bucketSpec.map(_.bucketColumnNames.toSeq)
+            .getOrElse(Nil),
+          sortCols = t.bucketSpec.map(_.sortColumnNames.toSeq).getOrElse(Nil),
+          partitions = parts,
+          inputFormat = if (provider == "hive")
+            t.storage.inputFormat.getOrElse("") else "",
+          outputFormat = if (provider == "hive")
+            t.storage.outputFormat.getOrElse("") else "",
+          serde = if (provider == "hive")
+            t.storage.serde.getOrElse("") else "",
+          serdeProps = if (provider == "hive")
+            t.storage.properties.toSeq.sortBy(_._1)
+              .map { case (k, v) => PropKV(k, v) } else Nil)
       }
     }
     CatalogSnapshot(databases, tables)
@@ -134,33 +185,85 @@ object CatalogTransfer {
       s"LOCATION '$location'"
   }
 
+  private def esc(s: String): String = s.replace("'", "''")
+
   /** Render the CREATE TABLE statement that reconstructs `t`. Tables
     * with a location re-emit as external (data never moves — the
     * reference's shared-bucket model); location-less managed tables
     * re-emit managed and come back empty, which is faithful: their data
-    * lived in the dropped warehouse.
+    * lived in the dropped warehouse. Hive-SerDe tables (provider ==
+    * hive) re-emit with their full storage descriptor — row-format
+    * serde, serde properties, input/output format — which only parses
+    * on a Hive-backed session, exactly where such tables can exist.
     */
   def createTableDdl(t: TableInfo): String = {
     val dataCols = t.columns.filterNot(_.isPartition)
     val partCols = t.columns.filter(_.isPartition)
-    val colDdl = (dataCols ++ partCols)
-      .map(c => s"${q(c.name)} ${c.dataType}${if (c.nullable) "" else " NOT NULL"}")
-      .mkString(", ")
-    val sb = new StringBuilder(
-      s"CREATE TABLE ${q(t.db)}.${q(t.name)} ($colDdl) USING ${t.provider}")
-    if (partCols.nonEmpty)
-      sb.append(partCols.map(c => q(c.name))
-        .mkString(" PARTITIONED BY (", ", ", ")"))
-    if (t.comment.nonEmpty)
-      sb.append(s" COMMENT '${t.comment.replace("'", "''")}'")
+    def colDdl(c: ColumnInfo, withType: Boolean = true): String =
+      q(c.name) + (if (withType) s" ${c.dataType}" else "") +
+        (if (c.nullable || t.provider == "hive") "" else " NOT NULL") +
+        (if (c.comment.nonEmpty) s" COMMENT '${esc(c.comment)}'" else "")
+    val sb = new StringBuilder("CREATE ")
+    if (t.provider == "hive") {
+      // hive syntax: partition columns are typed in PARTITIONED BY and
+      // excluded from the main column list; EXTERNAL requires LOCATION.
+      if (t.tableType == "EXTERNAL" && t.location.nonEmpty)
+        sb.append("EXTERNAL ")
+      sb.append(s"TABLE ${q(t.db)}.${q(t.name)} ")
+      sb.append(dataCols.map(c => colDdl(c)).mkString("(", ", ", ")"))
+      if (t.comment.nonEmpty) sb.append(s" COMMENT '${esc(t.comment)}'")
+      if (partCols.nonEmpty)
+        sb.append(partCols.map(c => colDdl(c))
+          .mkString(" PARTITIONED BY (", ", ", ")"))
+      if (t.serde.nonEmpty) {
+        sb.append(s" ROW FORMAT SERDE '${esc(t.serde)}'")
+        if (t.serdeProps.nonEmpty)
+          sb.append(t.serdeProps
+            .map(p => s"'${esc(p.key)}' = '${esc(p.value)}'")
+            .mkString(" WITH SERDEPROPERTIES (", ", ", ")"))
+      }
+      if (t.inputFormat.nonEmpty && t.outputFormat.nonEmpty)
+        sb.append(s" STORED AS INPUTFORMAT '${esc(t.inputFormat)}'" +
+          s" OUTPUTFORMAT '${esc(t.outputFormat)}'")
+    } else {
+      sb.append(s"TABLE ${q(t.db)}.${q(t.name)} ")
+      sb.append((dataCols ++ partCols).map(c => colDdl(c))
+        .mkString("(", ", ", ")"))
+      sb.append(s" USING ${t.provider}")
+      if (partCols.nonEmpty)
+        sb.append(partCols.map(c => q(c.name))
+          .mkString(" PARTITIONED BY (", ", ", ")"))
+      if (t.comment.nonEmpty) sb.append(s" COMMENT '${esc(t.comment)}'")
+    }
+    if (t.numBuckets > 0 && t.bucketCols.nonEmpty) {
+      sb.append(t.bucketCols.map(q).mkString(" CLUSTERED BY (", ", ", ")"))
+      if (t.sortCols.nonEmpty)
+        sb.append(t.sortCols.map(q).mkString(" SORTED BY (", ", ", ")"))
+      sb.append(s" INTO ${t.numBuckets} BUCKETS")
+    }
     if (t.location.nonEmpty)
-      sb.append(s" LOCATION '${t.location.replace("'", "''")}'")
+      sb.append(s" LOCATION '${esc(t.location)}'")
     if (t.properties.nonEmpty)
       sb.append(t.properties
-        .map(p => s"'${p.key.replace("'", "''")}' = '${p.value.replace("'", "''")}'")
+        .map(p => s"'${esc(p.key)}' = '${esc(p.value)}'")
         .mkString(" TBLPROPERTIES (", ", ", ")"))
     sb.toString
   }
+
+  /** ALTER TABLE ... ADD PARTITION statements (chunked) that re-register
+    * `t`'s captured partitions with their explicit locations. */
+  def addPartitionDdl(t: TableInfo): Seq[String] =
+    t.partitions.grouped(100).map { chunk =>
+      val parts = chunk.map { p =>
+        val spec = p.spec
+          .map(kv => s"${q(kv.key)} = '${esc(kv.value)}'")
+          .mkString("PARTITION (", ", ", ")")
+        val loc =
+          if (p.location.nonEmpty) s" LOCATION '${esc(p.location)}'" else ""
+        spec + loc
+      }.mkString(" ")
+      s"ALTER TABLE ${q(t.db)}.${q(t.name)} ADD IF NOT EXISTS $parts"
+    }.toSeq
 
   /** Re-emit the snapshot into `spark`'s catalog (the "target
     * cluster"). Existing same-name tables/databases are left in place
@@ -182,12 +285,34 @@ object CatalogTransfer {
           if (t.tableType == "VIEW") s"DROP VIEW IF EXISTS ${q(t.db)}.${q(t.name)}"
           else s"DROP TABLE IF EXISTS ${q(t.db)}.${q(t.name)}")
       if (!spark.catalog.tableExists(s"${t.db}.${t.name}")) {
-        if (t.tableType == "VIEW")
-          spark.sql(s"CREATE VIEW ${q(t.db)}.${q(t.name)} AS ${t.viewText}")
-        else
+        if (t.tableType == "VIEW") {
+          // unqualified table references in viewText resolve against the
+          // session's CURRENT database — re-parse under the view's
+          // original default db (HMS records it; we carry it first-class)
+          // and restore afterwards. Comment + user properties re-emit in
+          // the CREATE (ALTER VIEW can't set a comment).
+          val cat = spark.sessionState.catalog
+          val prevDb = cat.getCurrentDatabase
+          val viewDb = if (t.viewDefaultDb.nonEmpty) t.viewDefaultDb else t.db
+          val comment =
+            if (t.comment.nonEmpty) s" COMMENT '${esc(t.comment)}'" else ""
+          val props =
+            if (t.properties.nonEmpty)
+              t.properties.map(p => s"'${esc(p.key)}' = '${esc(p.value)}'")
+                .mkString(" TBLPROPERTIES (", ", ", ")")
+            else ""
+          try {
+            spark.sql(s"USE ${q(viewDb)}")
+            spark.sql(s"CREATE VIEW ${q(t.db)}.${q(t.name)}$comment$props" +
+              s" AS ${t.viewText}")
+          } finally spark.sql(s"USE ${q(prevDb)}")
+        } else {
           spark.sql(createTableDdl(t))
-        if (t.columns.exists(_.isPartition) && t.location.nonEmpty)
-          spark.catalog.recoverPartitions(s"${t.db}.${t.name}")
+          if (t.partitions.nonEmpty)
+            addPartitionDdl(t).foreach(spark.sql(_))
+          else if (t.columns.exists(_.isPartition) && t.location.nonEmpty)
+            spark.catalog.recoverPartitions(s"${t.db}.${t.name}")
+        }
         created += s"${t.db}.${t.name}"
       }
     }

@@ -196,6 +196,35 @@ object DdlQueries extends QueryGroup {
       s.table("graft_src.nation_rt")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy("n_nationkey")
+    }),
+
+    // the same scenario against a REAL Hive metastore (embedded Derby —
+    // the local stand-in for the reference's managed HMS). The catalog
+    // implementation is fixed per SparkContext, so the Hive session runs
+    // in its own JVM: HiveRoundtrip creates datasource + Hive-SerDe
+    // tables, exports, drops the database from HMS, imports, asserts
+    // fidelity, and dumps the round-tripped table as parquet for the
+    // oracle diff. Idempotent per input dir (_SUCCESS guard) — the
+    // subprocess runs once, later invocations just read the dump.
+    "meta_hive_roundtrip" -> ((s, d) => {
+      val out = new java.io.File(Tables.scratch(d, "hive_roundtrip_out"))
+        .getAbsolutePath
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val cmd = Seq(javaBin) ++ HiveRoundtrip.jdkOpens ++ Seq(
+          "-Xmx2g", "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.catalog.HiveRoundtrip", d, out)
+        val log = new java.io.PrintWriter("target/hive_roundtrip_sub.log")
+        import scala.sys.process._
+        val rc = try Process(cmd).!(ProcessLogger(log.println, log.println))
+        finally log.close()
+        require(rc == 0,
+          s"HiveRoundtrip subprocess rc=$rc (target/hive_roundtrip_sub.log)")
+      }
+      s.read.parquet(out).orderBy("n_nationkey")
     })
   )
 
@@ -236,6 +265,9 @@ object DdlQueries extends QueryGroup {
         |WHERE l_returnflag IN ('A', 'R')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "meta_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "meta_hive_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin
   )

@@ -1,6 +1,7 @@
 package graft
 
 import graft.catalog._
+import org.apache.spark.sql.functions.col
 
 /** Group G semantics: export→import→export fixed point, DDL rendering,
   * partition recovery, and the two-session trap documented in
@@ -102,6 +103,135 @@ class CatalogSpec extends SparkSpec {
     val created = CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
     assert(created.contains("graft_vrt.nation_v"), s"view not recreated: $created")
     assert(spark.table("graft_vrt.nation_v").collect().toSet == before)
+  }
+
+  test("custom-location partitions survive the round-trip") {
+    // a partition whose data lives OUTSIDE the table directory — exactly
+    // what recoverPartitions cannot find; the snapshot must carry the
+    // explicit (spec, location) pairs like HMS does.
+    val partDir = Tables.scratch(sf, "lineitem_by_flag")
+    if (!new java.io.File(partDir, "_SUCCESS").exists())
+      Tables(spark, sf, "lineitem").write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(partDir)
+    val abs = new java.io.File(partDir).getAbsolutePath
+    val elsewhere = Tables.scratch(sf, "li_flag_R_elsewhere")
+    Tables(spark, sf, "lineitem").filter(col("l_returnflag") === "R")
+      .drop("l_returnflag").write.mode("overwrite").parquet(elsewhere)
+    val absR = new java.io.File(elsewhere).getAbsolutePath
+    spark.sql("DROP DATABASE IF EXISTS graft_ploc CASCADE")
+    spark.sql("CREATE DATABASE graft_ploc")
+    spark.sql(CatalogTransfer.externalPartitionedDdl(spark, "graft_ploc.li",
+      abs, Seq("l_returnflag")))
+    spark.sql(s"""ALTER TABLE graft_ploc.li ADD
+                 |PARTITION (l_returnflag='A') LOCATION '$abs/l_returnflag=A'
+                 |PARTITION (l_returnflag='R') LOCATION '$absR'""".stripMargin)
+    val before = spark.table("graft_ploc.li")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.keySet == Set("A", "R") && before.values.forall(_ > 0))
+    val dir = Tables.scratch(sf, "catalog_rt_custom_part")
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("graft_ploc")), dir)
+    spark.sql("DROP DATABASE graft_ploc CASCADE")
+    CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+    val after = spark.table("graft_ploc.li")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before,
+      s"partition contents changed: before=$before after=$after")
+    val locs = spark.sessionState.catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier("li", Some("graft_ploc")))
+      .flatMap(_.storage.locationUri).map(_.getPath)
+    assert(locs.exists(_.endsWith("li_flag_R_elsewhere")),
+      s"custom partition location lost: $locs")
+  }
+
+  test("bucketed table round-trips with its bucket spec intact") {
+    val dir1 = Tables.scratch(sf, "bkt_rt_lineitem")
+    val dir2 = Tables.scratch(sf, "bkt_rt_orders")
+    spark.sql("DROP DATABASE IF EXISTS graft_bkt_rt CASCADE")
+    spark.sql("CREATE DATABASE graft_bkt_rt")
+    Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", new java.io.File(dir1).getAbsolutePath)
+      .saveAsTable("graft_bkt_rt.li")
+    Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", new java.io.File(dir2).getAbsolutePath)
+      .saveAsTable("graft_bkt_rt.o")
+    val snap = CatalogTransfer.export(spark, Seq("graft_bkt_rt"))
+    val li = snap.tables.find(_.name == "li").get
+    assert(li.numBuckets == 4 && li.bucketCols == Seq("l_orderkey") &&
+      li.sortCols == Seq("l_orderkey"), s"bucket spec not captured: $li")
+    val dir = Tables.scratch(sf, "catalog_rt_bucketed")
+    CatalogTransfer.write(spark, snap, dir)
+    spark.sql("DROP DATABASE graft_bkt_rt CASCADE")
+    CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+    // the data files are bucketed and external — the IMPORTED tables
+    // must still join with zero exchanges, the whole point of carrying
+    // bucketSpec through the snapshot.
+    val a = spark.table("graft_bkt_rt.li")
+    val b = spark.table("graft_bkt_rt.o")
+    val joined = a.hint("merge")
+      .join(b.hint("merge"), a("l_orderkey") === b("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("Bucketed: true"),
+      s"imported table lost its bucketed scan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"imported bucketed join shuffles:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("column comments survive the round-trip") {
+    spark.sql("DROP DATABASE IF EXISTS graft_ccmt CASCADE")
+    spark.sql("CREATE DATABASE graft_ccmt")
+    spark.sql(s"""CREATE TABLE graft_ccmt.nation_c (
+                 |  n_nationkey INT COMMENT 'primary key',
+                 |  n_name STRING COMMENT 'nation name',
+                 |  n_regionkey INT)
+                 |USING parquet LOCATION '$sf/nation.parquet'""".stripMargin)
+    val dir = Tables.scratch(sf, "catalog_rt_colcomment")
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("graft_ccmt")), dir)
+    spark.sql("DROP DATABASE graft_ccmt CASCADE")
+    CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+    val snap2 = CatalogTransfer.export(spark, Seq("graft_ccmt"))
+    val cols = snap2.tables.head.columns.map(c => c.name -> c.comment).toMap
+    assert(cols("n_nationkey") == "primary key" &&
+      cols("n_name") == "nation name" && cols("n_regionkey") == "",
+      s"column comments lost: $cols")
+  }
+
+  test("view with unqualified references round-trips via viewDefaultDb") {
+    spark.sql("DROP DATABASE IF EXISTS graft_uvw CASCADE")
+    spark.sql("CREATE DATABASE graft_uvw")
+    spark.sql(s"""CREATE TABLE graft_uvw.nation_u
+                 |USING parquet LOCATION '$sf/nation.parquet'""".stripMargin)
+    val prev = spark.sessionState.catalog.getCurrentDatabase
+    try {
+      spark.sql("USE graft_uvw")
+      // unqualified reference: resolves against graft_uvw only
+      spark.sql("""CREATE VIEW v_u COMMENT 'unqualified view' AS
+                  |SELECT n_regionkey, COUNT(*) AS n FROM nation_u
+                  |GROUP BY n_regionkey""".stripMargin)
+    } finally spark.sql(s"USE `$prev`")
+    val before = spark.table("graft_uvw.v_u").collect().toSet
+    val dir = Tables.scratch(sf, "catalog_rt_uview")
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("graft_uvw")), dir)
+    spark.sql("DROP DATABASE graft_uvw CASCADE")
+    // import runs with current db = default; the view must still bind
+    // to graft_uvw.nation_u through the captured viewDefaultDb
+    CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+    assert(spark.sessionState.catalog.getCurrentDatabase == prev,
+      "import changed the session's current database")
+    assert(spark.table("graft_uvw.v_u").collect().toSet == before)
+    val t = CatalogTransfer.export(spark, Seq("graft_uvw"))
+      .tables.find(_.name == "v_u").get
+    assert(t.comment == "unqualified view", "view comment lost")
   }
 
   test("import is idempotent when tables already exist") {
