@@ -50,33 +50,37 @@ object ScaleOps extends QueryGroup {
 
   /** (Re)write both sides bucketed by the join key — the write-time
     * shuffle that every subsequent co-located join amortizes. Idempotent
-    * per input dir: when both tables already exist for this `d` (marker
-    * property), the rewrite is skipped so queries measure the
-    * exchange-free join, not the table build. */
+    * at two levels: if the table is already registered over the right
+    * directory, do nothing; if only the bucketed FILES exist (fresh JVM,
+    * in-memory catalog forgot them), re-register with the same
+    * CLUSTERED BY spec — exactly what CatalogTransfer.importInto does
+    * for bucketed tables — instead of rewriting the data. */
   def bucketedTables(s: SparkSession, d: String): Unit = {
-    val names = Seq("graft_bkt_lineitem", "graft_bkt_orders")
-    val fresh = names.forall { t =>
-      s.catalog.tableExists(t) && s.sessionState.catalog
+    val specs = Seq(
+      ("graft_bkt_lineitem", "lineitem",
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        "l_orderkey"),
+      ("graft_bkt_orders", "orders",
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"), "o_orderkey"))
+    for ((t, src, cols, key) <- specs) {
+      val dir = new java.io.File(Tables.scratch(d, t)).getAbsolutePath
+      val registered = s.catalog.tableExists(t) && s.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-        .properties.get("graft.sfdir").contains(d)
+        .storage.locationUri.exists(_.getPath == dir)
+      if (!registered) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        if (new java.io.File(dir, "_SUCCESS").exists()) {
+          val colDdl = s.read.parquet(dir).schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          s.sql(s"CREATE TABLE $t ($colDdl) USING parquet " +
+            s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $S BUCKETS " +
+            s"LOCATION '$dir'")
+        } else
+          Tables(s, d, src).select(cols.map(col): _*)
+            .write.bucketBy(S, key).sortBy(key)
+            .option("path", dir).mode("overwrite").saveAsTable(t)
+      }
     }
-    if (fresh) return
-    for (t <- names) {
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        s.sessionState.conf.warehousePath, t)
-      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
-    }
-    Tables(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .write.bucketBy(S, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
-    Tables(s, d, "orders")
-      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
-      .write.bucketBy(S, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
-    for (t <- names)
-      s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.sfdir' = '$d')")
   }
 
   val oracles: Map[String, String] = Map(
