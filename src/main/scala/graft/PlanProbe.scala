@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: execute one query key and print exchange/scan/stage counts
+  * of its final adaptive plan plus the full plan on request. Run with
+  *   sbt "runMain graft.PlanProbe <key> [sfDir] [full]"
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val key = args.headOption.getOrElse("agg_hash_group")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries(key)(spark, sfDir)
+    df.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val p = df.queryExecution.executedPlan.toString
+    println(f"KEY=$key SECS=$secs%.2f")
+    println("EXCHANGES=" + "Exchange hashpartitioning".r.findAllIn(p).length)
+    println("REUSED=" + "ReusedExchange".r.findAllIn(p).length)
+    println("SCANS=" + "FileScan parquet".r.findAllIn(p).length)
+    println("AQE_STAGES=" + "ShuffleQueryStage".r.findAllIn(p).length)
+    if (args.contains("full")) println(p)
+    spark.stop()
+  }
+}

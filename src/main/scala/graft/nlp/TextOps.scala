@@ -326,8 +326,15 @@ object TextOps extends QueryGroup {
     * expanded back through the duplicate groups (identical text ⇒
     * Jaccard is exactly the representative pair's), and within-group
     * pairs are emitted at Jaccard 1.0 without touching the shingles. */
-  def minhashPairs(sub: DataFrame): DataFrame = {
+  def minhashPairs(sub0: DataFrame): DataFrame = {
+    // the shingled corpus and the dup-group map are each read by several
+    // downstream passes (signature, candidate verify, pair expansion) —
+    // persist them once instead of recomputing the scan+shingle subtree
+    // per use (20 parquet scans otherwise; the same persist-the-shared-
+    // stage move applies at 100 TB with MEMORY_AND_DISK spilling).
+    val sub = sub0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = dupGroups(sub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket-local pair expansion: dup buckets are tiny post-collapse —
     // cost scales with true collisions; the signature subtree runs once.
     val cand = minhashBuckets(sub)
