@@ -55,9 +55,12 @@ object TextOps extends QueryGroup {
     }),
 
     "nlp_tfidf" -> ((s, d) => {
+      // tf feeds both the per-doc weights and the document frequencies —
+      // persist so the tokenize+count pass over the corpus runs once.
       val tf = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy("term")
         .agg(countDistinct(col("doc_id")).as("df"))
       val n = docs(s, d).agg(count(lit(1)).as("n"))
@@ -125,6 +128,8 @@ object TextOps extends QueryGroup {
     // groupBy count — no set arrays ever shuffle, so the heavy exchange
     // carries only (doc_a, doc_b) pairs. Sizes join in afterwards.
     "dedup_ngram_jaccard" -> ((s, d) => {
+      // the bigram sets feed the inverted index (twice, self-joined) and
+      // the size lookups (twice) — persist the shingle pass once.
       val sets = docs(s, d).filter(col("doc_id") < 1000)
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("sh", expr(
@@ -133,6 +138,7 @@ object TextOps extends QueryGroup {
             |              element_at(tokens, i + 1))))""".stripMargin))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
       val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
         .filter(col("x.doc_id") < col("y.doc_id"))
@@ -152,6 +158,7 @@ object TextOps extends QueryGroup {
     // (candidates from the bigram inverted index — never all-pairs; the
     // O(len²) levenshtein touches ~25 pairs, not 500k).
     "dedup_fuzzy_pairs" -> ((s, d) => {
+      // shingle pass feeds index, sizes, and both text lookups — persist.
       val sub = docs(s, d).filter(col("doc_id") < 500)
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("sh", expr(
@@ -160,6 +167,7 @@ object TextOps extends QueryGroup {
             |              element_at(tokens, i + 1))))""".stripMargin))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), col("text"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inv = sub.select(col("doc_id"), explode(col("sh")).as("g"))
       val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
         .filter(col("x.doc_id") < col("y.doc_id"))
