@@ -174,6 +174,46 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // IVF-Flat ANN — the second scale path next to sim_ann_lsh: a
+    // deterministic coarse quantizer (corpus vectors with vec_id % 29 ==
+    // 0 as centroids — at real scale, a k-means fit on a sample) is
+    // broadcast; every vector is assigned to its best cell map-side
+    // (max_by aggregate, no n×K shuffle), and each query probes only its
+    // nprobe=4 nearest cells. At 100 TB the per-query work drops from a
+    // full corpus scan to nprobe/K of it, and the candidate join is a
+    // plain equi-join on cell id.
+    "sim_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val scored = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+      // argmax cos, ties to the smaller cid — struct ordering makes the
+      // choice deterministic and the aggregate partially combinable
+      val cells = scored.groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cell"))
+      val corpus = e.select(col("vec_id"), col("v")).join(cells, "vec_id")
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val probes = scored.filter(col("vec_id") % 100 === 0)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(probes, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(q, "qid")
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("cell"), col("vec_id").as("nn"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid")
+    }),
+
     // multimodal record assembly: text metadata + embedding in one row,
     // filtered on both modalities.
     "mm_multimodal_join" -> ((s, d) => {
@@ -254,6 +294,31 @@ object VectorOps extends QueryGroup {
          |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM pairs) WHERE rn = 1 ORDER BY qid""".stripMargin
     },
+    "sim_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 29 = 0),
+         |scored AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored
+         |  WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |cand AS (SELECT p.qid, s.vec_id, s.cell
+         |  FROM probes p JOIN cells s ON s.cell = p.cell
+         |  WHERE s.vec_id <> p.qid)
+         |SELECT qid, cell, vec_id AS nn, ROUND(cos, 4) AS cos FROM (
+         |  SELECT qid, cell, vec_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM (SELECT c.qid, c.cell, c.vec_id,
+         |          ${oCos("qe.v", "ce.v")} AS cos
+         |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
+         |                    JOIN e qe ON qe.vec_id = c.qid))
+         |WHERE rn = 1 ORDER BY qid""".stripMargin,
     "mm_multimodal_join" ->
       s"""SELECT doc_id, lang, source, n_chars, label,
          | ROUND(${oNorm("v")}, 4) AS emb_norm

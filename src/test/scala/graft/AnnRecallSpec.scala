@@ -1,0 +1,42 @@
+package graft
+
+/** ANN answer quality vs the brute-force baseline. The fixture
+  * embeddings are near-random 64-dim vectors — the hardest case for any
+  * bucketing index (no cluster structure), so exact top-1 recall is
+  * inherently low for single-probe methods; the stable, meaningful
+  * property is that every query is answered and the found neighbor's
+  * cosine is close to the true nearest neighbor's. */
+class AnnRecallSpec extends SparkSpec {
+
+  private def nnMap(key: String): Map[Long, Double] =
+    SparkEntry.queries(key)(spark, sf)
+      .select("qid", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private lazy val truth: Map[Long, Double] = {
+    val t = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+    t.filter(t("rn") === 1).select("qid", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  private def check(key: String, minAvgRatio: Double): Unit = {
+    val found = nnMap(key)
+    assert(truth.nonEmpty)
+    assert(truth.keySet == found.keySet,
+      s"$key left queries unanswered: ${truth.keySet -- found.keySet}")
+    val ratios = truth.map { case (q, c) => found(q) / c }
+    val avg = ratios.sum / ratios.size
+    assert(avg >= minAvgRatio,
+      s"$key avg found/true cosine ratio $avg < $minAvgRatio")
+  }
+
+  test("IVF ANN answers every query near the true neighbor's cosine") {
+    // measured 0.90 on current fixtures (nprobe=4 of ~17 cells)
+    check("sim_ann_ivf", 0.8)
+  }
+
+  test("LSH ANN answers every query with a same-bucket neighbor") {
+    // single-probe over 64 hyperplane buckets: measured 0.75
+    check("sim_ann_lsh", 0.6)
+  }
+}

@@ -37,14 +37,10 @@ class EmptyInputSpec extends SparkSpec {
   test("minhash pipeline returns no pairs for an empty corpus") {
     val s = spark
     import s.implicits._
-    // same shingle+signature shape as dedup_minhash, zero input docs
-    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
-      .withColumn("tokens", split(col("text"), " "))
-      .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)),
-          |  i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1),
-          |              ' ', element_at(tokens, i + 2))))""".stripMargin))
-      .filter(size(col("sh")) > 0)
-    assert(none.count() == 0)
+    // the REAL dedup pipeline (shingle → collapse → sign → band → verify
+    // → expand), zero input docs
+    val none = graft.nlp.TextOps.shingled(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(graft.nlp.TextOps.minhashPairs(none).count() == 0)
   }
 }
