@@ -75,8 +75,10 @@ class PlanSpec extends SparkSpec {
     // side against one corpus scan; everything else must plan hash/merge.
     // nlp_tfidf broadcast-crossjoins a single-row corpus count (the
     // scalar-subquery pattern) — also fine.
+    // sim_ann_ivf broadcast-NLJs the tiny centroid set against the
+    // corpus for cell assignment — the intended IVF quantizer shape.
     val nljAllowed = Set("sim_cosine_topk", "sim_knn_label",
-      "dedup_embed_cosine", "join_cross", "nlp_tfidf")
+      "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
