@@ -53,8 +53,16 @@ final case class TableInfo(
 
 final case class DatabaseInfo(name: String, description: String)
 
+/** A permanent (catalog-registered) function — HMS migrates these
+  * alongside tables: implementation class plus its resource URIs
+  * (jar/file/archive). */
+final case class FunctionInfo(
+    db: String, name: String, className: String,
+    resources: Seq[PropKV]) // resourceType -> uri
+
 final case class CatalogSnapshot(
-    databases: Seq[DatabaseInfo], tables: Seq[TableInfo])
+    databases: Seq[DatabaseInfo], tables: Seq[TableInfo],
+    functions: Seq[FunctionInfo] = Nil)
 
 object CatalogTransfer {
 
@@ -143,7 +151,20 @@ object CatalogTransfer {
               .map { case (k, v) => PropKV(k, v) } else Nil)
       }
     }
-    CatalogSnapshot(databases, tables)
+    // permanent functions: listFunctions also surfaces temp/builtin
+    // names — keep only identifiers persisted under `db`.
+    val functions = dbNames.flatMap { db =>
+      cat.listFunctions(db).map(_._1)
+        .filter(f => f.database.contains(db))
+        .filter(f => cat.isPersistentFunction(f))
+        .sortBy(_.funcName).map { f =>
+          val meta = spark.sharedState.externalCatalog.getFunction(db, f.funcName)
+          FunctionInfo(db, f.funcName, meta.className,
+            meta.resources.map(r =>
+              PropKV(r.resourceType.resourceType, r.uri)))
+        }
+    }
+    CatalogSnapshot(databases, tables, functions)
   }
 
   /** Persist a snapshot as JSON datasets under `dir` (overwrite). */
@@ -153,6 +174,8 @@ object CatalogTransfer {
       .write.mode("overwrite").json(s"$dir/databases")
     spark.createDataset(snap.tables).coalesce(1)
       .write.mode("overwrite").json(s"$dir/tables")
+    spark.createDataset(snap.functions).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/functions")
   }
 
   /** Load a snapshot previously persisted with [[write]]. */
@@ -165,7 +188,13 @@ object CatalogTransfer {
     val tables = spark.read.schema(Encoders.product[TableInfo].schema)
       .json(s"$dir/tables").as[TableInfo].collect().toSeq
       .sortBy(t => (t.db, t.name))
-    CatalogSnapshot(dbs, tables)
+    // functions dir absent in pre-function snapshots → none to restore
+    val functions =
+      try spark.read.schema(Encoders.product[FunctionInfo].schema)
+        .json(s"$dir/functions").as[FunctionInfo].collect().toSeq
+        .sortBy(f => (f.db, f.name))
+      catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+    CatalogSnapshot(dbs, tables, functions)
   }
 
   private def q(id: String): String = s"`${id.replace("`", "``")}`"
@@ -316,6 +345,24 @@ object CatalogTransfer {
         created += s"${t.db}.${t.name}"
       }
     }
+    snap.functions.foreach { f =>
+      // go through the external catalog directly: the session's
+      // FunctionRegistry caches previously-invoked functions, survives a
+      // DROP DATABASE CASCADE, and makes the SQL DDL path (functionExists
+      // / CREATE [OR REPLACE] FUNCTION) misjudge the real state.
+      val ext = spark.sharedState.externalCatalog
+      if (overwrite && ext.functionExists(f.db, f.name))
+        ext.dropFunction(f.db, f.name)
+      if (!ext.functionExists(f.db, f.name)) {
+        import org.apache.spark.sql.catalyst.FunctionIdentifier
+        import org.apache.spark.sql.catalyst.catalog.{CatalogFunction, FunctionResource, FunctionResourceType}
+        ext.createFunction(f.db, CatalogFunction(
+          FunctionIdentifier(f.name, Some(f.db)), f.className,
+          f.resources.map(r => FunctionResource(
+            FunctionResourceType.fromString(r.key), r.value))))
+        created += s"${f.db}.${f.name}"
+      }
+    }
     created.result()
   }
 
@@ -327,6 +374,9 @@ object CatalogTransfer {
       .toJSON.collect()
     val tblJson = spark.createDataset(snap.tables.sortBy(t => (t.db, t.name)))
       .toJSON.collect()
-    (dbJson ++ tblJson).mkString("\n")
+    val fnJson = spark.createDataset(
+        snap.functions.sortBy(f => (f.db, f.name)))
+      .toJSON.collect()
+    (dbJson ++ tblJson ++ fnJson).mkString("\n")
   }
 }

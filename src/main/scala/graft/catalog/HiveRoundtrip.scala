@@ -67,6 +67,11 @@ object HiveRoundtrip {
                  |ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
                  |STORED AS TEXTFILE LOCATION '$textDir'""".stripMargin)
     val textBefore = spark.table("hive_src.nation_text").count()
+    // permanent function — HMS migrates these alongside tables
+    spark.sql("""CREATE FUNCTION hive_src.hive_pi
+                |AS 'org.apache.hadoop.hive.ql.udf.UDFPI'""".stripMargin)
+    val piBefore = spark.sql("SELECT hive_src.hive_pi() AS pi")
+      .head().getDouble(0)
 
     val snapDir = s"$scratch/snapshot"
     CatalogTransfer.write(spark,
@@ -74,8 +79,11 @@ object HiveRoundtrip {
     spark.sql("DROP DATABASE hive_src CASCADE") // metadata gone from HMS
     val created =
       CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, snapDir))
-    require(created.sorted == Seq("hive_src.nation_h", "hive_src.nation_text"),
-      s"unexpected: $created")
+    require(created.sorted == Seq("hive_src.hive_pi", "hive_src.nation_h",
+      "hive_src.nation_text"), s"unexpected: $created")
+    require(spark.sql("SELECT hive_src.hive_pi() AS pi")
+      .head().getDouble(0) == piBefore,
+      "permanent function lost through HMS round-trip")
 
     val n = spark.table("hive_src.nation_h").count()
     require(n > 0, "no rows after hive round-trip")

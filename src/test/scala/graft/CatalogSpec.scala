@@ -234,6 +234,30 @@ class CatalogSpec extends SparkSpec {
     assert(t.comment == "unqualified view", "view comment lost")
   }
 
+  test("permanent functions round-trip through the snapshot") {
+    // registration fidelity only: a vanilla session can register a Hive
+    // UDF class but not invoke it (NO_HANDLER_FOR_UDAF) — invocation
+    // after round-trip is asserted in HiveRoundtrip's Hive-backed JVM.
+    fixture()
+    spark.sql("DROP FUNCTION IF EXISTS graft_fix.hive_pi")
+    spark.sql("""CREATE FUNCTION graft_fix.hive_pi
+                |AS 'org.apache.hadoop.hive.ql.udf.UDFPI'""".stripMargin)
+    val dir = Tables.scratch(sf, "catalog_rt_function")
+    val snap = CatalogTransfer.export(spark, Seq("graft_fix"))
+    assert(snap.functions.map(f => (f.db, f.name, f.className)) ==
+      Seq(("graft_fix", "hive_pi", "org.apache.hadoop.hive.ql.udf.UDFPI")))
+    CatalogTransfer.write(spark, snap, dir)
+    spark.sql("DROP DATABASE graft_fix CASCADE")
+    val created =
+      CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+    assert(created.contains("graft_fix.hive_pi"),
+      s"function not recreated: $created")
+    assert(spark.catalog.functionExists("graft_fix.hive_pi"))
+    val meta = spark.sharedState.externalCatalog
+      .getFunction("graft_fix", "hive_pi")
+    assert(meta.className == "org.apache.hadoop.hive.ql.udf.UDFPI")
+  }
+
   test("import is idempotent when tables already exist") {
     fixture()
     val snap = CatalogTransfer.export(spark, Seq("graft_fix"))
