@@ -25,6 +25,8 @@ object PlanDump {
       "broadcast query side, single corpus scan, codegen'd cosine",
     "sim_ann_lsh" ->
       "bucket-keyed ANN join, hint-free (AQE picks broadcast at this scale)",
+    "sim_ann_ivf" ->
+      "IVF-Flat: broadcast centroid quantizer, map-side cell argmax, nprobe cell join",
     "win_range_frame" ->
       "double-valued RANGE frame partitioned by brand (no global window sort)",
     "q5_local_supplier" ->
