@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{QueryGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TTLConfig}
 
 /** SURVEY.md §2 group H — Structured Streaming over the `events` table.
   *
@@ -57,6 +57,32 @@ object StreamOps extends QueryGroup {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
+
+  /** Arbitrary-state processor for the v2 state API
+    * (`transformWithState`): per-user running (count, max) held in a
+    * typed ValueState — the modern replacement for
+    * flatMapGroupsWithState, backed by the RocksDB state store. */
+  class UserStatsProcessor
+      extends StatefulProcessor[Long, Event, (Long, Long, Double)] {
+    @transient private var stats: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[(Long, Double)]("stats",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      val (n0, mx0) =
+        if (stats.exists()) stats.get() else (0L, Double.NegativeInfinity)
+      val (n, mx) = rows.foldLeft((n0, mx0)) { case ((c, m), e) =>
+        (c + 1, math.max(m, e.value))
+      }
+      stats.update((n, mx))
+      Iterator((key, n, mx))
+    }
+  }
 
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, d) => {
@@ -189,6 +215,29 @@ object StreamOps extends QueryGroup {
         .toDF("user_id", "n_events")
       runToTable(counted, "graft_stream_stateful", "update")
         .orderBy("user_id")
+    }),
+
+    // the v2 arbitrary-state API (transformWithState + RocksDB state
+    // store): typed ValueState per user, update-mode emission. Count and
+    // max are order-insensitive, so the single-replay result is exactly
+    // the batch aggregate regardless of shuffle arrival order.
+    "stream_transform_state" -> ((s, d) => {
+      import s.implicits._
+      val out = eventsStream(s, d).as[Event]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserStatsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "max_value")
+        .withColumn("max_value", round(col("max_value"), 4))
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try runToTable(out, "graft_stream_tws", "update").orderBy("user_id")
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
     })
   )
 
@@ -242,6 +291,10 @@ object StreamOps extends QueryGroup {
         |ORDER BY c_mktsegment, event_type""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_transform_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | ROUND(MAX(value), 4) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
