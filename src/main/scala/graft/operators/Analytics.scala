@@ -68,6 +68,32 @@ object Analytics extends QueryGroup {
           |ORDER BY c.c_mktsegment, spend_rank""".stripMargin)
     }),
 
+    // Q18 shape: large-volume orders — aggregate subquery feeding a
+    // semi-join (the classic "HAVING subquery" topology: the big-order
+    // key set is itself an aggregation of the fact table, then the fact
+    // re-joins it). Catalyst plans the key set as a build side; at scale
+    // the re-aggregation is map-side combined twice.
+    "q18_large_orders" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+      val bigOrders = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+        .select(col("l_orderkey").as("big_okey"))
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(bigOrders, o("o_orderkey") === col("big_okey"), "left_semi")
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 4).as("total_price"),
+          col("sum_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     // Q10 shape: returned-item losses per customer, top 20.
     "q10_returned_items" -> ((s, d) => {
       val c = Tables(s, d, "customer")
@@ -117,6 +143,17 @@ object Analytics extends QueryGroup {
         |FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
         |WHERE s.n_orders >= 2
         |ORDER BY c.c_mktsegment, spend_rank""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        | ROUND(o_totalprice, 4) AS total_price,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY total_price DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS lost_revenue
