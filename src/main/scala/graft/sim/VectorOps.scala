@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *  - Brute-force top-k broadcasts the SMALL query side against the full
   *    corpus — each executor scans its partition once; no shuffle of the
   *    big side. This is the correctness baseline.
-  *  - `sim_lsh_buckets` is the scale path: deterministic
-  *    random-hyperplane signatures bucket the corpus with one narrow
-  *    shuffle; at 100 TB the top-k search joins query buckets to
-  *    corpus buckets instead of scanning everything.
+  *  - Two scale paths replace the full scan at 100 TB:
+  *    `sim_ann_lsh` (deterministic random-hyperplane signatures bucket
+  *    the corpus with one narrow shuffle; search joins query buckets to
+  *    corpus buckets) and `sim_ann_ivf` (broadcast coarse-quantizer
+  *    centroids, map-side cell assignment, nprobe-cell candidate join).
+  *    AnnRecallSpec measures both against the brute-force baseline.
   *  - Embeddings cast float→double BEFORE any reduction (DuckDB reduces
   *    in double; float-order drift would break the hash-match), and all
   *    dot/norm folds are left-to-right sequential in both engines so
