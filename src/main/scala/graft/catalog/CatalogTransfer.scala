@@ -366,6 +366,37 @@ object CatalogTransfer {
     created.result()
   }
 
+  /** Drift between two snapshots as a DataFrame of (kind, db, name,
+    * side) rows — one row per catalog object that exists on only one
+    * side or differs in any captured attribute (side = source | target).
+    * The operational check of a metadata migration: a faithful
+    * export→import round-trip has an EMPTY diff. Comparison runs as
+    * DataFrame set difference over canonical JSON rows, so it scales to
+    * catalogs of any size without driver-side pairing. */
+  def diff(spark: SparkSession, source: CatalogSnapshot,
+      target: CatalogSnapshot): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, get_json_object, lit}
+    def rows(s: CatalogSnapshot) = {
+      val dbs = spark.createDataset(s.databases).toJSON
+        .map(j => ("database", j))
+      val tbls = spark.createDataset(s.tables).toJSON
+        .map(j => ("table", j))
+      val fns = spark.createDataset(s.functions).toJSON
+        .map(j => ("function", j))
+      dbs.union(tbls).union(fns).toDF("kind", "json")
+    }
+    val a = rows(source)
+    val b = rows(target)
+    def shape(df: DataFrame, side: String) = df
+      .select(col("kind"),
+        get_json_object(col("json"), "$.db").as("db"),
+        get_json_object(col("json"), "$.name").as("name"),
+        lit(side).as("side"))
+    shape(a.except(b), "source").unionAll(shape(b.except(a), "target"))
+      .orderBy("kind", "db", "name", "side")
+  }
+
   /** Deterministic JSON rendering for golden-file tests: schema-ordered
     * fields, tables sorted by (db, name). */
   def toCanonicalJson(spark: SparkSession, snap: CatalogSnapshot): String = {

@@ -181,6 +181,20 @@ object DdlQueries extends QueryGroup {
       created.toDF("recreated_table").orderBy("recreated_table")
     }),
 
+    // catalog drift report: what changed between two exports — the
+    // operational pre-flight check of a metadata migration (a faithful
+    // import shows an empty diff; see CatalogSpec). Constructs a drift
+    // scenario: one property change, one dropped table.
+    "meta_diff" -> ((s, d) => {
+      fixtureCatalog(s, d)
+      val src = CatalogTransfer.export(s, Seq("graft_meta"))
+      s.sql("""ALTER TABLE graft_meta.nation_meta
+              |SET TBLPROPERTIES ('graft.drift' = 'v2')""".stripMargin)
+      s.sql("DROP TABLE graft_meta.lineitem_part")
+      val tgt = CatalogTransfer.export(s, Seq("graft_meta"))
+      CatalogTransfer.diff(s, src, tgt)
+    }),
+
     // the reference's flagship scenario end-to-end: table created on the
     // "source", metadata exported, catalog destroyed, metadata imported,
     // SELECT by name works and data is intact (files never moved).

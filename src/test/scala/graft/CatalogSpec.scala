@@ -258,6 +258,26 @@ class CatalogSpec extends SparkSpec {
     assert(meta.className == "org.apache.hadoop.hive.ql.udf.UDFPI")
   }
 
+  test("faithful round-trip has an empty snapshot diff") {
+    fixture()
+    val src = CatalogTransfer.export(spark, Seq("graft_fix"))
+    val dir = Tables.scratch(sf, "catalog_diff_rt")
+    CatalogTransfer.write(spark, src, dir)
+    spark.sql("DROP DATABASE graft_fix CASCADE")
+    CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+    val tgt = CatalogTransfer.export(spark, Seq("graft_fix"))
+    val drift = CatalogTransfer.diff(spark, src, tgt).collect()
+    assert(drift.isEmpty, s"round-trip drift: ${drift.mkString("; ")}")
+    // and a deliberate change IS reported, attributed to the right side
+    spark.sql("""ALTER TABLE graft_fix.nation_fix
+                |SET TBLPROPERTIES ('graft.origin' = 'changed')""".stripMargin)
+    val tgt2 = CatalogTransfer.export(spark, Seq("graft_fix"))
+    val rows = CatalogTransfer.diff(spark, src, tgt2)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(rows.toSet == Set(("table", "nation_fix", "source"),
+      ("table", "nation_fix", "target")), s"unexpected diff: ${rows.toSeq}")
+  }
+
   test("import is idempotent when tables already exist") {
     fixture()
     val snap = CatalogTransfer.export(spark, Seq("graft_fix"))
