@@ -48,4 +48,27 @@ object Tables {
     new java.io.File(dir).getParentFile.mkdirs()
     dir
   }
+
+  private def fingerprint(sfDir: String, table: String): String = {
+    val src = new java.io.File(sfDir, s"$table.parquet")
+    s"${src.length}:${src.lastModified}"
+  }
+
+  /** True when `dir` holds a completed derived rewrite of `sfDir/table`
+    * AND the source fixture hasn't changed since (length+mtime marker).
+    * A bare _SUCCESS guard would serve stale derived data after the
+    * fixtures are regenerated in place. */
+  def scratchCurrent(sfDir: String, table: String, dir: String): Boolean = {
+    val marker = new java.io.File(dir, "_GRAFT_SRC")
+    new java.io.File(dir, "_SUCCESS").exists() && marker.exists() && {
+      val s = scala.io.Source.fromFile(marker)
+      try s.mkString == fingerprint(sfDir, table) finally s.close()
+    }
+  }
+
+  /** Record the source fingerprint after a successful derived write. */
+  def stampScratch(sfDir: String, table: String, dir: String): Unit =
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_GRAFT_SRC").toPath,
+      fingerprint(sfDir, table))
 }

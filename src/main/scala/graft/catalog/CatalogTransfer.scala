@@ -66,21 +66,29 @@ final case class CatalogSnapshot(
 
 object CatalogTransfer {
 
-  /** Keys that vary per-run and must not survive a snapshot
-    * (timestamps, engine bookkeeping, statistics). */
+  /** Engine bookkeeping that varies per-run and must not survive a
+    * snapshot. Exact keys for the HMS/Spark-written flat names (so a
+    * user property that merely shares a prefix — `numRowsExpected`,
+    * `created_for` — is NOT silently scrubbed) plus prefixes for the
+    * namespaced families that are wholly engine-owned. View bookkeeping
+    * is regenerated on CREATE VIEW; the resolution database is carried
+    * first-class as TableInfo.viewDefaultDb. */
+  private val volatilePropKeys = Set(
+    "transient_lastddltime", "path", "external", "created", "createdtime",
+    "created_by", "bucketing_version", "numfiles", "numfileserasurecoded",
+    "numrows", "rawdatasize", "totalsize", "column_stats_accurate",
+    "last_modified_by", "last_modified_time")
+
   private val volatilePropPrefixes = Seq(
-    "transient_lastDdlTime", "spark.sql.create.version",
-    "spark.sql.statistics", "created", "numFiles", "totalSize",
-    "option.path", "path", "external",
-    // view bookkeeping is regenerated on CREATE VIEW; the resolution
-    // database is carried first-class as TableInfo.viewDefaultDb
-    "view.", "spark.sql.sources.schema", "bucketing_version",
-    "last_modified", "COLUMN_STATS_ACCURATE", "numRows", "rawDataSize")
+    "spark.sql.create.version", "spark.sql.statistics",
+    "spark.sql.sources.schema", "option.path", "view.")
 
   private def scrub(props: Map[String, String]): Seq[PropKV] =
     props.toSeq
       .filterNot { case (k, _) =>
-        volatilePropPrefixes.exists(p => k.toLowerCase.startsWith(p.toLowerCase))
+        volatilePropKeys.contains(k.toLowerCase) ||
+          volatilePropPrefixes.exists(p =>
+            k.toLowerCase.startsWith(p.toLowerCase))
       }
       .sortBy(_._1).map { case (k, v) => PropKV(k, v) }
 
@@ -185,8 +193,30 @@ object CatalogTransfer {
     val dbs = spark.read.schema(Encoders.product[DatabaseInfo].schema)
       .json(s"$dir/databases").as[DatabaseInfo].collect().toSeq
       .sortBy(_.name)
-    val tables = spark.read.schema(Encoders.product[TableInfo].schema)
-      .json(s"$dir/tables").as[TableInfo].collect().toSeq
+    // tolerate snapshots written before the schema gained bucket /
+    // partition / comment / serde fields: absent JSON fields arrive as
+    // null and would break the typed decode (non-nullable numBuckets)
+    // or NPE downstream — default them to the case-class defaults.
+    import org.apache.spark.sql.functions.{coalesce, col, expr, from_json, lit}
+    val tblSchema = Encoders.product[TableInfo].schema
+    def emptyArr(n: String) =
+      from_json(lit("[]"), tblSchema(n).dataType, Map.empty[String, String])
+    val tables = spark.read.schema(tblSchema).json(s"$dir/tables")
+      .withColumn("viewDefaultDb", coalesce(col("viewDefaultDb"), lit("")))
+      .withColumn("numBuckets", coalesce(col("numBuckets"), lit(0)))
+      .withColumn("inputFormat", coalesce(col("inputFormat"), lit("")))
+      .withColumn("outputFormat", coalesce(col("outputFormat"), lit("")))
+      .withColumn("serde", coalesce(col("serde"), lit("")))
+      .withColumn("bucketCols", coalesce(col("bucketCols"), emptyArr("bucketCols")))
+      .withColumn("sortCols", coalesce(col("sortCols"), emptyArr("sortCols")))
+      .withColumn("partitions", coalesce(col("partitions"), emptyArr("partitions")))
+      .withColumn("serdeProps", coalesce(col("serdeProps"), emptyArr("serdeProps")))
+      .withColumn("columns", expr(
+        """transform(columns, c -> struct(
+          |  c.name AS name, c.dataType AS dataType, c.nullable AS nullable,
+          |  c.isPartition AS isPartition,
+          |  ifnull(c.comment, '') AS comment))""".stripMargin))
+      .as[TableInfo].collect().toSeq
       .sortBy(t => (t.db, t.name))
     // functions dir absent in pre-function snapshots → none to restore
     val functions =
@@ -330,11 +360,17 @@ object CatalogTransfer {
               t.properties.map(p => s"'${esc(p.key)}' = '${esc(p.value)}'")
                 .mkString(" TBLPROPERTIES (", ", ", ")")
             else ""
+          // only switch when the db exists on the target: a view whose
+          // default db isn't part of the migration can still carry
+          // fully-qualified references, which bind without the USE (and
+          // unqualified ones then fail with a clear resolution error
+          // instead of an opaque USE failure).
+          val canUse = cat.databaseExists(viewDb)
           try {
-            spark.sql(s"USE ${q(viewDb)}")
+            if (canUse) spark.sql(s"USE ${q(viewDb)}")
             spark.sql(s"CREATE VIEW ${q(t.db)}.${q(t.name)}$comment$props" +
               s" AS ${t.viewText}")
-          } finally spark.sql(s"USE ${q(prevDb)}")
+          } finally if (canUse) spark.sql(s"USE ${q(prevDb)}")
         } else {
           spark.sql(createTableDdl(t))
           if (t.partitions.nonEmpty)

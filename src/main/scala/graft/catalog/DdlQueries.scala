@@ -122,9 +122,11 @@ object DdlQueries extends QueryGroup {
     "ddl_partition_mgmt" -> ((s, d) => {
       freshDb(s, "graft_ext")
       val partDir = Tables.scratch(d, "lineitem_by_flag")
-      if (!new java.io.File(partDir, "_SUCCESS").exists())
+      if (!Tables.scratchCurrent(d, "lineitem", partDir)) {
         Tables(s, d, "lineitem").write.mode("overwrite")
           .partitionBy("l_returnflag").parquet(partDir)
+        Tables.stampScratch(d, "lineitem", partDir)
+      }
       val abs = new java.io.File(partDir).getAbsolutePath
       s.sql("DROP TABLE IF EXISTS graft_ext.li_pm")
       s.sql(CatalogTransfer.externalPartitionedDdl(s,
@@ -223,7 +225,7 @@ object DdlQueries extends QueryGroup {
     "meta_hive_roundtrip" -> ((s, d) => {
       val out = new java.io.File(Tables.scratch(d, "hive_roundtrip_out"))
         .getAbsolutePath
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      if (!Tables.scratchCurrent(d, "nation", out)) {
         val javaBin = java.nio.file.Paths.get(
           System.getProperty("java.home"), "bin", "java").toString
         val cmd = Seq(javaBin) ++ HiveRoundtrip.jdkOpens ++ Seq(
@@ -237,6 +239,7 @@ object DdlQueries extends QueryGroup {
         finally log.close()
         require(rc == 0,
           s"HiveRoundtrip subprocess rc=$rc (target/hive_roundtrip_sub.log)")
+        Tables.stampScratch(d, "nation", out)
       }
       s.read.parquet(out).orderBy("n_nationkey")
     })
@@ -251,10 +254,12 @@ object DdlQueries extends QueryGroup {
     s.sql(s"""CREATE TABLE graft_meta.nation_meta
              |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
     val partDir = Tables.scratch(d, "lineitem_by_flag")
-    // reuse the partitioned rewrite if present; create it if not
-    if (!new java.io.File(partDir, "_SUCCESS").exists())
+    // reuse the partitioned rewrite if current; (re)create it if not
+    if (!Tables.scratchCurrent(d, "lineitem", partDir)) {
       Tables(s, d, "lineitem").write.mode("overwrite")
         .partitionBy("l_returnflag").parquet(partDir)
+      Tables.stampScratch(d, "lineitem", partDir)
+    }
     s.sql(CatalogTransfer.externalPartitionedDdl(s,
       "graft_meta.lineitem_part",
       new java.io.File(partDir).getAbsolutePath, Seq("l_returnflag")))

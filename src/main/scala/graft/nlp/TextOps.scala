@@ -347,6 +347,10 @@ object TextOps extends QueryGroup {
     // persist them once instead of recomputing the scan+shingle subtree
     // per use (20 parquet scans otherwise; the same persist-the-shared-
     // stage move applies at 100 TB with MEMORY_AND_DISK spilling).
+    // Lifecycle: Spark's CacheManager dedupes by canonical plan, so
+    // repeated invocations reuse one entry per distinct corpus rather
+    // than stacking; entries are evicted LRU. A long-lived service
+    // embedding this would unpersist after consuming the result.
     val sub = sub0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = dupGroups(sub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -66,19 +66,22 @@ object ScaleOps extends QueryGroup {
       val dir = new java.io.File(Tables.scratch(d, t)).getAbsolutePath
       val registered = s.catalog.tableExists(t) && s.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-        .storage.locationUri.exists(_.getPath == dir)
+        .storage.locationUri.exists(_.getPath == dir) &&
+        Tables.scratchCurrent(d, src, dir)
       if (!registered) {
         s.sql(s"DROP TABLE IF EXISTS $t")
-        if (new java.io.File(dir, "_SUCCESS").exists()) {
+        if (Tables.scratchCurrent(d, src, dir)) {
           val colDdl = s.read.parquet(dir).schema.fields
             .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
           s.sql(s"CREATE TABLE $t ($colDdl) USING parquet " +
             s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $S BUCKETS " +
             s"LOCATION '$dir'")
-        } else
+        } else {
           Tables(s, d, src).select(cols.map(col): _*)
             .write.bucketBy(S, key).sortBy(key)
             .option("path", dir).mode("overwrite").saveAsTable(t)
+          Tables.stampScratch(d, src, dir)
+        }
       }
     }
   }

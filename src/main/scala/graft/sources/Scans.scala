@@ -52,10 +52,12 @@ object Scans extends QueryGroup {
 
     "scan_partition_prune" -> ((s, d) => {
       val dir = Tables.scratch(d, "lineitem_by_flag")
-      // write-once per sf dir: the rewrite is input-derived and immutable
-      if (!new java.io.File(dir, "_SUCCESS").exists())
+      // write-once per sf dir, re-done if the source fixture changes
+      if (!Tables.scratchCurrent(d, "lineitem", dir)) {
         Tables(s, d, "lineitem")
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+        Tables.stampScratch(d, "lineitem", dir)
+      }
       s.read.parquet(dir)
         .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -136,9 +138,11 @@ object Scans extends QueryGroup {
     "sink_compact" -> ((s, d) => {
       val frag = Tables.scratch(d, "orders_fragmented")
       val compact = Tables.scratch(d, "orders_compacted")
-      if (!new java.io.File(frag, "_SUCCESS").exists())
+      if (!Tables.scratchCurrent(d, "orders", frag)) {
         Tables(s, d, "orders").repartition(64)
           .write.mode("overwrite").parquet(frag)
+        Tables.stampScratch(d, "orders", frag)
+      }
       s.read.parquet(frag).repartition(2)
         .write.mode("overwrite").parquet(compact)
       val outPath = new org.apache.hadoop.fs.Path(compact)

@@ -278,6 +278,35 @@ class CatalogSpec extends SparkSpec {
       ("table", "nation_fix", "target")), s"unexpected diff: ${rows.toSeq}")
   }
 
+  test("snapshots from the pre-extension format still read and import") {
+    // hand-written old-shape snapshot: none of the bucket / partition /
+    // column-comment / serde / function fields exist in the JSON
+    val dir = new java.io.File(Tables.scratch(sf, "catalog_oldformat"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    new java.io.File(dir, "databases").mkdirs()
+    new java.io.File(dir, "tables").mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "databases/part-0.json").toPath,
+      """{"name":"graft_old","description":""}""" + "\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "tables/part-0.json").toPath,
+      s"""{"db":"graft_old","name":"nation_old","tableType":"EXTERNAL",
+         |"provider":"parquet","location":"file:$sf/nation.parquet",
+         |"columns":[{"name":"n_nationkey","dataType":"INT",
+         |"nullable":true,"isPartition":false}],
+         |"properties":[],"comment":"","viewText":""}"""
+        .stripMargin.replace("\n", "") + "\n")
+    val snap = CatalogTransfer.read(spark, dir.getPath)
+    val t = snap.tables.head
+    assert(t.numBuckets == 0 && t.bucketCols.isEmpty &&
+      t.partitions.isEmpty && t.serde == "" &&
+      t.columns.head.comment == "" && snap.functions.isEmpty)
+    spark.sql("DROP DATABASE IF EXISTS graft_old CASCADE")
+    spark.sql("CREATE DATABASE graft_old")
+    CatalogTransfer.importInto(spark, snap)
+    assert(spark.table("graft_old.nation_old").count() > 0)
+  }
+
   test("import is idempotent when tables already exist") {
     fixture()
     val snap = CatalogTransfer.export(spark, Seq("graft_fix"))
