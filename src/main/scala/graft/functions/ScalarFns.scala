@@ -153,6 +153,22 @@ object ScalarFns extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // the VARIANT semi-structured type (Spark 4): parse once into the
+    // binary variant encoding, extract typed fields lazily — the open
+    // schema path for props-style columns (shredding-friendly at rest,
+    // no per-row full-JSON reparse per extracted field).
+    "fn_variant" -> ((s, d) => {
+      Tables(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_long"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          (expr("variant_get(v, '$.k', 'bigint')") > 50).as("k_big"),
+          coalesce(expr("variant_get(v, '$.missing', 'string')"),
+            lit("<absent>")).as("missing"))
+        .orderBy("event_id")
+    }),
+
     // DataFrameNaFunctions: fill / replace / drop over nullable-ized cols.
     "fn_na_ops" -> ((s, d) => {
       val base = Tables(s, d, "customer")
@@ -337,6 +353,14 @@ object ScalarFns extends QueryGroup {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
         | CAST(to_json(struct_pack(event_id := event_id,
         |   event_type := event_type)) AS VARCHAR) AS as_json
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 AS k_big,
+        | COALESCE(json_extract_string(props, '$.missing'), '<absent>')
+        |   AS missing
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_na_ops" ->
       """SELECT c_custkey,
