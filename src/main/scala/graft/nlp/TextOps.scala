@@ -293,11 +293,12 @@ object TextOps extends QueryGroup {
     hashes.join(groups, "h").select(col("doc_id"), col("rep"))
   }
 
-  /** LSH band buckets over the distinct-text representatives of `sub`
-    * ((doc_id, text, sh) rows): (band, band_hash, ids) with ids capped
-    * at [[maxBucket]] per bucket. The cap is enforced BEFORE collection
-    * (row_number within the bucket), so no aggregation buffer ever holds
-    * more than maxBucket ids — the 100 TB boilerplate-corpus guard. */
+  /** LSH collision buckets (size > 1) over the distinct-text
+    * representatives of `sub` ((doc_id, text, sh) rows): (band,
+    * band_hash, ids) with ids capped at [[maxBucket]] per bucket. The
+    * cap is enforced BEFORE collection (row_number within the bucket),
+    * so no aggregation buffer ever holds more than maxBucket ids — the
+    * 100 TB boilerplate-corpus guard. */
   def minhashBuckets(sub: DataFrame): DataFrame = {
     val members = dupGroups(sub)
     val reps = sub.join(
@@ -319,9 +320,22 @@ object TextOps extends QueryGroup {
         """transform(sequence(0, 15),
           |  b -> hash(slice(sig, b * 4 + 1, 4)))""".stripMargin))
         .as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two-phase cap: count buckets first (map-side combined — only
+    // partial counts shuffle), then route ONLY collision buckets
+    // (count > 1) through the row_number cap + collect. The window sort
+    // touches the collision subset, not all n×16 band rows, and no
+    // aggregation buffer can exceed maxBucket ids. Singleton buckets
+    // produce no candidates and are dropped here.
+    val counts = bands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("band").as("cb"), col("band_hash").as("cbh"))
+    val collisions = bands.join(counts,
+      col("band") === col("cb") && col("band_hash") === col("cbh"),
+      "left_semi")
     val wB = Window.partitionBy(col("band"), col("band_hash"))
       .orderBy(col("doc_id"))
-    bands
+    collisions
       .withColumn("rn", row_number().over(wB))
       .filter(col("rn") <= maxBucket)
       .groupBy(col("band"), col("band_hash"))
