@@ -313,4 +313,20 @@ class CatalogSpec extends SparkSpec {
     val created = CatalogTransfer.importInto(spark, snap)
     assert(created.isEmpty, s"re-import should create nothing: $created")
   }
+
+  test("import with overwrite replaces drifted objects with the snapshot") {
+    fixture()
+    val snap = CatalogTransfer.export(spark, Seq("graft_fix"))
+    // drift the live catalog away from the snapshot
+    spark.sql("""ALTER TABLE graft_fix.nation_fix
+                |SET TBLPROPERTIES ('graft.origin' = 'drifted')""".stripMargin)
+    assert(CatalogTransfer.diff(spark, snap,
+      CatalogTransfer.export(spark, Seq("graft_fix"))).count() > 0)
+    val created = CatalogTransfer.importInto(spark, snap, overwrite = true)
+    assert(created.contains("graft_fix.nation_fix"))
+    // overwrite restored the snapshot state exactly: empty diff again
+    val drift = CatalogTransfer.diff(spark, snap,
+      CatalogTransfer.export(spark, Seq("graft_fix"))).collect()
+    assert(drift.isEmpty, s"overwrite left drift: ${drift.mkString("; ")}")
+  }
 }
