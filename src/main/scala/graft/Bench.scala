@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-query breakdown shown in the JSON line. `value` still totals
+    * EVERY query; the breakdown is capped to the headline set because
+    * the consumer of this line keeps only the tail of stdout — a
+    * 120+-key map (~4 KB) overflows that window and the whole line is
+    * lost (this is what blanked the round-1/2 bench records). */
+  private val headline = Seq(
+    "agg_hash_group", "q3_shipping_priority", "q5_local_supplier",
+    "q10_returned_items", "q18_large_orders", "join_inner_equi",
+    "join_broadcast", "join_skew_salted", "join_interval",
+    "topk_per_group", "win_ranking", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_exact", "sim_cosine_topk",
+    "sim_ann_lsh", "sim_ann_ivf", "nlp_tfidf", "text_quality",
+    "stream_tumbling", "stream_stateful_count", "sink_compact",
+    "meta_roundtrip", "scan_parquet")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,10 +34,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
