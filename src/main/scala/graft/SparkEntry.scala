@@ -24,6 +24,7 @@ object SparkEntry {
     catalog.DdlQueries,
     streaming.StreamOps,
     nlp.TextOps,
+    nlp.CorpusOps,
     sim.VectorOps,
     sim.Multimodal)
 

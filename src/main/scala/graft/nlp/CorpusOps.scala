@@ -1,0 +1,237 @@
+package graft.nlp
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Training-corpus curation ops [NS: BASELINE.json north_star — the
+  * pipeline steps AFTER detection: clustering duplicates, sampling,
+  * packing, scrubbing].
+  *
+  * Scale design (100 TB):
+  *  - `dedup_clusters` turns the near-dup PAIR list into connected
+  *    components with iterative min-label propagation: each round is one
+  *    distributed join + hash aggregation over (edge, label) tuples and
+  *    the label sum is a monotone convergence witness, so the loop runs
+  *    O(component diameter) rounds (near-dup clusters are shallow; ~2-3
+  *    rounds in practice) with nothing but a Long per round on the
+  *    driver. No union-find on one machine, no quadratic closure.
+  *  - Sampling is seeded multiplicative hashing — a pure map over the
+  *    corpus (no shuffle for the stratified filter; one partial-agg
+  *    shuffle for the balanced top-K) and reproducible across engines,
+  *    which `rand()` sampling is not.
+  *  - `pack_sequences` assigns documents to fixed token-budget chunks
+  *    with a per-stream running sum (window over the stream key); at
+  *    100 TB the stream key is (lang, shard) so each window partition
+  *    stays executor-sized.
+  *  - `text_pii_scrub` is a pure codegen'd regexp map — embarrassingly
+  *    parallel, no shuffle at all (the ORDER BY here exists only for the
+  *    oracle's determinism contract).
+  */
+object CorpusOps extends QueryGroup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** Portable multiplicative hash of doc_id onto [0, 100) — identical
+    * arithmetic in Spark and DuckDB (product stays < 2^52, clear of
+    * BIGINT overflow divergence at any fixture scale). */
+  private val bucket100 =
+    "(doc_id * 2654435761L) % 1000000007L % 100L"
+
+  /** Chunk token budget for sequence packing. */
+  private val packBudget = 512
+
+  /** Connected components over a bidirectional edge list via min-label
+    * propagation. Labels only decrease, so sum(label) is a monotone
+    * convergence witness — one Long action per round. Each round's
+    * result is checkpointed: an iterative plan that re-embeds its
+    * predecessor twice (join + union) grows exponentially otherwise —
+    * the lineage MUST be cut, not just cached. On a cluster, swap
+    * localCheckpoint for reliable checkpoint(setCheckpointDir) so label
+    * blocks survive executor loss. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("lbl"))
+      val next = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum("lbl")).head.getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // near-dup clusters: the ngram-Jaccard pair list (the already-oracled
+    // detection step) closed into components; cluster_id = min doc_id of
+    // the component — the id a keep-lowest dedup policy retains.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    }),
+
+    // per-stratum deterministic downsampling: language-dependent keep
+    // rates over a seeded hash — the reproducible form of corpus
+    // rebalancing (same doc set on every run / engine / cluster size).
+    "sample_stratified" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("bucket", expr(bucket100))
+        .withColumn("rate", expr(
+          "CASE WHEN lang = 'en' THEN 25 WHEN lang = 'de' THEN 50 ELSE 75 END"))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // language-balanced sampling: exactly K docs per language, chosen by
+    // hash order (deterministic; ties broken by doc_id). The window's
+    // top-K is the per-group form of TakeOrdered — partial in map-side.
+    "sample_balanced" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("bucket"), col("doc_id"))
+      docs(s, d)
+        .withColumn("bucket", expr(bucket100))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 40)
+        .select(col("lang"), col("rn"), col("doc_id"), col("bucket"))
+        .orderBy("lang", "rn")
+    }),
+
+    // token-budget sequence packing (concat-then-chunk): docs in stream
+    // order are laid head-to-tail; a doc belongs to the chunk where its
+    // first token lands. Integer arithmetic only — no float drift.
+    "pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("chunk_id",
+          expr(s"(cum - n_tok) div $packBudget"))
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("chunk_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "chunk_id")
+    }),
+
+    // PII scrubbing: global regexp redaction + per-doc redaction counts.
+    // The fixture text carries no PII, so a contact line is synthesized
+    // per doc (deterministic) — the op under test is the scrub itself.
+    // Patterns go through the Scala DSL (NOT expr): Spark SQL string
+    // literals consume backslash escapes, which silently corrupts \d/\.
+    "text_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{4}"
+      docs(s, d)
+        .withColumn("raw", concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail-"), col("lang"), lit(".com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" re: "), col("text")))
+        .select(
+          col("doc_id"),
+          regexp_count(col("raw"), lit(email)).as("n_emails"),
+          regexp_count(col("raw"), lit(phone)).as("n_phones"),
+          substring(
+            regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+              phone, "<PHONE>"), 1, 80).as("scrubbed_head"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+        |        WHERE doc_id < 1000)
+        |  WHERE LEN(t) > 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
+        |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+        |         FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+        |FROM comp ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  (doc_id * 2654435761) % 1000000007 % 100 AS bucket
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000007 % 100 <
+        |  CASE WHEN lang = 'en' THEN 25 WHEN lang = 'de' THEN 50 ELSE 75 END
+        |ORDER BY doc_id""".stripMargin,
+    "sample_balanced" ->
+      """SELECT lang, rn, doc_id, bucket FROM (
+        |  SELECT lang, doc_id, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id)
+        |      AS rn
+        |  FROM (SELECT lang, doc_id,
+        |          (doc_id * 2654435761) % 1000000007 % 100 AS bucket
+        |        FROM documents))
+        |WHERE rn <= 40 ORDER BY lang, rn""".stripMargin,
+    "pack_sequences" ->
+      s"""SELECT lang, chunk_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM (
+        |  SELECT lang, doc_id, n_tok,
+        |    (CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) // $packBudget
+        |      AS chunk_id
+        |  FROM (SELECT lang, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tok
+        |        FROM documents))
+        |GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || lang
+        |      || '.com or 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR),
+        |                                4, '0')
+        |      || ' re: ' || text AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  LEN(REGEXP_EXTRACT_ALL(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  LEN(REGEXP_EXTRACT_ALL(raw, '\d{3}-\d{4}')) AS n_phones,
+        |  SUBSTRING(REGEXP_REPLACE(REGEXP_REPLACE(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g'), 1, 80) AS scrubbed_head
+        |FROM r ORDER BY doc_id""".stripMargin
+  )
+}

@@ -147,6 +147,31 @@ object Aggregates extends QueryGroup {
 
     // exact interpolated percentiles (both engines: rank = p·(n−1),
     // linear interpolation — identical arithmetic on identical doubles).
+    // FILTER (WHERE ...) aggregate clauses — conditional aggregation
+    // without CASE scaffolding; stays a single hash-agg pass.
+    "agg_filter_where" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("fw_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          | COUNT(*) AS n_all,
+          | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          | ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+          |   AS disc_price
+          |FROM fw_lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // relational melt: wide numeric columns → (metric, val) long form.
+    // Narrow map-side reshape (a Generator — no shuffle, no join).
+    "agg_unpivot" -> ((s, d) => {
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail")), "metric", "val")
+        .orderBy("p_partkey", "metric")
+    }),
+
     "agg_percentile" -> ((s, d) => {
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -270,6 +295,20 @@ object Aggregates extends QueryGroup {
         | ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS P
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_filter_where" ->
+      """SELECT l_returnflag,
+        | COUNT(*) AS n_all,
+        | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+        |   AS disc_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_unpivot" ->
+      """SELECT p_partkey, metric, val FROM
+        | (SELECT p_partkey, CAST(p_size AS DOUBLE) AS "size",
+        |         p_retailprice AS retail FROM part)
+        | UNPIVOT (val FOR metric IN ("size", retail))
+        |ORDER BY p_partkey, metric""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,

@@ -108,6 +108,32 @@ object Analytics extends QueryGroup {
           .as("lost_revenue"))
         .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // Q7 shape: cross-nation trade volume by ship year — the same
+    // dimension table joined twice under different roles (supplier
+    // nation / customer nation), both broadcast.
+    "q7_volume_shipping" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier")
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      val n1 = Tables(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     })
   )
 
@@ -162,6 +188,19 @@ object Analytics extends QueryGroup {
         | JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+        |ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | YEAR(l_shipdate) AS l_year,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
   )
 }

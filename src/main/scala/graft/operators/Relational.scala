@@ -223,6 +223,35 @@ object Relational extends QueryGroup {
         .filter(col("rn") === 1)
         .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
         .orderBy("event_id")
+    }),
+
+    // lateral correlated subquery in FROM: per-customer top-2 orders.
+    // Catalyst decorrelates the LIMIT'd subquery into a ranked window
+    // join — no per-row re-execution, one shuffle on the join key.
+    "join_lateral" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("lat_customer")
+      Tables(s, d, "orders").createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 4) AS price
+          |FROM lat_customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+    }),
+
+    // correlated scalar subquery: orders priced 1.5× above their own
+    // customer's average — decorrelated by Catalyst into an aggregate
+    // join, not a per-row subquery execution.
+    "subquery_correlated" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS price
+          |FROM sq_orders o
+          |WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+          |                      FROM sq_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
     })
   )
 
@@ -294,7 +323,21 @@ object Relational extends QueryGroup {
         |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
         |  JOIN orders o ON e.user_id = o.o_custkey
         |   AND o.o_orderdate <= e.ts2)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 4) AS price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 
   val queries: Map[String, Q] = qB ++ qC

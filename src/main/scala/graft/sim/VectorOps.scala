@@ -132,6 +132,27 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // int8 scalar quantization (per-vector symmetric absmax) — the
+    // storage form vector indexes ship at 100 TB (4× smaller than
+    // float32). Pure map over the corpus, no shuffle; reports quantized
+    // range + worst-case reconstruction error per vector. All arithmetic
+    // is double with identical op order in both engines.
+    "embed_quantize" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("m",
+          expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12)"))
+        .select(col("vec_id"),
+          expr("array_min(transform(v, x -> cast(round(x / m * 127) AS int)))")
+            .as("qmin"),
+          expr("array_max(transform(v, x -> cast(round(x / m * 127) AS int)))")
+            .as("qmax"),
+          round(expr(
+            "array_max(transform(v, x -> abs(round(x / m * 127) * m / 127 - x)))"),
+            6).as("max_err"),
+          round(col("m"), 6).as("scale"))
+        .orderBy("vec_id")
+    }),
+
     // deterministic random-hyperplane LSH bucketing — the 100 TB path.
     "sim_lsh_buckets" -> ((s, d) => {
       val bitExprs = (0 until nPlanes).map { h =>
@@ -262,6 +283,22 @@ object VectorOps extends QueryGroup {
          |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs)
          |WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-12) AS m
+        |  FROM e)
+        |SELECT vec_id,
+        | LIST_MIN(LIST_TRANSFORM(v, x -> CAST(ROUND(x / m * 127) AS INT)))
+        |   AS qmin,
+        | LIST_MAX(LIST_TRANSFORM(v, x -> CAST(ROUND(x / m * 127) AS INT)))
+        |   AS qmax,
+        | ROUND(LIST_MAX(LIST_TRANSFORM(v,
+        |   x -> ABS(ROUND(x / m * 127) * m / 127 - x))), 6) AS max_err,
+        | ROUND(m, 6) AS scale
+        |FROM s ORDER BY vec_id""".stripMargin,
     "sim_lsh_buckets" -> {
       val bitSql = (0 until nPlanes).map { h =>
         val arr = (1 to dim).map(i => s"CAST(${coef(h, i)} AS DOUBLE)")

@@ -1,0 +1,107 @@
+package graft
+
+import graft.nlp.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** Laws for the corpus-curation group: component structure of
+  * dedup_clusters, determinism of the hash samplers, packing-budget
+  * invariants, and scrub completeness. */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("connectedComponents labels a two-component edge list") {
+    import SparkSpec.spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain (high diameter)") {
+    import SparkSpec.spark.implicits._
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 9 && got.values.forall(_ == 1L))
+  }
+
+  test("dedup_clusters: cluster_id is the component minimum and pairs co-cluster") {
+    val rows = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster_id = min member id
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is not the label")
+    }
+    // every detected near-dup pair must land in one cluster
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+    pairs.foreach { p =>
+      assert(cluster(p.getLong(0)) == cluster(p.getLong(1)),
+        s"pair ${p.getLong(0)},${p.getLong(1)} split across clusters")
+    }
+    // csize agrees with the actual member count
+    val sizes = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(sizes(cid) == members.size)
+    }
+  }
+
+  test("stratified sample is deterministic and respects per-lang rates") {
+    val a = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    val b = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    assert(a.sameElements(b), "hash sampling must be run-stable")
+    a.foreach { r =>
+      val rate = r.getString(1) match {
+        case "en" => 25L; case "de" => 50L; case _ => 75L
+      }
+      assert(r.getLong(3) < rate, s"doc ${r.getLong(0)} bucket outside rate")
+    }
+  }
+
+  test("balanced sample takes at most K docs per language") {
+    val rows = SparkEntry.queries("sample_balanced")(spark, sf).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    perLang.foreach { case (lang, docs) =>
+      assert(docs.length <= 40, s"$lang oversampled: ${docs.length}")
+      assert(docs.map(_.getInt(1)).sorted.sameElements(1 to docs.length),
+        s"$lang rank sequence not contiguous")
+    }
+  }
+
+  test("pack_sequences: contiguous chunk ids and token conservation") {
+    val chunks = SparkEntry.queries("pack_sequences")(spark, sf).collect()
+    chunks.groupBy(_.getString(0)).foreach { case (lang, cs) =>
+      val ids = cs.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.sameElements(0L until ids.length),
+        s"$lang chunk ids not contiguous: ${ids.mkString(",")}")
+    }
+    val packedTotal = chunks.map(_.getLong(3)).sum
+    val corpusTotal = Tables(spark, sf, "documents")
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(packedTotal == corpusTotal, "packing dropped or duplicated tokens")
+  }
+
+  test("pii scrub redacts every synthesized email and phone") {
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1, s"doc ${r.getLong(0)}: email not counted")
+      assert(r.getInt(2) >= 1, s"doc ${r.getLong(0)}: phone not counted")
+      val head = r.getString(3)
+      assert(head.contains("<EMAIL>"), s"doc ${r.getLong(0)}: $head")
+      assert(!head.matches(".*\\d{3}-\\d{4}.*"),
+        s"doc ${r.getLong(0)}: unredacted phone in $head")
+    }
+  }
+
+  test("embed_quantize: int8 range and error bound scale/254") {
+    val rows = SparkEntry.queries("embed_quantize")(spark, sf).collect()
+    rows.foreach { r =>
+      val (qmin, qmax) = (r.getInt(1), r.getInt(2))
+      val (err, scale) = (r.getDouble(3), r.getDouble(4))
+      assert(qmin >= -127 && qmax <= 127, s"vec ${r.getLong(0)} out of int8")
+      // err is ROUND(...,6)'d in the query — allow half that granularity
+      assert(err <= scale / 254.0 + 5e-7,
+        s"vec ${r.getLong(0)}: err $err exceeds half-step ${scale / 254.0}")
+    }
+  }
+}
