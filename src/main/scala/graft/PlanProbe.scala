@@ -15,6 +15,9 @@ object PlanProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // warm: run once first so SECS measures steady-state, not JVM/codegen
+    if (args.contains("warm"))
+      SparkEntry.queries(key)(spark, sfDir).collect()
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(key)(spark, sfDir)
     df.collect()

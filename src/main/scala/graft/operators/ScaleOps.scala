@@ -26,8 +26,14 @@ object ScaleOps extends QueryGroup {
       val li = Tables(s, d, "lineitem")
         .withColumn("salt",
           pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)))
+      // shuffle_hash pins the SHUFFLED join that salting exists for: the
+      // hot (key, salt) sub-keys spread across S reducers. Left to
+      // itself the planner broadcasts the S×-replicated side — a plan
+      // salting does nothing for (broadcast joins can't skew) that also
+      // bottlenecks on a driver-side S×|orders| relation build.
       val o = Tables(s, d, "orders")
         .withColumn("salt", explode(lit((0 until S).toArray)))
+        .hint("shuffle_hash")
       li.join(o,
           li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
