@@ -20,6 +20,8 @@ object InventoryDump {
     "H. Streaming" -> streaming.StreamOps,
     "I. UDF / UDAF / UDTF" -> functions.Udfs,
     "J1. Text / dedup pipeline" -> nlp.TextOps,
+    "J1b. Corpus curation (clusters / sampling / packing / scrub / URLs)" ->
+      nlp.CorpusOps,
     "J2. Vector similarity / multimodal" -> sim.VectorOps,
     "J3. Multimodal decode" -> sim.Multimodal)
 
@@ -44,6 +46,10 @@ object InventoryDump {
     }
     sb.append(s"\n**Total: $total keys, $oracled oracled, " +
       s"${total - oracled} scalatest-only.**\n")
+    // drift guard: every SparkEntry key must be listed exactly once
+    require(total == SparkEntry.queries.size,
+      s"inventory lists $total keys but SparkEntry has " +
+        s"${SparkEntry.queries.size} — group missing from groupTitles?")
     Files.writeString(Paths.get("OPERATORS.md"), sb.toString)
     println(s"INVENTORY_OK=$total/$oracled")
   }

@@ -30,7 +30,15 @@ object PlanDump {
     "win_range_frame" ->
       "double-valued RANGE frame partitioned by brand (no global window sort)",
     "q5_local_supplier" ->
-      "multi-join star topology, Catalyst join reordering + AQE")
+      "multi-join star topology, Catalyst join reordering + AQE",
+    "join_skew_salted" ->
+      "salted shuffled-hash join: hot keys spread across S reducers",
+    "join_lateral" ->
+      "correlated LIMIT lateral decorrelated to a ranked window join",
+    "dedup_clusters" ->
+      "near-dup pairs closed into components (final round's labels plan)",
+    "pack_sequences" ->
+      "token-budget packing: per-stream running-sum window + hash agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -137,6 +137,43 @@ object CorpusOps extends QueryGroup {
         .orderBy("lang", "chunk_id")
     }),
 
+    // URL parsing: host/path/query extraction via the parse_url builtin
+    // (codegen'd; the oracle re-derives the same pieces with regexps).
+    // URLs are synthesized deterministically per doc — fixture docs have
+    // no URL column; the op under test is the parser.
+    "text_url_parse" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("url", concat(
+          lit("https://"), col("source"), lit(".Example.COM/docs/"),
+          (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&ref=abc")))
+        .select(col("doc_id"),
+          lower(expr("parse_url(url, 'HOST')")).as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'id')").as("id_param"))
+        .orderBy("doc_id")
+    }),
+
+    // canonical-URL dedup: lowercase host + path, tracking params
+    // dropped — the web-corpus dedup step before any content hashing.
+    // Keep-lowest policy per canonical URL, like dedup_exact.
+    "dedup_url_canon" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("url", concat(
+          lit("https://"), col("source"), lit(".Example.COM/docs/"),
+          (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&ref=abc")))
+        .withColumn("canon", concat(
+          lower(expr("parse_url(url, 'HOST')")),
+          expr("parse_url(url, 'PATH')")))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("canon")
+    }),
+
     // PII scrubbing: global regexp redaction + per-doc redaction counts.
     // The fixture text carries no PII, so a contact line is synthesized
     // per doc (deterministic) — the op under test is the scrub itself.
@@ -217,6 +254,31 @@ object CorpusOps extends QueryGroup {
         |  FROM (SELECT lang, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tok
         |        FROM documents))
         |GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin,
+    "text_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.Example.COM/docs/'
+        |      || CAST(doc_id % 50 AS VARCHAR)
+        |      || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |      || '&ref=abc' AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  LOWER(REGEXP_EXTRACT(url, 'https?://([^/?#]+)', 1)) AS host,
+        |  REGEXP_EXTRACT(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  REGEXP_EXTRACT(url, '[?&]id=([^&#]*)', 1) AS id_param
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "dedup_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.Example.COM/docs/'
+        |      || CAST(doc_id % 50 AS VARCHAR)
+        |      || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |      || '&ref=abc' AS url
+        |  FROM documents)
+        |SELECT LOWER(REGEXP_EXTRACT(url, 'https?://([^/?#]+)', 1))
+        |    || REGEXP_EXTRACT(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS canon,
+        |  MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
+        |FROM u GROUP BY canon ORDER BY canon""".stripMargin,
     "text_pii_scrub" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -108,6 +108,21 @@ class PlanSpec extends SparkSpec {
       s"bucketed join still shuffles:\n$plan")
   }
 
+  test("lateral LIMIT subquery decorrelates to a ranked window join") {
+    val plan = planOf("join_lateral")
+    assert(plan.contains("Window"),
+      s"no window rewrite — lateral executed per-row?:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral join fell back to a loop join:\n$plan")
+  }
+
+  test("salted skew join is a shuffled join, not broadcast") {
+    val plan = planOf("join_skew_salted")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salting demo must run the shuffled join it exists for:\n$plan")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
