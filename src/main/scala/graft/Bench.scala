@@ -15,7 +15,9 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_exact", "sim_cosine_topk",
     "sim_ann_lsh", "sim_ann_ivf", "nlp_tfidf", "text_quality",
     "stream_tumbling", "stream_stateful_count", "sink_compact",
-    "meta_roundtrip", "scan_parquet")
+    "meta_roundtrip", "scan_parquet", "dedup_clusters", "pack_sequences",
+    "sample_stratified", "embed_quantize", "join_lateral",
+    "q7_volume_shipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -183,6 +183,31 @@ object DdlQueries extends QueryGroup {
       created.toDF("recreated_table").orderBy("recreated_table")
     }),
 
+    // dry-run migration script: the ordered DDL an import WOULD execute,
+    // as reviewable rows — the pre-flight artifact an operator diffs
+    // before pointing a real import at a production metastore.
+    "meta_ddl_script" -> ((s, d) => {
+      import s.implicits._
+      fixtureCatalog(s, d)
+      val snap = CatalogTransfer.export(s, Seq("graft_meta"))
+      val stmts =
+        snap.databases.map(db =>
+          (s"database:${db.name}", s"CREATE DATABASE IF NOT EXISTS `${db.name}`")) ++
+        snap.tables.sortBy(t => (t.tableType == "VIEW", t.db, t.name))
+          .flatMap { t =>
+            val create = (s"table:${t.db}.${t.name}",
+              CatalogTransfer.createTableDdl(t))
+            val parts = CatalogTransfer.addPartitionDdl(t)
+              .zipWithIndex.map { case (ddl, i) =>
+                (s"table:${t.db}.${t.name}#part$i", ddl) }
+            create +: parts
+          }
+      stmts.zipWithIndex
+        .map { case ((obj, ddl), i) => (i, obj, ddl) }
+        .toDF("stmt_order", "object", "ddl")
+        .orderBy("stmt_order")
+    }),
+
     // catalog drift report: what changed between two exports — the
     // operational pre-flight check of a metadata migration (a faithful
     // import shows an empty diff; see CatalogSpec). Constructs a drift

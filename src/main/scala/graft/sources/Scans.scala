@@ -156,6 +156,41 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // dynamic partition overwrite: INSERT OVERWRITE replaces ONLY the
+    // partitions present in the incoming data — the incremental-reload
+    // write path for partitioned lakehouse tables (static mode would
+    // silently wipe every other partition). The query rebuilds the
+    // table, overwrites just l_returnflag='R' with doubled quantities,
+    // and returns the whole table: untouched partitions prove isolation.
+    "sink_dynamic_overwrite" -> ((s, d) => {
+      val dir = Tables.scratch(d, "lineitem_dyn_overwrite")
+      val base = Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+      s.sql("DROP TABLE IF EXISTS graft_dyn_part")
+      base.write.mode("overwrite").partitionBy("l_returnflag")
+        .option("path", dir).saveAsTable("graft_dyn_part")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity") * 2), 4).as("sum_qty"))
+          .select(col("l_linestatus"), col("n_lines"), col("sum_qty"),
+            col("l_returnflag")) // partition column last for insertInto
+          .write.mode("overwrite").insertInto("graft_dyn_part")
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.table("graft_dyn_part")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n_lines"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "sink_orc_roundtrip" -> ((s, d) => {
       // ORC: the Hive-native columnar format the reference's clusters
       // default to — round-trip must be lossless like parquet.
@@ -220,6 +255,12 @@ object Scans extends QueryGroup {
     "sink_compact" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sink_dynamic_overwrite" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_quantity *
+        |   CASE WHEN l_returnflag = 'R' THEN 2 ELSE 1 END), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "catalog_table_scan" -> supplierSql
   )
 }

@@ -329,4 +329,20 @@ class CatalogSpec extends SparkSpec {
       CatalogTransfer.export(spark, Seq("graft_fix"))).collect()
     assert(drift.isEmpty, s"overwrite left drift: ${drift.mkString("; ")}")
   }
+
+  test("meta_ddl_script executes verbatim and reproduces the snapshot") {
+    val script = SparkEntry.queries("meta_ddl_script")(spark, sf)
+      .orderBy("stmt_order").collect()
+    assert(script.head.getString(2).startsWith("CREATE DATABASE"),
+      "script must lead with database creation")
+    assert(script.exists(_.getString(1).contains("#part")),
+      "partitioned fixture table produced no ADD PARTITION statements")
+    val before = CatalogTransfer.export(spark, Seq("graft_meta"))
+    spark.sql("DROP DATABASE graft_meta CASCADE")
+    script.foreach(r => spark.sql(r.getString(2)))
+    val after = CatalogTransfer.export(spark, Seq("graft_meta"))
+    val drift = CatalogTransfer.diff(spark, before, after).collect()
+    assert(drift.isEmpty,
+      s"script-rebuilt catalog drifted: ${drift.mkString("; ")}")
+  }
 }
