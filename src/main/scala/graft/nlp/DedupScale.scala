@@ -37,10 +37,21 @@ object DedupScale {
           .as("pairs"))
         .head().getLong(0)
       val t0 = System.nanoTime()
-      val pairs = TextOps.minhashPairs(sub).count()
+      val pairDf = TextOps.minhashPairs(sub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = pairDf.count()
       val secs = (System.nanoTime() - t0) / 1e9
+      // clustering phase: pairs → components (the keep/drop decision
+      // input); rounds grow with component diameter, not corpus size.
+      val t1 = System.nanoTime()
+      val comps = CorpusOps.connectedComponents(
+          pairDf.select(col("doc_a"), col("doc_b")))
+        .agg(countDistinct(col("lbl"))).head().getLong(0)
+      val clusterSecs = (System.nanoTime() - t1) / 1e9
+      pairDf.unpersist()
       println(s"""{"dir":"$d","docs":$nDocs,"candidate_pairs":$cand,""" +
-        s""""verified_pairs":$pairs,"pipeline_sec":${secs.formatted("%.2f")}}""")
+        s""""verified_pairs":$pairs,"pipeline_sec":${secs.formatted("%.2f")},""" +
+        s""""clusters":$comps,"cluster_sec":${clusterSecs.formatted("%.2f")}}""")
     }
     spark.stop()
   }

@@ -147,6 +147,18 @@ object Aggregates extends QueryGroup {
 
     // exact interpolated percentiles (both engines: rank = p·(n−1),
     // linear interpolation — identical arithmetic on identical doubles).
+    // ANSI LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    // aggregation — the standard form of the collect+sort+join idiom.
+    "agg_listagg" -> ((s, d) => {
+      Tables(s, d, "supplier").createOrReplaceTempView("la_supplier")
+      Tables(s, d, "nation").createOrReplaceTempView("la_nation")
+      s.sql(
+        """SELECT n_name,
+          | LISTAGG(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS suppliers
+          |FROM la_supplier JOIN la_nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
     // FILTER (WHERE ...) aggregate clauses — conditional aggregation
     // without CASE scaffolding; stays a single hash-agg pass.
     "agg_filter_where" -> ((s, d) => {
@@ -295,6 +307,11 @@ object Aggregates extends QueryGroup {
         | ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS P
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_listagg" ->
+      """SELECT n_name,
+        | STRING_AGG(s_name, '|' ORDER BY s_name) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_filter_where" ->
       """SELECT l_returnflag,
         | COUNT(*) AS n_all,

@@ -225,6 +225,28 @@ object Relational extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // the NOT IN null trap, demonstrated deliberately: one NULL in the
+    // subquery makes every NOT IN predicate UNKNOWN (count drops to 0),
+    // while NOT EXISTS is null-safe. Both engines implement the same
+    // three-valued semantics — the counts must agree exactly.
+    "filter_not_in_3vl" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("ni_customer")
+      Tables(s, d, "orders").createOrReplaceTempView("ni_orders")
+      s.sql(
+        """SELECT
+          | (SELECT COUNT(*) FROM ni_customer
+          |  WHERE c_custkey NOT IN (SELECT o_custkey FROM ni_orders))
+          |   AS not_in_clean,
+          | (SELECT COUNT(*) FROM ni_customer
+          |  WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7)
+          |                          FROM ni_orders))
+          |   AS not_in_with_null,
+          | (SELECT COUNT(*) FROM ni_customer c
+          |  WHERE NOT EXISTS (SELECT 1 FROM ni_orders o
+          |    WHERE NULLIF(o.o_custkey, 7) = c.c_custkey))
+          |   AS not_exists_null_safe""".stripMargin)
+    }),
+
     // lateral correlated subquery in FROM: per-customer top-2 orders.
     // Catalyst decorrelates the LIMIT'd subquery into a ranked window
     // join — no per-row re-execution, one shuffle on the join key.
@@ -324,6 +346,18 @@ object Relational extends QueryGroup {
         |  JOIN orders o ON e.user_id = o.o_custkey
         |   AND o.o_orderdate <= e.ts2)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "filter_not_in_3vl" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        |   AS not_in_clean,
+        | (SELECT COUNT(*) FROM customer
+        |  WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders))
+        |   AS not_in_with_null,
+        | (SELECT COUNT(*) FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE NULLIF(o.o_custkey, 7) = c.c_custkey))
+        |   AS not_exists_null_safe""".stripMargin,
     "join_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 4) AS price
         |FROM customer c,
