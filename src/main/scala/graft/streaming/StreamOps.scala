@@ -198,6 +198,30 @@ object StreamOps extends QueryGroup {
       s.read.parquet(out).orderBy("event_id")
     }),
 
+    // native partitioned file sink: the streaming writer lands
+    // hive-layout partition directories + its own commit log; reads
+    // back losslessly with partition pruning available downstream.
+    "stream_partitioned_sink" -> ((s, d) => {
+      val out = graft.Tables.scratch(d, "stream_part_out")
+      val cp = graft.Tables.scratch(d, "stream_part_cp")
+      for (p <- Seq(out, cp))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val src = eventsStream(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+      val q = src.writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(out)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // explicit keyed state: running per-user event count via
     // flatMapGroupsWithState (update mode, one batch → final counts).
     "stream_stateful_count" -> ((s, d) => {
@@ -280,6 +304,9 @@ object StreamOps extends QueryGroup {
         |FROM events a JOIN events b ON b.event_id = a.event_id + 1
         |WHERE a.event_id % 2 = 0 AND b.event_id % 2 <> 0
         |ORDER BY left_id""".stripMargin,
+    "stream_partitioned_sink" ->
+      """SELECT event_id, event_type, ROUND(value, 4) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_foreach_batch" ->
       """SELECT event_id, event_type, ROUND(value, 4) AS value
         |FROM events ORDER BY event_id""".stripMargin,
