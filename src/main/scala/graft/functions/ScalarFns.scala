@@ -23,6 +23,24 @@ import org.apache.spark.sql.types._
 object ScalarFns extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
+    // Spark 4 collations: case-insensitive comparison/distinctness via
+    // COLLATE UTF8_LCASE (the oracle computes the same answer with
+    // LOWER, which is equivalent on this ASCII domain).
+    "fn_collation" -> ((s, d) => {
+      Tables(s, d, "part").createOrReplaceTempView("coll_part")
+      s.sql(
+        """WITH x AS (SELECT p_partkey,
+          |  CASE WHEN p_partkey % 2 = 0 THEN LOWER(p_type) ELSE p_type END
+          |    AS t2,
+          |  p_type FROM coll_part)
+          |SELECT COUNT(*) AS n_rows,
+          | COUNT(DISTINCT t2) AS distinct_cs,
+          | COUNT(DISTINCT t2 COLLATE UTF8_LCASE) AS distinct_ci,
+          | COUNT(CASE WHEN t2 COLLATE UTF8_LCASE = p_type THEN 1 END)
+          |   AS eq_ci
+          |FROM x""".stripMargin)
+    }),
+
     "fn_string" -> ((s, d) => {
       Tables(s, d, "part")
         .select(col("p_partkey"),
@@ -263,6 +281,16 @@ object ScalarFns extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_collation" ->
+      """WITH x AS (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 2 = 0 THEN LOWER(p_type) ELSE p_type END
+        |    AS t2,
+        |  p_type FROM part)
+        |SELECT COUNT(*) AS n_rows,
+        | COUNT(DISTINCT t2) AS distinct_cs,
+        | COUNT(DISTINCT LOWER(t2)) AS distinct_ci,
+        | COUNT(CASE WHEN LOWER(t2) = LOWER(p_type) THEN 1 END) AS eq_ci
+        |FROM x""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         | CONCAT_WS('-', p_brand, p_type) AS brand_type,

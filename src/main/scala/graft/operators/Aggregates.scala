@@ -147,6 +147,19 @@ object Aggregates extends QueryGroup {
 
     // exact interpolated percentiles (both engines: rank = p·(n−1),
     // linear interpolation — identical arithmetic on identical doubles).
+    // equi-width histogram via width_bucket — the profiling aggregate
+    // a stats collector runs; one hash-agg pass, bucket count bounded.
+    "agg_histogram" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .withColumn("bucket",
+          expr("width_bucket(l_quantity, 0.0, 51.0, 10)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_quantity")), 4).as("lo"),
+          round(max(col("l_quantity")), 4).as("hi"))
+        .orderBy("bucket")
+    }),
+
     // ANSI LISTAGG ... WITHIN GROUP (Spark 4): ordered string
     // aggregation — the standard form of the collect+sort+join idiom.
     "agg_listagg" -> ((s, d) => {
@@ -307,6 +320,12 @@ object Aggregates extends QueryGroup {
         | ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS P
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(l_quantity / ((51.0 - 0.0) / 10)) + 1 AS BIGINT)
+        |   AS bucket,
+        | COUNT(*) AS n, ROUND(MIN(l_quantity), 4) AS lo,
+        | ROUND(MAX(l_quantity), 4) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_listagg" ->
       """SELECT n_name,
         | STRING_AGG(s_name, '|' ORDER BY s_name) AS suppliers

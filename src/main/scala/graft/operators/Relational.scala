@@ -225,6 +225,37 @@ object Relational extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // dynamic partition pruning: the fact side is partitioned on the
+    // join key and the dim-side filter is only knowable at runtime — DPP
+    // injects the dim's surviving keys as a partition filter on the fact
+    // scan (plan shows `dynamicpruning#...`), so a 100 TB fact table
+    // reads only the partitions the dim selects. PlanSpec asserts it.
+    "join_dpp" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.Tables.scratch(d, "lineitem_by_flag")
+      if (!graft.Tables.scratchCurrent(d, "lineitem", dir)) {
+        Tables(s, d, "lineitem").write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(dir)
+        graft.Tables.stampScratch(d, "lineitem", dir)
+      }
+      val fact = s.read.parquet(dir)
+      // the dim must be a file relation: a local Seq folds its filter
+      // into the relation at optimize time and DPP then sees no
+      // selective predicate to derive the runtime partition filter from.
+      val dimDir = graft.Tables.scratch(d, "flag_dim")
+      if (!new java.io.File(dimDir, "_SUCCESS").exists())
+        Seq(("A", "keep"), ("N", "drop"), ("R", "keep"))
+          .toDF("flag", "tag").coalesce(1)
+          .write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir)
+      fact.join(broadcast(dim.filter(col("tag") === "keep")),
+          fact("l_returnflag") === col("flag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // the NOT IN null trap, demonstrated deliberately: one NULL in the
     // subquery makes every NOT IN predicate UNKNOWN (count drops to 0),
     // while NOT EXISTS is null-safe. Both engines implement the same
@@ -346,6 +377,11 @@ object Relational extends QueryGroup {
         |  JOIN orders o ON e.user_id = o.o_custkey
         |   AND o.o_orderdate <= e.ts2)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_dpp" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "filter_not_in_3vl" ->
       """SELECT
         | (SELECT COUNT(*) FROM customer

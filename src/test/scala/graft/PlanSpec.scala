@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
       s"lateral join fell back to a loop join:\n$plan")
   }
 
+  test("join_dpp prunes fact partitions from the dim filter at runtime") {
+    val plan = planOf("join_dpp")
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in fact scan:\n$plan")
+  }
+
   test("salted skew join is a shuffled join, not broadcast") {
     val plan = planOf("join_skew_salted")
     assert(plan.contains("ShuffledHashJoin"),
