@@ -38,7 +38,9 @@ object PlanDump {
     "dedup_clusters" ->
       "near-dup pairs closed into components (final round's labels plan)",
     "pack_sequences" ->
-      "token-budget packing: per-stream running-sum window + hash agg")
+      "token-budget packing: per-stream running-sum window + hash agg",
+    "join_dpp" ->
+      "dynamic partition pruning: dim filter becomes a runtime fact-scan partition filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -137,6 +137,32 @@ object CorpusOps extends QueryGroup {
         .orderBy("lang", "chunk_id")
     }),
 
+    // block-level boilerplate removal (the line-dedup step of web-corpus
+    // pipelines): docs are cut into fixed 8-token blocks; a block seen
+    // in ≥3 distinct docs is boilerplate and dropped. One explode +
+    // two hash aggs — the block table is the shuffled unit, never the
+    // full doc text, so block-level dedup scales like word-count.
+    "dedup_block_filter" -> ((s, d) => {
+      val blocks = docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .select(col("doc_id"), expr(
+          """explode(transform(
+            |  sequence(0, (size(tokens) - 1) div 8),
+            |  i -> array_join(slice(tokens, i * 8 + 1, 8), ' ')))"""
+            .stripMargin).as("block"))
+      val common = blocks.groupBy(col("block"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select(col("block"), lit(1).as("is_common"))
+      blocks.join(common, Seq("block"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(col("is_common")).as("n_boilerplate"))
+        .withColumn("keep_ratio_x1e4",
+          expr("(n_blocks - n_boilerplate) * 10000 div n_blocks"))
+        .orderBy("doc_id")
+    }),
+
     // URL parsing: host/path/query extraction via the parse_url builtin
     // (codegen'd; the oracle re-derives the same pieces with regexps).
     // URLs are synthesized deterministically per doc — fixture docs have
@@ -254,6 +280,19 @@ object CorpusOps extends QueryGroup {
         |  FROM (SELECT lang, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tok
         |        FROM documents))
         |GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin,
+    "dedup_block_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+        |    GENERATE_SERIES(0, (LEN(t) - 1) // 8),
+        |    i -> ARRAY_TO_STRING(t[i*8+1 : i*8+8], ' '))) AS block
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)),
+        |c AS (SELECT block FROM b GROUP BY block
+        |      HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT b.doc_id, COUNT(*) AS n_blocks,
+        | COUNT(c.block) AS n_boilerplate,
+        | (COUNT(*) - COUNT(c.block)) * 10000 // COUNT(*) AS keep_ratio_x1e4
+        |FROM b LEFT JOIN c ON b.block = c.block
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "text_url_parse" ->
       """WITH u AS (
         |  SELECT doc_id,

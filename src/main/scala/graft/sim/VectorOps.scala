@@ -132,6 +132,20 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // per-label centroids over the leading dims — the training step of a
+    // coarse quantizer (k-means assignment phase = sim_ann_ivf) run as a
+    // plain narrow explode + hash agg; per-(label,dim) partial means
+    // combine map-side, so the shuffle carries K×D rows, not the corpus.
+    "sim_centroids" -> ((s, d) => {
+      emb(s, d)
+        .select(col("label"),
+          posexplode(expr("slice(v, 1, 8)")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("x")), 4).as("centroid"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    }),
+
     // int8 scalar quantization (per-vector symmetric absmax) — the
     // storage form vector indexes ship at 100 TB (4× smaller than
     // float32). Pure map over the corpus, no shuffle; reports quantized
@@ -283,6 +297,13 @@ object VectorOps extends QueryGroup {
          |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs)
          |WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "sim_centroids" ->
+      """SELECT label, i AS dim,
+        | ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid,
+        | COUNT(*) AS n
+        |FROM embeddings,
+        |     (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS i) u
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id,
         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
