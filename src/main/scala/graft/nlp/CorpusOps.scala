@@ -200,6 +200,27 @@ object CorpusOps extends QueryGroup {
         .orderBy("canon")
     }),
 
+    // unigram language-model scoring (the KenLM-proxy quality filter):
+    // corpus token frequencies → per-doc mean negative log-probability.
+    // Low scores = in-distribution text, high = outliers. Two hash aggs
+    // + one broadcast-sized join on the vocab; the corpus text never
+    // shuffles. Scaled-integer output keeps the oracle hash-stable.
+    "text_unigram_logprob" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = toks.count().toDouble
+      val freqs = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_tok"))
+      val scored = toks.join(freqs, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("n_tok") / lit(total))), 4).as("nll"))
+        .orderBy("doc_id")
+      toks.unpersist()
+      scored
+    }),
+
     // PII scrubbing: global regexp redaction + per-doc redaction counts.
     // The fixture text carries no PII, so a contact line is synthesized
     // per doc (deterministic) — the op under test is the scrub itself.
@@ -318,6 +339,16 @@ object CorpusOps extends QueryGroup {
         |    || REGEXP_EXTRACT(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS canon,
         |  MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
         |FROM u GROUP BY canon ORDER BY canon""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+        |freqs AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | ROUND(AVG(-LN(CAST(n_tok AS DOUBLE) / total)), 4) AS nll
+        |FROM toks JOIN freqs USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH r AS (
         |  SELECT doc_id,

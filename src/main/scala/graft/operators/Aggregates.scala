@@ -147,6 +147,21 @@ object Aggregates extends QueryGroup {
 
     // exact interpolated percentiles (both engines: rank = p·(n−1),
     // linear interpolation — identical arithmetic on identical doubles).
+    // Datasketches HLL: per-group sketches unioned to a global distinct
+    // estimate — the pre-aggregation pattern for distinct counts at
+    // 100 TB (mergeable sketches travel between stages/days, raw values
+    // don't). Approximate by design → ScalaTest tolerance, no oracle.
+    "agg_sketch_union" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("sk_lineitem")
+      s.sql(
+        """WITH per_flag AS (
+          |  SELECT l_returnflag, HLL_SKETCH_AGG(l_orderkey) AS sk
+          |  FROM sk_lineitem GROUP BY l_returnflag)
+          |SELECT 'all' AS scope,
+          |  HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk)) AS approx_distinct
+          |FROM per_flag""".stripMargin)
+    }),
+
     // equi-width histogram via width_bucket — the profiling aggregate
     // a stats collector runs; one hash-agg pass, bucket count bounded.
     "agg_histogram" -> ((s, d) => {

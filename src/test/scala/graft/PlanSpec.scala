@@ -129,6 +129,15 @@ class PlanSpec extends SparkSpec {
       s"salting demo must run the shuffled join it exists for:\n$plan")
   }
 
+  test("HLL sketch union estimate is within 5% of exact distinct") {
+    val approx = SparkEntry.queries("agg_sketch_union")(spark, sf)
+      .head.getLong(1)
+    val exact = Tables(spark, sf, "lineitem")
+      .agg(countDistinct(col("l_orderkey"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"sketch union approx=$approx exact=$exact")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
