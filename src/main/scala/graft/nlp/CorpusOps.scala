@@ -92,6 +92,26 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // the dedup DECISION, end-to-end: every document tagged
+    // unique / keeper / dropped from the near-dup component structure —
+    // the keep-list a production pipeline materializes and joins against
+    // downstream. Same bounded pair scope as dedup_clusters.
+    "dedup_keep_list" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      docs(s, d).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("lang"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("status", expr(
+          """CASE WHEN cluster_id IS NULL THEN 'unique'
+            |     WHEN cluster_id = doc_id THEN 'keeper'
+            |     ELSE 'dropped' END""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("status"))
+        .orderBy("doc_id")
+    }),
+
     // per-stratum deterministic downsampling: language-dependent keep
     // rates over a seeded hash — the reproducible form of corpus
     // rebalancing (same doc set on every run / engine / cluster size).
@@ -273,6 +293,36 @@ object CorpusOps extends QueryGroup {
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_keep_list" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+        |        WHERE doc_id < 1000)
+        |  WHERE LEN(t) > 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
+        |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+        |         FROM reach GROUP BY id)
+        |SELECT dd.doc_id, dd.lang,
+        |  CASE WHEN c.cluster_id IS NULL THEN 'unique'
+        |       WHEN c.cluster_id = dd.doc_id THEN 'keeper'
+        |       ELSE 'dropped' END AS status
+        |FROM (SELECT doc_id, lang FROM documents WHERE doc_id < 1000) dd
+        |LEFT JOIN comp c ON dd.doc_id = c.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source,
         |  (doc_id * 2654435761) % 1000000007 % 100 AS bucket

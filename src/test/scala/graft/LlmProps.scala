@@ -65,6 +65,32 @@ object LlmProps extends Properties("graft.llm") {
       sig() == sig()
     }
 
+  private val edgeList: Gen[List[(Long, Long)]] =
+    Gen.listOfN(10, for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+
+  property("connected components agree with reference union-find") =
+    forAll(edgeList suchThat (_.nonEmpty)) { edges =>
+      val s = spark
+      import s.implicits._
+      val got = graft.nlp.CorpusOps.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: tiny driver-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(find).flatMap { case (_, members) =>
+        members.map(_ -> members.min)
+      }.toMap
+      got == want
+    }
+
   property("exact dedup is idempotent") = forAll(corpus) { texts =>
     import org.apache.spark.sql.functions._
     val s = spark
