@@ -81,6 +81,22 @@ object Windows extends QueryGroup {
         .orderBy("day")
     }),
 
+    // named WINDOW clause: one window definition shared by several
+    // functions — planner computes all of them in a single Window node
+    // over one sort (no duplicated exchange per function).
+    "win_named_window" -> ((s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("nw_customer")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          | RANK() OVER w AS bal_rank,
+          | COUNT(*) OVER w AS n_at_or_above,
+          | ROUND(SUM(c_acctbal) OVER w, 4) AS run_sum
+          |FROM nw_customer
+          |WINDOW w AS (PARTITION BY c_mktsegment
+          |             ORDER BY c_acctbal DESC, c_custkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "win_analytic" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -214,6 +230,15 @@ object Windows extends QueryGroup {
         |FROM (SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
         |        COUNT(*) AS n_events FROM events GROUP BY 1)
         |ORDER BY day""".stripMargin,
+    "win_named_window" ->
+      """SELECT c_custkey, c_mktsegment,
+        | RANK() OVER w AS bal_rank,
+        | COUNT(*) OVER w AS n_at_or_above,
+        | ROUND(SUM(c_acctbal) OVER w, 4) AS run_sum
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "win_analytic" ->
       """SELECT c_mktsegment, c_custkey,
         | FIRST_VALUE(c_custkey) OVER wf AS poorest,
