@@ -53,6 +53,22 @@ object Udfs extends QueryGroup {
       viaSql.filter(col("ck") < 50).orderBy("o_orderkey")
     }),
 
+    // SQL scalar UDF (new in Spark 4): the function body is an
+    // expression the optimizer inlines — unlike a JVM closure UDF it
+    // stays inside codegen and the oracle can re-derive it verbatim.
+    "udf_sql_function" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+              |  price DOUBLE, disc DOUBLE) RETURNS DOUBLE
+              |RETURN price * (1.0 - disc)""".stripMargin)
+      Tables(s, d, "lineitem").createOrReplaceTempView("sqlfn_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          | ROUND(SUM(graft_margin(l_extendedprice, l_discount)), 4)
+          |   AS total_margin
+          |FROM sqlfn_lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "udaf_aggregator" -> ((s, d) => {
       val wm = udaf(WeightedMean)
       Tables(s, d, "lineitem")
@@ -86,6 +102,12 @@ object Udfs extends QueryGroup {
         |FROM orders
         |WHERE ((o_orderkey % 1000003) * 2654435761 % 1000000007) % 97 < 50
         |ORDER BY o_orderkey""".stripMargin,
+    "udf_sql_function" ->
+      """SELECT l_returnflag,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4)
+        |   AS total_margin
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "udaf_aggregator" ->
       """SELECT l_returnflag,
         | ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)

@@ -110,6 +110,24 @@ object Analytics extends QueryGroup {
         .limit(20)
     }),
 
+    // recursive CTE (new in Spark 4): a generated monthly calendar spine
+    // left-joined to order counts — empty months survive, which no
+    // GROUP BY over the fact table alone can produce.
+    "sql_recursive_cte" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("rc_orders")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT DATE '1995-01-01'
+          |  UNION ALL
+          |  SELECT m + INTERVAL 1 MONTH FROM months
+          |  WHERE m < DATE '2001-07-01')
+          |SELECT CAST(m AS STRING) AS month_start,
+          |  COUNT(o_orderkey) AS n_orders
+          |FROM months LEFT JOIN rc_orders
+          |  ON date_trunc('MONTH', o_orderdate) = CAST(m AS TIMESTAMP)
+          |GROUP BY m ORDER BY month_start""".stripMargin)
+    }),
+
     // Q7 shape: cross-nation trade volume by ship year — the same
     // dimension table joined twice under different roles (supplier
     // nation / customer nation), both broadcast.
@@ -189,6 +207,17 @@ object Analytics extends QueryGroup {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < DATE '2001-07-01')
+        |SELECT CAST(m AS VARCHAR) AS month_start,
+        |  COUNT(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON DATE_TRUNC('month', o_orderdate) = CAST(m AS TIMESTAMP)
+        |GROUP BY m ORDER BY month_start""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | YEAR(l_shipdate) AS l_year,
