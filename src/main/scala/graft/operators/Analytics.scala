@@ -110,6 +110,20 @@ object Analytics extends QueryGroup {
         .limit(20)
     }),
 
+    // SQL pipe syntax (new in Spark 4): operator-per-line query text —
+    // same Catalyst plan as the standard form, verified by the oracle
+    // running the classic SELECT.
+    "sql_pipe_syntax" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("pipe_lineitem")
+      s.sql(
+        """FROM pipe_lineitem
+          ||> WHERE l_quantity > 10
+          ||> AGGREGATE COUNT(*) AS n_lines,
+          |     ROUND(SUM(l_extendedprice), 4) AS total
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // recursive CTE (new in Spark 4): a generated monthly calendar spine
     // left-joined to order counts — empty months survive, which no
     // GROUP BY over the fact table alone can produce.
@@ -207,6 +221,12 @@ object Analytics extends QueryGroup {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_extendedprice), 4) AS total
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'
