@@ -74,6 +74,11 @@ object CorpusOps extends QueryGroup {
       round += 1
     }
     edges.unpersist()
+    // a silent non-converged result would mislabel components — fail
+    // loudly; legitimate graphs with diameter > maxRounds need the cap
+    // raised explicitly, not a wrong answer.
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds")
     labels
   }
 
