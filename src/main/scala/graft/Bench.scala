@@ -36,8 +36,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def r3(v: Double): String = f"$v%.3f"
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    val r3 = (v: Double) =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val missing = headline.filterNot(results.contains)
+    require(missing.isEmpty,
+      s"headline keys missing from queries: ${missing.mkString(", ")}")
+    val qs = headline.map(k => s"\"$k\":${r3(results(k))}")
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")

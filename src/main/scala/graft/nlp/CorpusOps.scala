@@ -44,6 +44,57 @@ object CorpusOps extends QueryGroup {
   /** Chunk token budget for sequence packing. */
   private val packBudget = 512
 
+  /** Deterministic synthetic URL per doc (fixture docs carry no URL
+    * column) — single source for text_url_parse / dedup_url_canon. */
+  private def withUrl(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(
+      lit("https://"), col("source"), lit(".Example.COM/docs/"),
+      (col("doc_id") % 50).cast("string"),
+      lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&ref=abc")))
+
+  /** DuckDB CTE mirroring [[withUrl]] — shared by both URL oracles.
+    * Concatenation operators sit at line ENDS: this text is interpolated
+    * into stripMargin'd oracle strings, and a leading `||` would lose
+    * its first pipe to the outer stripMargin. */
+  private val oUrlCte =
+    """u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.Example.COM/docs/' ||
+      |    CAST(doc_id % 50 AS VARCHAR) ||
+      |    '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+      |    '&ref=abc' AS url
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB CTE chain: bigram shingles (doc_id < 1000) → Jaccard ≥ 0.5
+    * pairs → bidirectional edges → recursive min-label closure → comp.
+    * Single source for the clusters / keep-list oracles. MUST stay in
+    * sync with TextOps' dedup_ngram_jaccard detection (same shingling,
+    * threshold, and doc_id scope). */
+  private val oComponentCte =
+    """d AS (
+      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
+      |      i -> t[i] || ' ' || t[i+1])) AS sh
+      |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+      |        WHERE doc_id < 1000)
+      |  WHERE LEN(t) > 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+      |    / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+      |         FROM reach GROUP BY id)""".stripMargin
+
   /** Connected components over a bidirectional edge list via min-label
     * propagation. Labels only decrease, so sum(label) is a monotone
     * convergence witness — one Long action per round. Each round's
@@ -59,7 +110,11 @@ object CorpusOps extends QueryGroup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+    // coalesce: sum over ZERO rows is NULL — an empty pair list (no
+    // near-dups in the corpus) must yield an empty result, not an NPE.
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -67,7 +122,7 @@ object CorpusOps extends QueryGroup {
         .select(edges("dst").as("id"), col("lbl"))
       val next = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      val nextSum = next.agg(sum("lbl")).head.getLong(0)
+      val nextSum = lblSum(next)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -193,12 +248,7 @@ object CorpusOps extends QueryGroup {
     // URLs are synthesized deterministically per doc — fixture docs have
     // no URL column; the op under test is the parser.
     "text_url_parse" -> ((s, d) => {
-      docs(s, d)
-        .withColumn("url", concat(
-          lit("https://"), col("source"), lit(".Example.COM/docs/"),
-          (col("doc_id") % 50).cast("string"),
-          lit("?utm_source=feed&id="), col("doc_id").cast("string"),
-          lit("&ref=abc")))
+      withUrl(docs(s, d))
         .select(col("doc_id"),
           lower(expr("parse_url(url, 'HOST')")).as("host"),
           expr("parse_url(url, 'PATH')").as("path"),
@@ -210,12 +260,7 @@ object CorpusOps extends QueryGroup {
     // dropped — the web-corpus dedup step before any content hashing.
     // Keep-lowest policy per canonical URL, like dedup_exact.
     "dedup_url_canon" -> ((s, d) => {
-      docs(s, d)
-        .withColumn("url", concat(
-          lit("https://"), col("source"), lit(".Example.COM/docs/"),
-          (col("doc_id") % 50).cast("string"),
-          lit("?utm_source=feed&id="), col("doc_id").cast("string"),
-          lit("&ref=abc")))
+      withUrl(docs(s, d))
         .withColumn("canon", concat(
           lower(expr("parse_url(url, 'HOST')")),
           expr("parse_url(url, 'PATH')")))
@@ -233,17 +278,18 @@ object CorpusOps extends QueryGroup {
     "text_unigram_logprob" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val total = toks.count().toDouble
       val freqs = toks.groupBy(col("tok"))
         .agg(count(lit(1)).as("n_tok"))
-      val scored = toks.join(freqs, "tok")
+      // corpus token total as a broadcast 1-row side (the scalar-subquery
+      // pattern) — keeps the whole query lazy, no driver-side count
+      val total = freqs
+        .agg(sum(col("n_tok")).cast("double").as("total"))
+      toks.join(freqs, "tok")
+        .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-          round(avg(-log(col("n_tok") / lit(total))), 4).as("nll"))
+          round(avg(-log(col("n_tok") / col("total"))), 4).as("nll"))
         .orderBy("doc_id")
-      toks.unpersist()
-      scored
     }),
 
     // PII scrubbing: global regexp redaction + per-doc redaction counts.
@@ -273,54 +319,12 @@ object CorpusOps extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
-        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
-        |      i -> t[i] || ' ' || t[i+1])) AS sh
-        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
-        |        WHERE doc_id < 1000)
-        |  WHERE LEN(t) > 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
-        |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-        |    / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
-        |         FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $oComponentCte
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize
         |FROM comp ORDER BY doc_id""".stripMargin,
     "dedup_keep_list" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
-        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
-        |      i -> t[i] || ' ' || t[i+1])) AS sh
-        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
-        |        WHERE doc_id < 1000)
-        |  WHERE LEN(t) > 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
-        |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-        |    / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
-        |         FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $oComponentCte
         |SELECT dd.doc_id, dd.lang,
         |  CASE WHEN c.cluster_id IS NULL THEN 'unique'
         |       WHEN c.cluster_id = dd.doc_id THEN 'keeper'
@@ -370,26 +374,14 @@ object CorpusOps extends QueryGroup {
         |FROM b LEFT JOIN c ON b.block = c.block
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "text_url_parse" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'https://' || source || '.Example.COM/docs/'
-        |      || CAST(doc_id % 50 AS VARCHAR)
-        |      || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-        |      || '&ref=abc' AS url
-        |  FROM documents)
+      s"""WITH $oUrlCte
         |SELECT doc_id,
         |  LOWER(REGEXP_EXTRACT(url, 'https?://([^/?#]+)', 1)) AS host,
         |  REGEXP_EXTRACT(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
         |  REGEXP_EXTRACT(url, '[?&]id=([^&#]*)', 1) AS id_param
         |FROM u ORDER BY doc_id""".stripMargin,
     "dedup_url_canon" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'https://' || source || '.Example.COM/docs/'
-        |      || CAST(doc_id % 50 AS VARCHAR)
-        |      || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-        |      || '&ref=abc' AS url
-        |  FROM documents)
+      s"""WITH $oUrlCte
         |SELECT LOWER(REGEXP_EXTRACT(url, 'https?://([^/?#]+)', 1))
         |    || REGEXP_EXTRACT(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS canon,
         |  MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups

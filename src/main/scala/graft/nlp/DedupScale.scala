@@ -49,9 +49,11 @@ object DedupScale {
         .agg(countDistinct(col("lbl"))).head().getLong(0)
       val clusterSecs = (System.nanoTime() - t1) / 1e9
       pairDf.unpersist()
+      val r2 = (v: Double) =>
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"""{"dir":"$d","docs":$nDocs,"candidate_pairs":$cand,""" +
-        s""""verified_pairs":$pairs,"pipeline_sec":${secs.formatted("%.2f")},""" +
-        s""""clusters":$comps,"cluster_sec":${clusterSecs.formatted("%.2f")}}""")
+        s""""verified_pairs":$pairs,"pipeline_sec":${r2(secs)},""" +
+        s""""clusters":$comps,"cluster_sec":${r2(clusterSecs)}}""")
     }
     spark.stop()
   }

@@ -77,8 +77,11 @@ class PlanSpec extends SparkSpec {
     // scalar-subquery pattern) — also fine.
     // sim_ann_ivf broadcast-NLJs the tiny centroid set against the
     // corpus for cell assignment — the intended IVF quantizer shape.
+    // text_unigram_logprob broadcast-crossjoins its 1-row corpus total
+    // (scalar-subquery pattern), like nlp_tfidf.
     val nljAllowed = Set("sim_cosine_topk", "sim_knn_label",
-      "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf")
+      "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf",
+      "text_unigram_logprob")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
