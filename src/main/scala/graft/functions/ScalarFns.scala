@@ -23,6 +23,17 @@ import org.apache.spark.sql.types._
 object ScalarFns extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
+    // data masking: mask() redacts by character class (upper→X, lower→x,
+    // digit→n) — the column-level anonymization companion to
+    // text_pii_scrub's pattern-level redaction.
+    "fn_mask" -> ((s, d) => {
+      Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("mask(c_name)").as("masked_name"),
+          expr("mask(c_mktsegment, 'U', 'l', '#')").as("masked_seg"))
+        .orderBy("c_custkey")
+    }),
+
     // Spark 4 collations: case-insensitive comparison/distinctness via
     // COLLATE UTF8_LCASE (the oracle computes the same answer with
     // LOWER, which is equivalent on this ASCII domain).
@@ -281,6 +292,15 @@ object ScalarFns extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_mask" ->
+      """SELECT c_custkey,
+        | REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(c_name,
+        |   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |   AS masked_name,
+        | REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(c_mktsegment,
+        |   '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+        |   AS masked_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_collation" ->
       """WITH x AS (SELECT p_partkey,
         |  CASE WHEN p_partkey % 2 = 0 THEN LOWER(p_type) ELSE p_type END

@@ -225,6 +225,22 @@ object Relational extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // null-safe equi join: <=> as the JOIN KEY (not just a predicate) —
+    // NULL keys match each other, which a plain = join silently drops.
+    // Still plans as a hash join (null-safe equality is hashable).
+    "join_null_safe" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_nationkey"), lit(3)).as("nk"))
+      val n = Tables(s, d, "nation")
+        .select(nullif(col("n_nationkey"), lit(3)).as("nk2"), col("n_name"))
+      c.join(n, col("nk") <=> col("nk2"))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("n_name")).as("first_name"))
+        .orderBy(asc_nulls_first("nk"))
+    }),
+
     // dynamic partition pruning: the fact side is partitioned on the
     // join key and the dim-side filter is only knowable at runtime — DPP
     // injects the dim's surviving keys as a partition filter on the fact
@@ -377,6 +393,12 @@ object Relational extends QueryGroup {
         |  JOIN orders o ON e.user_id = o.o_custkey
         |   AND o.o_orderdate <= e.ts2)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_null_safe" ->
+      """SELECT nk, COUNT(*) AS n_matches, MIN(n_name) AS first_name
+        |FROM (SELECT c_custkey, NULLIF(c_nationkey, 3) AS nk FROM customer) c
+        |JOIN (SELECT NULLIF(n_nationkey, 3) AS nk2, n_name FROM nation) n
+        |  ON c.nk IS NOT DISTINCT FROM n.nk2
+        |GROUP BY nk ORDER BY nk NULLS FIRST""".stripMargin,
     "join_dpp" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         | ROUND(SUM(l_quantity), 4) AS sum_qty
