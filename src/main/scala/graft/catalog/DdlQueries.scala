@@ -183,6 +183,15 @@ object DdlQueries extends QueryGroup {
       created.toDF("recreated_table").orderBy("recreated_table")
     }),
 
+    // SHOW CREATE TABLE: the engine's own DDL rendering of a registered
+    // table — the per-table manual counterpart of meta_ddl_script's
+    // snapshot-derived script. Rows-only check (location paths are
+    // machine-specific); CatalogSpec asserts the statement shape.
+    "ddl_show_create" -> ((s, d) => {
+      fixtureCatalog(s, d)
+      s.sql("SHOW CREATE TABLE graft_meta.nation_meta")
+    }),
+
     // dry-run migration script: the ordered DDL an import WOULD execute,
     // as reviewable rows — the pre-flight artifact an operator diffs
     // before pointing a real import at a production metastore.

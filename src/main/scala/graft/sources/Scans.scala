@@ -156,6 +156,22 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // JSONL sink: write supplier as JSON lines, read back with an
+    // explicit schema (inference would widen int32 → bigint).
+    "sink_json_roundtrip" -> ((s, d) => {
+      val dir = Tables.scratch(d, "supplier_rt_json")
+      Tables(s, d, "supplier").write.mode("overwrite").json(dir)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).json(dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // dynamic partition overwrite: INSERT OVERWRITE replaces ONLY the
     // partitions present in the incoming data — the incremental-reload
     // write path for partitioned lakehouse tables (static mode would
@@ -240,6 +256,7 @@ object Scans extends QueryGroup {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_parquet_roundtrip" -> supplierSql,
     "sink_csv_roundtrip" -> supplierSql,
+    "sink_json_roundtrip" -> supplierSql,
     "sink_orc_roundtrip" -> supplierSql,
     "scan_range" ->
       """SELECT range AS id, range * 2 AS doubled, range % 7 AS mod7

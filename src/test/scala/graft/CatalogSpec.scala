@@ -330,6 +330,14 @@ class CatalogSpec extends SparkSpec {
     assert(drift.isEmpty, s"overwrite left drift: ${drift.mkString("; ")}")
   }
 
+  test("SHOW CREATE TABLE renders a re-runnable external-table DDL") {
+    val stmt = SparkEntry.queries("ddl_show_create")(spark, sf)
+      .head.getString(0)
+    assert(stmt.contains("CREATE TABLE") && stmt.contains("nation_meta"))
+    assert(stmt.contains("USING parquet") || stmt.contains("USING PARQUET"))
+    assert(stmt.contains("LOCATION"), s"external table lost LOCATION: $stmt")
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = SparkEntry.queries("meta_ddl_script")(spark, sf)
       .orderBy("stmt_order").collect()
