@@ -19,9 +19,23 @@ object Bench {
     "sample_stratified", "embed_quantize", "join_lateral",
     "q7_volume_shipping")
 
+  /** Runs per key; the reported time is the median. Single-run timing
+    * proved unusable: identical code measured 0.54 s vs 2.15 s for the
+    * same query on consecutive rounds (up to 4x run-to-run swing), so
+    * any one-shot comparison conflates noise with regression. Three
+    * back-to-back runs also absorb each key's cold file-listing pass
+    * into the discarded max. */
+  private val RunsPerKey = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Validate the headline set BEFORE any timing work: a renamed key
+    // must abort in milliseconds, not after minutes of benchmarking
+    // with the round's JSON record then lost.
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty,
+      s"headline keys missing from queries: ${missing.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,20 +46,20 @@ object Bench {
     SparkEntry.queries.get("agg_hash_group")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(RunsPerKey) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(RunsPerKey / 2)
     }
     // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
     val r3 = (v: Double) =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val missing = headline.filterNot(results.contains)
-    require(missing.isEmpty,
-      s"headline keys missing from queries: ${missing.mkString(", ")}")
     val qs = headline.map(k => s"\"$k\":${r3(results(k))}")
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"runs":$RunsPerKey,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
