@@ -42,6 +42,16 @@ object PlanDump {
     "join_dpp" ->
       "dynamic partition pruning: dim filter becomes a runtime fact-scan partition filter")
 
+  /** Queries that materialize-and-release internally (cache lifecycle)
+    * return a checkpointed result whose executed plan is just an RDD
+    * scan; dump the equivalent pure-plan form as evidence instead. */
+  private val planForms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "dedup_minhash" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.nlp.TextOps.minhashPairsPlan(graft.nlp.TextOps.shingled(
+        Tables(s, d, "documents").filter(col("doc_id") < 1000)))
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -60,7 +70,7 @@ object PlanDump {
          |the hot path, no cartesian products.
          |""".stripMargin)
     for ((key, caption) <- flagships) {
-      val df = SparkEntry.queries(key)(spark, sfDir)
+      val df = planForms.getOrElse(key, SparkEntry.queries(key))(spark, sfDir)
       df.collect() // finalize the adaptive plan
       sb.append(s"\n## $key — $caption\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString)

@@ -143,7 +143,10 @@ object CorpusOps extends QueryGroup {
     // detection step) closed into components; cluster_id = min doc_id of
     // the component — the id a keep-lowest dedup policy retains.
     "dedup_clusters" -> ((s, d) => {
-      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+      // unsorted pair form: the pairs feed edge/union groupBys, where the
+      // oracled query's range exchange would be pure waste.
+      val pairs = TextOps
+        .ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
         .select(col("doc_a"), col("doc_b"))
       connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
@@ -157,7 +160,8 @@ object CorpusOps extends QueryGroup {
     // the keep-list a production pipeline materializes and joins against
     // downstream. Same bounded pair scope as dedup_clusters.
     "dedup_keep_list" -> ((s, d) => {
-      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+      val pairs = TextOps
+        .ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
         .select(col("doc_a"), col("doc_b"))
       val comp = connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

@@ -56,7 +56,8 @@ object TextOps extends QueryGroup {
 
     "nlp_tfidf" -> ((s, d) => {
       // tf feeds both the per-doc weights and the document frequencies —
-      // persist so the tokenize+count pass over the corpus runs once.
+      // persist so the tokenize+count pass over the corpus runs once,
+      // then release it once the (filtered, small) result materializes.
       val tf = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -64,12 +65,15 @@ object TextOps extends QueryGroup {
       val dfreq = tf.groupBy("term")
         .agg(countDistinct(col("doc_id")).as("df"))
       val n = docs(s, d).agg(count(lit(1)).as("n"))
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
+      val out = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("term"),
           round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 4)
             .as("tfidf"))
         .orderBy("doc_id", "term")
+        .localCheckpoint()
+      tf.unpersist(blocking = false)
+      out
     }),
 
     "nlp_ngrams" -> ((s, d) => {
@@ -126,33 +130,13 @@ object TextOps extends QueryGroup {
     // exact n-gram Jaccard dedup via the scalable inverted-index plan:
     // |A∩B| falls directly out of the posting-list self-join as a
     // groupBy count — no set arrays ever shuffle, so the heavy exchange
-    // carries only (doc_a, doc_b) pairs. Sizes join in afterwards.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      // the bigram sets feed the inverted index (twice, self-joined) and
-      // the size lookups (twice) — persist the shingle pass once.
-      val sets = docs(s, d).filter(col("doc_id") < 1000)
-        .withColumn("tokens", split(col("text"), " "))
-        .withColumn("sh", expr(
-          """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
-            |  i -> concat(element_at(tokens, i), ' ',
-            |              element_at(tokens, i + 1))))""".stripMargin))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-      val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // carries only (doc_a, doc_b) pairs. Sizes join in afterwards. The
+    // sort exists only for the oracle compare; component consumers
+    // ([[CorpusOps]] clusters/keep-list) take [[ngramJaccardPairs]]
+    // unsorted — a range exchange buys nothing before a groupBy.
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
+        .orderBy("doc_a", "doc_b")),
 
     // fuzzy dedup verification: edit distance over candidate pairs only
     // (candidates from the bigram inverted index — never all-pairs; the
@@ -178,7 +162,7 @@ object TextOps extends QueryGroup {
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
-      cand
+      val out = cand
         .join(sub.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(sub.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
@@ -186,6 +170,9 @@ object TextOps extends QueryGroup {
           "10000 - (edit_dist * 10000) div greatest(length(ta), length(tb))"))
         .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("sim_x1e4"))
         .orderBy("doc_a", "doc_b")
+        .localCheckpoint()
+      sub.unpersist(blocking = false)
+      out
     }),
 
     // 64-bit SimHash (xxhash64 per token, ±1 per bit, sign → bit).
@@ -284,6 +271,40 @@ object TextOps extends QueryGroup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("text"), col("sh"))
 
+  /** Bigram-Jaccard near-dup pairs (jaccard ≥ 0.5) over (doc_id, text)
+    * rows, UNSORTED — the form the component/keep-list consumers take
+    * (they feed a groupBy, where a prior range exchange buys nothing;
+    * the oracled query adds the orderBy itself). Eager: the bigram sets
+    * feed the inverted index (self-joined) and two size lookups —
+    * persisted for the build, released after the (small) verified pair
+    * set materializes. */
+  def ngramJaccardPairs(in: DataFrame): DataFrame = {
+    val sets = in
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
+          |  i -> concat(element_at(tokens, i), ' ',
+          |              element_at(tokens, i + 1))))""".stripMargin))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint()
+    sets.unpersist(blocking = false)
+    out
+  }
+
   /** Exact-duplicate collapse: one representative (min doc_id) per
     * distinct text. Only narrow (doc_id, sha256) pairs shuffle — the
     * text/shingle arrays stay in place. Returns (doc_id, rep). */
@@ -293,21 +314,16 @@ object TextOps extends QueryGroup {
     hashes.join(groups, "h").select(col("doc_id"), col("rep"))
   }
 
-  /** LSH collision buckets (size > 1) over the distinct-text
-    * representatives of `sub` ((doc_id, text, sh) rows): (band,
-    * band_hash, ids) with ids capped at [[maxBucket]] per bucket. The
-    * cap is enforced BEFORE collection (row_number within the bucket),
-    * so no aggregation buffer ever holds more than maxBucket ids — the
-    * 100 TB boilerplate-corpus guard. */
-  def minhashBuckets(sub: DataFrame): DataFrame = {
-    val members = dupGroups(sub)
+  /** Pure plan: (band, band_hash, doc_id) rows for the distinct-text
+    * representatives of `sub`, given the (doc_id, rep) map. The
+    * signature is 64 codegen'd min-aggregates over the exploded shingle
+    * postings — one shuffle keyed by doc_id; bands carry only (band,
+    * hash, doc_id), never the shingle arrays. (Measured: a shuffle-free
+    * per-row transform/array_min formulation is 2× slower — interpreted
+    * higher-order lambdas lose to codegen'd min-aggs.) */
+  private def bandsFrom(sub: DataFrame, members: DataFrame): DataFrame = {
     val reps = sub.join(
       members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
-    // signature via 64 codegen'd min-aggregates over the exploded
-    // shingle postings — one shuffle keyed by doc_id; bands carry only
-    // (band, hash, doc_id), never the shingle arrays. (Measured: a
-    // shuffle-free per-row transform/array_min formulation is 2× slower
-    // — interpreted higher-order lambdas lose to codegen'd min-aggs.)
     val exploded = reps.select(col("doc_id"), explode(col("sh")).as("t"))
     val minAggs = (0 until 64)
       .map(p => min(xxhash64(col("t"), lit(p))).as(s"m$p"))
@@ -315,18 +331,21 @@ object TextOps extends QueryGroup {
       .agg(minAggs.head, minAggs.tail: _*)
       .withColumn("sig", array((0 until 64).map(p => col(s"m$p")): _*))
       .select(col("doc_id"), col("sig"))
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(expr(
         """transform(sequence(0, 15),
           |  b -> hash(slice(sig, b * 4 + 1, 4)))""".stripMargin))
         .as(Seq("band", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // two-phase cap: count buckets first (map-side combined — only
-    // partial counts shuffle), then route ONLY collision buckets
-    // (count > 1) through the row_number cap + collect. The window sort
-    // touches the collision subset, not all n×16 band rows, and no
-    // aggregation buffer can exceed maxBucket ids. Singleton buckets
-    // produce no candidates and are dropped here.
+  }
+
+  /** Pure plan: capped collision buckets from a bands DataFrame.
+    * Two-phase cap: count buckets first (map-side combined — only
+    * partial counts shuffle), then route ONLY collision buckets
+    * (count > 1) through the row_number cap + collect. The window sort
+    * touches the collision subset, not all n×16 band rows, and no
+    * aggregation buffer can exceed maxBucket ids. Singleton buckets
+    * produce no candidates and are dropped here. */
+  private def cappedBuckets(bands: DataFrame): DataFrame = {
     val counts = bands.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .select(col("band").as("cb"), col("band_hash").as("cbh"))
@@ -340,6 +359,24 @@ object TextOps extends QueryGroup {
       .filter(col("rn") <= maxBucket)
       .groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+  }
+
+  /** LSH collision buckets (size > 1) over the distinct-text
+    * representatives of `sub` ((doc_id, text, sh) rows): (band,
+    * band_hash, ids) with ids capped at [[maxBucket]] per bucket — the
+    * 100 TB boilerplate-corpus guard. Eager: the bands table (read
+    * twice — bucket counts, then the capped collect) is persisted for
+    * the computation and released before returning; the returned
+    * collision buckets are materialized (small: true collisions only). */
+  def minhashBuckets(sub: DataFrame): DataFrame =
+    minhashBuckets(sub, dupGroups(sub))
+
+  private def minhashBuckets(sub: DataFrame, members: DataFrame): DataFrame = {
+    val bands = bandsFrom(sub, members)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cappedBuckets(bands).localCheckpoint()
+    bands.unpersist(blocking = false)
+    out
   }
 
   /** Full MinHash+LSH near-dup pair set (Jaccard ≥ 0.8) over `sub`
@@ -361,16 +398,35 @@ object TextOps extends QueryGroup {
     // persist them once instead of recomputing the scan+shingle subtree
     // per use (20 parquet scans otherwise; the same persist-the-shared-
     // stage move applies at 100 TB with MEMORY_AND_DISK spilling).
-    // Lifecycle: Spark's CacheManager dedupes by canonical plan, so
-    // repeated invocations reuse one entry per distinct corpus rather
-    // than stacking; entries are evicted LRU. A long-lived service
-    // embedding this would unpersist after consuming the result.
+    // Lifecycle: the final pair set (small — true near-dups only) is
+    // materialized before returning and every corpus-sized cache is
+    // unpersisted, so repeated builds leave no cache entries behind
+    // (CacheLifecycleSpec asserts an empty CacheManager).
     val sub = sub0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = dupGroups(sub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = pairsFrom(sub, members, minhashBuckets(sub, members))
+      .localCheckpoint()
+    sub.unpersist(blocking = false)
+    members.unpersist(blocking = false)
+    out
+  }
+
+  /** Full pair pipeline as one lazy plan — no persist/localCheckpoint, so
+    * shared subtrees recompute per reference. Used by PlanDump for
+    * full-plan evidence; execution goes through [[minhashPairs]]. */
+  def minhashPairsPlan(sub: DataFrame): DataFrame = {
+    val members = dupGroups(sub)
+    pairsFrom(sub, members, cappedBuckets(bandsFrom(sub, members)))
+  }
+
+  /** Pure plan: verified + expanded near-dup pairs from the shingled
+    * corpus, its dup-group map, and the capped collision buckets. */
+  private def pairsFrom(sub: DataFrame, members: DataFrame,
+      buckets: DataFrame): DataFrame = {
     // bucket-local pair expansion: dup buckets are tiny post-collapse —
     // cost scales with true collisions; the signature subtree runs once.
-    val cand = minhashBuckets(sub)
+    val cand = buckets
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),

@@ -1,0 +1,27 @@
+package graft
+
+/** Cache lifecycle: every query that persists a shared subtree must
+  * release it once its (small) result is materialized — a Verify pass
+  * over the whole inventory must not accumulate corpus-sized cache
+  * entries in the session's CacheManager. */
+class CacheLifecycleSpec extends SparkSpec {
+
+  // the queries that persist internally (TextOps pipelines and their
+  // CorpusOps component consumers) — the leak candidates.
+  private val cacheManaging = Seq("nlp_tfidf", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_fuzzy_pairs", "dedup_clusters",
+    "dedup_keep_list")
+
+  test("cache-managing queries leave the CacheManager empty") {
+    // precondition: some other suite may have leaked entries into the
+    // shared session — start clean so the assertion isolates this pass.
+    spark.sharedState.cacheManager.clearCache()
+    for (k <- cacheManaging) {
+      val n = SparkEntry.queries(k)(spark, sf).count()
+      assert(n >= 0, s"$k failed to materialize")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cache entries leaked after a verify-style pass over the " +
+        s"persisting queries: ${cacheManaging.mkString(", ")}")
+  }
+}
