@@ -63,6 +63,53 @@ object VectorOps extends QueryGroup {
   private def oCos(a: String, b: String): String =
     s"${oDot(a, b)} / (${oNorm(a)} * ${oNorm(b)})"
 
+  /** One k-means refinement step over cosine similarity: assign every
+    * vector to its argmax-cos centroid (broadcast centroids, map-side
+    * max_by — no n×K shuffle), then recompute each surviving cell's
+    * centroid as the per-dimension mean via 64 codegen'd avg aggregates
+    * (map-side combined — the shuffle carries K×64 partials, not the
+    * corpus). Each mean is ROUNDED to 6 decimals so the resulting double
+    * is bit-identical across engines and partition orders (summation-
+    * order drift is ~1e-13 relative and is absorbed by the rounding);
+    * downstream cosines over the rounded centroids then agree exactly
+    * with the DuckDB oracle's. Cells that lose every member drop out. */
+  private def kmeansStep(e: DataFrame, cent: DataFrame): DataFrame = {
+    val assigned = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(cosExpr("v", "cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+        .as("cell"),
+        first(col("v")).as("v"))
+    val avgs = (1 to dim)
+      .map(i => round(avg(expr(s"element_at(v, $i)")), 6).as(s"c$i"))
+    assigned.groupBy(col("cell"))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("cell").as("cid"),
+        array((1 to dim).map(i => col(s"c$i")): _*).as("cv"))
+  }
+
+  /** DuckDB mirror of two [[kmeansStep]] iterations from the %29 seeds:
+    * CTEs `cent0 → sc0/asg0 → cent1 → sc1/asg1 → cent2`, with the same
+    * per-dim ROUND(AVG(v[i]), 6) and the same (ccos DESC, cid ASC)
+    * assignment tie order. */
+  private def oKmeans: String = {
+    def step(n: Int): String = {
+      val avgs = (1 to dim).map(i => s"ROUND(AVG(v[$i]), 6)")
+        .mkString("LIST_VALUE(", ", ", ")")
+      s"""sc$n AS (SELECT e.vec_id, e.v, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent$n c),
+         |asg$n AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM sc$n) WHERE rn = 1),
+         |cent${n + 1} AS (SELECT cell AS cid, $avgs AS cv
+         |  FROM asg$n GROUP BY cell)""".stripMargin
+    }
+    s"""cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 29 = 0),
+       |${step(0)},
+       |${step(1)}""".stripMargin
+  }
+
   /** All (query × candidate, cosine) pairs for query ids ≡ 0 mod m. */
   private def pairs(s: SparkSession, d: String, m: Int): DataFrame = {
     val e = emb(s, d)
@@ -212,17 +259,19 @@ object VectorOps extends QueryGroup {
     }),
 
     // IVF-Flat ANN — the second scale path next to sim_ann_lsh: a
-    // deterministic coarse quantizer (corpus vectors with vec_id % 29 ==
-    // 0 as centroids — at real scale, a k-means fit on a sample) is
-    // broadcast; every vector is assigned to its best cell map-side
-    // (max_by aggregate, no n×K shuffle), and each query probes only its
-    // nprobe=4 nearest cells. At 100 TB the per-query work drops from a
-    // full corpus scan to nprobe/K of it, and the candidate join is a
-    // plain equi-join on cell id.
+    // TRAINED coarse quantizer (deterministic seeds refined by two
+    // k-means iterations — see [[kmeansStep]]) is broadcast; every
+    // vector is assigned to its best cell map-side (max_by aggregate, no
+    // n×K shuffle), and each query probes only its nprobe=4 nearest
+    // cells. At 100 TB the per-query work drops from a full corpus scan
+    // to nprobe/K of it, the candidate join is a plain equi-join on cell
+    // id, and training would run on a corpus sample instead of the full
+    // table (same code, one extra filter).
     "sim_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val cent = e.filter(col("vec_id") % 29 === 0)
+      val seeds = e.filter(col("vec_id") % 29 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val cent = kmeansStep(e, kmeansStep(e, seeds))
       val scored = e.select(col("vec_id"), col("v"))
         .crossJoin(broadcast(cent))
         .withColumn("ccos", expr(cosExpr("v", "cv")))
@@ -358,9 +407,9 @@ object VectorOps extends QueryGroup {
       s"""WITH e AS (SELECT vec_id,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 29 = 0),
+         |$oKmeans,
          |scored AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
-         |  FROM e CROSS JOIN cent c),
+         |  FROM e CROSS JOIN cent2 c),
          |cells AS (SELECT vec_id, cid AS cell FROM (
          |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),

@@ -31,8 +31,18 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("IVF ANN answers every query near the true neighbor's cosine") {
-    // measured 0.90 on current fixtures (nprobe=4 of ~17 cells)
-    check("sim_ann_ivf", 0.8)
+    // untrained (%29 seed) centroids measured 0.897; two k-means
+    // iterations lift it to 0.957 at identical nprobe=4 — the threshold
+    // pins the trained level.
+    check("sim_ann_ivf", 0.9)
+  }
+
+  test("k-means training improves IVF exact recall@1 over raw seeds") {
+    // deterministic pipeline: untrained centroids find the true nearest
+    // neighbor for 1/5 queries; trained centroids find it for 3/5.
+    val found = nnMap("sim_ann_ivf")
+    val exact = truth.count { case (q, c) => math.abs(found(q) - c) < 1e-9 }
+    assert(exact >= 3, s"trained IVF recall@1 $exact/${truth.size} < 3/5")
   }
 
   test("LSH ANN answers every query with a same-bucket neighbor") {
