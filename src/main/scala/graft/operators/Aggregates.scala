@@ -335,6 +335,11 @@ object Aggregates extends QueryGroup {
         | ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS P
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // NOTE: this FLOOR(q / 5.1) differs from Spark's width_bucket
+    // arithmetic order (floor(n*(v-min)/(max-min))); the two floating
+    // expressions agree only because fixture l_quantity is integer-valued
+    // and never lands near a 5.1k boundary. A fractional-quantity fixture
+    // would need the oracle rewritten as FLOOR(10 * l_quantity / 51.0).
     "agg_histogram" ->
       """SELECT CAST(FLOOR(l_quantity / ((51.0 - 0.0) / 10)) + 1 AS BIGINT)
         |   AS bucket,

@@ -258,11 +258,12 @@ object Relational extends QueryGroup {
       // the dim must be a file relation: a local Seq folds its filter
       // into the relation at optimize time and DPP then sees no
       // selective predicate to derive the runtime partition filter from.
+      // written unconditionally (3 rows): an existence check would
+      // silently reuse stale parquet if this inline Seq were ever edited
       val dimDir = graft.Tables.scratch(d, "flag_dim")
-      if (!new java.io.File(dimDir, "_SUCCESS").exists())
-        Seq(("A", "keep"), ("N", "drop"), ("R", "keep"))
-          .toDF("flag", "tag").coalesce(1)
-          .write.mode("overwrite").parquet(dimDir)
+      Seq(("A", "keep"), ("N", "drop"), ("R", "keep"))
+        .toDF("flag", "tag").coalesce(1)
+        .write.mode("overwrite").parquet(dimDir)
       val dim = s.read.parquet(dimDir)
       fact.join(broadcast(dim.filter(col("tag") === "keep")),
           fact("l_returnflag") === col("flag"))

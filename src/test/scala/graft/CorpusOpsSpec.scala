@@ -58,11 +58,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("balanced sample takes at most K docs per language") {
+  test("balanced sample takes exactly min(K, population) docs per language") {
     val rows = SparkEntry.queries("sample_balanced")(spark, sf).collect()
     val perLang = rows.groupBy(_.getString(0))
+    // exact count, not just an upper bound — a sampler that silently
+    // returned zero rows for a language would otherwise still pass
+    val population = Tables(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet == population.keySet,
+      s"languages missing from sample: ${population.keySet -- perLang.keySet}")
     perLang.foreach { case (lang, docs) =>
-      assert(docs.length <= 40, s"$lang oversampled: ${docs.length}")
+      assert(docs.length == math.min(40L, population(lang)),
+        s"$lang sampled ${docs.length}, population ${population(lang)}")
       assert(docs.map(_.getInt(1)).sorted.sameElements(1 to docs.length),
         s"$lang rank sequence not contiguous")
     }
