@@ -92,6 +92,31 @@ object CatalogTransfer {
       }
       .sortBy(_._1).map { case (k, v) => PropKV(k, v) }
 
+  /** SparkSession whose catalog is an EXTERNAL Hive Metastore reached
+    * over a Thrift socket (`hive.metastore.uris`) — the reference's
+    * actual cluster-to-metastore boundary (yc-data-proc-metadata-import
+    * metastore-import.tf:112-117; client NodePorts :75-81). [[export]] /
+    * [[importInto]] run UNCHANGED against such a session: they read and
+    * write through the SessionCatalog, whose Hive client marshals every
+    * operation over the socket. No direct-JDBC (javax.jdo) config is
+    * set, so the socket is the only metadata path. One per JVM (the
+    * catalog implementation is fixed per SparkContext) — see
+    * [[ThriftRoundtrip]] for the end-to-end exercise. */
+  def thriftSession(uris: String, warehouse: String): SparkSession =
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-thrift-catalog")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", warehouse)
+      // spark.hadoop. prefix: lands in the Hadoop configuration the Hive
+      // client is built from (a bare hive.metastore.uris key stays in
+      // SparkConf and never reaches the metastore client factory)
+      .config("spark.hadoop.hive.metastore.uris", uris)
+      .enableHiveSupport()
+      .getOrCreate()
+
   /** Walk the session catalog and capture every table in `dbs` (all
     * non-default databases when empty). Reads go through the
     * SessionCatalog's table metadata (CatalogTable), the same objects

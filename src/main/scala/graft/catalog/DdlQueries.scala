@@ -276,6 +276,35 @@ object DdlQueries extends QueryGroup {
         Tables.stampScratch(d, "nation", out)
       }
       s.read.parquet(out).orderBy("n_nationkey")
+    }),
+
+    // the reference's ACTUAL transport: the same export→drop→import
+    // scenario with the metastore reached over a real Thrift SOCKET
+    // (HiveMetaStore server thread + a hive.metastore.uris session —
+    // the managed-HMS boundary at metastore-import.tf:112-117), not an
+    // embedded direct-JDBC catalog. Subprocess JVM for the same
+    // fixed-catalog reason as meta_hive_roundtrip; idempotent per input
+    // dir via the scratch fingerprint.
+    "meta_thrift_roundtrip" -> ((s, d) => {
+      val out = new java.io.File(Tables.scratch(d, "thrift_roundtrip_out"))
+        .getAbsolutePath
+      if (!Tables.scratchCurrent(d, "nation", out)) {
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val cmd = Seq(javaBin) ++ HiveRoundtrip.jdkOpens ++ Seq(
+          "-Xmx2g", "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.catalog.ThriftRoundtrip", d, out)
+        val log = new java.io.PrintWriter("target/thrift_roundtrip_sub.log")
+        import scala.sys.process._
+        val rc = try Process(cmd).!(ProcessLogger(log.println, log.println))
+        finally log.close()
+        require(rc == 0,
+          s"ThriftRoundtrip subprocess rc=$rc (target/thrift_roundtrip_sub.log)")
+        Tables.stampScratch(d, "nation", out)
+      }
+      s.read.parquet(out).orderBy("n_nationkey")
     })
   )
 
@@ -321,6 +350,9 @@ object DdlQueries extends QueryGroup {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     "meta_hive_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "meta_thrift_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin
   )

@@ -1,0 +1,127 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's ACTUAL transport, end-to-end: a real Hive Metastore
+  * served over a Thrift SOCKET (the boundary the managed HMS exposes at
+  * yc-data-proc-metadata-import metastore-import.tf:112-117 and clusters
+  * attach to via client NodePorts :75-81), not an embedded direct-JDBC
+  * catalog. This main:
+  *
+  *  1. starts `HiveMetaStore` (Derby-backed) on a free localhost port in
+  *     a daemon thread — a genuine Thrift server, same class the
+  *     standalone `hive --service metastore` runs;
+  *  2. opens a Spark session via [[CatalogTransfer.thriftSession]] whose
+  *     ONLY metadata path is `hive.metastore.uris` → that socket (no
+  *     javax.jdo config exists in the session, so nothing can fall back
+  *     to embedded mode);
+  *  3. creates a database + external parquet table + table property +
+  *     permanent function, exports the catalog with
+  *     [[CatalogTransfer.export]] (every read marshalled over Thrift),
+  *     drops the database from HMS, re-imports with
+  *     [[CatalogTransfer.importInto]] (every write marshalled over
+  *     Thrift), and asserts fidelity;
+  *  4. dumps the round-tripped table as parquet for the DuckDB oracle
+  *     (`meta_thrift_roundtrip` reads it back).
+  *
+  * Standalone main: the catalog implementation is fixed per
+  * SparkContext, so the Hive-backed session needs its own JVM. Run with
+  *   sbt "runMain graft.catalog.ThriftRoundtrip /root/testdata/sf0.001"
+  * Prints THRIFT_ROUNDTRIP_OK=<rowcount> on success.
+  */
+object ThriftRoundtrip {
+
+  /** Start a Derby-backed HiveMetaStore Thrift server on `port`
+    * (daemon thread; dies with the JVM). */
+  private def startMetastore(port: Int, scratch: String): Unit = {
+    val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    conf.set("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$scratch/metastore_db;create=true")
+    conf.set("datanucleus.schema.autoCreateAll", "true")
+    conf.set("hive.metastore.schema.verification", "false")
+    // the DataNucleus default pool (BoneCP) isn't on Spark's classpath;
+    // HikariCP is the pool Spark itself ships for the embedded case
+    conf.set("datanucleus.connectionPoolingType", "HikariCP")
+    conf.set("hive.metastore.warehouse.dir", s"$scratch/hms_warehouse")
+    val t = new Thread(() =>
+      org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
+        port,
+        org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge,
+        conf),
+      "graft-hms-server")
+    t.setDaemon(true)
+    t.start()
+    // wait until the Thrift socket accepts connections
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var up = false
+    while (!up && System.nanoTime() < deadline) {
+      try {
+        new java.net.Socket("localhost", port).close()
+        up = true
+      } catch { case _: java.io.IOException => Thread.sleep(500) }
+    }
+    require(up, s"metastore did not open port $port within 120s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1)
+    val scratch = new java.io.File(
+      graft.Tables.scratch(sfDir, "thrift_roundtrip_work")).getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    startMetastore(port, scratch)
+
+    val spark: SparkSession = CatalogTransfer.thriftSession(
+      s"thrift://localhost:$port", s"$scratch/warehouse")
+    spark.sparkContext.setLogLevel("ERROR")
+    require(spark.conf.get("spark.sql.catalogImplementation") == "hive",
+      "hive support not active")
+    require(spark.sparkContext.hadoopConfiguration
+      .get("hive.metastore.uris", "").startsWith("thrift://"),
+      "session is not talking to the Thrift endpoint")
+
+    spark.sql("CREATE DATABASE thrift_src")
+    spark.sql(s"""CREATE TABLE thrift_src.nation_t
+                 |USING parquet LOCATION '$sfDir/nation.parquet'""".stripMargin)
+    spark.sql("""ALTER TABLE thrift_src.nation_t
+                |SET TBLPROPERTIES ('graft.via' = 'thrift')""".stripMargin)
+    spark.sql("""CREATE FUNCTION thrift_src.thrift_pi
+                |AS 'org.apache.hadoop.hive.ql.udf.UDFPI'""".stripMargin)
+    val piBefore = spark.sql("SELECT thrift_src.thrift_pi() AS pi")
+      .head().getDouble(0)
+
+    val snapDir = s"$scratch/snapshot"
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("thrift_src")), snapDir)
+    spark.sql("DROP DATABASE thrift_src CASCADE") // gone from HMS
+    val created =
+      CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, snapDir))
+    require(created.sorted == Seq("thrift_src.nation_t",
+      "thrift_src.thrift_pi"), s"unexpected: $created")
+
+    val n = spark.table("thrift_src.nation_t").count()
+    require(n > 0, "no rows after thrift round-trip")
+    val prop = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "nation_t", Some("thrift_src")))
+      .properties.getOrElse("graft.via", "<missing>")
+    require(prop == "thrift", s"property lost through Thrift round-trip: $prop")
+    require(spark.sql("SELECT thrift_src.thrift_pi() AS pi")
+      .head().getDouble(0) == piBefore,
+      "permanent function lost through Thrift round-trip")
+
+    outDir.foreach { o =>
+      spark.table("thrift_src.nation_t")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .coalesce(1).write.mode("overwrite").parquet(o)
+    }
+    println(s"THRIFT_ROUNDTRIP_OK=$n")
+    spark.stop()
+  }
+}
