@@ -28,8 +28,22 @@ final case class PropKV(key: String, value: String)
   * and explicit storage location. HMS preserves per-partition storage
   * descriptors — partitions added with custom LOCATION clauses are not
   * recoverable from the directory layout, so the snapshot must carry
-  * them. */
+  * them.
+  *
+  * Scale model (100k-partition tables): every REGISTERED partition
+  * travels (a directory scan cannot reproduce the registered set —
+  * deliberately-unregistered layout dirs must stay unregistered), but
+  * layout-conforming partitions travel as SPEC ONLY (location empty =
+  * "default layout"), they are dumped as their own row-per-partition
+  * dataset (partition-parallel write, not an array inside one table
+  * row), and the import re-registers them through bulk catalog
+  * createPartitions calls (one RPC per 1000, the HMS add_partitions
+  * batch shape) instead of per-partition ADD PARTITION statements. */
 final case class PartitionInfo(spec: Seq[PropKV], location: String)
+
+/** Snapshot-file row form of one partition (partitions dataset). */
+final case class PartitionRow(
+    db: String, table: String, spec: Seq[PropKV], location: String)
 
 final case class TableInfo(
     db: String,
@@ -144,15 +158,25 @@ object CatalogTransfer {
         val isView = t.tableType.name == "VIEW"
         val provider = t.provider.getOrElse(if (isView) "view" else "parquet")
         // partitions are first-class HMS objects with their own storage
-        // descriptors — capture (spec, location) so custom-LOCATION
-        // partitions survive import (recoverPartitions only finds
-        // hive-layout subdirectories).
+        // descriptors — capture the full REGISTERED set (spec, location),
+        // but store layout-conforming locations as "" so the snapshot
+        // row carries only the spec (the location is derivable; the
+        // custom-LOCATION exceptions keep theirs explicitly). The
+        // listing is one bulk catalog call (HMS get_partitions), the
+        // conformance check is a string comparison per entry — never
+        // per-partition I/O. A comparison that fails open (URI rendering
+        // drift) just carries the location explicitly, always correct.
+        val tableLocation = t.storage.locationUri.map(_.toString).getOrElse("")
         val parts =
           if (partCols.nonEmpty && !isView)
             cat.listPartitions(ident).map { p =>
+              val loc = p.storage.locationUri.map(_.toString).getOrElse("")
+              val conforming = tableLocation.nonEmpty && loc.nonEmpty &&
+                samePath(loc, defaultPartitionLocation(
+                  tableLocation, t.partitionColumnNames, p.spec))
               PartitionInfo(
                 p.spec.toSeq.sortBy(_._1).map { case (k, v) => PropKV(k, v) },
-                p.storage.locationUri.map(_.toString).getOrElse(""))
+                if (conforming) "" else loc)
             }.sortBy(_.spec.map(kv => s"${kv.key}=${kv.value}").mkString("/"))
           else Nil
         TableInfo(
@@ -200,13 +224,23 @@ object CatalogTransfer {
     CatalogSnapshot(databases, tables, functions)
   }
 
-  /** Persist a snapshot as JSON datasets under `dir` (overwrite). */
+  /** Persist a snapshot as JSON datasets under `dir` (overwrite).
+    * Partitions are dumped as their own row-per-partition dataset, NOT
+    * coalesced: a 100k-partition table writes in parallel as 100k small
+    * rows instead of one 100k-element array inside a single table row
+    * (which is what makes the driver the bottleneck). The db/table/
+    * function datasets stay single-file — they are thousands of rows at
+    * most. */
   def write(spark: SparkSession, snap: CatalogSnapshot, dir: String): Unit = {
     import spark.implicits._
     spark.createDataset(snap.databases).coalesce(1)
       .write.mode("overwrite").json(s"$dir/databases")
-    spark.createDataset(snap.tables).coalesce(1)
+    spark.createDataset(snap.tables.map(_.copy(partitions = Nil))).coalesce(1)
       .write.mode("overwrite").json(s"$dir/tables")
+    val partRows = snap.tables.flatMap(t =>
+      t.partitions.map(p => PartitionRow(t.db, t.name, p.spec, p.location)))
+    spark.createDataset(partRows)
+      .write.mode("overwrite").json(s"$dir/partitions")
     spark.createDataset(snap.functions).coalesce(1)
       .write.mode("overwrite").json(s"$dir/functions")
   }
@@ -226,7 +260,7 @@ object CatalogTransfer {
     val tblSchema = Encoders.product[TableInfo].schema
     def emptyArr(n: String) =
       from_json(lit("[]"), tblSchema(n).dataType, Map.empty[String, String])
-    val tables = spark.read.schema(tblSchema).json(s"$dir/tables")
+    val tables0 = spark.read.schema(tblSchema).json(s"$dir/tables")
       .withColumn("viewDefaultDb", coalesce(col("viewDefaultDb"), lit("")))
       .withColumn("numBuckets", coalesce(col("numBuckets"), lit(0)))
       .withColumn("inputFormat", coalesce(col("inputFormat"), lit("")))
@@ -243,6 +277,22 @@ object CatalogTransfer {
           |  ifnull(c.comment, '') AS comment))""".stripMargin))
       .as[TableInfo].collect().toSeq
       .sortBy(t => (t.db, t.name))
+    // partitions dataset (absent in pre-split snapshots, where they are
+    // embedded in the table rows and already decoded above). Collected
+    // here because the import target is a driver-side catalog RPC; a
+    // catalog too large for that would page this dataset with
+    // toLocalIterator instead.
+    val partRows =
+      try spark.read.schema(Encoders.product[PartitionRow].schema)
+        .json(s"$dir/partitions").as[PartitionRow].collect().toSeq
+      catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+    val byTable = partRows.groupBy(r => (r.db, r.table))
+    val tables = tables0.map { t =>
+      val ps = byTable.getOrElse((t.db, t.name), Nil)
+        .map(r => PartitionInfo(r.spec, r.location))
+        .sortBy(_.spec.map(kv => s"${kv.key}=${kv.value}").mkString("/"))
+      if (ps.nonEmpty) t.copy(partitions = ps) else t
+    }
     // functions dir absent in pre-function snapshots → none to restore
     val functions =
       try spark.read.schema(Encoders.product[FunctionInfo].schema)
@@ -250,6 +300,31 @@ object CatalogTransfer {
         .sortBy(f => (f.db, f.name))
       catch { case _: org.apache.spark.sql.AnalysisException => Nil }
     CatalogSnapshot(dbs, tables, functions)
+  }
+
+  /** The default hive-layout location of a partition: `<tableLocation>/
+    * col1=v1/col2=v2` with hive path escaping, partition columns in
+    * table order — exactly what the catalog assigns when ADD PARTITION
+    * carries no LOCATION and what RECOVER PARTITIONS derives from the
+    * directory scan. */
+  private def defaultPartitionLocation(tableLocation: String,
+      partColOrder: Seq[String],
+      spec: Map[String, String]): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    ExternalCatalogUtils.generatePartitionPath(spec, partColOrder,
+      new org.apache.hadoop.fs.Path(tableLocation)).toString
+  }
+
+  /** URI equality on (scheme, authority, path) — `file:///x` and
+    * `file:/x` name the same location but differ as strings (empty vs
+    * absent authority), which would misclassify every recovered
+    * partition as custom. */
+  private def samePath(a: String, b: String): Boolean = {
+    val ua = new org.apache.hadoop.fs.Path(a).toUri
+    val ub = new org.apache.hadoop.fs.Path(b).toUri
+    ua.getScheme == ub.getScheme && ua.getPath == ub.getPath &&
+      Option(ua.getAuthority).getOrElse("") ==
+        Option(ub.getAuthority).getOrElse("")
   }
 
   private def q(id: String): String = s"`${id.replace("`", "``")}`"
@@ -334,6 +409,31 @@ object CatalogTransfer {
     sb.toString
   }
 
+  /** Re-register `t`'s carried partitions through bulk SessionCatalog
+    * createPartitions calls (chunks of 1000). Spec-only partitions
+    * (location == "") get the default hive-layout location under the
+    * table dir — identical to what ADD PARTITION without LOCATION
+    * assigns — so the re-registered set is byte-equal to the source. */
+  private def createPartitionsBulk(spark: SparkSession, t: TableInfo): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogTablePartition
+    val ident = TableIdentifier(t.name, Some(t.db))
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    t.partitions.grouped(1000).foreach { chunk =>
+      val parts = chunk.map { p =>
+        val spec = p.spec.map(kv => kv.key -> kv.value).toMap
+        val loc =
+          if (p.location.nonEmpty) p.location
+          else defaultPartitionLocation(
+            t.location, meta.partitionColumnNames, spec)
+        CatalogTablePartition(spec, meta.storage.copy(
+          locationUri = Some(new org.apache.hadoop.fs.Path(loc).toUri)))
+      }
+      cat.createPartitions(ident, parts, ignoreIfExists = true)
+    }
+  }
+
   /** ALTER TABLE ... ADD PARTITION statements (chunked) that re-register
     * `t`'s captured partitions with their explicit locations. */
   def addPartitionDdl(t: TableInfo): Seq[String] =
@@ -398,8 +498,15 @@ object CatalogTransfer {
           } finally if (canUse) spark.sql(s"USE ${q(prevDb)}")
         } else {
           spark.sql(createTableDdl(t))
+          // carried partitions restore the exact registered set through
+          // BULK catalog calls (one createPartitions RPC per 1000 — the
+          // HMS add_partitions batch shape), never one SQL statement per
+          // partition; spec-only rows get their default layout location
+          // re-derived. Snapshots carrying no partitions for a
+          // partitioned located table (pre-split format or genuinely
+          // partition-less) fall back to the directory scan.
           if (t.partitions.nonEmpty)
-            addPartitionDdl(t).foreach(spark.sql(_))
+            createPartitionsBulk(spark, t)
           else if (t.columns.exists(_.isPartition) && t.location.nonEmpty)
             spark.catalog.recoverPartitions(s"${t.db}.${t.name}")
         }
