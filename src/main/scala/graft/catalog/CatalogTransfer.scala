@@ -164,16 +164,21 @@ object CatalogTransfer {
         // custom-LOCATION exceptions keep theirs explicitly). The
         // listing is one bulk catalog call (HMS get_partitions), the
         // conformance check is a string comparison per entry — never
-        // per-partition I/O. A comparison that fails open (URI rendering
-        // drift) just carries the location explicitly, always correct.
+        // per-partition I/O. The comparison fails open in BOTH failure
+        // modes: URI rendering drift AND a derivation throw (a spec key
+        // that doesn't line up with partitionColumnNames — e.g. a
+        // mixed-case partition column from a case-preserving catalog
+        // headed into a lowercasing one) just carry the location
+        // explicitly, always correct.
         val tableLocation = t.storage.locationUri.map(_.toString).getOrElse("")
         val parts =
           if (partCols.nonEmpty && !isView)
             cat.listPartitions(ident).map { p =>
               val loc = p.storage.locationUri.map(_.toString).getOrElse("")
               val conforming = tableLocation.nonEmpty && loc.nonEmpty &&
-                samePath(loc, defaultPartitionLocation(
-                  tableLocation, t.partitionColumnNames, p.spec))
+                scala.util.Try(samePath(loc, defaultPartitionLocation(
+                  tableLocation, t.partitionColumnNames, p.spec)))
+                  .getOrElse(false)
               PartitionInfo(
                 p.spec.toSeq.sortBy(_._1).map { case (k, v) => PropKV(k, v) },
                 if (conforming) "" else loc)
@@ -423,12 +428,17 @@ object CatalogTransfer {
     t.partitions.grouped(1000).foreach { chunk =>
       val parts = chunk.map { p =>
         val spec = p.spec.map(kv => kv.key -> kv.value).toMap
-        val loc =
-          if (p.location.nonEmpty) p.location
-          else defaultPartitionLocation(
-            t.location, meta.partitionColumnNames, spec)
+        // a derivation throw (spec key vs partitionColumnNames mismatch
+        // after a catalog case-normalization) degrades to location-less
+        // registration — the catalog assigns its own default — instead
+        // of aborting the whole import
+        val locOpt =
+          if (p.location.nonEmpty) Some(p.location)
+          else scala.util.Try(defaultPartitionLocation(
+            t.location, meta.partitionColumnNames, spec)).toOption
         CatalogTablePartition(spec, meta.storage.copy(
-          locationUri = Some(new org.apache.hadoop.fs.Path(loc).toUri)))
+          locationUri =
+            locOpt.map(l => new org.apache.hadoop.fs.Path(l).toUri)))
       }
       cat.createPartitions(ident, parts, ignoreIfExists = true)
     }

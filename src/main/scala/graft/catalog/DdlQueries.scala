@@ -296,12 +296,16 @@ object DdlQueries extends QueryGroup {
           "-Dspark.sql.session.timeZone=UTC",
           "-cp", System.getProperty("java.class.path"),
           "graft.catalog.ThriftRoundtrip", d, out)
-        val log = new java.io.PrintWriter("target/thrift_roundtrip_sub.log")
+        // log next to the scratch artifacts (whose parent scratch()
+        // already created) — a bare relative "target/…" path throws in
+        // the PrintWriter constructor when the driver's cwd isn't the
+        // build root, failing the op before the subprocess even starts
+        val logPath = s"$out.sub.log"
+        val log = new java.io.PrintWriter(logPath)
         import scala.sys.process._
         val rc = try Process(cmd).!(ProcessLogger(log.println, log.println))
         finally log.close()
-        require(rc == 0,
-          s"ThriftRoundtrip subprocess rc=$rc (target/thrift_roundtrip_sub.log)")
+        require(rc == 0, s"ThriftRoundtrip subprocess rc=$rc ($logPath)")
         Tables.stampScratch(d, "nation", out)
       }
       s.read.parquet(out).orderBy("n_nationkey")

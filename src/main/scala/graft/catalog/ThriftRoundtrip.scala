@@ -32,8 +32,11 @@ import org.apache.spark.sql.SparkSession
 object ThriftRoundtrip {
 
   /** Start a Derby-backed HiveMetaStore Thrift server on `port`
-    * (daemon thread; dies with the JVM). */
-  private def startMetastore(port: Int, scratch: String): Unit = {
+    * (daemon thread; dies with the JVM). Returns false if the server
+    * thread died (e.g. the port was grabbed between free-port probe and
+    * bind — the caller retries on a fresh port) instead of requiring,
+    * so a TOCTOU race costs a retry, not the run. */
+  private def startMetastore(port: Int, scratch: String): Boolean = {
     val conf = new org.apache.hadoop.hive.conf.HiveConf()
     conf.set("javax.jdo.option.ConnectionURL",
       s"jdbc:derby:;databaseName=$scratch/metastore_db;create=true")
@@ -43,24 +46,36 @@ object ThriftRoundtrip {
     // HikariCP is the pool Spark itself ships for the embedded case
     conf.set("datanucleus.connectionPoolingType", "HikariCP")
     conf.set("hive.metastore.warehouse.dir", s"$scratch/hms_warehouse")
+    val died = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val t = new Thread(() =>
-      org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
+      try org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
         port,
         org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge,
-        conf),
+        conf)
+      catch { case e: Throwable => died.set(e) },
       "graft-hms-server")
     t.setDaemon(true)
     t.start()
-    // wait until the Thrift socket accepts connections
+    // wait until OUR server's Thrift socket accepts connections; a dead
+    // server thread means the bind failed — report, don't block 120s
+    // probing a port that may now belong to a foreign process
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     var up = false
-    while (!up && System.nanoTime() < deadline) {
+    while (!up && died.get == null && System.nanoTime() < deadline) {
       try {
         new java.net.Socket("localhost", port).close()
         up = true
       } catch { case _: java.io.IOException => Thread.sleep(500) }
     }
-    require(up, s"metastore did not open port $port within 120s")
+    if (died.get != null)
+      System.err.println(s"metastore failed to start on $port: ${died.get}")
+    else require(up, s"metastore did not open port $port within 120s")
+    up
+  }
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,11 +85,11 @@ object ThriftRoundtrip {
       graft.Tables.scratch(sfDir, "thrift_roundtrip_work")).getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
 
-    val port = {
-      val s = new java.net.ServerSocket(0)
-      try s.getLocalPort finally s.close()
-    }
-    startMetastore(port, scratch)
+    // free-port probe + bind is inherently racy; retry on a fresh port
+    // rather than failing the run when another process wins the race
+    val port = Iterator.continually(freePort()).take(3)
+      .find(p => startMetastore(p, scratch))
+      .getOrElse(sys.error("metastore failed to bind after 3 port attempts"))
 
     val spark: SparkSession = CatalogTransfer.thriftSession(
       s"thrift://localhost:$port", s"$scratch/warehouse")

@@ -155,41 +155,49 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP DATABASE IF EXISTS graft_bigpart CASCADE")
     spark.sql("CREATE DATABASE graft_bigpart")
     val base = java.nio.file.Files.createTempDirectory("graft_bigpart").toFile
-    (0 until 10000).foreach(i => new java.io.File(base, s"k=$i").mkdirs())
-    spark.sql("CREATE TABLE graft_bigpart.big (v BIGINT, k INT) " +
-      s"USING parquet PARTITIONED BY (k) LOCATION '${base.getAbsolutePath}'")
-    spark.catalog.recoverPartitions("graft_bigpart.big")
     val elsewhere = java.nio.file.Files
       .createTempDirectory("graft_bigpart_custom").toFile
-    spark.sql("ALTER TABLE graft_bigpart.big ADD PARTITION (k=99999) " +
-      s"LOCATION '${elsewhere.getAbsolutePath}'")
-    val t0 = System.nanoTime()
-    val snap = CatalogTransfer.export(spark, Seq("graft_bigpart"))
-    val exportSecs = (System.nanoTime() - t0) / 1e9
-    val big = snap.tables.find(_.name == "big").get
-    assert(big.partitions.size == 10001,
-      s"registered set must travel whole, got ${big.partitions.size}")
-    val carried = big.partitions.filter(_.location.nonEmpty)
-    assert(carried.map(_.spec) == Seq(Seq(PropKV("k", "99999"))),
-      s"only the custom partition may carry a location, got $carried")
-    assert(exportSecs < 30,
-      f"10k-partition export took $exportSecs%.1f s — partition-bound?")
-    // round-trip: spec-only rows re-register in bulk catalog chunks with
-    // re-derived default locations; the custom one keeps its own
-    val dir = Tables.scratch(sf, "catalog_rt_bigpart")
-    CatalogTransfer.write(spark, snap, dir)
-    spark.sql("DROP DATABASE graft_bigpart CASCADE")
-    CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
-    val n = spark.sql("SHOW PARTITIONS graft_bigpart.big").count()
-    assert(n == 10001, s"expected 10001 partitions after round-trip, got $n")
-    val custom = spark.sessionState.catalog.listPartitions(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        "big", Some("graft_bigpart")),
-      Some(Map("k" -> "99999")))
-      .flatMap(_.storage.locationUri).map(_.getPath)
-    assert(custom.exists(_.contains("graft_bigpart_custom")),
-      s"custom partition location lost: $custom")
-    spark.sql("DROP DATABASE graft_bigpart CASCADE")
+    try {
+      (0 until 10000).foreach(i => new java.io.File(base, s"k=$i").mkdirs())
+      spark.sql("CREATE TABLE graft_bigpart.big (v BIGINT, k INT) " +
+        s"USING parquet PARTITIONED BY (k) LOCATION '${base.getAbsolutePath}'")
+      spark.catalog.recoverPartitions("graft_bigpart.big")
+      spark.sql("ALTER TABLE graft_bigpart.big ADD PARTITION (k=99999) " +
+        s"LOCATION '${elsewhere.getAbsolutePath}'")
+      val t0 = System.nanoTime()
+      val snap = CatalogTransfer.export(spark, Seq("graft_bigpart"))
+      val exportSecs = (System.nanoTime() - t0) / 1e9
+      val big = snap.tables.find(_.name == "big").get
+      assert(big.partitions.size == 10001,
+        s"registered set must travel whole, got ${big.partitions.size}")
+      val carried = big.partitions.filter(_.location.nonEmpty)
+      assert(carried.map(_.spec) == Seq(Seq(PropKV("k", "99999"))),
+        s"only the custom partition may carry a location, got $carried")
+      // generous bound: the point is "not minutes-per-10k-partitions"
+      // (per-partition I/O would be), not a tight latency SLA that
+      // flakes when the machine is loaded
+      assert(exportSecs < 120,
+        f"10k-partition export took $exportSecs%.1f s — partition-bound?")
+      // round-trip: spec-only rows re-register in bulk catalog chunks
+      // with re-derived default locations; the custom one keeps its own
+      val dir = Tables.scratch(sf, "catalog_rt_bigpart")
+      CatalogTransfer.write(spark, snap, dir)
+      spark.sql("DROP DATABASE graft_bigpart CASCADE")
+      CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, dir))
+      val n = spark.sql("SHOW PARTITIONS graft_bigpart.big").count()
+      assert(n == 10001, s"expected 10001 partitions after round-trip, got $n")
+      val custom = spark.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "big", Some("graft_bigpart")),
+        Some(Map("k" -> "99999")))
+        .flatMap(_.storage.locationUri).map(_.getPath)
+      assert(custom.exists(_.contains("graft_bigpart_custom")),
+        s"custom partition location lost: $custom")
+      spark.sql("DROP DATABASE graft_bigpart CASCADE")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(elsewhere)
+    }
   }
 
   test("bucketed table round-trips with its bucket spec intact") {

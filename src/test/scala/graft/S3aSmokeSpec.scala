@@ -39,18 +39,29 @@ class S3aSmokeSpec extends SparkSpec {
 
   test("Tables loads and parquet sinks run unchanged on s3a:// URIs") {
     val hc = spark.sparkContext.hadoopConfiguration
-    hc.set("fs.s3a.impl", classOf[MockS3aFileSystem].getName)
-    val sfAbs = new java.io.File(sf).getAbsolutePath
-    // fixture read THROUGH the s3a scheme — same Tables call sites
-    val region = Tables(spark, s"$bucket$sfAbs", "region")
-    assert(region.count() == 5, "region read via s3a:// returned wrong rows")
-    // events goes through the one table-specific normalization (nanos
-    // timestamp) — prove the normalization is scheme-agnostic too
-    assert(Tables(spark, s"$bucket$sfAbs", "events").count() > 0)
-    // sink write + read-back through the scheme
     val out = java.nio.file.Files.createTempDirectory("graft_s3a").toString
-    region.write.mode("overwrite").parquet(s"$bucket$out/region_rt")
-    assert(spark.read.parquet(s"$bucket$out/region_rt").count() == 5,
-      "parquet sink round-trip via s3a:// lost rows")
+    hc.set("fs.s3a.impl", classOf[MockS3aFileSystem].getName)
+    try {
+      val sfAbs = new java.io.File(sf).getAbsolutePath
+      // fixture read THROUGH the s3a scheme — same Tables call sites
+      val region = Tables(spark, s"$bucket$sfAbs", "region")
+      assert(region.count() == 5, "region read via s3a:// returned wrong rows")
+      // events goes through the one table-specific normalization (nanos
+      // timestamp) — prove the normalization is scheme-agnostic too
+      assert(Tables(spark, s"$bucket$sfAbs", "events").count() > 0)
+      // sink write + read-back through the scheme
+      region.write.mode("overwrite").parquet(s"$bucket$out/region_rt")
+      assert(spark.read.parquet(s"$bucket$out/region_rt").count() == 5,
+        "parquet sink round-trip via s3a:// lost rows")
+    } finally {
+      // the mock filesystem lives in the shared session's Hadoop config
+      // AND the JVM-wide FileSystem cache — evict both, or any later
+      // suite in this JVM touching an s3a:// URI silently gets the mock
+      val cached = scala.util.Try(
+        org.apache.hadoop.fs.FileSystem.get(new URI(bucket), hc))
+      hc.unset("fs.s3a.impl")
+      cached.foreach(_.close())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
   }
 }
