@@ -51,6 +51,36 @@ object ScaleOps extends QueryGroup {
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))
         .orderBy("o_orderstatus")
+    }),
+
+    // runtime bloom-filter pruning: the optimizer builds a bloom filter
+    // from the SELECTIVE dim side's join keys at runtime and applies it
+    // to the fact side BELOW the shuffle (`might_contain` in the plan,
+    // asserted in PlanSpec) — so a shuffle join over a 100 TB fact
+    // table shuffles only the rows that can possibly match, instead of
+    // the whole table. Complements DPP: DPP prunes partitions the
+    // layout exposes; the bloom filter prunes rows inside partitions
+    // for keys the layout knows nothing about.
+    "join_bloom_runtime" -> ((s, d) => {
+      // isolated child session: same SparkContext, own SQLConf — the
+      // bloom thresholds and broadcast opt-out apply to THIS query only
+      // and cannot leak into sibling queries sharing the session.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // local fixtures sit far below the 10 GiB production floor for the
+      // application side; drop it so the mechanism runs at test scale
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      // a broadcast join needs no runtime filter (the dim rides along
+      // anyway); pin the shuffle join the bloom filter exists for
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(s2, d, "lineitem")
+      val p = Tables(s2, d, "part").filter(col("p_brand") === "Brand#11")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("p_type")
     })
   )
 
@@ -103,6 +133,12 @@ object ScaleOps extends QueryGroup {
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         | ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_bloom_runtime" ->
+      """SELECT p_type, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#11'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin
   )
 }

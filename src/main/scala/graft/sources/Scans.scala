@@ -218,6 +218,58 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    // Z-order (Morton) layout: interleave the bits of two filter
+    // dimensions, range-partition + sort on the interleaved key, and
+    // every file covers a small RECTANGLE of (l_orderkey, l_partkey)
+    // space instead of a stripe — so parquet min/max stats prune files
+    // for predicates on EITHER column. This is the multi-dimensional
+    // data-skipping layout 100 TB lakehouse tables use (a single-column
+    // sort can only skip on that one column); ScansSpec measures the
+    // per-file span shrink on both dimensions. Content round-trips
+    // losslessly; the rectangle filter below reads back through the
+    // layout with both range predicates pushed to the scan.
+    "sink_zorder" -> ((s, d) => {
+      val dir = Tables.scratch(d, "lineitem_zorder")
+      if (!Tables.scratchCurrent(d, "lineitem", dir)) {
+        zorderWrite(Tables(s, d, "lineitem"), "l_orderkey", "l_partkey", dir)
+        Tables.stampScratch(d, "lineitem", dir)
+      }
+      s.read.parquet(dir)
+        .filter(col("l_orderkey").between(1000, 3000) &&
+          col("l_partkey").between(50, 120))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_quantity"), 4).as("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // parquet bloom filters: the needle-in-100TB point-lookup aid.
+    // Min/max stats can't skip on a column uncorrelated with the sort
+    // order (every row group spans the whole o_custkey domain); a bloom
+    // filter per row group answers "definitely absent" for equality
+    // probes, so a point lookup touches only the row groups that may
+    // contain the key. The write enables bloom filters on o_custkey;
+    // the read is the equality probe that exercises them.
+    "scan_bloom_skip" -> ((s, d) => {
+      val dir = Tables.scratch(d, "orders_bloom")
+      if (!Tables.scratchCurrent(d, "orders", dir)) {
+        Tables(s, d, "orders")
+          // sort by date so o_custkey is uncorrelated with file order —
+          // the layout where min/max skipping fails and blooms matter
+          .repartitionByRange(4, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#o_custkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+          .parquet(dir)
+        Tables.stampScratch(d, "orders", dir)
+      }
+      s.read.parquet(dir)
+        .filter(col("o_custkey") === 42)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "catalog_table_scan" -> ((s, d) => {
       // saveAsTable registers data + schema in the session catalog; the
       // read resolves purely by name — the reference's metastore-backed
@@ -237,6 +289,34 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     })
   )
+
+  /** Write `df` z-ordered on (`cx`, `cy`): normalize both columns onto
+    * a 16-bit grid (bounds from one tiny pre-agg, broadcast), interleave
+    * the bits into a 32-bit Morton key, range-partition + sort on it.
+    * Entirely expression-level (codegen'd) — no UDF, no driver loop; the
+    * only data movement is the range shuffle any sorted write pays. */
+  def zorderWrite(df: org.apache.spark.sql.DataFrame,
+      cx: String, cy: String, dir: String): Unit = {
+    val bounds = df.agg(
+      min(col(cx)).cast("long").as("x_min"),
+      max(col(cx)).cast("long").as("x_max"),
+      min(col(cy)).cast("long").as("y_min"),
+      max(col(cy)).cast("long").as("y_max"))
+    val gridded = df.crossJoin(broadcast(bounds))
+      .withColumn("zx", expr(s"($cx - x_min) * 65535" +
+        " DIV greatest(x_max - x_min, 1)"))
+      .withColumn("zy", expr(s"($cy - y_min) * 65535" +
+        " DIV greatest(y_max - y_min, 1)"))
+    val morton = (0 until 16).map { i =>
+      shiftleft(shiftright(col("zx"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("zy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    gridded.withColumn("z", morton)
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .drop("x_min", "x_max", "y_min", "y_max", "zx", "zy", "z")
+      .write.mode("overwrite").parquet(dir)
+  }
 
   private val supplierSql =
     """SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
@@ -278,6 +358,17 @@ object Scans extends QueryGroup {
         |   CASE WHEN l_returnflag = 'R' THEN 2 ELSE 1 END), 4) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sink_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        | ROUND(l_quantity, 4) AS l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_partkey BETWEEN 50 AND 120
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
     "catalog_table_scan" -> supplierSql
   )
 }
