@@ -10,8 +10,11 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val key = args.headOption.getOrElse("agg_hash_group")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // cpus=N reproduces the bench's local[N] / N-shuffle-partition config
+    val cpus = args.collectFirst { case a if a.startsWith("cpus=") =>
+      a.stripPrefix("cpus=") }.getOrElse("8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -57,18 +57,23 @@ object Tables {
   /** True when `dir` holds a completed derived rewrite of `sfDir/table`
     * AND the source fixture hasn't changed since (length+mtime marker).
     * A bare _SUCCESS guard would serve stale derived data after the
-    * fixtures are regenerated in place. */
-  def scratchCurrent(sfDir: String, table: String, dir: String): Boolean = {
+    * fixtures are regenerated in place. `ver` names the write RECIPE:
+    * bump it when the writer's options change semantically (e.g. bloom
+    * filters enabled) so pre-change scratch dirs re-materialize instead
+    * of silently serving the old layout. */
+  def scratchCurrent(sfDir: String, table: String, dir: String,
+      ver: String = ""): Boolean = {
     val marker = new java.io.File(dir, "_GRAFT_SRC")
     new java.io.File(dir, "_SUCCESS").exists() && marker.exists() && {
       val s = scala.io.Source.fromFile(marker)
-      try s.mkString == fingerprint(sfDir, table) finally s.close()
+      try s.mkString == fingerprint(sfDir, table) + ver finally s.close()
     }
   }
 
   /** Record the source fingerprint after a successful derived write. */
-  def stampScratch(sfDir: String, table: String, dir: String): Unit =
+  def stampScratch(sfDir: String, table: String, dir: String,
+      ver: String = ""): Unit =
     java.nio.file.Files.writeString(
       new java.io.File(dir, "_GRAFT_SRC").toPath,
-      fingerprint(sfDir, table))
+      fingerprint(sfDir, table) + ver)
 }

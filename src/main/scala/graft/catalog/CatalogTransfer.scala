@@ -431,11 +431,18 @@ object CatalogTransfer {
         // a derivation throw (spec key vs partitionColumnNames mismatch
         // after a catalog case-normalization) degrades to location-less
         // registration — the catalog assigns its own default — instead
-        // of aborting the whole import
+        // of aborting the whole import. The degradation is loud: the
+        // default path may not be where the data lives, so a silent
+        // fallback would surface as partitions that query empty.
         val locOpt =
           if (p.location.nonEmpty) Some(p.location)
           else scala.util.Try(defaultPartitionLocation(
             t.location, meta.partitionColumnNames, spec)).toOption
+        if (locOpt.isEmpty)
+          System.err.println(
+            s"WARN CatalogTransfer: partition location underivable for " +
+              s"${t.db}.${t.name} spec=$spec — registering location-less; " +
+              "verify the catalog-assigned path matches the data layout")
         CatalogTablePartition(spec, meta.storage.copy(
           locationUri =
             locOpt.map(l => new org.apache.hadoop.fs.Path(l).toUri)))

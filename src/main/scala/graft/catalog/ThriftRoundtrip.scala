@@ -38,8 +38,12 @@ object ThriftRoundtrip {
     * so a TOCTOU race costs a retry, not the run. */
   private def startMetastore(port: Int, scratch: String): Boolean = {
     val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    // Derby dir is keyed by the attempt's port: an attempt that dies
+    // AFTER partially initializing the metastore schema (a non-bind
+    // failure) must not poison the next attempt with a half-created
+    // Derby catalog — each retry starts from a virgin database.
     conf.set("javax.jdo.option.ConnectionURL",
-      s"jdbc:derby:;databaseName=$scratch/metastore_db;create=true")
+      s"jdbc:derby:;databaseName=$scratch/metastore_db_$port;create=true")
     conf.set("datanucleus.schema.autoCreateAll", "true")
     conf.set("hive.metastore.schema.verification", "false")
     // the DataNucleus default pool (BoneCP) isn't on Spark's classpath;

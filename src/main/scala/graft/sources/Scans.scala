@@ -251,7 +251,7 @@ object Scans extends QueryGroup {
     // the read is the equality probe that exercises them.
     "scan_bloom_skip" -> ((s, d) => {
       val dir = Tables.scratch(d, "orders_bloom")
-      if (!Tables.scratchCurrent(d, "orders", dir)) {
+      if (!Tables.scratchCurrent(d, "orders", dir, ver = ":bloom2")) {
         Tables(s, d, "orders")
           // sort by date so o_custkey is uncorrelated with file order —
           // the layout where min/max skipping fails and blooms matter
@@ -260,8 +260,15 @@ object Scans extends QueryGroup {
           .write.mode("overwrite")
           .option("parquet.bloom.filter.enabled#o_custkey", "true")
           .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+          // parquet-mr SKIPS the bloom filter for a chunk that ends
+          // fully dictionary-encoded (the dictionary already answers
+          // exact membership). At fixture scale o_custkey is low-
+          // cardinality, so without this the option was a silent no-op
+          // (caught by ScansSpec's footer check); at 100 TB the key
+          // blows the dictionary threshold and blooms write either way.
+          .option("parquet.enable.dictionary#o_custkey", "false")
           .parquet(dir)
-        Tables.stampScratch(d, "orders", dir)
+        Tables.stampScratch(d, "orders", dir, ver = ":bloom2")
       }
       s.read.parquet(dir)
         .filter(col("o_custkey") === 42)
@@ -294,27 +301,44 @@ object Scans extends QueryGroup {
     * a 16-bit grid (bounds from one tiny pre-agg, broadcast), interleave
     * the bits into a 32-bit Morton key, range-partition + sort on it.
     * Entirely expression-level (codegen'd) — no UDF, no driver loop; the
-    * only data movement is the range shuffle any sorted write pays. */
+    * only data movement is the range shuffle any sorted write pays.
+    *
+    * Preconditions: `cx` and `cy` must be castable to LONG (the grid is
+    * integral — use unix timestamps / surrogate keys, not strings), and
+    * `df` must not already contain columns prefixed `__zg_` (the
+    * internal grid columns; they are dropped before the write). All
+    * expressions are built with Column operators keyed by the internal
+    * names, so `cx`/`cy` themselves never pass through a SQL string —
+    * names needing backticks are fine. */
   def zorderWrite(df: org.apache.spark.sql.DataFrame,
       cx: String, cy: String, dir: String): Unit = {
+    require(!df.columns.exists(_.startsWith("__zg_")),
+      "input already carries __zg_-prefixed columns (reserved internals)")
+    val x = col(cx).cast("long")
+    val y = col(cy).cast("long")
     val bounds = df.agg(
-      min(col(cx)).cast("long").as("x_min"),
-      max(col(cx)).cast("long").as("x_max"),
-      min(col(cy)).cast("long").as("y_min"),
-      max(col(cy)).cast("long").as("y_max"))
+      min(x).as("__zg_xmin"), max(x).as("__zg_xmax"),
+      min(y).as("__zg_ymin"), max(y).as("__zg_ymax"))
+    // (v - min) * 65535 div (max - min): pure long arithmetic (no double
+    // rounding); v >= min so floor division == DIV. div() needs a SQL
+    // fragment but only over the fixed internal names, never cx/cy.
     val gridded = df.crossJoin(broadcast(bounds))
-      .withColumn("zx", expr(s"($cx - x_min) * 65535" +
-        " DIV greatest(x_max - x_min, 1)"))
-      .withColumn("zy", expr(s"($cy - y_min) * 65535" +
-        " DIV greatest(y_max - y_min, 1)"))
+      .withColumn("__zg_dx", (x - col("__zg_xmin")) * lit(65535L))
+      .withColumn("__zg_rx",
+        greatest(col("__zg_xmax") - col("__zg_xmin"), lit(1L)))
+      .withColumn("__zg_dy", (y - col("__zg_ymin")) * lit(65535L))
+      .withColumn("__zg_ry",
+        greatest(col("__zg_ymax") - col("__zg_ymin"), lit(1L)))
+      .withColumn("__zg_zx", expr("__zg_dx DIV __zg_rx"))
+      .withColumn("__zg_zy", expr("__zg_dy DIV __zg_ry"))
     val morton = (0 until 16).map { i =>
-      shiftleft(shiftright(col("zx"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("zy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      shiftleft(shiftright(col("__zg_zx"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("__zg_zy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
-    gridded.withColumn("z", morton)
-      .repartitionByRange(8, col("z"))
-      .sortWithinPartitions("z")
-      .drop("x_min", "x_max", "y_min", "y_max", "zx", "zy", "z")
+    gridded.withColumn("__zg_z", morton)
+      .repartitionByRange(8, col("__zg_z"))
+      .sortWithinPartitions("__zg_z")
+      .select(df.columns.map(c => col(s"`$c`")): _*)
       .write.mode("overwrite").parquet(dir)
   }
 

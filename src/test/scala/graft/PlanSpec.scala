@@ -126,6 +126,19 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning subquery in fact scan:\n$plan")
   }
 
+  test("join_bloom_runtime injects a bloom filter below the fact shuffle") {
+    val df = SparkEntry.queries("join_bloom_runtime")(spark, sf)
+    df.collect() // AQE: the final adaptive plan exists only post-execution
+    val plan = df.queryExecution.executedPlan.toString
+    // InjectRuntimeFilter rewrites the fact scan's filter to
+    // might_contain(bloom_built_from_dim_keys, xxhash64(l_partkey)) —
+    // if the injection silently stops (config drift, threshold change),
+    // the query still returns correct rows through a plain shuffle join
+    // and only this assertion catches the lost pruning.
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter in:\n$plan")
+  }
+
   test("salted skew join is a shuffled join, not broadcast") {
     val plan = planOf("join_skew_salted")
     assert(plan.contains("ShuffledHashJoin"),
