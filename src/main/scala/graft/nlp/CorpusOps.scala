@@ -296,6 +296,57 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // repetition scoring (the Gopher-style quality rule): fraction of
+    // duplicate word trigrams within each doc. High ratio = degenerate
+    // repeated text (boilerplate loops, decoding artifacts) that corpus
+    // filters drop before training. Pure per-row lambda arithmetic —
+    // embarrassingly parallel, zero shuffle; the orderBy exists only for
+    // the oracle's determinism contract.
+    "text_repetition" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("tri", expr(
+          """transform(sequence(1, greatest(size(tokens) - 2, 0)),
+            |  i -> concat(element_at(tokens, i), ' ',
+            |              element_at(tokens, i + 1), ' ',
+            |              element_at(tokens, i + 2)))""".stripMargin))
+        .filter(size(col("tri")) > 0)
+        .select(col("doc_id"),
+          size(col("tri")).as("n_tri"),
+          size(array_distinct(col("tri"))).as("n_uniq"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_uniq") / col("n_tri"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark-contamination check: which corpus docs share ≥5 distinct
+    // word bigrams with any doc in a (deterministic) held-out eval set.
+    // The production shape of "did the training corpus leak the test
+    // set": the eval side is always tiny relative to the corpus, so its
+    // exploded n-grams BROADCAST and the 100 TB corpus side is one scan
+    // + partial-agg — no corpus self-join, no shuffle of document text.
+    "text_contamination" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("sh", expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(tokens) - 1, 0)),
+            |  i -> concat(element_at(tokens, i), ' ',
+            |              element_at(tokens, i + 1))))""".stripMargin))
+        .filter(size(col("sh")) > 0)
+      val evalSide = base.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+      val corpus = base.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      // both shingle lists are distinct per doc, so the join count IS
+      // the intersection size
+      corpus.join(broadcast(evalSide), "g")
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 5)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // PII scrubbing: global regexp redaction + per-doc redaction counts.
     // The fixture text carries no PII, so a contact line is synthesized
     // per doc (deterministic) — the op under test is the scrub itself.
@@ -400,6 +451,30 @@ object CorpusOps extends QueryGroup {
         | ROUND(AVG(-LN(CAST(n_tok AS DOUBLE) / total)), 4) AS nll
         |FROM toks JOIN freqs USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id, LEN(tri) AS n_tri,
+        | LEN(LIST_DISTINCT(tri)) AS n_uniq,
+        | ROUND(1.0 - CAST(LEN(LIST_DISTINCT(tri)) AS DOUBLE) / LEN(tri), 4)
+        |   AS rep_ratio
+        |FROM (
+        |  SELECT doc_id, LIST_TRANSFORM(
+        |    GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tri
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents))
+        |WHERE LEN(tri) > 0 ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |    GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
+        |    i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
+        |  WHERE LEN(t) > 1)
+        |SELECT c.doc_id, e.doc_id AS eval_id,
+        |  LEN(LIST_INTERSECT(c.sh, e.sh)) AS overlap
+        |FROM d c JOIN d e
+        |  ON e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+        | AND LEN(LIST_INTERSECT(c.sh, e.sh)) >= 5
+        |ORDER BY c.doc_id, eval_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH r AS (
         |  SELECT doc_id,

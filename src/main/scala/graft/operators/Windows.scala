@@ -128,6 +128,34 @@ object Windows extends QueryGroup {
         .orderBy("c_mktsegment", "c_custkey")
     }),
 
+    // batch sessionization (the gaps-and-islands pattern): a session is
+    // a maximal run of a user's events with < 30 min between neighbors.
+    // lag → new-session flag → running sum = session number, then one
+    // agg per (user, session). Complements stream_session with the
+    // backfill form every event pipeline also needs. Scale: one shuffle
+    // on user_id; both windows and the final agg share that partitioning
+    // (a single sort per partition serves lag and the running sum).
+    // Gap compare is integer microseconds on both engines — no float
+    // boundary flakes.
+    "win_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull ||
+            col("gap_us") > 1800L * 1000 * 1000, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"),
+          max(col("ts")).as("sess_end"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id", "sess_no")
+    }),
+
     "sort_multi_nulls" -> ((s, d) => {
       Tables(s, d, "customer")
         .withColumn("bal",
@@ -264,6 +292,30 @@ object Windows extends QueryGroup {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) -
+        |      LAG(EPOCH_US(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |n AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+        |  FROM s)
+        |SELECT user_id, sess_no, COUNT(*) AS n_events,
+        |  MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM n GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin,
     "sort_multi_nulls" ->
       """SELECT c_custkey, c_nationkey,
         | CASE WHEN c_acctbal < 0 THEN NULL
