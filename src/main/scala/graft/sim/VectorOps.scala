@@ -89,23 +89,25 @@ object VectorOps extends QueryGroup {
         array((1 to dim).map(i => col(s"c$i")): _*).as("cv"))
   }
 
-  /** DuckDB mirror of two [[kmeansStep]] iterations from the %29 seeds:
-    * CTEs `cent0 → sc0/asg0 → cent1 → sc1/asg1 → cent2`, with the same
-    * per-dim ROUND(AVG(v[i]), 6) and the same (ccos DESC, cid ASC)
-    * assignment tie order. */
+  /** DuckDB mirror of two [[kmeansStep]] iterations from the %29 seeds
+    * over the %2 training half-sample: CTEs `tr; cent0 → sc0/asg0 →
+    * cent1 → sc1/asg1 → cent2`, with the same per-dim
+    * ROUND(AVG(v[i]), 6) and the same (ccos DESC, cid ASC) assignment
+    * tie order. */
   private def oKmeans: String = {
     def step(n: Int): String = {
       val avgs = (1 to dim).map(i => s"ROUND(AVG(v[$i]), 6)")
         .mkString("LIST_VALUE(", ", ", ")")
       s"""sc$n AS (SELECT e.vec_id, e.v, c.cid, ${oCos("e.v", "c.cv")} AS ccos
-         |  FROM e CROSS JOIN cent$n c),
+         |  FROM tr e CROSS JOIN cent$n c),
          |asg$n AS (SELECT vec_id, v, cid AS cell FROM (
          |  SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY ccos DESC, cid ASC) AS rn FROM sc$n) WHERE rn = 1),
          |cent${n + 1} AS (SELECT cell AS cid, $avgs AS cv
          |  FROM asg$n GROUP BY cell)""".stripMargin
     }
-    s"""cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 29 = 0),
+    s"""tr AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 29 = 0),
        |${step(0)},
        |${step(1)}""".stripMargin
   }
@@ -271,7 +273,13 @@ object VectorOps extends QueryGroup {
       val e = emb(s, d)
       val seeds = e.filter(col("vec_id") % 29 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val cent = kmeansStep(e, kmeansStep(e, seeds))
+      // train the quantizer on a deterministic half-sample: at 100 TB
+      // k-means NEVER sees the full corpus (a quantizer needs the
+      // density shape, not every point) — the two training passes cost
+      // half a corpus scan each while assignment below still covers
+      // every vector.
+      val train = e.filter(col("vec_id") % 2 === 0)
+      val cent = kmeansStep(train, kmeansStep(train, seeds))
       val scored = e.select(col("vec_id"), col("v"))
         .crossJoin(broadcast(cent))
         .withColumn("ccos", expr(cosExpr("v", "cv")))
