@@ -369,6 +369,105 @@ object CorpusOps extends QueryGroup {
             regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
               phone, "<PHONE>"), 1, 80).as("scrubbed_head"))
         .orderBy("doc_id")
+    }),
+
+    // fixed-size-K corpus sample, deterministic: rank every doc by the
+    // seeded hash and take the global top-K — the rerun-stable
+    // equivalent of reservoir sampling. Compiles to
+    // TakeOrderedAndProject: each partition keeps only its local top-K,
+    // so K rows per partition reach the merge — no global sort, no
+    // corpus shuffle (asserted in PlanSpec).
+    "sample_reservoir" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("rank_h", expr("(doc_id * 2654435761L) % 1000000007L"))
+        .orderBy(col("rank_h"), col("doc_id"))
+        .limit(120)
+        .select(col("doc_id"), col("lang"), col("source"), col("rank_h"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test holdout: the seeded hash bucket maps
+    // every doc to a split — stable across reruns, engines, and cluster
+    // sizes, which rand()-based splits are not. Output is the
+    // per-(lang, split) manifest a pipeline records: doc count, token
+    // sum, and an id-checksum that makes membership drift detectable.
+    // Pure map + one partial-agg shuffle carrying 3×|lang| rows.
+    "split_train_eval" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("bucket", expr(bucket100))
+        .withColumn("part", expr(
+          """CASE WHEN bucket < 90 THEN 'train'
+            |     WHEN bucket < 95 THEN 'val' ELSE 'test' END""".stripMargin))
+        .groupBy(col("lang"), col("part"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"),
+          sum(col("doc_id") * col("doc_id")).as("id_checksum"))
+        .orderBy("lang", "part")
+    }),
+
+    // CCNet-style perplexity bucketing: per-doc unigram NLL (the KenLM
+    // proxy of text_unigram_logprob) cut into head/middle/tail by
+    // GLOBAL exact terciles. The threshold agg reduces the per-doc
+    // score table to two doubles that broadcast back, so the corpus
+    // text shuffles zero times and scores shuffle once — at 100 TB
+    // swap `percentile` for `percentile_approx` (same plan shape,
+    // mergeable sketch instead of exact sort). Both engines round the
+    // thresholds to 4 decimals so interpolation ulps can't flip a
+    // boundary doc.
+    "text_ppl_bucket" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      val total = freqs.agg(sum(col("n_tok")).cast("double").as("total"))
+      val nll = toks.join(freqs, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(-log(col("n_tok") / col("total"))), 4).as("nll"))
+      val thr = nll.agg(
+        round(expr("percentile(nll, CAST(1 AS DOUBLE) / 3)"), 4).as("t1"),
+        round(expr("percentile(nll, CAST(2 AS DOUBLE) / 3)"), 4).as("t2"))
+      nll.crossJoin(broadcast(thr))
+        .withColumn("bucket", expr(
+          """CASE WHEN nll <= t1 THEN 'head'
+            |     WHEN nll <= t2 THEN 'middle' ELSE 'tail' END""".stripMargin))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nll")), 4).as("mean_nll"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // incremental ingestion dedup: a new crawl batch is admitted
+    // against the hash index of everything already ingested — the
+    // daily-crawl form of exact dedup, where the index is a join input,
+    // never a rebuild. The index side projects ONLY the 32-byte hash,
+    // so at 100 TB the anti-join shuffles hashes, not text; within the
+    // batch, first occurrence wins via one hash agg. Fixture docs have
+    // no natural cross-batch dups, so deterministic "re-crawled" copies
+    // are injected (the dedup_exact convention): index docs ≡0 mod 7
+    // reappear in the batch (must be rejected by the anti-join) and
+    // batch docs ≡0 mod 11 appear twice (must collapse in-batch).
+    "dedup_incremental" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val index = base.filter(col("doc_id") < 300)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+      val recrawl = base
+        .filter(col("doc_id") < 300 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+          col("text"))
+      val inBatchDup = base
+        .filter(col("doc_id") >= 300 && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("lang"),
+          col("text"))
+      val batch = base.filter(col("doc_id") >= 300)
+        .union(recrawl).union(inBatchDup)
+        .withColumn("h", sha2(col("text"), 256))
+      batch.join(index, Seq("h"), "left_anti")
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_in_batch"),
+          min(col("lang")).as("lang"))
+        .select(col("doc_id"), col("lang"), col("n_in_batch"))
+        .orderBy("doc_id")
     })
   )
 
@@ -490,6 +589,63 @@ object CorpusOps extends QueryGroup {
         |  SUBSTRING(REGEXP_REPLACE(REGEXP_REPLACE(raw,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}-\d{4}', '<PHONE>', 'g'), 1, 80) AS scrubbed_head
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, source, rank_h FROM (
+        |  SELECT doc_id, lang, source,
+        |    (doc_id * 2654435761) % 1000000007 AS rank_h
+        |  FROM documents ORDER BY rank_h, doc_id LIMIT 120)
+        |ORDER BY doc_id""".stripMargin,
+    "split_train_eval" ->
+      """SELECT lang, part, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(doc_id * doc_id) AS BIGINT) AS id_checksum
+        |FROM (
+        |  SELECT lang, text, doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+        |           THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95
+        |           THEN 'val' ELSE 'test' END AS part
+        |  FROM documents)
+        |GROUP BY lang, part ORDER BY lang, part""".stripMargin,
+    "text_ppl_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, UNNEST(STR_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+        |freqs AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+        |nll AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(AVG(-LN(CAST(n_tok AS DOUBLE) / total)), 4) AS nll
+        |  FROM toks JOIN freqs USING (tok), tot
+        |  GROUP BY doc_id, lang),
+        |thr AS (SELECT
+        |  ROUND(QUANTILE_CONT(nll, CAST(1 AS DOUBLE) / 3), 4) AS t1,
+        |  ROUND(QUANTILE_CONT(nll, CAST(2 AS DOUBLE) / 3), 4) AS t2
+        |  FROM nll)
+        |SELECT lang,
+        |  CASE WHEN nll <= t1 THEN 'head'
+        |       WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, ROUND(AVG(nll), 4) AS mean_nll
+        |FROM nll, thr
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "dedup_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents),
+        |idx AS (SELECT DISTINCT SHA256(text) AS h FROM base
+        |        WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT doc_id, lang, SHA256(text) AS h FROM base
+        |  WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 500000, lang, SHA256(text) FROM base
+        |  WHERE doc_id < 300 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000, lang, SHA256(text) FROM base
+        |  WHERE doc_id >= 300 AND doc_id % 11 = 0)
+        |SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+        |  COUNT(*) AS n_in_batch
+        |FROM batch WHERE h NOT IN (SELECT h FROM idx)
+        |GROUP BY h ORDER BY doc_id""".stripMargin
   )
 }

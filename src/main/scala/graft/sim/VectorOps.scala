@@ -181,6 +181,48 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // SemDeDup: semantic near-dup removal bounded by coarse-quantizer
+    // cells. Every vector is assigned to its nearest seed centroid
+    // (broadcast quantizer, map-side argmax — the sim_ann_ivf shape),
+    // then pairs are compared ONLY within a cell: candidates are
+    // Σ|cell|² instead of n², and K grows with the corpus so cells stay
+    // executor-sized. A vector drops when a smaller-id cellmate sits at
+    // cosine ≥ 0.9. Fixture embeddings are near-orthogonal (max
+    // intra-cell cos ≈ 0.48), so deterministic perturbed copies are
+    // injected — the dedup_exact convention — whose cosine to the
+    // original is ≥ 0.96: τ = 0.9 separates cleanly in both engines.
+    "dedup_semantic" -> ((s, d) => {
+      val e = emb(s, d)
+      val dups = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), expr(
+          """transform(v, (x, i) -> x +
+            |  CASE WHEN i = 0 THEN CAST(0.25 AS DOUBLE)
+            |       ELSE CAST(0 AS DOUBLE) END)""".stripMargin).as("v"))
+      val aug = e.select(col("vec_id"), col("v")).union(dups)
+      val cent = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = aug.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"),
+          struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
+          first(col("v")).as("v"))
+      val a = assigned
+        .select(col("cell"), col("vec_id").as("va"), col("v").as("xa"))
+      val b = assigned
+        .select(col("cell"), col("vec_id").as("vb"), col("v").as("xb"))
+      val dropped = a.join(b, "cell")
+        .filter(col("va") < col("vb"))
+        .filter(expr(cosExpr("xa", "xb")) >= 0.9)
+        .select(col("vb").as("vec_id")).distinct()
+        .withColumn("isdup", lit(1))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("isdup").isNotNull, "drop")
+            .otherwise("keep").as("status"))
+        .orderBy("vec_id")
+    }),
+
     // per-label centroids over the leading dims — the training step of a
     // coarse quantizer (k-means assignment phase = sim_ann_ivf) run as a
     // plain narrow explode + hash agg; per-(label,dim) partial means
@@ -354,6 +396,30 @@ object VectorOps extends QueryGroup {
          |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs)
          |WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |aug AS (SELECT vec_id, v FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 100000, LIST_TRANSFORM(v, (x, i) -> x +
+         |    CASE WHEN i = 1 THEN CAST(0.25 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END)
+         |  FROM e WHERE vec_id % 20 = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         WHERE vec_id % 29 = 0),
+         |sc AS (SELECT a.vec_id, a.v, c.cid, ${oCos("a.v", "c.cv")} AS ccos
+         |  FROM aug a CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${oCos("a.v", "b.v")} >= 0.9)
+         |SELECT g.vec_id, g.cell,
+         |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status
+         |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
     "sim_centroids" ->
       """SELECT label, i AS dim,
         | ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation ops: deterministic sampling/splitting, perplexity
+  * bucketing, incremental dedup, and SemDeDup. Invariants here are the
+  * ones the DuckDB oracle cannot see (injection bookkeeping, rerun
+  * stability); value-level correctness is the oracle's job. */
+class CurationOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("sample_reservoir is fixed-size and rerun-stable") {
+    val a = run("sample_reservoir").collect()
+    val b = run("sample_reservoir").collect()
+    assert(a.length == 120, s"expected K=120 rows, got ${a.length}")
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq,
+      "two runs selected different docs — sample is not deterministic")
+  }
+
+  test("split_train_eval partitions the whole corpus exactly once") {
+    val rows = run("split_train_eval").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables(spark, sf, "documents").count()
+    assert(total == corpus,
+      s"splits cover $total docs, corpus has $corpus — docs lost or doubled")
+    val parts = rows.map(_.getAs[String]("part")).toSet
+    assert(parts == Set("train", "val", "test"), s"parts were $parts")
+  }
+
+  test("text_ppl_bucket covers every doc and orders bucket means") {
+    val rows = run("text_ppl_bucket").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables(spark, sf, "documents").count()
+    assert(total == corpus, s"buckets cover $total of $corpus docs")
+    // global terciles: pooled across langs, head mean < tail mean
+    def mean(b: String): Double = {
+      val r = rows.filter(_.getAs[String]("bucket") == b)
+      r.map(x => x.getAs[Double]("mean_nll") * x.getAs[Long]("n_docs")).sum /
+        r.map(_.getAs[Long]("n_docs")).sum
+    }
+    assert(mean("head") < mean("tail"),
+      "head bucket should hold lower-NLL (in-distribution) docs than tail")
+  }
+
+  test("dedup_incremental rejects re-crawls, collapses in-batch dups") {
+    val rows = run("dedup_incremental").collect()
+    // every injected re-crawl (+500000) hash-matches the index → none
+    // may survive the anti-join
+    val recrawls = rows.map(_.getAs[Long]("doc_id"))
+      .filter(id => id >= 500000L && id < 600000L)
+    assert(recrawls.isEmpty, s"index dups admitted: ${recrawls.toSeq}")
+    // in-batch dup groups collapse to the base doc (min id), count 2
+    val dupGroups = rows.filter(_.getAs[Long]("n_in_batch") > 1)
+    assert(dupGroups.nonEmpty, "fixture produced no in-batch dup groups")
+    dupGroups.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id >= 300 && id < 600000L && id % 11 == 0,
+        s"dup group kept $id, expected the base %11 doc")
+      assert(r.getAs[Long]("n_in_batch") == 2L,
+        s"dup group of $id has ${r.getAs[Long]("n_in_batch")} members")
+    }
+  }
+
+  test("dedup_semantic drops only injected copies, never originals") {
+    val rows = run("dedup_semantic").collect()
+    val drops = rows.filter(_.getAs[String]("status") == "drop")
+      .map(_.getAs[Long]("vec_id"))
+    assert(drops.nonEmpty, "no injected near-dup was dropped")
+    // pairs above τ exist only between an original and its +100000
+    // copy; the original has the smaller id, so it always wins
+    assert(drops.forall(_ >= 100000L),
+      s"an original vector was dropped: ${drops.filter(_ < 100000L).toSeq}")
+    val corpus = Tables(spark, sf, "embeddings").count()
+    assert(rows.count(_.getAs[String]("status") == "keep") >= corpus,
+      "dedup dropped more than the injected copies")
+  }
+}

@@ -53,6 +53,13 @@ class PlanSpec extends SparkSpec {
     assert(planOf("limit_offset").contains("TakeOrderedAndProject"))
   }
 
+  test("sample_reservoir plans per-partition top-K, not a corpus sort") {
+    // the deterministic-reservoir claim: hash-rank + LIMIT must compile
+    // to TakeOrderedAndProject (local top-K per partition, K-row merge)
+    assert(planOf("sample_reservoir").contains("TakeOrderedAndProject"),
+      "reservoir sample fell back to a global sort")
+  }
+
   test("win_range_frame runs a partitioned window, not a global sort") {
     val plan = planOf("win_range_frame")
     assert(plan.contains("Window") &&
@@ -79,9 +86,12 @@ class PlanSpec extends SparkSpec {
     // corpus for cell assignment — the intended IVF quantizer shape.
     // text_unigram_logprob broadcast-crossjoins its 1-row corpus total
     // (scalar-subquery pattern), like nlp_tfidf.
+    // text_ppl_bucket broadcast-crossjoins two 1-row sides (corpus
+    // total + tercile thresholds); dedup_semantic broadcast-NLJs the
+    // tiny centroid set for cell assignment (the sim_ann_ivf shape).
     val nljAllowed = Set("sim_cosine_topk", "sim_knn_label",
       "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf",
-      "text_unigram_logprob")
+      "text_unigram_logprob", "text_ppl_bucket", "dedup_semantic")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
