@@ -124,6 +124,46 @@ object Analytics extends QueryGroup {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // fixed-iteration PageRank over a deterministic synthetic link
+    // graph (fixture docs carry no links, so edges are synthesized:
+    // two coprime permutation links + a hub link to doc_id % 10 —
+    // the ten hubs accumulate rank). The iterative shape is the
+    // production one: ranks live as a (node, pr) table, each round is
+    // one join + dst-keyed partial agg, and every round's result is
+    // localCheckpoint'ed so the plan stays O(1) deep (the
+    // connectedComponents discipline — reliable checkpoint on a
+    // cluster). Per-round ROUND(., 10) pins cross-engine summation
+    // drift (the kmeansStep convention). 3 rounds, damping 0.85; the
+    // node count enters as a broadcast 1-row side so the whole graph
+    // build stays lazy — no driver-side count.
+    "graph_pagerank" -> ((s, d) => {
+      val nodes = Tables(s, d, "documents").select(col("doc_id"))
+      val nRow = nodes.agg(count(lit(1)).as("nl"))
+      val base = nodes.crossJoin(broadcast(nRow))
+      val edges = base.select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 7 + 13) % col("nl"),
+          (col("doc_id") * 31 + 5) % col("nl"),
+          col("doc_id") % 10)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var ranks = base.select(col("doc_id").as("node"),
+        (lit(1.0) / col("nl").cast("double")).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(ranks, edges("src") === ranks("node"))
+          .join(deg, "src")
+          .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("c"))
+        ranks = base
+          .join(contrib, base("doc_id") === contrib("dst"), "left")
+          .select(col("doc_id").as("node"),
+            round(lit(0.15) / col("nl").cast("double") +
+              lit(0.85) * coalesce(col("c"), lit(0.0)), 10).as("pr"))
+          .localCheckpoint()
+      }
+      ranks.orderBy("node")
+    }),
+
     // recursive CTE (new in Spark 4): a generated monthly calendar spine
     // left-joined to order counts — empty months survive, which no
     // GROUP BY over the fact table alone can produce.
@@ -227,6 +267,43 @@ object Analytics extends QueryGroup {
         |FROM lineitem WHERE l_quantity > 10
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "graph_pagerank" -> {
+      // one PageRank round as a CTE pair: dst-keyed contribution sum,
+      // then the damped update over ALL nodes (left join keeps
+      // zero-in-degree nodes at the teleport floor)
+      def step(i: Int): String =
+        s"""c$i AS (SELECT e.dst, SUM(r.pr / deg.deg) AS c
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT b.doc_id AS node,
+           |    ROUND(CAST(0.15 AS DOUBLE) / b.nl +
+           |      CAST(0.85 AS DOUBLE) * COALESCE(c.c, CAST(0 AS DOUBLE)),
+           |      10) AS pr
+           |  FROM (SELECT doc_id, nl FROM nodes, n) b
+           |  LEFT JOIN c$i c ON b.doc_id = c.dst)""".stripMargin
+      // edges as UNION ALL (one branch per link rule, self-loops
+      // filtered per branch): the UNNEST form of this CTE trips a
+      // DuckDB internal binder error, the union form is equivalent
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + 13) % nl AS dst
+         |  FROM nodes, n WHERE (doc_id * 7 + 13) % nl <> doc_id
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 31 + 5) % nl FROM nodes, n
+         |  WHERE (doc_id * 31 + 5) % nl <> doc_id
+         |  UNION ALL
+         |  SELECT doc_id, doc_id % 10 FROM nodes
+         |  WHERE doc_id % 10 <> doc_id),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id AS node, CAST(1 AS DOUBLE) / nl AS pr
+         |       FROM nodes, n),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+    },
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

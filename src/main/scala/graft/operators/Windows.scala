@@ -156,6 +156,44 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "sess_no")
     }),
 
+    // staged conversion funnel (the MATCH_RECOGNIZE shape): per user,
+    // the earliest view, the earliest click within 72 h of that view,
+    // the earliest purchase within 72 h of that click — then users
+    // roll up into per-depth counts plus total view→purchase latency.
+    // Three conditional min-aggs and two joins, ALL keyed by user_id:
+    // one shuffle layout reused end-to-end, and no per-user event
+    // arrays, so a power user can't blow an executor buffer.
+    // Timestamps compare as integer microseconds on both engines (the
+    // win_sessionize convention — no float boundary flakes); the 72 h
+    // attribution window splits the fixture 35/34/81 across depths.
+    "win_funnel" -> ((s, d) => {
+      val winUs = 259200L * 1000000L // 72 h attribution window
+      val ev = Tables(s, d, "events").select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + winUs)
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      ev.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .withColumn("depth",
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(when(col("depth") === 3, col("t3") - col("t1"))),
+            lit(0L)).as("sum_convert_us"))
+        .orderBy("depth")
+    }),
+
     "sort_multi_nulls" -> ((s, d) => {
       Tables(s, d, "customer")
         .withColumn("bal",
@@ -316,6 +354,35 @@ object Windows extends QueryGroup {
         |  ROUND(SUM(value), 4) AS sum_value
         |FROM n GROUP BY user_id, sess_no
         |ORDER BY user_id, sess_no""".stripMargin,
+    "win_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE event_type = 'click' AND us > t1
+        |         AND us <= t1 + 259200000000
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE event_type = 'purchase' AND us > t2
+        |         AND us <= t2 + 259200000000
+        |       GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |d AS (SELECT u.user_id,
+        |    CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |         WHEN t2.t2 IS NOT NULL THEN 2
+        |         WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |    t3.t3 - t1.t1 AS conv
+        |  FROM u LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+        |SELECT depth, COUNT(*) AS n_users,
+        |  COALESCE(CAST(SUM(CASE WHEN depth = 3 THEN conv END) AS BIGINT),
+        |           0) AS sum_convert_us
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
     "sort_multi_nulls" ->
       """SELECT c_custkey, c_nationkey,
         | CASE WHEN c_acctbal < 0 THEN NULL

@@ -321,7 +321,16 @@ object VectorOps extends QueryGroup {
       // half a corpus scan each while assignment below still covers
       // every vector.
       val train = e.filter(col("vec_id") % 2 === 0)
-      val cent = kmeansStep(train, kmeansStep(train, seeds))
+      // each training step's output is K×64 doubles — checkpoint it so
+      // the scored/cells/probes consumers below reuse the materialized
+      // centroids instead of re-deriving the whole training lineage
+      // (uncheckpointed, this query re-scans the corpus 17 times; with
+      // the cut, each consumer is one scan + broadcast join). On a
+      // cluster swap localCheckpoint for reliable checkpoint, as in
+      // CorpusOps.connectedComponents.
+      val cent = kmeansStep(train,
+        kmeansStep(train, seeds).localCheckpoint())
+        .localCheckpoint()
       val scored = e.select(col("vec_id"), col("v"))
         .crossJoin(broadcast(cent))
         .withColumn("ccos", expr(cosExpr("v", "cv")))

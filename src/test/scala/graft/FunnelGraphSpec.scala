@@ -1,0 +1,37 @@
+package graft
+
+/** Structural invariants for the event-funnel and PageRank ops that the
+  * row-level oracle can't see: probability-mass conservation, hub
+  * dominance, and funnel accounting. */
+class FunnelGraphSpec extends SparkSpec {
+
+  test("graph_pagerank conserves rank mass and ranks hubs on top") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    val n = Tables(spark, sf, "documents").count()
+    assert(rows.length == n, s"rank table has ${rows.length} of $n nodes")
+    // no dangling nodes in the synthetic graph → total rank stays 1
+    // (up to the per-round 1e-10 rounding)
+    val mass = rows.map(_.getAs[Double]("pr")).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted to $mass")
+    // every doc links to doc_id % 10, so the ten hubs must dominate
+    val (hubs, rest) = rows.partition(_.getAs[Long]("node") < 10)
+    assert(hubs.map(_.getAs[Double]("pr")).min >
+      rest.map(_.getAs[Double]("pr")).max,
+      "a non-hub node outranked a hub")
+  }
+
+  test("win_funnel accounts for every user exactly once") {
+    val rows = SparkEntry.queries("win_funnel")(spark, sf).collect()
+    val users = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users,
+      "funnel depth counts do not partition the user set")
+    assert(rows.forall(r => (0 to 3).contains(r.getAs[Int]("depth"))))
+    rows.foreach { r =>
+      val conv = r.getAs[Long]("sum_convert_us")
+      if (r.getAs[Int]("depth") == 3)
+        assert(conv > 0, "depth-3 users must have positive view→purchase time")
+      else assert(conv == 0, s"non-converting depth carries latency $conv")
+    }
+  }
+}
