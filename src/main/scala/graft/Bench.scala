@@ -17,7 +17,8 @@ object Bench {
     "stream_tumbling", "stream_stateful_count", "sink_compact",
     "meta_roundtrip", "scan_parquet", "dedup_clusters", "pack_sequences",
     "sample_stratified", "embed_quantize", "join_lateral",
-    "q7_volume_shipping")
+    "q7_volume_shipping", "dedup_semantic", "graph_pagerank",
+    "text_ppl_bucket", "win_funnel")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the
