@@ -436,6 +436,37 @@ object CorpusOps extends QueryGroup {
         .orderBy("lang", "bucket")
     }),
 
+    // domain-mix rebalancing manifest: per-source token shares vs a
+    // target mix, with the per-source sampling rate that achieves the
+    // target (capped at 1.0 — upsampling is a training-loader concern).
+    // The corpus collapses to one 20-row per-source agg; the totals
+    // come back as a broadcast 1-row side. Everything downstream of
+    // the first agg is dimension-table-sized, and all shares/rates are
+    // scaled integers so the oracle hash is exact. Target weights are
+    // derived deterministically from the source name (fixtures carry
+    // no external mix table).
+    "text_domain_mix" -> ((s, d) => {
+      val per = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .withColumn("wt",
+          expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("wt")).as("tot_wt"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("actual_share_x1e6",
+          expr("n_tokens * 1000000 div tot_tokens"))
+        .withColumn("target_share_x1e6",
+          expr("wt * 1000000 div tot_wt"))
+        .withColumn("sample_rate_x1e4", expr(
+          "least(10000L, wt * tot_tokens * 10000 div (tot_wt * n_tokens))"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("actual_share_x1e6"), col("target_share_x1e6"),
+          col("sample_rate_x1e4"))
+        .orderBy("source")
+    }),
+
     // incremental ingestion dedup: a new crawl batch is admitted
     // against the hash index of everything already ingested — the
     // daily-crawl form of exact dedup, where the index is a join input,
@@ -629,6 +660,20 @@ object CorpusOps extends QueryGroup {
         |  COUNT(*) AS n_docs, ROUND(AVG(nll), 4) AS mean_nll
         |FROM nll, thr
         |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "text_domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUBSTRING(source, 4) AS BIGINT) % 4 + 1 AS wt
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |               CAST(SUM(wt) AS BIGINT) AS tot_wt FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  n_tokens * 1000000 // tot_tokens AS actual_share_x1e6,
+        |  wt * 1000000 // tot_wt AS target_share_x1e6,
+        |  LEAST(10000, wt * tot_tokens * 10000 // (tot_wt * n_tokens))
+        |    AS sample_rate_x1e4
+        |FROM per, tot ORDER BY source""".stripMargin,
     "dedup_incremental" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text FROM documents),

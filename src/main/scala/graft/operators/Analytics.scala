@@ -164,6 +164,44 @@ object Analytics extends QueryGroup {
       ranks.orderBy("node")
     }),
 
+    // degree-oriented triangle count over the same synthetic link
+    // graph as graph_pagerank. Edges are canonicalized undirected,
+    // then ORIENTED from the lower-(degree, id) endpoint — the
+    // standard trick that bounds wedge generation: every wedge forms
+    // at its lowest-degree vertex, so hub vertices (degree Θ(n/10)
+    // here) never fan out and the wedge join stays Σ min-deg², not
+    // Σ deg². Each triangle then appears as exactly one ordered wedge
+    // pair closed by one oriented edge — three equi-joins, no
+    // post-division.
+    "graph_triangles" -> ((s, d) => {
+      val nodes = Tables(s, d, "documents").select(col("doc_id"))
+      val nRow = nodes.agg(count(lit(1)).as("nl"))
+      val raw = nodes.crossJoin(broadcast(nRow))
+        .select(col("doc_id").as("a"), explode(array(
+          (col("doc_id") * 7 + 13) % col("nl"),
+          (col("doc_id") * 31 + 5) % col("nl"),
+          col("doc_id") % 10)).as("b"))
+        .filter(col("a") =!= col("b"))
+      val und = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+      val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val dd = und
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val dir = dd.select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+      val e1 = dir.select(col("s"), col("t").as("t1"))
+      val e2 = dir.select(col("s"), col("t").as("t2"))
+      e1.join(e2, "s").filter(col("t1") =!= col("t2"))
+        .join(dir.select(col("s").as("t1"), col("t").as("t2")),
+          Seq("t1", "t2"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // recursive CTE (new in Spark 4): a generated monthly calendar spine
     // left-joined to order counts — empty months survive, which no
     // GROUP BY over the fact table alone can produce.
@@ -304,6 +342,32 @@ object Analytics extends QueryGroup {
          |${step(3)}
          |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
     },
+    "graph_triangles" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM documents),
+        |nodes AS (SELECT doc_id FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS a, (doc_id * 7 + 13) % nl AS b FROM nodes, n
+        |  WHERE (doc_id * 7 + 13) % nl <> doc_id
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 5) % nl FROM nodes, n
+        |  WHERE (doc_id * 31 + 5) % nl <> doc_id
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 10 FROM nodes
+        |  WHERE doc_id % 10 <> doc_id),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |        FROM raw),
+        |deg AS (SELECT x, COUNT(*) AS dg FROM (
+        |  SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY x),
+        |dd AS (SELECT u, v, d1.dg AS du, d2.dg AS dv FROM und
+        |  JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x),
+        |dir AS (SELECT
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
+        |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t
+        |  FROM dd)
+        |SELECT COUNT(*) AS n_triangles FROM dir e1
+        |JOIN dir e2 ON e1.s = e2.s AND e1.t <> e2.t
+        |JOIN dir e3 ON e3.s = e1.t AND e3.t = e2.t""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

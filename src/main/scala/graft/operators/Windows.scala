@@ -194,6 +194,29 @@ object Windows extends QueryGroup {
         .orderBy("depth")
     }),
 
+    // cohort retention matrix: users cohorted by first-signup day,
+    // activity = distinct purchase days, cell = users from cohort c
+    // active on day c+k. Two user_id-keyed aggs (cohort + distinct
+    // activity days) feeding one small (cohort, offset) count-distinct
+    // — the classic product-analytics query, all integer day
+    // arithmetic (epoch µs div 86400e6) so both engines cut days
+    // identically.
+    "win_retention" -> ((s, d) => {
+      val ev = Tables(s, d, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("dy"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("dy")).as("cohort"))
+      val act = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("dy")).distinct()
+      act.join(cohort, "user_id")
+        .filter(col("dy") >= col("cohort"))
+        .withColumn("offset_dy", col("dy") - col("cohort"))
+        .groupBy(col("cohort"), col("offset_dy"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "offset_dy")
+    }),
+
     "sort_multi_nulls" -> ((s, d) => {
       Tables(s, d, "customer")
         .withColumn("bal",
@@ -383,6 +406,19 @@ object Windows extends QueryGroup {
         |  COALESCE(CAST(SUM(CASE WHEN depth = 3 THEN conv END) AS BIGINT),
         |           0) AS sum_convert_us
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+    "win_retention" ->
+      """WITH sd AS (
+        |  SELECT user_id,
+        |    MIN(EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000) AS cohort
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS dy
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT cohort, dy - cohort AS offset_dy,
+        |  COUNT(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN sd USING (user_id) WHERE dy >= cohort
+        |GROUP BY cohort, offset_dy ORDER BY cohort, offset_dy""".stripMargin,
     "sort_multi_nulls" ->
       """SELECT c_custkey, c_nationkey,
         | CASE WHEN c_acctbal < 0 THEN NULL

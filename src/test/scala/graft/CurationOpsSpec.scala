@@ -62,6 +62,25 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_domain_mix rates cap at 1.0 and shares are consistent") {
+    val rows = run("text_domain_mix").collect()
+    assert(rows.length > 1, "mix manifest collapsed to one source")
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("sample_rate_x1e4")
+      assert(rate > 0 && rate <= 10000, s"rate $rate out of (0, 1]")
+      // a source whose target share exceeds its actual share cannot be
+      // downsampled — its rate must sit at the cap
+      if (r.getAs[Long]("target_share_x1e6") >
+          r.getAs[Long]("actual_share_x1e6"))
+        assert(rate == 10000,
+          s"under-represented ${r.getAs[String]("source")} downsampled")
+    }
+    // floor-rounded shares sum to ≤ 1e6 and within one ulp per source
+    val act = rows.map(_.getAs[Long]("actual_share_x1e6")).sum
+    assert(act <= 1000000L && act > 1000000L - rows.length,
+      s"actual shares sum to $act")
+  }
+
   test("dedup_semantic drops only injected copies, never originals") {
     val rows = run("dedup_semantic").collect()
     val drops = rows.filter(_.getAs[String]("status") == "drop")

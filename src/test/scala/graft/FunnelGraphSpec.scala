@@ -20,6 +20,45 @@ class FunnelGraphSpec extends SparkSpec {
       "a non-hub node outranked a hub")
   }
 
+  test("graph_triangles matches an independent brute-force count") {
+    val n = Tables(spark, sf, "documents").count()
+    // rebuild the edge set with plain Scala and count triangles by
+    // adjacency intersection — no Spark joins, no shared code path
+    val edges = (0L until n).flatMap { i =>
+      Seq((i * 7 + 13) % n, (i * 31 + 5) % n, i % 10)
+        .filter(_ != i).map(j => (math.min(i, j), math.max(i, j)))
+    }.toSet
+    val adj = {
+      val m = collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      edges.foreach { case (u, v) => m(u) += v; m(v) += u }
+      m
+    }
+    // for each canonical edge (u < v), common neighbors w > v — each
+    // triangle counted at exactly one of its three edges
+    val brute = edges.toSeq.map { case (u, v) =>
+      (adj(u) intersect adj(v)).count(_ > v)
+    }.sum
+    val got = SparkEntry.queries("graph_triangles")(spark, sf)
+      .collect().head.getAs[Long]("n_triangles")
+    assert(got == brute, s"degree-oriented count $got != brute-force $brute")
+  }
+
+  test("win_retention cells never exceed their cohort size") {
+    val rows = SparkEntry.queries("win_retention")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture produced no retention cells")
+    assert(rows.forall(_.getAs[Long]("offset_dy") >= 0L))
+    // cohort sizes recomputed independently from raw events
+    val sizes = Tables(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (c, cells) =>
+      val peak = cells.map(_.getAs[Long]("n_users")).max
+      assert(peak <= sizes,
+        s"cohort $c cell $peak exceeds the signup population $sizes")
+    }
+  }
+
   test("win_funnel accounts for every user exactly once") {
     val rows = SparkEntry.queries("win_funnel")(spark, sf).collect()
     val users = Tables(spark, sf, "events")

@@ -89,9 +89,14 @@ class PlanSpec extends SparkSpec {
     // text_ppl_bucket broadcast-crossjoins two 1-row sides (corpus
     // total + tercile thresholds); dedup_semantic broadcast-NLJs the
     // tiny centroid set for cell assignment (the sim_ann_ivf shape).
+    // graph_triangles / graph_pagerank broadcast-crossjoin the 1-row
+    // node count into the synthetic edge build (lazy alternative to a
+    // driver-side count; pagerank's usually hides behind its round
+    // checkpoints but is the same shape).
     val nljAllowed = Set("sim_cosine_topk", "sim_knn_label",
       "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf",
-      "text_unigram_logprob", "text_ppl_bucket", "dedup_semantic")
+      "text_unigram_logprob", "text_ppl_bucket", "dedup_semantic",
+      "graph_triangles", "graph_pagerank", "text_domain_mix")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
