@@ -161,6 +161,38 @@ object StreamOps extends QueryGroup {
         .orderBy("c_mktsegment", "event_type")
     }),
 
+    // streaming incremental-ingest dedup: the streaming form of
+    // dedup_incremental — a replayed document stream (new batch +
+    // injected re-crawls) is admitted through a stream-static LEFT
+    // ANTI join against the already-ingested hash index, then
+    // collapsed per hash so first-occurrence-in-batch is
+    // deterministic. The static index projects only the 32-byte hash;
+    // at 100 TB the anti-join state is the broadcast/shuffled index,
+    // never document text.
+    "stream_dedup_index" -> ((s, d) => {
+      val index = graft.Tables(s, d, "documents")
+        .filter(col("doc_id") < 300)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+      def docStream = {
+        val raw = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(raw)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+      }
+      val batch = docStream.filter(col("doc_id") >= 300)
+        .select(col("doc_id"), col("text"))
+      val recrawl = docStream
+        .filter(col("doc_id") < 300 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      val admitted = batch.union(recrawl)
+        .withColumn("h", sha2(col("text"), 256))
+        .join(index, Seq("h"), "left_anti")
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_in_batch"))
+      runToTable(admitted, "graft_stream_dedup_index", "complete")
+        .select(col("doc_id"), col("n_in_batch")).orderBy("doc_id")
+    }),
+
     // stream-stream inner join: even-id events matched to the next odd
     // id — both sides are live streams, state-backed symmetric hash join.
     "stream_stream_join" -> ((s, d) => {
@@ -316,6 +348,18 @@ object StreamOps extends QueryGroup {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "stream_dedup_index" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |idx AS (SELECT DISTINCT SHA256(text) AS h FROM base
+        |        WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT doc_id, SHA256(text) AS h FROM base WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 500000, SHA256(text) FROM base
+        |  WHERE doc_id < 300 AND doc_id % 7 = 0)
+        |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_in_batch
+        |FROM batch WHERE h NOT IN (SELECT h FROM idx)
+        |GROUP BY h ORDER BY doc_id""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
