@@ -9,7 +9,13 @@ import org.apache.spark.sql.SparkSession
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val key = args.headOption.getOrElse("agg_hash_group")
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    // flags are position-independent; sfDir is the first positional arg
+    // after the key — "PlanProbe <key> cpus=4" must not read "cpus=4"
+    // as a data directory
+    val flags = Set("full", "warm")
+    val positional = args.drop(1)
+      .filterNot(a => flags(a) || a.startsWith("cpus="))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
     // cpus=N reproduces the bench's local[N] / N-shuffle-partition config
     val cpus = args.collectFirst { case a if a.startsWith("cpus=") =>
       a.stripPrefix("cpus=") }.getOrElse("8")

@@ -306,7 +306,7 @@ object CorpusOps extends QueryGroup {
       docs(s, d)
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("tri", expr(
-          """transform(sequence(1, greatest(size(tokens) - 2, 0)),
+          """transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 2, 0)),
             |  i -> concat(element_at(tokens, i), ' ',
             |              element_at(tokens, i + 1), ' ',
             |              element_at(tokens, i + 2)))""".stripMargin))
@@ -330,7 +330,7 @@ object CorpusOps extends QueryGroup {
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("sh", expr(
           """array_distinct(transform(
-            |  sequence(1, greatest(size(tokens) - 1, 0)),
+            |  slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 1, 0)),
             |  i -> concat(element_at(tokens, i), ' ',
             |              element_at(tokens, i + 1))))""".stripMargin))
         .filter(size(col("sh")) > 0)
@@ -419,10 +419,14 @@ object CorpusOps extends QueryGroup {
         explode(split(col("text"), " ")).as("tok"))
       val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
       val total = freqs.agg(sum(col("n_tok")).cast("double").as("total"))
+      // checkpoint the per-doc score table: BOTH the threshold agg and
+      // the final bucket pass consume it, and uncheckpointed each would
+      // re-run the corpus tokenize + term join (the sim_ann_ivf lesson)
       val nll = toks.join(freqs, "tok")
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"), col("lang"))
         .agg(round(avg(-log(col("n_tok") / col("total"))), 4).as("nll"))
+        .localCheckpoint()
       val thr = nll.agg(
         round(expr("percentile(nll, CAST(1 AS DOUBLE) / 3)"), 4).as("t1"),
         round(expr("percentile(nll, CAST(2 AS DOUBLE) / 3)"), 4).as("t2"))

@@ -39,7 +39,7 @@ object TextOps extends QueryGroup {
   /** Word trigram shingle set (distinct), as a SQL expression over a
     * `tokens` array column. */
   private val shingles3 =
-    """array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)),
+    """array_distinct(transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 2, 0)),
       |  i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1),
       |              ' ', element_at(tokens, i + 2))))""".stripMargin
 
@@ -82,7 +82,7 @@ object TextOps extends QueryGroup {
       val bi = docs(s, d)
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("bigram", explode(expr(
-          """transform(sequence(1, greatest(size(tokens) - 1, 0)),
+          """transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 1, 0)),
             |  i -> concat(element_at(tokens, i), ' ',
             |              element_at(tokens, i + 1)))""".stripMargin)))
         .groupBy(col("lang"), col("bigram"))
@@ -148,7 +148,7 @@ object TextOps extends QueryGroup {
       val sub = docs(s, d).filter(col("doc_id") < 500)
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("sh", expr(
-          """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
+          """array_distinct(transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 1, 0)),
             |  i -> concat(element_at(tokens, i), ' ',
             |              element_at(tokens, i + 1))))""".stripMargin))
         .filter(size(col("sh")) > 0)
@@ -284,7 +284,7 @@ object TextOps extends QueryGroup {
     val sets = in
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
+        """array_distinct(transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 1, 0)),
           |  i -> concat(element_at(tokens, i), ' ',
           |              element_at(tokens, i + 1))))""".stripMargin))
       .filter(size(col("sh")) > 0)

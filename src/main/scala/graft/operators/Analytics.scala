@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Composite analytical queries — TPC-H shapes adapted to the fixture
@@ -11,6 +12,41 @@ import org.apache.spark.sql.functions._
   * broadcast-eligible; AQE resizes the shuffles.
   */
 object Analytics extends QueryGroup {
+
+  /** Deterministic synthetic link graph shared by graph_pagerank and
+    * graph_triangles (fixture docs carry no links): two coprime
+    * permutation links + a hub link to doc_id % 10 per node,
+    * self-loops dropped. Returns (nodes×count base, edge list); the
+    * node count enters as a broadcast 1-row side so the build stays
+    * lazy — no driver-side count. Any change here must also change
+    * [[oLinkGraph]] and FunnelGraphSpec's independent brute force. */
+  private def linkGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val nodes = Tables(s, d, "documents").select(col("doc_id"))
+    val nRow = nodes.agg(count(lit(1)).as("nl"))
+    val base = nodes.crossJoin(broadcast(nRow))
+    val edges = base.select(col("doc_id").as("src"), explode(array(
+        (col("doc_id") * 7 + 13) % col("nl"),
+        (col("doc_id") * 31 + 5) % col("nl"),
+        col("doc_id") % 10)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    (base, edges)
+  }
+
+  /** DuckDB mirror of [[linkGraph]] — edge branches as UNION ALL (the
+    * UNNEST form trips a DuckDB internal binder error). */
+  private val oLinkGraph =
+    """n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM documents),
+      |nodes AS (SELECT doc_id FROM documents),
+      |edges AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 13) % nl AS dst FROM nodes, n
+      |  WHERE (doc_id * 7 + 13) % nl <> doc_id
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 31 + 5) % nl FROM nodes, n
+      |  WHERE (doc_id * 31 + 5) % nl <> doc_id
+      |  UNION ALL
+      |  SELECT doc_id, doc_id % 10 FROM nodes
+      |  WHERE doc_id % 10 <> doc_id)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Q3 shape: shipping priority — top revenue orders for one segment.
@@ -137,15 +173,13 @@ object Analytics extends QueryGroup {
     // node count enters as a broadcast 1-row side so the whole graph
     // build stays lazy — no driver-side count.
     "graph_pagerank" -> ((s, d) => {
-      val nodes = Tables(s, d, "documents").select(col("doc_id"))
-      val nRow = nodes.agg(count(lit(1)).as("nl"))
-      val base = nodes.crossJoin(broadcast(nRow))
-      val edges = base.select(col("doc_id").as("src"), explode(array(
-          (col("doc_id") * 7 + 13) % col("nl"),
-          (col("doc_id") * 31 + 5) % col("nl"),
-          col("doc_id") % 10)).as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val (base, edgesRaw) = linkGraph(s, d)
+      // edges and deg are loop-invariant: checkpoint them once so the
+      // three rounds join materialized blocks instead of re-running
+      // the scan + explode + deg shuffle per round
+      val edges = edgesRaw.localCheckpoint()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       var ranks = base.select(col("doc_id").as("node"),
         (lit(1.0) / col("nl").cast("double")).as("pr"))
         .localCheckpoint()
@@ -174,16 +208,9 @@ object Analytics extends QueryGroup {
     // pair closed by one oriented edge — three equi-joins, no
     // post-division.
     "graph_triangles" -> ((s, d) => {
-      val nodes = Tables(s, d, "documents").select(col("doc_id"))
-      val nRow = nodes.agg(count(lit(1)).as("nl"))
-      val raw = nodes.crossJoin(broadcast(nRow))
-        .select(col("doc_id").as("a"), explode(array(
-          (col("doc_id") * 7 + 13) % col("nl"),
-          (col("doc_id") * 31 + 5) % col("nl"),
-          col("doc_id") % 10)).as("b"))
-        .filter(col("a") =!= col("b"))
-      val und = raw.select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v")).distinct()
+      val (_, raw) = linkGraph(s, d)
+      val und = raw.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
       val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
       val dd = und
@@ -320,20 +347,7 @@ object Analytics extends QueryGroup {
            |      10) AS pr
            |  FROM (SELECT doc_id, nl FROM nodes, n) b
            |  LEFT JOIN c$i c ON b.doc_id = c.dst)""".stripMargin
-      // edges as UNION ALL (one branch per link rule, self-loops
-      // filtered per branch): the UNNEST form of this CTE trips a
-      // DuckDB internal binder error, the union form is equivalent
-      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM documents),
-         |nodes AS (SELECT doc_id FROM documents),
-         |edges AS (
-         |  SELECT doc_id AS src, (doc_id * 7 + 13) % nl AS dst
-         |  FROM nodes, n WHERE (doc_id * 7 + 13) % nl <> doc_id
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 31 + 5) % nl FROM nodes, n
-         |  WHERE (doc_id * 31 + 5) % nl <> doc_id
-         |  UNION ALL
-         |  SELECT doc_id, doc_id % 10 FROM nodes
-         |  WHERE doc_id % 10 <> doc_id),
+      s"""WITH $oLinkGraph,
          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
          |r0 AS (SELECT doc_id AS node, CAST(1 AS DOUBLE) / nl AS pr
          |       FROM nodes, n),
@@ -343,19 +357,9 @@ object Analytics extends QueryGroup {
          |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
     },
     "graph_triangles" ->
-      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM documents),
-        |nodes AS (SELECT doc_id FROM documents),
-        |raw AS (
-        |  SELECT doc_id AS a, (doc_id * 7 + 13) % nl AS b FROM nodes, n
-        |  WHERE (doc_id * 7 + 13) % nl <> doc_id
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 31 + 5) % nl FROM nodes, n
-        |  WHERE (doc_id * 31 + 5) % nl <> doc_id
-        |  UNION ALL
-        |  SELECT doc_id, doc_id % 10 FROM nodes
-        |  WHERE doc_id % 10 <> doc_id),
-        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
-        |        FROM raw),
+      s"""WITH $oLinkGraph,
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+        |        GREATEST(src, dst) AS v FROM edges),
         |deg AS (SELECT x, COUNT(*) AS dg FROM (
         |  SELECT u AS x FROM und UNION ALL SELECT v FROM und)
         |  GROUP BY x),

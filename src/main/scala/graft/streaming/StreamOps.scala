@@ -173,11 +173,11 @@ object StreamOps extends QueryGroup {
       val index = graft.Tables(s, d, "documents")
         .filter(col("doc_id") < 300)
         .select(sha2(col("text"), 256).as("h")).distinct()
-      def docStream = {
-        val raw = s.read.parquet(s"$d/documents.parquet").schema
-        s.readStream.schema(raw)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
-      }
+      // one file-source instance feeds both branches (a self-union of
+      // the same stream is fine); the footer schema is read once
+      val raw = s.read.parquet(s"$d/documents.parquet").schema
+      val docStream = s.readStream.schema(raw)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
       val batch = docStream.filter(col("doc_id") >= 300)
         .select(col("doc_id"), col("text"))
       val recrawl = docStream

@@ -62,6 +62,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("n-gram guard yields empty arrays for sub-K-token docs") {
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0], so the old
+    // sequence(1, greatest(size - K, 0)) guard dereferenced invalid
+    // token indices and crashed on any doc shorter than its K-gram;
+    // the slice(sequence(1, size), ...) form must return [] instead
+    val r = spark.sql(
+      """SELECT transform(
+        |  slice(sequence(1, size(t)), 1, greatest(size(t) - 2, 0)),
+        |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
+        |              element_at(t, i + 2))) AS tri
+        |FROM (SELECT split('hello world', ' ') AS t)""".stripMargin)
+      .head.getSeq[String](0)
+    assert(r.isEmpty, s"2-token doc produced trigrams: $r")
+  }
+
   test("text_domain_mix rates cap at 1.0 and shares are consistent") {
     val rows = run("text_domain_mix").collect()
     assert(rows.length > 1, "mix manifest collapsed to one source")

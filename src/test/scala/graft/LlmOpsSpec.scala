@@ -19,7 +19,7 @@ class LlmOpsSpec extends SparkSpec {
     val sets = Tables(spark, sf, "documents")
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)),
+        """array_distinct(transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 2, 0)),
           |  i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1),
           |              ' ', element_at(tokens, i + 2))))""".stripMargin))
       .select(col("doc_id"), col("sh"))

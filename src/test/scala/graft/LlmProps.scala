@@ -31,7 +31,7 @@ object LlmProps extends Properties("graft.llm") {
         .toDF("doc_id", "text")
         .withColumn("tokens", split(col("text"), " "))
         .withColumn("sh", expr(
-          """array_distinct(transform(sequence(1, greatest(size(tokens) - 1, 0)),
+          """array_distinct(transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 1, 0)),
             |  i -> concat(element_at(tokens, i), ' ',
             |              element_at(tokens, i + 1))))""".stripMargin))
       val a = df.select(col("doc_id").as("ia"), col("sh").as("sa"))

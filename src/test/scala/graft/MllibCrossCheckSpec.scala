@@ -18,7 +18,7 @@ class MllibCrossCheckSpec extends SparkSpec {
       .filter(col("doc_id") < 1000)
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)),
+        """array_distinct(transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 2, 0)),
           |  i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1),
           |              ' ', element_at(tokens, i + 2))))""".stripMargin))
       .filter(size(col("sh")) > 2)

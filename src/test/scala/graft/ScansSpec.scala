@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Layout-level properties of the data-skipping sinks — the part of
   * sink_zorder / scan_bloom_skip the content oracle cannot see. A
@@ -71,13 +72,5 @@ class ScansSpec extends SparkSpec {
     }
     assert(withBloom == files.length,
       s"bloom filter present in only $withBloom/${files.length} files")
-  }
-
-  private implicit class JavaListOps[A](l: java.util.List[A]) {
-    def asScala: Seq[A] = {
-      val b = Seq.newBuilder[A]
-      l.forEach(a => b += a)
-      b.result()
-    }
   }
 }
