@@ -419,18 +419,21 @@ object CorpusOps extends QueryGroup {
         explode(split(col("text"), " ")).as("tok"))
       val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
       val total = freqs.agg(sum(col("n_tok")).cast("double").as("total"))
-      // checkpoint the per-doc score table: BOTH the threshold agg and
-      // the final bucket pass consume it, and uncheckpointed each would
-      // re-run the corpus tokenize + term join (the sim_ann_ivf lesson)
+      // persist the per-doc score table: BOTH the threshold agg and the
+      // final bucket pass consume it, and unshared each would re-run
+      // the corpus tokenize + term join. persist (not checkpoint — no
+      // extra job; both consumers run inside ONE action) + the
+      // TextOps release discipline: materialize the small result,
+      // unpersist, return.
       val nll = toks.join(freqs, "tok")
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"), col("lang"))
         .agg(round(avg(-log(col("n_tok") / col("total"))), 4).as("nll"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val thr = nll.agg(
         round(expr("percentile(nll, CAST(1 AS DOUBLE) / 3)"), 4).as("t1"),
         round(expr("percentile(nll, CAST(2 AS DOUBLE) / 3)"), 4).as("t2"))
-      nll.crossJoin(broadcast(thr))
+      val out = nll.crossJoin(broadcast(thr))
         .withColumn("bucket", expr(
           """CASE WHEN nll <= t1 THEN 'head'
             |     WHEN nll <= t2 THEN 'middle' ELSE 'tail' END""".stripMargin))
@@ -438,6 +441,9 @@ object CorpusOps extends QueryGroup {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("nll")), 4).as("mean_nll"))
         .orderBy("lang", "bucket")
+        .localCheckpoint()
+      nll.unpersist(blocking = false)
+      out
     }),
 
     // domain-mix rebalancing manifest: per-source token shares vs a

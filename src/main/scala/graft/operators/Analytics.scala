@@ -174,12 +174,15 @@ object Analytics extends QueryGroup {
     // build stays lazy — no driver-side count.
     "graph_pagerank" -> ((s, d) => {
       val (base, edgesRaw) = linkGraph(s, d)
-      // edges and deg are loop-invariant: checkpoint them once so the
-      // three rounds join materialized blocks instead of re-running
-      // the scan + explode + deg shuffle per round
-      val edges = edgesRaw.localCheckpoint()
+      // edges and deg are loop-invariant: persist them (lazy — no
+      // extra job; round 1's checkpoint action populates the cache,
+      // rounds 2-3 reuse it) so the loop stops re-running the scan +
+      // explode + deg shuffle per round. ranks itself MUST be
+      // checkpointed per round — that's lineage control, not reuse.
+      val edges = edgesRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ranks = base.select(col("doc_id").as("node"),
         (lit(1.0) / col("nl").cast("double")).as("pr"))
         .localCheckpoint()
@@ -195,6 +198,8 @@ object Analytics extends QueryGroup {
               lit(0.85) * coalesce(col("c"), lit(0.0)), 10).as("pr"))
           .localCheckpoint()
       }
+      edges.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
       ranks.orderBy("node")
     }),
 
