@@ -15,6 +15,7 @@ object InventoryDump {
     "D. Aggregation" -> operators.Aggregates,
     "E. Windows / sort / limit / set ops" -> operators.Windows,
     "E2. Composite analytics (TPC-H shapes)" -> operators.Analytics,
+    "E3. Time series (resample / streaks / anomaly)" -> operators.TimeSeries,
     "F. Scalar function families" -> functions.ScalarFns,
     "G. Catalog / DDL / metadata transfer" -> catalog.DdlQueries,
     "H. Streaming" -> streaming.StreamOps,

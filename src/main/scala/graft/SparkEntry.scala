@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Windows,
     operators.ScaleOps,
     operators.Analytics,
+    operators.TimeSeries,
     functions.ScalarFns,
     functions.Udfs,
     catalog.DdlQueries,

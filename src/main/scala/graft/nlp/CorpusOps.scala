@@ -386,6 +386,42 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // importance-weighted sampling: keep probability proportional to a
+    // per-doc weight (here n_chars, standing in for a quality score) via
+    // the same engine-portable hash — a doc with weight w survives iff
+    // hash_bucket/1e6 < w/600. All-integer comparison (bucket*600 vs
+    // w*1e6) so no float threshold can diverge between engines. Pure
+    // map+filter: no shuffle, trivially partition-parallel at 100 TB.
+    "sample_importance" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("bucket",
+          expr("(doc_id * 2654435761L) % 1000000007L % 1000000L"))
+        .filter(col("bucket") * 600 < col("n_chars") * 1000000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // RAG-style chunking: fixed 200-char windows every 150 chars (50
+    // overlap), one output row per chunk keyed (doc_id, chunk_id) with a
+    // content digest. explode(sequence(...)) keeps the whole op inside
+    // whole-stage codegen — no shuffle until the oracle's ORDER BY; at
+    // 100 TB the chunker is a pure map stage that writes straight to a
+    // partitioned sink.
+    "text_chunk" -> ((s, d) => {
+      docs(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - 1, lit(150)))
+            .as("start"))
+        .select(col("doc_id"),
+          expr("substring(text, start + 1, 200)").as("chunk"),
+          (col("start") / 150).cast("long").as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).cast("long").as("chunk_chars"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // deterministic train/val/test holdout: the seeded hash bucket maps
     // every doc to a split — stable across reruns, engines, and cluster
     // sizes, which rand()-based splits are not. Output is the
@@ -637,6 +673,25 @@ object CorpusOps extends QueryGroup {
         |    (doc_id * 2654435761) % 1000000007 AS rank_h
         |  FROM documents ORDER BY rank_h, doc_id LIMIT 120)
         |ORDER BY doc_id""".stripMargin,
+    "sample_importance" ->
+      """SELECT doc_id, lang, n_chars,
+        |  (doc_id * 2654435761) % 1000000007 % 1000000 AS bucket
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000000007 % 1000000) * 600
+        |      < n_chars * 1000000
+        |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 150))
+        |      AS start
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (SELECT doc_id, start,
+        |        substring(text, CAST(start AS INTEGER) + 1, 200) AS chunk
+        |      FROM s)
+        |SELECT doc_id, start // 150 AS chunk_id,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_chars,
+        |  md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "split_train_eval" ->
       """SELECT lang, part, COUNT(*) AS n_docs,
         |  CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,

@@ -81,6 +81,35 @@ object ScaleOps extends QueryGroup {
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))
         .orderBy("p_type")
+    }),
+
+    // Interval join rewritten as a bin-equi-join — the scale remedy for
+    // range predicates, which Spark would otherwise plan as a
+    // broadcast-NLJ/theta join (O(|e|·|o|) comparisons). Each 30-day
+    // interval lands in the 1–2 fixed-width bins it overlaps (explode),
+    // each point in exactly one; the join becomes a plain hash/merge
+    // equi-join on (customer, bin) with the range check as a cheap
+    // residual. Bins are distinct per interval and a point has one bin,
+    // so no pair can match twice — no dedup pass. Results are provably
+    // identical to join_interval (same oracle SQL).
+    "join_interval_binned" -> ((s, d) => {
+      val binDays = 30
+      val e = Tables(s, d, "events")
+        .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
+        .withColumn("ebin",
+          floor(unix_date(to_date(col("ts2"))) / binDays))
+      val o = Tables(s, d, "orders")
+        .withColumn("d0", unix_date(to_date(col("o_orderdate"))))
+        .withColumn("obin", explode(array_distinct(array(
+          floor(col("d0") / binDays),
+          floor((col("d0") + lit(binDays - 1)) / binDays)))))
+      e.join(o,
+          col("user_id") === col("o_custkey")
+            && col("ebin") === col("obin")
+            && col("o_orderdate") <= col("ts2")
+            && col("ts2") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id", "o_orderkey")
     })
   )
 
@@ -139,6 +168,16 @@ object ScaleOps extends QueryGroup {
         | ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#11'
-        |GROUP BY p_type ORDER BY p_type""".stripMargin
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // Deliberately the plain interval-join formulation: the binned
+    // rewrite must be result-identical to the unbinned range join.
+    "join_interval_binned" ->
+      """SELECT event_id, o_orderkey, o_orderdate
+        |FROM (SELECT event_id, user_id,
+        |        CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
+        |JOIN orders o ON e.user_id = o.o_custkey
+        | AND o.o_orderdate <= e.ts2
+        | AND e.ts2 < o.o_orderdate + INTERVAL 30 DAY
+        |ORDER BY event_id, o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series shapes over the `events` stream table [SVC:
+  * yc-data-proc-metadata-import metastore-import.tf:165-179 — the
+  * reference's event data lives as files behind the metastore; these are
+  * the standard batch analyses run over such a stream].
+  *
+  * Scale notes (100 TB):
+  *  - ts_resample builds the dense (user × day) grid from two TINY
+  *    derived tables (distinct users, day span) and left-joins the
+  *    pre-aggregated stream into it — the raw stream is touched exactly
+  *    once by a partial-agg shuffle keyed (user, day); the grid join is
+  *    broadcast-sized. Gap-filling never re-reads or re-shuffles the
+  *    corpus-sized side.
+  *  - win_streaks reduces the stream to DISTINCT active days (partial
+  *    map-side distinct) before any window runs, so the per-user sort
+  *    window sees at most |days| rows per user, not the raw event rate.
+  *  - anomaly_zscore deliberately does NOT use a whole-partition window
+  *    (5 event types ⇒ 5 giant sort partitions at 100 TB). Per-type
+  *    moments come from a map-side-partial groupBy agg, broadcast back
+  *    into a codegen'd map — no sort, no skewed exchange, one scan.
+  */
+object TimeSeries extends QueryGroup {
+
+  /** Thinned purchase stream with calendar day, the resample substrate. */
+  private def purchases(s: SparkSession, d: String) =
+    Tables(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Gap-filled daily resample: every (user, day) cell of the observed
+    // span, zero-filled where the user was inactive that day. The grid
+    // (distinct users × day sequence) is derived data orders of magnitude
+    // smaller than the stream; the stream collapses through one
+    // partial-agg shuffle before meeting it.
+    "ts_resample" -> ((s, d) => {
+      val p = purchases(s, d).filter(col("user_id") < 10)
+      val days = p.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+      val users = p.select("user_id").distinct()
+      val perCell = p.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      users.crossJoin(broadcast(days))
+        .join(perCell, Seq("user_id", "day"), "left")
+        // integer epoch-day output — the repo's cross-engine date
+        // convention (DATE stringifies differently between the engines'
+        // pandas paths; see win_retention)
+        .select(col("user_id"),
+          unix_date(col("day")).cast("long").as("day_no"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"))
+        .orderBy("user_id", "day_no")
+    }),
+
+    // Gaps-and-islands: consecutive-active-day streaks per user. The
+    // classic `day - row_number()` island key groups each maximal run;
+    // one distinct, one bounded window, two hash aggs.
+    "win_streaks" -> ((s, d) => {
+      val active = purchases(s, d).select("user_id", "day").distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = active
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      val streaks = islands.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak"),
+          sum("len").as("active_days"))
+        .orderBy("user_id")
+    }),
+
+    // Per-type z-score outliers. Moments via groupBy (partial-agg, 5
+    // output rows) broadcast back — the whole-partition-window
+    // formulation would sort 1/5th of the corpus per task at scale.
+    "anomaly_zscore" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("m")) / col("sd"))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "ts_resample" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |           WHERE event_type = 'purchase' AND user_id < 10),
+        |span AS (SELECT min(day) d0, max(day) d1 FROM p),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dts FROM span),
+        |days2 AS (SELECT CAST(dts AS DATE) AS day FROM days),
+        |users AS (SELECT DISTINCT user_id FROM p),
+        |agg AS (SELECT user_id, day, count(*) n, ROUND(sum(value),4) sv
+        |        FROM p GROUP BY 1, 2)
+        |SELECT u.user_id,
+        |       EPOCH_US(CAST(d.day AS TIMESTAMP)) // 86400000000 AS day_no,
+        |       COALESCE(a.n, 0) AS n_events,
+        |       COALESCE(a.sv, 0.0) AS sum_value
+        |FROM users u CROSS JOIN days2 d
+        |LEFT JOIN agg a ON a.user_id = u.user_id AND a.day = d.day
+        |ORDER BY u.user_id, day_no""".stripMargin,
+    "win_streaks" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |           FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |                   AS INTEGER) AS island FROM p),
+        |st AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak,
+        |       CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m,
+        |             stddev_samp(value) AS sd FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       ROUND((value - m) / sd, 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((value - m) / sd) > 2
+        |ORDER BY event_id""".stripMargin)
+}

@@ -93,10 +93,14 @@ class PlanSpec extends SparkSpec {
     // node count into the synthetic edge build (lazy alternative to a
     // driver-side count; pagerank's usually hides behind its round
     // checkpoints but is the same shape).
+    // ts_resample broadcast-crossjoins the tiny day-span list into the
+    // distinct-user list to build the dense resample grid — both sides
+    // are derived aggregates orders of magnitude below the stream.
     val nljAllowed = Set("sim_cosine_topk", "sim_knn_label",
       "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf",
       "text_unigram_logprob", "text_ppl_bucket", "dedup_semantic",
-      "graph_triangles", "graph_pagerank", "text_domain_mix")
+      "graph_triangles", "graph_pagerank", "text_domain_mix",
+      "ts_resample")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {

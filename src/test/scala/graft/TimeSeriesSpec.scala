@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the time-series / curation ops beyond the
+  * row-level oracle: grid completeness, streak accounting, the
+  * no-giant-window plan shape, chunk coverage, and the binned-interval
+  * rewrite's exact equivalence to the plain range join. */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ts_resample emits the complete dense grid, zero-filled") {
+    val out = SparkEntry.queries("ts_resample")(spark, sf).collect()
+    val users = out.map(_.getAs[Long]("user_id")).distinct.length
+    val days = out.map(_.getAs[Long]("day_no")).distinct.length
+    assert(out.length == users * days,
+      s"grid has ${out.length} cells, expected $users*$days")
+    // gap cells exist on the fixtures and carry exact zeros
+    val gaps = out.filter(_.getAs[Long]("n_events") == 0L)
+    assert(gaps.nonEmpty, "fixture resample has no gaps — degenerate")
+    assert(gaps.forall(_.getAs[Double]("sum_value") == 0.0))
+  }
+
+  test("win_streaks accounting: streak lengths sum to active days") {
+    val out = SparkEntry.queries("win_streaks")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mx, tot) = (r.getAs[Long]("n_streaks"),
+        r.getAs[Long]("max_streak"), r.getAs[Long]("active_days"))
+      assert(n >= 1 && mx >= 1 && mx <= tot && n <= tot,
+        s"inconsistent streak row $r")
+    }
+    // independent recompute for one user, plain Scala
+    val days = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") === 0)
+      .select(unix_date(to_date(col("ts"))).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val streaks = days.foldLeft(List.empty[Long]) {
+      case (acc, d) if acc.isEmpty => List(1L)
+      case (len :: rest, d)
+        if d == days(days.indexOf(d) - 1) + 1 => (len + 1) :: rest
+      case (acc, _) => 1L :: acc
+    }
+    val u0 = out.find(_.getAs[Long]("user_id") == 0L).get
+    assert(u0.getAs[Long]("active_days") == days.length)
+    assert(u0.getAs[Long]("n_streaks") == streaks.length)
+    assert(u0.getAs[Long]("max_streak") == streaks.max)
+  }
+
+  test("anomaly_zscore plans agg+broadcast, not a whole-partition window") {
+    val df = SparkEntry.queries("anomaly_zscore")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"z-score should come from agg+join, not a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type moments should broadcast back:\n$plan")
+    // every reported row genuinely exceeds the threshold
+    assert(df.collect().forall(r => math.abs(r.getAs[Double]("z")) > 2.0))
+  }
+
+  test("text_chunk covers every document with the right chunk count") {
+    val out = SparkEntry.queries("text_chunk")(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        max("chunk_chars").as("mx")).collect()
+    val lens = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == lens.size, "a document produced no chunks")
+    out.foreach { r =>
+      val len = lens(r.getAs[Long]("doc_id"))
+      val expected = (len + 149) / 150 // one start every 150 chars
+      assert(r.getAs[Long]("n") == expected,
+        s"doc len $len: ${r.getAs[Long]("n")} chunks, expected $expected")
+      assert(r.getAs[Long]("mx") <= 200L)
+    }
+  }
+
+  test("sample_importance keeps long docs at a higher rate") {
+    val kept = SparkEntry.queries("sample_importance")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val (long_, short_) = all.partition(_._2 >= 300)
+    def rate(xs: Array[(Long, Long)]) =
+      xs.count(x => kept(x._1)).toDouble / xs.length
+    assert(rate(long_) > rate(short_),
+      f"importance sampling not monotone: long ${rate(long_)}%.2f " +
+        f"vs short ${rate(short_)}%.2f")
+  }
+
+  test("join_interval_binned is bitwise the plain interval join") {
+    val binned = SparkEntry.queries("join_interval_binned")(spark, sf)
+    val plain = SparkEntry.queries("join_interval")(spark, sf)
+    assert(binned.collect().toSeq == plain.collect().toSeq)
+    // and it actually plans the equi-join the rewrite exists for
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"binned interval join fell back to a non-equi plan:\n$plan")
+  }
+}
