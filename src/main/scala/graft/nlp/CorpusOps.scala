@@ -401,6 +401,40 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Containment dedup: documents whose full text is a PROPER PREFIX
+    // of a longer document (truncated re-crawls, partial mirrors —
+    // invisible to exact-hash dedup). Candidate pairs come from an
+    // equi-join on the first-64-char key, so pair generation is
+    // collision-proportional (Σ|key-group|²), never n²; the
+    // startswith verify runs only on candidates. Docs shorter than the
+    // key are out of scope by declaration (the key IS the guarantee
+    // that pair counts stay bounded at 100 TB). Injected truncated
+    // copies (doc_id+700000, first 80 chars of every 11th long doc)
+    // keep the fixture non-degenerate; the join also surfaces the
+    // corpus's natural prefix pairs.
+    "dedup_prefix" -> ((s, d) => {
+      val base = docs(s, d)
+      val corpus = base.select(col("doc_id"), col("text"))
+        .unionAll(base
+          .filter(length(col("text")) >= 120 && col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            substring(col("text"), 1, 80).as("text")))
+      val keyed = corpus.filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"),
+          substring(col("text"), 1, 64).as("pk"))
+      val a = keyed.select(col("pk"), col("doc_id").as("short_doc"),
+        col("text").as("ta"), col("len").as("short_len"))
+      val b = keyed.select(col("pk"), col("doc_id").as("long_doc"),
+        col("text").as("tb"), col("len").as("long_len"))
+      a.join(b, Seq("pk"))
+        .filter(col("short_len") < col("long_len")
+          && expr("startswith(tb, ta)"))
+        .select(col("short_doc"), col("long_doc"),
+          col("short_len"), col("long_len"))
+        .orderBy("short_doc", "long_doc")
+    }),
+
     // RAG-style chunking: fixed 200-char windows every 150 chars (50
     // overlap), one output row per chunk keyed (doc_id, chunk_id) with a
     // content digest. explode(sequence(...)) keeps the whole op inside
@@ -680,6 +714,20 @@ object CorpusOps extends QueryGroup {
         |WHERE ((doc_id * 2654435761) % 1000000007 % 1000000) * 600
         |      < n_chars * 1000000
         |ORDER BY doc_id""".stripMargin,
+    "dedup_prefix" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, substring(text, 1, 80) FROM documents
+        |  WHERE length(text) >= 120 AND doc_id % 11 = 0),
+        |k AS (SELECT doc_id, text, length(text) AS len,
+        |        substring(text, 1, 64) AS pk
+        |      FROM corpus WHERE length(text) >= 64)
+        |SELECT a.doc_id AS short_doc, b.doc_id AS long_doc,
+        |  a.len AS short_len, b.len AS long_len
+        |FROM k a JOIN k b ON a.pk = b.pk AND a.len < b.len
+        |WHERE starts_with(b.text, a.text)
+        |ORDER BY short_doc, long_doc""".stripMargin,
     "text_chunk" ->
       """WITH s AS (SELECT doc_id, text,
         |    unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 150))

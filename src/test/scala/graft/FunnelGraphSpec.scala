@@ -44,6 +44,20 @@ class FunnelGraphSpec extends SparkSpec {
     assert(got == brute, s"degree-oriented count $got != brute-force $brute")
   }
 
+  test("graph_degree_hist satisfies the handshake lemma") {
+    val n = Tables(spark, sf, "documents").count()
+    val edges = (0L until n).flatMap { i =>
+      Seq((i * 7 + 13) % n, (i * 31 + 5) % n, i % 10)
+        .filter(_ != i).map(j => (math.min(i, j), math.max(i, j)))
+    }.toSet
+    val hist = SparkEntry.queries("graph_degree_hist")(spark, sf).collect()
+    val endpointSum = hist
+      .map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(endpointSum == 2L * edges.size,
+      s"Σ degree·count = $endpointSum != 2·|E| = ${2L * edges.size}")
+    assert(hist.map(_.getAs[Long]("n_nodes")).sum <= n)
+  }
+
   test("win_retention cells never exceed their cohort size") {
     val rows = SparkEntry.queries("win_retention")(spark, sf).collect()
     assert(rows.nonEmpty, "fixture produced no retention cells")

@@ -88,6 +88,69 @@ class TimeSeriesSpec extends SparkSpec {
         f"vs short ${rate(short_)}%.2f")
   }
 
+  test("ts_ewma matches a plain-Scala recursive recompute") {
+    val out = SparkEntry.queries("ts_ewma")(spark, sf).collect()
+      .filter(_.getAs[Long]("user_id") == 0L)
+      .map(r => r.getAs[Long]("day_no") -> r.getAs[Double]("ewma"))
+    assert(out.nonEmpty)
+    val daily = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") === 0)
+      .groupBy(unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .agg(round(sum("value"), 4).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    for ((dayNo, got) <- out) {
+      val obs = daily.filter(_._1 <= dayNo)
+      val ws = obs.map { case (d, _) => math.pow(0.8, (dayNo - d).toDouble) }
+      val expected = obs.zip(ws).map { case ((_, x), w) => x * w }.sum / ws.sum
+      assert(math.abs(got - expected) < 1e-3,
+        s"day $dayNo: ewma $got vs recompute $expected")
+    }
+    // the first observation's EWMA is the observation itself
+    val firstDay = daily.head._1
+    assert(math.abs(out.toMap.apply(firstDay) - daily.head._2) < 1e-3)
+  }
+
+  test("ts_ohlc bars are internally consistent and account for every event") {
+    val out = SparkEntry.queries("ts_ohlc")(spark, sf).collect()
+    out.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h, s"bar out of range: $r")
+    }
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables(spark, sf, "events").count())
+  }
+
+  test("win_cum_reach is monotone and converges to total distinct users") {
+    val out = SparkEntry.queries("win_cum_reach")(spark, sf).collect()
+    val cums = out.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+    val total = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(cums.last == total)
+    assert(out.map(_.getAs[Long]("new_users")).sum == total)
+  }
+
+  test("dedup_prefix finds every injected truncation") {
+    val pairs = SparkEntry.queries("dedup_prefix")(spark, sf).collect()
+      .map(r => r.getAs[Long]("short_doc") -> r.getAs[Long]("long_doc"))
+    val injected = Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 120 && col("doc_id") % 11 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(injected.nonEmpty)
+    injected.foreach { id =>
+      assert(pairs.contains((id + 700000L) -> id),
+        s"injected truncation of doc $id not detected")
+    }
+  }
+
+  test("stream_anomaly_flag reproduces the batch z-score result") {
+    val streamed = SparkEntry.queries("stream_anomaly_flag")(spark, sf)
+    val batch = SparkEntry.queries("anomaly_zscore")(spark, sf)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("join_interval_binned is bitwise the plain interval join") {
     val binned = SparkEntry.queries("join_interval_binned")(spark, sf)
     val plain = SparkEntry.queries("join_interval")(spark, sf)
