@@ -401,6 +401,56 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Per-doc unigram Shannon entropy (low entropy = repetitive/
+    // templated text, a standard corpus-quality cut). Whole computation
+    // is per-row array lambdas — array_distinct → per-token counts →
+    // -Σ p·log2 p — inside whole-stage codegen, ZERO shuffle: the
+    // text_repetition discipline, not the tokenize-shuffle-join shape
+    // (which would move the whole token stream twice at 100 TB).
+    "text_entropy" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("double"))
+        .select(col("doc_id"),
+          round(expr(
+            """-aggregate(
+              |  transform(array_distinct(toks),
+              |    t -> cast(size(filter(toks, x -> x = t)) as double)),
+              |  cast(0 as double),
+              |  (acc, c) -> acc + (c / n) * log2(c / n))""".stripMargin),
+            4).as("entropy"),
+          col("n").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style rule-bundle quality filter: per-doc 0/1 verdict per
+    // rule (length, mean word length, stopword presence, distinct-word
+    // ratio) + the conjunction. Integer flags, not booleans (the
+    // cross-engine comparison convention), thresholds tuned so every
+    // rule rejects real fixture docs. One codegen'd map, no shuffle.
+    "text_gopher_filter" -> ((s, d) => {
+      val m = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nw", size(col("toks")))
+        .withColumn("mean_len", expr(
+          "aggregate(toks, cast(0 as double), (a, x) -> a + length(x))")
+          / col("nw"))
+        .withColumn("n_stop",
+          expr("size(filter(toks, x -> x = 'a' or x = 'the'))"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("nw"))
+      val fLen = col("nw") >= 30
+      val fWl = col("mean_len") >= 3.8 && col("mean_len") <= 5.2
+      val fStop = col("n_stop") >= 1
+      val fRep = col("uniq_ratio") >= 0.5
+      def flag(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+      m.select(col("doc_id"), col("nw").cast("long").as("n_words"),
+          flag(fLen).as("f_len"), flag(fWl).as("f_wordlen"),
+          flag(fStop).as("f_stop"), flag(fRep).as("f_rep"),
+          flag(fLen && fWl && fStop && fRep).as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // Containment dedup: documents whose full text is a PROPER PREFIX
     // of a longer document (truncated re-crawls, partial mirrors —
     // invisible to exact-hash dedup). Candidate pairs come from an
@@ -714,6 +764,39 @@ object CorpusOps extends QueryGroup {
         |WHERE ((doc_id * 2654435761) % 1000000007 % 1000000) * 600
         |      < n_chars * 1000000
         |ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS n FROM t)
+        |SELECT doc_id,
+        |  ROUND(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_distinct(toks),
+        |      t -> (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / n)
+        |        * LOG2(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+        |               / n))),
+        |    (a, b) -> a + b), 4) AS entropy,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS nw,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(toks, x -> CAST(len(x) AS DOUBLE))),
+        |    (a, b) -> a + b) / len(toks) AS mean_len,
+        |  len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+        | FROM t)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  CASE WHEN nw >= 30 THEN 1 ELSE 0 END AS f_len,
+        |  CASE WHEN mean_len >= 3.8 AND mean_len <= 5.2 THEN 1 ELSE 0 END
+        |    AS f_wordlen,
+        |  CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS f_stop,
+        |  CASE WHEN uniq_ratio >= 0.5 THEN 1 ELSE 0 END AS f_rep,
+        |  CASE WHEN nw >= 30 AND mean_len >= 3.8 AND mean_len <= 5.2
+        |        AND n_stop >= 1 AND uniq_ratio >= 0.5 THEN 1 ELSE 0 END
+        |    AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_prefix" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

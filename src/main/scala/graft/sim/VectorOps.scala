@@ -145,6 +145,29 @@ object VectorOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // MIPS: maximum-inner-product top-5 per query — the recommender
+    // retrieval objective (unnormalized dot, NOT cosine: a long vector
+    // can beat a better-aligned short one). At scale this reduces to
+    // cosine ANN via the standard norm augmentation
+    // ([x; sqrt(M²−|x|²)] on the corpus side, [q; 0] on the query
+    // side), so the IVF/LSH paths above serve MIPS unchanged; this is
+    // the exact baseline those would be measured against.
+    "sim_mips" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("ip").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("ip", expr(dot("qv", "v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id").as("neighbor"),
+          round(col("ip"), 4).as("ip"))
+        .orderBy("qid", "rn")
+    }),
+
     // kNN label vote (k=5): majority label among the 5 nearest, ties →
     // smaller label; compared against ground truth.
     "sim_knn_label" -> ((s, d) => {
@@ -384,6 +407,18 @@ object VectorOps extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> oracleTopK,
+    "sim_mips" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT qid, vec_id, ${oDot("qv", "v")} AS ip
+         |  FROM e CROSS JOIN q WHERE vec_id <> qid)
+         |SELECT qid, rn, vec_id AS neighbor, ROUND(ip, 4) AS ip FROM (
+         |  SELECT qid, vec_id, ip, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY ip DESC, vec_id ASC) AS rn FROM pairs)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "sim_knn_label" ->
       s"""${oPairs(100)},
          |top5 AS (SELECT qid, vec_id, label FROM (

@@ -96,6 +96,61 @@ class CurationOpsSpec extends SparkSpec {
       s"actual shares sum to $act")
   }
 
+  test("text_entropy respects the log2(n) bound and exact cases") {
+    val rows = run("text_entropy").collect()
+    rows.foreach { r =>
+      val (h, n) = (r.getAs[Double]("entropy"), r.getAs[Long]("n_tokens"))
+      assert(h >= 0 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-9,
+        s"entropy $h outside [0, log2($n)]")
+    }
+    // independent recompute for one doc in plain Scala
+    val doc0 = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").head.getString(0)
+    val toks = doc0.split(" ")
+    val n = toks.length.toDouble
+    val expected = -toks.groupBy(identity).values
+      .map(g => g.length / n * (math.log(g.length / n) / math.log(2.0)))
+      .sum
+    val got = rows.find(_.getAs[Long]("doc_id") == 0L).get
+      .getAs[Double]("entropy")
+    assert(math.abs(got - expected) < 1e-3, s"doc 0: $got vs $expected")
+  }
+
+  test("text_gopher_filter: pass is the conjunction, rules non-degenerate") {
+    val rows = run("text_gopher_filter").collect()
+    rows.foreach { r =>
+      val flags = Seq("f_len", "f_wordlen", "f_stop", "f_rep")
+        .map(r.getAs[Int])
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getAs[Int]("pass") == flags.product,
+        s"pass is not the AND of the rules: $r")
+    }
+    for (f <- Seq("f_len", "f_stop", "f_rep")) {
+      val passed = rows.count(_.getAs[Int](f) == 1)
+      assert(passed > 0 && passed < rows.length,
+        s"rule $f is degenerate on the fixture ($passed/${rows.length})")
+    }
+  }
+
+  test("sim_mips matches a plain-Scala inner-product recompute") {
+    val rows = run("sim_mips").collect()
+      .filter(_.getAs[Long]("qid") == 0L)
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+      .toMap
+    val q = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> q.zip(v).map { case (a, b) => a * b }.sum }
+      .sortBy { case (id, ip) => (-ip, id) }.take(5)
+    rows.sortBy(_.getAs[Int]("rn")).zip(expected).foreach {
+      case (r, (id, ip)) =>
+        assert(r.getAs[Long]("neighbor") == id,
+          s"rank ${r.getAs[Int]("rn")}: ${r.getAs[Long]("neighbor")} != $id")
+        assert(math.abs(r.getAs[Double]("ip") - ip) < 1e-3)
+    }
+  }
+
   test("dedup_semantic drops only injected copies, never originals") {
     val rows = run("dedup_semantic").collect()
     val drops = rows.filter(_.getAs[String]("status") == "drop")

@@ -100,7 +100,7 @@ class PlanSpec extends SparkSpec {
       "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf",
       "text_unigram_logprob", "text_ppl_bucket", "dedup_semantic",
       "graph_triangles", "graph_pagerank", "text_domain_mix",
-      "ts_resample", "graph_degree_hist")
+      "ts_resample", "graph_degree_hist", "sim_mips")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
