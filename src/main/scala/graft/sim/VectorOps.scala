@@ -281,6 +281,43 @@ object VectorOps extends QueryGroup {
         .orderBy("vec_id")
     }),
 
+    // Distributed PCA over the embedding corpus (k=2): the idiomatic
+    // Spark shape — RowMatrix's treeAggregate builds the 64×64 Gram/
+    // covariance (map-side partial per partition, the shuffle carries
+    // K² doubles per partition, never rows), the eigensolve runs on the
+    // driver over that tiny matrix, and the projection is a broadcast
+    // matrix-multiply map. This is one of the two sanctioned RDD drops
+    // (with the binary decode boundary): mllib.linalg owns the
+    // distributed Gram primitive. No SQL oracle — an eigensolver's
+    // sign/order conventions aren't SQL-expressible; MllibCrossCheckSpec
+    // pins captured-variance dominance and rerun determinism instead.
+    "embed_pca" -> ((s, d) => {
+      import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+      import org.apache.spark.mllib.linalg.distributed.RowMatrix
+      val e = emb(s, d).select(col("vec_id"), col("v")).cache()
+      val mat = new RowMatrix(
+        e.select(col("v")).rdd
+          .map(r => MlVectors.dense(r.getSeq[Double](0).toArray)))
+      val pcs = mat.computePrincipalComponents(2) // 64×2, driver-side
+      val (p1, p2) = ((0 until pcs.numRows).map(i => pcs(i, 0)).toArray,
+        (0 until pcs.numRows).map(i => pcs(i, 1)).toArray)
+      // deterministic sign convention: largest-|coord| entry positive
+      def canon(p: Array[Double]) = {
+        val i = p.indices.maxBy(j => (math.abs(p(j)), -j))
+        if (p(i) < 0) p.map(-_) else p
+      }
+      val (c1, c2) = (canon(p1), canon(p2))
+      def lit64(a: Array[Double]) =
+        a.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val out = e.select(col("vec_id"),
+        round(expr(dot("v", lit64(c1))), 4).as("pc1"),
+        round(expr(dot("v", lit64(c2))), 4).as("pc2"))
+        .orderBy("vec_id")
+      out.count() // materialize before releasing the corpus cache
+      e.unpersist(blocking = false)
+      out
+    }),
+
     // deterministic random-hyperplane LSH bucketing — the 100 TB path.
     "sim_lsh_buckets" -> ((s, d) => {
       val bitExprs = (0 until nPlanes).map { h =>

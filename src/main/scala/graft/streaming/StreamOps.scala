@@ -213,6 +213,24 @@ object StreamOps extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // streaming OHLC bars: the same min_by/max_by single-agg shape as
+    // the batch ts_ohlc, running as a stateful streaming aggregation in
+    // complete mode — state is one bar per (type, day), updated
+    // incrementally per micro-batch. Replaying the full fixture stream
+    // must land on exactly the batch result (same oracle).
+    "stream_ohlc" -> ((s, d) => {
+      val bars = eventsStream(s, d)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+        .agg(min_by(col("value"), col("ts")).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n"))
+      runToTable(bars, "graft_stream_ohlc", "complete")
+        .orderBy("event_type", "day_no")
+    }),
+
     // stream-stream inner join: even-id events matched to the next odd
     // id — both sides are live streams, state-backed symmetric hash join.
     "stream_stream_join" -> ((s, d) => {
@@ -390,6 +408,14 @@ object StreamOps extends QueryGroup {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs((value - m) / sd) > 2
         |ORDER BY event_id""".stripMargin,
+    // full replay == batch history: the streaming bars must equal ts_ohlc
+    "stream_ohlc" ->
+      """SELECT event_type,
+        |  EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+        |  arg_min(value, ts) AS open, max(value) AS high,
+        |  min(value) AS low, arg_max(value, ts) AS close,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day_no""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -43,4 +43,29 @@ class MllibCrossCheckSpec extends SparkSpec {
     assert(overlap / ourPairs.size >= 0.9 && overlap / mlPairs.size >= 0.9,
       s"MLlib found ${mlPairs -- ourPairs} extra, missed ${ourPairs -- mlPairs}")
   }
+
+  test("embed_pca captures dominant variance, deterministically") {
+    val rows = SparkEntry.queries("embed_pca")(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(rows.length == n, "a vector was dropped by the projection")
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val v1 = variance(rows.map(_.getAs[Double]("pc1")))
+    val v2 = variance(rows.map(_.getAs[Double]("pc2")))
+    assert(v1 >= v2 && v2 > 0, s"eigen order violated: $v1 < $v2")
+    // the top PC must capture at least as much variance as ANY raw
+    // coordinate axis (the defining property of PCA, translation-free)
+    val coords = Tables(spark, sf, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val maxAxisVar = (0 until coords.head.length)
+      .map(i => variance(coords.map(_(i)))).max
+    assert(v1 >= maxAxisVar - 1e-9,
+      s"pc1 variance $v1 below best coordinate axis $maxAxisVar")
+    // deterministic across reruns (sign canonicalization + fixed solver)
+    val rerun = SparkEntry.queries("embed_pca")(spark, sf).collect()
+    assert(rows.toSeq == rerun.toSeq, "PCA projection is not rerun-stable")
+  }
 }
