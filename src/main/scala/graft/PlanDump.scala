@@ -40,7 +40,13 @@ object PlanDump {
     "pack_sequences" ->
       "token-budget packing: per-stream running-sum window + hash agg",
     "join_dpp" ->
-      "dynamic partition pruning: dim filter becomes a runtime fact-scan partition filter")
+      "dynamic partition pruning: dim filter becomes a runtime fact-scan partition filter",
+    "join_interval_binned" ->
+      "interval join rewritten as bin equi-join + residual (the 100 TB range-join path)",
+    "anomaly_zscore" ->
+      "per-type moments via partial agg broadcast back — no whole-partition window sort",
+    "text_entropy" ->
+      "per-row array-lambda entropy: one scan, zero exchanges before the output sort")
 
   /** Queries that materialize-and-release internally (cache lifecycle)
     * return a checkpointed result whose executed plan is just an RDD
