@@ -318,6 +318,67 @@ object VectorOps extends QueryGroup {
       out
     }),
 
+    // Product quantization (M=8 subspaces × K=16 codewords): the
+    // memory-side half of 100 TB ANN — IVF bounds which vectors a query
+    // touches, PQ bounds the bytes per vector (64 floats → 8 nibble
+    // codes + a 1 KiB codebook). Codebooks are trained per subspace
+    // with two seeded k-means iterations (hash-rank init, L2
+    // assignment, per-dim means rounded to 6 dp — the kmeansStep
+    // discipline, localCheckpoint per round so consumers never re-run
+    // the training lineage). Encode here reuses the broadcast-join +
+    // map-side min_by shape; at production scale the trained codebook
+    // (1 KiB) would fold into a literal expression and encoding becomes
+    // a pure map with zero shuffle. No SQL oracle — codebook training
+    // isn't SQL-expressible; AnnRecallSpec pins code validity,
+    // quantization-beats-variance, and training monotonicity.
+    "embed_pq" -> ((s, d) => {
+      val M = 8; val subDim = 8; val K = 16
+      val e = emb(s, d)
+      val subs = e.select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $subDim + 1, $subDim))")))
+        .withColumnRenamed("pos", "sidx").withColumnRenamed("col", "sv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l2 = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b))," +
+        " cast(0 as double), (x, y) -> x + y)"
+      val wInit = Window.partitionBy("sidx")
+        .orderBy(expr("(vec_id * 2654435761L) % 1000000007L"), col("vec_id"))
+      var cb = subs.withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= K)
+        .select(col("sidx"), col("rn").as("cid"), col("sv").as("cv"))
+        .localCheckpoint()
+      for (_ <- 1 to 2) {
+        val assigned = subs.join(broadcast(cb), "sidx")
+          .withColumn("dist", expr(l2))
+          .groupBy("vec_id", "sidx")
+          .agg(min_by(col("cid"), struct(col("dist"), col("cid")))
+            .as("cell"), first(col("sv")).as("sv"))
+        val avgs = (1 to subDim)
+          .map(i => round(avg(expr(s"element_at(sv, $i)")), 6).as(s"c$i"))
+        cb = assigned.groupBy(col("sidx"), col("cell"))
+          .agg(avgs.head, avgs.tail: _*)
+          .select(col("sidx"), col("cell").as("cid"),
+            array((1 to subDim).map(i => col(s"c$i")): _*).as("cv"))
+          .localCheckpoint()
+      }
+      val coded = subs.join(broadcast(cb), "sidx")
+        .withColumn("dist", expr(l2))
+        .groupBy("vec_id", "sidx")
+        .agg(min_by(struct(col("cid"), col("cv")),
+          struct(col("dist"), col("cid"))).as("best"),
+          first(col("sv")).as("sv"))
+        .withColumn("serr", expr(
+          "aggregate(zip_with(sv, best.cv, (a, b) -> (a - b) * (a - b))," +
+            " cast(0 as double), (x, y) -> x + y)"))
+      val out = coded.groupBy("vec_id")
+        .agg(round(sum("serr"), 6).as("sq_err"),
+          expr("transform(sort_array(collect_list(struct(sidx, best.cid)))," +
+            " x -> x.cid)").as("codes"))
+        .orderBy("vec_id")
+      out.count() // materialize before releasing the subvector cache
+      subs.unpersist(blocking = false)
+      out
+    }),
+
     // deterministic random-hyperplane LSH bucketing — the 100 TB path.
     "sim_lsh_buckets" -> ((s, d) => {
       val bitExprs = (0 until nPlanes).map { h =>

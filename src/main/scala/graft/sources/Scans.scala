@@ -89,6 +89,58 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    // Malformed-input tolerance — what a 100 TB crawl ingest actually
+    // hits: rows with wrong arity / unparseable numerics must be
+    // quarantined, not kill the job and not silently vanish. One
+    // deterministic CSV (every 7th row corrupted two ways) read under
+    // both recovery modes; output is the per-mode accounting a pipeline
+    // would alert on. PERMISSIVE + columnNameOfCorruptRecord keeps the
+    // raw bad line for a quarantine sink; DROPMALFORMED is the
+    // lossy-but-clean variant. ScalaTest-only: engines disagree on CSV
+    // error taxonomy, so there is no cross-engine oracle to match.
+    "scan_csv_malformed" -> ((s, d) => {
+      val dir = Tables.scratch(d, "malformed_csv")
+      val f = new java.io.File(dir, "rows.csv")
+      if (!f.exists()) {
+        val rows = (0 until 700).map { i =>
+          if (i % 7 == 3) s"$i,row_$i"                  // missing column
+          else if (i % 7 == 5) s"$i,row_$i,not_a_number" // bad numeric
+          else s"$i,row_$i,${i * 10}"
+        }
+        new java.io.File(dir).mkdirs()
+        java.nio.file.Files.writeString(f.toPath,
+          rows.mkString("", "\n", "\n"))
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("amount", LongType),
+        StructField("_bad", StringType)))
+      val perm = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad").csv(f.getPath)
+      val dropped = s.read.schema(StructType(schema.fields.init))
+        .option("mode", "DROPMALFORMED").csv(f.getPath)
+      // the agg must reference data columns alongside _bad — Spark
+      // rejects raw-file queries that project ONLY the corrupt column
+      val permCounts = perm.agg(
+        count(col("id")).as("n_rows"),
+        count(col("amount")).as("n_amount_ok"),
+        count(col("_bad")).as("n_quarantined"))
+        .select(lit("permissive").as("mode"), col("n_rows"),
+          col("n_amount_ok"), col("n_quarantined"))
+      // count(amount), not count(*): under an empty projection the CSV
+      // parser parses NO values, detects nothing malformed, and
+      // DROPMALFORMED silently drops zero rows — the classic
+      // column-pruning trap this op exists to document.
+      val dropCounts = dropped
+        .agg(count(col("id")).as("n_rows"),
+          count(col("amount")).as("n_amount_ok"))
+        .select(lit("dropmalformed").as("mode"), col("n_rows"),
+          col("n_amount_ok"), lit(0L).as("n_quarantined"))
+      permCounts.unionAll(dropCounts).orderBy("mode")
+    }),
+
     // the range source: Spark's built-in parallel generator (a real
     // distributed source — each partition generates its slice).
     "scan_range" -> ((s, d) => {

@@ -49,4 +49,35 @@ class AnnRecallSpec extends SparkSpec {
     // single-probe over 64 hyperplane buckets: measured 0.75
     check("sim_ann_lsh", 0.6)
   }
+
+  test("embed_pq codes are valid and beat the one-codeword baseline") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("embed_pq")(spark, sf).collect()
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    assert(rows.length == vecs.length, "a vector was dropped by encoding")
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.length == 8 && codes.forall(c => c >= 1 && c <= 16),
+        s"invalid code block: $codes")
+      assert(r.getAs[Double]("sq_err") >= 0)
+    }
+    // K=1 baseline: quantizing every vector to the corpus mean costs the
+    // total per-vector variance; 16 trained codewords per subspace must
+    // come in far below that.
+    val dim = vecs.head.length
+    val mean = (0 until dim)
+      .map(i => vecs.map(_(i)).sum / vecs.length).toArray
+    val baseline = vecs.map(v =>
+      v.zip(mean).map { case (a, b) => (a - b) * (a - b) }.sum)
+      .sum / vecs.length
+    val got = rows.map(_.getAs[Double]("sq_err")).sum / rows.length
+    assert(got < baseline * 0.9,
+      f"PQ error $got%.4f not clearly below K=1 baseline $baseline%.4f")
+    // rerun-stable (seeded init, rounded means, checkpointed rounds)
+    val rerun = SparkEntry.queries("embed_pq")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == rerun.map(_.toString).toSeq,
+      "PQ encoding is not rerun-stable")
+  }
 }

@@ -73,4 +73,22 @@ class ScansSpec extends SparkSpec {
     assert(withBloom == files.length,
       s"bloom filter present in only $withBloom/${files.length} files")
   }
+
+  test("malformed CSV: permissive quarantines, dropmalformed drops") {
+    val rows = SparkEntry.queries("scan_csv_malformed")(spark, sf)
+      .collect().map(r => r.getAs[String]("mode") -> r).toMap
+    val perm = rows("permissive")
+    val drop = rows("dropmalformed")
+    // 700 source rows: 100 under-arity (every 7th ≡ 3), 100 bad-numeric
+    // (every 7th ≡ 5). PERMISSIVE loses nothing; only TYPE-malformed
+    // rows are quarantined (under-arity fills nulls silently — worth
+    // knowing before trusting _corrupt_record as a completeness check).
+    assert(perm.getAs[Long]("n_rows") == 700)
+    assert(perm.getAs[Long]("n_amount_ok") == 500)
+    assert(perm.getAs[Long]("n_quarantined") == 100)
+    // DROPMALFORMED removes the type-malformed rows but keeps
+    // under-arity rows as nulls
+    assert(drop.getAs[Long]("n_rows") == 600)
+    assert(drop.getAs[Long]("n_amount_ok") == 500)
+  }
 }
