@@ -401,6 +401,49 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // BPE-style merge training (10 rounds, word-level): each round
+    // counts adjacent token pairs corpus-wide (one partial-agg
+    // shuffle), takes the global argmax (count desc, pair asc — the
+    // ONE driver-visible scalar a BPE trainer inherently needs per
+    // merge), and rewrites the corpus with the merged token via a
+    // boundary-anchored left-to-right regexp (greedy non-overlapping,
+    // the BPE convention). The corpus is localCheckpoint'ed per round
+    // — the iterative-loop discipline — so round r+1's count job never
+    // replays rounds 1..r. At 100 TB the known optimization is
+    // batching k merges per round; the per-round shape is unchanged.
+    // No SQL oracle (iterative argmax); CurationOpsSpec replays all 10
+    // rounds in plain Scala and requires the identical merge table.
+    "text_bpe_merges" -> ((s, d) => {
+      val rounds = 10
+      var corpus = docs(s, d).select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      for (r <- 1 to rounds) {
+        val top = corpus
+          .select(explode(expr(
+            """transform(
+              |  slice(sequence(1, size(split(text, ' '))), 1,
+              |        greatest(size(split(text, ' ')) - 1, 0)),
+              |  i -> concat(element_at(split(text, ' '), i), ' ',
+              |              element_at(split(text, ' '), i + 1)))"""
+              .stripMargin)).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()(0)
+        val (pair, n) = (top.getString(0), top.getLong(1))
+        merges += ((r, pair, n))
+        val Array(a, b) = pair.split(" ", 2)
+        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?= |$)"
+        corpus = corpus.withColumn("text",
+          regexp_replace(col("text"), pat, a + "_" + b))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      merges.result().toDF("merge_rank", "pair", "n_occurrences")
+        .orderBy("merge_rank")
+    }),
+
     // Per-doc unigram Shannon entropy (low entropy = repetitive/
     // templated text, a standard corpus-quality cut). Whole computation
     // is per-row array lambdas — array_distinct → per-token counts →

@@ -92,26 +92,35 @@ object ScaleOps extends QueryGroup {
     // residual. Bins are distinct per interval and a point has one bin,
     // so no pair can match twice — no dedup pass. Results are provably
     // identical to join_interval (same oracle SQL).
-    "join_interval_binned" -> ((s, d) => {
-      val binDays = 30
-      val e = Tables(s, d, "events")
-        .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
-        .withColumn("ebin",
-          floor(unix_date(to_date(col("ts2"))) / binDays))
-      val o = Tables(s, d, "orders")
-        .withColumn("d0", unix_date(to_date(col("o_orderdate"))))
-        .withColumn("obin", explode(array_distinct(array(
-          floor(col("d0") / binDays),
-          floor((col("d0") + lit(binDays - 1)) / binDays)))))
-      e.join(o,
-          col("user_id") === col("o_custkey")
-            && col("ebin") === col("obin")
-            && col("o_orderdate") <= col("ts2")
-            && col("ts2") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
-        .orderBy("event_id", "o_orderkey")
-    })
+    "join_interval_binned" -> ((s, d) => intervalBinned(s, d, 30))
   )
+
+  /** The binned interval join at an arbitrary bin width. Any
+    * `binDays >= 1` must produce the identical result (the 30-day
+    * intervals then span ≤ ceil(30/binDays)+1 bins); RelationalProps
+    * asserts this law across widths, the oracle pins width 30. */
+  def intervalBinned(s: SparkSession, d: String, binDays: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spanDays = 30 // interval length in the join predicate below
+    val e = Tables(s, d, "events")
+      .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
+      .withColumn("ebin",
+        floor(unix_date(to_date(col("ts2"))) / binDays))
+    val o = Tables(s, d, "orders")
+      .withColumn("d0", unix_date(to_date(col("o_orderdate"))))
+      // an interval overlaps the CONSECUTIVE bin range
+      // floor(d0/B) .. floor((d0+span-1)/B) — explode exactly those
+      .withColumn("obin", explode(sequence(
+        floor(col("d0") / binDays),
+        floor((col("d0") + lit(spanDays - 1)) / binDays))))
+    e.join(o,
+        col("user_id") === col("o_custkey")
+          && col("ebin") === col("obin")
+          && col("o_orderdate") <= col("ts2")
+          && col("ts2") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy("event_id", "o_orderkey")
+  }
 
   /** (Re)write both sides bucketed by the join key — the write-time
     * shuffle that every subsequent co-located join amortizes. Idempotent

@@ -151,6 +151,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_merges matches a plain-Scala replay of all rounds") {
+    val got = run("text_bpe_merges").collect().map(r =>
+      (r.getAs[Int]("merge_rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_occurrences"))).toSeq
+    var corpus = Tables(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val expected = (1 to 10).map { r =>
+      val counts = collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      corpus.foreach { t =>
+        val w = t.split(" ")
+        for (i <- 0 until w.length - 1) counts(w(i) + " " + w(i + 1)) += 1
+      }
+      val (pair, n) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      val Array(a, b) = pair.split(" ", 2)
+      corpus = corpus.map { t => // greedy left-to-right, non-overlapping
+        val w = t.split(" ")
+        val out = collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+            out += a + "_" + b; i += 2
+          } else { out += w(i); i += 1 }
+        }
+        out.mkString(" ")
+      }
+      (r, pair, n)
+    }
+    assert(got == expected, s"merge tables diverge:\n$got\nvs\n$expected")
+  }
+
   test("dedup_semantic drops only injected copies, never originals") {
     val rows = run("dedup_semantic").collect()
     val drops = rows.filter(_.getAs[String]("status") == "drop")

@@ -155,6 +155,14 @@ class TimeSeriesSpec extends SparkSpec {
     val binned = SparkEntry.queries("join_interval_binned")(spark, sf)
     val plain = SparkEntry.queries("join_interval")(spark, sf)
     assert(binned.collect().toSeq == plain.collect().toSeq)
+    // the law behind the rewrite: ANY bin width yields the same result
+    // (width only trades replication factor against bin selectivity)
+    val expected = plain.collect().toSeq
+    for (width <- Seq(1, 7, 13, 365)) {
+      val got = operators.ScaleOps.intervalBinned(spark, sf, width)
+        .collect().toSeq
+      assert(got == expected, s"bin width $width diverged")
+    }
     // and it actually plans the equi-join the rewrite exists for
     val plan = binned.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin")
