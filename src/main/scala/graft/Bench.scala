@@ -20,7 +20,8 @@ object Bench {
     "q7_volume_shipping", "dedup_semantic", "graph_pagerank",
     "text_ppl_bucket", "win_funnel", "ts_resample", "ts_ewma",
     "text_chunk", "text_entropy", "dedup_prefix", "sim_mips",
-    "embed_pca", "join_interval_binned", "stream_ohlc")
+    "embed_pca", "join_interval_binned", "stream_ohlc",
+    "text_bpe_merges")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the
