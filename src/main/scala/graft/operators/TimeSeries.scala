@@ -132,6 +132,24 @@ object TimeSeries extends QueryGroup {
         .orderBy("day_no")
     }),
 
+    // Trailing-7-bar moving median per type — robust smoothing where
+    // the mean (win_moving_avg) chases outliers. No partial-agg
+    // shortcut exists for a windowed median; the defensible shape is
+    // to aggregate FIRST (stream → tiny daily bars, one partial-agg
+    // shuffle) and run the exact frame median over bars only. ROWS
+    // frame by design: gaps don't stretch the window.
+    "ts_moving_median" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+        .agg(round(sum("value"), 4).as("sv"))
+      val w = Window.partitionBy("event_type").orderBy("day_no")
+        .rowsBetween(-6, Window.currentRow)
+      daily.withColumn("med7",
+          round(expr("percentile(sv, 0.5)").over(w), 4))
+        .orderBy("event_type", "day_no")
+    }),
+
     // Per-type z-score outliers. Moments via groupBy (partial-agg, 5
     // output rows) broadcast back — the whole-partition-window
     // formulation would sort 1/5th of the corpus per task at scale.
@@ -207,6 +225,15 @@ object TimeSeries extends QueryGroup {
         |  CAST(SUM(new_users) OVER (ORDER BY day_no ROWS UNBOUNDED
         |       PRECEDING) AS BIGINT) AS cum_users
         |FROM nu ORDER BY day_no""".stripMargin,
+    "ts_moving_median" ->
+      """WITH daily AS (SELECT event_type,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+        |    ROUND(SUM(value), 4) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_no, sv,
+        |  ROUND(median(sv) OVER (PARTITION BY event_type ORDER BY day_no
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+        |FROM daily ORDER BY event_type, day_no""".stripMargin,
     "anomaly_zscore" ->
       """WITH s AS (SELECT event_type, avg(value) AS m,
         |             stddev_samp(value) AS sd FROM events GROUP BY 1)

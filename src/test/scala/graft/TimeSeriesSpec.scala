@@ -110,6 +110,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out.toMap.apply(firstDay) - daily.head._2) < 1e-3)
   }
 
+  test("ts_moving_median matches a plain-Scala trailing-frame recompute") {
+    val rows = SparkEntry.queries("ts_moving_median")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getAs[Long]("day_no"))
+      val sv = series.map(_.getAs[Double]("sv"))
+      series.zipWithIndex.foreach { case (r, i) =>
+        val frame = sv.slice(math.max(0, i - 6), i + 1).sorted
+        val exact =
+          if (frame.length % 2 == 1) frame(frame.length / 2)
+          else (frame(frame.length / 2 - 1) + frame(frame.length / 2)) / 2
+        assert(math.abs(r.getAs[Double]("med7") - exact) < 1e-3,
+          s"median at index $i: ${r.getAs[Double]("med7")} vs $exact")
+      }
+    }
+  }
+
   test("ts_ohlc bars are internally consistent and account for every event") {
     val out = SparkEntry.queries("ts_ohlc")(spark, sf).collect()
     out.foreach { r =>
