@@ -263,10 +263,44 @@ object Aggregates extends QueryGroup {
           min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
           round(max(col("o_totalprice")), 4).as("top_price"))
         .orderBy("o_custkey")
+    }),
+
+    // Incremental aggregate maintenance — the materialized-view update
+    // every warehouse ETL runs: the already-ingested 90% lives as a
+    // persisted PARTIAL aggregate (count/sum are mergeable state), the
+    // new batch aggregates alone, and the merge is a tiny groupBy over
+    // partials — the 100 TB property is that history is NEVER
+    // rescanned. The oracle recomputes from the full table, proving
+    // merge(base, delta) == full recompute.
+    "agg_incremental_merge" -> ((s, d) => {
+      val dir = Tables.scratch(d, "incr_base_agg")
+      val ingested = Tables(s, d, "orders")
+        .filter(col("o_orderkey") % 10 =!= 0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_totalprice").as("sum_total"))
+      // unconditional overwrite (the join_dpp scratch lesson): stale
+      // partials must be impossible
+      ingested.write.mode("overwrite").parquet(dir)
+      val delta = Tables(s, d, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_totalprice").as("sum_total"))
+      delta.unionAll(s.read.parquet(dir))
+        .groupBy("o_orderstatus")
+        .agg(sum("n_orders").as("n_orders"),
+          round(sum("sum_total"), 4).as("sum_total"))
+        .orderBy("o_orderstatus")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute — the incremental merge must land on exactly this
+    "agg_incremental_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_total
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_hash_group" ->
       """SELECT l_returnflag, l_linestatus,
         | ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -295,6 +295,32 @@ object Relational extends QueryGroup {
           |   AS not_exists_null_safe""".stripMargin)
     }),
 
+    // Change-data capture between two dimension snapshots — the MERGE
+    // INTO classification step: one full-outer join on the business
+    // key, each row labeled insert/delete/update/unchanged. The
+    // "next" snapshot is synthesized deterministically from the same
+    // fixture (dropped keys, new keys, bumped balances) so both
+    // engines derive identical sides. One shuffle on the key; at
+    // 100 TB this is the shape SCD pipelines run nightly.
+    "dim_change_capture" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val cur = c.filter(col("c_custkey") % 13 =!= 3)
+        .select(col("c_custkey"),
+          round(col("c_acctbal"), 2).as("old_bal"))
+      val nxt = c.filter(col("c_custkey") % 11 =!= 7)
+        .select(col("c_custkey"),
+          round(when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")), 2).as("new_bal"))
+      cur.join(nxt, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          when(col("old_bal").isNull, "insert")
+            .when(col("new_bal").isNull, "delete")
+            .when(col("old_bal") =!= col("new_bal"), "update")
+            .otherwise("unchanged").as("action"),
+          col("old_bal"), col("new_bal"))
+        .orderBy("c_custkey")
+    }),
+
     // lateral correlated subquery in FROM: per-customer top-2 orders.
     // Catalyst decorrelates the LIMIT'd subquery into a ranked window
     // join — no per-row re-execution, one shuffle on the join key.
@@ -326,6 +352,22 @@ object Relational extends QueryGroup {
   )
 
   private val oC: Map[String, String] = Map(
+    "dim_change_capture" ->
+      """WITH cur AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS old_bal
+        |             FROM customer WHERE c_custkey % 13 <> 3),
+        |nxt AS (
+        |  SELECT c_custkey,
+        |    ROUND(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |               ELSE c_acctbal END, 2) AS new_bal
+        |  FROM customer WHERE c_custkey % 11 <> 7)
+        |SELECT COALESCE(cur.c_custkey, nxt.c_custkey) AS c_custkey,
+        |  CASE WHEN cur.c_custkey IS NULL THEN 'insert'
+        |       WHEN nxt.c_custkey IS NULL THEN 'delete'
+        |       WHEN old_bal <> new_bal THEN 'update'
+        |       ELSE 'unchanged' END AS action,
+        |  old_bal, new_bal
+        |FROM cur FULL OUTER JOIN nxt ON cur.c_custkey = nxt.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "join_inner_equi" ->
       """SELECT l_orderkey, l_linenumber, o_custkey,
         | ROUND(o_totalprice, 4) AS o_totalprice, l_quantity

@@ -132,6 +132,24 @@ object TimeSeries extends QueryGroup {
         .orderBy("day_no")
     }),
 
+    // ML feature engineering: one row per user with per-type activity
+    // counts, purchase value, and recency — the feature-matrix export
+    // every downstream model consumes. Conditional aggregates keep it
+    // ONE partial-agg pass over the stream (the pivoted counts are
+    // filters inside a single groupBy, not |types| scans or a pivot
+    // shuffle).
+    "feat_user_matrix" -> ((s, d) => {
+      def n(t: String) =
+        count(when(col("event_type") === t, 1)).as(s"n_$t")
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(n("view"), n("click"), n("purchase"), n("error"),
+          round(sum(when(col("event_type") === "purchase", col("value"))),
+            4).as("purchase_value"),
+          max(unix_date(to_date(col("ts"))).cast("long")).as("last_day"))
+        .orderBy("user_id")
+    }),
+
     // Trailing-7-bar moving median per type — robust smoothing where
     // the mean (win_moving_avg) chases outliers. No partial-agg
     // shortcut exists for a windowed median; the defensible shape is
@@ -225,6 +243,17 @@ object TimeSeries extends QueryGroup {
         |  CAST(SUM(new_users) OVER (ORDER BY day_no ROWS UNBOUNDED
         |       PRECEDING) AS BIGINT) AS cum_users
         |FROM nu ORDER BY day_no""".stripMargin,
+    "feat_user_matrix" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (event_type = 'error') AS n_error,
+        |  ROUND(SUM(value) FILTER (event_type = 'purchase'), 4)
+        |    AS purchase_value,
+        |  CAST(max(EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |       AS BIGINT) AS last_day
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_moving_median" ->
       """WITH daily AS (SELECT event_type,
         |    EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
