@@ -140,6 +140,40 @@ object TextOps extends QueryGroup {
       ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
         .orderBy("doc_a", "doc_b")),
 
+    // Asymmetric shingle CONTAINMENT — catches subset duplication that
+    // Jaccard misses: a short doc fully embedded in a long one scores
+    // inter/|short| ≈ 1 but low Jaccard (the union is dominated by the
+    // long side). Same collision-proportional inverted-index posting
+    // join as dedup_ngram_jaccard; only the normalization differs, so
+    // the candidate generation cost is identical at 100 TB.
+    "dedup_shingle_containment" -> ((s, d) => {
+      val sub = docs(s, d).filter(col("doc_id") < 1000)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("sh", expr(
+          """array_distinct(transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 1, 0)),
+            |  i -> concat(element_at(tokens, i), ' ',
+            |              element_at(tokens, i + 1))))""".stripMargin))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+      val inv = sub.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sub.select(col("doc_id"), size(col("sh")).as("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .filter(greatest(col("inter") / col("na"),
+          col("inter") / col("nb")) >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("inter") / col("na"), 4).as("c_in_a"),
+          round(col("inter") / col("nb"), 4).as("c_in_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // fuzzy dedup verification: edit distance over candidate pairs only
     // (candidates from the bigram inverted index — never all-pairs; the
     // O(len²) levenshtein touches ~25 pairs, not 500k).
@@ -540,6 +574,23 @@ object TextOps extends QueryGroup {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_shingle_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+        |        WHERE doc_id < 1000)
+        |  WHERE LEN(t) > 1)
+        |SELECT doc_a, doc_b, inter, ROUND(ca, 4) AS c_in_a,
+        |  ROUND(cb, 4) AS c_in_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    LEN(LIST_INTERSECT(a.sh, b.sh)) AS inter,
+        |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) / LEN(a.sh) AS ca,
+        |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) / LEN(b.sh) AS cb
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0)
+        |WHERE GREATEST(ca, cb) >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_fuzzy_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, text, LIST_DISTINCT(LIST_TRANSFORM(

@@ -245,6 +245,22 @@ object Windows extends QueryGroup {
         .orderBy("p_brand", "rn")
     }),
 
+    // Latest-version compaction — the ranked-dedup idiom every CDC/log
+    // pipeline runs to collapse an append-only stream to current state:
+    // rank within key by recency (event_id tiebreak), keep rank 1. One
+    // key-partitioned window; at 100 TB the same statement compacts a
+    // billion-key changelog with one shuffle.
+    "win_latest_version" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
     "set_union_all" -> ((s, d) => {
       val o = Tables(s, d, "orders").select(col("o_orderkey"))
       val lo = o.filter(col("o_orderkey") % 2 === 0)
@@ -435,6 +451,13 @@ object Windows extends QueryGroup {
         |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         |  FROM part) WHERE rn <= 3
         |ORDER BY p_brand, rn""".stripMargin,
+    "win_latest_version" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "set_union_all" ->
       """SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
