@@ -34,6 +34,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(emptyLineitem.orderBy("l_orderkey").limit(5).count() == 0)
   }
 
+  test("gap-filled grid shapes yield empty output on an empty stream") {
+    // the ts_resample shape: sequence(min, max) over an empty input is
+    // sequence(null, null) -> null -> explode drops it; the grid cross
+    // join and left join then see zero rows — no boundary exception
+    val p = Tables(spark, sf, "events").filter(lit(false))
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val days = p.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    assert(days.count() == 0)
+    assert(p.select("user_id").distinct()
+      .crossJoin(broadcast(days)).count() == 0)
+    // the text_chunk shape: the length guard keeps sequence() bounds
+    // legal for empty strings
+    val chunks = Tables(spark, sf, "documents").filter(lit(false))
+      .filter(length(col("text")) > 0)
+      .select(explode(sequence(lit(0), length(col("text")) - 1,
+        lit(150))))
+    assert(chunks.count() == 0)
+  }
+
   test("minhash pipeline returns no pairs for an empty corpus") {
     val s = spark
     import s.implicits._
