@@ -249,6 +249,20 @@ object Analytics extends QueryGroup {
         .orderBy("degree")
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 syntax): every non-aggregate
+    // select item becomes a grouping key — the analyst shorthand both
+    // engines now share. Plans identically to the explicit GROUP BY
+    // (same partial+final hash agg), so this is syntax-surface
+    // coverage, not a new execution shape.
+    "sql_group_by_all" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("gba_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          |  ROUND(SUM(o_totalprice), 4) AS sum_total
+          |FROM gba_orders
+          |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
     // recursive CTE (new in Spark 4): a generated monthly calendar spine
     // left-joined to order counts — empty months survive, which no
     // GROUP BY over the fact table alone can produce.
@@ -401,6 +415,11 @@ object Analytics extends QueryGroup {
         |  GROUP BY x)
         |SELECT degree, COUNT(*) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "sql_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_total
+        |FROM orders
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

@@ -42,14 +42,21 @@ object StreamOps extends QueryGroup {
     * return the sink's content. State-store instances scale with
     * shuffle partitions; for a single-file local replay 8 is plenty
     * (a real cluster deployment would keep the session default). */
-  def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+  def runToTable(df: DataFrame, name: String, mode: String,
+      availableNow: Boolean = false): DataFrame = {
     val s = df.sparkSession
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = df.writeStream.outputMode(mode)
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable()
+      var w = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+      // AvailableNow: the production catch-up trigger — process the
+      // whole backlog in rate-limited batches, then STOP on its own
+      // (awaitTermination, not processAllAvailable+stop)
+      if (availableNow)
+        w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = w.start()
+      try { if (availableNow) q.awaitTermination() else q.processAllAvailable() }
       finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
@@ -91,6 +98,23 @@ object StreamOps extends QueryGroup {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("sum_value"))
       runToTable(agg, "graft_stream_tumbling", "complete")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Trigger.AvailableNow catch-up: process the whole backlog in
+    // bounded batches and terminate — how a nightly job drains a
+    // streaming source with exactly-once semantics and no always-on
+    // cluster. Same tumbling aggregation as stream_tumbling; the
+    // trigger is the thing under test, so they share the oracle.
+    "stream_trigger_catchup" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+      runToTable(agg, "graft_stream_catchup", "complete",
+          availableNow = true)
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")
@@ -337,6 +361,10 @@ object StreamOps extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        | event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_trigger_catchup" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         | event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
