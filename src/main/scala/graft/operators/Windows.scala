@@ -261,6 +261,22 @@ object Windows extends QueryGroup {
         .orderBy("user_id")
     }),
 
+    // Schema-evolution union: the two sides disagree on column ORDER
+    // and the second side is missing a column — positional UNION would
+    // mis-align or reject; unionByName(allowMissingColumns) resolves by
+    // name and null-fills, which is how multi-vintage parquet batches
+    // actually get combined.
+    "set_union_by_name" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("total"))
+      val b = o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderstatus"), col("o_orderkey")) // reordered, no total
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    }),
+
     "set_union_all" -> ((s, d) => {
       val o = Tables(s, d, "orders").select(col("o_orderkey"))
       val lo = o.filter(col("o_orderkey") % 2 === 0)
@@ -458,6 +474,14 @@ object Windows extends QueryGroup {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "set_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderstatus, o_orderkey FROM orders
+        |  WHERE o_orderkey % 2 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "set_union_all" ->
       """SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL

@@ -48,6 +48,45 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-01 00:30:00") == 1L)
   }
 
+  test("restart from checkpoint resumes state without double-counting") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_out").toString
+    val input = MemoryStream[(Timestamp, String)]
+    def start() = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    // run 1: open a window with 2 events, then stop the query
+    val q1 = start()
+    try {
+      input.addData((ts(1), "a"), (ts(5), "a"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: RESTART from the same checkpoint; push the watermark so
+    // the pre-crash window finalizes from RECOVERED state
+    val q2 = start()
+    try {
+      input.addData((ts(45), "a"), (ts(120), "a"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = s.read.parquet(outDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly-once accounting: the recovered window holds BOTH run-1
+    // events, once each — state survived the stop, nothing replayed
+    assert(out("2024-01-01 00:00:00") == 2L,
+      s"recovered window lost or double-counted state: $out")
+    assert(out("2024-01-01 00:40:00") == 1L)
+  }
+
   test("stateful count accumulates across batches") {
     val s = spark
     import s.implicits._
