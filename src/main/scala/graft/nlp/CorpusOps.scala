@@ -418,7 +418,8 @@ object CorpusOps extends QueryGroup {
       var corpus = docs(s, d).select(col("doc_id"), col("text"))
         .localCheckpoint()
       val merges = Seq.newBuilder[(Int, String, Long)]
-      for (r <- 1 to rounds) {
+      var exhausted = false
+      for (r <- 1 to rounds if !exhausted) {
         val top = corpus
           // toks as a materialized projection: element_at(toks, i)
           // reads the row value — inlining split(text) into the lambda
@@ -434,18 +435,23 @@ object CorpusOps extends QueryGroup {
               .stripMargin)).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair").asc)
-          .limit(1).collect()(0)
-        val (pair, n) = (top.getString(0), top.getLong(1))
-        merges += ((r, pair, n))
-        val Array(a, b) = pair.split(" ", 2)
-        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
-          java.util.regex.Pattern.quote(b) + "(?= |$)"
-        // per-round checkpoint measured FASTER (4.3 s) than letting the
-        // linear regex lineage replay (6.4 s at sf0.1): each un-
-        // checkpointed count job re-runs all prior rounds' regexes
-        corpus = corpus.withColumn("text",
-          regexp_replace(col("text"), pat, a + "_" + b))
-          .localCheckpoint()
+          .limit(1).collect().headOption
+        top match {
+          case None => exhausted = true // every doc down to one token
+          case Some(row) =>
+            val (pair, n) = (row.getString(0), row.getLong(1))
+            merges += ((r, pair, n))
+            val Array(a, b) = pair.split(" ", 2)
+            val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) +
+              " " + java.util.regex.Pattern.quote(b) + "(?= |$)"
+            // per-round checkpoint measured FASTER (4.3 s) than letting
+            // the linear regex lineage replay (6.4 s at sf0.1): each
+            // un-checkpointed count job re-runs all prior rounds'
+            // regexes
+            corpus = corpus.withColumn("text",
+              regexp_replace(col("text"), pat, a + "_" + b))
+              .localCheckpoint()
+        }
       }
       import s.implicits._
       merges.result().toDF("merge_rank", "pair", "n_occurrences")

@@ -42,12 +42,15 @@ object TimeSeries extends QueryGroup {
     // partial-agg shuffle before meeting it.
     "ts_resample" -> ((s, d) => {
       val p = purchases(s, d).filter(col("user_id") < 10)
-      val days = p.agg(min("day").as("d0"), max("day").as("d1"))
-        .select(explode(sequence(col("d0"), col("d1"),
-          expr("interval 1 day"))).as("day"))
-      val users = p.select("user_id").distinct()
       val perCell = p.groupBy("user_id", "day")
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      // users and the day span derive from perCell, NOT p: all three
+      // legs then share ONE stream scan + shuffle (ReusedExchange)
+      // instead of re-reading the raw stream per leg
+      val days = perCell.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+      val users = perCell.select("user_id").distinct()
       users.crossJoin(broadcast(days))
         .join(perCell, Seq("user_id", "day"), "left")
         // integer epoch-day output — the repo's cross-engine date
@@ -105,14 +108,19 @@ object TimeSeries extends QueryGroup {
     // OHLC bar aggregation: per (type, day) first/max/min/last value by
     // event time. min_by/max_by keep the whole bar build inside one
     // partial-aggregating hash agg — no sort, no window, no self-join.
+    // event_id tiebreak in the min_by/max_by ordering key: on a ts
+    // collision an unkeyed arg-min is engine-arbitrary and would flake
+    // the oracle (the win_latest_version lesson).
     "ts_ohlc" -> ((s, d) => {
       Tables(s, d, "events")
         .groupBy(col("event_type"),
           unix_date(to_date(col("ts"))).cast("long").as("day_no"))
-        .agg(min_by(col("value"), col("ts")).as("open"),
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("open"),
           max("value").as("high"),
           min("value").as("low"),
-          max_by(col("value"), col("ts")).as("close"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close"),
           count(lit(1)).as("n"))
         .orderBy("event_type", "day_no")
     }),
@@ -171,15 +179,22 @@ object TimeSeries extends QueryGroup {
     // Per-type z-score outliers. Moments via groupBy (partial-agg, 5
     // output rows) broadcast back — the whole-partition-window
     // formulation would sort 1/5th of the corpus per task at scale.
+    // The FILTER runs on the ROUNDED z (and behind an sd > 0 guard):
+    // m/sd come from whole-table float aggregation, which is not
+    // bitwise-reproducible across engines — an unrounded `abs(z) > 2`
+    // could flip a boundary event between engines, and sd = 0 divides
+    // to NULL in Spark but inf in DuckDB. Rounding first makes the
+    // predicate compare identical doubles on both sides.
     "anomaly_zscore" -> ((s, d) => {
       val e = Tables(s, d, "events")
       val stats = e.groupBy("event_type")
         .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
       e.join(broadcast(stats), "event_type")
-        .withColumn("z", (col("value") - col("m")) / col("sd"))
-        .filter(abs(col("z")) > 2)
+        .withColumn("z",
+          round((col("value") - col("m")) / col("sd"), 4))
+        .filter(col("sd") > 0 && abs(col("z")) > 2)
         .select(col("event_id"), col("event_type"), col("value"),
-          round(col("z"), 4).as("z"))
+          col("z"))
         .orderBy("event_id")
     }))
 
@@ -230,8 +245,8 @@ object TimeSeries extends QueryGroup {
     "ts_ohlc" ->
       """SELECT event_type,
         |  EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
-        |  arg_min(value, ts) AS open, max(value) AS high,
-        |  min(value) AS low, arg_max(value, ts) AS close,
+        |  first(value ORDER BY ts, event_id) AS open, max(value) AS high,
+        |  min(value) AS low, last(value ORDER BY ts, event_id) AS close,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day_no""".stripMargin,
     "win_cum_reach" ->
@@ -269,6 +284,6 @@ object TimeSeries extends QueryGroup {
         |SELECT event_id, event_type, value,
         |       ROUND((value - m) / sd, 4) AS z
         |FROM events e JOIN s USING (event_type)
-        |WHERE abs((value - m) / sd) > 2
+        |WHERE sd > 0 AND abs(ROUND((value - m) / sd, 4)) > 2
         |ORDER BY event_id""".stripMargin)
 }

@@ -309,11 +309,13 @@ object VectorOps extends QueryGroup {
       val (c1, c2) = (canon(p1), canon(p2))
       def lit64(a: Array[Double]) =
         a.map(x => s"${x}D").mkString("array(", ", ", ")")
+      // localCheckpoint, not count(): the returned frame must carry the
+      // materialized projection or consumers re-run it uncached
       val out = e.select(col("vec_id"),
         round(expr(dot("v", lit64(c1))), 4).as("pc1"),
         round(expr(dot("v", lit64(c2))), 4).as("pc2"))
         .orderBy("vec_id")
-      out.count() // materialize before releasing the corpus cache
+        .localCheckpoint()
       e.unpersist(blocking = false)
       out
     }),
@@ -369,12 +371,16 @@ object VectorOps extends QueryGroup {
         .withColumn("serr", expr(
           "aggregate(zip_with(sv, best.cv, (a, b) -> (a - b) * (a - b))," +
             " cast(0 as double), (x, y) -> x + y)"))
+      // localCheckpoint (not count): the RETURNED frame must hold the
+      // materialized rows — a count() materializes nothing for later
+      // consumers, which would re-run the whole encode uncached after
+      // the unpersist (the TextOps materialize-and-release idiom)
       val out = coded.groupBy("vec_id")
         .agg(round(sum("serr"), 6).as("sq_err"),
           expr("transform(sort_array(collect_list(struct(sidx, best.cid)))," +
             " x -> x.cid)").as("codes"))
         .orderBy("vec_id")
-      out.count() // materialize before releasing the subvector cache
+        .localCheckpoint()
       subs.unpersist(blocking = false)
       out
     }),

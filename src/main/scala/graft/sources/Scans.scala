@@ -101,16 +101,18 @@ object Scans extends QueryGroup {
     "scan_csv_malformed" -> ((s, d) => {
       val dir = Tables.scratch(d, "malformed_csv")
       val f = new java.io.File(dir, "rows.csv")
-      if (!f.exists()) {
-        val rows = (0 until 700).map { i =>
-          if (i % 7 == 3) s"$i,row_$i"                  // missing column
-          else if (i % 7 == 5) s"$i,row_$i,not_a_number" // bad numeric
-          else s"$i,row_$i,${i * 10}"
-        }
-        new java.io.File(dir).mkdirs()
-        java.nio.file.Files.writeString(f.toPath,
-          rows.mkString("", "\n", "\n"))
+      // written unconditionally (700 tiny rows): an exists() guard
+      // would keep serving a stale file after the recipe changes —
+      // the same staleness class the ver-stamped scratch discipline
+      // exists for (Tables.scratchCurrent)
+      val rows = (0 until 700).map { i =>
+        if (i % 7 == 3) s"$i,row_$i"                  // missing column
+        else if (i % 7 == 5) s"$i,row_$i,not_a_number" // bad numeric
+        else s"$i,row_$i,${i * 10}"
       }
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(f.toPath,
+        rows.mkString("", "\n", "\n"))
       val schema = StructType(Seq(
         StructField("id", LongType),
         StructField("name", StringType),

@@ -227,12 +227,15 @@ object StreamOps extends QueryGroup {
     "stream_anomaly_flag" -> ((s, d) => {
       val stats = graft.Tables(s, d, "events").groupBy("event_type")
         .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+      // rounded-z filter + sd guard: the anomaly_zscore cross-engine
+      // discipline (unrounded float thresholds can flip boundary rows)
       val flagged = eventsStream(s, d)
         .join(broadcast(stats), "event_type")
-        .withColumn("z", (col("value") - col("m")) / col("sd"))
-        .filter(abs(col("z")) > 2)
+        .withColumn("z",
+          round((col("value") - col("m")) / col("sd"), 4))
+        .filter(col("sd") > 0 && abs(col("z")) > 2)
         .select(col("event_id"), col("event_type"), col("value"),
-          round(col("z"), 4).as("z"))
+          col("z"))
       runToTable(flagged, "graft_stream_anomaly", "append")
         .orderBy("event_id")
     }),
@@ -246,10 +249,12 @@ object StreamOps extends QueryGroup {
       val bars = eventsStream(s, d)
         .groupBy(col("event_type"),
           unix_date(to_date(col("ts"))).cast("long").as("day_no"))
-        .agg(min_by(col("value"), col("ts")).as("open"),
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("open"),
           max("value").as("high"),
           min("value").as("low"),
-          max_by(col("value"), col("ts")).as("close"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close"),
           count(lit(1)).as("n"))
       runToTable(bars, "graft_stream_ohlc", "complete")
         .orderBy("event_type", "day_no")
@@ -434,14 +439,14 @@ object StreamOps extends QueryGroup {
         |SELECT event_id, event_type, value,
         |       ROUND((value - m) / sd, 4) AS z
         |FROM events e JOIN s USING (event_type)
-        |WHERE abs((value - m) / sd) > 2
+        |WHERE sd > 0 AND abs(ROUND((value - m) / sd, 4)) > 2
         |ORDER BY event_id""".stripMargin,
     // full replay == batch history: the streaming bars must equal ts_ohlc
     "stream_ohlc" ->
       """SELECT event_type,
         |  EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
-        |  arg_min(value, ts) AS open, max(value) AS high,
-        |  min(value) AS low, arg_max(value, ts) AS close,
+        |  first(value ORDER BY ts, event_id) AS open, max(value) AS high,
+        |  min(value) AS low, last(value ORDER BY ts, event_id) AS close,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day_no""".stripMargin,
     "stream_stateful_count" ->
