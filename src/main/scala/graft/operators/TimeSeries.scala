@@ -42,11 +42,13 @@ object TimeSeries extends QueryGroup {
     // partial-agg shuffle before meeting it.
     "ts_resample" -> ((s, d) => {
       val p = purchases(s, d).filter(col("user_id") < 10)
+      // perCell is consumed THREE times (day span, user dim, join
+      // probe); checkpoint the tiny aggregate so the stream is scanned
+      // exactly once — exchange reuse alone does not fire here because
+      // the join leg pushes extra isnotnull predicates into its scan
       val perCell = p.groupBy("user_id", "day")
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
-      // users and the day span derive from perCell, NOT p: all three
-      // legs then share ONE stream scan + shuffle (ReusedExchange)
-      // instead of re-reading the raw stream per leg
+        .localCheckpoint()
       val days = perCell.agg(min("day").as("d0"), max("day").as("d1"))
         .select(explode(sequence(col("d0"), col("d1"),
           expr("interval 1 day"))).as("day"))
