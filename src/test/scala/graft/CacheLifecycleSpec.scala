@@ -10,7 +10,11 @@ class CacheLifecycleSpec extends SparkSpec {
   // CorpusOps component consumers) — the leak candidates.
   private val cacheManaging = Seq("nlp_tfidf", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_fuzzy_pairs", "dedup_clusters",
-    "dedup_keep_list")
+    "dedup_keep_list",
+    // round-7 additions that persist internally: pagerank's
+    // loop-invariant edges/deg, ppl_bucket's shared NLL table, and the
+    // PCA corpus / PQ subvector caches
+    "graph_pagerank", "text_ppl_bucket", "embed_pca", "embed_pq")
 
   test("cache-managing queries leave the CacheManager empty") {
     // precondition: some other suite may have leaked entries into the
