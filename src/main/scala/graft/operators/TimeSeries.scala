@@ -181,6 +181,25 @@ object TimeSeries extends QueryGroup {
     // Per-type z-score outliers. Moments via groupBy (partial-agg, 5
     // output rows) broadcast back — the whole-partition-window
     // formulation would sort 1/5th of the corpus per task at scale.
+    // Seasonality-adjusted anomalies: the per-(type, hour-of-day)
+    // profile removes the diurnal pattern a global z-score (below)
+    // would mistake for signal. Profile = one partial-agg shuffle to
+    // |types|×24 rows, broadcast back; same rounded-threshold + sd
+    // guard discipline as anomaly_zscore.
+    "ts_seasonal_resid" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .withColumn("hr", hour(col("ts")).cast("long"))
+      val prof = e.groupBy("event_type", "hr")
+        .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+      e.join(broadcast(prof), Seq("event_type", "hr"))
+        .withColumn("resid_z",
+          round((col("value") - col("m")) / col("sd"), 4))
+        .filter(col("sd") > 0 && abs(col("resid_z")) > 3)
+        .select(col("event_id"), col("event_type"), col("hr"),
+          col("value"), col("resid_z"))
+        .orderBy("event_id")
+    }),
+
     // The FILTER runs on the ROUNDED z (and behind an sd > 0 guard):
     // m/sd come from whole-table float aggregation, which is not
     // bitwise-reproducible across engines — an unrounded `abs(z) > 2`
@@ -280,6 +299,20 @@ object TimeSeries extends QueryGroup {
         |  ROUND(median(sv) OVER (PARTITION BY event_type ORDER BY day_no
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
         |FROM daily ORDER BY event_type, day_no""".stripMargin,
+    "ts_seasonal_resid" ->
+      """WITH prof AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |    avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_id, event_type, hr, value,
+        |  ROUND((value - m) / sd, 4) AS resid_z
+        |FROM (SELECT event_id, event_type, value,
+        |        CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |          AS hr FROM events) e
+        |JOIN prof USING (event_type, hr)
+        |WHERE sd > 0 AND abs(ROUND((value - m) / sd, 4)) > 3
+        |ORDER BY event_id""".stripMargin,
     "anomaly_zscore" ->
       """WITH s AS (SELECT event_type, avg(value) AS m,
         |             stddev_samp(value) AS sd FROM events GROUP BY 1)
