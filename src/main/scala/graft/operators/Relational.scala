@@ -295,6 +295,35 @@ object Relational extends QueryGroup {
           |   AS not_exists_null_safe""".stripMargin)
     }),
 
+    // Referential-integrity audit — the data-quality gate a warehouse
+    // runs after every load: per-relationship orphan counts from LEFT
+    // joins against (deterministically thinned) parent snapshots,
+    // simulating partial dimension loads. Each leg is one broadcast or
+    // shuffle join producing a single summary row; the fourth leg is
+    // intact to show a passing check. At 100 TB every leg is
+    // independently parallel and the output is 4 rows.
+    "audit_referential" -> ((s, d) => {
+      def leg(rel: String, child: org.apache.spark.sql.DataFrame,
+          parent: org.apache.spark.sql.DataFrame,
+          ck: String, pk: String) =
+        child.join(parent, col(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count(when(col(pk).isNull, 1)).as("n_orphan"))
+          .select(lit(rel).as("rel"), col("n_child"), col("n_orphan"))
+      val audit = leg("customer->nation", Tables(s, d, "customer"),
+          Tables(s, d, "nation").filter(col("n_nationkey") < 20),
+          "c_nationkey", "n_nationkey")
+        .unionAll(leg("orders->customer", Tables(s, d, "orders"),
+          Tables(s, d, "customer").filter(col("c_custkey") % 7 =!= 3),
+          "o_custkey", "c_custkey"))
+        .unionAll(leg("lineitem->orders", Tables(s, d, "lineitem"),
+          Tables(s, d, "orders").filter(col("o_orderkey") % 11 =!= 5),
+          "l_orderkey", "o_orderkey"))
+        .unionAll(leg("lineitem->part", Tables(s, d, "lineitem"),
+          Tables(s, d, "part"), "l_partkey", "p_partkey"))
+      audit.orderBy("rel")
+    }),
+
     // Change-data capture between two dimension snapshots — the MERGE
     // INTO classification step: one full-outer join on the business
     // key, each row labeled insert/delete/update/unchanged. The
@@ -352,6 +381,30 @@ object Relational extends QueryGroup {
   )
 
   private val oC: Map[String, String] = Map(
+    "audit_referential" ->
+      """SELECT rel, n_child, n_orphan FROM (
+        |  SELECT 'customer->nation' AS rel, COUNT(*) AS n_child,
+        |    COUNT(*) FILTER (n_nationkey IS NULL) AS n_orphan
+        |  FROM customer LEFT JOIN
+        |    (SELECT * FROM nation WHERE n_nationkey < 20) n
+        |    ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', COUNT(*),
+        |    COUNT(*) FILTER (c_custkey IS NULL)
+        |  FROM orders LEFT JOIN
+        |    (SELECT * FROM customer WHERE c_custkey % 7 <> 3) c
+        |    ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', COUNT(*),
+        |    COUNT(*) FILTER (o_orderkey IS NULL)
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT * FROM orders WHERE o_orderkey % 11 <> 5) o
+        |    ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem->part', COUNT(*),
+        |    COUNT(*) FILTER (p_partkey IS NULL)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey)
+        |ORDER BY rel""".stripMargin,
     "dim_change_capture" ->
       """WITH cur AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS old_bal
         |             FROM customer WHERE c_custkey % 13 <> 3),
