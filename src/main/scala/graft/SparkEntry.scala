@@ -20,6 +20,7 @@ object SparkEntry {
     operators.ScaleOps,
     operators.Analytics,
     operators.TimeSeries,
+    operators.FeatureOps,
     functions.ScalarFns,
     functions.Udfs,
     catalog.DdlQueries,

@@ -255,6 +255,24 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // Deterministic mode: the most frequent l_quantity per return flag.
+    // Built-in mode() is tie-arbitrary (engine picks any max-count
+    // value), so this is counts (one partial-agg shuffle to the tiny
+    // distinct domain) then a composite arg-max — max count, smallest
+    // value on ties — exactly the two-phase shape that scales: the
+    // second agg runs over |flags|×|distinct qty| rows only.
+    "agg_mode" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max_by(struct(col("l_quantity"), col("n")),
+          struct(col("n"), negate(col("l_quantity")))).as("m"))
+        .select(col("l_returnflag"),
+          col("m.l_quantity").as("mode_qty"), col("m.n").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_min_max_by" -> ((s, d) => {
       Tables(s, d, "orders")
         .groupBy(col("o_custkey"))
@@ -296,6 +314,13 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH cnt AS (SELECT l_returnflag, l_quantity, count(*) n
+        |             FROM lineitem GROUP BY 1,2)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n
+        |FROM cnt QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY n DESC, l_quantity) = 1
+        |ORDER BY l_returnflag""".stripMargin,
     // full recompute — the incremental merge must land on exactly this
     "agg_incremental_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators for the training-data pipeline [NS:
+  * yc-data-proc-metadata-import provisions Spark as the processing
+  * engine over warehoused tables (metastore-import.tf:196); these are
+  * the standard feature transforms such a pipeline exports to models].
+  *
+  * Scale notes (100 TB):
+  *  - feat_target_encode is two partial-agg shuffles (per-category, and
+  *    a 1-row global) + a broadcast — the encoded table is |categories|
+  *    rows, never a wide join back onto the fact table here.
+  *  - feat_hash_trick is a pure map-side projection (md5 → bucket) +
+  *    one partial-agg shuffle; the hash is engine-portable arithmetic,
+  *    so the same bucketing reproduces anywhere.
+  *  - feat_binning's EXACT decile ntile needs a total order — Spark
+  *    plans an un-partitioned window (single sort partition), the known
+  *    cost of exact quantile binning. The 100 TB path swaps the window
+  *    for approx_percentile boundaries (one partial-agg pass) broadcast
+  *    into a width_bucket-style projection; exact ntile is kept here
+  *    because the oracle demands bit-identical bin edges.
+  *  - ml_logreg_gd is textbook distributed full-batch gradient descent:
+  *    the feature matrix is built by one partial-agg shuffle and
+  *    persisted; each iteration reduces to FOUR doubles (3 gradient
+  *    components + loss) via a map-side-combined agg, and the updated
+  *    weights re-enter the plan as literals (driver broadcast). Nothing
+  *    per-row ever returns to the driver.
+  */
+object FeatureOps extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+
+    // Smoothed target encoding of customer market segment against
+    // order value: enc = (Σy + m·ȳ_global)/(n + m), m = 50 — the
+    // leakage-resistant categorical encoder every tabular model
+    // pipeline ships. Output is one row per category.
+    "feat_target_encode" -> ((s, d) => {
+      val j = Tables(s, d, "orders")
+        .join(Tables(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_totalprice").as("y"))
+      val g = j.agg(avg("y").as("gm"))
+      j.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .crossJoin(broadcast(g))
+        .select(col("seg"), col("n"),
+          round((col("sy") + lit(50) * col("gm"))
+            / (col("n") + lit(50)), 4).as("enc"))
+        .orderBy("seg")
+    }),
+
+    // Exact decile binning of order value (feature discretization):
+    // ntile(10) over a total order (orderkey tiebreak makes the edge
+    // assignment deterministic), then per-bin stats. See the scale
+    // note above for the approx-boundary variant a 100 TB run uses.
+    "feat_binning" -> ((s, d) => {
+      val w = Window.orderBy(col("x"), col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_totalprice").as("x"), col("o_orderkey"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min("x"), 2).as("lo"), round(max("x"), 2).as("hi"),
+          round(avg("x"), 4).as("m"))
+        .orderBy("bin")
+    }),
+
+    // The hashing trick: categorical cross-feature (segment × nation)
+    // hashed into 64 buckets with engine-portable arithmetic —
+    // bucket = int(md5(feature)[0:8 hex]) mod 64. No vocabulary build,
+    // no shuffle before the count; collisions are the accepted cost.
+    "feat_hash_trick" -> ((s, d) => {
+      Tables(s, d, "customer")
+        .select((conv(substring(md5(
+            concat(col("c_mktsegment"), lit(":"),
+              col("c_nationkey").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 64).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // Distributed logistic regression by full-batch gradient descent:
+    // predict whether a user's total purchase value lands above the
+    // global mean from their view/click counts. Features standardize
+    // against aggregated moments (one extra reduce); 25 fixed-rate GD
+    // steps, each one agg; weights live as literals in the next
+    // iteration's plan. Deterministic (zero init, no sampling) — but
+    // float reduce order isn't cross-engine-stable through 25
+    // compounding iterations, so the driver check is rows-only;
+    // FeatureOpsSpec asserts the training laws (loss strictly falls,
+    // accuracy beats the majority class).
+    "ml_logreg_gd" -> ((s, d) => {
+      val raw = Tables(s, d, "events").groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "view", 1))
+            .cast("double").as("v"),
+          count(when(col("event_type") === "click", 1))
+            .cast("double").as("c"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            col("value"))), lit(0.0)).as("pv"))
+      val m = raw.agg(avg("v").as("mv"), stddev_samp(col("v")).as("sv"),
+        avg("c").as("mc"), stddev_samp(col("c")).as("sc"),
+        avg("pv").as("mp")).head()
+      val feats = raw.select(
+          ((col("v") - m.getDouble(0)) / m.getDouble(1)).as("x1"),
+          ((col("c") - m.getDouble(2)) / m.getDouble(3)).as("x2"),
+          when(col("pv") > m.getDouble(4), 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint()
+      val nRows = feats.count().toDouble
+      var w = Array(0.0, 0.0, 0.0) // bias, w1, w2
+      var loss = Double.MaxValue
+      val lr = 0.5
+      for (_ <- 1 to 25) {
+        val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val g = feats.select(p.as("p"), col("y"), col("x1"), col("x2"))
+          .agg(sum(col("p") - col("y")).as("g0"),
+            sum((col("p") - col("y")) * col("x1")).as("g1"),
+            sum((col("p") - col("y")) * col("x2")).as("g2"),
+            sum(-col("y") * log(col("p"))
+              - (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))
+              .as("l"))
+          .head()
+        w = Array(w(0) - lr * g.getDouble(0) / nRows,
+          w(1) - lr * g.getDouble(1) / nRows,
+          w(2) - lr * g.getDouble(2) / nRows)
+        loss = g.getDouble(3) / nRows
+      }
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val acc = feats
+        .agg(avg(when((z > 0) === (col("y") > 0.5), 1.0)
+          .otherwise(0.0)).as("a")).head().getDouble(0)
+      import s.implicits._
+      Seq(("bias", w(0)), ("w_views", w(1)), ("w_clicks", w(2)),
+        ("final_loss", loss), ("accuracy", acc))
+        .toDF("coef", "value")
+        .select(col("coef"), round(col("value"), 4).as("value"))
+        .orderBy("coef")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "feat_target_encode" ->
+      """WITH j AS (SELECT c.c_mktsegment seg, o.o_totalprice y
+        |           FROM orders o JOIN customer c ON o_custkey=c_custkey),
+        |g AS (SELECT avg(y) AS gm FROM j)
+        |SELECT seg, count(*) AS n,
+        |  ROUND((SUM(y) + 50*gm)/(count(*) + 50), 4) AS enc
+        |FROM j, g GROUP BY seg, gm ORDER BY seg""".stripMargin,
+    "feat_binning" ->
+      """WITH b AS (SELECT o_totalprice x,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders)
+        |SELECT bin, count(*) n, ROUND(min(x),2) lo, ROUND(max(x),2) hi,
+        |  ROUND(avg(x),4) m
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "feat_hash_trick" ->
+      """WITH h AS (SELECT CAST(
+        |    ('0x'||substr(md5(c_mktsegment||':'||
+        |      CAST(c_nationkey AS VARCHAR)),1,8))::UBIGINT % 64
+        |    AS BIGINT) AS bucket FROM customer)
+        |SELECT bucket, count(*) n FROM h
+        |GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

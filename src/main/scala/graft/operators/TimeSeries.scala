@@ -65,6 +65,104 @@ object TimeSeries extends QueryGroup {
         .orderBy("user_id", "day_no")
     }),
 
+    // Gap repair for model-ready series: the ts_resample grid carrying
+    // BOTH standard fills — locf (nearest prior observation, backfill
+    // only at the leading edge) and linear interpolation between the
+    // bracketing observations. The fill windows run over the dense
+    // grid (users × days — derived data, tiny), never the raw stream;
+    // the stream collapses through one partial-agg shuffle first, so
+    // the expensive side is touched once regardless of span length.
+    "ts_interpolate" -> ((s, d) => {
+      val p = purchases(s, d).filter(col("user_id") < 10)
+        .groupBy("user_id", "day")
+        .agg(round(sum("value"), 4).as("sv"))
+        .localCheckpoint()
+      val days = p.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+      val users = p.select("user_id").distinct()
+      val grid = users.crossJoin(broadcast(days))
+        .join(p, Seq("user_id", "day"), "left")
+      val wB = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid
+        .withColumn("pv", last(col("sv"), ignoreNulls = true).over(wB))
+        .withColumn("pd", last(when(col("sv").isNotNull, col("day")),
+          ignoreNulls = true).over(wB))
+        .withColumn("nv", first(col("sv"), ignoreNulls = true).over(wF))
+        .withColumn("nd", first(when(col("sv").isNotNull, col("day")),
+          ignoreNulls = true).over(wF))
+        .select(col("user_id"),
+          unix_date(col("day")).cast("long").as("day_no"),
+          coalesce(col("sv"), col("pv"), col("nv")).as("locf"),
+          round(when(col("sv").isNotNull, col("sv"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * datediff(col("day"), col("pd")).cast("double")
+              / datediff(col("nd"), col("pd")).cast("double")), 4)
+            .as("interp"))
+        .orderBy("user_id", "day_no")
+    }),
+
+    // Trailing-7-day DISTINCT active users per day. Sliding distinct
+    // has no partial-agg shortcut (distinct doesn't decompose over
+    // overlapping frames); the scalable shape is coverage expansion:
+    // collapse the stream to DISTINCT (user, day) first (map-side
+    // partial distinct), then each active day covers itself and the
+    // next 6 — a 7× blowup of the already-tiny distinct set, re-deduped
+    // by one (day ⇒ user) distinct-agg shuffle. The raw event rate
+    // never meets a window sort.
+    "win_rolling_distinct" -> ((s, d) => {
+      val a = Tables(s, d, "events")
+        .select(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+        .distinct()
+        .localCheckpoint() // consumed twice: span bounds + coverage
+      val span = a.agg(min("day_no").as("d0"), max("day_no").as("d1"))
+      a.select(col("user_id"), col("day_no"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .withColumn("cd", col("day_no") + col("off"))
+        .crossJoin(broadcast(span))
+        .filter(col("cd").between(col("d0"), col("d1")))
+        .groupBy(col("cd").as("day_no"))
+        .agg(countDistinct("user_id").as("d7_users"))
+        .orderBy("day_no")
+    }),
+
+    // Marketing attribution: each purchase credits the view/click
+    // touches of the same user in the trailing 7 days — last-touch
+    // (whole conversion to the latest touch, event_id tiebreak on ts
+    // collisions) and linear (1/n to each of the n touches) in one
+    // pass. The touch↔conversion pairing is an equi-join on user with
+    // a range residual (bounded per-user fan-out), then ONE window
+    // partitioned by conversion computes both n and the latest flag —
+    // conversions are millions of small groups, so the sort shuffles
+    // evenly at scale.
+    "win_attribution" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("cid"), col("user_id"),
+          col("ts").as("cts"))
+      val tch = e.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("tid"), col("user_id"),
+          col("ts").as("tts"), col("event_type").as("ch"))
+      val j = conv.join(tch, Seq("user_id"))
+        .filter(col("tts") <= col("cts")
+          && col("tts") > col("cts") - expr("interval 7 days"))
+      val wc = Window.partitionBy("cid")
+      val wr = Window.partitionBy("cid")
+        .orderBy(col("tts").desc, col("tid").desc)
+      j.withColumn("n", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(wr))
+        .groupBy("ch")
+        .agg(count(when(col("rn") === 1, 1)).as("last_touch"),
+          round(sum(lit(1.0) / col("n")), 4).as("linear_credit"))
+        .orderBy("ch")
+    }),
+
     // Gaps-and-islands: consecutive-active-day streaks per user. The
     // classic `day - row_number()` island key groups each maximal run;
     // one distinct, one bounded window, two hash aggs.
@@ -236,6 +334,63 @@ object TimeSeries extends QueryGroup {
         |FROM users u CROSS JOIN days2 d
         |LEFT JOIN agg a ON a.user_id = u.user_id AND a.day = d.day
         |ORDER BY u.user_id, day_no""".stripMargin,
+    "ts_interpolate" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    ROUND(SUM(value),4) AS sv
+        |  FROM events WHERE event_type='purchase' AND user_id<10
+        |  GROUP BY 1,2),
+        |span AS (SELECT min(day) d0, max(day) d1 FROM p),
+        |days AS (SELECT CAST(unnest(generate_series(d0,d1,INTERVAL 1 DAY))
+        |                AS DATE) AS day FROM span),
+        |users AS (SELECT DISTINCT user_id FROM p),
+        |grid AS (SELECT u.user_id, d.day, p.sv
+        |         FROM users u CROSS JOIN days d
+        |         LEFT JOIN p ON p.user_id=u.user_id AND p.day=d.day),
+        |f AS (SELECT user_id, day, sv,
+        |       last_value(sv IGNORE NULLS) OVER w AS pv,
+        |       last_value(CASE WHEN sv IS NOT NULL THEN day END
+        |                  IGNORE NULLS) OVER w AS pd,
+        |       first_value(sv IGNORE NULLS) OVER w2 AS nv,
+        |       first_value(CASE WHEN sv IS NOT NULL THEN day END
+        |                   IGNORE NULLS) OVER w2 AS nd
+        |      FROM grid WINDOW
+        |        w AS (PARTITION BY user_id ORDER BY day
+        |              ROWS UNBOUNDED PRECEDING),
+        |        w2 AS (PARTITION BY user_id ORDER BY day
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, EPOCH_US(CAST(day AS TIMESTAMP))//86400000000
+        |    AS day_no,
+        |  COALESCE(sv, pv, nv) AS locf,
+        |  ROUND(CASE WHEN sv IS NOT NULL THEN sv
+        |        WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |        ELSE pv + (nv-pv)*CAST(day-pd AS DOUBLE)
+        |                 /CAST(nd-pd AS DOUBLE) END, 4) AS interp
+        |FROM f ORDER BY user_id, day_no""".stripMargin,
+    "win_rolling_distinct" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP))//86400000000 AS day_no
+        |  FROM events),
+        |span AS (SELECT min(day_no) d0, max(day_no) d1 FROM a),
+        |cov AS (SELECT user_id,
+        |          day_no + unnest(generate_series(0,6)) AS cd FROM a)
+        |SELECT cd AS day_no, count(DISTINCT user_id) AS d7_users
+        |FROM cov, span WHERE cd BETWEEN d0 AND d1
+        |GROUP BY cd ORDER BY cd""".stripMargin,
+    "win_attribution" ->
+      """WITH conv AS (SELECT event_id cid, user_id, ts cts FROM events
+        |              WHERE event_type='purchase'),
+        |tch AS (SELECT event_id tid, user_id, ts tts, event_type ch
+        |        FROM events WHERE event_type IN ('view','click')),
+        |j AS (SELECT c.cid, t.tid, t.ch, t.tts FROM conv c JOIN tch t
+        |      ON c.user_id=t.user_id AND t.tts <= c.cts
+        |         AND t.tts > c.cts - INTERVAL 7 DAY),
+        |sc AS (SELECT cid, ch,
+        |         count(*) OVER (PARTITION BY cid) AS n,
+        |         row_number() OVER (PARTITION BY cid
+        |           ORDER BY tts DESC, tid DESC) AS rn FROM j)
+        |SELECT ch, count(*) FILTER (rn=1) AS last_touch,
+        |  ROUND(SUM(CAST(1 AS DOUBLE)/n),4) AS linear_credit
+        |FROM sc GROUP BY ch ORDER BY ch""".stripMargin,
     "win_streaks" ->
       """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |           FROM events WHERE event_type = 'purchase'),
