@@ -23,6 +23,36 @@ import org.apache.spark.sql.types._
 object ScalarFns extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
+
+    // Geo scalar family: haversine distance + initial bearing from a
+    // fixed reference point to per-nation coordinates derived from the
+    // key by integer arithmetic (the fixtures carry no geo columns, and
+    // integer-derived doubles are bit-identical cross-engine so the
+    // trig pipeline itself is what the oracle checks). Pure codegen'd
+    // projection — no shuffle, no UDF; sin/cos/asin/atan2 all
+    // whole-stage-codegen built-ins.
+    "fn_geo_haversine" -> ((s, d) => {
+      val pts = Tables(s, d, "nation").select(
+        col("n_nationkey"), col("n_name"),
+        ((col("n_nationkey") * 7 % 180).cast("double") - 90 + 0.5)
+          .as("lat"),
+        ((col("n_nationkey") * 13 % 360).cast("double") - 180 + 0.5)
+          .as("lon"))
+      val g = pts.select(col("n_nationkey"), col("n_name"),
+        col("lat"), col("lon"),
+        radians(col("lat")).as("rlat"), radians(lit(48.85)).as("rlat0"),
+        radians(col("lat") - 48.85).as("dlat"),
+        radians(col("lon") - 2.35).as("dlon"))
+      g.select(col("n_nationkey"), col("n_name"), col("lat"), col("lon"),
+          round(lit(2) * 6371.0 * asin(sqrt(pow(sin(col("dlat") / 2), 2)
+            + cos(col("rlat0")) * cos(col("rlat"))
+              * pow(sin(col("dlon") / 2), 2))), 4).as("dist_km"),
+          round((degrees(atan2(sin(col("dlon")) * cos(col("rlat")),
+            cos(col("rlat0")) * sin(col("rlat"))
+              - sin(col("rlat0")) * cos(col("rlat")) * cos(col("dlon"))))
+            + 360) % 360, 4).as("bearing"))
+        .orderBy("n_nationkey")
+    }),
     // data masking: mask() redacts by character class (upper→X, lower→x,
     // digit→n) — the column-level anonymization companion to
     // text_pii_scrub's pattern-level redaction.
@@ -292,6 +322,22 @@ object ScalarFns extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_geo_haversine" ->
+      """WITH pts AS (SELECT n_nationkey, n_name,
+        |    CAST(n_nationkey*7 % 180 AS DOUBLE) - 90 + 0.5 AS lat,
+        |    CAST(n_nationkey*13 % 360 AS DOUBLE) - 180 + 0.5 AS lon
+        |  FROM nation),
+        |g AS (SELECT n_nationkey, n_name, lat, lon,
+        |    radians(lat) AS rlat, radians(48.85) AS rlat0,
+        |    radians(lat - 48.85) AS dlat, radians(lon - 2.35) AS dlon
+        |  FROM pts)
+        |SELECT n_nationkey, n_name, lat, lon,
+        |  ROUND(2*6371.0*asin(sqrt(pow(sin(dlat/2),2)
+        |    + cos(rlat0)*cos(rlat)*pow(sin(dlon/2),2))), 4) AS dist_km,
+        |  ROUND((degrees(atan2(sin(dlon)*cos(rlat),
+        |    cos(rlat0)*sin(rlat) - sin(rlat0)*cos(rlat)*cos(dlon)))
+        |    + 360) % 360, 4) AS bearing
+        |FROM g ORDER BY n_nationkey""".stripMargin,
     "fn_mask" ->
       """SELECT c_custkey,
         | REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(c_name,

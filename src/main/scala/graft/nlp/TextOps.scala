@@ -95,6 +95,62 @@ object TextOps extends QueryGroup {
         .orderBy("lang", "rn")
     }),
 
+    // PMI collocation mining: which adjacent token pairs co-occur more
+    // than their unigram frequencies predict — the association score
+    // behind phrase detection (word2vec-style phrasing, collocation
+    // dictionaries). Pair counts collapse through ONE shuffle to the
+    // vocab²-bounded bigram table; unigram marginals and the corpus
+    // total derive from THAT tiny table (checkpointed — consumed four
+    // times), so the corpus is scanned exactly once regardless of size.
+    "nlp_pmi" -> ((s, d) => {
+      val bc = docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("pair", explode(expr(
+          """transform(slice(sequence(1, size(tokens)), 1,
+            |                greatest(size(tokens) - 1, 0)),
+            |  i -> struct(element_at(tokens, i) AS w1,
+            |              element_at(tokens, i + 1) AS w2))"""
+            .stripMargin)))
+        .select(col("pair.w1").as("w1"), col("pair.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("nab"))
+        .localCheckpoint()
+      val tot = bc.agg(sum("nab").cast("double").as("tb"))
+      val u1 = bc.groupBy(col("w1").as("w"))
+        .agg(sum("nab").cast("double").as("nw1"))
+      val u2 = bc.groupBy(col("w2").as("w"))
+        .agg(sum("nab").cast("double").as("nw2"))
+      bc.join(broadcast(u1), col("w1") === u1("w")).drop("w")
+        .join(broadcast(u2), col("w2") === u2("w")).drop("w")
+        .crossJoin(broadcast(tot))
+        .filter(col("nab") >= 20)
+        .select(col("w1"), col("w2"), col("nab"),
+          round(log((col("nab") / col("tb"))
+            / ((col("nw1") / col("tb")) * (col("nw2") / col("tb")))), 4)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(40)
+    }),
+
+    // Zipf-law fit over the term-frequency ranking: regress ln(freq)
+    // on ln(rank) for the top-100 terms. Term counts are one
+    // partial-agg shuffle; the global rank window runs over the
+    // vocab-sized aggregate only (never the corpus), and the fit
+    // itself is a built-in regr_* aggregate — corpus-shape diagnostics
+    // as a 1-row output.
+    "text_zipf_fit" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val w = Window.orderBy(col("f").desc, col("term"))
+      tf.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+        .agg(round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
+          round(expr("regr_intercept(ln(f), ln(r))"), 4).as("zipf_icpt"),
+          count(lit(1)).as("n_terms"))
+    }),
+
     "nlp_lang_stats" -> ((s, d) => {
       docs(s, d).groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -530,6 +586,35 @@ object TextOps extends QueryGroup {
         |          FROM documents) AS g
         |        GROUP BY lang, bigram) counted) ranked
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "nlp_pmi" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts
+        |             FROM documents),
+        |big AS (SELECT unnest(ts[1:len(ts)-1]) AS w1,
+        |               unnest(ts[2:len(ts)]) AS w2 FROM tok),
+        |bc AS (SELECT w1, w2, count(*) nab FROM big
+        |       WHERE w1<>'' AND w2<>'' GROUP BY 1,2),
+        |tot AS (SELECT CAST(SUM(nab) AS DOUBLE) AS tb FROM bc),
+        |u1 AS (SELECT w1 AS w, CAST(SUM(nab) AS DOUBLE) AS nw1
+        |       FROM bc GROUP BY 1),
+        |u2 AS (SELECT w2 AS w, CAST(SUM(nab) AS DOUBLE) AS nw2
+        |       FROM bc GROUP BY 1)
+        |SELECT w1, w2, nab,
+        |  ROUND(ln((nab/tb) / ((u1.nw1/tb)*(u2.nw2/tb))), 4) AS pmi
+        |FROM bc, tot
+        |JOIN u1 ON u1.w=w1 JOIN u2 ON u2.w=w2
+        |WHERE nab >= 20
+        |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT term, count(*) f FROM tok WHERE term<>''
+        |       GROUP BY 1),
+        |rk AS (SELECT term, f,
+        |         row_number() OVER (ORDER BY f DESC, term) r FROM tf)
+        |SELECT ROUND(regr_slope(ln(f), ln(r)),4) AS zipf_slope,
+        |       ROUND(regr_intercept(ln(f), ln(r)),4) AS zipf_icpt,
+        |       count(*) AS n_terms
+        |FROM rk WHERE r <= 100""".stripMargin,
     "nlp_lang_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

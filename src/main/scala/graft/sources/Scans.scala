@@ -92,6 +92,37 @@ object Scans extends QueryGroup {
     // Malformed-input tolerance — what a 100 TB crawl ingest actually
     // hits: rows with wrong arity / unparseable numerics must be
     // quarantined, not kill the job and not silently vanish. One
+    // Opaque-binary ingest via the binaryFile source — the multimodal
+    // front door: Spark lists the directory, reads each object whole
+    // into a `binary` column with path/length metadata, and everything
+    // downstream (digests here; decode/feature-extraction in mm_*) is a
+    // per-file projection. One tiny deterministic text file per region
+    // (sorted nation names) is laid down driver-side — fixture setup,
+    // like the CSV round-trips — and the oracle RECONSTRUCTS each
+    // file's bytes relationally, so content, size, and md5 must all
+    // survive the binary path untouched. At 100 TB this is the same
+    // listing-parallel scan Spark uses for image/audio corpora;
+    // pathGlobFilter keeps non-data markers out of the frame.
+    "scan_binaryfile" -> ((s, d) => {
+      val dir = Tables.scratch(d, "region_blobs")
+      new java.io.File(dir).mkdirs()
+      val byRegion = Tables(s, d, "nation")
+        .select("n_regionkey", "n_name").collect()
+        .groupBy(_.getInt(0))
+      byRegion.foreach { case (rk, rows) =>
+        val content = rows.map(_.getString(1)).sorted.mkString("\n")
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"r$rk.txt").toPath,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length"), md5(col("content")).as("digest"))
+        .orderBy("fname")
+    }),
+
     // deterministic CSV (every 7th row corrupted two ways) read under
     // both recovery modes; output is the per-mode accounting a pipeline
     // would alert on. PERMISSIVE + columnNameOfCorruptRecord keeps the
@@ -406,6 +437,16 @@ object Scans extends QueryGroup {
     "scan_csv_schema" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // reconstructs each blob's bytes from the relational source — the
+    // binary scan must round-trip content (md5), size, and naming
+    "scan_binaryfile" ->
+      """WITH cont AS (SELECT n_regionkey,
+        |    string_agg(n_name, chr(10) ORDER BY n_name) AS content
+        |  FROM nation GROUP BY 1)
+        |SELECT 'r'||CAST(n_regionkey AS VARCHAR)||'.txt' AS fname,
+        |  CAST(length(content) AS BIGINT) AS length,
+        |  md5(content) AS digest
+        |FROM cont ORDER BY fname""".stripMargin,
     "scan_json_lines" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_partition_prune" ->

@@ -105,7 +105,9 @@ class PlanSpec extends SparkSpec {
       // day-span list); win_rolling_distinct / feat_target_encode
       // broadcast-crossjoin a 1-row derived agg (scalar-subquery
       // pattern, like nlp_tfidf).
-      "ts_interpolate", "win_rolling_distinct", "feat_target_encode")
+      "ts_interpolate", "win_rolling_distinct", "feat_target_encode",
+      // nlp_pmi broadcast-crossjoins its 1-row corpus-total aggregate
+      "nlp_pmi")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
