@@ -16,6 +16,7 @@ object InventoryDump {
     "E. Windows / sort / limit / set ops" -> operators.Windows,
     "E2. Composite analytics (TPC-H shapes)" -> operators.Analytics,
     "E3. Time series (resample / streaks / anomaly)" -> operators.TimeSeries,
+    "E4. Feature engineering / in-engine training" -> operators.FeatureOps,
     "F. Scalar function families" -> functions.ScalarFns,
     "G. Catalog / DDL / metadata transfer" -> catalog.DdlQueries,
     "H. Streaming" -> streaming.StreamOps,
