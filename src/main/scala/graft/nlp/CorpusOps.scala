@@ -137,6 +137,58 @@ object CorpusOps extends QueryGroup {
     labels
   }
 
+  /** Token-boundary-safe merge pattern for the pair (a, b). Lookaround
+    * (not capture) so adjacent merge sites don't consume each other's
+    * separator — `x y x y` must merge twice. */
+  private def bpePattern(a: String, b: String): String =
+    "(?<=^| )" + java.util.regex.Pattern.quote(a) +
+      " " + java.util.regex.Pattern.quote(b) + "(?= |$)"
+
+  /** BPE merge-table trainer shared by text_bpe_merges (the table) and
+    * text_bpe_encode (its application): `rounds` greedy rounds, each one
+    * pair-count job (tie broken lexicographically) then a corpus-wide
+    * merge rewrite. */
+  private def trainBpe(s: SparkSession, d: String,
+      rounds: Int = 10): Seq[(Int, String, Long)] = {
+    var corpus = docs(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = corpus
+        // toks as a materialized projection: element_at(toks, i)
+        // reads the row value — inlining split(text) into the lambda
+        // would re-split once per ELEMENT (O(n²) per doc; measured
+        // 10× on the fixture corpus)
+        .withColumn("toks", split(col("text"), " "))
+        .select(explode(expr(
+          """transform(
+            |  slice(sequence(1, size(toks)), 1,
+            |        greatest(size(toks) - 1, 0)),
+            |  i -> concat(element_at(toks, i), ' ',
+            |              element_at(toks, i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect().headOption
+      top match {
+        case None => exhausted = true // every doc down to one token
+        case Some(row) =>
+          val (pair, n) = (row.getString(0), row.getLong(1))
+          merges += ((r, pair, n))
+          val Array(a, b) = pair.split(" ", 2)
+          // per-round checkpoint measured FASTER (4.3 s) than letting
+          // the linear regex lineage replay (6.4 s at sf0.1): each
+          // un-checkpointed count job re-runs all prior rounds'
+          // regexes
+          corpus = corpus.withColumn("text",
+            regexp_replace(col("text"), bpePattern(a, b), a + "_" + b))
+            .localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // near-dup clusters: the ngram-Jaccard pair list (the already-oracled
@@ -414,48 +466,35 @@ object CorpusOps extends QueryGroup {
     // No SQL oracle (iterative argmax); CurationOpsSpec replays all 10
     // rounds in plain Scala and requires the identical merge table.
     "text_bpe_merges" -> ((s, d) => {
-      val rounds = 10
-      var corpus = docs(s, d).select(col("doc_id"), col("text"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Int, String, Long)]
-      var exhausted = false
-      for (r <- 1 to rounds if !exhausted) {
-        val top = corpus
-          // toks as a materialized projection: element_at(toks, i)
-          // reads the row value — inlining split(text) into the lambda
-          // would re-split once per ELEMENT (O(n²) per doc; measured
-          // 10× on the fixture corpus)
-          .withColumn("toks", split(col("text"), " "))
-          .select(explode(expr(
-            """transform(
-              |  slice(sequence(1, size(toks)), 1,
-              |        greatest(size(toks) - 1, 0)),
-              |  i -> concat(element_at(toks, i), ' ',
-              |              element_at(toks, i + 1)))"""
-              .stripMargin)).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair").asc)
-          .limit(1).collect().headOption
-        top match {
-          case None => exhausted = true // every doc down to one token
-          case Some(row) =>
-            val (pair, n) = (row.getString(0), row.getLong(1))
-            merges += ((r, pair, n))
-            val Array(a, b) = pair.split(" ", 2)
-            val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) +
-              " " + java.util.regex.Pattern.quote(b) + "(?= |$)"
-            // per-round checkpoint measured FASTER (4.3 s) than letting
-            // the linear regex lineage replay (6.4 s at sf0.1): each
-            // un-checkpointed count job re-runs all prior rounds'
-            // regexes
-            corpus = corpus.withColumn("text",
-              regexp_replace(col("text"), pat, a + "_" + b))
-              .localCheckpoint()
-        }
-      }
       import s.implicits._
-      merges.result().toDF("merge_rank", "pair", "n_occurrences")
+      trainBpe(s, d).toDF("merge_rank", "pair", "n_occurrences")
         .orderBy("merge_rank")
+    }),
+
+    // Tokenizer APPLICATION: encode the corpus with the merge table the
+    // trainer produced. Training needs a driver-synced count per round;
+    // encoding does NOT — the whole merge sequence composes into ONE
+    // nested-regexp projection (zero shuffles, zero checkpoints, one
+    // corpus scan), which is why serving a tokenizer is cheap at 100 TB
+    // even when training it is not. Per-doc before/after token counts;
+    // CurationOpsSpec pins the conservation law (total reduction ==
+    // Σ trainer occurrence counts) and the fixpoint law (re-encoding
+    // changes nothing). No oracle: the merge regex needs lookaround,
+    // which DuckDB's RE2 cannot express.
+    "text_bpe_encode" -> ((s, d) => {
+      val merges = trainBpe(s, d)
+      val encoded = merges.foldLeft(col("text")) {
+        case (c, (_, pair, _)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          regexp_replace(c, bpePattern(a, b), a + "_" + b)
+      }
+      docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_raw"),
+          size(split(encoded, " ")).cast("long").as("n_bpe"))
+        .withColumn("ratio",
+          round(col("n_bpe").cast("double") / col("n_raw"), 4))
+        .orderBy("doc_id")
     }),
 
     // Per-doc unigram Shannon entropy (low entropy = repetitive/

@@ -182,6 +182,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected, s"merge tables diverge:\n$got\nvs\n$expected")
   }
 
+  test("text_bpe_encode matches a plain-Scala application and shrinks") {
+    val merges = run("text_bpe_merges").collect()
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(_.getAs[String]("pair"))
+    val got = run("text_bpe_encode").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_raw"), r.getAs[Long]("n_bpe"))).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      // greedy left-to-right non-overlapping, rank order — the same
+      // semantics the trainer's regex rewrite applies
+      val enc = merges.foldLeft(text.split(" ").toSeq) { (w, pair) =>
+        val Array(a, b) = pair.split(" ", 2)
+        val out = collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+            out += a + "_" + b; i += 2
+          } else { out += w(i); i += 1 }
+        }
+        out.toSeq
+      }
+      val (nRaw, nBpe) = got(id)
+      assert(nRaw == text.split(" ").length.toLong,
+        s"doc $id raw count drifted")
+      assert(nBpe == enc.length.toLong,
+        s"doc $id: engine encoded to $nBpe tokens, replay got ${enc.length}")
+      assert(nBpe <= nRaw, s"doc $id gained tokens under BPE")
+    }
+    assert(got.values.exists { case (r, b) => b < r },
+      "no document shrank — merges never applied")
+  }
+
   test("dedup_semantic drops only injected copies, never originals") {
     val rows = run("dedup_semantic").collect()
     val drops = rows.filter(_.getAs[String]("status") == "drop")
