@@ -276,6 +276,57 @@ object TimeSeries extends QueryGroup {
         .orderBy("event_type", "day_no")
     }),
 
+    // Lag-k autocorrelation (k = 1..3) of each type's daily series —
+    // the seasonality/momentum diagnostic run before picking a
+    // forecasting model. Stream collapses to daily bars first (one
+    // partial-agg shuffle); the lag window and the corr aggregates run
+    // over bars only. One window + one agg produce all three lags
+    // (stack unpivots the wide agg) — not three passes.
+    "ts_autocorr" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+        .agg(round(sum("value"), 4).as("sv"))
+      val w = Window.partitionBy("event_type").orderBy("day_no")
+      val lagged = daily
+        .withColumn("l1", lag("sv", 1).over(w))
+        .withColumn("l2", lag("sv", 2).over(w))
+        .withColumn("l3", lag("sv", 3).over(w))
+      lagged.groupBy("event_type")
+        .agg(round(corr("sv", "l1"), 4).as("ac1"), count("l1").as("n1"),
+          round(corr("sv", "l2"), 4).as("ac2"), count("l2").as("n2"),
+          round(corr("sv", "l3"), 4).as("ac3"), count("l3").as("n3"))
+        .select(col("event_type"), expr(
+          "stack(3, 1, ac1, n1, 2, ac2, n2, 3, ac3, n3) AS (lag, ac, n)"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // CUSUM changepoint detection: the day where the cumulative
+    // deviation from the per-type mean peaks — the classic level-shift
+    // locator. Mean via partial-agg broadcast (the anomaly_zscore
+    // discipline, no giant sort partition for the mean); the running
+    // sum and the argmax run over daily bars. Tiebreak: rounded
+    // magnitude first, then earliest day — engine-stable.
+    "ts_changepoint" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+        .agg(round(sum("value"), 4).as("sv"))
+      val m = daily.groupBy("event_type").agg(avg("sv").as("mu"))
+      val wRun = Window.partitionBy("event_type").orderBy("day_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = daily.join(broadcast(m), "event_type")
+        .withColumn("cusum", sum(col("sv") - col("mu")).over(wRun))
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(round(abs(col("cusum")), 4).desc, col("day_no"))
+      cs.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day_no"),
+          round(abs(col("cusum")), 4).as("mag"),
+          round(col("cusum"), 4).as("cusum"))
+        .orderBy("event_type")
+    }),
+
     // Per-type z-score outliers. Moments via groupBy (partial-agg, 5
     // output rows) broadcast back — the whole-partition-window
     // formulation would sort 1/5th of the corpus per task at scale.
@@ -454,6 +505,40 @@ object TimeSeries extends QueryGroup {
         |  ROUND(median(sv) OVER (PARTITION BY event_type ORDER BY day_no
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
         |FROM daily ORDER BY event_type, day_no""".stripMargin,
+    "ts_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP))//86400000000 AS day_no,
+        |    ROUND(SUM(value),4) AS sv
+        |  FROM events GROUP BY 1,2),
+        |lagged AS (SELECT event_type, sv,
+        |    lag(sv,1) OVER w AS l1, lag(sv,2) OVER w AS l2,
+        |    lag(sv,3) OVER w AS l3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type
+        |                          ORDER BY day_no))
+        |SELECT event_type, 1 AS lag, ROUND(corr(sv,l1),4) AS ac,
+        |       count(l1) AS n FROM lagged GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 2, ROUND(corr(sv,l2),4), count(l2)
+        |FROM lagged GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 3, ROUND(corr(sv,l3),4), count(l3)
+        |FROM lagged GROUP BY 1
+        |ORDER BY event_type, lag""".stripMargin,
+    "ts_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP))//86400000000 AS day_no,
+        |    ROUND(SUM(value),4) AS sv
+        |  FROM events GROUP BY 1,2),
+        |m AS (SELECT event_type, avg(sv) AS mu FROM daily GROUP BY 1),
+        |cs AS (SELECT d.event_type, day_no,
+        |    SUM(sv - mu) OVER (PARTITION BY d.event_type ORDER BY day_no
+        |      ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM daily d JOIN m ON d.event_type = m.event_type)
+        |SELECT event_type, day_no, ROUND(abs(cusum),4) AS mag,
+        |  ROUND(cusum,4) AS cusum
+        |FROM cs QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY ROUND(abs(cusum),4) DESC, day_no) = 1
+        |ORDER BY event_type""".stripMargin,
     "ts_seasonal_resid" ->
       """WITH prof AS (
         |  SELECT event_type,
