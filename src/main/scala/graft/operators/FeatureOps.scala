@@ -85,6 +85,63 @@ object FeatureOps extends QueryGroup {
         .orderBy("bucket")
     }),
 
+    // Negative sampling for recommender/embedding training: per
+    // customer, k=4 candidate parts drawn by portable hash arithmetic
+    // (md5 → key space), minus the ones actually ordered — the
+    // label-0 rows every two-tower/matrix-factorization fit needs.
+    // Candidates are a map-side projection (no shuffle to generate);
+    // the positives side collapses to DISTINCT (cust, part) partials
+    // before the anti-join, which is the only shuffle. Collisions with
+    // positives are dropped, not resampled — the standard fixed-
+    // candidate scheme (slot count > needed negatives).
+    "sample_negative" -> ((s, d) => {
+      val pos = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .distinct()
+      val mx = Tables(s, d, "part").agg(max("p_partkey").as("mpk"))
+      val cand = Tables(s, d, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          explode(sequence(lit(0), lit(3))).as("slot"))
+        .crossJoin(broadcast(mx))
+        .withColumn("pk", conv(substring(md5(
+            concat(col("c_custkey").cast("string"), lit(":"),
+              col("slot").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % (col("mpk") + 1))
+      cand.join(pos,
+          cand("c_custkey") === pos("ck") && cand("pk") === pos("pk"),
+          "left_anti")
+        .select(col("c_custkey"), col("slot"),
+          col("pk").as("neg_partkey"))
+        .orderBy("c_custkey", "slot")
+    }),
+
+    // The three standard scalers side by side — z-score, min-max,
+    // robust (median/IQR) — as one broadcast-stats projection. The
+    // stats row is ONE partial-agg reduce; exact percentile sorts
+    // within the agg (fine to ~memory scale; the 100 TB swap is
+    // approx_percentile, same plan shape). Scaled output is pure
+    // codegen'd arithmetic.
+    "feat_scaling" -> ((s, d) => {
+      val cu = Tables(s, d, "customer")
+      val st = cu.agg(avg("c_acctbal").as("m"),
+        stddev_samp(col("c_acctbal")).as("sd"),
+        min("c_acctbal").as("lo"), max("c_acctbal").as("hi"),
+        expr("percentile(c_acctbal, 0.25)").as("q1"),
+        expr("percentile(c_acctbal, 0.5)").as("q2"),
+        expr("percentile(c_acctbal, 0.75)").as("q3"))
+      cu.filter(col("c_custkey") <= 200).crossJoin(broadcast(st))
+        .select(col("c_custkey"),
+          round((col("c_acctbal") - col("m")) / col("sd"), 4).as("z"),
+          round((col("c_acctbal") - col("lo"))
+            / (col("hi") - col("lo")), 4).as("mm"),
+          round((col("c_acctbal") - col("q2"))
+            / (col("q3") - col("q1")), 4).as("rob"))
+        .orderBy("c_custkey")
+    }),
+
     // Distributed logistic regression by full-batch gradient descent:
     // predict whether a user's total purchase value lands above the
     // global mean from their view/click counts. Features standardize
@@ -160,6 +217,34 @@ object FeatureOps extends QueryGroup {
         |SELECT bin, count(*) n, ROUND(min(x),2) lo, ROUND(max(x),2) hi,
         |  ROUND(avg(x),4) m
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "sample_negative" ->
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS ck,
+        |    l.l_partkey AS pk
+        |  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+        |mx AS (SELECT max(p_partkey) AS mpk FROM part),
+        |cand AS (SELECT c_custkey, CAST(slot AS INTEGER) AS slot,
+        |    CAST(('0x'||substr(md5(CAST(c_custkey AS VARCHAR)||':'||
+        |      CAST(slot AS VARCHAR)),1,8))::UBIGINT % (mpk+1)
+        |      AS BIGINT) AS pk
+        |  FROM customer, mx,
+        |    (SELECT unnest(generate_series(0,3)) AS slot)
+        |  WHERE c_custkey < 100)
+        |SELECT c_custkey, slot, pk AS neg_partkey
+        |FROM cand WHERE NOT EXISTS (SELECT 1 FROM pos
+        |  WHERE pos.ck=cand.c_custkey AND pos.pk=cand.pk)
+        |ORDER BY c_custkey, slot""".stripMargin,
+    "feat_scaling" ->
+      """WITH st AS (SELECT avg(c_acctbal) m, stddev_samp(c_acctbal) sd,
+        |    min(c_acctbal) lo, max(c_acctbal) hi,
+        |    quantile_cont(c_acctbal, 0.25) q1,
+        |    quantile_cont(c_acctbal, 0.5) q2,
+        |    quantile_cont(c_acctbal, 0.75) q3 FROM customer)
+        |SELECT c_custkey,
+        |  ROUND((c_acctbal - m)/sd, 4) AS z,
+        |  ROUND((c_acctbal - lo)/(hi - lo), 4) AS mm,
+        |  ROUND((c_acctbal - q2)/(q3 - q1), 4) AS rob
+        |FROM customer, st WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
     "feat_hash_trick" ->
       """WITH h AS (SELECT CAST(
         |    ('0x'||substr(md5(c_mktsegment||':'||

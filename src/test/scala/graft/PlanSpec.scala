@@ -107,7 +107,10 @@ class PlanSpec extends SparkSpec {
       // pattern, like nlp_tfidf).
       "ts_interpolate", "win_rolling_distinct", "feat_target_encode",
       // nlp_pmi broadcast-crossjoins its 1-row corpus-total aggregate
-      "nlp_pmi")
+      "nlp_pmi",
+      // sample_negative / feat_scaling broadcast-crossjoin a 1-row
+      // stats aggregate (key-space max; scaler moments)
+      "sample_negative", "feat_scaling")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {

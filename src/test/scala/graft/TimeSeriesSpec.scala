@@ -161,6 +161,40 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_interpolate agrees with the raw series on observed days") {
+    val filled = SparkEntry.queries("ts_interpolate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val observed = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .groupBy(col("user_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+      .agg(round(sum("value"), 4).as("sv")).collect()
+    assert(observed.nonEmpty)
+    observed.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val sv = r.getDouble(2)
+      val (locf, interp) = filled(key)
+      assert(locf == sv && math.abs(interp - sv) < 1e-9,
+        s"fill rewrote an observed point at $key: ($locf, $interp) vs $sv")
+    }
+    // the grid is dense: every user carries the full day span
+    val byUser = filled.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byUser.values.toSet.size == 1,
+      s"grid is ragged across users: $byUser")
+  }
+
+  test("win_attribution conserves conversions and credit mass") {
+    val rows = SparkEntry.queries("win_attribution")(spark, sf).collect()
+    val lastTotal = rows.map(_.getAs[Long]("last_touch")).sum
+    val linTotal = rows.map(_.getAs[Double]("linear_credit")).sum
+    // every conversion with >= 1 touch contributes exactly 1 to both
+    // schemes, so the two totals agree (linear up to rounding)
+    assert(lastTotal > 0, "no conversion was attributed")
+    assert(math.abs(linTotal - lastTotal) < 0.01,
+      s"credit mass diverged: last-touch $lastTotal vs linear $linTotal")
+  }
+
   test("stream_anomaly_flag reproduces the batch z-score result") {
     val streamed = SparkEntry.queries("stream_anomaly_flag")(spark, sf)
     val batch = SparkEntry.queries("anomaly_zscore")(spark, sf)
