@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composite analytical queries — TPC-H shapes adapted to the fixture
@@ -128,6 +129,98 @@ object Analytics extends QueryGroup {
           col("sum_qty"))
         .orderBy(col("total_price").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+
+    // Pareto/concentration analysis: how much revenue the top customer
+    // deciles hold — the 80/20 curve every account-planning review
+    // asks for. Per-customer revenue is one partial-agg shuffle; the
+    // ranking window then runs over |customers| rows. Exact global
+    // ranks need a total order (the feat_binning caveat — single sort
+    // partition; the 100 TB swap is approx_percentile rank edges).
+    // cum/total stays UNROUNDED inside the max (monotone along the
+    // window order, so max = last) and rounds only at output.
+    "win_pareto" -> ((s, d) => {
+      val rev = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum("o_totalprice").as("r"))
+      val t = rev.agg(sum("r").as("total"))
+      val ord = Window.orderBy(col("r").desc, col("o_custkey"))
+      val wRun = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      rev
+        .withColumn("cum", sum("r").over(wRun))
+        .withColumn("decile", ntile(10).over(ord))
+        .crossJoin(broadcast(t))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("r"), 2).as("revenue"),
+          round(max(col("cum") / col("total")), 4).as("cum_share"))
+        .orderBy("decile")
+    }),
+
+    // Q9 shape: product-type profit by supplier nation and year — the
+    // widest star in the set (lineitem ⋈ supplier ⋈ part ⋈ orders ⋈
+    // nation). No partsupp fixture, so cost is modeled as 10% of
+    // retail price × quantity (reference TPC-H Q9 uses
+    // ps_supplycost × l_quantity; the join topology — what this key
+    // exercises — is identical). part/supplier/nation broadcast;
+    // orders arrives via its own shuffle; the size filter pushes into
+    // the part scan before the broadcast.
+    "q9_product_profit" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, d, "part").filter(col("p_size") <= 25),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        // per-row double arithmetic is engine-deterministic, but the
+        // SUM over ~1e7-magnitude terms is not (accumulation order) —
+        // cast each term to DECIMAL so the sum is EXACT, then round:
+        // the scaled-integer discipline for big float totals
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - lit(0.1) * col("p_retailprice") * col("l_quantity"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"), 2).as("profit"))
+        .orderBy("nation", "o_year")
+    }),
+
+    // Q21 shape: suppliers who kept multi-supplier orders waiting —
+    // the EXISTS + NOT EXISTS double-correlation, adapted to the
+    // fixture's columns (late = shipped > 60 days after order date;
+    // TPC-H proper uses receipt vs commit dates the fixtures don't
+    // carry). Both correlations become self-joins on orderkey: a
+    // left-semi (some OTHER supplier in the order) then a left-anti
+    // (no OTHER supplier was late) — the anti side recomputes the late
+    // set rather than caching it, the same two-scan plan Spark gives
+    // classic Q21.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      def late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey").as("ok2"),
+        col("l_suppkey").as("sk2"))
+      val otherLate = late.select(col("l_orderkey").as("ok3"),
+        col("l_suppkey").as("sk3"))
+      late
+        .join(others, col("l_orderkey") === col("ok2")
+          && col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(otherLate, col("l_orderkey") === col("ok3")
+          && col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(Tables(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }),
 
     // Q10 shape: returned-item losses per customer, top 20.
@@ -340,6 +433,47 @@ object Analytics extends QueryGroup {
         |FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
         |WHERE s.n_orders >= 2
         |ORDER BY c.c_mktsegment, spend_rank""".stripMargin,
+    "win_pareto" ->
+      """WITH rev AS (SELECT o_custkey, SUM(o_totalprice) AS r
+        |             FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(r) AS total FROM rev),
+        |rk AS (SELECT o_custkey, r,
+        |    SUM(r) OVER (ORDER BY r DESC, o_custkey
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    ntile(10) OVER (ORDER BY r DESC, o_custkey) AS decile
+        |  FROM rev)
+        |SELECT decile, count(*) AS n_cust, ROUND(SUM(r), 2) AS revenue,
+        |  ROUND(max(cum/total), 4) AS cum_share
+        |FROM rk, t GROUP BY decile, total ORDER BY decile""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+        |    - 0.1*p_retailprice*l_quantity AS DECIMAL(18,6)))
+        |    AS DOUBLE), 2) AS profit
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 25
+        |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
         | ROUND(o_totalprice, 4) AS total_price,

@@ -301,6 +301,31 @@ object TimeSeries extends QueryGroup {
         .orderBy("event_type", "lag")
     }),
 
+    // Linear-trend forecast: per-type least-squares fit over the daily
+    // series (regr_slope/intercept — one partial-agg reduce, the
+    // moments are mergeable), extrapolated 7 days past the observed
+    // horizon. The fit table is |types| rows; the horizon explode runs
+    // on that, not on data. The un-aggregatable part of forecasting
+    // (seasonal models) lives in ts_seasonal_resid/ts_ewma; this is
+    // the trend leg.
+    "ts_forecast_linear" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+        .agg(round(sum("value"), 4).as("sv"))
+      val fit = daily.groupBy("event_type")
+        .agg(expr("regr_slope(sv, day_no)").as("b"),
+          expr("regr_intercept(sv, day_no)").as("a"),
+          max("day_no").as("dmax"))
+      fit.select(col("event_type"), col("a"), col("b"), col("dmax"),
+          explode(sequence(lit(1), lit(7))).as("h"))
+        .select(col("event_type"),
+          (col("dmax") + col("h")).cast("long").as("day_no"),
+          round(col("a") + col("b") * (col("dmax") + col("h")), 4)
+            .as("yhat"))
+        .orderBy("event_type", "day_no")
+    }),
+
     // CUSUM changepoint detection: the day where the cumulative
     // deviation from the per-type mean peaks — the classic level-shift
     // locator. Mean via partial-agg broadcast (the anomaly_zscore
@@ -524,6 +549,18 @@ object TimeSeries extends QueryGroup {
         |SELECT event_type, 3, ROUND(corr(sv,l3),4), count(l3)
         |FROM lagged GROUP BY 1
         |ORDER BY event_type, lag""".stripMargin,
+    "ts_forecast_linear" ->
+      """WITH daily AS (SELECT event_type,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP))//86400000000 AS day_no,
+        |    ROUND(SUM(value),4) AS sv
+        |  FROM events GROUP BY 1,2),
+        |fit AS (SELECT event_type, regr_slope(sv, day_no) AS b,
+        |    regr_intercept(sv, day_no) AS a, max(day_no) AS dmax
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(dmax + h AS BIGINT) AS day_no,
+        |  ROUND(a + b*(dmax + h), 4) AS yhat
+        |FROM fit, (SELECT unnest(generate_series(1,7)) AS h)
+        |ORDER BY event_type, day_no""".stripMargin,
     "ts_changepoint" ->
       """WITH daily AS (SELECT event_type,
         |    EPOCH_US(CAST(ts AS TIMESTAMP))//86400000000 AS day_no,
