@@ -193,32 +193,37 @@ object Analytics extends QueryGroup {
     // the EXISTS + NOT EXISTS double-correlation, adapted to the
     // fixture's columns (late = shipped > 60 days after order date;
     // TPC-H proper uses receipt vs commit dates the fixtures don't
-    // carry). Both correlations become self-joins on orderkey: a
-    // left-semi (some OTHER supplier in the order) then a left-anti
-    // (no OTHER supplier was late) — the anti side recomputes the late
-    // set rather than caching it, the same two-scan plan Spark gives
-    // classic Q21.
+    // carry). The textbook decorrelation is a semi- plus an anti-self-
+    // join — THREE fact scans. This is the one-scan algebraic form:
+    // collapse to (order, supplier) grain once, derive both
+    // correlated predicates ("some other supplier", "no other late
+    // supplier") from per-order counts of that tiny aggregate, and
+    // keep numwait identical by carrying the per-pair late-line count.
+    // The oracle deliberately KEEPS the EXISTS formulation, so the
+    // driver diff also proves the rewrite correct.
     "q21_waiting_suppliers" -> ((s, d) => {
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val o = Tables(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"))
-      def late = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val others = l.select(col("l_orderkey").as("ok2"),
-        col("l_suppkey").as("sk2"))
-      val otherLate = late.select(col("l_orderkey").as("ok3"),
-        col("l_suppkey").as("sk3"))
-      late
-        .join(others, col("l_orderkey") === col("ok2")
-          && col("l_suppkey") =!= col("sk2"), "left_semi")
-        .join(otherLate, col("l_orderkey") === col("ok3")
-          && col("l_suppkey") =!= col("sk3"), "left_anti")
+      val los = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(count(when(
+          col("l_shipdate") > date_add(col("o_orderdate"), 60), 1))
+          .as("n_late_lines"))
+      // per-order counts as ONE whole-partition window over the
+      // (order, supplier) grain — a join-back of a separate per-order
+      // aggregate would recompute the whole los lineage (measured: 9
+      // scans / 10 exchanges vs 4 here)
+      val wOrd = Window.partitionBy("l_orderkey")
+      los
+        .withColumn("n_supp", count(lit(1)).over(wOrd))
+        .withColumn("n_late_supp",
+          count(when(col("n_late_lines") > 0, 1)).over(wOrd))
+        .filter(col("n_late_lines") > 0 && col("n_supp") > 1
+          && col("n_late_supp") === 1)
         .join(Tables(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum("n_late_lines").as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     }),
