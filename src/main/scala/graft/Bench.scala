@@ -21,7 +21,9 @@ object Bench {
     "text_ppl_bucket", "win_funnel", "ts_resample", "ts_ewma",
     "text_chunk", "text_entropy", "dedup_prefix", "sim_mips",
     "embed_pca", "join_interval_binned", "stream_ohlc",
-    "text_bpe_merges")
+    "text_bpe_merges", "win_attribution", "win_rolling_distinct",
+    "q9_product_profit", "q21_waiting_suppliers", "ml_logreg_gd",
+    "nlp_pmi")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

@@ -361,6 +361,22 @@ object Analytics extends QueryGroup {
           |GROUP BY ALL ORDER BY ALL""".stripMargin)
     }),
 
+    // Parameterized SQL (Spark 4 named-parameter binding): the query
+    // text carries :threshold / :flag placeholders and the values bind
+    // at execution — the injection-safe template path a serving layer
+    // uses. Binds are literals by the time Catalyst sees the plan, so
+    // filter pushdown works exactly as with inline constants.
+    "sql_named_params" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("np_lineitem")
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n_lines,
+          |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+          |FROM np_lineitem
+          |WHERE l_quantity >= :min_qty AND l_returnflag <> :excl
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        Map("min_qty" -> 30, "excl" -> "N"))
+    }),
+
     // recursive CTE (new in Spark 4): a generated monthly calendar spine
     // left-joined to order counts — empty months survive, which no
     // GROUP BY over the fact table alone can produce.
@@ -559,6 +575,12 @@ object Analytics extends QueryGroup {
         |  ROUND(SUM(o_totalprice), 4) AS sum_total
         |FROM orders
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "sql_named_params" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity >= 30 AND l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

@@ -152,9 +152,14 @@ object TimeSeries extends QueryGroup {
       val j = conv.join(tch, Seq("user_id"))
         .filter(col("tts") <= col("cts")
           && col("tts") > col("cts") - expr("interval 7 days"))
-      val wc = Window.partitionBy("cid")
+      // both window expressions share ONE (partition, order) spec —
+      // an order-less count window would plan its own Sort; with the
+      // spec aligned (explicit whole-partition frame) Spark fuses both
+      // into a single Window node over a single sort (PlanSpec pins it)
       val wr = Window.partitionBy("cid")
         .orderBy(col("tts").desc, col("tid").desc)
+      val wc = wr.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       j.withColumn("n", count(lit(1)).over(wc))
         .withColumn("rn", row_number().over(wr))
         .groupBy("ch")

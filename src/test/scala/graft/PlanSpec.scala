@@ -126,6 +126,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q9 star broadcasts every dimension side") {
+    // the 5-way star must plan lineitem as the single streamed side:
+    // supplier/part/nation (and orders at test scale) arrive broadcast
+    val plan = planOf("q9_product_profit")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins in q9:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q21 window rewrite runs one fact scan, no self-join") {
+    // the EXISTS/NOT-EXISTS decorrelation would scan lineitem 3x; the
+    // window form must reference it exactly once
+    val plan = planOf("q21_waiting_suppliers")
+    val factScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(factScans == 1,
+      s"expected exactly 1 lineitem scan in q21, found $factScans:\n$plan")
+    assert(plan.contains("Window"), s"per-order window missing:\n$plan")
+  }
+
+  test("win_attribution computes both schemes in a single window pass") {
+    val plan = planOf("win_attribution")
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1, // count + row_number share one (partition,
+      // order) spec, so they must fuse into a single Window node
+      s"attribution fanned out into $windows window nodes:\n$plan")
+    val sorts = "Sort \\[".r.findAllIn(plan).length
+    assert(sorts <= 2, // the fused window's sort + the output sort
+      s"extra sorts in attribution plan:\n$plan")
+  }
+
+  test("feat_hash_trick is map-side only before its aggregate") {
+    // portable-hash bucketing must not shuffle to compute buckets: the
+    // single exchange is the final partial->final agg boundary
+    val plan = planOf("feat_hash_trick")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, // partial agg shuffle + output sort
+      s"hashing trick plans ${exchanges} exchanges:\n$plan")
+  }
+
   test("bucketed join runs with zero exchanges") {
     import graft.operators.ScaleOps
     ScaleOps.bucketedTables(spark, sf)
