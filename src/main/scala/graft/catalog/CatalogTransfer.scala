@@ -466,6 +466,84 @@ object CatalogTransfer {
       s"ALTER TABLE ${q(t.db)}.${q(t.name)} ADD IF NOT EXISTS $parts"
     }.toSeq
 
+  /** Rewrite a snapshot for a target cluster whose namespace/layout
+    * differs from the source — the migration reality the
+    * export→import pipeline meets in practice: the target wants
+    * `analytics_prod` where the source had `analytics`, and the data
+    * was relocated (new bucket, new mount) so every location needs a
+    * prefix swap. Pure function over the snapshot (import stays
+    * untouched and the remapped snapshot round-trips through the same
+    * serialization), applied to:
+    *  - database names (databases, table.db, function.db, and
+    *    viewDefaultDb so unqualified view refs re-resolve in the
+    *    renamed db);
+    *  - qualified `db.` references inside view text — bare and
+    *    backtick-quoted forms, in ONE alternation pass so renames
+    *    never chain (a→b plus b→c must not turn a.t into c.t; the
+    *    foldLeft formulation had exactly that bug) — and because
+    *    regex-editing SQL is inherently approximate, any view whose
+    *    text still carries a renamed db before a dot after rewriting
+    *    fails loudly here rather than resolving against the stale
+    *    name on the target;
+    *  - location PREFIXES for tables and partitions (longest matching
+    *    prefix wins when several rewrite rules apply).
+    */
+  def remap(snap: CatalogSnapshot,
+      dbRenames: Map[String, String] = Map.empty,
+      locationRewrites: Seq[(String, String)] = Nil): CatalogSnapshot = {
+    def db(n: String): String = dbRenames.getOrElse(n, n)
+    def loc(l: String): String =
+      locationRewrites.filter { case (from, _) => l.startsWith(from) }
+        .sortBy { case (from, _) => -from.length }
+        .headOption
+        .map { case (from, to) => to + l.stripPrefix(from) }
+        .getOrElse(l)
+    val lowerRenames =
+      dbRenames.map { case (f, t) => f.toLowerCase -> t }
+    def viewText(t: String): String = {
+      val q = java.util.regex.Pattern.quote _
+      val alternation = dbRenames.keys.map(q).mkString("|")
+      val pat = java.util.regex.Pattern.compile(
+        "(?i)(?<![\\w`])(`?)(" + alternation + ")(`?)(?=\\s*\\.)")
+      val m = pat.matcher(t)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) {
+        val renamed = lowerRenames(m.group(2).toLowerCase)
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(
+            m.group(1) + renamed + m.group(3)))
+      }
+      m.appendTail(sb)
+      val rewritten = sb.toString
+      // one alternation pass can't re-match its own output UNLESS a
+      // rename target is itself a renamed source elsewhere in the map
+      // — that text would import wrong silently, so detect any
+      // leftover qualified reference and refuse
+      val leak = java.util.regex.Pattern.compile(
+        "(?i)(?<![\\w`])`?(" + alternation + ")`?\\s*\\.").matcher(rewritten)
+      if (leak.find())
+        throw new IllegalArgumentException(
+          s"view text still references renamed database " +
+            s"'${leak.group(1)}' after rewrite — remap it manually: " +
+            rewritten)
+      rewritten
+    }
+    CatalogSnapshot(
+      databases = snap.databases.map(d => d.copy(name = db(d.name))),
+      tables = snap.tables.map { t =>
+        t.copy(db = db(t.db),
+          viewDefaultDb =
+            if (t.viewDefaultDb.nonEmpty) db(t.viewDefaultDb) else "",
+          viewText =
+            if (t.viewText.nonEmpty) viewText(t.viewText) else "",
+          location = if (t.location.nonEmpty) loc(t.location) else "",
+          partitions = t.partitions.map(p =>
+            p.copy(location =
+              if (p.location.nonEmpty) loc(p.location) else "")))
+      },
+      functions = snap.functions.map(f => f.copy(db = db(f.db))))
+  }
+
   /** Re-emit the snapshot into `spark`'s catalog (the "target
     * cluster"). Existing same-name tables/databases are left in place
     * unless `overwrite`. Partitioned external tables get their

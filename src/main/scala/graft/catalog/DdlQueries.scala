@@ -248,6 +248,44 @@ object DdlQueries extends QueryGroup {
         .orderBy("n_nationkey")
     }),
 
+    // Cross-namespace migration: the target cluster wants a DIFFERENT
+    // database name and the data files moved — the remap transform
+    // renames graft_mig → graft_mig_prod (including the view's
+    // qualified self-reference) and prefix-rewrites every location to
+    // the relocated copy. Queried by the NEW name against the NEW
+    // location; the view must re-resolve inside the renamed db. The
+    // oracle selects the source parquet — relocation must be lossless.
+    "meta_import_remap" -> ((s, d) => {
+      val reloc = Tables.scratch(d, "remap_reloc")
+      // relocate a copy of region.parquet (file copy, not engine
+      // rewrite: a migration moves bytes, the snapshot moves metadata)
+      if (!Tables.scratchCurrent(d, "region", reloc)) {
+        val src = new java.io.File(s"$d/region.parquet")
+        val dst = new java.io.File(reloc, "region.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.writeString(
+          new java.io.File(reloc, "_SUCCESS").toPath, "")
+        Tables.stampScratch(d, "region", reloc)
+      }
+      s.sql("DROP DATABASE IF EXISTS graft_mig CASCADE")
+      s.sql("DROP DATABASE IF EXISTS graft_mig_prod CASCADE")
+      s.sql("CREATE DATABASE graft_mig")
+      s.sql(s"""CREATE TABLE graft_mig.region_m
+               |USING parquet LOCATION '$d/region.parquet'""".stripMargin)
+      s.sql("""CREATE VIEW graft_mig.region_v AS
+              |SELECT r_regionkey, r_name FROM graft_mig.region_m""".stripMargin)
+      val snap = CatalogTransfer.export(s, Seq("graft_mig"))
+      s.sql("DROP DATABASE graft_mig CASCADE")
+      val remapped = CatalogTransfer.remap(snap,
+        dbRenames = Map("graft_mig" -> "graft_mig_prod"),
+        locationRewrites = Seq(
+          s"$d/region.parquet" -> s"$reloc/region.parquet"))
+      CatalogTransfer.importInto(s, remapped)
+      s.table("graft_mig_prod.region_v").orderBy("r_regionkey")
+    }),
+
     // the same scenario against a REAL Hive metastore (embedded Derby —
     // the local stand-in for the reference's managed HMS). The catalog
     // implementation is fixed per SparkContext, so the Hive session runs
@@ -356,6 +394,9 @@ object DdlQueries extends QueryGroup {
     "meta_hive_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "meta_import_remap" ->
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin,
     "meta_thrift_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin

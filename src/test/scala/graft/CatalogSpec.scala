@@ -392,6 +392,55 @@ class CatalogSpec extends SparkSpec {
     assert(stmt.contains("LOCATION"), s"external table lost LOCATION: $stmt")
   }
 
+  test("remap renames dbs, rewrites view refs, longest prefix wins") {
+    import graft.catalog._
+    val snap = CatalogSnapshot(
+      databases = Seq(DatabaseInfo("src_db", "")),
+      tables = Seq(
+        TableInfo("src_db", "t", "EXTERNAL", "parquet",
+          "/data/a/b/t", Nil, Nil, "", ""),
+        TableInfo("src_db", "v", "VIEW", "",
+          "", Nil, Nil, "",
+          "SELECT x FROM spark_catalog.SRC_DB.t JOIN src_db.t2 USING (k)",
+          viewDefaultDb = "src_db"),
+        TableInfo("src_db", "p", "EXTERNAL", "parquet",
+          "/data/a/p", Nil, Nil, "", "",
+          partitions = Seq(PartitionInfo(
+            Seq(PropKV("dt", "1")), "/data/a/p/dt=1")))),
+      functions = Seq(FunctionInfo("src_db", "f", "com.x.F", Nil)))
+    val out = CatalogTransfer.remap(snap,
+      dbRenames = Map("src_db" -> "dst_db"),
+      locationRewrites = Seq(
+        "/data/a" -> "/WRONG", "/data/a/b" -> "/mnt/b", // longest first
+        "/data/a/p" -> "/mnt/p"))
+    assert(out.databases.map(_.name) == Seq("dst_db"))
+    assert(out.tables.forall(_.db == "dst_db"))
+    val v = out.tables.find(_.name == "v").get
+    // case-insensitive qualified refs rewritten, default db renamed
+    assert(v.viewText ==
+      "SELECT x FROM spark_catalog.dst_db.t JOIN dst_db.t2 USING (k)",
+      v.viewText)
+    assert(v.viewDefaultDb == "dst_db")
+    assert(out.tables.find(_.name == "t").get.location == "/mnt/b/t")
+    val p = out.tables.find(_.name == "p").get
+    assert(p.location == "/mnt/p"
+      && p.partitions.head.location == "/mnt/p/dt=1")
+    assert(out.functions.head.db == "dst_db")
+    // backtick-quoted qualified refs rewrite too
+    val quoted = snap.copy(tables = Seq(snap.tables(1).copy(
+      viewText = "SELECT x FROM `src_db`.t")))
+    assert(CatalogTransfer.remap(quoted, Map("src_db" -> "dst_db"))
+      .tables.head.viewText == "SELECT x FROM `dst_db`.t")
+    // chained renames (a rename target that is itself a renamed
+    // source) would import silently wrong — must fail loudly
+    val chained = snap.copy(tables = Seq(snap.tables(1).copy(
+      viewText = "SELECT x FROM src_db.t")))
+    intercept[IllegalArgumentException] {
+      CatalogTransfer.remap(chained,
+        Map("src_db" -> "mid_db", "mid_db" -> "dst_db"))
+    }
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = SparkEntry.queries("meta_ddl_script")(spark, sf)
       .orderBy("stmt_order").collect()
