@@ -46,7 +46,15 @@ object PlanDump {
     "anomaly_zscore" ->
       "per-type moments via partial agg broadcast back — no whole-partition window sort",
     "text_entropy" ->
-      "per-row array-lambda entropy: one scan, zero exchanges before the output sort")
+      "per-row array-lambda entropy: one scan, zero exchanges before the output sort",
+    "q21_waiting_suppliers" ->
+      "EXISTS/NOT-EXISTS double-correlation as ONE fact scan + per-order window (vs 3-scan decorrelation)",
+    "win_attribution" ->
+      "last-touch + linear credit from a single fused window (one sort) over the touch join",
+    "win_rolling_distinct" ->
+      "sliding distinct via coverage expansion of the collapsed distinct set — no window over raw events",
+    "q9_product_profit" ->
+      "widest star (5-way): dims broadcast, single fact shuffle, DECIMAL-exact profit sum")
 
   /** Queries that materialize-and-release internally (cache lifecycle)
     * return a checkpointed result whose executed plan is just an RDD
