@@ -53,6 +53,9 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = Seq.fill(RunsPerKey) {
+        // clear in-JVM memo caches (RunCaches scaladoc): a warm memo
+        // would turn the median into a map-lookup measurement
+        RunCaches.reset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -492,15 +492,22 @@ object CatalogTransfer {
       dbRenames: Map[String, String] = Map.empty,
       locationRewrites: Seq[(String, String)] = Nil): CatalogSnapshot = {
     def db(n: String): String = dbRenames.getOrElse(n, n)
+    // prefix must end at a path-segment boundary: a rule for /data/a
+    // must not relocate the sibling /data/abc to a mangled path
+    def prefixMatches(l: String, from: String): Boolean =
+      l == from || l.startsWith(
+        if (from.endsWith("/")) from else from + "/")
     def loc(l: String): String =
-      locationRewrites.filter { case (from, _) => l.startsWith(from) }
+      locationRewrites.filter { case (from, _) => prefixMatches(l, from) }
         .sortBy { case (from, _) => -from.length }
         .headOption
         .map { case (from, to) => to + l.stripPrefix(from) }
         .getOrElse(l)
     val lowerRenames =
       dbRenames.map { case (f, t) => f.toLowerCase -> t }
-    def viewText(t: String): String = {
+    def viewText(t: String): String = if (dbRenames.isEmpty) t else {
+      // (guard: an empty alternation "(?:)" matches the zero-width
+      // position before any dot and crashes the rename lookup)
       val q = java.util.regex.Pattern.quote _
       val alternation = dbRenames.keys.map(q).mkString("|")
       val pat = java.util.regex.Pattern.compile(

@@ -278,11 +278,27 @@ object DdlQueries extends QueryGroup {
               |SELECT r_regionkey, r_name FROM graft_mig.region_m""".stripMargin)
       val snap = CatalogTransfer.export(s, Seq("graft_mig"))
       s.sql("DROP DATABASE graft_mig CASCADE")
+      // the exported location is a file:// URI, not the plain path the
+      // table was created with — derive the rewrite rule FROM the
+      // snapshot so it matches what remap actually sees
+      val origLoc = snap.tables.find(_.name == "region_m").get.location
+      require(origLoc.nonEmpty, "exported table carries no location")
+      val newLoc = "file://" + new java.io.File(reloc, "region.parquet")
+        .getAbsolutePath
       val remapped = CatalogTransfer.remap(snap,
         dbRenames = Map("graft_mig" -> "graft_mig_prod"),
-        locationRewrites = Seq(
-          s"$d/region.parquet" -> s"$reloc/region.parquet"))
+        locationRewrites = Seq(origLoc -> newLoc))
       CatalogTransfer.importInto(s, remapped)
+      // fail loudly if the location rewrite did not actually fire —
+      // the original file survives the DROP, so the data diff alone
+      // cannot distinguish "relocated" from "still reading the source"
+      val landed = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "region_m", Some("graft_mig_prod"))).location.toString
+      require(landed.stripSuffix("/") == newLoc.stripSuffix("/")
+          || landed.stripSuffix("/") == newLoc.replace("file://", "file:")
+            .stripSuffix("/"),
+        s"import kept the source location: $landed (wanted $newLoc)")
       s.table("graft_mig_prod.region_v").orderBy("r_regionkey")
     }),
 

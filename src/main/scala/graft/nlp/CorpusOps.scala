@@ -144,15 +144,18 @@ object CorpusOps extends QueryGroup {
     "(?<=^| )" + java.util.regex.Pattern.quote(a) +
       " " + java.util.regex.Pattern.quote(b) + "(?= |$)"
 
-  /** Training is deterministic in (corpus dir, rounds), so one JVM
-    * never needs to train the same table twice — text_bpe_merges and
-    * text_bpe_encode share one training run, and the bench's
-    * median-of-3 loop pays the 10 driver-synced rounds once, not six
-    * times. (A fixture changing mid-JVM is not a real scenario; the
-    * driver regenerates fixtures only between processes.) */
+  /** Training is deterministic in (corpus dir, rounds), so one VERIFY
+    * pass never needs to train the same table twice — text_bpe_merges
+    * and text_bpe_encode share one training run. Registered with
+    * [[graft.RunCaches]] so the BENCH clears it before every timed
+    * run: a warm memo would make the merges median measure a map
+    * lookup and hide training regressions. (A fixture changing mid-JVM
+    * is not a real scenario; the driver regenerates fixtures only
+    * between processes.) */
   private val bpeCache =
     scala.collection.concurrent.TrieMap
       .empty[(String, Int), Seq[(Int, String, Long)]]
+  graft.RunCaches.register("bpe")(() => bpeCache.clear())
 
   /** BPE merge-table trainer shared by text_bpe_merges (the table) and
     * text_bpe_encode (its application): `rounds` greedy rounds, each one
@@ -481,8 +484,16 @@ object CorpusOps extends QueryGroup {
     // rounds in plain Scala and requires the identical merge table.
     "text_bpe_merges" -> ((s, d) => {
       import s.implicits._
+      // persist the trained table as an artifact (fixture-stamped):
+      // tokenizers are trained once and SHIPPED — text_bpe_encode
+      // consumes this instead of re-training, which is both the real
+      // pipeline shape and what keeps the bench's encode timing an
+      // encoding measurement
+      val dir = Tables.scratch(d, "bpe_merges")
       trainBpe(s, d).toDF("merge_rank", "pair", "n_occurrences")
-        .orderBy("merge_rank")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      Tables.stampScratch(d, "documents", dir)
+      s.read.parquet(dir).orderBy("merge_rank")
     }),
 
     // Tokenizer APPLICATION: encode the corpus with the merge table the
@@ -491,12 +502,22 @@ object CorpusOps extends QueryGroup {
     // nested-regexp projection (zero shuffles, zero checkpoints, one
     // corpus scan), which is why serving a tokenizer is cheap at 100 TB
     // even when training it is not. Per-doc before/after token counts;
-    // CurationOpsSpec pins the conservation law (total reduction ==
-    // Σ trainer occurrence counts) and the fixpoint law (re-encoding
-    // changes nothing). No oracle: the merge regex needs lookaround,
-    // which DuckDB's RE2 cannot express.
+    // CurationOpsSpec replays the full merge application in plain
+    // Scala and requires identical per-doc counts, plus monotone
+    // shrinkage. No oracle: the merge regex needs lookaround, which
+    // DuckDB's RE2 cannot express.
     "text_bpe_encode" -> ((s, d) => {
-      val merges = trainBpe(s, d)
+      // consume the shipped artifact when it is current for this
+      // fixture; train only when it is missing/stale (key ordering in
+      // a verify pass is arbitrary)
+      val dir = Tables.scratch(d, "bpe_merges")
+      val merges: Seq[(Int, String, Long)] =
+        if (Tables.scratchCurrent(d, "documents", dir))
+          s.read.parquet(dir).orderBy("merge_rank").collect()
+            .map(r => (r.getAs[Int]("merge_rank"),
+              r.getAs[String]("pair"), r.getAs[Long]("n_occurrences")))
+            .toSeq
+        else trainBpe(s, d)
       val encoded = merges.foldLeft(col("text")) {
         case (c, (_, pair, _)) =>
           val Array(a, b) = pair.split(" ", 2)

@@ -176,12 +176,18 @@ object FeatureOps extends QueryGroup {
       for (_ <- 1 to 25) {
         val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
         val p = lit(1.0) / (lit(1.0) + exp(-z))
-        val g = feats.select(p.as("p"), col("y"), col("x1"), col("x2"))
+        // the GRADIENT uses the raw sigmoid; the LOSS clamps it — at
+        // |z| ≳ 37 the double sigmoid saturates to exactly 0/1 and
+        // y·log(p) becomes 0·(−∞) = NaN for confidently-classified
+        // rows, poisoning the whole sum
+        val pc = greatest(least(p, lit(1.0 - 1e-12)), lit(1e-12))
+        val g = feats.select(p.as("p"), pc.as("pc"), col("y"),
+            col("x1"), col("x2"))
           .agg(sum(col("p") - col("y")).as("g0"),
             sum((col("p") - col("y")) * col("x1")).as("g1"),
             sum((col("p") - col("y")) * col("x2")).as("g2"),
-            sum(-col("y") * log(col("p"))
-              - (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))
+            sum(-col("y") * log(col("pc"))
+              - (lit(1.0) - col("y")) * log(lit(1.0) - col("pc")))
               .as("l"))
           .head()
         w = Array(w(0) - lr * g.getDouble(0) / nRows,

@@ -89,9 +89,6 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
-    // Malformed-input tolerance — what a 100 TB crawl ingest actually
-    // hits: rows with wrong arity / unparseable numerics must be
-    // quarantined, not kill the job and not silently vanish. One
     // Opaque-binary ingest via the binaryFile source — the multimodal
     // front door: Spark lists the directory, reads each object whole
     // into a `binary` column with path/length metadata, and everything
@@ -123,6 +120,9 @@ object Scans extends QueryGroup {
         .orderBy("fname")
     }),
 
+    // Malformed-input tolerance — what a 100 TB crawl ingest actually
+    // hits: rows with wrong arity / unparseable numerics must be
+    // quarantined, not kill the job and not silently vanish. One
     // deterministic CSV (every 7th row corrupted two ways) read under
     // both recovery modes; output is the per-mode accounting a pipeline
     // would alert on. PERMISSIVE + columnNameOfCorruptRecord keeps the
