@@ -42,6 +42,48 @@ object ScaleOps extends QueryGroup {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Skew-safe COUNT DISTINCT: a naive distinct-agg on a 5-value
+    // grouping key shuffles the whole dedup load onto 5 reducers at
+    // 100 TB. Two-phase formulation: partial-dedup shuffles by
+    // (type, user) — millions of evenly-spread keys — then the count
+    // shuffles |distinct pairs| rows to the 5 final groups. Result
+    // provably identical; only the exchange key cardinality changes.
+    "agg_distinct_twophase" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("_c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // The distributed-sort contract (TeraSort shape): repartitionByRange
+    // assigns non-overlapping key ranges to partitions (sampled
+    // boundaries), sortWithinPartitions orders each run — together a
+    // total order WITHOUT any single-point sort. Output is the
+    // per-partition (min, max, count) fingerprint; ScaleOpsSpec asserts
+    // the runs don't overlap and cover every row — the property that
+    // lets 1000 executors write a globally-sorted dataset. No oracle:
+    // partition boundaries come from sampling, so only the LAWS are
+    // stable, not the exact cuts.
+    "sort_range_partitioned" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .select(col("l_shipdate"), col("l_orderkey"))
+        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min(struct(col("l_shipdate"), col("l_orderkey"))).as("lo"),
+          max(struct(col("l_shipdate"), col("l_orderkey"))).as("hi"),
+          count(lit(1)).as("n_rows"))
+        .select(col("pid"),
+          col("lo.l_shipdate").as("lo_date"),
+          col("lo.l_orderkey").as("lo_key"),
+          col("hi.l_shipdate").as("hi_date"),
+          col("hi.l_orderkey").as("hi_key"),
+          col("n_rows"))
+        .orderBy("pid")
+    }),
+
     "join_bucketed" -> ((s, d) => {
       bucketedTables(s, d)
       val li = s.table("graft_bkt_lineitem")
@@ -161,6 +203,11 @@ object ScaleOps extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // the PLAIN distinct formulation — the two-phase rewrite must be
+    // result-identical
+    "agg_distinct_twophase" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_skew_salted" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_lines,
         | ROUND(SUM(l_extendedprice), 4) AS sum_price

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws of the scale-technique operators that the DuckDB oracle cannot
+  * see (partition structure, rewrite equivalences whose value side IS
+  * oracled elsewhere). */
+class ScaleOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("sort_range_partitioned runs are disjoint, ordered, complete") {
+    val rows = run("sort_range_partitioned").collect()
+      .sortBy(_.getAs[Int]("pid"))
+    assert(rows.nonEmpty)
+    // completeness: every lineitem row landed in exactly one run
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables(spark, sf, "lineitem").count(),
+      s"range runs cover $total rows, table has more/less")
+    // disjoint + ordered: each run's max key < next run's min key
+    // (composite (shipdate, orderkey) — the repartition key)
+    def key(r: org.apache.spark.sql.Row, pfx: String) =
+      // date renders ISO (sortable as string) whether the session maps
+      // it to java.sql.Date or java.time.LocalDate/LocalDateTime
+      (r.getAs[Any](s"${pfx}_date").toString,
+        r.getAs[Long](s"${pfx}_key"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(implicitly[Ordering[(String, Long)]]
+          .lteq(key(a, "hi"), key(b, "lo")),
+          s"range runs overlap: ${key(a, "hi")} > ${key(b, "lo")}")
+      case _ => ()
+    }
+    // the contract that makes this a DISTRIBUTED sort: more than one
+    // non-empty run (a single run would mean a single-point sort)
+    assert(rows.length > 1, "range partitioner produced one run")
+  }
+
+  test("two-phase distinct equals the naive distinct aggregation") {
+    val twoPhase = run("agg_distinct_twophase").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase == naive,
+      s"two-phase rewrite diverged: $twoPhase vs $naive")
+  }
+}
