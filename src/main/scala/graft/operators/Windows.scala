@@ -261,6 +261,31 @@ object Windows extends QueryGroup {
         .orderBy("user_id")
     }),
 
+    // Time travel over the same changelog: the dimension's state AS OF
+    // a cutoff instant — filter to versions at/before T, then the
+    // win_latest_version compaction. The cutoff predicate pushes into
+    // the scan (at 100 TB it prunes time-partitioned files before any
+    // shuffle); users whose first version postdates T correctly vanish.
+    // Midpoint cutoff via integer epoch-day arithmetic so both engines
+    // compare the same instant.
+    "win_asof_snapshot" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      // div (integer floor) on both sides: `/` goes through double and
+      // the long cast truncates in Spark but rounds in DuckDB
+      val cut = e.agg(expr(
+        "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        .as("cut_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.crossJoin(broadcast(cut))
+        .filter(unix_micros(col("ts")) <= col("cut_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
     // Schema-evolution union: the two sides disagree on column ORDER
     // and the second side is missing a column — positional UNION would
     // mis-align or reject; unionByName(allowMissingColumns) resolves by
@@ -474,6 +499,17 @@ object Windows extends QueryGroup {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "win_asof_snapshot" ->
+      """WITH cut AS (SELECT (min(EPOCH_US(CAST(ts AS TIMESTAMP)))
+        |    + max(EPOCH_US(CAST(ts AS TIMESTAMP)))) // 2
+        |    AS cut_us FROM events)
+        |SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events, cut
+        |  WHERE EPOCH_US(CAST(ts AS TIMESTAMP)) <= cut_us)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "set_union_by_name" ->
       """SELECT * FROM (
         |  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS total

@@ -111,8 +111,9 @@ class PlanSpec extends SparkSpec {
       // sample_negative / feat_scaling broadcast-crossjoin a 1-row
       // stats aggregate (key-space max; scaler moments)
       "sample_negative", "feat_scaling",
-      // win_pareto broadcast-crossjoins its 1-row revenue total
-      "win_pareto")
+      // win_pareto / win_asof_snapshot broadcast-crossjoin a 1-row
+      // derived aggregate (revenue total; as-of cutoff)
+      "win_pareto", "win_asof_snapshot")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
