@@ -255,6 +255,42 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // Count-min sketch heavy hitters: estimate per-key frequencies
+    // from a FIXED-SIZE counter grid (d=4 hash rows × w=4096 buckets)
+    // instead of a per-key hash table — the sketch every streaming/
+    // scale system uses when the key domain outgrows memory. Counters
+    // are mergeable partials: the groupBy collapses map-side to ≤ d×w
+    // rows per partition regardless of corpus size (that is the whole
+    // point at 100 TB). Estimates = min over rows, always ≥ exact;
+    // top-10 reported with the exact count beside the estimate. All
+    // arithmetic is portable md5 → int, so the oracle replays the
+    // sketch bit-for-bit; ScaleOpsSpec pins the ≥-exact law.
+    "agg_heavy_hitters_cms" -> ((s, d) => {
+      val W = 4096
+      def bucket(r: org.apache.spark.sql.Column,
+          k: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(r.cast("string"), lit(":"),
+          k.cast("string"))), 1, 8), 16, 10).cast("long") % W
+      val cnt = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("b", bucket(col("r"), col("l_partkey")))
+        .groupBy("r", "b").agg(count(lit(1)).as("n"))
+      val cand = Tables(s, d, "part")
+        .select(col("p_partkey").as("k"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("b", bucket(col("r"), col("k")))
+      val est = cand.join(cnt, Seq("r", "b"))
+        .groupBy("k").agg(min("n").as("est"))
+      val exact = Tables(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("ex"))
+      est.join(exact, Seq("k"), "left")
+        .select(col("k"), col("est"),
+          coalesce(col("ex"), lit(0L)).as("exact"))
+        .orderBy(col("est").desc, col("k"))
+        .limit(10)
+    }),
+
     // Deterministic mode: the most frequent l_quantity per return flag.
     // Built-in mode() is tie-arbitrary (engine picks any max-count
     // value), so this is counts (one partial-agg shuffle to the tiny
@@ -314,6 +350,26 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_heavy_hitters_cms" ->
+      """WITH rows_ AS (SELECT unnest(generate_series(0,3)) AS r),
+        |cnt AS (SELECT r,
+        |    CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||
+        |      CAST(l_partkey AS VARCHAR)),1,8))::UBIGINT % 4096
+        |      AS BIGINT) AS b,
+        |    count(*) AS n
+        |  FROM lineitem, rows_ GROUP BY 1, 2),
+        |cand AS (SELECT p_partkey AS k, r,
+        |    CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||
+        |      CAST(p_partkey AS VARCHAR)),1,8))::UBIGINT % 4096
+        |      AS BIGINT) AS b
+        |  FROM part, rows_),
+        |est AS (SELECT k, min(n) AS est FROM cand JOIN cnt USING (r, b)
+        |        GROUP BY k),
+        |exact AS (SELECT l_partkey AS k, count(*) AS ex
+        |          FROM lineitem GROUP BY 1)
+        |SELECT k, est, COALESCE(ex, 0) AS exact
+        |FROM est LEFT JOIN exact USING (k)
+        |ORDER BY est DESC, k LIMIT 10""".stripMargin,
     "agg_mode" ->
       """WITH cnt AS (SELECT l_returnflag, l_quantity, count(*) n
         |             FROM lineitem GROUP BY 1,2)

@@ -36,6 +36,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.length > 1, "range partitioner produced one run")
   }
 
+  test("count-min estimates never undercount") {
+    val rows = run("agg_heavy_hitters_cms").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est"), r.getAs[Long]("exact"))
+      assert(est >= exact,
+        s"CMS undercounted key ${r.get(0)}: est $est < exact $exact")
+    }
+  }
+
   test("two-phase distinct equals the naive distinct aggregation") {
     val twoPhase = run("agg_distinct_twophase").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
