@@ -3,6 +3,7 @@ package graft.streaming
 import graft.{QueryGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TTLConfig}
 
 /** SURVEY.md §2 group H — Structured Streaming over the `events` table.
@@ -297,6 +298,51 @@ object StreamOps extends QueryGroup {
       s.read.parquet(out).orderBy("event_id")
     }),
 
+    // CDC apply: every micro-batch UPSERTS into a keyed parquet state
+    // table (read-modify-write inside foreachBatch — the pattern that
+    // stands in for MERGE INTO on a plain-parquet lake). Merge rule is
+    // max_by (ts, event_id) per user, which is associative, so the
+    // final state is independent of how the replay was micro-batched —
+    // it must equal the BATCH changelog compaction exactly
+    // (win_latest_version's oracle is shared; StreamingSpec asserts
+    // the bitwise equality too). The state is localCheckpoint'ed
+    // before the overwrite: reading and overwriting the same directory
+    // in one lazy plan would corrupt it.
+    "stream_cdc_upsert" -> ((s, d) => {
+      val out = graft.Tables.scratch(d, "stream_cdc_state")
+      val cp = graft.Tables.scratch(d, "stream_cdc_cp")
+      for (p <- Seq(out, cp))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val src = eventsStream(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val cur =
+            if (new java.io.File(out, "_SUCCESS").exists())
+              ss.read.parquet(out)
+            else ss.createDataFrame(
+              ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val merged = cur.unionByName(batch)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .localCheckpoint() // sever lineage from the dir we overwrite
+          merged.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
     // native partitioned file sink: the streaming writer lands
     // hive-layout partition directories + its own commit log; reads
     // back losslessly with partition pruning available downstream.
@@ -365,6 +411,15 @@ object StreamOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the batch changelog compaction — the incremental upsert must
+    // land on exactly this state (win_latest_version's oracle)
+    "stream_cdc_upsert" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         | event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

@@ -127,6 +127,17 @@ class StreamingSpec extends SparkSpec {
       "stream and batch tumbling aggregation differ")
   }
 
+  test("incremental CDC upsert equals the batch changelog compaction") {
+    // the merge rule is associative, so the micro-batched replay must
+    // land bitwise on the one-shot batch compaction
+    val streamed = SparkEntry.queries("stream_cdc_upsert")(spark, sf)
+      .collect().toSeq
+    val batch = SparkEntry.queries("win_latest_version")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch,
+      s"upsert state diverged from batch compaction")
+  }
+
   test("streamed session windows equal batch session_window") {
     val streamed = SparkEntry.queries("stream_session")(spark, sf)
     val batch = Tables(spark, sf, "events")
