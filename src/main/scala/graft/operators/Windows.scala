@@ -261,6 +261,35 @@ object Windows extends QueryGroup {
         .orderBy("user_id")
     }),
 
+    // Share-of-total: each nation's slice of global revenue via an
+    // unpartitioned window SUM over the already-aggregated per-nation
+    // rows — the BI idiom. The window runs over |nations| rows (the
+    // giant-single-partition hazard applies to raw data, not to a
+    // collapsed aggregate); scaled-integer share (×1e6, floor-div)
+    // keeps the division engine-stable.
+    "win_share_of_total" -> ((s, d) => {
+      val rev = Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        // DECIMAL-cast summation (the q9 discipline): the per-nation
+        // and global totals are then exact, so the share division sees
+        // identical numerators/denominators in both engines
+        .agg(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      rev
+        .select(col("n_name"),
+          col("rev").cast("double").as("rev"), col("n_orders"),
+          round((col("rev") * 100 / sum(col("rev")).over(w))
+            .cast("double"), 6).as("share_pct"))
+        .orderBy("n_name")
+    }),
+
     // Time travel over the same changelog: the dimension's state AS OF
     // a cutoff instant — filter to versions at/before T, then the
     // win_latest_version compaction. The cutoff predicate pushes into
@@ -499,6 +528,19 @@ object Windows extends QueryGroup {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "win_share_of_total" ->
+      """WITH rev AS (SELECT n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+        |    COUNT(*) AS n_orders
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, CAST(rev AS DOUBLE) AS rev, n_orders,
+        |  ROUND(CAST(rev * 100 / SUM(rev) OVER (ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 6)
+        |    AS share_pct
+        |FROM rev ORDER BY n_name""".stripMargin,
     "win_asof_snapshot" ->
       """WITH cut AS (SELECT (min(EPOCH_US(CAST(ts AS TIMESTAMP)))
         |    + max(EPOCH_US(CAST(ts AS TIMESTAMP)))) // 2
