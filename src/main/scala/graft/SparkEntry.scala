@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Windows,
     operators.ScaleOps,
     operators.Analytics,
+    operators.TpchQueries,
     operators.TimeSeries,
     operators.FeatureOps,
     functions.ScalarFns,
