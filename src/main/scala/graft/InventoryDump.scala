@@ -15,6 +15,8 @@ object InventoryDump {
     "D. Aggregation" -> operators.Aggregates,
     "E. Windows / sort / limit / set ops" -> operators.Windows,
     "E2. Composite analytics (TPC-H shapes)" -> operators.Analytics,
+    "E2b. TPC-H suite completion (the other 15 shapes)" ->
+      operators.TpchQueries,
     "E3. Time series (resample / streaks / anomaly)" -> operators.TimeSeries,
     "E4. Feature engineering / in-engine training" -> operators.FeatureOps,
     "F. Scalar function families" -> functions.ScalarFns,
