@@ -225,6 +225,59 @@ class PlanSpec extends SparkSpec {
       s"sketch union approx=$approx exact=$exact")
   }
 
+  test("q1 aggregates map-side before the 6-group shuffle") {
+    assert(planOf("q1_pricing_summary").contains("partial_sum"),
+      "no partial aggregation in the Q1 plan")
+  }
+
+  test("q6 pushes every predicate into the lineitem scan") {
+    // toString truncates PushedFilters — read the scan node's metadata
+    val pushed = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("PushedFilters")
+      }.mkString
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(f), s"$f not pushed in: $pushed")
+  }
+
+  test("q4/q20 EXISTS and IN subqueries decorrelate to semi-joins") {
+    assert(planOf("q4_order_priority").contains("LeftSemi"),
+      "Q4 EXISTS did not become a semi-join")
+    assert(planOf("q20_potential_promotion").contains("LeftSemi"),
+      "Q20 IN did not become a semi-join")
+  }
+
+  test("q22 NOT EXISTS decorrelates to an anti-join") {
+    assert(planOf("q22_global_sales").contains("LeftAnti"),
+      "Q22 NOT EXISTS did not become an anti-join")
+  }
+
+  test("q2 correlated MIN decorrelates without a nested-loop join") {
+    val plan = planOf("q2_min_cost_supplier")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the per-part MIN side must be a real aggregate joined back
+    assert(plan.contains("partial_min") || plan.contains("min("),
+      s"no decorrelated MIN aggregate in:\n$plan")
+  }
+
+  test("q8 star keeps every dimension broadcast, fact joins shuffled") {
+    val plan = planOf("q8_market_share")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 5, s"only $nBroadcast broadcast joins in Q8 star")
+  }
+
+  test("q11 derives the global total from ONE fact scan via a window") {
+    val plan = planOf("q11_important_stock")
+    val nLineitemScans = "lineitem.parquet".r.findAllIn(plan).length
+    assert(nLineitemScans == 1,
+      s"Q11 scans lineitem $nLineitemScans times (threshold join-back?)")
+    assert(plan.contains("Window"), "Q11 lost its share-of-total window")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
