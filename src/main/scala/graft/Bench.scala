@@ -23,7 +23,9 @@ object Bench {
     "embed_pca", "join_interval_binned", "stream_ohlc",
     "text_bpe_merges", "win_attribution", "win_rolling_distinct",
     "q9_product_profit", "q21_waiting_suppliers", "ml_logreg_gd",
-    "nlp_pmi")
+    "nlp_pmi", "q1_pricing_summary", "q6_forecast_revenue",
+    "q8_market_share", "q13_customer_distribution", "q17_small_quantity",
+    "q19_disjunctive")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the
@@ -53,9 +55,13 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = Seq.fill(RunsPerKey) {
-        // clear in-JVM memo caches (RunCaches scaladoc): a warm memo
-        // would turn the median into a map-lookup measurement
+        // clear in-JVM memo caches (RunCaches scaladoc) AND Spark's
+        // plan cache: a warm memo or a persist() surviving from the
+        // previous run (CacheManager reuses materialized blocks across
+        // identical canonical plans) would turn the median into a
+        // cache-lookup measurement
         RunCaches.reset()
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -68,6 +74,13 @@ object Bench {
     val qs = headline.map(k => s"\"$k\":${r3(results(k))}")
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // optional full per-key dump for local profiling — a FILE, never
+    // stdout (a 250-key map would overflow the driver's tail window)
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
+      val all = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), all)
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"runs":$RunsPerKey,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

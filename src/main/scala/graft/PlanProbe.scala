@@ -27,6 +27,11 @@ object PlanProbe {
     // warm: run once first so SECS measures steady-state, not JVM/codegen
     if (args.contains("warm"))
       SparkEntry.queries(key)(spark, sfDir).collect()
+    // caches cold, JVM warm — a persist() inside the key would otherwise
+    // hand the timed run the warmup's materialized blocks (CacheManager
+    // matches canonicalized plans across separate DataFrame builds)
+    RunCaches.reset()
+    spark.catalog.clearCache()
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(key)(spark, sfDir)
     df.collect()
