@@ -205,10 +205,85 @@ object FeatureOps extends QueryGroup {
         .toDF("coef", "value")
         .select(col("coef"), round(col("value"), 4).as("value"))
         .orderBy("coef")
+    }),
+
+    // Multinomial naive Bayes, trained AND scored in-engine: +1-smoothed
+    // token likelihoods from the %5≠0 split, argmax scoring of the held-
+    // out docs. Train-side state collapses to vocab-sized tables (counts,
+    // totals, priors) that broadcast into one map-side scoring pass —
+    // the 100 TB shape: no iteration, two corpus scans total. Scores are
+    // cross-engine exact: each token's log-likelihood rounds to 6
+    // decimals then sums as DECIMAL (order-insensitive, q9 discipline),
+    // divisions go through explicit double casts (a bare 1.0 would
+    // parse as DECIMAL in the oracle engine and divide differently).
+    // The fixture's text is lang-independent so the learned model is
+    // prior-dominated (42% = majority class) — the OP under test is the
+    // train/score pipeline, not fixture separability.
+    "ml_naive_bayes" -> ((s, d) => {
+      val tok = Tables(s, d, "documents").select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      // five aggregate consumers — persist the tokenized train split
+      val train = tok.filter(col("doc_id") % 5 =!= 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val test = tok.filter(col("doc_id") % 5 === 0).select("doc_id", "term")
+      val counts = train.groupBy("lang", "term").agg(count(lit(1)).as("ctn"))
+      val totals = train.groupBy("lang").agg(count(lit(1)).as("tot"))
+      val vocab = train.agg(countDistinct("term").as("v"))
+      val priors = train.groupBy("lang").agg(countDistinct("doc_id").as("nd"))
+      val ntrain = train.agg(countDistinct("doc_id").as("n_docs"))
+      val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+      val tokLl = round(log(((coalesce(col("ctn"), lit(0L)) + 1).cast("double"))
+        / ((col("tot") + col("v")).cast("double"))), 6).cast(dec)
+      val priorLl = round(log(col("nd").cast("double")
+        / col("n_docs").cast("double")), 6).cast(dec)
+      val scored = test
+        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(vocab))
+        .join(broadcast(priors), "lang")
+        .crossJoin(broadcast(ntrain))
+        .join(broadcast(counts), Seq("lang", "term"), "left")
+        .groupBy(col("doc_id"), col("lang"), col("nd"), col("n_docs"))
+        .agg(sum(tokLl).as("tok_sum"))
+        .withColumn("score", col("tok_sum") + priorLl)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"),
+          round(col("score").cast("double"), 4).as("score"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, UNNEST(STR_SPLIT(text, ' ')) AS term
+        |  FROM documents),
+        |train AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+        |test AS (SELECT doc_id, term FROM tok WHERE doc_id % 5 = 0),
+        |counts AS (SELECT lang, term, COUNT(*) AS ctn FROM train GROUP BY 1, 2),
+        |totals AS (SELECT lang, COUNT(*) AS tot FROM train GROUP BY 1),
+        |vocab AS (SELECT COUNT(DISTINCT term) AS v FROM train),
+        |priors AS (SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM train GROUP BY 1),
+        |ntrain AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM train),
+        |scored AS (
+        |  SELECT t.doc_id, l.lang,
+        |    SUM(CAST(ROUND(LN(CAST(COALESCE(c.ctn, 0) + 1 AS DOUBLE)
+        |          / CAST(l.tot + v.v AS DOUBLE)), 6) AS DECIMAL(20,8))) +
+        |    CAST(ROUND(LN(CAST(p.nd AS DOUBLE) / CAST(nt.n_docs AS DOUBLE)), 6)
+        |      AS DECIMAL(20,8)) AS score
+        |  FROM test t
+        |  CROSS JOIN totals l CROSS JOIN vocab v
+        |  JOIN priors p ON p.lang = l.lang
+        |  CROSS JOIN ntrain nt
+        |  LEFT JOIN counts c ON c.lang = l.lang AND c.term = t.term
+        |  GROUP BY t.doc_id, l.lang, p.nd, nt.n_docs)
+        |SELECT doc_id, lang AS pred_lang,
+        |  ROUND(CAST(score AS DOUBLE), 4) AS score
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, lang) = 1
+        |ORDER BY doc_id""".stripMargin,
     "feat_target_encode" ->
       """WITH j AS (SELECT c.c_mktsegment seg, o.o_totalprice y
         |           FROM orders o JOIN customer c ON o_custkey=c_custkey),

@@ -22,6 +22,49 @@ object ScaleOps extends QueryGroup {
   private val S = 8 // salt fan-out
 
   val queries: Map[String, Q] = Map(
+    // Exact distinct counting via fixed-width bitmaps (the roaring/
+    // groupBitmap technique): pack each user into bit (user_id mod 63)
+    // of word (user_id div 63) — 63-bit words because a 1<<63 shift
+    // overflows signed 64-bit in the oracle engine. bit_or partials
+    // are mergeable map-side, so the shuffle carries |users|/63 words
+    // per type instead of every raw (type, user) pair, and the final
+    // count is a popcount sum. The oracle is plain COUNT(DISTINCT) —
+    // the driver diff proves the bitmap rewrite exact.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(col("event_type"), expr("user_id div 63").as("bucket"))
+        .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))")
+          .as("w"))
+        .groupBy("event_type")
+        .agg(sum(bit_count(col("w"))).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // Audience-overlap matrix via bitmap AND — the set-intersection
+    // join that never touches raw rows twice: per-(type, bucket) words
+    // build in ONE pass (mergeable bit_or partials), then the
+    // |types|²·|users|/63-row word join ANDs and popcounts. The naive
+    // form distinct-joins the full (type, user) pairs against
+    // themselves — at 100 TB that self-join shuffles the whole user
+    // universe per type pair; this shuffles fixed-width words once.
+    // Oracle keeps the naive COUNT(DISTINCT) self-join form.
+    "join_bitmap_overlap" -> ((s, d) => {
+      val words = Tables(s, d, "events")
+        .filter(col("value") > 90)
+        .groupBy(col("event_type"), expr("user_id div 63").as("bucket"))
+        .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))")
+          .as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      words.select(col("event_type").as("type_a"), col("bucket"),
+          col("w").as("wa"))
+        .join(words.select(col("event_type").as("type_b"), col("bucket"),
+          col("w").as("wb")), "bucket")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(bit_count(col("wa").bitwiseAND(col("wb")))).as("n_both"))
+        .orderBy("type_a", "type_b")
+    }),
+
     "join_skew_salted" -> ((s, d) => {
       val li = Tables(s, d, "lineitem")
         .withColumn("salt",
@@ -203,6 +246,19 @@ object ScaleOps extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // plain COUNT(DISTINCT) — the bitmap packing must be result-identical
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the naive distinct self-join — the bitmap AND must be identical
+    "join_bitmap_overlap" ->
+      """WITH aud AS (SELECT DISTINCT event_type, user_id
+        |             FROM events WHERE value > 90)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       COUNT(*) AS n_both
+        |FROM aud a JOIN aud b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the PLAIN distinct formulation — the two-phase rewrite must be
     // result-identical
     "agg_distinct_twophase" ->

@@ -113,7 +113,11 @@ class PlanSpec extends SparkSpec {
       "sample_negative", "feat_scaling",
       // win_pareto / win_asof_snapshot broadcast-crossjoin a 1-row
       // derived aggregate (revenue total; as-of cutoff)
-      "win_pareto", "win_asof_snapshot")
+      "win_pareto", "win_asof_snapshot",
+      // ml_naive_bayes broadcast-crossjoins the 1-row vocab/ntrain
+      // aggregates and the 5-row class-totals table into the scoring
+      // pass (scalar-subquery pattern ×2 + tiny dim)
+      "ml_naive_bayes")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
