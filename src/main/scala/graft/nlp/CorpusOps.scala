@@ -172,19 +172,13 @@ object CorpusOps extends QueryGroup {
     val merges = Seq.newBuilder[(Int, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
+      // adjacent pairs via the codegen'd bigram regex (TextOps) — the
+      // merge rewrite keeps text single-space separated, so the
+      // capture set stays identical to the token-array formulation
+      // every round; the interpreted lambda this replaces dominated
+      // each round's count job
       val top = corpus
-        // toks as a materialized projection: element_at(toks, i)
-        // reads the row value — inlining split(text) into the lambda
-        // would re-split once per ELEMENT (O(n²) per doc; measured
-        // 10× on the fixture corpus)
-        .withColumn("toks", split(col("text"), " "))
-        .select(explode(expr(
-          """transform(
-            |  slice(sequence(1, size(toks)), 1,
-            |        greatest(size(toks) - 1, 0)),
-            |  i -> concat(element_at(toks, i), ' ',
-            |              element_at(toks, i + 1)))"""
-            .stripMargin)).as("pair"))
+        .select(explode(TextOps.bigramsRaw(col("text"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).collect().headOption
@@ -197,10 +191,12 @@ object CorpusOps extends QueryGroup {
           // per-round checkpoint measured FASTER (4.3 s) than letting
           // the linear regex lineage replay (6.4 s at sf0.1): each
           // un-checkpointed count job re-runs all prior rounds'
-          // regexes
+          // regexes. LAZY checkpoint: materialization rides the next
+          // round's count job instead of scheduling its own — halves
+          // the job count of a job-overhead-bound loop
           corpus = corpus.withColumn("text",
             regexp_replace(col("text"), bpePattern(a, b), a + "_" + b))
-            .localCheckpoint()
+            .localCheckpoint(false)
       }
     }
     merges.result()

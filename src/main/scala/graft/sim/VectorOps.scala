@@ -340,8 +340,15 @@ object VectorOps extends QueryGroup {
           s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $subDim + 1, $subDim))")))
         .withColumnRenamed("pos", "sidx").withColumnRenamed("col", "sv")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l2 = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b))," +
-        " cast(0 as double), (x, y) -> x + y)"
+      // unrolled L2 over the fixed-width subvector: element_at chains
+      // codegen; the zip_with/aggregate lambda form is interpreted
+      // per element and dominated the three assignment passes. The
+      // left-to-right add order matches the lambda fold, so distances
+      // are bit-identical.
+      val l2 = (1 to subDim).map(i =>
+        s"(element_at(sv, $i) - element_at(cv, $i))" +
+          s" * (element_at(sv, $i) - element_at(cv, $i))")
+        .mkString("(", " + ", ")")
       val wInit = Window.partitionBy("sidx")
         .orderBy(expr("(vec_id * 2654435761L) % 1000000007L"), col("vec_id"))
       var cb = subs.withColumn("rn", row_number().over(wInit))
@@ -368,9 +375,10 @@ object VectorOps extends QueryGroup {
         .agg(min_by(struct(col("cid"), col("cv")),
           struct(col("dist"), col("cid"))).as("best"),
           first(col("sv")).as("sv"))
-        .withColumn("serr", expr(
-          "aggregate(zip_with(sv, best.cv, (a, b) -> (a - b) * (a - b))," +
-            " cast(0 as double), (x, y) -> x + y)"))
+        .withColumn("serr", expr((1 to subDim).map(i =>
+          s"(element_at(sv, $i) - element_at(best.cv, $i))" +
+            s" * (element_at(sv, $i) - element_at(best.cv, $i))")
+          .mkString("(", " + ", ")")))
       // localCheckpoint (not count): the RETURNED frame must hold the
       // materialized rows — a count() materializes nothing for later
       // consumers, which would re-run the whole encode uncached after
