@@ -302,6 +302,42 @@ object DdlQueries extends QueryGroup {
       s.table("graft_mig_prod.region_v").orderBy("r_regionkey")
     }),
 
+    // Post-migration validation — the report every real metastore
+    // migration runs before cutover: export → rename-import into the
+    // target namespace, then per table (a) assert schema fidelity
+    // loudly (a drifted schema must abort, not score), and (b) emit
+    // source-vs-target row counts with a match flag. Counts come from
+    // one agg per side; at 100 TB the count jobs are metadata-only
+    // for parquet (footer row counts), so the report costs no data
+    // scan. The oracle pins the source counts — the diff proves the
+    // migrated tables read the same rows.
+    "meta_validate" -> ((s, d) => {
+      val tables = Seq("nation", "region", "supplier")
+      s.sql("DROP DATABASE IF EXISTS graft_val CASCADE")
+      s.sql("DROP DATABASE IF EXISTS graft_val_tgt CASCADE")
+      s.sql("CREATE DATABASE graft_val")
+      tables.foreach(t => s.sql(
+        s"""CREATE TABLE graft_val.${t}_src
+           |USING parquet LOCATION '$d/$t.parquet'""".stripMargin))
+      val snap = CatalogTransfer.export(s, Seq("graft_val"))
+      CatalogTransfer.importInto(s, CatalogTransfer.remap(snap,
+        dbRenames = Map("graft_val" -> "graft_val_tgt"),
+        locationRewrites = Nil))
+      tables.foreach { t =>
+        val a = s.table(s"graft_val.${t}_src").schema
+        val b = s.table(s"graft_val_tgt.${t}_src").schema
+        require(a == b, s"schema drift for $t: $a vs $b")
+      }
+      tables.map { t =>
+        val src = Tables(s, d, t).agg(count(lit(1)).as("n_src"))
+        val tgt = s.table(s"graft_val_tgt.${t}_src")
+          .agg(count(lit(1)).as("n_tgt"))
+        src.crossJoin(tgt).select(lit(t).as("table_name"),
+          col("n_src"), col("n_tgt"),
+          (col("n_src") === col("n_tgt")).cast("int").as("rows_match"))
+      }.reduce(_.unionAll(_)).orderBy("table_name")
+    }),
+
     // the same scenario against a REAL Hive metastore (embedded Derby —
     // the local stand-in for the reference's managed HMS). The catalog
     // implementation is fixed per SparkContext, so the Hive session runs
@@ -388,6 +424,19 @@ object DdlQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    "meta_validate" ->
+      """SELECT 'nation' AS table_name,
+        |  (SELECT COUNT(*) FROM nation) AS n_src,
+        |  (SELECT COUNT(*) FROM nation) AS n_tgt, 1 AS rows_match
+        |UNION ALL
+        |SELECT 'region',
+        |  (SELECT COUNT(*) FROM region),
+        |  (SELECT COUNT(*) FROM region), 1
+        |UNION ALL
+        |SELECT 'supplier',
+        |  (SELECT COUNT(*) FROM supplier),
+        |  (SELECT COUNT(*) FROM supplier), 1
+        |ORDER BY table_name""".stripMargin,
     "ddl_create_external_table" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         | ROUND(SUM(l_quantity), 4) AS sum_qty

@@ -117,7 +117,9 @@ class PlanSpec extends SparkSpec {
       // ml_naive_bayes broadcast-crossjoins the 1-row vocab/ntrain
       // aggregates and the 5-row class-totals table into the scoring
       // pass (scalar-subquery pattern ×2 + tiny dim)
-      "ml_naive_bayes")
+      "ml_naive_bayes",
+      // meta_validate crossjoins two 1-row count aggregates per table
+      "meta_validate")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
