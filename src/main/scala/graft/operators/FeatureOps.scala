@@ -207,6 +207,31 @@ object FeatureOps extends QueryGroup {
         .orderBy("coef")
     }),
 
+    // Leakage-free point-in-time features — the feature-store contract:
+    // every training row may only see STRICTLY-EARLIER history (frame
+    // ends at 1 PRECEDING; ties broken by orderkey so "earlier" is a
+    // total order). One partition-sorted window per customer computes
+    // prior-order count, prior spend (DECIMAL-summed, engine-exact)
+    // and recency in a single pass — the alternative (self-join
+    // orders-to-earlier-orders) is O(n²) per customer and shuffles
+    // the fact twice. All three window exprs share (partition, order)
+    // so they fuse into ONE Window node / one sort.
+    "feat_pit_leakfree" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val hist = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(hist).as("n_prior_orders"),
+        round(coalesce(sum(col("o_totalprice").cast(dec)).over(hist),
+          lit(0).cast(dec)).cast("double"), 2).as("spend_prior"),
+        coalesce(datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(ord)).cast("long"), lit(-1L))
+          .as("days_since_prev"))
+        .orderBy("o_orderkey")
+    }),
+
     // Multinomial naive Bayes, trained AND scored in-engine: +1-smoothed
     // token likelihoods from the %5≠0 split, argmax scoring of the held-
     // out docs. Train-side state collapses to vocab-sized tables (counts,
@@ -255,6 +280,19 @@ object FeatureOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "feat_pit_leakfree" ->
+      """SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER w AS n_prior_orders,
+        |  ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w,
+        |    0) AS DOUBLE), 2) AS spend_prior,
+        |  COALESCE(DATE_DIFF('day', LAG(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate), -1) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_orderkey""".stripMargin,
     "ml_naive_bayes" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, UNNEST(STR_SPLIT(text, ' ')) AS term

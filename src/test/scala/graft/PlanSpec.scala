@@ -284,6 +284,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), "Q11 lost its share-of-total window")
   }
 
+  test("feat_pit_leakfree fuses all three features into one window") {
+    val plan = planOf("feat_pit_leakfree")
+    val nWindows = "Window \\[".r.findAllIn(plan).length
+    assert(nWindows == 1,
+      s"PIT features split across $nWindows Window nodes (extra sorts)")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
