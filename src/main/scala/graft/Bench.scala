@@ -74,14 +74,18 @@ object Bench {
     val qs = headline.map(k => s"\"$k\":${r3(results(k))}")
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"runs":$RunsPerKey,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
     // optional full per-key dump for local profiling — a FILE, never
-    // stdout (a 250-key map would overflow the driver's tail window)
+    // stdout (a 250-key map would overflow the driver's tail window).
+    // AFTER the stdout line and non-fatal: a bad dump path must not
+    // discard the multi-minute run's primary output.
     sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
       val all = results.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), all)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), all)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] dump to $path failed: $e") }
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"runs":$RunsPerKey,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

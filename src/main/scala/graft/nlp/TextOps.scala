@@ -407,13 +407,16 @@ object TextOps extends QueryGroup {
   private def bandsFrom(sub: DataFrame, members: DataFrame): DataFrame = {
     val reps = sub.join(
       members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
-    // Carter-Wegman permutation family: two real string hashes reduced
-    // mod a 31-bit prime, 64 linear combinations h1 + p·h2 (≤ 2³⁷, so
-    // ANSI long arithmetic can't overflow). Hashing the shingle STRING
-    // 64× was the measured hot path; two hashes + 64 codegen'd long
-    // mul-adds keep the independence the banding needs, and a ~2⁻³¹
-    // shingle-collision rate is noise for banding recall — which the
-    // oracle's exact-Jaccard pair diff re-proves on every run anyway.
+    // Carter-Wegman permutation family: ONE string hash reduced mod a
+    // 31-bit prime, 64 affine transforms (a_p·h + b_p) mod P with
+    // fixed per-permutation constants. a_p·h reaches (P−1)² ≈ 2⁶² —
+    // under the signed-64 line but with NO headroom to widen P (ANSI
+    // mode throws on overflow; a 33-bit prime would silently need
+    // 2⁶⁶). Hashing the shingle STRING 64× was the measured hot path;
+    // one hash + 64 codegen'd mul-adds keep pairwise independence
+    // across permutations (an h-collision corrupts all 64 — ~2⁻³¹
+    // noise for banding recall, which the oracle's exact-Jaccard pair
+    // diff re-proves on every run anyway).
     val P = 2147483647L
     def cw(p: Int, mix: Long) = // deterministic per-permutation constant
       java.lang.Long.remainderUnsigned(mix * (p + 1), P - 1) + 1

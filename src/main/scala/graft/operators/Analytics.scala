@@ -206,8 +206,12 @@ object Analytics extends QueryGroup {
         .join(Tables(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(count(when(
-          col("l_shipdate") > date_add(col("o_orderdate"), 60), 1))
+        // INTERVAL arithmetic, NOT date_add: date_add truncates the
+        // timestamp to DATE and only matches the oracle's
+        // `+ INTERVAL 60 DAY` because fixture timestamps are
+        // midnight-aligned
+        .agg(count(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAY"), 1))
           .as("n_late_lines"))
       // per-order counts as ONE whole-partition window over the
       // (order, supplier) grain — a join-back of a separate per-order

@@ -62,6 +62,9 @@ object ScaleOps extends QueryGroup {
         .filter(col("type_a") < col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(sum(bit_count(col("wa").bitwiseAND(col("wb")))).as("n_both"))
+        // pairs that share a bucket but no user must vanish, as they do
+        // in the oracle's inner self-join (n_both=0 ≠ "no row")
+        .filter(col("n_both") > 0)
         .orderBy("type_a", "type_b")
     }),
 
