@@ -336,7 +336,11 @@ object Aggregates extends QueryGroup {
         .filter(col("o_orderkey") % 10 =!= 0)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          sum("o_totalprice").as("sum_total"))
+          // DECIMAL-cast partials: the ~1e10 double SUM rounds
+          // differently across engines at sf0.1 (the q9 lesson)
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("sum_total"))
       // unconditional overwrite (the join_dpp scratch lesson): stale
       // partials must be impossible
       ingested.write.mode("overwrite").parquet(dir)
@@ -344,11 +348,13 @@ object Aggregates extends QueryGroup {
         .filter(col("o_orderkey") % 10 === 0)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          sum("o_totalprice").as("sum_total"))
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("sum_total"))
       delta.unionAll(s.read.parquet(dir))
         .groupBy("o_orderstatus")
         .agg(sum("n_orders").as("n_orders"),
-          round(sum("sum_total"), 4).as("sum_total"))
+          round(sum("sum_total").cast("double"), 4).as("sum_total"))
         .orderBy("o_orderstatus")
     })
   )
@@ -382,7 +388,8 @@ object Aggregates extends QueryGroup {
     // full recompute — the incremental merge must land on exactly this
     "agg_incremental_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
-        |  ROUND(SUM(o_totalprice), 4) AS sum_total
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_total
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_hash_group" ->
       """SELECT l_returnflag, l_linestatus,
