@@ -72,9 +72,54 @@ object Multimodal extends QueryGroup {
         }
       }.toDF()
         .orderBy("doc_id")
+    }),
+
+    // aspect-preserving resize planning — the third leg of the
+    // decode / frame-sample / resize quartet. The stub "decoder"
+    // derives source dims from the blob length (deterministic integer
+    // arithmetic, so THIS mm key is DuckDB-oracled end-to-end: the
+    // fixture text is ASCII, making byte length == LENGTH(text));
+    // the fit-to-224 math is pure integer div. Same mapPartitions
+    // batch shape a real vectorized resizer (one library init per
+    // partition) drops into.
+    "mm_resize_batch" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"),
+          col("lang"), col("n_chars"))
+        .as[MediaRow]
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val len = r.media.length
+          val w = 16 + (len % 2048)
+          val h = 16 + ((len * 31) % 1536)
+          val m = math.max(w, h)
+          val (ow, oh) =
+            if (m <= 224) (w, h) else ((w * 224) / m, (h * 224) / m)
+          ResizePlan(r.doc_id, w, h, ow, oh)
+        }
+      }.toDF()
+        .orderBy("doc_id")
     })
   )
 
-  // engine-internal byte handling — covered by MultimodalSpec, not DuckDB.
-  val oracles: Map[String, String] = Map.empty
+  final case class ResizePlan(doc_id: Long, w: Int, h: Int,
+      out_w: Int, out_h: Int)
+
+  // the byte-level keys are engine-internal (LlmOpsSpec); the resize
+  // plan is integer arithmetic on the blob length, which DuckDB can
+  // replay from LENGTH(text) (ASCII fixture ⇒ byte length).
+  val oracles: Map[String, String] = Map(
+    "mm_resize_batch" ->
+      """SELECT doc_id, w, h,
+        |  CAST(CASE WHEN GREATEST(w, h) <= 224 THEN w
+        |    ELSE w * 224 // GREATEST(w, h) END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN GREATEST(w, h) <= 224 THEN h
+        |    ELSE h * 224 // GREATEST(w, h) END AS INTEGER) AS out_h
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(16 + (LENGTH(text) % 2048) AS INTEGER) AS w,
+        |    CAST(16 + ((LENGTH(text) * 31) % 1536) AS INTEGER) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
 }
