@@ -68,6 +68,26 @@ object ScaleOps extends QueryGroup {
         .orderBy("type_a", "type_b")
     }),
 
+    // The OTHER skew remedy: let AQE split the hot partition at
+    // runtime (OptimizeSkewedJoin) instead of hand-salting. 90% of
+    // fact rows share key 0; the dim side is unique per key and
+    // merge-hinted so the join shuffles. Thresholds are lowered for
+    // the fixture scale (the defaults trigger at 256 MB partitions)
+    // and RESTORED after materializing inside the key — a shared
+    // session must not leak AQE tuning into other keys' plans.
+    // PlanSpec re-runs the same shape and asserts the skew split
+    // actually fires; the oracle proves the split changes no row.
+    "join_skew_aqe" -> ((s, d) => {
+      val prev = skewAqeTuning.map { case (k, _) => k -> s.conf.getOption(k) }
+      skewAqeTuning.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        skewAqeShape(s, d).localCheckpoint() // materialize under tuning
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     "join_skew_salted" -> ((s, d) => {
       val li = Tables(s, d, "lineitem")
         .withColumn("salt",
@@ -248,7 +268,65 @@ object ScaleOps extends QueryGroup {
     }
   }
 
+  /** AQE tuning for [[skewAqeShape]], shared with PlanSpec. Thresholds
+    * sized to the fixture (defaults trigger at 256 MB partitions).
+    * `forceOptimizeSkewedJoin` is required here because the join's
+    * output partitioning feeds the same-key groupBy — without force,
+    * AQE declines to split rather than insert the re-shuffle the agg
+    * would then need (the real-world tradeoff this key demonstrates:
+    * at 100 TB you pay one extra small exchange to unmelt a reducer). */
+  val skewAqeTuning: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  /** The skewed join itself, shared with PlanSpec (which re-executes it
+    * under the same tuning to assert the runtime split fires): fact
+    * side 90%-hot on key 0, dim side unique per key, merge-hinted so
+    * the join shuffles instead of broadcasting. The dim is a Range,
+    * NOT a distinct over orders: a distinct leaves a HashAggregate
+    * between the shuffle stage and the join, and OptimizeSkewedJoin
+    * only matches Sort-over-shuffle-stage children — the aggregate
+    * silently disables the very rule this key demonstrates. */
+  def skewAqeShape(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val hot = (c: org.apache.spark.sql.Column) =>
+      when(c % 100 < 90, 0L).otherwise(c % 100)
+    // the round-robin repartition emulates the many-mapper reality of
+    // a 100 TB scan: AQE can only split a skewed reduce partition at
+    // MAPPER boundaries, and the single-file fixture otherwise
+    // produces ONE map task — leaving the splitter nothing to cut
+    val fact = Tables(s, d, "lineitem")
+      .select(hot(col("l_orderkey")).as("k"), col("l_extendedprice"))
+      .repartition(8)
+    val dim = s.range(100).select(col("id").as("k"),
+      (col("id") * 2 + 1).as("dim_tag"))
+    fact.hint("merge").join(dim.hint("merge"), "k")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"), 2).as("sum_price"),
+        max("dim_tag").as("dim_tag"))
+      .orderBy("k")
+  }
+
   val oracles: Map[String, String] = Map(
+    // the plain formulation — AQE's runtime split must change no row
+    "join_skew_aqe" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |    ELSE l_orderkey % 100 END AS k, l_extendedprice
+        |  FROM lineitem),
+        |dim AS (SELECT UNNEST(GENERATE_SERIES(0, 99)) AS k)
+        |SELECT f.k, COUNT(*) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  CAST(MAX(f.k * 2 + 1) AS BIGINT) AS dim_tag
+        |FROM fact f JOIN dim USING (k)
+        |GROUP BY f.k ORDER BY f.k""".stripMargin,
     // plain COUNT(DISTINCT) — the bitmap packing must be result-identical
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users

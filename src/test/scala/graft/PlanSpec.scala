@@ -284,6 +284,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), "Q11 lost its share-of-total window")
   }
 
+  test("join_skew_aqe: AQE splits the hot partition at runtime") {
+    val tuned = operators.ScaleOps.skewAqeTuning
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = operators.ScaleOps.skewAqeShape(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("feat_pit_leakfree fuses all three features into one window") {
     val plan = planOf("feat_pit_leakfree")
     val nWindows = "Window \\[".r.findAllIn(plan).length
