@@ -88,6 +88,23 @@ object ScaleOps extends QueryGroup {
       }
     }),
 
+    // AQE's second headline re-plan: a join the static planner must
+    // shuffle (estimates defeated via autoBroadcastJoinThreshold=-1 —
+    // standing in for the real 100 TB case where a filter's
+    // selectivity is unknowable before runtime) converts to a
+    // broadcast join at runtime once the built side's TRUE size is
+    // observed. PlanSpec asserts initial SMJ → final BHJ; the oracle
+    // proves re-planning changes no row.
+    "join_aqe_broadcast" -> ((s, d) => {
+      val prev = aqeBhjTuning.map { case (k, _) => k -> s.conf.getOption(k) }
+      aqeBhjTuning.foreach { case (k, v) => s.conf.set(k, v) }
+      try aqeBhjShape(s, d).localCheckpoint()
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     "join_skew_salted" -> ((s, d) => {
       val li = Tables(s, d, "lineitem")
         .withColumn("salt",
@@ -268,6 +285,31 @@ object ScaleOps extends QueryGroup {
     }
   }
 
+  /** AQE tuning for [[aqeBhjShape]], shared with PlanSpec: static
+    * broadcasts off (the planner must pick a shuffle join), runtime
+    * broadcasts on (AQE converts when the materialized side proves
+    * small). */
+  val aqeBhjTuning: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10485760")
+
+  /** Shuffle-planned join whose dim side is runtime-small, shared with
+    * PlanSpec (initial-vs-final plan assertion). */
+  def aqeBhjShape(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dim = Tables(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Tables(s, d, "lineitem")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** AQE tuning for [[skewAqeShape]], shared with PlanSpec. Thresholds
     * sized to the fixture (defaults trigger at 256 MB partitions).
     * `forceOptimizeSkewedJoin` is required here because the join's
@@ -314,6 +356,14 @@ object ScaleOps extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // the plain formulation — AQE's runtime broadcast must change no row
+    "join_aqe_broadcast" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the plain formulation — AQE's runtime split must change no row
     "join_skew_aqe" ->
       """WITH fact AS (

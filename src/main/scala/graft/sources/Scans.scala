@@ -89,6 +89,28 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    // Quoted-multiline CSV — the parser capability flat readers lack:
+    // a field containing literal newlines must round-trip through one
+    // quoted CSV record (multiLine=true makes Spark parse records
+    // across line boundaries; the writer quotes the field
+    // automatically). At 100 TB multiLine costs splittability — a
+    // quoted record can straddle any byte offset, so each file parses
+    // as one task; keep multiline corpora in many medium files. The
+    // oracle recomputes the embedded-newline column relationally from
+    // the source table, so the diff proves the payload survived the
+    // writer+parser byte-exactly.
+    "scan_csv_multiline" -> ((s, d) => {
+      val dir = Tables.scratch(d, "nation_multiline_csv")
+      val withNote = Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          concat(lit("line1 of "), col("n_name"),
+            lit("\n  line2 #"), col("n_nationkey")).as("note"))
+      withNote.write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.schema(withNote.schema).option("header", "true")
+        .option("multiLine", "true").csv(dir)
+        .orderBy("n_nationkey")
+    }),
+
     // Opaque-binary ingest via the binaryFile source — the multimodal
     // front door: Spark lists the directory, reads each object whole
     // into a `binary` column with path/length metadata, and everything
@@ -455,6 +477,11 @@ object Scans extends QueryGroup {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_parquet_roundtrip" -> supplierSql,
     "sink_csv_roundtrip" -> supplierSql,
+    "scan_csv_multiline" ->
+      """SELECT n_nationkey, n_name,
+        |  'line1 of ' || n_name || chr(10) ||
+        |    '  line2 #' || CAST(n_nationkey AS VARCHAR) AS note
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "sink_json_roundtrip" -> supplierSql,
     "sink_orc_roundtrip" -> supplierSql,
     "scan_range" ->

@@ -300,6 +300,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_aqe_broadcast: runtime stats convert the shuffle join to broadcast") {
+    val tuned = operators.ScaleOps.aqeBhjTuning
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = operators.ScaleOps.aqeBhjShape(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val (finalPart, initialPart) = plan.splitAt(plan.indexOf("== Initial Plan =="))
+      assert(initialPart.contains("SortMergeJoin"),
+        s"static plan was not a shuffle join:\n$plan")
+      assert(finalPart.contains("BroadcastHashJoin"),
+        s"AQE did not convert to broadcast:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("feat_pit_leakfree fuses all three features into one window") {
     val plan = planOf("feat_pit_leakfree")
     val nWindows = "Window \\[".r.findAllIn(plan).length
