@@ -89,6 +89,51 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    // Corrupt-file tolerance — the resilience option every long-lived
+    // 100 TB lake needs: one truncated/garbage object must not kill
+    // the scan. ignoreCorruptFiles (per-read option, not the global
+    // conf) skips unreadable files and keeps every healthy row; the
+    // oracle pins the healthy content, so the diff proves BOTH that
+    // the corrupt file was skipped AND that nothing else was dropped.
+    "scan_ignore_corrupt" -> ((s, d) => {
+      val dir = Tables.scratch(d, "nation_with_corrupt")
+      if (!Tables.scratchCurrent(d, "nation", dir)) {
+        val dst = new java.io.File(dir)
+        dst.mkdirs()
+        java.nio.file.Files.copy(
+          new java.io.File(s"$d/nation.parquet").toPath,
+          new java.io.File(dst, "part-0.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // a "parquet" file that is nothing of the sort
+        java.nio.file.Files.write(
+          new java.io.File(dst, "part-1-corrupt.parquet").toPath,
+          "this is not a parquet file".getBytes)
+        Tables.stampScratch(d, "nation", dir)
+      }
+      s.read.option("ignoreCorruptFiles", "true").parquet(dir)
+        .orderBy("n_nationkey")
+    }),
+
+    // maxRecordsPerFile rollover — the writer-side knob that bounds
+    // object sizes on a 100 TB sink (downstream listing, range reads,
+    // and retries all prefer many bounded files over few giants). The
+    // require() proves the rollover actually split the output; the
+    // oracle proves the split lost nothing.
+    "sink_max_records_per_file" -> ((s, d) => {
+      val dir = Tables.scratch(d, "customer_rolled")
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .coalesce(1) // one task, so ONLY maxRecordsPerFile splits it
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100) // splits even sf0.001's 150 rows
+        .parquet(dir)
+      val nFiles = new java.io.File(dir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      require(nFiles > 1,
+        s"maxRecordsPerFile produced a single file ($nFiles)")
+      s.read.parquet(dir).orderBy("c_custkey")
+    }),
+
     // Quoted-multiline CSV — the parser capability flat readers lack:
     // a field containing literal newlines must round-trip through one
     // quoted CSV record (multiLine=true makes Spark parse records
@@ -477,6 +522,12 @@ object Scans extends QueryGroup {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_parquet_roundtrip" -> supplierSql,
     "sink_csv_roundtrip" -> supplierSql,
+    "scan_ignore_corrupt" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "sink_max_records_per_file" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "scan_csv_multiline" ->
       """SELECT n_nationkey, n_name,
         |  'line1 of ' || n_name || chr(10) ||
