@@ -370,6 +370,36 @@ object Analytics extends QueryGroup {
     // at execution — the injection-safe template path a serving layer
     // uses. Binds are literals by the time Catalyst sees the plan, so
     // filter pushdown works exactly as with inline constants.
+    // Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/IF): 20-step bisection
+    // for the order-price median run as a procedural script — the
+    // control-flow surface a migrating HiveQL/PLSQL user needs. Each
+    // loop step is one tiny count aggregate (metadata-cheap at scale);
+    // determinism is pure double bisection arithmetic, which the
+    // oracle replays as a recursive CTE — two utterly different
+    // executions (procedural vs fixpoint) must land on the same bits.
+    "sql_scripting" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("scr_orders")
+      s.sql(
+        """BEGIN
+          |  DECLARE lo DOUBLE DEFAULT 0;
+          |  DECLARE hi DOUBLE DEFAULT 600000;
+          |  DECLARE mid DOUBLE;
+          |  DECLARE i INT DEFAULT 0;
+          |  WHILE i < 20 DO
+          |    SET mid = (lo + hi) / 2;
+          |    IF (SELECT COUNT(*) FROM scr_orders
+          |        WHERE o_totalprice <= mid) * 2
+          |       < (SELECT COUNT(*) FROM scr_orders) THEN
+          |      SET lo = mid;
+          |    ELSE
+          |      SET hi = mid;
+          |    END IF;
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT ROUND(hi, 4) AS median_upper;
+          |END""".stripMargin)
+    }),
+
     "sql_named_params" -> ((s, d) => {
       Tables(s, d, "lineitem").createOrReplaceTempView("np_lineitem")
       s.sql(
@@ -579,6 +609,21 @@ object Analytics extends QueryGroup {
         |  ROUND(SUM(o_totalprice), 4) AS sum_total
         |FROM orders
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "sql_scripting" ->
+      """WITH RECURSIVE b(i, lo, hi) AS (
+        |  SELECT 0, CAST(0 AS DOUBLE), CAST(600000 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    CASE WHEN (SELECT COUNT(*) FROM orders
+        |               WHERE o_totalprice <= (lo+hi)/2) * 2
+        |              < (SELECT COUNT(*) FROM orders)
+        |         THEN (lo+hi)/2 ELSE lo END,
+        |    CASE WHEN (SELECT COUNT(*) FROM orders
+        |               WHERE o_totalprice <= (lo+hi)/2) * 2
+        |              < (SELECT COUNT(*) FROM orders)
+        |         THEN hi ELSE (lo+hi)/2 END
+        |  FROM b WHERE i < 20)
+        |SELECT ROUND(hi, 4) AS median_upper FROM b WHERE i = 20""".stripMargin,
     "sql_named_params" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         |  ROUND(SUM(l_extendedprice), 4) AS sum_price
