@@ -370,6 +370,22 @@ object Analytics extends QueryGroup {
     // at execution — the injection-safe template path a serving layer
     // uses. Binds are literals by the time Catalyst sees the plan, so
     // filter pushdown works exactly as with inline constants.
+    // Dynamic SQL: a query TEXT assembled at runtime executes with
+    // positional binds — the EXECUTE IMMEDIATE surface migrating
+    // stored-procedure code leans on. Binds become literals before
+    // optimization (like sql_named_params), so pushdown still fires.
+    "sql_execute_immediate" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("ei_orders")
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |  'SELECT o_orderpriority, COUNT(*) AS n_orders,
+          |          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+          |                     AS DOUBLE), 4) AS sum_price
+          |   FROM ei_orders WHERE o_orderstatus = ? AND o_totalprice > ?
+          |   GROUP BY o_orderpriority ORDER BY o_orderpriority'
+          |  USING 'F', 150000""".stripMargin)
+    }),
+
     // Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/IF): 20-step bisection
     // for the order-price median run as a procedural script — the
     // control-flow surface a migrating HiveQL/PLSQL user needs. Each
@@ -609,6 +625,12 @@ object Analytics extends QueryGroup {
         |  ROUND(SUM(o_totalprice), 4) AS sum_total
         |FROM orders
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "sql_execute_immediate" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sql_scripting" ->
       """WITH RECURSIVE b(i, lo, hi) AS (
         |  SELECT 0, CAST(0 AS DOUBLE), CAST(600000 AS DOUBLE)
