@@ -21,6 +21,20 @@ object ScaleOps extends QueryGroup {
 
   private val S = 8 // salt fan-out
 
+  /** Set session confs for the duration of `body`, restoring previous
+    * values (or unsetting) after — the shared-session discipline every
+    * conf-scoped key and plan test must follow. */
+  def withConfs[T](s: SparkSession, kvs: Seq[(String, String)])
+      (body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact distinct counting via fixed-width bitmaps (the roaring/
     // groupBitmap technique): pack each user into bit (user_id mod 63)
@@ -77,16 +91,10 @@ object ScaleOps extends QueryGroup {
     // session must not leak AQE tuning into other keys' plans.
     // PlanSpec re-runs the same shape and asserts the skew split
     // actually fires; the oracle proves the split changes no row.
-    "join_skew_aqe" -> ((s, d) => {
-      val prev = skewAqeTuning.map { case (k, _) => k -> s.conf.getOption(k) }
-      skewAqeTuning.foreach { case (k, v) => s.conf.set(k, v) }
-      try {
+    "join_skew_aqe" -> ((s, d) =>
+      withConfs(s, skewAqeTuning) {
         skewAqeShape(s, d).localCheckpoint() // materialize under tuning
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
-      }
-    }),
+      }),
 
     // AQE's second headline re-plan: a join the static planner must
     // shuffle (estimates defeated via autoBroadcastJoinThreshold=-1 —
@@ -95,15 +103,10 @@ object ScaleOps extends QueryGroup {
     // broadcast join at runtime once the built side's TRUE size is
     // observed. PlanSpec asserts initial SMJ → final BHJ; the oracle
     // proves re-planning changes no row.
-    "join_aqe_broadcast" -> ((s, d) => {
-      val prev = aqeBhjTuning.map { case (k, _) => k -> s.conf.getOption(k) }
-      aqeBhjTuning.foreach { case (k, v) => s.conf.set(k, v) }
-      try aqeBhjShape(s, d).localCheckpoint()
-      finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
-      }
-    }),
+    "join_aqe_broadcast" -> ((s, d) =>
+      withConfs(s, aqeBhjTuning) {
+        aqeBhjShape(s, d).localCheckpoint() // materialize under tuning
+      }),
 
     "join_skew_salted" -> ((s, d) => {
       val li = Tables(s, d, "lineitem")

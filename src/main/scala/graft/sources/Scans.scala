@@ -108,6 +108,12 @@ object Scans extends QueryGroup {
         java.nio.file.Files.write(
           new java.io.File(dst, "part-1-corrupt.parquet").toPath,
           "this is not a parquet file".getBytes)
+        // hand-built dir: scratchCurrent requires the _SUCCESS marker a
+        // Spark write would have left (meta_import_remap precedent) —
+        // without it the freshness guard is permanently false and every
+        // run re-copies the fixture
+        java.nio.file.Files.writeString(
+          new java.io.File(dst, "_SUCCESS").toPath, "")
         Tables.stampScratch(d, "nation", dir)
       }
       s.read.option("ignoreCorruptFiles", "true").parquet(dir)

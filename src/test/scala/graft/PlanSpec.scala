@@ -285,26 +285,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("join_skew_aqe: AQE splits the hot partition at runtime") {
-    val tuned = operators.ScaleOps.skewAqeTuning
-    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
-    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    operators.ScaleOps.withConfs(spark, operators.ScaleOps.skewAqeTuning) {
       val df = operators.ScaleOps.skewAqeShape(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"OptimizeSkewedJoin did not fire:\n$plan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
   test("join_aqe_broadcast: runtime stats convert the shuffle join to broadcast") {
-    val tuned = operators.ScaleOps.aqeBhjTuning
-    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
-    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    operators.ScaleOps.withConfs(spark, operators.ScaleOps.aqeBhjTuning) {
       val df = operators.ScaleOps.aqeBhjShape(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -313,9 +304,6 @@ class PlanSpec extends SparkSpec {
         s"static plan was not a shuffle join:\n$plan")
       assert(finalPart.contains("BroadcastHashJoin"),
         s"AQE did not convert to broadcast:\n$plan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
