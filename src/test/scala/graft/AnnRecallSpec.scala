@@ -58,9 +58,10 @@ class AnnRecallSpec extends SparkSpec {
       .collect().map(_.getSeq[Double](0).toArray)
     assert(rows.length == vecs.length, "a vector was dropped by encoding")
     rows.foreach { r =>
-      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      // codes travel as a comma-joined string (driver-diff-stable form)
+      val codes = r.getString(r.fieldIndex("codes")).split(",").map(_.toInt)
       assert(codes.length == 8 && codes.forall(c => c >= 1 && c <= 16),
-        s"invalid code block: $codes")
+        s"invalid code block: ${codes.mkString(",")}")
       assert(r.getAs[Double]("sq_err") >= 0)
     }
     // K=1 baseline: quantizing every vector to the corpus mean costs the
