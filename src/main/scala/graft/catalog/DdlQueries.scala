@@ -399,6 +399,35 @@ object DdlQueries extends QueryGroup {
         Tables.stampScratch(d, "nation", out)
       }
       s.read.parquet(out).orderBy("n_nationkey")
+    }),
+
+    // the shared-metastore semantics LIVE: export the fixture catalog,
+    // DROP it, and resolve tables through the [[SnapshotCatalog]] V2
+    // plugin by `<catalog>.<db>.<table>` name — zero DDL re-emission,
+    // the "second cluster attaches to the shared catalog" rendering
+    // (metastore-import.tf:181-278) next to importInto's re-creation
+    // rendering. The query reads the PARTITIONED table with a
+    // partition-column filter (pruning runs in the stock DSv2 file
+    // scan — asserted in CatalogSpec) and the plain table, both
+    // resolved purely from the snapshot. Catalog name is keyed by the
+    // fixture dir: Spark caches plugin instances per name, and each
+    // fixture's snapshot is a different catalog.
+    "meta_v2_catalog" -> ((s, d) => {
+      fixtureCatalog(s, d)
+      val dir = Tables.scratch(d, "v2_snapshot")
+      CatalogTransfer.write(s, CatalogTransfer.export(s, Seq("graft_meta")), dir)
+      s.sql("DROP DATABASE graft_meta CASCADE") // gone from the session
+      val cat = "gsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      val li = s.table(s"$cat.graft_meta.lineitem_part")
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+      val n = s.table(s"$cat.graft_meta.nation_meta")
+        .agg(count(lit(1)).as("n_nations"))
+      li.crossJoin(broadcast(n)).orderBy("l_linestatus")
     })
   )
 
@@ -464,6 +493,12 @@ object DdlQueries extends QueryGroup {
         |ORDER BY r_regionkey""".stripMargin,
     "meta_thrift_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+    "meta_v2_catalog" ->
+      """SELECT l_linestatus, COUNT(*) AS n_rows,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty,
+        | (SELECT COUNT(*) FROM nation) AS n_nations
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   )
 }

@@ -441,6 +441,58 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  private def v2Cat: String = {
+    // registers the V2 plugin + snapshot for this fixture (idempotent)
+    SparkEntry.queries("meta_v2_catalog")(spark, sf).count()
+    "gsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+  }
+
+  test("V2 snapshot catalog serves exported tables with no import step") {
+    val cat = v2Cat
+    // the source database is GONE from the session catalog — resolution
+    // below is purely the plugin reading the snapshot
+    assert(!spark.catalog.databaseExists("graft_meta"))
+    val viaCat = spark.table(s"$cat.graft_meta.nation_meta")
+      .orderBy("n_nationkey").collect()
+    val direct = spark.read.parquet(s"$sf/nation.parquet")
+      .orderBy("n_nationkey").collect()
+    assert(viaCat.nonEmpty && viaCat.toSeq == direct.toSeq)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val plugin = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    assert(plugin.listTables(Array("graft_meta")).map(_.name).sorted.toSeq
+      == Seq("lineitem_part", "nation_meta"))
+    assert(plugin.tableExists(
+      Identifier.of(Array("graft_meta"), "nation_meta")))
+    assert(!plugin.tableExists(
+      Identifier.of(Array("graft_meta"), "nope")))
+  }
+
+  test("V2 snapshot catalog prunes partitions through the stock DSv2 scan") {
+    val cat = v2Cat
+    val df = spark.table(s"$cat.graft_meta.lineitem_part")
+      .filter(col("l_returnflag") === "R")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"),
+      s"V2 table did not plan a BatchScan:\n$plan")
+    assert(
+      "PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).isDefined,
+      s"partition filter did not reach the scan:\n$plan")
+  }
+
+  test("V2 snapshot catalog is read-only") {
+    val cat = v2Cat
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DROP TABLE $cat.graft_meta.nation_meta")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE $cat.graft_meta.new_t (x INT) USING parquet")
+    }
+    // nothing was lost to the failed mutations
+    assert(spark.table(s"$cat.graft_meta.nation_meta").count() > 0)
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = SparkEntry.queries("meta_ddl_script")(spark, sf)
       .orderBy("stmt_order").collect()

@@ -119,7 +119,10 @@ class PlanSpec extends SparkSpec {
       // pass (scalar-subquery pattern ×2 + tiny dim)
       "ml_naive_bayes",
       // meta_validate crossjoins two 1-row count aggregates per table
-      "meta_validate")
+      "meta_validate",
+      // meta_v2_catalog crossjoins a 1-row count aggregate (nation via
+      // the snapshot catalog) into the partition-pruned lineitem agg
+      "meta_v2_catalog")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
