@@ -453,6 +453,39 @@ object DdlQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // DESCRIBE vs DuckDB's DESCRIBE of the same parquet: column names
+    // are engine-independent; type names are a pure dialect rendering
+    // (varchar/string, integer/int), normalized on the ORACLE side so
+    // the engine's own output stays untouched. The catalog's view of
+    // the schema must match what is actually in the files.
+    "ddl_describe_show" ->
+      """SELECT column_name AS col_name,
+        |  CASE lower(column_type)
+        |    WHEN 'varchar' THEN 'string'
+        |    WHEN 'integer' THEN 'int'
+        |    ELSE lower(column_type) END AS data_type
+        |FROM (DESCRIBE SELECT * FROM nation)
+        |UNION ALL SELECT 'nation_desc', '<table>'
+        |ORDER BY col_name""".stripMargin,
+    // ANALYZE's recorded rowCount must equal the files' true count
+    "ddl_analyze_stats" ->
+      """SELECT 'has_size' AS stat, 'true' AS value
+        |UNION ALL
+        |SELECT 'row_count', CAST((SELECT COUNT(*) FROM nation) AS VARCHAR)
+        |ORDER BY stat""".stripMargin,
+    // the export's column capture must match the actual file schema
+    // (names/types are fixture-catalog constants; n_columns is the
+    // honest cross-engine check)
+    "meta_export" ->
+      """SELECT 'graft_meta' AS db, 'lineitem_part' AS name,
+        |  'EXTERNAL' AS "tableType", 'parquet' AS provider,
+        |  CAST((SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM lineitem))
+        |    AS INTEGER) AS n_columns
+        |UNION ALL
+        |SELECT 'graft_meta', 'nation_meta', 'EXTERNAL', 'parquet',
+        |  CAST((SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM nation))
+        |    AS INTEGER)
+        |ORDER BY db, name""".stripMargin,
     "meta_validate" ->
       """SELECT 'nation' AS table_name,
         |  (SELECT COUNT(*) FROM nation) AS n_src,
