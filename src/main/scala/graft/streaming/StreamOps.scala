@@ -407,10 +407,75 @@ object StreamOps extends QueryGroup {
         case Some(p) => s.conf.set(key, p)
         case None => s.conf.unset(key)
       }
+    }),
+
+    // EXACTLY-ONCE UNDER RETRY — the failure semantics a 100 TB
+    // operator actually cares about: a micro-batch that reaches the
+    // sink but crashes BEFORE the checkpoint commit is replayed on
+    // restart, and an idempotent sink (foreachBatch writing to a
+    // batchId-keyed directory with overwrite — the documented
+    // foreachBatch exactly-once discipline) makes the replay
+    // invisible. The crash is INJECTED: foreachBatch throws after its
+    // sink write on the first attempt, so run 1 fails the query; run 2
+    // restarts from the same checkpoint, re-executes the SAME batchId
+    // over the SAME offset range, and overwrites the same directory.
+    // The require() proves the batch genuinely ran twice; the oracle
+    // proves the double execution left each row exactly once.
+    "stream_exactly_once" -> ((s, d) => {
+      val out = graft.Tables.scratch(d, "stream_eo_out")
+      val cp = graft.Tables.scratch(d, "stream_eo_cp")
+      for (p <- Seq(out, cp))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val attempts =
+        scala.collection.mutable.ArrayBuffer.empty[Long] // driver-side
+      def start() = eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          attempts += batchId
+          // sink write FIRST (batchId-keyed, overwrite = idempotent) …
+          df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          // … then crash before the engine can commit the batch
+          if (attempts.size == 1)
+            throw new RuntimeException("graft injected post-sink crash")
+        }
+        .start()
+      val q1 = start()
+      val failed =
+        try { q1.awaitTermination(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            require(e.toString.contains("graft injected"),
+              s"unexpected failure: $e")
+            true
+        }
+      require(failed, "injected crash did not surface")
+      val q2 = start() // same checkpoint: replays the uncommitted batch
+      q2.awaitTermination()
+      require(attempts.size == 2 && attempts.distinct.size == 1,
+        s"batch was not replayed with its original id: $attempts")
+      s.read.parquet(s"$out/batch=${attempts.head}")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // despite the injected crash + replay, every event lands exactly
+    // once — counts and sums match one clean pass over the source
+    "stream_exactly_once" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | COUNT(DISTINCT event_id) AS n_distinct,
+        | ROUND(SUM(value), 4) AS sum_value
+        |FROM (SELECT event_type, event_id, ROUND(value, 4) AS value
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the batch changelog compaction — the incremental upsert must
     // land on exactly this state (win_latest_version's oracle)
     "stream_cdc_upsert" ->

@@ -87,6 +87,50 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-01 00:40:00") == 1L)
   }
 
+  test("failed micro-batch replays idempotently — exactly-once sink") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_eo_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_eo_out").toString
+    val input = MemoryStream[(Long, String)]
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = input.toDF().toDF("id", "k")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        attempts += batchId
+        // idempotent sink: batchId-keyed dir, overwritten on replay
+        df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // crash batch 1's FIRST attempt after its sink write — between
+        // sink and checkpoint commit, the worst-timed failure
+        if (batchId == 1 && attempts.count(_ == 1L) == 1)
+          throw new RuntimeException("graft injected post-sink crash")
+      }
+      .start()
+    val q1 = start()
+    input.addData((1L, "a"), (2L, "b")) // batch 0 — clean
+    q1.processAllAvailable()
+    input.addData((3L, "c")) // batch 1 — written, then crashed
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    val q2 = start() // same checkpoint: batch 1 is uncommitted → replay
+    try {
+      input.addData((4L, "d")) // batch 2 — post-recovery progress
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(attempts.count(_ == 1L) == 2,
+      s"batch 1 was not replayed with its original id: $attempts")
+    val out = s.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // the replayed batch left its row exactly once; nothing lost either
+    assert(out.toSeq == Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      s"exactly-once violated: ${out.mkString(", ")}")
+  }
+
   test("stateful count accumulates across batches") {
     val s = spark
     import s.implicits._
