@@ -428,6 +428,35 @@ object DdlQueries extends QueryGroup {
       val n = s.table(s"$cat.graft_meta.nation_meta")
         .agg(count(lit(1)).as("n_nations"))
       li.crossJoin(broadcast(n)).orderBy("l_linestatus")
+    }),
+
+    // SQL-over-the-wire: the reference's other service surface — a
+    // BI tool / beeline client speaking the HiveServer2 protocol to a
+    // SQL endpoint. This key runs the FULL wire path in-process:
+    // Spark's own Thrift JDBC server ([[SqlEndpoint]], one per JVM) +
+    // a real hive-jdbc DriverManager connection executing the query
+    // and marshalling rows back over the socket. The JDBC session is
+    // ISOLATED from ours (the server's default), so the queried table
+    // is a persistent catalog object — proving a second, wire-attached
+    // session resolves shared metadata, the metastore-import story at
+    // the SQL port. Results come back as protocol strings; they are
+    // re-typed so the oracle diff checks the VALUES survived the wire.
+    "sql_thrift_endpoint" -> ((s, d) => {
+      import s.implicits._
+      freshDb(s, "graft_jdbc")
+      s.sql("DROP TABLE IF EXISTS graft_jdbc.nation_j")
+      s.sql(s"""CREATE TABLE graft_jdbc.nation_j
+               |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
+      val port = SqlEndpoint.ensureStarted(s)
+      val (cols, rows) = SqlEndpoint.jdbcQuery(port,
+        """SELECT n_nationkey, n_name, n_regionkey
+          |FROM graft_jdbc.nation_j ORDER BY n_nationkey""".stripMargin)
+      require(cols.map(_.toLowerCase) ==
+        Seq("n_nationkey", "n_name", "n_regionkey"),
+        s"wire metadata drifted: $cols")
+      rows.map(r => (r(0).toInt, r(1), r(2).toInt))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
     })
   )
 
@@ -525,6 +554,11 @@ object DdlQueries extends QueryGroup {
       """SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey""".stripMargin,
     "meta_thrift_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    // the wire transport must be lossless — same oracle as
+    // meta_roundtrip (values, not just shapes, survive the protocol)
+    "sql_thrift_endpoint" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     "meta_v2_catalog" ->

@@ -493,6 +493,22 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.graft_meta.nation_meta").count() > 0)
   }
 
+  test("thrift SQL endpoint round-trips values over a real JDBC wire") {
+    val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
+    assert(out.length == 25) // nation is 25 rows at every SF
+    val port = SqlEndpoint.ensureStarted(spark)
+    assert(port == SqlEndpoint.ensureStarted(spark),
+      "endpoint must be one-per-JVM (memoized port)")
+    // a separate wire query resolves the same shared catalog object
+    val (cols, rows) = SqlEndpoint.jdbcQuery(port,
+      "SELECT COUNT(*) AS n FROM graft_jdbc.nation_j")
+    assert(cols.map(_.toLowerCase) == Seq("n") && rows.head.head == "25")
+    // server-side failures surface as client-side SQLExceptions
+    intercept[java.sql.SQLException] {
+      SqlEndpoint.jdbcQuery(port, "SELECT * FROM graft_jdbc.no_such_table")
+    }
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = SparkEntry.queries("meta_ddl_script")(spark, sf)
       .orderBy("stmt_order").collect()
