@@ -208,6 +208,70 @@ case class PqError(child: Expression, cids: Array[Array[Int]],
     copy(child = c)
 }
 
+/** Asymmetric distance computation (ADC), cosine flavor: cosine between
+  * a FULL query vector and the PQ RECONSTRUCTION of a corpus vector —
+  * the codes string ("c0,c1,…") is decoded against the baked codebook
+  * subspace-by-subspace inside one loop, so the 64-double
+  * reconstruction is never materialized. This is how IVF+PQ search
+  * scores candidates at 100 TB: the corpus side is 8 bytes of codes,
+  * only the query side is a real vector.
+  *
+  * left = codes (string, from [[PqCodes]]); right = query array<double>.
+  * Codegen delegates to [[compute]] via a reference object — the loop
+  * is compiled Scala over primitives either way, and the generated code
+  * stays a few bytes.
+  */
+case class PqAdcCosine(left: Expression, right: Expression,
+    cids: Array[Array[Int]], cents: Array[Array[Double]], subDim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** cosine(q, decode(codes)); fold order: j ascending within m
+    * ascending — fixed, bit-stable run-to-run. */
+  def compute(codesStr: org.apache.spark.unsafe.types.UTF8String,
+      qa: ArrayData): Double = {
+    val codes = codesStr.toString.split(',')
+    var dot = 0.0; var nc = 0.0; var nq = 0.0
+    var m = 0
+    while (m < codes.length && m < cids.length) {
+      val cid = java.lang.Integer.parseInt(codes(m))
+      val cs = cids(m); val cv = cents(m)
+      var k = 0; var off = -1
+      while (off < 0 && k < cs.length) {
+        if (cs(k) == cid) off = k * subDim
+        k += 1
+      }
+      require(off >= 0, s"code $cid not in subspace $m codebook")
+      val base = m * subDim
+      var j = 0
+      while (j < subDim) {
+        val c = cv(off + j); val q = qa.getDouble(base + j)
+        dot += c * q; nc += c * c; nq += q * q
+        j += 1
+      }
+      m += 1
+    }
+    dot / (math.sqrt(nc) * math.sqrt(nq))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdc", this,
+      classOf[PqAdcCosine].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register `graft_cosine` / `graft_dot` for SQL/expr use in this
     * session (idempotent — createOrReplace semantics). */

@@ -197,6 +197,32 @@ object VectorOps extends QueryGroup {
       .toSeq
   }
 
+  /** Register the PQ expression family (graft_pq_codes / graft_pq_err /
+    * graft_pq_adc) with this fixture's trained codebook baked in —
+    * consumed by embed_pq (encode) and sim_ann_ivfpq (ADC search). */
+  private def pqRegister(s: SparkSession, d: String): Unit = {
+    val subDim = 8
+    val bySub = pqCodebook(s, d).groupBy(_._1)
+    // per subspace, codewords sorted by cid ascending: PqEncodeBase's
+    // strict `<` then keeps the smallest cid on exact ties — the
+    // trainer's min_by(struct(dist, cid)) ordering
+    val cids = bySub.keys.toSeq.sorted.map(m =>
+      bySub(m).map(_._2).sorted.toArray).toArray
+    val cents = bySub.keys.toSeq.sorted.map(m =>
+      bySub(m).sortBy(_._2).flatMap(_._3).toArray).toArray
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_pq_codes",
+      es => graft.functions.PqCodes(es.head, cids, cents, subDim),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_err",
+      es => graft.functions.PqError(es.head, cids, cents, subDim),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      es => graft.functions.PqAdcCosine(es.head, es(1), cids, cents,
+        subDim),
+      "built-in")
+  }
+
   /** All (query × candidate, cosine) pairs for query ids ≡ 0 mod m. */
   private def pairs(s: SparkSession, d: String, m: Int): DataFrame = {
     val e = emb(s, d)
@@ -423,23 +449,7 @@ object VectorOps extends QueryGroup {
     // AnnRecallSpec pins code validity, quantization-beats-variance,
     // and rerun determinism.
     "embed_pq" -> ((s, d) => {
-      val M = 8; val subDim = 8
-      val bySub = pqCodebook(s, d).groupBy(_._1)
-      // per subspace, codewords sorted by cid ascending: PqEncodeBase's
-      // strict `<` then keeps the smallest cid on exact ties — the
-      // trainer's min_by(struct(dist, cid)) ordering
-      val cids = (0 until M).map(m =>
-        bySub(m).map(_._2).sorted.toArray).toArray
-      val cents = (0 until M).map { m =>
-        bySub(m).sortBy(_._2).flatMap(_._3).toArray
-      }.toArray
-      val reg = s.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("graft_pq_codes",
-        es => graft.functions.PqCodes(es.head, cids, cents, subDim),
-        "built-in")
-      reg.createOrReplaceTempFunction("graft_pq_err",
-        es => graft.functions.PqError(es.head, cids, cents, subDim),
-        "built-in")
+      pqRegister(s, d)
       emb(s, d).select(col("vec_id"),
           round(expr("graft_pq_err(v)"), 6).as("sq_err"),
           expr("graft_pq_codes(v)").as("codes"))
@@ -533,6 +543,66 @@ object VectorOps extends QueryGroup {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("qid"), col("cell"), col("vec_id").as("nn"),
           round(col("cos"), 4).as("cos"))
+        .orderBy("qid")
+    }),
+
+    // IVF + PQ — the two scale halves COMBINED, the memory-bounded ANN
+    // capstone: IVF bounds WHICH vectors a query touches (nprobe=4
+    // trained cells), PQ bounds the BYTES per touched vector (the
+    // corpus side of the candidate scoring is the 8-code string, not
+    // the 64-double vector — at 100 TB that is the difference between
+    // shuffling the corpus and shuffling 3% of it). Candidates score
+    // by graft_pq_adc (asymmetric distance: full query vs decoded
+    // codes, one fused loop, nothing materialized); the top-8 ADC
+    // shortlist then re-ranks EXACTLY against true vectors — the
+    // standard two-stage serve shape, and the gather join touches 8
+    // rows per query regardless of corpus size. Both
+    // index artifacts (centroids, codebook) are fixture-stamped and
+    // shipped. No SQL oracle (trained codebook); AnnRecallSpec pins
+    // answer quality vs brute force and agreement with rerun.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = ivfCentroids(s, d)
+      pqRegister(s, d)
+      val scored = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+      val cells = scored.groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cell"))
+      // the candidate corpus carries ONLY (vec_id, cell, codes)
+      val corpus = e.select(col("vec_id"),
+          expr("graft_pq_codes(v)").as("codes"))
+        .join(cells, "vec_id")
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val probes = scored.filter(col("vec_id") % 100 === 0)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wAdc = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      // ADC shortlist: top-8 by compressed score — the only stage that
+      // touches the candidate mass, and it reads 8-byte codes, not
+      // vectors
+      val shortlist = corpus.join(probes, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(q, "qid")
+        .withColumn("adc", expr("graft_pq_adc(codes, qv)"))
+        .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= 8)
+        .drop("rn")
+      // exact re-rank gather: only the 8-per-query shortlist joins back
+      // to true vectors (a broadcastable side at any corpus scale) —
+      // the standard two-stage IVF+PQ serve shape
+      val wExact = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      shortlist.join(e.select(col("vec_id"), col("v")), "vec_id")
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+        .withColumn("rn", row_number().over(wExact)).filter(col("rn") === 1)
+        .select(col("qid"), col("cell"), col("vec_id").as("nn"),
+          round(col("cos"), 4).as("cos"),
+          round(col("adc"), 4).as("adc_cos"))
         .orderBy("qid")
     }),
 

@@ -45,6 +45,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact >= 3, s"trained IVF recall@1 $exact/${truth.size} < 3/5")
   }
 
+  test("IVF+PQ ANN answers every query near the true neighbor's cosine") {
+    // the chosen neighbor is picked by 8-byte ADC scores, then exactly
+    // rescored — quality sits between raw PQ and IVF-flat
+    check("sim_ann_ivfpq", 0.8)
+  }
+
+  test("IVF+PQ ADC score approximates the exact cosine of the winner") {
+    val rows = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Double]("cos")
+      val adc = r.getAs[Double]("adc_cos")
+      assert(math.abs(exact - adc) < 0.5,
+        s"ADC score $adc wildly off exact $exact — decode is broken")
+    }
+  }
+
   test("LSH ANN answers every query with a same-bucket neighbor") {
     // single-probe over 64 hyperplane buckets: measured 0.75
     check("sim_ann_lsh", 0.6)

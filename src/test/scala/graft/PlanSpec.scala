@@ -122,7 +122,10 @@ class PlanSpec extends SparkSpec {
       "meta_validate",
       // meta_v2_catalog crossjoins a 1-row count aggregate (nation via
       // the snapshot catalog) into the partition-pruned lineitem agg
-      "meta_v2_catalog")
+      "meta_v2_catalog",
+      // sim_ann_ivfpq broadcast-NLJs the tiny centroid set against the
+      // corpus for cell assignment (the sim_ann_ivf quantizer shape)
+      "sim_ann_ivfpq")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
