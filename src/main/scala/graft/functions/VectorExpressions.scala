@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructField, StructType}
 
 /** Native Catalyst expressions for the vector hot path [NS: BASELINE.json
   * north_star — similarity search at 100 TB scale].
@@ -107,16 +108,24 @@ case class DotProduct(left: Expression, right: Expression)
   * subspace, m ascends across subspaces — fixed fold order, bit-stable
   * doubles run-to-run.
   */
-abstract class PqEncodeBase extends UnaryExpression {
-  def cids: Array[Array[Int]]
-  def cents: Array[Array[Double]]
-  def subDim: Int
+case class PqEncode(child: Expression, cids: Array[Array[Int]],
+    cents: Array[Array[Double]], subDim: Int) extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
 
-  /** (total L2 error, comma-joined codes) for one vector. */
-  protected final def encode(a: Any): (Double, String) = {
-    val v = a.asInstanceOf[ArrayData]
+  // ONE struct result per row: both encode consumers (sq_err + codes)
+  // read fields of a single evaluation. Two sibling expressions would
+  // each pay the full M×K×subDim argmin pass — and codegen
+  // subexpression elimination can then collapse the two
+  // GetStructField(PqEncode(v)) projections to one evaluation, which
+  // it cannot do across two DIFFERENT expression classes.
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("c", StringType, nullable = false)))
+
+  /** struct(total L2 error, comma-joined codes) for one vector — called
+    * from both the interpreted path and generated code (reference obj). */
+  def encode(a: ArrayData): InternalRow = {
     val sb = new java.lang.StringBuilder()
     var err = 0.0
     var m = 0
@@ -129,7 +138,7 @@ abstract class PqEncodeBase extends UnaryExpression {
         val off = k * subDim
         var d = 0.0; var j = 0
         while (j < subDim) {
-          val t = v.getDouble(base + j) - cv(off + j)
+          val t = a.getDouble(base + j) - cv(off + j)
           d += t * t; j += 1
         }
         if (d < bestD) { bestD = d; bestC = cs(k) }
@@ -140,69 +149,17 @@ abstract class PqEncodeBase extends UnaryExpression {
       err += bestD
       m += 1
     }
-    (err, sb.toString)
+    new GenericInternalRow(Array[Any](err,
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
   }
-
-  /** Shared generated loop; `finish` consumes (errVar, sbVar). */
-  protected final def genLoop(ctx: CodegenContext, a: String,
-      finish: (String, String) => String): String = {
-    val cidsRef = ctx.addReferenceObj("pqCids", cids, "int[][]")
-    val centsRef = ctx.addReferenceObj("pqCents", cents, "double[][]")
-    s"""
-       |java.lang.StringBuilder sb = new java.lang.StringBuilder();
-       |double err = 0.0;
-       |for (int m = 0; m < $cidsRef.length; m++) {
-       |  int base = m * $subDim;
-       |  int[] cs = $cidsRef[m];
-       |  double[] cv = $centsRef[m];
-       |  double bestD = java.lang.Double.MAX_VALUE; int bestC = 0;
-       |  for (int k = 0; k < cs.length; k++) {
-       |    int off = k * $subDim;
-       |    double d = 0.0;
-       |    for (int j = 0; j < $subDim; j++) {
-       |      double t = $a.getDouble(base + j) - cv[off + j];
-       |      d += t * t;
-       |    }
-       |    if (d < bestD) { bestD = d; bestC = cs[k]; }
-       |  }
-       |  if (m > 0) sb.append(',');
-       |  sb.append(bestC);
-       |  err += bestD;
-       |}
-       |${finish("err", "sb")}
-     """.stripMargin
-  }
-}
-
-/** Comma-joined PQ code string (driver-diff-stable — no array cells). */
-case class PqCodes(child: Expression, cids: Array[Array[Int]],
-    cents: Array[Array[Double]], subDim: Int) extends PqEncodeBase {
-
-  override def dataType: DataType = StringType
 
   override protected def nullSafeEval(a: Any): Any =
-    org.apache.spark.unsafe.types.UTF8String.fromString(encode(a)._2)
+    encode(a.asInstanceOf[ArrayData])
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => genLoop(ctx, a, (_, sb) =>
-      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String" +
-        s".fromString($sb.toString());"))
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-/** Total squared quantization error across all subspaces. */
-case class PqError(child: Expression, cids: Array[Array[Int]],
-    cents: Array[Array[Double]], subDim: Int) extends PqEncodeBase {
-
-  override def dataType: DataType = DoubleType
-
-  override protected def nullSafeEval(a: Any): Any = encode(a)._1
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => genLoop(ctx, a, (err, _) =>
-      s"${ev.value} = $err;"))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEnc", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.encode($a);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

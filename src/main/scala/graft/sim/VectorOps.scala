@@ -197,9 +197,12 @@ object VectorOps extends QueryGroup {
       .toSeq
   }
 
-  /** Register the PQ expression family (graft_pq_codes / graft_pq_err /
-    * graft_pq_adc) with this fixture's trained codebook baked in —
-    * consumed by embed_pq (encode) and sim_ann_ivfpq (ADC search). */
+  /** Register the PQ expression family (graft_pq_encode / graft_pq_adc)
+    * with this fixture's trained codebook baked in — consumed by
+    * embed_pq (encode) and sim_ann_ivfpq (ADC search). graft_pq_encode
+    * returns struct<d: sq_err, c: codes>; selecting both fields in one
+    * projection pays the M×K×subDim argmin once (codegen subexpression
+    * elimination collapses the two GetStructField evals). */
   private def pqRegister(s: SparkSession, d: String): Unit = {
     val subDim = 8
     val bySub = pqCodebook(s, d).groupBy(_._1)
@@ -211,11 +214,8 @@ object VectorOps extends QueryGroup {
     val cents = bySub.keys.toSeq.sorted.map(m =>
       bySub(m).sortBy(_._2).flatMap(_._3).toArray).toArray
     val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_pq_codes",
-      es => graft.functions.PqCodes(es.head, cids, cents, subDim),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_err",
-      es => graft.functions.PqError(es.head, cids, cents, subDim),
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      es => graft.functions.PqEncode(es.head, cids, cents, subDim),
       "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
       es => graft.functions.PqAdcCosine(es.head, es(1), cids, cents,
@@ -438,7 +438,7 @@ object VectorOps extends QueryGroup {
     // artifact (two seeded k-means iterations per subspace, trained
     // once per fixture and shipped); ENCODING is what this key
     // measures, and it is the production shape: the 1 KiB codebook is
-    // baked into the graft_pq_codes/graft_pq_err codegen expressions
+    // baked into the graft_pq_encode codegen expression
     // (functions/VectorExpressions.scala — tight primitive loops, not
     // 1024 unrolled literal terms, which cost ~4.5 s of fixed plan/
     // codegen time), so encoding is a pure zero-shuffle whole-stage-
@@ -451,8 +451,8 @@ object VectorOps extends QueryGroup {
     "embed_pq" -> ((s, d) => {
       pqRegister(s, d)
       emb(s, d).select(col("vec_id"),
-          round(expr("graft_pq_err(v)"), 6).as("sq_err"),
-          expr("graft_pq_codes(v)").as("codes"))
+          round(expr("graft_pq_encode(v).d"), 6).as("sq_err"),
+          expr("graft_pq_encode(v).c").as("codes"))
         .orderBy("vec_id")
     }),
 
@@ -572,7 +572,7 @@ object VectorOps extends QueryGroup {
           .as("cell"))
       // the candidate corpus carries ONLY (vec_id, cell, codes)
       val corpus = e.select(col("vec_id"),
-          expr("graft_pq_codes(v)").as("codes"))
+          expr("graft_pq_encode(v).c").as("codes"))
         .join(cells, "vec_id")
       val wq = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid").asc)
