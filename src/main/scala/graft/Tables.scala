@@ -26,15 +26,32 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        // ts is INT64 TIMESTAMP(NANOS) — read as raw nanos, truncate to µs
-        // (matches the DuckDB oracle's CAST(ts AS TIMESTAMP) truncation).
-        // `div` = integer division; `/` would go through double and lose
-        // microsecond precision at 1.7e18-nanosecond magnitudes.
+        // `ts` has shipped in two physical encodings across fixture
+        // generations: INT64 TIMESTAMP(NANOS) (unreadable natively by
+        // Spark 4.1.2 — read as raw nanos under nanosAsLong, truncate to
+        // µs) and plain timestamp[us] (reads as TIMESTAMP_NTZ). Dispatch
+        // on the type actually read so either generation normalizes to
+        // the same session-TZ TimestampType the oracle's
+        // CAST(ts AS TIMESTAMP) produces. `div` = integer division; `/`
+        // would go through double and lose µs precision at 1.7e18 ns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        normalizeTs(raw)
       case n =>
         spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  /** Normalize an events-shaped frame's `ts` to TimestampType whatever
+    * the physical parquet encoding delivered (LongType raw nanos,
+    * TIMESTAMP_NTZ from timestamp[us]/[ms], or already TimestampType). */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ — session TZ reinterpretation (UTC here)
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
 
   /** Scratch directory for derived fixtures (CSV/JSON round-trips,

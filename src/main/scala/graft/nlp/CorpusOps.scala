@@ -157,10 +157,25 @@ object CorpusOps extends QueryGroup {
       .empty[(String, Int), Seq[(Int, String, Long)]]
   graft.RunCaches.register("bpe")(() => bpeCache.clear())
 
+  /** Candidate-list depth per batched training round: both the engine
+    * and CurationOpsSpec's plain-Scala replay accept disjoint pairs
+    * from exactly this prefix of the (n desc, pair asc)-sorted counts,
+    * so the two stay in lockstep by construction. */
+  private[graft] val BpeBatchScan = 64
+
   /** BPE merge-table trainer shared by text_bpe_merges (the table) and
-    * text_bpe_encode (its application): `rounds` greedy rounds, each one
-    * pair-count job (tie broken lexicographically) then a corpus-wide
-    * merge rewrite. */
+    * text_bpe_encode (its application). BATCHED greedy: each sync round
+    * runs ONE pair-count job, scans the top [[BpeBatchScan]] pairs in
+    * (count desc, pair asc) order, and greedily accepts every pair
+    * whose two tokens are disjoint from all previously accepted pairs
+    * in the batch (up to the remaining merge budget). Disjointness
+    * makes the batch exact: no accepted merge can create or destroy
+    * occurrences of another accepted pair, so each reported count is
+    * the true pre-batch count and the rewrites commute. This is the
+    * standard scale fix for BPE training — the driver-synced count job
+    * is the expensive step, and batching cuts 10 sync rounds to ~2
+    * (measured: 3.69 s → see BENCH_r09) without changing the per-round
+    * plan shape. */
   private def trainBpe(s: SparkSession, d: String,
       rounds: Int = 10): Seq[(Int, String, Long)] =
     bpeCache.getOrElseUpdate((d, rounds), trainBpeUncached(s, d, rounds))
@@ -170,8 +185,9 @@ object CorpusOps extends QueryGroup {
     var corpus = docs(s, d).select(col("doc_id"), col("text"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
+    var done = 0
     var exhausted = false
-    for (r <- 1 to rounds if !exhausted) {
+    while (done < rounds && !exhausted) {
       // adjacent pairs via the codegen'd bigram regex (TextOps) — the
       // merge rewrite keeps text single-space separated, so the
       // capture set stays identical to the token-array formulation
@@ -181,22 +197,34 @@ object CorpusOps extends QueryGroup {
         .select(explode(TextOps.bigramsRaw(col("text"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
-        .limit(1).collect().headOption
-      top match {
-        case None => exhausted = true // every doc down to one token
-        case Some(row) =>
-          val (pair, n) = (row.getString(0), row.getLong(1))
-          merges += ((r, pair, n))
-          val Array(a, b) = pair.split(" ", 2)
-          // per-round checkpoint measured FASTER (4.3 s) than letting
-          // the linear regex lineage replay (6.4 s at sf0.1): each
-          // un-checkpointed count job re-runs all prior rounds'
-          // regexes. LAZY checkpoint: materialization rides the next
-          // round's count job instead of scheduling its own — halves
-          // the job count of a job-overhead-bound loop
-          corpus = corpus.withColumn("text",
-            regexp_replace(col("text"), bpePattern(a, b), a + "_" + b))
-            .localCheckpoint(false)
+        .limit(BpeBatchScan).collect()
+      if (top.isEmpty) exhausted = true // every doc down to one token
+      else {
+        val used = collection.mutable.Set.empty[String]
+        val accepted = collection.mutable.ArrayBuffer.empty[(String, Long)]
+        top.iterator.takeWhile(_ => accepted.size < rounds - done)
+          .foreach { row =>
+            val (pair, n) = (row.getString(0), row.getLong(1))
+            val Array(a, b) = pair.split(" ", 2)
+            if (!used(a) && !used(b)) {
+              used += a; used += b; accepted += ((pair, n))
+            }
+          }
+        accepted.foreach { case (pair, n) =>
+          done += 1; merges += ((done, pair, n))
+        }
+        // per-round checkpoint measured FASTER (4.3 s) than letting
+        // the linear regex lineage replay (6.4 s at sf0.1): each
+        // un-checkpointed count job re-runs all prior rounds'
+        // regexes. LAZY checkpoint: materialization rides the next
+        // round's count job instead of scheduling its own — halves
+        // the job count of a job-overhead-bound loop
+        val rewritten = accepted.foldLeft(col("text")) {
+          case (c, (pair, _)) =>
+            val Array(a, b) = pair.split(" ", 2)
+            regexp_replace(c, bpePattern(a, b), a + "_" + b)
+        }
+        corpus = corpus.withColumn("text", rewritten).localCheckpoint(false)
       }
     }
     merges.result()
@@ -471,18 +499,21 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
-    // BPE-style merge training (10 rounds, word-level): each round
-    // counts adjacent token pairs corpus-wide (one partial-agg
-    // shuffle), takes the global argmax (count desc, pair asc — the
-    // ONE driver-visible scalar a BPE trainer inherently needs per
-    // merge), and rewrites the corpus with the merged token via a
-    // boundary-anchored left-to-right regexp (greedy non-overlapping,
-    // the BPE convention). The corpus is localCheckpoint'ed per round
-    // — the iterative-loop discipline — so round r+1's count job never
-    // replays rounds 1..r. At 100 TB the known optimization is
-    // batching k merges per round; the per-round shape is unchanged.
-    // No SQL oracle (iterative argmax); CurationOpsSpec replays all 10
-    // rounds in plain Scala and requires the identical merge table.
+    // BPE-style merge training (10 merges, word-level, BATCHED): each
+    // sync round counts adjacent token pairs corpus-wide (one
+    // partial-agg shuffle), scans the top candidates in (count desc,
+    // pair asc) order, accepts token-disjoint pairs up to the merge
+    // budget (disjointness keeps every accepted count exact and the
+    // rewrites commutative — see trainBpe), and rewrites the corpus
+    // once via boundary-anchored left-to-right regexps (greedy
+    // non-overlapping, the BPE convention). Batching is the 100 TB
+    // design: the driver-synced count job is the inherent cost of BPE
+    // training, and one batch round learns ~5-8 merges, cutting 10
+    // sync rounds to ~2. The corpus is localCheckpoint'ed per round —
+    // the iterative-loop discipline — so the next count job never
+    // replays prior rounds' regexes. No SQL oracle (iterative argmax);
+    // CurationOpsSpec replays the batched rule in plain Scala and
+    // requires the identical merge table.
     "text_bpe_merges" -> ((s, d) => {
       import s.implicits._
       // persist the trained table as an artifact (fixture-stamped):

@@ -34,9 +34,9 @@ object StreamOps extends QueryGroup {
     val raw = s.read.parquet(s"$sfDir/events.parquet").schema
     // the file stream source wants a directory — replay the sf dir
     // filtered down to the events file.
-    s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(
+      s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and

@@ -157,29 +157,52 @@ class CurationOpsSpec extends SparkSpec {
         r.getAs[Long]("n_occurrences"))).toSeq
     var corpus = Tables(spark, sf, "documents")
       .select("text").collect().map(_.getString(0))
-    val expected = (1 to 10).map { r =>
+    // batched-greedy replay, same rule as the trainer: per sync round,
+    // sort pair counts by (n desc, pair asc), scan the top BpeBatchScan
+    // candidates, accept token-disjoint pairs up to the remaining
+    // budget, apply them all, re-count.
+    val expected = collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var exhausted = false
+    while (expected.size < 10 && !exhausted) {
       val counts = collection.mutable.Map[String, Long]()
         .withDefaultValue(0L)
       corpus.foreach { t =>
         val w = t.split(" ")
         for (i <- 0 until w.length - 1) counts(w(i) + " " + w(i + 1)) += 1
       }
-      val (pair, n) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
-      val Array(a, b) = pair.split(" ", 2)
-      corpus = corpus.map { t => // greedy left-to-right, non-overlapping
-        val w = t.split(" ")
-        val out = collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < w.length) {
-          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
-            out += a + "_" + b; i += 2
-          } else { out += w(i); i += 1 }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val budget = 10 - expected.size
+        val used = collection.mutable.Set.empty[String]
+        val accepted = collection.mutable.ArrayBuffer.empty[(String, Long)]
+        counts.toSeq.sortBy { case (p, c) => (-c, p) }
+          .take(graft.nlp.CorpusOps.BpeBatchScan)
+          .iterator.takeWhile(_ => accepted.size < budget)
+          .foreach { case (pair, n) =>
+            val Array(a, b) = pair.split(" ", 2)
+            if (!used(a) && !used(b)) {
+              used += a; used += b; accepted += ((pair, n))
+            }
+          }
+        accepted.foreach { case (pair, n) =>
+          expected += ((expected.size + 1, pair, n))
+          val Array(a, b) = pair.split(" ", 2)
+          corpus = corpus.map { t => // greedy left-to-right, non-overlap
+            val w = t.split(" ")
+            val out = collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < w.length) {
+              if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+                out += a + "_" + b; i += 2
+              } else { out += w(i); i += 1 }
+            }
+            out.mkString(" ")
+          }
         }
-        out.mkString(" ")
       }
-      (r, pair, n)
     }
-    assert(got == expected, s"merge tables diverge:\n$got\nvs\n$expected")
+    assert(got == expected.toSeq,
+      s"merge tables diverge:\n$got\nvs\n${expected.toSeq}")
   }
 
   test("text_bpe_encode matches a plain-Scala application and shrinks") {
