@@ -20,6 +20,7 @@ object ScaleCurves {
   private val curveKeys: Seq[(String, String)] = Seq(
     "graph_pagerank" -> "documents",
     "sim_ann_ivf" -> "embeddings",
+    "sim_ann_ivfpq" -> "embeddings",
     "agg_bitmap_distinct" -> "events",
     "join_bitmap_overlap" -> "events",
     "dedup_clusters" -> "documents",

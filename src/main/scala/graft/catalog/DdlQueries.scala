@@ -185,11 +185,29 @@ object DdlQueries extends QueryGroup {
 
     // SHOW CREATE TABLE: the engine's own DDL rendering of a registered
     // table — the per-table manual counterpart of meta_ddl_script's
-    // snapshot-derived script. Rows-only check (location paths are
-    // machine-specific); CatalogSpec asserts the statement shape.
+    // snapshot-derived script. The raw statement carries a
+    // machine-specific LOCATION clause, so the ORACLED output is the
+    // statement parsed into its engine-independent structure: one
+    // (col_name, data_type) row per rendered column definition plus the
+    // provider — checkable against DuckDB's DESCRIBE of the same
+    // parquet (type names dialect-normalized oracle-side, as
+    // ddl_describe_show does). CatalogSpec still asserts the raw
+    // statement shape (CREATE TABLE / USING / LOCATION) directly.
     "ddl_show_create" -> ((s, d) => {
       fixtureCatalog(s, d)
-      s.sql("SHOW CREATE TABLE graft_meta.nation_meta")
+      val stmt = s.sql("SHOW CREATE TABLE graft_meta.nation_meta")
+      val coldefs = stmt
+        .select(explode(split(regexp_extract(col("createtab_stmt"),
+          "\\(([^)]*)\\)", 1), ",")).as("coldef"))
+        .select(trim(regexp_replace(col("coldef"), "\\s+", " ")).as("coldef"))
+        .select(
+          split(col("coldef"), " ").getItem(0).as("col_name"),
+          lower(split(col("coldef"), " ").getItem(1)).as("data_type"))
+      coldefs.unionAll(stmt.select(
+          lit("<provider>").as("col_name"),
+          lower(regexp_extract(col("createtab_stmt"), "USING (\\w+)", 1))
+            .as("data_type")))
+        .orderBy("col_name")
     }),
 
     // dry-run migration script: the ordered DDL an import WOULD execute,
@@ -487,6 +505,18 @@ object DdlQueries extends QueryGroup {
     // (varchar/string, integer/int), normalized on the ORACLE side so
     // the engine's own output stays untouched. The catalog's view of
     // the schema must match what is actually in the files.
+    // SHOW CREATE's rendered column list must agree with the file
+    // schema; type names are the same dialect rendering DESCRIBE has
+    // (normalized oracle-side, engine output untouched)
+    "ddl_show_create" ->
+      """SELECT column_name AS col_name,
+        |  CASE lower(column_type)
+        |    WHEN 'varchar' THEN 'string'
+        |    WHEN 'integer' THEN 'int'
+        |    ELSE lower(column_type) END AS data_type
+        |FROM (DESCRIBE SELECT * FROM nation)
+        |UNION ALL SELECT '<provider>', 'parquet'
+        |ORDER BY col_name""".stripMargin,
     "ddl_describe_show" ->
       """SELECT column_name AS col_name,
         |  CASE lower(column_type)

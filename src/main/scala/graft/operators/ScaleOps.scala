@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryGroup, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-technique operators [SVC: yc-data-proc-metadata-import
@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
 object ScaleOps extends QueryGroup {
 
   private val S = 8 // salt fan-out
+
+  /** Per-partition (min, max, count) fingerprint of the range-sorted
+    * lineitem — the pid-level view whose disjoint/ordered/complete LAWS
+    * ScaleOpsSpec asserts; `sort_range_partitioned` oracles its
+    * sampling-independent aggregate. */
+  private[graft] def rangeSortRuns(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .select(col("l_shipdate"), col("l_orderkey"))
+      .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+      .sortWithinPartitions("l_shipdate", "l_orderkey")
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min(struct(col("l_shipdate"), col("l_orderkey"))).as("lo"),
+        max(struct(col("l_shipdate"), col("l_orderkey"))).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .select(col("pid"),
+        col("lo.l_shipdate").as("lo_date"),
+        col("lo.l_orderkey").as("lo_key"),
+        col("hi.l_shipdate").as("hi_date"),
+        col("hi.l_orderkey").as("hi_key"),
+        col("n_rows"))
+      .orderBy("pid")
 
   /** Set session confs for the duration of `body`, restoring previous
     * values (or unsetting) after — the shared-session discipline every
@@ -145,29 +167,24 @@ object ScaleOps extends QueryGroup {
     // The distributed-sort contract (TeraSort shape): repartitionByRange
     // assigns non-overlapping key ranges to partitions (sampled
     // boundaries), sortWithinPartitions orders each run — together a
-    // total order WITHOUT any single-point sort. Output is the
-    // per-partition (min, max, count) fingerprint; ScaleOpsSpec asserts
-    // the runs don't overlap and cover every row — the property that
-    // lets 1000 executors write a globally-sorted dataset. No oracle:
-    // partition boundaries come from sampling, so only the LAWS are
-    // stable, not the exact cuts.
+    // total order WITHOUT any single-point sort. The per-partition
+    // (min, max, count) fingerprint's exact cuts come from sampling, so
+    // only the LAWS are stable: ScaleOpsSpec asserts (via
+    // rangeSortRuns) that the runs don't overlap and cover every row —
+    // the property that lets 1000 executors write a globally-sorted
+    // dataset. The ORACLED projection aggregates the fingerprint to its
+    // sampling-independent totals: run count, row total, and the global
+    // (lo, hi) composite extremes — which DuckDB re-derives from the
+    // raw table.
     "sort_range_partitioned" -> ((s, d) => {
-      Tables(s, d, "lineitem")
-        .select(col("l_shipdate"), col("l_orderkey"))
-        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
-        .sortWithinPartitions("l_shipdate", "l_orderkey")
-        .withColumn("pid", spark_partition_id())
-        .groupBy("pid")
-        .agg(min(struct(col("l_shipdate"), col("l_orderkey"))).as("lo"),
-          max(struct(col("l_shipdate"), col("l_orderkey"))).as("hi"),
-          count(lit(1)).as("n_rows"))
-        .select(col("pid"),
-          col("lo.l_shipdate").as("lo_date"),
-          col("lo.l_orderkey").as("lo_key"),
-          col("hi.l_shipdate").as("hi_date"),
-          col("hi.l_orderkey").as("hi_key"),
-          col("n_rows"))
-        .orderBy("pid")
+      rangeSortRuns(s, d)
+        .agg(count(lit(1)).as("n_runs"),
+          sum(col("n_rows")).as("n_rows"),
+          min(struct(col("lo_date"), col("lo_key"))).as("lo"),
+          max(struct(col("hi_date"), col("hi_key"))).as("hi"))
+        .select(col("n_runs"), col("n_rows"),
+          col("lo.lo_date").as("lo_date"), col("lo.lo_key").as("lo_key"),
+          col("hi.hi_date").as("hi_date"), col("hi.hi_key").as("hi_key"))
     }),
 
     "join_bucketed" -> ((s, d) => {
@@ -359,6 +376,22 @@ object ScaleOps extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // the sampling-independent totals of the range-sort fingerprint:
+    // 8 runs (the requested range count — all non-empty at any tested
+    // SF), every row covered, and the global composite extremes; the
+    // per-run boundary laws stay in ScaleOpsSpec (sampled cuts are not
+    // cross-engine reproducible)
+    "sort_range_partitioned" ->
+      """SELECT CAST(8 AS BIGINT) AS n_runs, COUNT(*) AS n_rows,
+        |  MIN(l_shipdate) AS lo_date,
+        |  (SELECT MIN(l_orderkey) FROM lineitem
+        |   WHERE l_shipdate = (SELECT MIN(l_shipdate) FROM lineitem))
+        |    AS lo_key,
+        |  MAX(l_shipdate) AS hi_date,
+        |  (SELECT MAX(l_orderkey) FROM lineitem
+        |   WHERE l_shipdate = (SELECT MAX(l_shipdate) FROM lineitem))
+        |    AS hi_key
+        |FROM lineitem""".stripMargin,
     // the plain formulation — AQE's runtime broadcast must change no row
     "join_aqe_broadcast" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,

@@ -385,7 +385,16 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("SHOW CREATE TABLE renders a re-runnable external-table DDL") {
-    val stmt = SparkEntry.queries("ddl_show_create")(spark, sf)
+    // run the key first: it registers the fixture catalog AND parses the
+    // statement into (col_name, data_type) rows for the oracle
+    val parsed = SparkEntry.queries("ddl_show_create")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(parsed == Map("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int", "<provider>" -> "parquet"),
+      s"parsed DDL structure drifted: $parsed")
+    // raw statement shape (the machine-specific LOCATION stays out of
+    // the oracled output but must still be rendered)
+    val stmt = spark.sql("SHOW CREATE TABLE graft_meta.nation_meta")
       .head.getString(0)
     assert(stmt.contains("CREATE TABLE") && stmt.contains("nation_meta"))
     assert(stmt.contains("USING parquet") || stmt.contains("USING PARQUET"))

@@ -10,7 +10,9 @@ class ScaleOpsSpec extends SparkSpec {
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("sort_range_partitioned runs are disjoint, ordered, complete") {
-    val rows = run("sort_range_partitioned").collect()
+    // pid-level fingerprint (the oracled key aggregates it to
+    // sampling-independent totals; the LAWS live here)
+    val rows = graft.operators.ScaleOps.rangeSortRuns(spark, sf).collect()
       .sortBy(_.getAs[Int]("pid"))
     assert(rows.nonEmpty)
     // completeness: every lineitem row landed in exactly one run
