@@ -28,6 +28,11 @@ object DdlQueries extends QueryGroup {
   private def freshDb(s: SparkSession, db: String): Unit =
     s.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
 
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteTree))
+    f.delete(): Unit
+  }
+
   val queries: Map[String, Q] = Map(
     "ddl_create_database" -> ((s, _) => {
       s.sql("DROP DATABASE IF EXISTS graft_ddl_db CASCADE")
@@ -448,6 +453,46 @@ object DdlQueries extends QueryGroup {
       li.crossJoin(broadcast(n)).orderBy("l_linestatus")
     }),
 
+    // the V2 catalog WRITE path — the full shared-metastore loop the
+    // reference's live HMS provides (README_en.md:3: create on one
+    // cluster, SELECT by name on another): a writer session registers
+    // a [[WritableSnapshotCatalog]] over an empty snapshot, CREATEs a
+    // namespace + table and INSERTs into it (data flows through the
+    // stock DSv2 parquet write builder — executor-parallel, the
+    // catalog only persists metadata), then a SECOND catalog — the
+    // read-only [[SnapshotCatalog]] attached to the same directory,
+    // standing in for the other cluster — resolves the new table by
+    // name with zero DDL re-emission. CatalogSpec covers the rest of
+    // the mutation surface (drop semantics, namespace lifecycle,
+    // overwrite, cross-instance visibility).
+    "meta_v2_write" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_write_snapshot"))
+        .getAbsolutePath
+      // fresh snapshot per run: wipe data + metadata so the CREATE and
+      // the INSERT are exact regardless of prior runs in this JVM (a
+      // cached catalog instance re-persists from its own state, so the
+      // DDL below leaves disk consistent either way)
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.write(s, CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gwsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.nation_w")
+      s.sql(s"""CREATE TABLE $cat.corp.nation_w
+               |(n_nationkey INT, n_name STRING, n_regionkey INT)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_w")
+      s.sql(s"""INSERT INTO $cat.corp.nation_w
+               |SELECT n_nationkey, n_name, n_regionkey
+               |FROM nation_src_w""".stripMargin)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.nation_w").orderBy("n_nationkey")
+    }),
+
     // SQL-over-the-wire: the reference's other service surface — a
     // BI tool / beeline client speaking the HiveServer2 protocol to a
     // SQL endpoint. This key runs the FULL wire path in-process:
@@ -596,6 +641,12 @@ object DdlQueries extends QueryGroup {
         | ROUND(SUM(l_quantity), 4) AS sum_qty,
         | (SELECT COUNT(*) FROM nation) AS n_nations
         |FROM lineitem WHERE l_returnflag = 'R'
-        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // write-path roundtrip: rows inserted through the writable catalog
+    // and resolved through a second (read-only) attach must be exactly
+    // the source table
+    "meta_v2_write" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }

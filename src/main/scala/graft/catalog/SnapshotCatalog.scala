@@ -50,12 +50,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var snapshotDir: String = _
+  protected var snapshotDir: String = _
 
   // one snapshot read per catalog instance — Spark instantiates the
-  // plugin once per (session, catalog name) and caches it
-  private lazy val snap: CatalogSnapshot =
-    CatalogTransfer.read(SparkSession.active, snapshotDir)
+  // plugin once per (session, catalog name) and caches it. A var (not
+  // lazy val) so [[WritableSnapshotCatalog]] can refresh it after a
+  // mutation persists.
+  private var snapCache: CatalogSnapshot = _
+
+  protected def snap: CatalogSnapshot = {
+    if (snapCache == null)
+      snapCache = CatalogTransfer.read(SparkSession.active, snapshotDir)
+    snapCache
+  }
+
+  /** Replace the in-memory snapshot (after the subclass persisted it). */
+  protected def setSnap(s: CatalogSnapshot): Unit = snapCache = s
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -161,7 +171,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly()
 
-  private def findTable(ident: Identifier): Option[TableInfo] =
+  protected def findTable(ident: Identifier): Option[TableInfo] =
     if (ident.namespace.length != 1) None
     else snap.tables.find(t =>
       t.db == ident.namespace()(0) && t.name == ident.name)
@@ -169,4 +179,113 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
       s"catalog $catalogName is a read-only snapshot view")
+}
+
+/** The WRITABLE rendering of the shared snapshot catalog: the same
+  * metadata substrate, but this catalog OWNS it — `CREATE NAMESPACE`,
+  * `CREATE TABLE`, `INSERT INTO` (append and overwrite, via the stock
+  * DSv2 file-table write path), and `DROP TABLE` mutate the snapshot
+  * and persist it through [[CatalogTransfer.write]] after every
+  * metadata change. That closes the loop the reference's live shared
+  * HMS provides (yc-data-proc-metadata-import README_en.md:3 — create
+  * on one cluster, SELECT by name on another): a writer session
+  * registers this catalog, creates + fills a table, and any session
+  * that attaches a [[SnapshotCatalog]] (or another writable one) to
+  * the same directory resolves the new table by name with zero DDL
+  * re-emission.
+  *
+  * Design:
+  *  - Data writes are the unmodified Spark file-table write builders
+  *    (ParquetWrite & co. via [[SnapshotCatalog.loadTable]]) — the
+  *    catalog never touches bytes, so executor-parallel writes, file
+  *    commit protocols, and dynamic partitioning behave exactly as for
+  *    a session-catalog table. Only METADATA round-trips through the
+  *    snapshot files (KiB-scale, driver-side — the HMS cost model).
+  *  - New tables are EXTERNAL-with-derived-location: data lands under
+  *    `<warehouse>/<db>/<table>` where `warehouse` is the catalog's
+  *    `spark.sql.catalog.<name>.warehouse` option (defaults to
+  *    `<snapshot dir>/_warehouse`), unless the CREATE carries an
+  *    explicit `location` property.
+  *  - Mutations persist BEFORE returning, so a concurrent reader
+  *    attaching to the directory sees each DDL as soon as the
+  *    statement completes — the metastore visibility contract.
+  */
+class WritableSnapshotCatalog extends SnapshotCatalog {
+
+  private def warehouseDir: String = {
+    val w = sys.props.getOrElse("graft.snapcat.warehouse." + name(), "")
+    if (w.nonEmpty) w else s"$snapshotDir/_warehouse"
+  }
+
+  private def persist(next: CatalogSnapshot): Unit = {
+    CatalogTransfer.write(SparkSession.active, next, snapshotDir)
+    setSnap(next)
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(ns.length == 1,
+      s"single-level namespaces only, got ${ns.mkString(".")}")
+    if (namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException((name() +: ns.toSeq).toArray)
+    val comment = Option(metadata.get("comment")).getOrElse("")
+    persist(snap.copy(
+      databases = snap.databases :+ DatabaseInfo(ns(0), comment)))
+  }
+
+  override def dropNamespace(ns: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) false
+    else {
+      val inUse = snap.tables.exists(_.db == ns(0))
+      require(cascade || !inUse,
+        s"namespace ${ns(0)} is not empty — use CASCADE")
+      persist(snap.copy(
+        databases = snap.databases.filterNot(_.name == ns(0)),
+        tables = snap.tables.filterNot(_.db == ns(0))))
+      true
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(ident.namespace.length == 1,
+      s"single-level namespaces only, got $ident")
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(name() +: ident.namespace.toSeq)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "partitioned CREATE is served by the importInto path — " +
+        "snapshot-catalog writes are unpartitioned tables")
+    val db = ident.namespace()(0)
+    val provider = Option(properties.get("provider"))
+      .map(_.toLowerCase).getOrElse("parquet")
+    require(Set("parquet", "orc", "csv", "json")(provider),
+      s"provider '$provider' not servable by the snapshot catalog")
+    val loc = Option(properties.get("location")).filter(_.nonEmpty)
+      .getOrElse(s"$warehouseDir/$db/${ident.name}")
+    // the location must exist for the first scan (Spark's file index
+    // rejects missing roots); an empty dir is a valid empty table
+    new java.io.File(loc).mkdirs()
+    val cols = schema.fields.toSeq.map(f =>
+      ColumnInfo(f.name, f.dataType.sql.toLowerCase, f.nullable,
+        isPartition = false))
+    val ti = TableInfo(db, ident.name, "EXTERNAL", provider, loc,
+      cols, Nil, "", "")
+    persist(snap.copy(tables = snap.tables :+ ti))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    findTable(ident) match {
+      case None => false
+      case Some(ti) =>
+        persist(snap.copy(tables = snap.tables.filterNot(t =>
+          t.db == ti.db && t.name == ti.name)))
+        true // EXTERNAL semantics: metadata unregistered, files remain
+    }
 }

@@ -185,6 +185,16 @@ case class PqAdcCosine(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  /** Per-subspace dense cid → codebook-offset table, built once per
+    * (driver/executor) instance instead of a linear scan over the K
+    * cids per subspace per ROW. Transient lazy: rebuilt cheaply after
+    * task-side deserialization; K≈16 so each table is tiny. */
+  @transient private lazy val cidOff: Array[Array[Int]] = cids.map { cs =>
+    val arr = Array.fill(cs.max + 1)(-1)
+    cs.zipWithIndex.foreach { case (c, k) => arr(c) = k * subDim }
+    arr
+  }
+
   /** cosine(q, decode(codes)); fold order: j ascending within m
     * ascending — fixed, bit-stable run-to-run. */
   def compute(codesStr: org.apache.spark.unsafe.types.UTF8String,
@@ -194,12 +204,8 @@ case class PqAdcCosine(left: Expression, right: Expression,
     var m = 0
     while (m < codes.length && m < cids.length) {
       val cid = java.lang.Integer.parseInt(codes(m))
-      val cs = cids(m); val cv = cents(m)
-      var k = 0; var off = -1
-      while (off < 0 && k < cs.length) {
-        if (cs(k) == cid) off = k * subDim
-        k += 1
-      }
+      val offs = cidOff(m); val cv = cents(m)
+      val off = if (cid >= 0 && cid < offs.length) offs(cid) else -1
       require(off >= 0, s"code $cid not in subspace $m codebook")
       val base = m * subDim
       var j = 0

@@ -502,6 +502,59 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.graft_meta.nation_meta").count() > 0)
   }
 
+  test("writable V2 catalog: create, append, overwrite, drop, namespaces") {
+    // the key itself: CREATE NAMESPACE + CREATE TABLE + INSERT through
+    // the writable catalog, resolved back through a read-only attach
+    val viaRo = SparkEntry.queries("meta_v2_write")(spark, sf)
+      .collect().toSeq
+    val direct = Tables(spark, sf, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect().toSeq
+    assert(viaRo == direct, "write-path roundtrip drifted from source")
+    val cat = "gwsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val n = direct.length
+    // INSERT INTO is an APPEND (stock DSv2 file write)
+    spark.sql(s"""INSERT INTO $cat.corp.nation_w
+                 |SELECT n_nationkey, n_name, n_regionkey
+                 |FROM nation_src_w""".stripMargin)
+    assert(spark.table(s"$cat.corp.nation_w").count() == 2L * n)
+    // INSERT OVERWRITE truncates then writes
+    spark.sql(s"""INSERT OVERWRITE $cat.corp.nation_w
+                 |SELECT n_nationkey, n_name, n_regionkey
+                 |FROM nation_src_w""".stripMargin)
+    assert(spark.table(s"$cat.corp.nation_w").count() == n.toLong)
+    // a FRESH plugin instance (new catalog name, same dir) resolves the
+    // table purely from the persisted snapshot files — cross-"cluster"
+    // visibility without sharing any JVM state
+    val dir = new java.io.File(Tables.scratch(sf, "v2_write_snapshot"))
+      .getAbsolutePath
+    val cat3 = cat + "_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat3",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat3.path", dir)
+    assert(spark.table(s"$cat3.corp.nation_w").count() == n.toLong)
+    // DROP TABLE unregisters the metadata but keeps the files (EXTERNAL
+    // semantics — the snapshot never owns bytes)
+    spark.sql(s"DROP TABLE $cat.corp.nation_w")
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val plugin = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    assert(!plugin.tableExists(Identifier.of(Array("corp"), "nation_w")))
+    val files = new java.io.File(s"$dir/_warehouse/corp/nation_w").listFiles
+    assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+      "DROP TABLE must not delete external data files")
+    // namespace lifecycle: non-empty drop needs CASCADE
+    spark.sql(s"""CREATE TABLE $cat.corp.probe_t (x INT)
+                 |USING parquet""".stripMargin)
+    intercept[Exception] {
+      spark.sql(s"DROP NAMESPACE $cat.corp")
+    }
+    spark.sql(s"DROP NAMESPACE $cat.corp CASCADE")
+    assert(plugin.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.SupportsNamespaces]
+      .listNamespaces().isEmpty)
+  }
+
   test("thrift SQL endpoint round-trips values over a real JDBC wire") {
     val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
     assert(out.length == 25) // nation is 25 rows at every SF
