@@ -493,6 +493,45 @@ object DdlQueries extends QueryGroup {
       s.table(s"$cat2.corp.nation_w").orderBy("n_nationkey")
     }),
 
+    // HMS-style schema evolution through the writable catalog,
+    // metadata-only (no file rewrite): fill a table, ADD a nullable
+    // COLUMN + set a table property, insert a second generation WITH
+    // the new column — then read the union: pre-alter files resolve
+    // the added column as null (the parquet missing-column contract),
+    // post-alter files carry values. The aggregate proves both
+    // generations coexist under one evolved schema. Own snapshot dir:
+    // meta_v2_write wipes ITS dir per run, and verify key order is
+    // arbitrary.
+    "meta_v2_alter" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_alter_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.write(s, CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gasnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.alter_t")
+      s.sql(s"""CREATE TABLE $cat.corp.alter_t
+               |(n_nationkey INT, n_name STRING) USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_a")
+      s.sql(s"""INSERT INTO $cat.corp.alter_t
+               |SELECT n_nationkey, n_name FROM nation_src_a""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.corp.alter_t ADD COLUMN src STRING")
+      s.sql(s"""ALTER TABLE $cat.corp.alter_t
+               |SET TBLPROPERTIES ('graft.rev' = 'v2')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.corp.alter_t
+               |SELECT n_nationkey + 100, n_name, 'v2'
+               |FROM nation_src_a""".stripMargin)
+      s.table(s"$cat.corp.alter_t")
+        .groupBy(coalesce(col("src"), lit("<pre-alter>")).as("src"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("n_nationkey").as("lo_key"),
+          max("n_nationkey").as("hi_key"))
+        .orderBy("src")
+    }),
+
     // SQL-over-the-wire: the reference's other service surface — a
     // BI tool / beeline client speaking the HiveServer2 protocol to a
     // SQL endpoint. This key runs the FULL wire path in-process:
@@ -647,6 +686,18 @@ object DdlQueries extends QueryGroup {
     // the source table
     "meta_v2_write" ->
       """SELECT n_nationkey, n_name, n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // schema evolution: both write generations visible under the
+    // evolved schema — pre-alter rows with the added column null,
+    // post-alter rows carrying it
+    "meta_v2_alter" ->
+      """SELECT '<pre-alter>' AS src, COUNT(*) AS n_rows,
+        |  MIN(n_nationkey) AS lo_key, MAX(n_nationkey) AS hi_key
+        |FROM nation
+        |UNION ALL
+        |SELECT 'v2', COUNT(*),
+        |  MIN(n_nationkey) + 100, MAX(n_nationkey) + 100
+        |FROM nation
+        |ORDER BY src""".stripMargin
   )
 }

@@ -288,4 +288,75 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           t.db == ti.db && t.name == ti.name)))
         true // EXTERNAL semantics: metadata unregistered, files remain
     }
+
+  /** Schema evolution, HMS-style (metadata-only — existing files are
+    * never rewritten): ADD COLUMN (nullable, appended — old files read
+    * it as null, the parquet missing-column contract), DROP COLUMN
+    * (projection simply stops asking for it), and table-property
+    * set/remove. Column RENAME is rejected loudly: parquet resolves
+    * columns by name, so a metadata-only rename would silently null an
+    * existing column — HMS has the same foot-gun; we refuse it. */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val ti = findTable(ident)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val updated = changes.foldLeft(ti) { (t, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "nested column adds are not supported by the snapshot catalog")
+          val cn = add.fieldNames()(0)
+          require(!t.columns.exists(_.name == cn),
+            s"column $cn already exists on ${t.db}.${t.name}")
+          require(add.isNullable,
+            s"added column $cn must be nullable — existing data files " +
+              "carry no values for it")
+          t.copy(columns = t.columns :+ ColumnInfo(cn,
+            add.dataType.sql.toLowerCase, nullable = true,
+            isPartition = false, Option(add.comment).getOrElse("")))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            "nested column drops are not supported by the snapshot catalog")
+          val cn = del.fieldNames()(0)
+          require(t.columns.exists(_.name == cn),
+            s"no column $cn on ${t.db}.${t.name}")
+          require(t.columns.count(c => !c.isPartition) > 1,
+            s"cannot drop the last data column of ${t.db}.${t.name}")
+          t.copy(columns = t.columns.filterNot(_.name == cn))
+        case sp: TableChange.SetProperty =>
+          t.copy(properties = t.properties
+            .filterNot(_.key == sp.property) :+
+            PropKV(sp.property, sp.value))
+        case rp: TableChange.RemoveProperty =>
+          t.copy(properties = t.properties.filterNot(_.key == rp.property))
+        case other => throw new UnsupportedOperationException(
+          s"snapshot catalog cannot apply ${other.getClass.getSimpleName} " +
+            s"to ${t.db}.${t.name} (column renames silently null " +
+            "name-resolved parquet data; type changes need a rewrite)")
+      }
+    }
+    persist(snap.copy(tables = snap.tables.map(x =>
+      if (x.db == ti.db && x.name == ti.name) updated else x)))
+    loadTable(ident)
+  }
+
+  /** Metadata-only rename (the location — and therefore the data —
+    * stays put, HMS external-table semantics). Cross-namespace moves
+    * are allowed when the target namespace exists. */
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val ti = findTable(oldIdent)
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    require(newIdent.namespace.length == 1,
+      s"single-level namespaces only, got $newIdent")
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(name() +: newIdent.namespace.toSeq)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent)
+    persist(snap.copy(tables = snap.tables.map(x =>
+      if (x.db == ti.db && x.name == ti.name)
+        x.copy(db = newIdent.namespace()(0), name = newIdent.name)
+      else x)))
+  }
 }

@@ -555,6 +555,48 @@ class CatalogSpec extends SparkSpec {
       .listNamespaces().isEmpty)
   }
 
+  test("writable V2 catalog: alter surface (evolve, drop col, rename)") {
+    // the key: create + fill, ADD COLUMN, property, second generation
+    val agg = SparkEntry.queries("meta_v2_alter")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+    val n = Tables(spark, sf, "nation").count()
+    assert(agg("<pre-alter>") == ((n, 0, 24)),
+      s"pre-alter generation drifted: ${agg.get("<pre-alter>")}")
+    assert(agg("v2") == ((n, 100, 124)),
+      s"post-alter generation drifted: ${agg.get("v2")}")
+    val cat = "gasnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    // the property landed and survives a FRESH attach (snapshot files)
+    val dir = new java.io.File(Tables.scratch(sf, "v2_alter_snapshot"))
+      .getAbsolutePath
+    val cat2 = cat + "_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+    val freshCols = spark.table(s"$cat2.corp.alter_t").columns.toSeq
+    assert(freshCols == Seq("n_nationkey", "n_name", "src"),
+      s"evolved schema did not round-trip: $freshCols")
+    // UNSET property; DROP COLUMN narrows the read schema
+    spark.sql(s"ALTER TABLE $cat.corp.alter_t " +
+      "UNSET TBLPROPERTIES ('graft.rev')")
+    spark.sql(s"ALTER TABLE $cat.corp.alter_t DROP COLUMN src")
+    assert(spark.table(s"$cat.corp.alter_t").columns.toSeq ==
+      Seq("n_nationkey", "n_name"))
+    // column RENAME is refused loudly (parquet resolves by name — a
+    // metadata-only rename would silently null the data)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corp.alter_t " +
+        "RENAME COLUMN n_name TO nm")
+    }
+    // table RENAME is metadata-only; data stays at the old location
+    spark.sql(s"ALTER TABLE $cat.corp.alter_t RENAME TO corp.alter_t2")
+    assert(spark.table(s"$cat.corp.alter_t2").count() == 2 * n)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val plugin = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    assert(!plugin.tableExists(Identifier.of(Array("corp"), "alter_t")))
+  }
+
   test("thrift SQL endpoint round-trips values over a real JDBC wire") {
     val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
     assert(out.length == 25) // nation is 25 rows at every SF
