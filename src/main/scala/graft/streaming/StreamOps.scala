@@ -463,10 +463,67 @@ object StreamOps extends QueryGroup {
           countDistinct(col("event_id")).as("n_distinct"),
           round(sum(col("value")), 4).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // STREAM → SHARED CATALOG: the events stream sinks into a
+    // [[graft.catalog.WritableSnapshotCatalog]] table — each
+    // micro-batch appends through the catalog's stock DSv2 write path
+    // (foreachBatch + writeTo(...).append(), the production shape for
+    // landing a stream in a metastore-registered table) — and the
+    // result is resolved BY NAME through a second, read-only
+    // [[graft.catalog.SnapshotCatalog]] attach: the reference's
+    // write-on-one-cluster / read-on-another loop with a streaming
+    // producer. AvailableNow drains the backlog exactly-once; the
+    // read-back re-aggregates the landed rows, so the oracle is the
+    // plain batch aggregate over events.
+    "stream_v2_sink" -> ((s, d) => {
+      val dir = new java.io.File(
+        graft.Tables.scratch(d, "v2_stream_snapshot")).getAbsolutePath
+      val cp = graft.Tables.scratch(d, "v2_stream_cp")
+      for (p <- Seq(dir, cp))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      graft.catalog.CatalogTransfer.write(s,
+        graft.catalog.CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gssnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.events_sink")
+      s.sql(s"""CREATE TABLE $cat.corp.events_sink
+               |(event_id BIGINT, event_type STRING, value DOUBLE)
+               |USING parquet""".stripMargin)
+      val q = eventsStream(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.writeTo(s"$cat.corp.events_sink").append()
+        }
+        .start()
+      q.awaitTermination()
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[graft.catalog.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.events_sink")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the full stream landed in the catalog table exactly once —
+    // count, distinct ids, and value mass all match the batch table
+    "stream_v2_sink" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_id) AS n_distinct,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // despite the injected crash + replay, every event lands exactly
     // once — counts and sums match one clean pass over the source
     "stream_exactly_once" ->

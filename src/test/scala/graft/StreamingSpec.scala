@@ -192,4 +192,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "stream and batch session windows differ")
   }
+
+  test("stream sunk through the V2 catalog lands every event exactly once") {
+    val agg = SparkEntry.queries("stream_v2_sink")(spark, sf).collect()
+    val total = agg.map(_.getAs[Long]("n_events")).sum
+    val distinct = agg.map(_.getAs[Long]("n_distinct")).sum
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(total == nEvents && distinct == nEvents,
+      s"sink table holds $total rows / $distinct distinct ids, " +
+        s"stream had $nEvents events")
+    // the sink table is a real shared-catalog object: a fresh read-only
+    // attach resolves it by name with the appended micro-batch files
+    val cat2 = "gssnap_" + sf.replaceAll("[^A-Za-z0-9]", "_") + "_ro"
+    assert(spark.table(s"$cat2.corp.events_sink").count() == nEvents)
+  }
 }
