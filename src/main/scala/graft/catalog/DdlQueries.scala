@@ -33,6 +33,23 @@ object DdlQueries extends QueryGroup {
     f.delete(): Unit
   }
 
+  /** Export the fixture catalog to a snapshot, DROP it from the
+    * session, and register a read-only [[SnapshotCatalog]] over the
+    * snapshot — the "second cluster attaches to the shared metastore"
+    * setup shared by every meta_v2_* read key. Returns the catalog
+    * name (keyed by fixture dir — Spark caches plugin instances per
+    * name). */
+  private def v2SnapshotCatalog(s: SparkSession, d: String): String = {
+    fixtureCatalog(s, d)
+    val dir = Tables.scratch(d, "v2_snapshot")
+    CatalogTransfer.write(s, CatalogTransfer.export(s, Seq("graft_meta")), dir)
+    s.sql("DROP DATABASE graft_meta CASCADE") // gone from the session
+    val cat = "gsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    cat
+  }
+
   val queries: Map[String, Q] = Map(
     "ddl_create_database" -> ((s, _) => {
       s.sql("DROP DATABASE IF EXISTS graft_ddl_db CASCADE")
@@ -436,13 +453,7 @@ object DdlQueries extends QueryGroup {
     // fixture dir: Spark caches plugin instances per name, and each
     // fixture's snapshot is a different catalog.
     "meta_v2_catalog" -> ((s, d) => {
-      fixtureCatalog(s, d)
-      val dir = Tables.scratch(d, "v2_snapshot")
-      CatalogTransfer.write(s, CatalogTransfer.export(s, Seq("graft_meta")), dir)
-      s.sql("DROP DATABASE graft_meta CASCADE") // gone from the session
-      val cat = "gsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      val cat = v2SnapshotCatalog(s, d)
       val li = s.table(s"$cat.graft_meta.lineitem_part")
         .filter(col("l_returnflag") === "R")
         .groupBy("l_linestatus")
@@ -491,6 +502,73 @@ object DdlQueries extends QueryGroup {
       s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
       s.table(s"$cat2.corp.nation_w").orderBy("n_nationkey")
+    }),
+
+    // METADATA TIME TRAVEL: every metadata mutation through the
+    // writable catalog appends an immutable numbered revision, and
+    // `VERSION AS OF 'N'` serves a table AS REGISTERED at revision N —
+    // metastore-side history (the schema/table-set of rev N over the
+    // CURRENT files; data versioning belongs to table formats, metadata
+    // versioning to the catalog). The key creates a table (rev 2),
+    // widens it (rev 3+), writes a generation on each side of the
+    // widen, then reads the SAME files through the rev-2 schema (2
+    // columns) and the head schema (3 columns). Revision numbering is
+    // deterministic per run: the dir is wiped, and the DDL sequence
+    // below pins CREATE TABLE at rev 2 whether the plugin instance is
+    // fresh (rev 1 = CREATE NAMESPACE) or cached (rev 1 = DROP TABLE).
+    "meta_v2_timetravel" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_tt_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.write(s, CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gtsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp") // fresh: rev 1
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.tt")        // cached: rev 1
+      s.sql(s"""CREATE TABLE $cat.corp.tt
+               |(n_nationkey INT, n_name STRING) USING parquet"""
+        .stripMargin)                                    // rev 2
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_t")
+      s.sql(s"""INSERT INTO $cat.corp.tt
+               |SELECT n_nationkey, n_name FROM nation_src_t""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.corp.tt ADD COLUMN src STRING") // rev 3
+      s.sql(s"""INSERT INTO $cat.corp.tt
+               |SELECT n_nationkey + 100, n_name, 'v2'
+               |FROM nation_src_t""".stripMargin)
+      val rev2 = s.sql(s"SELECT * FROM $cat.corp.tt VERSION AS OF '2'")
+      val head = s.table(s"$cat.corp.tt")
+      rev2.agg(count(lit(1)).as("n_rows"))
+        .select(lit("rev2").as("rev"),
+          lit(rev2.columns.length).as("n_cols"), col("n_rows"))
+        .unionAll(head.agg(count(lit(1)).as("n_rows"))
+          .select(lit("head").as("rev"),
+            lit(head.columns.length).as("n_cols"), col("n_rows")))
+        .orderBy("rev")
+    }),
+
+    // CROSS-CATALOG federation: one SQL statement resolving tables
+    // from TWO catalogs by qualified name — the snapshot catalog (the
+    // shared-metastore attach) joined to a session-catalog table (the
+    // cluster's own local data). This is the day-one query of the
+    // two-cluster reference topology: local fact data enriched by a
+    // dimension that lives in the shared metastore. Catalyst plans the
+    // join across catalogs like any other (the snap side arrives as a
+    // DSv2 BatchScan and is broadcast here — dimension-sized).
+    "meta_v2_federation" -> ((s, d) => {
+      val cat = v2SnapshotCatalog(s, d)
+      freshDb(s, "graft_fed")
+      s.sql("DROP TABLE IF EXISTS graft_fed.region_fed")
+      s.sql(s"""CREATE TABLE graft_fed.region_fed
+               |USING parquet LOCATION '$d/region.parquet'""".stripMargin)
+      s.sql(
+        s"""SELECT r.r_name, COUNT(*) AS n_nations,
+           |  MIN(n.n_nationkey) AS lo_key
+           |FROM $cat.graft_meta.nation_meta n
+           |JOIN spark_catalog.graft_fed.region_fed r
+           |  ON n.n_regionkey = r.r_regionkey
+           |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
     }),
 
     // HMS-style schema evolution through the writable catalog,
@@ -687,6 +765,21 @@ object DdlQueries extends QueryGroup {
     "meta_v2_write" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // rev-2 reads the same files through the 2-column pre-widen
+    // schema; head reads them through the 3-column schema — both see
+    // every row of both write generations
+    "meta_v2_timetravel" ->
+      """SELECT 'head' AS rev, 3 AS n_cols,
+        |  (SELECT COUNT(*) FROM nation) * 2 AS n_rows
+        |UNION ALL
+        |SELECT 'rev2', 2, (SELECT COUNT(*) FROM nation) * 2
+        |ORDER BY rev""".stripMargin,
+    // the cross-catalog join must equal the plain nation⋈region join
+    "meta_v2_federation" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  MIN(n_nationkey) AS lo_key
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     // schema evolution: both write generations visible under the
     // evolved schema — pre-alter rows with the added column null,
     // post-alter rows carrying it

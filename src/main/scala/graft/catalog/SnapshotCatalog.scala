@@ -120,6 +120,34 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val ti = findTable(ident)
       .getOrElse(throw new NoSuchTableException(ident))
+    serveTable(ti)
+  }
+
+  /** Metadata time travel (`SELECT ... VERSION AS OF 'N'`): serve the
+    * table as REGISTERED at snapshot revision N — revisions are written
+    * by [[WritableSnapshotCatalog]] on every metadata mutation. This is
+    * metastore-side history: the schema/table-set of revision N over
+    * the CURRENT data files (external-table semantics — the catalog
+    * never owns bytes; data versioning belongs to table formats,
+    * metadata versioning to the catalog). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val revDir = new java.io.File(s"$snapshotDir/revs/$version")
+    if (!revDir.isDirectory) {
+      val have = Option(new java.io.File(s"$snapshotDir/revs").list())
+        .map(_.sorted.mkString(", ")).getOrElse("<none>")
+      throw new UnsupportedOperationException(
+        s"catalog ${name()} has no snapshot revision '$version' " +
+          s"(available: $have)")
+    }
+    val revSnap = CatalogTransfer.read(SparkSession.active, revDir.getPath)
+    val ti = revSnap.tables.find(t =>
+        ident.namespace.length == 1 &&
+          t.db == ident.namespace()(0) && t.name == ident.name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    serveTable(ti)
+  }
+
+  private def serveTable(ti: TableInfo): Table = {
     require(ti.tableType != "VIEW",
       s"$catalogName serves tables only; view ${ti.db}.${ti.name} " +
         "resolves through CatalogTransfer.importInto")
@@ -217,8 +245,18 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     if (w.nonEmpty) w else s"$snapshotDir/_warehouse"
   }
 
+  /** Persist the snapshot (current pointer) AND append an immutable
+    * numbered revision under `revs/` — the history `VERSION AS OF`
+    * reads ([[SnapshotCatalog.loadTable(ident:*,version:*)]]). Each
+    * revision is a full snapshot copy: metadata is KiB-scale, and a
+    * self-contained revision keeps time travel a single read. */
   private def persist(next: CatalogSnapshot): Unit = {
-    CatalogTransfer.write(SparkSession.active, next, snapshotDir)
+    val s = SparkSession.active
+    CatalogTransfer.write(s, next, snapshotDir)
+    val rev = Option(new java.io.File(s"$snapshotDir/revs").list())
+      .map(_.flatMap(_.toIntOption)).filter(_.nonEmpty)
+      .map(_.max + 1).getOrElse(1)
+    CatalogTransfer.write(s, next, s"$snapshotDir/revs/$rev")
     setSnap(next)
   }
 

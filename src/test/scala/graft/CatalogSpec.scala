@@ -597,6 +597,29 @@ class CatalogSpec extends SparkSpec {
     assert(!plugin.tableExists(Identifier.of(Array("corp"), "alter_t")))
   }
 
+  test("V2 catalog time travel serves revision schemas; unknown rev loud") {
+    SparkEntry.queries("meta_v2_timetravel")(spark, sf).count()
+    val cat = "gtsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    assert(spark.sql(s"SELECT * FROM $cat.corp.tt VERSION AS OF '2'")
+      .columns.length == 2)
+    assert(spark.table(s"$cat.corp.tt").columns.length == 3)
+    // a read-only attach over the same dir time-travels too — history
+    // is in the snapshot files, not the writing instance
+    val dir = new java.io.File(Tables.scratch(sf, "v2_tt_snapshot"))
+      .getAbsolutePath
+    val cat2 = cat + "_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+    assert(spark.sql(s"SELECT * FROM $cat2.corp.tt VERSION AS OF '2'")
+      .columns.length == 2)
+    // unknown revision fails loudly and names the available history
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.corp.tt VERSION AS OF '99'").collect()
+    }
+    assert(e.getMessage.contains("99"), s"unhelpful error: ${e.getMessage}")
+  }
+
   test("thrift SQL endpoint round-trips values over a real JDBC wire") {
     val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
     assert(out.length == 25) // nation is 25 rows at every SF
