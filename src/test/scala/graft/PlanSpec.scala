@@ -33,6 +33,17 @@ class PlanSpec extends SparkSpec {
     assert(planOf("join_sortmerge").contains("SortMergeJoin"))
   }
 
+  test("cross-catalog federation joins a DSv2 scan without re-shuffling") {
+    // the snapshot-catalog side arrives as a DSv2 BatchScan and the
+    // dimension-sized join broadcasts — multi-catalog resolution must
+    // not degrade the plan below what a same-catalog join gets
+    val plan = planOf("meta_v2_federation")
+    assert(plan.contains("BatchScan"),
+      s"snap-catalog table did not plan a BatchScan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension join did not broadcast:\n$plan")
+  }
+
   test("scan_partition_prune scans only the selected partition") {
     // run once to materialize the partitioned scratch dir
     SparkEntry.queries("scan_partition_prune")(spark, sf).count()
