@@ -484,7 +484,7 @@ object DdlQueries extends QueryGroup {
       // cached catalog instance re-persists from its own state, so the
       // DDL below leaves disk consistent either way)
       deleteTree(new java.io.File(dir))
-      CatalogTransfer.write(s, CatalogSnapshot(Nil, Nil), dir)
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
       val cat = "gwsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[WritableSnapshotCatalog].getName)
@@ -520,7 +520,7 @@ object DdlQueries extends QueryGroup {
       val dir = new java.io.File(Tables.scratch(d, "v2_tt_snapshot"))
         .getAbsolutePath
       deleteTree(new java.io.File(dir))
-      CatalogTransfer.write(s, CatalogSnapshot(Nil, Nil), dir)
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
       val cat = "gtsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[WritableSnapshotCatalog].getName)
@@ -584,7 +584,7 @@ object DdlQueries extends QueryGroup {
       val dir = new java.io.File(Tables.scratch(d, "v2_alter_snapshot"))
         .getAbsolutePath
       deleteTree(new java.io.File(dir))
-      CatalogTransfer.write(s, CatalogSnapshot(Nil, Nil), dir)
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
       val cat = "gasnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[WritableSnapshotCatalog].getName)

@@ -249,16 +249,30 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * numbered revision under `revs/` — the history `VERSION AS OF`
     * reads ([[SnapshotCatalog.loadTable(ident:*,version:*)]]). Each
     * revision is a full snapshot copy: metadata is KiB-scale, and a
-    * self-contained revision keeps time travel a single read. */
+    * self-contained revision keeps time travel a single read. The
+    * revision is a plain FILE copy of the just-written current
+    * snapshot, not a second Spark write — a DDL statement should cost
+    * one metadata write, not two rounds of write jobs. */
   private def persist(next: CatalogSnapshot): Unit = {
-    val s = SparkSession.active
-    CatalogTransfer.write(s, next, snapshotDir)
+    CatalogTransfer.writeLocal(next, snapshotDir)
     val rev = Option(new java.io.File(s"$snapshotDir/revs").list())
       .map(_.flatMap(_.toIntOption)).filter(_.nonEmpty)
       .map(_.max + 1).getOrElse(1)
-    CatalogTransfer.write(s, next, s"$snapshotDir/revs/$rev")
+    for (sub <- Seq("databases", "tables", "partitions", "functions"))
+      copyTree(new java.io.File(snapshotDir, sub),
+        new java.io.File(s"$snapshotDir/revs/$rev/$sub"))
     setSnap(next)
   }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles).foreach(_.foreach(f =>
+        copyTree(f, new java.io.File(dst, f.getName))))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
 
   override def createNamespace(ns: Array[String],
       metadata: util.Map[String, String]): Unit = {

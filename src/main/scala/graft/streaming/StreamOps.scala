@@ -482,7 +482,7 @@ object StreamOps extends QueryGroup {
       val cp = graft.Tables.scratch(d, "v2_stream_cp")
       for (p <- Seq(dir, cp))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-      graft.catalog.CatalogTransfer.write(s,
+      graft.catalog.CatalogTransfer.writeLocal(
         graft.catalog.CatalogSnapshot(Nil, Nil), dir)
       val cat = "gssnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat",
