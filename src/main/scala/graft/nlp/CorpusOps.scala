@@ -269,6 +269,28 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Deterministic global shuffle into training shards: every doc gets
+    // a pseudo-random but SEEDED position — shard = knuth-hash % 16,
+    // seq = rank within shard by (hash, doc_id) — so the same corpus
+    // shuffles identically on every run, engine, and cluster size (the
+    // reproducibility contract of a training-data pipeline: a re-run
+    // must produce byte-identical shards; sampled-boundary shuffles
+    // like sort_range_partitioned trade that away for balance). Plan:
+    // one hash projection + one shard-keyed window rank — the window's
+    // hash exchange on shard IS the shuffle-into-shards; at 100 TB the
+    // writer appends partitionBy(shard) and each shard streams out
+    // sorted, no global sort point.
+    "corpus_shuffle_shards" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, d)
+        .withColumn("h", expr("(doc_id * 2654435761L) % 1000000007L"))
+        .withColumn("shard", (col("h") % 16).cast("int"))
+        .withColumn("seq", row_number().over(w))
+        .select(col("shard"), col("seq"), col("doc_id"), col("h"))
+        .orderBy("shard", "seq")
+    }),
+
     // per-stratum deterministic downsampling: language-dependent keep
     // rates over a seeded hash — the reproducible form of corpus
     // rebalancing (same doc set on every run / engine / cluster size).
@@ -796,6 +818,17 @@ object CorpusOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the seeded shuffle is pure integer arithmetic — DuckDB re-derives
+    // the identical shard assignment and within-shard order
+    "corpus_shuffle_shards" ->
+      """SELECT CAST(h % 16 AS INTEGER) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |    AS seq,
+        |  doc_id, h
+        |FROM (SELECT doc_id,
+        |        (doc_id * 2654435761) % 1000000007 AS h
+        |      FROM documents)
+        |ORDER BY shard, seq""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $oComponentCte
         |SELECT doc_id, cluster_id,

@@ -46,6 +46,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus shuffle shards are complete, deterministic, balanced") {
+    val rows = SparkEntry.queries("corpus_shuffle_shards")(spark, sf)
+      .collect()
+    val n = Tables(spark, sf, "documents").count().toInt
+    assert(rows.length == n, "shuffle dropped or duplicated docs")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // seq is a dense 1..size rank within every shard
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (sh, rs) =>
+      assert(rs.map(_.getAs[Int]("seq")).sorted.toSeq == (1 to rs.length),
+        s"shard $sh has a gapped/duplicated seq")
+    }
+    // the reproducibility contract: a re-run is byte-identical
+    assert(SparkEntry.queries("corpus_shuffle_shards")(spark, sf)
+      .collect().toSeq == rows.toSeq,
+      "shuffle is not deterministic across runs")
+    // rough balance — the knuth-hash spread keeps shards near the mean
+    val sizes = rows.groupBy(_.getAs[Int]("shard")).values.map(_.size)
+    assert(sizes.max <= 2 * (n / 16) + 16,
+      s"shard skew: ${sizes.toSeq.sorted.reverse.take(3)} of mean ${n / 16}")
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val a = SparkEntry.queries("sample_stratified")(spark, sf).collect()
     val b = SparkEntry.queries("sample_stratified")(spark, sf).collect()
