@@ -548,6 +548,54 @@ object DdlQueries extends QueryGroup {
         .orderBy("rev")
     }),
 
+    // Small-file COMPACTION on a shared-catalog table, by atomic
+    // location swap (the OPTIMIZE maintenance op every append-heavy
+    // lakehouse table needs): repeated appends leave one file per
+    // batch; the compactor rewrites the table into a fresh generation
+    // directory at target file size and re-points the catalog with
+    // ALTER TABLE SET LOCATION. Readers holding the old location keep
+    // consistent files (nothing is deleted under them); every new
+    // resolution gets the compacted generation — exactly how
+    // location-based compaction works against a live HMS. At 100 TB
+    // the rewrite is a parallel executor job (here coalesce(1) — the
+    // fixture fits one target file); the METADATA swap is O(1)
+    // regardless of data size.
+    "meta_v2_compact" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_compact_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gcsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.nation_c")
+      s.sql(s"""CREATE TABLE $cat.corp.nation_c
+               |(n_nationkey INT, n_name STRING) USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_c")
+      // four small appends — one file generation each, the append-heavy
+      // table shape compaction exists for
+      for (q <- 0 to 3)
+        s.sql(s"""INSERT INTO $cat.corp.nation_c
+                 |SELECT n_nationkey, n_name FROM nation_src_c
+                 |WHERE n_nationkey % 4 = $q""".stripMargin)
+      def parquetFiles(p: String): Int =
+        Option(new java.io.File(p).listFiles)
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      val oldLoc = s"$dir/_warehouse/corp/nation_c"
+      val before = parquetFiles(oldLoc)
+      require(before >= 4, s"expected >=4 pre-compaction files, got $before")
+      // rewrite into a fresh generation at target file count
+      val gen2 = s"$dir/_warehouse/corp/nation_c_gen2"
+      s.table(s"$cat.corp.nation_c").coalesce(1)
+        .write.mode("overwrite").parquet(gen2)
+      s.sql(s"ALTER TABLE $cat.corp.nation_c SET LOCATION '$gen2'")
+      require(parquetFiles(gen2) < before,
+        s"compaction did not reduce files: ${parquetFiles(gen2)} >= $before")
+      s.table(s"$cat.corp.nation_c").orderBy("n_nationkey")
+    }),
+
     // CROSS-CATALOG federation: one SQL statement resolving tables
     // from TWO catalogs by qualified name — the snapshot catalog (the
     // shared-metastore attach) joined to a session-catalog table (the
@@ -774,6 +822,11 @@ object DdlQueries extends QueryGroup {
         |UNION ALL
         |SELECT 'rev2', 2, (SELECT COUNT(*) FROM nation) * 2
         |ORDER BY rev""".stripMargin,
+    // compaction must be invisible to readers: the re-pointed table
+    // holds exactly the rows the four appends landed
+    "meta_v2_compact" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     // the cross-catalog join must equal the plain nation⋈region join
     "meta_v2_federation" ->
       """SELECT r_name, COUNT(*) AS n_nations,

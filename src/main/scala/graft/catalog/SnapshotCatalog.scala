@@ -375,6 +375,14 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           require(t.columns.count(c => !c.isPartition) > 1,
             s"cannot drop the last data column of ${t.db}.${t.name}")
           t.copy(columns = t.columns.filterNot(_.name == cn))
+        case sp: TableChange.SetProperty if sp.property == "location" =>
+          // ALTER TABLE ... SET LOCATION: re-point the table at a new
+          // file generation — the atomic swap behind location-based
+          // compaction (readers holding the old location keep their
+          // files; new resolutions get the new generation)
+          require(sp.value != null && sp.value.nonEmpty,
+            s"empty LOCATION for ${t.db}.${t.name}")
+          t.copy(location = sp.value)
         case sp: TableChange.SetProperty =>
           t.copy(properties = t.properties
             .filterNot(_.key == sp.property) :+

@@ -620,6 +620,25 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("99"), s"unhelpful error: ${e.getMessage}")
   }
 
+  test("compaction swaps location atomically; old generation survives") {
+    SparkEntry.queries("meta_v2_compact")(spark, sf).count()
+    val dir = new java.io.File(Tables.scratch(sf, "v2_compact_snapshot"))
+      .getAbsolutePath
+    // the old generation's files still exist — an in-flight reader
+    // holding the pre-swap location keeps a consistent view
+    val old = new java.io.File(s"$dir/_warehouse/corp/nation_c")
+    assert(Option(old.listFiles).exists(_.exists(
+        _.getName.endsWith(".parquet"))),
+      "compaction deleted the old generation under readers")
+    // a FRESH attach resolves the compacted generation
+    val cat2 = "gcsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_") + "_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+    val n = Tables(spark, sf, "nation").count()
+    assert(spark.table(s"$cat2.corp.nation_c").count() == n)
+  }
+
   test("thrift SQL endpoint round-trips values over a real JDBC wire") {
     val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
     assert(out.length == 25) // nation is 25 rows at every SF
