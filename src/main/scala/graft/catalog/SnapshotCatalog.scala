@@ -357,6 +357,10 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
             "nested column adds are not supported by the snapshot catalog")
+          require(add.position() == null,
+            "ADD COLUMN ... FIRST/AFTER is not supported — parquet " +
+              "resolves by name, and a silent append would betray the " +
+              "requested position; omit the position clause")
           val cn = add.fieldNames()(0)
           require(!t.columns.exists(_.name == cn),
             s"column $cn already exists on ${t.db}.${t.name}")
@@ -370,11 +374,14 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           require(del.fieldNames.length == 1,
             "nested column drops are not supported by the snapshot catalog")
           val cn = del.fieldNames()(0)
-          require(t.columns.exists(_.name == cn),
-            s"no column $cn on ${t.db}.${t.name}")
-          require(t.columns.count(c => !c.isPartition) > 1,
-            s"cannot drop the last data column of ${t.db}.${t.name}")
-          t.copy(columns = t.columns.filterNot(_.name == cn))
+          if (!t.columns.exists(_.name == cn)) {
+            require(del.ifExists(), s"no column $cn on ${t.db}.${t.name}")
+            t // DROP COLUMN IF EXISTS on a missing column: no-op
+          } else {
+            require(t.columns.count(c => !c.isPartition) > 1,
+              s"cannot drop the last data column of ${t.db}.${t.name}")
+            t.copy(columns = t.columns.filterNot(_.name == cn))
+          }
         case sp: TableChange.SetProperty if sp.property == "location" =>
           // ALTER TABLE ... SET LOCATION: re-point the table at a new
           // file generation — the atomic swap behind location-based

@@ -588,6 +588,16 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.corp.alter_t " +
         "RENAME COLUMN n_name TO nm")
     }
+    // positioned ADD is refused (a silent append would betray FIRST);
+    // DROP COLUMN IF EXISTS on a missing column is a no-op
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corp.alter_t " +
+        "ADD COLUMN zzz INT FIRST")
+    }
+    spark.sql(s"ALTER TABLE $cat.corp.alter_t " +
+      "DROP COLUMN IF EXISTS no_such_col")
+    assert(spark.table(s"$cat.corp.alter_t").columns.toSeq ==
+      Seq("n_nationkey", "n_name"))
     // table RENAME is metadata-only; data stays at the old location
     spark.sql(s"ALTER TABLE $cat.corp.alter_t RENAME TO corp.alter_t2")
     assert(spark.table(s"$cat.corp.alter_t2").count() == 2 * n)
