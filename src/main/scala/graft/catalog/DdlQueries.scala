@@ -548,6 +548,40 @@ object DdlQueries extends QueryGroup {
         .orderBy("rev")
     }),
 
+    // The REVISION LOG as a queryable table (the DESCRIBE HISTORY
+    // counterpart of meta_v2_timetravel — how a user discovers which
+    // 'N' to VERSION AS OF): one row per immutable revision with its
+    // object counts. Revision numbering is deterministic whether the
+    // plugin instance is fresh (rev 1 = CREATE NAMESPACE) or cached
+    // (rev 1 = the first DROP that persists): the DDL sequence below
+    // yields rev→(dbs, tables) = 1→(1,0), 2→(1,1), 3→(1,2), 4→(1,1)
+    // on every run.
+    "meta_v2_history" -> ((s, d) => {
+      import s.implicits._
+      val dir = new java.io.File(Tables.scratch(d, "v2_hist_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "ghsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.hist_a")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.hist_b")
+      s.sql(s"CREATE TABLE $cat.corp.hist_a (x INT) USING parquet")
+      s.sql(s"CREATE TABLE $cat.corp.hist_b (y INT) USING parquet")
+      s.sql(s"DROP TABLE $cat.corp.hist_a")
+      // read the history straight off the snapshot files — public
+      // composition, no plugin-internal access
+      val revs = Option(new java.io.File(s"$dir/revs").list())
+        .map(_.flatMap(_.toIntOption).sorted.toSeq).getOrElse(Nil)
+      revs.map { r =>
+        val snap = CatalogTransfer.read(s, s"$dir/revs/$r")
+        (r, snap.databases.length, snap.tables.length)
+      }.toDF("rev", "n_dbs", "n_tables").orderBy("rev")
+    }),
+
     // Small-file COMPACTION on a shared-catalog table, by atomic
     // location swap (the OPTIMIZE maintenance op every append-heavy
     // lakehouse table needs): repeated appends leave one file per
@@ -821,6 +855,13 @@ object DdlQueries extends QueryGroup {
         |  (SELECT COUNT(*) FROM nation) * 2 AS n_rows
         |UNION ALL
         |SELECT 'rev2', 2, (SELECT COUNT(*) FROM nation) * 2
+        |ORDER BY rev""".stripMargin,
+    // the revision log is the declared mutation contract: one
+    // immutable revision per metadata change, with these exact
+    // object counts for the key's DDL sequence
+    "meta_v2_history" ->
+      """SELECT * FROM (VALUES (1, 1, 0), (2, 1, 1), (3, 1, 2),
+        |  (4, 1, 1)) AS t(rev, n_dbs, n_tables)
         |ORDER BY rev""".stripMargin,
     // compaction must be invisible to readers: the re-pointed table
     // holds exactly the rows the four appends landed

@@ -630,6 +630,18 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("99"), s"unhelpful error: ${e.getMessage}")
   }
 
+  test("revision history is deterministic across same-session reruns") {
+    // second run hits the CACHED plugin instance over a wiped dir —
+    // the rev numbering contract must hold on both paths
+    val a = SparkEntry.queries("meta_v2_history")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val b = SparkEntry.queries("meta_v2_history")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(a == b, s"history drifted across reruns: $a vs $b")
+    assert(a == Seq((1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 1, 1)),
+      s"revision log diverged from the declared contract: $a")
+  }
+
   test("compaction swaps location atomically; old generation survives") {
     SparkEntry.queries("meta_v2_compact")(spark, sf).count()
     val dir = new java.io.File(Tables.scratch(sf, "v2_compact_snapshot"))
