@@ -222,6 +222,28 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // the SCALE path for quantiles: approx_percentile's mergeable
+    // sketch (one partial-agg shuffle of sketch state, never values)
+    // vs exact percentile's per-group full sort. The approx value
+    // itself is accuracy-dependent and not cross-engine comparable, so
+    // the ORACLED columns are the exact quantile plus a 0/1 flag that
+    // the sketch landed within 2% relative error of it — the
+    // accuracy contract is the checked output, engine-side.
+    "agg_approx_percentile" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5D)"), 4)
+            .as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5D, 1000)")
+            .as("approx_p50"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          expr("""CAST(abs(approx_p50 - exact_p50)
+                 |  <= 0.02 * exact_p50 AS INT)""".stripMargin)
+            .as("within_2pct"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_corr_bool" -> ((s, d) => {
       Tables(s, d, "lineitem")
         .groupBy(col("l_linestatus"))
@@ -494,6 +516,13 @@ object Aggregates extends QueryGroup {
         | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
         | ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
         | ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the exact quantile is re-derived; the sketch's accuracy contract
+    // is engine-checked and surfaces as the 0/1 flag
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
+        | 1 AS within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_corr_bool" ->
       """SELECT l_linestatus,
