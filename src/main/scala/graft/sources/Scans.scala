@@ -316,6 +316,28 @@ object Scans extends QueryGroup {
 
     // JSONL sink: write supplier as JSON lines, read back with an
     // explicit schema (inference would widen int32 → bigint).
+    // XML round-trip — Spark 4's built-in XML source (rowTag records):
+    // the remaining first-class file format after parquet/orc/csv/json.
+    // Explicit schema on read (XML infers everything as string
+    // otherwise); lossless by the same oracle-selects-source contract
+    // as the sibling roundtrips. At 100 TB the same caveat as
+    // multiline CSV applies: an XML record can straddle any byte
+    // offset, so files are the parallelism unit, not blocks.
+    "sink_xml_roundtrip" -> ((s, d) => {
+      val dir = Tables.scratch(d, "supplier_rt_xml")
+      Tables(s, d, "supplier").write.mode("overwrite")
+        .option("rowTag", "supplier").xml(dir)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).option("rowTag", "supplier").xml(dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     "sink_json_roundtrip" -> ((s, d) => {
       val dir = Tables.scratch(d, "supplier_rt_json")
       Tables(s, d, "supplier").write.mode("overwrite").json(dir)
@@ -540,6 +562,7 @@ object Scans extends QueryGroup {
         |    '  line2 #' || CAST(n_nationkey AS VARCHAR) AS note
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "sink_json_roundtrip" -> supplierSql,
+    "sink_xml_roundtrip" -> supplierSql,
     "sink_orc_roundtrip" -> supplierSql,
     "scan_range" ->
       """SELECT range AS id, range * 2 AS doubled, range % 7 AS mod7
