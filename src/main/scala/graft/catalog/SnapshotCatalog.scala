@@ -240,10 +240,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   */
 class WritableSnapshotCatalog extends SnapshotCatalog {
 
-  private def warehouseDir: String = {
-    val w = sys.props.getOrElse("graft.snapcat.warehouse." + name(), "")
-    if (w.nonEmpty) w else s"$snapshotDir/_warehouse"
-  }
+  /** Managed-location root for tables created without an explicit
+    * LOCATION — colocated with the snapshot so the whole catalog
+    * (metadata + default warehouse) moves as one directory. */
+  private def warehouseDir: String = s"$snapshotDir/_warehouse"
 
   /** Persist the snapshot (current pointer) AND append an immutable
     * numbered revision under `revs/` — the history `VERSION AS OF`
