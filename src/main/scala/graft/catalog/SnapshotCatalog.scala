@@ -213,7 +213,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   * metadata substrate, but this catalog OWNS it — `CREATE NAMESPACE`,
   * `CREATE TABLE`, `INSERT INTO` (append and overwrite, via the stock
   * DSv2 file-table write path), and `DROP TABLE` mutate the snapshot
-  * and persist it through [[CatalogTransfer.write]] after every
+  * and persist it through [[CatalogTransfer.writeLocal]] after every
   * metadata change. That closes the loop the reference's live shared
   * HMS provides (yc-data-proc-metadata-import README_en.md:3 — create
   * on one cluster, SELECT by name on another): a writer session
@@ -230,10 +230,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   *    a session-catalog table. Only METADATA round-trips through the
   *    snapshot files (KiB-scale, driver-side — the HMS cost model).
   *  - New tables are EXTERNAL-with-derived-location: data lands under
-  *    `<warehouse>/<db>/<table>` where `warehouse` is the catalog's
-  *    `spark.sql.catalog.<name>.warehouse` option (defaults to
-  *    `<snapshot dir>/_warehouse`), unless the CREATE carries an
-  *    explicit `location` property.
+  *    `<snapshot dir>/_warehouse/<db>/<table>` unless the CREATE
+  *    carries an explicit `location` property.
   *  - Mutations persist BEFORE returning, so a concurrent reader
   *    attaching to the directory sees each DDL as soon as the
   *    statement completes — the metastore visibility contract.
