@@ -194,15 +194,29 @@ object DdlQueries extends QueryGroup {
         .orderBy("db", "name")
     }),
 
+    // export → destroy → import, then read CONTENT back through the
+    // re-imported catalog: the partitioned table's per-partition
+    // rollup (every recovered partition must serve its rows — a
+    // missing ADD PARTITION would drop a whole l_returnflag group)
+    // joined with the plain table's count. The oracle computes the
+    // same rollup straight off the source parquet — the import must
+    // be lossless. The recreated-table NAME list (the old ScalaTest
+    // shape) stays asserted in CatalogSpec's importInto coverage.
     "meta_import" -> ((s, d) => {
-      import s.implicits._
       fixtureCatalog(s, d)
       val dir = Tables.scratch(d, "meta_import_snapshot")
       CatalogTransfer.write(s, CatalogTransfer.export(s, Seq("graft_meta")), dir)
       s.sql("DROP DATABASE graft_meta CASCADE") // the "cluster destroyed"
       val created =
         CatalogTransfer.importInto(s, CatalogTransfer.read(s, dir))
-      created.toDF("recreated_table").orderBy("recreated_table")
+      require(created.nonEmpty, "import recreated no tables")
+      s.table("graft_meta.lineitem_part")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .crossJoin(broadcast(s.table("graft_meta.nation_meta")
+          .agg(count(lit(1)).as("n_nations"))))
+        .orderBy("l_returnflag")
     }),
 
     // SHOW CREATE TABLE: the engine's own DDL rendering of a registered
@@ -504,6 +518,52 @@ object DdlQueries extends QueryGroup {
       s.table(s"$cat2.corp.nation_w").orderBy("n_nationkey")
     }),
 
+    // PARTITIONED CREATE through the writable catalog — the
+    // metastore's core object (HMS partition service,
+    // metastore-import.tf:112-117) on the WRITE side: a writer lands a
+    // partitioned table by name, the INSERT lays out real hive-style
+    // `col=value` directories (via the V1 write fallback —
+    // [[PartitionedWriteTable]]; Spark's V2 file write would silently
+    // flatten the layout), and a second read-only attach resolves the
+    // table and PRUNES partitions on the filter below (PartitionFilters
+    // asserted in CatalogSpec). The oracle proves the partition-split
+    // write loses and duplicates nothing.
+    "meta_v2_partitioned" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_part_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.orders_p")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_p
+               |(o_orderkey BIGINT, o_totalprice DOUBLE,
+               | o_orderstatus STRING)
+               |USING parquet PARTITIONED BY (o_orderstatus)""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_p")
+      s.sql(s"""INSERT INTO $cat.corp.orders_p
+               |SELECT o_orderkey, o_totalprice, o_orderstatus
+               |FROM orders_src_p""".stripMargin)
+      // the layout must be REAL partition directories, not a metadata
+      // fiction — this is exactly what the V2 write path gets wrong
+      val partDirs = Option(new java.io.File(
+          s"$dir/_warehouse/corp/orders_p").list()).toSeq.flatten
+        .filter(_.startsWith("o_orderstatus="))
+      require(partDirs.nonEmpty,
+        "INSERT laid out no o_orderstatus=* partition directories")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+               |  ROUND(SUM(o_totalprice), 4) AS sum_price
+               |FROM $cat2.corp.orders_p
+               |WHERE o_orderstatus <> 'P'
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // METADATA TIME TRAVEL: every metadata mutation through the
     // writable catalog appends an immutable numbered revision, and
     // `VERSION AS OF 'N'` serves a table AS REGISTERED at revision N —
@@ -513,9 +573,11 @@ object DdlQueries extends QueryGroup {
     // widens it (rev 3+), writes a generation on each side of the
     // widen, then reads the SAME files through the rev-2 schema (2
     // columns) and the head schema (3 columns). Revision numbering is
-    // deterministic per run: the dir is wiped, and the DDL sequence
-    // below pins CREATE TABLE at rev 2 whether the plugin instance is
-    // fresh (rev 1 = CREATE NAMESPACE) or cached (rev 1 = DROP TABLE).
+    // deterministic per run: the dir wipe resets HEAD, a cached plugin
+    // instance detects the reset on its next resolution and reloads
+    // the bootstrap snapshot (SnapshotCatalog.snap), so fresh and
+    // cached instances alike pin CREATE NAMESPACE at rev 1 and CREATE
+    // TABLE at rev 2.
     "meta_v2_timetravel" -> ((s, d) => {
       val dir = new java.io.File(Tables.scratch(d, "v2_tt_snapshot"))
         .getAbsolutePath
@@ -552,10 +614,10 @@ object DdlQueries extends QueryGroup {
     // counterpart of meta_v2_timetravel — how a user discovers which
     // 'N' to VERSION AS OF): one row per immutable revision with its
     // object counts. Revision numbering is deterministic whether the
-    // plugin instance is fresh (rev 1 = CREATE NAMESPACE) or cached
-    // (rev 1 = the first DROP that persists): the DDL sequence below
-    // yields rev→(dbs, tables) = 1→(1,0), 2→(1,1), 3→(1,2), 4→(1,1)
-    // on every run.
+    // plugin instance is fresh or cached (the dir wipe resets HEAD and
+    // a cached instance reloads the bootstrap snapshot on its next
+    // resolution): the DDL sequence below yields rev→(dbs, tables) =
+    // 1→(1,0), 2→(1,1), 3→(1,2), 4→(1,1) on every run.
     "meta_v2_history" -> ((s, d) => {
       import s.implicits._
       val dir = new java.io.File(Tables.scratch(d, "v2_hist_snapshot"))
@@ -779,6 +841,22 @@ object DdlQueries extends QueryGroup {
     // the export's column capture must match the actual file schema
     // (names/types are fixture-catalog constants; n_columns is the
     // honest cross-engine check)
+    // import losslessness: the re-imported catalog must serve every
+    // partition's rows and the plain table's full count — identical to
+    // the same rollup straight off the source parquet
+    "meta_import" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  (SELECT COUNT(*) FROM nation) AS n_nations
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the partition-split write through the writable catalog loses and
+    // duplicates nothing, and the second attach serves it by name
+    "meta_v2_partitioned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "meta_export" ->
       """SELECT 'graft_meta' AS db, 'lineitem_part' AS name,
         |  'EXTERNAL' AS "tableType", 'parquet' AS provider,

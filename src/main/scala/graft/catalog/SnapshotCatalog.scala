@@ -34,9 +34,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    pruning, and partition-directory discovery+pruning are the stock
   *    code paths — the catalog contributes metadata only, never a scan
   *    implementation.
-  *  - The snapshot is loaded lazily ONCE per catalog instance (catalog
-  *    metadata is KiB-scale; Spark caches the instance per session
-  *    config, so repeated queries pay zero snapshot I/O).
+  *  - The current snapshot resolves through the `HEAD` pointer file
+  *    (absent for plain exported snapshots → the top-level layout).
+  *    Each access stats HEAD (microseconds, driver-side) and re-reads
+  *    the KiB-scale snapshot files only when the published revision
+  *    moved — so an attached reader observes every committed DDL on
+  *    its next resolution, and never a torn snapshot (revisions are
+  *    immutable and fully written before the pointer swaps).
   *  - Views and custom-location partitions are declared unsupported
   *    here (loud errors): views need the session catalog's SQL
   *    resolution and non-layout partition locations need real HMS
@@ -58,9 +62,36 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   // mutation persists.
   private var snapCache: CatalogSnapshot = _
 
+  /** Revision number the cached snapshot was loaded at (0 = the
+    * bootstrap top-level layout, before any [[WritableSnapshotCatalog]]
+    * mutation). [[WritableSnapshotCatalog.persist]] CASes against this. */
+  protected var loadedRev: Int = 0
+
+  /** The published head revision on disk: contents of the `HEAD`
+    * pointer file, or 0 when no writer has ever persisted (the
+    * bootstrap snapshot in the top-level subdirs is then current). */
+  protected def headRevOnDisk: Int = {
+    val head = new java.io.File(snapshotDir, "HEAD")
+    if (!head.isFile) 0
+    else new String(java.nio.file.Files.readAllBytes(head.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
   protected def snap: CatalogSnapshot = {
-    if (snapCache == null)
-      snapCache = CatalogTransfer.read(SparkSession.active, snapshotDir)
+    // resolve through the HEAD pointer: revisions are immutable and
+    // fully written BEFORE the pointer swaps (atomic rename), so a
+    // reader resolving mid-mutation sees the old or the new snapshot
+    // in full, never a torn one — the metastore visibility contract.
+    // Revalidation is a file stat + few-byte read per access (cheap,
+    // driver-side); the KiB-scale snapshot files are re-read only when
+    // the published revision actually moved (a writer committed, or
+    // the dir was externally reset for a fresh run).
+    val rev = headRevOnDisk
+    if (snapCache == null || rev != loadedRev) {
+      val dir = if (rev == 0) snapshotDir else s"$snapshotDir/revs/$rev"
+      snapCache = CatalogTransfer.read(SparkSession.active, dir)
+      loadedRev = rev
+    }
     snapCache
   }
 
@@ -147,7 +178,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     serveTable(ti)
   }
 
-  private def serveTable(ti: TableInfo): Table = {
+  protected def serveTable(ti: TableInfo): Table = {
     require(ti.tableType != "VIEW",
       s"$catalogName serves tables only; view ${ti.db}.${ti.name} " +
         "resolves through CatalogTransfer.importInto")
@@ -232,9 +263,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   *  - New tables are EXTERNAL-with-derived-location: data lands under
   *    `<snapshot dir>/_warehouse/<db>/<table>` unless the CREATE
   *    carries an explicit `location` property.
-  *  - Mutations persist BEFORE returning, so a concurrent reader
-  *    attaching to the directory sees each DDL as soon as the
-  *    statement completes — the metastore visibility contract.
+  *  - Mutations persist BEFORE returning, each as an immutable
+  *    revision published by an atomic `HEAD` swap — a concurrent
+  *    reader sees each DDL as soon as the statement completes (and
+  *    never a torn snapshot), and a second writer racing on the same
+  *    directory fails loudly on the revision CAS instead of silently
+  *    losing an update (see [[persist]]) — the metastore visibility
+  *    and DDL-serialization contract.
   */
 class WritableSnapshotCatalog extends SnapshotCatalog {
 
@@ -243,34 +278,52 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * (metadata + default warehouse) moves as one directory. */
   private def warehouseDir: String = s"$snapshotDir/_warehouse"
 
-  /** Persist the snapshot (current pointer) AND append an immutable
-    * numbered revision under `revs/` — the history `VERSION AS OF`
-    * reads ([[SnapshotCatalog.loadTable(ident:*,version:*)]]). Each
-    * revision is a full snapshot copy: metadata is KiB-scale, and a
-    * self-contained revision keeps time travel a single read. The
-    * revision is a plain FILE copy of the just-written current
-    * snapshot, not a second Spark write — a DDL statement should cost
-    * one metadata write, not two rounds of write jobs. */
-  private def persist(next: CatalogSnapshot): Unit = {
-    CatalogTransfer.writeLocal(next, snapshotDir)
-    val rev = Option(new java.io.File(s"$snapshotDir/revs").list())
-      .map(_.flatMap(_.toIntOption)).filter(_.nonEmpty)
-      .map(_.max + 1).getOrElse(1)
-    for (sub <- Seq("databases", "tables", "partitions", "functions"))
-      copyTree(new java.io.File(snapshotDir, sub),
-        new java.io.File(s"$snapshotDir/revs/$rev/$sub"))
+  /** Persist one metadata mutation as an immutable numbered revision
+    * under `revs/` and atomically publish it via the `HEAD` pointer
+    * file — the same revisions `VERSION AS OF` reads
+    * ([[SnapshotCatalog.loadTable(ident:*,version:*)]]).
+    *
+    * Atomicity + conflict detection (the live-HMS DDL-serialization
+    * contract, rendered on files):
+    *  1. The full next snapshot is written to `revs/<n+1>` FIRST —
+    *     nothing existing is touched (revisions are immutable, the
+    *     bootstrap top-level snapshot is never rewritten).
+    *  2. `HEAD` is then swapped by atomic rename (temp file +
+    *     ATOMIC_MOVE), so a reader resolving through [[snap]] sees
+    *     revision n or n+1 in full, never a torn mix.
+    *  3. Before writing, the on-disk head is re-read and compared to
+    *     the revision this instance loaded (CAS): a second writer that
+    *     raced past us fails LOUDLY here instead of silently dropping
+    *     the other writer's DDL. This is conflict *detection*, not a
+    *     lock — one statement wins, the loser's catalog must re-attach.
+    *
+    * `private[graft]` (not private) solely so CatalogSpec can drive
+    * the CAS with a deterministically-stale writer: through public DDL
+    * the mutation re-reads the head snapshot at statement start
+    * ([[SnapshotCatalog.snap]] revalidates), leaving only the
+    * microsecond commit race, which a single-threaded spec cannot
+    * schedule. */
+  private[graft] def persist(next: CatalogSnapshot): Unit = {
+    val diskRev = headRevOnDisk
+    if (diskRev != loadedRev)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog ${name()} snapshot at $snapshotDir moved to revision " +
+          s"$diskRev while this writer held revision $loadedRev — " +
+          "another writer committed DDL concurrently; re-attach the " +
+          "catalog (fresh session or new catalog name) and retry")
+    val rev = loadedRev + 1
+    val revDir = new java.io.File(s"$snapshotDir/revs/$rev")
+    CatalogTransfer.writeLocal(next, revDir.getPath)
+    val headTmp = java.nio.file.Paths.get(snapshotDir, s".HEAD.tmp-$rev")
+    java.nio.file.Files.write(headTmp, rev.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(headTmp,
+      java.nio.file.Paths.get(snapshotDir, "HEAD"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    loadedRev = rev
     setSnap(next)
   }
-
-  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
-    if (src.isDirectory) {
-      dst.mkdirs()
-      Option(src.listFiles).foreach(_.foreach(f =>
-        copyTree(f, new java.io.File(dst, f.getName))))
-    } else {
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    }
 
   override def createNamespace(ns: Array[String],
       metadata: util.Map[String, String]): Unit = {
@@ -308,9 +361,20 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "partitioned CREATE is served by the importInto path — " +
-        "snapshot-catalog writes are unpartitioned tables")
+    // identity partition transforms only — the metastore's partition
+    // model IS hive-layout identity columns; bucket/days/years
+    // transforms belong to table formats, not an HMS-shaped catalog
+    val partNames = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+        s"snapshot catalog supports identity partition columns only, " +
+          s"got transform '$t' on $ident")
+      t.references()(0).fieldNames()(0)
+    }
+    partNames.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column $p is not in the schema of $ident"))
+    require(partNames.size < schema.fields.length,
+      s"table $ident cannot be partitioned by every column")
     val db = ident.namespace()(0)
     val provider = Option(properties.get("provider"))
       .map(_.toLowerCase).getOrElse("parquet")
@@ -323,11 +387,24 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     new java.io.File(loc).mkdirs()
     val cols = schema.fields.toSeq.map(f =>
       ColumnInfo(f.name, f.dataType.sql.toLowerCase, f.nullable,
-        isPartition = false))
+        isPartition = partNames.contains(f.name)))
     val ti = TableInfo(db, ident.name, "EXTERNAL", provider, loc,
       cols, Nil, "", "")
     persist(snap.copy(tables = snap.tables :+ ti))
     loadTable(ident)
+  }
+
+  /** Serve PARTITIONED tables through the write-enabled wrapper: reads
+    * stay the stock file table (directory partition discovery +
+    * pruning), writes route through the V1 path that actually lays out
+    * `col=value` directories — see [[PartitionedWriteTable]]. */
+  override def loadTable(ident: Identifier): Table = {
+    val ti = findTable(ident)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val partCols = ti.columns.filter(_.isPartition).map(_.name)
+    val base = serveTable(ti)
+    if (partCols.isEmpty) base
+    else new PartitionedWriteTable(base, ti, partCols)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -424,4 +501,70 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         x.copy(db = newIdent.namespace()(0), name = newIdent.name)
       else x)))
   }
+}
+
+/** Write-enabled serving wrapper for PARTITIONED snapshot-catalog
+  * tables. Spark's DSv2 file write builders lay out NO partition
+  * directories (the V2 write job description carries no partition
+  * columns — V2 partitioned file writes are an open upstream gap), so
+  * an INSERT through the stock file table would flatten a partitioned
+  * table into unpartitioned files and silently kill partition pruning
+  * for every subsequent reader. Writes therefore route through the
+  * public V1 fallback ([[org.apache.spark.sql.connector.write.V1Write]]
+  * → `DataFrameWriter.partitionBy(...).save(location)`), which
+  * produces the hive-style `col=value` layout that the read side's
+  * stock partition discovery + pruning consumes. Reads delegate to the
+  * wrapped file table untouched — scan, pushdown, and pruning are the
+  * same code paths as the read-only catalog.
+  *
+  * Scale note (100 TB): the V1 writer is the same executor-parallel
+  * `FileFormatWriter` used by `df.write.partitionBy` everywhere —
+  * dynamic partition writers per task, no driver materialization.
+  * INSERT OVERWRITE (truncate) rewrites the whole table location —
+  * static overwrite semantics, stated loudly here rather than
+  * implemented as a silent half-measure.
+  */
+private[catalog] class PartitionedWriteTable(inner: Table, ti: TableInfo,
+    partCols: Seq[String]) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+
+  override def name(): String = inner.name()
+
+  override def schema(): StructType = inner.schema()
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit =
+              data.write.format(ti.provider)
+                .partitionBy(partCols: _*)
+                .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+                  else org.apache.spark.sql.SaveMode.Append)
+                .save(ti.location)
+          }
+      }
+    }
 }

@@ -661,6 +661,118 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat2.corp.nation_c").count() == n)
   }
 
+  test("writable V2 catalog: partitioned CREATE lays out and prunes") {
+    // the key end-to-end: create partitioned + insert + read back
+    // through a second (read-only) attach
+    assert(SparkEntry.queries("meta_v2_partitioned")(spark, sf)
+      .collect().nonEmpty)
+    val wcat = "gpsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val rcat = wcat + "_ro"
+    // the INSERT laid out real hive-style directories
+    val dir = new java.io.File(Tables.scratch(sf, "v2_part_snapshot"))
+      .getAbsolutePath
+    val partDirs = Option(new java.io.File(s"$dir/_warehouse/corp/orders_p")
+      .list()).toSeq.flatten.filter(_.startsWith("o_orderstatus="))
+    assert(partDirs.size >= 2,
+      s"expected hive-style partition dirs, got: ${partDirs.mkString(",")}")
+    // a partition filter PRUNES through the read-only attach
+    val df = spark.table(s"$rcat.corp.orders_p")
+      .filter(col("o_orderstatus") === "F")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(plan)
+        .isDefined,
+      s"partition filter did not reach the scan:\n$plan")
+    // the WRITABLE attach declares the identity partitioning and
+    // prunes identically (CatalogSpec's read-only assert alone would
+    // let the write-side serving regress)
+    val dfw = spark.table(s"$wcat.corp.orders_p")
+      .filter(col("o_orderstatus") === "F")
+    val planW = dfw.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(planW)
+        .isDefined,
+      s"partition filter did not reach the writable-side scan:\n$planW")
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val plugin = spark.sessionState.catalogManager.catalog(wcat)
+      .asInstanceOf[TableCatalog]
+    val t = plugin.loadTable(Identifier.of(Array("corp"), "orders_p"))
+    assert(t.partitioning().toSeq.map(
+        _.references()(0).fieldNames()(0)) == Seq("o_orderstatus"))
+    // non-identity transforms are refused loudly, not silently dropped
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $wcat.corp.bad_p (x INT, ts TIMESTAMP)
+                   |USING parquet PARTITIONED BY (days(ts))""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("identity"),
+      s"unhelpful refusal: ${e.getMessage}")
+  }
+
+  private def attachWritable(name: String, dir: String)
+      : graft.catalog.WritableSnapshotCatalog = {
+    val c = new graft.catalog.WritableSnapshotCatalog
+    c.initialize(name, new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir)))
+    c
+  }
+
+  test("writable V2 catalog: stale second writer fails the revision CAS") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_cas_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val a = attachWritable("cas_a", dir.getPath)
+    val b = attachWritable("cas_b", dir.getPath)
+    a.createNamespace(Array("corp"), java.util.Collections.emptyMap[String, String]()) // rev 1
+    // b loads head state (rev 1), then a commits rev 2 behind b's back
+    assert(b.namespaceExists(Array("corp")))
+    val staleBase = CatalogTransfer.read(spark, s"${dir.getPath}/revs/1")
+    a.createNamespace(Array("corp2"), java.util.Collections.emptyMap[String, String]()) // rev 2
+    // b persisting work derived from rev 1 must fail LOUDLY — this is
+    // the lost-update race (through public DDL the statement re-reads
+    // head at start, so the spec drives persist directly)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      b.persist(staleBase.copy(databases =
+        staleBase.databases :+ DatabaseInfo("corp3", "")))
+    }
+    assert(e.getMessage.contains("revision"),
+      s"unhelpful conflict error: ${e.getMessage}")
+    // a's rev-2 DDL was NOT lost, and b recovers by re-reading head
+    assert(b.namespaceExists(Array("corp2")))
+    // interleaved writers that each read fresh head state both succeed
+    // (HMS semantics: statements serialize, they don't exclusively own
+    // the catalog)
+    b.createNamespace(Array("corp3"), java.util.Collections.emptyMap[String, String]()) // rev 3
+    assert(a.namespaceExists(Array("corp3")))
+  }
+
+  test("V2 catalog visibility flips on the HEAD swap, never torn") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_head_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val w = attachWritable("head_w", dir.getPath)
+    val r = new graft.catalog.SnapshotCatalog
+    r.initialize("head_r", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("path", dir.getPath)))
+    w.createNamespace(Array("corp"), java.util.Collections.emptyMap[String, String]()) // rev 1
+    // the ALREADY-ATTACHED reader sees each committed DDL on its next
+    // resolution (live metastore visibility, not attach-time-frozen)
+    assert(r.namespaceExists(Array("corp")))
+    // simulate a writer mid-persist: revision files fully written but
+    // HEAD not yet swapped — the reader must keep serving rev 1 intact
+    // (old-or-new, keyed on the pointer, never on in-progress files)
+    CatalogTransfer.writeLocal(CatalogSnapshot(
+      Seq(DatabaseInfo("corp", ""), DatabaseInfo("mid", "")), Nil),
+      s"${dir.getPath}/revs/2")
+    assert(r.namespaceExists(Array("corp")))
+    assert(!r.namespaceExists(Array("mid")),
+      "reader resolved un-published revision files — torn visibility")
+    // ... and flip atomically once the pointer swaps
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "HEAD").toPath, "2")
+    assert(r.namespaceExists(Array("mid")))
+  }
+
   test("thrift SQL endpoint round-trips values over a real JDBC wire") {
     val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
     assert(out.length == 25) // nation is 25 rows at every SF
