@@ -197,54 +197,26 @@ object Scans extends QueryGroup {
     // hits: rows with wrong arity / unparseable numerics must be
     // quarantined, not kill the job and not silently vanish. One
     // deterministic CSV (every 7th row corrupted two ways) read under
-    // both recovery modes; output is the per-mode accounting a pipeline
-    // would alert on. PERMISSIVE + columnNameOfCorruptRecord keeps the
-    // raw bad line for a quarantine sink; DROPMALFORMED is the
-    // lossy-but-clean variant. ScalaTest-only: engines disagree on CSV
-    // error taxonomy, so there is no cross-engine oracle to match.
+    // PERMISSIVE + columnNameOfCorruptRecord; the ORACLED output is
+    // the fully-clean subset (parsed completely, nothing quarantined,
+    // no silently null-filled under-arity row) — which DuckDB's own
+    // CSV parser must agree on via read_csv(..ignore_errors=true) over
+    // the same file, a genuine cross-engine parse comparison. The
+    // per-mode accounting (PERMISSIVE vs DROPMALFORMED counts, where
+    // engines DO disagree on error taxonomy) stays in ScansSpec via
+    // [[csvMalformedModes]].
     "scan_csv_malformed" -> ((s, d) => {
-      val dir = Tables.scratch(d, "malformed_csv")
-      val f = new java.io.File(dir, "rows.csv")
-      // written unconditionally (700 tiny rows): an exists() guard
-      // would keep serving a stale file after the recipe changes —
-      // the same staleness class the ver-stamped scratch discipline
-      // exists for (Tables.scratchCurrent)
-      val rows = (0 until 700).map { i =>
-        if (i % 7 == 3) s"$i,row_$i"                  // missing column
-        else if (i % 7 == 5) s"$i,row_$i,not_a_number" // bad numeric
-        else s"$i,row_$i,${i * 10}"
-      }
-      new java.io.File(dir).mkdirs()
-      java.nio.file.Files.writeString(f.toPath,
-        rows.mkString("", "\n", "\n"))
-      val schema = StructType(Seq(
-        StructField("id", LongType),
-        StructField("name", StringType),
-        StructField("amount", LongType),
-        StructField("_bad", StringType)))
-      val perm = s.read.schema(schema)
+      val path = writeMalformedCsv()
+      val perm = s.read.schema(malformedCsvSchema)
         .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_bad").csv(f.getPath)
-      val dropped = s.read.schema(StructType(schema.fields.init))
-        .option("mode", "DROPMALFORMED").csv(f.getPath)
-      // the agg must reference data columns alongside _bad — Spark
-      // rejects raw-file queries that project ONLY the corrupt column
-      val permCounts = perm.agg(
-        count(col("id")).as("n_rows"),
-        count(col("amount")).as("n_amount_ok"),
-        count(col("_bad")).as("n_quarantined"))
-        .select(lit("permissive").as("mode"), col("n_rows"),
-          col("n_amount_ok"), col("n_quarantined"))
-      // count(amount), not count(*): under an empty projection the CSV
-      // parser parses NO values, detects nothing malformed, and
-      // DROPMALFORMED silently drops zero rows — the classic
-      // column-pruning trap this op exists to document.
-      val dropCounts = dropped
-        .agg(count(col("id")).as("n_rows"),
-          count(col("amount")).as("n_amount_ok"))
-        .select(lit("dropmalformed").as("mode"), col("n_rows"),
-          col("n_amount_ok"), lit(0L).as("n_quarantined"))
-      permCounts.unionAll(dropCounts).orderBy("mode")
+        .option("columnNameOfCorruptRecord", "_bad").csv(path)
+      // clean = every declared column parsed: _bad null rules out
+      // type-malformed rows; amount NOT null rules out under-arity
+      // rows PERMISSIVE silently null-fills (ScansSpec documents that
+      // trap) — exactly the rows DuckDB keeps under ignore_errors
+      perm.filter(col("_bad").isNull && col("amount").isNotNull)
+        .select(col("id"), col("name"), col("amount"))
+        .orderBy("id")
     }),
 
     // the range source: Spark's built-in parallel generator (a real
@@ -526,7 +498,83 @@ object Scans extends QueryGroup {
     """SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** Fixed absolute path of the malformed-CSV fixture — deliberately
+    * NOT sf-keyed (the 700 synthetic rows are scale-independent) so
+    * the DuckDB oracle can reference it as a static literal; resolved
+    * against the JVM working dir (the repo root under sbt). */
+  private[graft] val malformedCsvPath: String =
+    new java.io.File("target/scratch/_shared/malformed_csv/rows.csv")
+      .getAbsolutePath
+
+  private[graft] val malformedCsvSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("amount", LongType),
+    StructField("_bad", StringType)))
+
+  /** (Re)write the malformed-CSV fixture: every 7th row ≡3 is
+    * under-arity, ≡5 carries an unparseable numeric. Written
+    * unconditionally (700 tiny rows): an exists() guard would keep
+    * serving a stale file after the recipe changes — the staleness
+    * class the ver-stamped scratch discipline exists for. */
+  private[graft] def writeMalformedCsv(): String = {
+    val f = new java.io.File(malformedCsvPath)
+    val rows = (0 until 700).map { i =>
+      if (i % 7 == 3) s"$i,row_$i"                   // missing column
+      else if (i % 7 == 5) s"$i,row_$i,not_a_number" // bad numeric
+      else s"$i,row_$i,${i * 10}"
+    }
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath,
+      rows.mkString("", "\n", "\n")): Unit
+    f.getPath
+  }
+
+  /** The per-mode recovery accounting (PERMISSIVE quarantine counts vs
+    * DROPMALFORMED survivor counts) — ScalaTest-asserted (ScansSpec):
+    * engines disagree on CSV error taxonomy (Spark null-fills
+    * under-arity rows silently; DROPMALFORMED keeps them), so THIS
+    * shape has no cross-engine oracle; the clean-subset key above
+    * does. */
+  private[graft] def csvMalformedModes(s: org.apache.spark.sql
+      .SparkSession): org.apache.spark.sql.DataFrame = {
+    val path = writeMalformedCsv()
+    val perm = s.read.schema(malformedCsvSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad").csv(path)
+    val dropped = s.read.schema(StructType(malformedCsvSchema.fields.init))
+      .option("mode", "DROPMALFORMED").csv(path)
+    // the agg must reference data columns alongside _bad — Spark
+    // rejects raw-file queries that project ONLY the corrupt column
+    val permCounts = perm.agg(
+      count(col("id")).as("n_rows"),
+      count(col("amount")).as("n_amount_ok"),
+      count(col("_bad")).as("n_quarantined"))
+      .select(lit("permissive").as("mode"), col("n_rows"),
+        col("n_amount_ok"), col("n_quarantined"))
+    // count(amount), not count(*): under an empty projection the CSV
+    // parser parses NO values, detects nothing malformed, and
+    // DROPMALFORMED silently drops zero rows — the classic
+    // column-pruning trap this op exists to document.
+    val dropCounts = dropped
+      .agg(count(col("id")).as("n_rows"),
+        count(col("amount")).as("n_amount_ok"))
+      .select(lit("dropmalformed").as("mode"), col("n_rows"),
+        col("n_amount_ok"), lit(0L).as("n_quarantined"))
+    permCounts.unionAll(dropCounts).orderBy("mode")
+  }
+
   val oracles: Map[String, String] = Map(
+    // cross-engine CSV parse agreement: DuckDB's parser over the SAME
+    // file must keep exactly the rows Spark parsed fully clean
+    // (ignore_errors drops both corruption classes; Spark's clean
+    // filter excludes its null-filled under-arity rows)
+    "scan_csv_malformed" ->
+      s"""SELECT id, name, amount
+         |FROM read_csv('$malformedCsvPath',
+         |  columns={'id':'BIGINT','name':'VARCHAR','amount':'BIGINT'},
+         |  header=false, ignore_errors=true)
+         |ORDER BY id""".stripMargin,
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_csv_schema" ->

@@ -75,7 +75,7 @@ class ScansSpec extends SparkSpec {
   }
 
   test("malformed CSV: permissive quarantines, dropmalformed drops") {
-    val rows = SparkEntry.queries("scan_csv_malformed")(spark, sf)
+    val rows = graft.sources.Scans.csvMalformedModes(spark)
       .collect().map(r => r.getAs[String]("mode") -> r).toMap
     val perm = rows("permissive")
     val drop = rows("dropmalformed")
