@@ -229,15 +229,21 @@ object DdlQueries extends QueryGroup {
     // parquet (type names dialect-normalized oracle-side, as
     // ddl_describe_show does). CatalogSpec still asserts the raw
     // statement shape (CREATE TABLE / USING / LOCATION) directly.
+    // Parsing is LINE-scoped (the renderer emits one column per line
+    // inside the paren block): a first-paren-group + comma split would
+    // silently truncate at the ')' of a decimal(10,2) and mis-split on
+    // commas inside parameterized types or COMMENT clauses.
     "ddl_show_create" -> ((s, d) => {
       fixtureCatalog(s, d)
       val stmt = s.sql("SHOW CREATE TABLE graft_meta.nation_meta")
       val coldefs = stmt
         .select(explode(split(regexp_extract(col("createtab_stmt"),
-          "\\(([^)]*)\\)", 1), ",")).as("coldef"))
-        .select(trim(regexp_replace(col("coldef"), "\\s+", " ")).as("coldef"))
+          "(?s)\\(\\n(.*)\\)\\nUSING", 1), "\n")).as("line"))
+        .select(regexp_replace(trim(col("line")), ",\\s*$", "")
+          .as("coldef"))
         .select(
-          split(col("coldef"), " ").getItem(0).as("col_name"),
+          regexp_replace(split(col("coldef"), " ").getItem(0), "`", "")
+            .as("col_name"),
           lower(split(col("coldef"), " ").getItem(1)).as("data_type"))
       coldefs.unionAll(stmt.select(
           lit("<provider>").as("col_name"),

@@ -188,11 +188,18 @@ case class PqAdcCosine(left: Expression, right: Expression,
   /** Per-subspace dense cid → codebook-offset table, built once per
     * (driver/executor) instance instead of a linear scan over the K
     * cids per subspace per ROW. Transient lazy: rebuilt cheaply after
-    * task-side deserialization; K≈16 so each table is tiny. */
+    * task-side deserialization. Sized by the MAX cid — tiny for the
+    * contiguous K≈16 ids k-means assigns here; revisit if codebooks
+    * ever become sparse/large-id. An empty subspace yields an all-miss
+    * table so the clear per-row "code not in codebook" require fires
+    * instead of an opaque max-on-empty crash at table build. */
   @transient private lazy val cidOff: Array[Array[Int]] = cids.map { cs =>
-    val arr = Array.fill(cs.max + 1)(-1)
-    cs.zipWithIndex.foreach { case (c, k) => arr(c) = k * subDim }
-    arr
+    if (cs.isEmpty) Array.empty[Int]
+    else {
+      val arr = Array.fill(cs.max + 1)(-1)
+      cs.zipWithIndex.foreach { case (c, k) => arr(c) = k * subDim }
+      arr
+    }
   }
 
   /** cosine(q, decode(codes)); fold order: j ascending within m

@@ -283,8 +283,13 @@ object CorpusOps extends QueryGroup {
     "corpus_shuffle_shards" -> ((s, d) => {
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("h"), col("doc_id"))
+      // reduce BEFORE the knuth multiply: doc_id * 2654435761 overflows
+      // int64 at doc_id ≈ 3.5e9 — Spark (non-ANSI) would wrap silently
+      // while the oracle engine raises, breaking the cross-engine
+      // determinism this key advertises; (id % p) * c stays < 2^62
       docs(s, d)
-        .withColumn("h", expr("(doc_id * 2654435761L) % 1000000007L"))
+        .withColumn("h",
+          expr("((doc_id % 1000000007L) * 2654435761L) % 1000000007L"))
         .withColumn("shard", (col("h") % 16).cast("int"))
         .withColumn("seq", row_number().over(w))
         .select(col("shard"), col("seq"), col("doc_id"), col("h"))
@@ -826,7 +831,7 @@ object CorpusOps extends QueryGroup {
         |    AS seq,
         |  doc_id, h
         |FROM (SELECT doc_id,
-        |        (doc_id * 2654435761) % 1000000007 AS h
+        |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
         |      FROM documents)
         |ORDER BY shard, seq""".stripMargin,
     "dedup_clusters" ->
