@@ -27,7 +27,8 @@ object Bench {
     "q8_market_share", "q13_customer_distribution", "q17_small_quantity",
     "q19_disjunctive", "embed_pq", "sim_ann_ivfpq", "meta_v2_write",
     "stream_v2_sink", "meta_v2_timetravel", "meta_v2_compact",
-    "corpus_shuffle_shards", "agg_approx_percentile")
+    "corpus_shuffle_shards", "agg_approx_percentile",
+    "meta_v2_partitioned", "sql_scripting")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

@@ -178,6 +178,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     serveTable(ti)
   }
 
+  /** Serve a snapshot table as Spark's own DSv2 file table. The
+    * `execution.datasources.v2.*Table` constructors are open-source
+    * Spark but NOT stable API — a declared, Spark-4.1-pinned deviation
+    * (SURVEY §7): they are the exact scan/pushdown/partition-discovery
+    * implementation a session-catalog table gets, and the public
+    * `TableProvider.getTable` route drops the multi-path +
+    * user-specified-schema constructor this catalog needs. A Spark
+    * bump that moves them breaks COMPILATION loudly, never results. */
   protected def serveTable(ti: TableInfo): Table = {
     require(ti.tableType != "VIEW",
       s"$catalogName serves tables only; view ${ti.db}.${ti.name} " +

@@ -41,8 +41,19 @@ object StreamOps extends QueryGroup {
 
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink's content. State-store instances scale with
-    * shuffle partitions; for a single-file local replay 8 is plenty
-    * (a real cluster deployment would keep the session default). */
+    * shuffle partitions; for a single-file local replay 8 is plenty.
+    *
+    * 100 TB sizing note: a real deployment sizes
+    * `spark.sql.shuffle.partitions` ≈ total executor cores (each
+    * stateful partition is one state-store instance with its own
+    * checkpoint lineage — thousands of tiny stores thrash, too few
+    * serialize), keeps the default HDFS-backed store for modest state,
+    * and switches `spark.sql.streaming.stateStore.providerClass` to
+    * the RocksDB provider once per-partition state outgrows executor
+    * heap (large dedup indexes, wide transformWithState maps —
+    * changelog-checkpointed, spill-to-disk). The fixed ~1–2 s these
+    * keys cost at fixture scale is micro-batch machinery, not data
+    * work; it amortizes to noise at production batch sizes. */
   def runToTable(df: DataFrame, name: String, mode: String,
       availableNow: Boolean = false): DataFrame = {
     val s = df.sparkSession
@@ -400,6 +411,10 @@ object StreamOps extends QueryGroup {
         .withColumn("max_value", round(col("max_value"), 4))
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
+      // Spark-4.1-pinned class name (SURVEY §7 declared deviation):
+      // the RocksDB provider has no public alias constant; this is the
+      // documented conf value from the Structured Streaming guide, and
+      // a rename on a Spark bump fails loudly at stream start
       s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
       try runToTable(out, "graft_stream_tws", "update").orderBy("user_id")
