@@ -20,6 +20,7 @@ object PlanProbe {
     val cpus = args.collectFirst { case a if a.startsWith("cpus=") =>
       a.stripPrefix("cpus=") }.getOrElse("8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

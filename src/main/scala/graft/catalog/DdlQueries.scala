@@ -524,6 +524,64 @@ object DdlQueries extends QueryGroup {
       s.table(s"$cat2.corp.nation_w").orderBy("n_nationkey")
     }),
 
+    // VIEWS through the V2 catalog — the day-two object of a shared
+    // metastore (create a view on one cluster, SELECT it by name on
+    // another). The view lands in the writable catalog through the V2
+    // ViewCatalog connector surface (Spark 4.1 parses CREATE VIEW only
+    // for the session catalog — the programmatic path below is what a
+    // catalog-sync tool drives); the stored definition keeps only
+    // MOUNT-RELATIVE context (unqualified body + default namespace —
+    // the writer's catalog mount name is deliberately not stored). A
+    // second read-only attach then resolves `SELECT ... FROM
+    // ro.corp.view` by re-parsing the body against ITS OWN mount
+    // (graft.plans.ResolveV2Views — core Spark ships the ViewCatalog
+    // API un-wired, so resolution is an injected rule, the public
+    // pattern engines with V2 view catalogs use). Resolution cost is
+    // pure metadata; filters and projections push through the view
+    // into the underlying scans exactly as if inlined.
+    "meta_v2_view" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_view_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gvsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.nation_vv
+               |(n_nationkey INT, n_name STRING, n_regionkey INT)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_v")
+      s.sql(s"""INSERT INTO $cat.corp.nation_vv
+               |SELECT n_nationkey, n_name, n_regionkey
+               |FROM nation_src_v""".stripMargin)
+      // the view body: UNQUALIFIED reference, attach-relative on
+      // every future mount; schema = the analyzed defining query
+      val body =
+        """SELECT n_regionkey, COUNT(*) AS n_nations,
+          |  MIN(n_nationkey) AS lo_key
+          |FROM nation_vv GROUP BY n_regionkey""".stripMargin
+      val schema = s.sql(body.replace("FROM nation_vv",
+        s"FROM $cat.corp.nation_vv")).schema
+      val vc = s.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+      vc.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("corp"), "nations_per_region"),
+        body, cat, Array("corp"), schema,
+        Array.empty, Array.empty, Array.empty,
+        java.util.Collections.emptyMap[String, String]()))
+      // the second cluster: a read-only attach resolves the VIEW by
+      // name — zero DDL re-emission
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.sql(s"""SELECT n_regionkey, n_nations, lo_key
+               |FROM $cat2.corp.nations_per_region
+               |ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // PARTITIONED CREATE through the writable catalog — the
     // metastore's core object (HMS partition service,
     // metastore-import.tf:112-117) on the WRITE side: a writer lands a
@@ -856,6 +914,13 @@ object DdlQueries extends QueryGroup {
         |  (SELECT COUNT(*) FROM nation) AS n_nations
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the view created through one attach must compute, through the
+    // OTHER attach, exactly its defining query over the source rows
+    "meta_v2_view" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_nationkey) AS lo_key
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
     // the partition-split write through the writable catalog loses and
     // duplicates nothing, and the second attach serves it by name
     "meta_v2_partitioned" ->

@@ -5,9 +5,9 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,17 +41,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    moved — so an attached reader observes every committed DDL on
   *    its next resolution, and never a torn snapshot (revisions are
   *    immutable and fully written before the pointer swaps).
-  *  - Views and custom-location partitions are declared unsupported
-  *    here (loud errors): views need the session catalog's SQL
-  *    resolution and non-layout partition locations need real HMS
-  *    storage descriptors — both are served by the importInto path.
+  *  - Views are served through the V2 [[ViewCatalog]] surface: the
+  *    snapshot's stored view body re-parses under a MOUNT-RELATIVE
+  *    context (see [[SnapshotView]]), so a view created on one
+  *    cluster resolves on any other attach with zero DDL re-emission.
+  *  - Custom-location partitions are declared unsupported here (loud
+  *    error): non-layout partition locations need real HMS storage
+  *    descriptors — served by the importInto path.
   *
   * Scale note (100 TB): resolution cost is independent of data size —
   * the catalog hands Spark a root path + user schema; file listing and
   * partition pruning happen in the scan exactly as for a session-catalog
   * table over the same directory.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with ViewCatalog {
 
   private var catalogName: String = _
   protected var snapshotDir: String = _
@@ -238,14 +242,85 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly()
 
+  /** Tables only — a VIEW entry is invisible here (HMS semantics:
+    * DROP/ALTER TABLE on a view is no-such-table; the view surface is
+    * [[loadView]] & co.). */
   protected def findTable(ident: Identifier): Option[TableInfo] =
     if (ident.namespace.length != 1) None
     else snap.tables.find(t =>
-      t.db == ident.namespace()(0) && t.name == ident.name)
+      t.db == ident.namespace()(0) && t.name == ident.name &&
+        t.tableType != "VIEW")
+
+  protected def findView(ident: Identifier): Option[TableInfo] =
+    if (ident.namespace.length != 1) None
+    else snap.tables.find(t =>
+      t.db == ident.namespace()(0) && t.name == ident.name &&
+        t.tableType == "VIEW")
+
+  // ---- views (V2 ViewCatalog — the analyzer re-parses the stored
+  // body under the view's own catalog+namespace context) ----
+
+  override def listViews(ns: String*): Array[Identifier] = {
+    val arr = ns.toArray
+    if (!namespaceExists(arr))
+      throw new NoSuchNamespaceException(catalogName +: ns)
+    snap.tables.filter(t => t.db == arr(0) && t.tableType == "VIEW")
+      .map(t => Identifier.of(arr, t.name)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    findView(ident).isDefined
+
+  override def loadView(ident: Identifier): View = {
+    val ti = findView(ident)
+      .getOrElse(throw new NoSuchViewException(ident))
+    new SnapshotView(catalogName, ti)
+  }
+
+  override def createView(info: ViewInfo): View = readOnly()
+
+  override def alterView(ident: Identifier,
+      changes: ViewChange*): View = readOnly()
+
+  override def dropView(ident: Identifier): Boolean = readOnly()
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly()
 
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
       s"catalog $catalogName is a read-only snapshot view")
+}
+
+/** A snapshot view definition served through the V2 [[ViewCatalog]]
+  * surface. The resolution context is deliberately MOUNT-RELATIVE:
+  * `currentCatalog` is the name THIS attach registered the catalog
+  * under (not whatever the writer's session called it — that name is
+  * meaningless to another cluster), and `currentNamespace` is the
+  * view's recorded default db. So an unqualified `t` in the body
+  * resolves to `<mount>.<defaultDb>.t` and a 2-part `db.t` to
+  * `<mount>.db.t` — i.e. view references land on SNAPSHOT tables of
+  * the same attach, which is exactly the shared-metastore contract
+  * (a view created on cluster A reads A-and-B-shared tables when
+  * resolved on cluster B, never B's unrelated local tables). 3-part
+  * references pin an explicit catalog and pass through untouched. */
+private[catalog] class SnapshotView(cat: String, ti: TableInfo)
+    extends View {
+  override def name(): String = s"$cat.${ti.db}.${ti.name}"
+  override def query(): String = ti.viewText
+  override def currentCatalog(): String = cat
+  override def currentNamespace(): Array[String] =
+    Array(if (ti.viewDefaultDb.nonEmpty) ti.viewDefaultDb else ti.db)
+  override def schema(): StructType = StructType(ti.columns.map(c =>
+    StructField(c.name, CatalystSqlParser.parseDataType(c.dataType),
+      c.nullable)))
+  override def queryColumnNames(): Array[String] = Array.empty
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): util.Map[String, String] =
+    (ti.properties.map(p => p.key -> p.value).toMap ++
+      (if (ti.comment.nonEmpty)
+        Map(ViewCatalog.PROP_COMMENT -> ti.comment) else Map.empty)).asJava
 }
 
 /** The WRITABLE rendering of the shared snapshot catalog: the same
@@ -366,7 +441,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       s"single-level namespaces only, got $ident")
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(name() +: ident.namespace.toSeq)
-    if (tableExists(ident))
+    if (tableExists(ident) || viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     // identity partition transforms only — the metastore's partition
@@ -490,6 +565,96 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     loadTable(ident)
   }
 
+  // ---- views (write side) ----
+
+  /** CREATE VIEW through the shared catalog. The stored definition
+    * keeps only mount-independent context: the body SQL plus a default
+    * namespace for unqualified references (the writer's current
+    * namespace when it was inside THIS catalog, else the view's own
+    * namespace) — the writer's catalog mount name is deliberately NOT
+    * stored, so resolution is attach-relative on every cluster
+    * ([[SnapshotView]]). */
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    require(ident.namespace.length == 1,
+      s"single-level namespaces only, got $ident")
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(name() +: ident.namespace.toSeq)
+    if (viewExists(ident) || tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    val db = ident.namespace()(0)
+    val cols = info.schema.fields.toSeq.map(f =>
+      ColumnInfo(f.name, f.dataType.sql.toLowerCase, f.nullable,
+        isPartition = false))
+    val defDb =
+      if (info.currentCatalog == name() && info.currentNamespace.length == 1)
+        info.currentNamespace()(0)
+      else db
+    val props = Option(info.properties)
+      .map(_.asScala.toSeq.filterNot(kv =>
+        ViewCatalog.RESERVED_PROPERTIES.contains(kv._1))).getOrElse(Nil)
+      .map { case (k, v) => PropKV(k, v) }.sortBy(_.key)
+    val comment = Option(info.properties)
+      .flatMap(p => Option(p.get(ViewCatalog.PROP_COMMENT))).getOrElse("")
+    val ti = TableInfo(db, ident.name, "VIEW", "", "", cols, props,
+      comment, viewText = info.sql, viewDefaultDb = defDb)
+    persist(snap.copy(tables = snap.tables :+ ti))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    findView(ident) match {
+      case None => false
+      case Some(ti) =>
+        persist(snap.copy(tables = snap.tables.filterNot(t =>
+          t.db == ti.db && t.name == ti.name && t.tableType == "VIEW")))
+        true
+    }
+
+  override def alterView(ident: Identifier,
+      changes: ViewChange*): View = {
+    val ti = findView(ident)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val updated = changes.foldLeft(ti) { (t, ch) =>
+      ch match {
+        case sp: ViewChange.SetProperty =>
+          t.copy(properties = t.properties
+            .filterNot(_.key == sp.property) :+
+            PropKV(sp.property, sp.value))
+        case rp: ViewChange.RemoveProperty =>
+          t.copy(properties = t.properties.filterNot(_.key == rp.property))
+        case other => throw new UnsupportedOperationException(
+          s"snapshot catalog cannot apply ${other.getClass.getSimpleName} " +
+            s"to view ${t.db}.${t.name}")
+      }
+    }
+    persist(snap.copy(tables = snap.tables.map(x =>
+      if (x.db == ti.db && x.name == ti.name && x.tableType == "VIEW")
+        updated else x)))
+    loadView(ident)
+  }
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val ti = findView(oldIdent)
+      .getOrElse(throw new NoSuchViewException(oldIdent))
+    require(newIdent.namespace.length == 1,
+      s"single-level namespaces only, got $newIdent")
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(name() +: newIdent.namespace.toSeq)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    // the body text stays as written; unqualified refs keep resolving
+    // against viewDefaultDb (NOT the new namespace) — renaming a view
+    // must not silently re-point what it reads
+    persist(snap.copy(tables = snap.tables.map(x =>
+      if (x.db == ti.db && x.name == ti.name && x.tableType == "VIEW")
+        x.copy(db = newIdent.namespace()(0), name = newIdent.name)
+      else x)))
+  }
+
   /** Metadata-only rename (the location — and therefore the data —
     * stays put, HMS external-table semantics). Cross-namespace moves
     * are allowed when the target namespace exists. */
@@ -501,11 +666,11 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       s"single-level namespaces only, got $newIdent")
     if (!namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(name() +: newIdent.namespace.toSeq)
-    if (tableExists(newIdent))
+    if (tableExists(newIdent) || viewExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(newIdent)
     persist(snap.copy(tables = snap.tables.map(x =>
-      if (x.db == ti.db && x.name == ti.name)
+      if (x.db == ti.db && x.name == ti.name && x.tableType != "VIEW")
         x.copy(db = newIdent.namespace()(0), name = newIdent.name)
       else x)))
   }

@@ -773,6 +773,57 @@ class CatalogSpec extends SparkSpec {
     assert(r.namespaceExists(Array("mid")))
   }
 
+  test("V2 catalog serves views cross-attach (created and imported)") {
+    // the key end-to-end: CREATE VIEW through the writable attach,
+    // resolve through a read-only one
+    val rows = SparkEntry.queries("meta_v2_view")(spark, sf).collect()
+    assert(rows.length == 5, s"expected 5 region rows, got ${rows.length}")
+    // a view EXPORTED from the session catalog ALSO resolves through a
+    // snapshot attach: the stored 2-part body refs re-resolve
+    // mount-relative onto the snapshot's own tables
+    spark.sql("DROP DATABASE IF EXISTS graft_vsnap CASCADE")
+    spark.sql("CREATE DATABASE graft_vsnap")
+    spark.sql(s"""CREATE TABLE graft_vsnap.nation_b
+                 |USING parquet LOCATION '$sf/nation.parquet'""".stripMargin)
+    spark.sql("""CREATE VIEW graft_vsnap.nation_v AS
+                |SELECT n_regionkey, COUNT(*) AS n FROM graft_vsnap.nation_b
+                |GROUP BY n_regionkey""".stripMargin)
+    val expected = spark.table("graft_vsnap.nation_v").collect().toSet
+    val dir = Tables.scratch(sf, "catalog_view_v2serve")
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("graft_vsnap")), dir)
+    val cat = "gvserve_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path",
+      new java.io.File(dir).getAbsolutePath)
+    assert(spark.table(s"$cat.graft_vsnap.nation_v").collect().toSet
+      == expected)
+    // view lifecycle on the writable attach: a view is NOT a table
+    // (DROP TABLE refuses), dropView removes it and persists, and a
+    // pushed-down filter still reaches the underlying scan THROUGH
+    // the view (the rule inlines the body — no optimization barrier)
+    val wcat = "gvsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE $wcat.corp.nations_per_region")
+    }
+    assert(spark.table(s"$wcat.corp.nations_per_region").count() == 5)
+    val filtered = spark.sql(
+      s"""SELECT n_nations FROM $wcat.corp.nations_per_region
+         |WHERE n_regionkey = 2""".stripMargin)
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("BatchScan"), "view did not inline to the base scan")
+    assert(filtered.count() == 1)
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
+    val plugin = spark.sessionState.catalogManager.catalog(wcat)
+      .asInstanceOf[ViewCatalog]
+    assert(plugin.dropView(Identifier.of(Array("corp"),
+      "nations_per_region")))
+    intercept[Exception] {
+      spark.table(s"$wcat.corp.nations_per_region").count()
+    }
+  }
+
   test("thrift SQL endpoint round-trips values over a real JDBC wire") {
     val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
     assert(out.length == 25) // nation is 25 rows at every SF

@@ -134,6 +134,10 @@ class PlanSpec extends SparkSpec {
       // meta_v2_catalog crossjoins a 1-row count aggregate (nation via
       // the snapshot catalog) into the partition-pruned lineitem agg
       "meta_v2_catalog",
+      // meta_import crossjoins the re-imported plain table's 1-row
+      // count into the partitioned table's per-partition rollup (the
+      // content read-back its oracle compares)
+      "meta_import",
       // sim_ann_ivfpq broadcast-NLJs the tiny centroid set against the
       // corpus for cell assignment (the sim_ann_ivf quantizer shape)
       "sim_ann_ivfpq")
