@@ -582,6 +582,43 @@ object DdlQueries extends QueryGroup {
                |ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // PERMANENT FUNCTIONS through the V2 catalog — the last metastore
+    // object family (HMS CREATE FUNCTION ... AS 'class'): the writable
+    // catalog registers an implementation CLASS NAME (persisted +
+    // revisioned like any DDL; registration is programmatic — the V2
+    // FunctionCatalog interface is read-only by design), and a second
+    // attach resolves `SELECT ro.corp.hav_km(...)` through core
+    // Spark's own V2 function resolution (FunctionCatalog IS
+    // analyzer-wired, unlike views) — zero session registration, and
+    // the magic-method ScalarFunction binds with codegen. The oracle
+    // replays the haversine formula in SQL: the class's arithmetic
+    // must match the engine-independent math.
+    "meta_v2_function" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_fn_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gfsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[WritableSnapshotCatalog]
+        .registerFunction("corp", "hav_km",
+          classOf[graft.functions.HaversineKm].getName)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_f")
+      s.sql(s"""SELECT n_nationkey, n_name,
+               |  ROUND($cat2.corp.hav_km(
+               |    CAST(n_nationkey * 7 % 180 AS DOUBLE) - 90 + 0.5,
+               |    CAST(n_nationkey * 13 % 360 AS DOUBLE) - 180 + 0.5,
+               |    48.85D, 2.35D), 4) AS dist_km
+               |FROM nation_src_f ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // PARTITIONED CREATE through the writable catalog — the
     // metastore's core object (HMS partition service,
     // metastore-import.tf:112-117) on the WRITE side: a writer lands a
@@ -914,6 +951,19 @@ object DdlQueries extends QueryGroup {
         |  (SELECT COUNT(*) FROM nation) AS n_nations
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the catalog-resolved function class must compute exactly the
+    // engine-independent haversine formula (same CTE shape as
+    // fn_geo_haversine — one formula oracles both surfaces)
+    "meta_v2_function" ->
+      """WITH pts AS (SELECT n_nationkey, n_name,
+        |    CAST(n_nationkey*7 % 180 AS DOUBLE) - 90 + 0.5 AS lat,
+        |    CAST(n_nationkey*13 % 360 AS DOUBLE) - 180 + 0.5 AS lon
+        |  FROM nation)
+        |SELECT n_nationkey, n_name,
+        |  ROUND(2*6371.0*asin(sqrt(pow(sin(radians(lat - 48.85)/2),2)
+        |    + cos(radians(48.85))*cos(radians(lat))
+        |      *pow(sin(radians(lon - 2.35)/2),2))), 4) AS dist_km
+        |FROM pts ORDER BY n_nationkey""".stripMargin,
     // the view created through one attach must compute, through the
     // OTHER attach, exactly its defining query over the source rows
     "meta_v2_view" ->

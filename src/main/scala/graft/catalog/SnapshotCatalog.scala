@@ -5,9 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,7 +56,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * table over the same directory.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with ViewCatalog {
+    with ViewCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   protected var snapshotDir: String = _
@@ -287,6 +288,50 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def renameView(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly()
 
+  // ---- functions (V2 FunctionCatalog — wired into the analyzer by
+  // core Spark, unlike views: `SELECT cat.db.fn(...)` just works) ----
+
+  override def listFunctions(ns: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(ns))
+      throw new NoSuchNamespaceException(catalogName +: ns.toSeq)
+    snap.functions.filter(_.db == ns(0))
+      .map(f => Identifier.of(ns, f.name)).toArray
+  }
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && snap.functions.exists(f =>
+      f.db == ident.namespace()(0) && f.name == ident.name)
+
+  /** Serve a permanent function: the snapshot stores the
+    * implementation CLASS NAME (exactly what HMS stores); classes
+    * implementing the connector [[UnboundFunction]] API are
+    * instantiated and served directly. Hive-resource UDF classes
+    * (GenericUDF + jar URIs) cannot speak the V2 surface — those
+    * resolve through [[CatalogTransfer.importInto]], and the error
+    * says so instead of failing reflection-deep. */
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    val fi = (if (ident.namespace.length == 1)
+        snap.functions.find(f =>
+          f.db == ident.namespace()(0) && f.name == ident.name)
+      else None)
+      .getOrElse(throw new NoSuchFunctionException(ident))
+    val cls =
+      try Class.forName(fi.className)
+      catch { case _: ClassNotFoundException =>
+        throw new UnsupportedOperationException(
+          s"function ${fi.db}.${fi.name}: class ${fi.className} is not " +
+            "on the classpath of this cluster — ship the jar, or " +
+            "resolve through CatalogTransfer.importInto")
+      }
+    cls.getDeclaredConstructor().newInstance() match {
+      case uf: UnboundFunction => uf
+      case _ => throw new UnsupportedOperationException(
+        s"function ${fi.db}.${fi.name}: ${fi.className} does not " +
+          "implement the connector UnboundFunction API — Hive-resource " +
+          "functions resolve through CatalogTransfer.importInto")
+    }
+  }
+
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
       s"catalog $catalogName is a read-only snapshot view")
@@ -424,12 +469,14 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       cascade: Boolean): Boolean = {
     if (!namespaceExists(ns)) false
     else {
-      val inUse = snap.tables.exists(_.db == ns(0))
+      val inUse = snap.tables.exists(_.db == ns(0)) ||
+        snap.functions.exists(_.db == ns(0))
       require(cascade || !inUse,
         s"namespace ${ns(0)} is not empty — use CASCADE")
       persist(snap.copy(
         databases = snap.databases.filterNot(_.name == ns(0)),
-        tables = snap.tables.filterNot(_.db == ns(0))))
+        tables = snap.tables.filterNot(_.db == ns(0)),
+        functions = snap.functions.filterNot(_.db == ns(0))))
       true
     }
   }
@@ -563,6 +610,34 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     persist(snap.copy(tables = snap.tables.map(x =>
       if (x.db == ti.db && x.name == ti.name) updated else x)))
     loadTable(ident)
+  }
+
+  // ---- functions (write side; the V2 FunctionCatalog interface is
+  // read-only by design — no standard CREATE FUNCTION plan exists —
+  // so registration is the programmatic path a catalog-sync tool
+  // drives, persisted + revisioned like any DDL) ----
+
+  /** Register a permanent function (HMS `CREATE FUNCTION ... AS
+    * 'class'` semantics): the catalog stores the implementation class
+    * name; resolution happens at [[SnapshotCatalog.loadFunction]]
+    * against the resolving cluster's classpath. */
+  def registerFunction(db: String, fnName: String,
+      className: String): Unit = {
+    if (!namespaceExists(Array(db)))
+      throw new NoSuchNamespaceException(Seq(name(), db))
+    require(!snap.functions.exists(f => f.db == db && f.name == fnName),
+      s"function $db.$fnName already exists in catalog ${name()}")
+    persist(snap.copy(functions =
+      snap.functions :+ FunctionInfo(db, fnName, className, Nil)))
+  }
+
+  def dropFunction(db: String, fnName: String): Boolean = {
+    if (!snap.functions.exists(f => f.db == db && f.name == fnName)) false
+    else {
+      persist(snap.copy(functions = snap.functions.filterNot(f =>
+        f.db == db && f.name == fnName)))
+      true
+    }
   }
 
   // ---- views (write side) ----

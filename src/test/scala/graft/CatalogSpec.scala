@@ -824,6 +824,49 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("V2 catalog serves permanent functions cross-attach") {
+    // the key end-to-end: register through the writable attach,
+    // resolve + execute through core Spark's V2 function resolution
+    val rows = SparkEntry.queries("meta_v2_function")(spark, sf)
+      .collect()
+    assert(rows.length == 25)
+    // the distance to Paris from nation 0's pseudo-coords is a fixed
+    // number — pin one value so the function really computed
+    val d0 = rows.find(_.getAs[Int]("n_nationkey") == 0)
+      .get.getAs[Double]("dist_km")
+    assert(d0 > 0 && d0 < 20015, s"implausible haversine distance $d0")
+    val wcat = "gfsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier}
+    val plugin = spark.sessionState.catalogManager.catalog(wcat)
+      .asInstanceOf[graft.catalog.WritableSnapshotCatalog]
+    // discovery surface
+    assert(plugin.listFunctions(Array("corp")).map(_.name).toSeq
+      == Seq("hav_km"))
+    assert(plugin.asInstanceOf[FunctionCatalog]
+      .functionExists(Identifier.of(Array("corp"), "hav_km")))
+    // a registered class that is NOT a connector UnboundFunction fails
+    // with the importInto pointer, not reflection-deep
+    plugin.registerFunction("corp", "bad_fn", "java.lang.String")
+    val e = intercept[UnsupportedOperationException] {
+      plugin.loadFunction(Identifier.of(Array("corp"), "bad_fn"))
+    }
+    assert(e.getMessage.contains("importInto"),
+      s"unhelpful error: ${e.getMessage}")
+    assert(plugin.dropFunction("corp", "bad_fn"))
+    // dropped functions stop resolving on a FRESH attach (persisted)
+    assert(plugin.dropFunction("corp", "hav_km"))
+    val dir = new java.io.File(Tables.scratch(sf, "v2_fn_snapshot"))
+      .getAbsolutePath
+    val cat3 = wcat + "_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat3",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat3.path", dir)
+    intercept[Exception] {
+      spark.sql(s"SELECT $cat3.corp.hav_km(1.0D, 2.0D, 3.0D, 4.0D)")
+        .collect()
+    }
+  }
+
   test("thrift SQL endpoint round-trips values over a real JDBC wire") {
     val out = SparkEntry.queries("sql_thrift_endpoint")(spark, sf).collect()
     assert(out.length == 25) // nation is 25 rows at every SF
