@@ -942,6 +942,24 @@ object DdlQueries extends QueryGroup {
     // the export's column capture must match the actual file schema
     // (names/types are fixture-catalog constants; n_columns is the
     // honest cross-engine check)
+    // SHOW DATABASES must surface exactly the created database — the
+    // key constructs the state, so the report is a declared constant
+    "ddl_create_database" ->
+      "SELECT 'graft_ddl_db' AS namespace",
+    // the alter-then-drop probe's observable outcome is a declared
+    // constant: the property landed, then the table was gone
+    "ddl_alter_drop" ->
+      """SELECT * FROM (VALUES ('dropped', 'true'), ('graft.note', 'v1'))
+        |  AS t(key, value) ORDER BY key""".stripMargin,
+    // the key constructs the drift scenario, so the report is a
+    // declared constant: the dropped table on the source side, the
+    // property-changed table on both sides
+    "meta_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('table', 'graft_meta', 'lineitem_part', 'source'),
+        |  ('table', 'graft_meta', 'nation_meta', 'source'),
+        |  ('table', 'graft_meta', 'nation_meta', 'target'))
+        |  AS t(kind, db, name, side)""".stripMargin,
     // import losslessness: the re-imported catalog must serve every
     // partition's rows and the plain table's full count — identical to
     // the same rollup straight off the source parquet

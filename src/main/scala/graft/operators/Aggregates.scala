@@ -54,13 +54,22 @@ object Aggregates extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
-    // HLL sketch — no DuckDB oracle (sketch internals differ); ScalaTest
-    // asserts within 5% of exact.
+    // HLL approximate distinct. Sketch internals differ per engine, so
+    // the raw estimate is not cross-engine comparable — the ORACLED
+    // output is the accuracy CONTRACT (the agg_approx_percentile
+    // form): the exact distinct plus an engine-checked 0/1 flag that
+    // the sketch landed within 5%. PlanSpec still asserts the raw
+    // estimate's tolerance independently.
     "agg_approx_distinct" -> ((s, d) => {
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
-          .as("approx_orders"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+            .as("approx"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).cast("int").as("within_5pct"))
         .orderBy("l_returnflag")
     }),
 
@@ -150,16 +159,26 @@ object Aggregates extends QueryGroup {
     // Datasketches HLL: per-group sketches unioned to a global distinct
     // estimate — the pre-aggregation pattern for distinct counts at
     // 100 TB (mergeable sketches travel between stages/days, raw values
-    // don't). Approximate by design → ScalaTest tolerance, no oracle.
+    // don't). The raw estimate is engine-specific, so the ORACLED
+    // output is the accuracy contract: exact count + 0/1 within-5%
+    // flag (the agg_approx_percentile form); PlanSpec keeps the raw
+    // tolerance assertion.
     "agg_sketch_union" -> ((s, d) => {
       Tables(s, d, "lineitem").createOrReplaceTempView("sk_lineitem")
       s.sql(
         """WITH per_flag AS (
           |  SELECT l_returnflag, HLL_SKETCH_AGG(l_orderkey) AS sk
-          |  FROM sk_lineitem GROUP BY l_returnflag)
-          |SELECT 'all' AS scope,
-          |  HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk)) AS approx_distinct
-          |FROM per_flag""".stripMargin)
+          |  FROM sk_lineitem GROUP BY l_returnflag),
+          |vals AS (SELECT
+          |  (SELECT HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk))
+          |   FROM per_flag) AS approx,
+          |  (SELECT COUNT(DISTINCT l_orderkey) FROM sk_lineitem)
+          |    AS exact_orders)
+          |SELECT 'all' AS scope, exact_orders,
+          |  CAST(CASE WHEN ABS(approx - exact_orders)
+          |    <= exact_orders * 0.05 THEN 1 ELSE 0 END AS INT)
+          |    AS within_5pct
+          |FROM vals""".stripMargin)
     }),
 
     // equi-width histogram via width_bucket — the profiling aggregate
@@ -524,6 +543,17 @@ object Aggregates extends QueryGroup {
         | ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
         | 1 AS within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // accuracy-contract form (engine sketches are not cross-engine
+    // comparable; the within flag must be 1 and the exact side must
+    // agree bit-for-bit)
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_orderkey) AS exact_orders, 1 AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_sketch_union" ->
+      """SELECT 'all' AS scope,
+        | COUNT(DISTINCT l_orderkey) AS exact_orders, 1 AS within_5pct
+        |FROM lineitem""".stripMargin,
     "agg_corr_bool" ->
       """SELECT l_linestatus,
         | ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,

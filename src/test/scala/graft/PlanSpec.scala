@@ -244,12 +244,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("HLL sketch union estimate is within 5% of exact distinct") {
-    val approx = SparkEntry.queries("agg_sketch_union")(spark, sf)
-      .head.getLong(1)
+    // RAW estimate tolerance, recomputed directly — the key's output
+    // is the oracled contract form (exact + flag), so the strong
+    // assertion on the un-flagged estimate lives here
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("sk_plan_li")
+    val approx = spark.sql(
+      """WITH per_flag AS (
+        |  SELECT l_returnflag, HLL_SKETCH_AGG(l_orderkey) AS sk
+        |  FROM sk_plan_li GROUP BY l_returnflag)
+        |SELECT HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk)) FROM per_flag"""
+        .stripMargin).head.getLong(0)
     val exact = Tables(spark, sf, "lineitem")
       .agg(countDistinct(col("l_orderkey"))).head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"sketch union approx=$approx exact=$exact")
+    // and the key's own flag row agrees
+    val row = SparkEntry.queries("agg_sketch_union")(spark, sf).head
+    assert(row.getInt(2) == 1, s"within_5pct flag not set: $row")
   }
 
   test("q1 aggregates map-side before the 6-group shuffle") {
@@ -336,7 +347,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("approx_count_distinct is within 5% of exact") {
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+    // RAW estimate tolerance, recomputed directly — the key's output
+    // is the oracled contract form (exact + flag)
+    val approx = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -347,5 +362,8 @@ class PlanSpec extends SparkSpec {
       assert(math.abs(ap - ex).toDouble / ex < 0.05,
         s"flag=$flag approx=$ap exact=$ex")
     }
+    // and every key row carries the flag
+    assert(SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().forall(_.getInt(2) == 1), "within_5pct flag not set")
   }
 }
