@@ -582,6 +582,35 @@ object DdlQueries extends QueryGroup {
                |ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // PARTITION MANAGEMENT through the V2 catalog (SHOW PARTITIONS —
+    // the HMS partition-service read surface the reference provisions;
+    // metastore-import.tf:112-117): the partitioned V2 table serves
+    // SupportsPartitionManagement with the hive-style directory LAYOUT
+    // as source of truth (exactly what recoverPartitions trusts), so
+    // SHOW PARTITIONS is a driver-side directory listing — O(|dirs|),
+    // independent of data size. The oracle re-derives the expected
+    // partition set from the data: layout and content must agree.
+    "meta_v2_partition_mgmt" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_pmgmt_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_m
+               |(o_orderkey BIGINT, o_orderstatus STRING)
+               |USING parquet PARTITIONED BY (o_orderstatus)""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_m")
+      s.sql(s"""INSERT INTO $cat.corp.orders_m
+               |SELECT o_orderkey, o_orderstatus FROM orders_src_m"""
+        .stripMargin)
+      s.sql(s"SHOW PARTITIONS $cat.corp.orders_m")
+        .orderBy("partition")
+    }),
+
     // PERMANENT FUNCTIONS through the V2 catalog — the last metastore
     // object family (HMS CREATE FUNCTION ... AS 'class'): the writable
     // catalog registers an implementation CLASS NAME (persisted +
@@ -969,6 +998,11 @@ object DdlQueries extends QueryGroup {
         |  (SELECT COUNT(*) FROM nation) AS n_nations
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the listed layout partitions must be exactly the distinct
+    // partition values present in the data
+    "meta_v2_partition_mgmt" ->
+      """SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS partition
+        |FROM orders ORDER BY partition""".stripMargin,
     // the catalog-resolved function class must compute exactly the
     // engine-independent haversine formula (same CTE shape as
     // fn_geo_haversine — one formula oracles both surfaces)

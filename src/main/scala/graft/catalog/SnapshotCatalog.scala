@@ -775,7 +775,9 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
 private[catalog] class PartitionedWriteTable(inner: Table, ti: TableInfo,
     partCols: Seq[String]) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+  import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.connector.expressions.Expressions
   import org.apache.spark.sql.connector.read.ScanBuilder
@@ -784,6 +786,78 @@ private[catalog] class PartitionedWriteTable(inner: Table, ti: TableInfo,
   override def name(): String = inner.name()
 
   override def schema(): StructType = inner.schema()
+
+  // ---- partition management (HMS SHOW PARTITIONS / partition-exists
+  // surface). The hive-style directory LAYOUT is the source of truth
+  // (exactly what recoverPartitions trusts): listing is a driver-side
+  // directory scan of `location/col=value`, independent of data size.
+  // Mutations are layout-backed too: createPartition materializes the
+  // directory; dropPartition refuses (EXTERNAL semantics — the catalog
+  // never deletes data; drop the files or re-point the location). ----
+
+  private def partField: StructField = {
+    require(partCols.length == 1,
+      s"partition management on ${ti.db}.${ti.name} supports single-" +
+        "column partitioning; multi-column layouts read/write fine " +
+        "but list through the file index only")
+    inner.schema().fields.find(_.name == partCols.head).getOrElse(
+      StructField(partCols.head, org.apache.spark.sql.types.StringType))
+  }
+
+  override def partitionSchema(): StructType = StructType(Seq(partField))
+
+  private def valueOf(dirName: String): Any = {
+    val raw = dirName.stripPrefix(s"${partCols.head}=")
+    partField.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      case org.apache.spark.sql.types.IntegerType => raw.toInt
+      case org.apache.spark.sql.types.LongType => raw.toLong
+      case dt => throw new UnsupportedOperationException(
+        s"partition listing for type ${dt.simpleString} not supported " +
+          s"on ${ti.db}.${ti.name} — use the scan path")
+    }
+  }
+
+  private def partDirs(): Seq[String] =
+    Option(new java.io.File(ti.location).list()).toSeq.flatten
+      .filter(_.startsWith(s"${partCols.head}=")).sorted
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    require(names.forall(_ == partCols.head),
+      s"unknown partition column(s) ${names.mkString(",")} on " +
+        s"${ti.db}.${ti.name}")
+    val all = partDirs().map(d => InternalRow(valueOf(d)))
+    if (names.isEmpty) all.toArray
+    else all.filter(r => r.get(0, partField.dataType) ==
+      ident.get(0, partField.dataType)).toArray
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    listPartitionIdentifiers(Array(partCols.head), ident).nonEmpty
+
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit = {
+    val v = ident.get(0, partField.dataType)
+    new java.io.File(ti.location, s"${partCols.head}=$v").mkdirs(): Unit
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      s"${ti.db}.${ti.name} is EXTERNAL — the catalog never deletes " +
+        "data; remove the partition directory or re-point the location")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "layout-backed partitions carry no separable metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] =
+    if (partitionExists(ident)) util.Collections.emptyMap()
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchPartitionException(name(), ident, partitionSchema())
 
   override def partitioning(): Array[Transform] =
     partCols.map(Expressions.identity).toArray

@@ -707,6 +707,27 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("identity"),
       s"unhelpful refusal: ${e.getMessage}")
+    // partition management: SHOW PARTITIONS lists the layout; the
+    // exists probe agrees; EXTERNAL drop refuses
+    val mgmt = SparkEntry.queries("meta_v2_partition_mgmt")(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    assert(mgmt.nonEmpty && mgmt.forall(_.startsWith("o_orderstatus=")),
+      s"unexpected SHOW PARTITIONS rows: $mgmt")
+    val mcat = "gmsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val mtable = spark.sessionState.catalogManager.catalog(mcat)
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("corp"), "orders_m"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog
+        .SupportsPartitionManagement]
+    assert(mtable.partitionExists(
+      InternalRow(UTF8String.fromString("F"))))
+    assert(!mtable.partitionExists(
+      InternalRow(UTF8String.fromString("ZZ"))))
+    intercept[UnsupportedOperationException] {
+      mtable.dropPartition(InternalRow(UTF8String.fromString("F")))
+    }
   }
 
   private def attachWritable(name: String, dir: String)
