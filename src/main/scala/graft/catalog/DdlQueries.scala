@@ -582,6 +582,41 @@ object DdlQueries extends QueryGroup {
                |ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // METADATA-ONLY RENAME through the V2 catalog, cross-namespace
+    // (ALTER TABLE ... RENAME TO — the archive/promote move every
+    // warehouse runs): the location (and therefore the data) stays
+    // put, only the name re-points, HMS external-table semantics. The
+    // rename persists as a revision like any DDL, the OLD name stops
+    // resolving, and a second attach reads full content by the NEW
+    // name — proving the re-point lost nothing. O(1) in data size.
+    "meta_v2_rename" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_rename_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "grsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp_archive")
+      s.sql(s"""CREATE TABLE $cat.corp.nation_r
+               |(n_nationkey INT, n_name STRING, n_regionkey INT)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_r")
+      s.sql(s"""INSERT INTO $cat.corp.nation_r
+               |SELECT n_nationkey, n_name, n_regionkey
+               |FROM nation_src_r""".stripMargin)
+      s.sql(s"""ALTER TABLE $cat.corp.nation_r
+               |RENAME TO corp_archive.nation_2024""".stripMargin)
+      require(!s.catalog.tableExists(s"$cat.corp.nation_r"),
+        "old name still resolves after RENAME")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp_archive.nation_2024").orderBy("n_nationkey")
+    }),
+
     // PARTITION MANAGEMENT through the V2 catalog (SHOW PARTITIONS —
     // the HMS partition-service read surface the reference provisions;
     // metastore-import.tf:112-117): the partitioned V2 table serves
@@ -998,6 +1033,11 @@ object DdlQueries extends QueryGroup {
         |  (SELECT COUNT(*) FROM nation) AS n_nations
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the renamed table, read by its NEW name through the second
+    // attach, must carry exactly the pre-rename content
+    "meta_v2_rename" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // the listed layout partitions must be exactly the distinct
     // partition values present in the data
     "meta_v2_partition_mgmt" ->

@@ -528,6 +528,63 @@ object StreamOps extends QueryGroup {
           countDistinct(col("event_id")).as("n_distinct"),
           round(sum(col("value")), 4).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // STREAM → PARTITIONED SHARED-CATALOG TABLE: the production shape
+    // for landing a stream in a metastore-registered PARTITIONED table
+    // — each micro-batch appends through the catalog's partitioned
+    // write path ([[graft.catalog.PartitionedWriteTable]]'s V1
+    // fallback), laying out hive-style `event_type=...` directories
+    // batch by batch, and the read-back through a second attach
+    // carries a PARTITION FILTER that prunes those directories (the
+    // whole point of partitioning a streamed fact table: downstream
+    // readers touch only their slice). At 100 TB the per-batch dynamic
+    // partition writers are the same executor-parallel machinery as
+    // batch `partitionBy`; compaction of the resulting small files is
+    // meta_v2_compact's job.
+    "stream_v2_partitioned_sink" -> ((s, d) => {
+      val dir = new java.io.File(
+        graft.Tables.scratch(d, "v2_pstream_snapshot")).getAbsolutePath
+      val cp = graft.Tables.scratch(d, "v2_pstream_cp")
+      for (p <- Seq(dir, cp))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      graft.catalog.CatalogTransfer.writeLocal(
+        graft.catalog.CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpsstr_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.events_psink
+               |(event_id BIGINT, value DOUBLE, event_type STRING)
+               |USING parquet PARTITIONED BY (event_type)""".stripMargin)
+      val q = eventsStream(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.writeTo(s"$cat.corp.events_psink").append()
+        }
+        .start()
+      q.awaitTermination()
+      // the stream must have laid out REAL partition directories
+      val partDirs = Option(new java.io.File(
+          s"$dir/_warehouse/corp/events_psink").list()).toSeq.flatten
+        .filter(_.startsWith("event_type="))
+      require(partDirs.size >= 2,
+        s"stream laid out no partition dirs: ${partDirs.mkString(",")}")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[graft.catalog.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.events_psink")
+        .filter(col("event_type") =!= "click") // prunes whole directories
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -539,6 +596,14 @@ object StreamOps extends QueryGroup {
         |  COUNT(DISTINCT event_id) AS n_distinct,
         |  ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the partition-split streamed landing loses and duplicates
+    // nothing, and the pruned read-back equals the batch aggregate
+    "stream_v2_partitioned_sink" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_id) AS n_distinct,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // despite the injected crash + replay, every event lands exactly
     // once — counts and sums match one clean pass over the source
     "stream_exactly_once" ->

@@ -206,4 +206,19 @@ class StreamingSpec extends SparkSpec {
     val cat2 = "gssnap_" + sf.replaceAll("[^A-Za-z0-9]", "_") + "_ro"
     assert(spark.table(s"$cat2.corp.events_sink").count() == nEvents)
   }
+
+  test("partitioned streamed sink lays out and prunes partitions") {
+    assert(SparkEntry.queries("stream_v2_partitioned_sink")(spark, sf)
+      .collect().nonEmpty)
+    // the pruned read-back must push the partition filter into the scan
+    val cat2 = "gpsstr_" + sf.replaceAll("[^A-Za-z0-9]", "_") + "_ro"
+    val df = spark.table(s"$cat2.corp.events_psink")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "view")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan)
+        .isDefined,
+      s"partition filter did not reach the streamed table's scan:\n$plan")
+    assert(df.count() > 0)
+  }
 }
