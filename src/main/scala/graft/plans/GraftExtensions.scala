@@ -63,7 +63,20 @@ case class ResolveV2Views(spark: SparkSession) extends Rule[LogicalPlan] {
         else {
           val v = vc.loadView(ident)
           val ctx = Seq(v.currentCatalog) ++ v.currentNamespace.toSeq
-          val body = CatalystSqlParser.parsePlan(v.query).transformUp {
+          val parsed = CatalystSqlParser.parsePlan(v.query)
+          // The body splices into the plan MID-analysis — after the
+          // analyzer's substitution batch already ran — so a WITH
+          // clause inside the view would never meet CTESubstitution
+          // and its aliases would dangle (or worse, read like
+          // catalog tables). Substitute CTEs ourselves first (the
+          // same move public V2-view implementations make); after
+          // substitution every remaining UnresolvedRelation is a real
+          // table/view reference and re-qualifies safely.
+          val substituted = org.apache.spark.sql.catalyst.analysis
+            .CTESubstitution.apply(parsed)
+          // transformUpWithSubqueries: view references inside scalar /
+          // EXISTS / IN subquery expressions must re-qualify too
+          val body = substituted.transformUpWithSubqueries {
             case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
               r.copy(multipartIdentifier = ctx ++ r.multipartIdentifier)
             case r: UnresolvedRelation if r.multipartIdentifier.length == 2 =>

@@ -820,6 +820,33 @@ class CatalogSpec extends SparkSpec {
       new java.io.File(dir).getAbsolutePath)
     assert(spark.table(s"$cat.graft_vsnap.nation_v").collect().toSet
       == expected)
+    // a view body with a CTE and a scalar subquery: the resolution
+    // rule must re-qualify snapshot-table refs INSIDE both, while
+    // leaving the CTE alias to CTESubstitution (qualifying it would
+    // break the WITH clause)
+    val wcat0 = "gvsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    import org.apache.spark.sql.connector.catalog.{Identifier => VIdent, ViewCatalog, ViewInfo}
+    val vplugin = spark.sessionState.catalogManager.catalog(wcat0)
+      .asInstanceOf[ViewCatalog]
+    val cteBody =
+      """WITH per_r AS (SELECT n_regionkey, COUNT(*) AS n
+        |  FROM nation_vv GROUP BY n_regionkey)
+        |SELECT n_regionkey, n,
+        |  (SELECT MAX(n_nationkey) FROM nation_vv) AS max_key
+        |FROM per_r""".stripMargin
+    val cteSchema = spark.sql(cteBody.replace("FROM nation_vv",
+      s"FROM $wcat0.corp.nation_vv")).schema
+    vplugin.createView(new ViewInfo(
+      VIdent.of(Array("corp"), "cte_view"), cteBody, wcat0,
+      Array("corp"), cteSchema, Array.empty, Array.empty, Array.empty,
+      java.util.Collections.emptyMap[String, String]())): Unit
+    val viaView = spark.table(s"$wcat0.corp.cte_view")
+      .orderBy("n_regionkey").collect().toSeq
+    val direct = spark.sql(cteBody.replace("FROM nation_vv",
+        s"FROM $wcat0.corp.nation_vv"))
+      .orderBy("n_regionkey").collect().toSeq
+    assert(viaView == direct,
+      s"CTE/subquery view drifted: $viaView vs $direct")
     // view lifecycle on the writable attach: a view is NOT a table
     // (DROP TABLE refuses), dropView removes it and persists, and a
     // pushed-down filter still reaches the underlying scan THROUGH
