@@ -617,6 +617,121 @@ object DdlQueries extends QueryGroup {
       s.table(s"$cat2.corp_archive.nation_2024").orderBy("n_nationkey")
     }),
 
+    // ZERO-COPY SHALLOW CLONE through the V2 catalog (the lakehouse
+    // CLONE / register-elsewhere move): the clone is a NEW catalog
+    // entry pointing at the SOURCE table's location — one metadata
+    // revision, no data movement, O(1) in table size (the CTAS
+    // alternative is a full rewrite; at 100 TB that difference is the
+    // whole feature). EXTERNAL semantics make the lifecycle safe: DROP
+    // of the clone unregisters the name and keeps the shared files, so
+    // the original serves unchanged. The key asserts the clone copied
+    // ZERO data files (directory listing identical before/after),
+    // checks clone and source read the same row count, drops the
+    // clone, and reads the original back through a second attach —
+    // the whole clone lifecycle never touched data.
+    "meta_v2_clone" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_clone_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "glsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_cl
+               |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_cl")
+      s.sql(s"""INSERT INTO $cat.corp.orders_cl
+               |SELECT o_orderkey, o_custkey, o_totalprice
+               |FROM orders_src_cl""".stripMargin)
+      val loc = s"$dir/_warehouse/corp/orders_cl"
+      def dataFiles: Seq[String] = Option(new java.io.File(loc).list())
+        .toSeq.flatten.filter(_.endsWith(".parquet")).sorted
+      val before = dataFiles
+      require(before.nonEmpty, "source table landed no data files")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_cl_clone
+               |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+               |USING parquet LOCATION '$loc'""".stripMargin)
+      require(dataFiles == before,
+        "shallow clone must not copy or rewrite data files")
+      val nClone = s.table(s"$cat.corp.orders_cl_clone").count()
+      val nSrc = s.table(s"$cat.corp.orders_cl").count()
+      require(nClone == nSrc, s"clone sees $nClone rows, source $nSrc")
+      s.sql(s"DROP TABLE $cat.corp.orders_cl_clone")
+      require(dataFiles == before,
+        "DROP of the clone must keep the shared files (EXTERNAL)")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_cl")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // MERGE INTO (upsert) on a shared-catalog table, COPY-ON-WRITE —
+    // the row-level operation lakehouse engines implement by rewriting
+    // files, composed here from public pieces with the scale-correct
+    // join shape: merged = all UPDATE rows (new values win) UNION ALL
+    // target rows NOT touched by the delta, where the anti-join
+    // BROADCASTS the delta (a merge delta is a sliver of a 100 TB
+    // target — the big side never shuffles; a FULL OUTER join would
+    // force a sort-merge exchange of the whole target). The merged
+    // generation lands in a FRESH directory and the catalog re-points
+    // via the atomic SET LOCATION swap (the meta_v2_compact
+    // primitive): readers holding the old generation keep consistent
+    // files, every new resolution sees the post-merge table, and a
+    // mid-rewrite crash leaves the target untouched — the
+    // copy-on-write atomicity argument. At 100 TB the rewrite is
+    // partition-pruned to the partitions the delta touches; this key
+    // rewrites the whole (unpartitioned) fixture table.
+    "meta_v2_merge" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_merge_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gusnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_t
+               |(o_orderkey BIGINT, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_m")
+      // target = keys ≡ 0,1 (mod 4); delta = even keys, so ≡0 rows
+      // are MATCHED (update) and ≡2 rows are NOT MATCHED (insert)
+      s.sql(s"""INSERT INTO $cat.corp.orders_t
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_m WHERE o_orderkey % 4 < 2""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, 'U' AS o_orderstatus,
+          | o_totalprice * 1.05 AS o_totalprice
+          |FROM orders_src_m WHERE o_orderkey % 2 = 0""".stripMargin)
+        .createOrReplaceTempView("upd_m")
+      val merged = s.sql(
+        s"""SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd_m
+           |UNION ALL
+           |SELECT /*+ BROADCAST(u) */
+           |  t.o_orderkey, t.o_orderstatus, t.o_totalprice
+           |FROM $cat.corp.orders_t t
+           |LEFT ANTI JOIN upd_m u
+           |  ON t.o_orderkey = u.o_orderkey""".stripMargin)
+      val gen2 = s"$dir/gen2"
+      merged.write.mode("overwrite").parquet(gen2)
+      s.sql(s"ALTER TABLE $cat.corp.orders_t SET LOCATION '$gen2'")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_t")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // PARTITION MANAGEMENT through the V2 catalog (SHOW PARTITIONS —
     // the HMS partition-service read surface the reference provisions;
     // metastore-import.tf:112-117): the partitioned V2 table serves
@@ -1154,6 +1269,29 @@ object DdlQueries extends QueryGroup {
       """SELECT * FROM (VALUES (1, 1, 0), (2, 1, 1), (3, 1, 2),
         |  (4, 1, 1)) AS t(rev, n_dbs, n_tables)
         |ORDER BY rev""".stripMargin,
+    // a shallow clone's whole lifecycle (clone + drop) must be
+    // invisible to the original: read-back = the source rows
+    "meta_v2_clone" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // merge semantics re-derived relationally: update rows win for
+    // matched keys, unmatched target rows carry over, unmatched
+    // update rows are inserts
+    "meta_v2_merge" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |           FROM orders WHERE o_orderkey % 4 < 2),
+        |u AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |        o_totalprice * 1.05 AS o_totalprice
+        |      FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM (SELECT * FROM u
+        |      UNION ALL
+        |      SELECT t.* FROM t
+        |      WHERE NOT EXISTS (SELECT 1 FROM u
+        |                        WHERE u.o_orderkey = t.o_orderkey))
+        |ORDER BY o_orderkey""".stripMargin,
     // compaction must be invisible to readers: the re-pointed table
     // holds exactly the rows the four appends landed
     "meta_v2_compact" ->

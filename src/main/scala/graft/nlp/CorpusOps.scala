@@ -296,6 +296,35 @@ object CorpusOps extends QueryGroup {
         .orderBy("shard", "seq")
     }),
 
+    // Token-budget corpus selection under a per-domain quality ranking —
+    // the data-mixing step of a training pipeline: each source
+    // contributes its BEST documents until its token budget is spent
+    // (the greedy form of quality-filtered data selection every corpus
+    // recipe runs before training). quality = distinct-word ratio kept
+    // INTEGER (x1e4) so the ranking is exact and engine-independent;
+    // selection = cumulative-token window per source, cut at the
+    // budget. Plan: one codegen'd projection + one hash exchange on
+    // source + per-partition sort — the window IS the shuffle, no
+    // driver loop. At 100 TB the per-source cumsum is the inherent
+    // sequential step of greedy selection; sources parallelize across
+    // partitions, and a coarse quality floor BEFORE the window (cheap
+    // codegen'd filter) bounds what each partition must sort.
+    "corpus_token_budget" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_x1e4").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("quality_x1e4",
+          expr("size(array_distinct(toks)) * 10000L div n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 800)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("quality_x1e4"), col("cum_tokens"))
+        .orderBy("source", "doc_id")
+    }),
+
     // per-stratum deterministic downsampling: language-dependent keep
     // rates over a seeded hash — the reproducible form of corpus
     // rebalancing (same doc set on every run / engine / cluster size).
@@ -834,6 +863,22 @@ object CorpusOps extends QueryGroup {
         |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
         |      FROM documents)
         |ORDER BY shard, seq""".stripMargin,
+    // greedy per-source quality selection is pure integer arithmetic —
+    // the oracle re-derives the identical ranking and cutoff
+    "corpus_token_budget" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |    CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |    LEN(LIST_DISTINCT(STR_SPLIT(text, ' '))) * 10000
+        |      // LEN(STR_SPLIT(text, ' ')) AS quality_x1e4
+        |  FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY quality_x1e4 DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM scored)
+        |SELECT source, doc_id, n_tokens, quality_x1e4, cum_tokens
+        |FROM c WHERE cum_tokens <= 800
+        |ORDER BY source, doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $oComponentCte
         |SELECT doc_id, cluster_id,

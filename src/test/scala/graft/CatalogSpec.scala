@@ -946,4 +946,51 @@ class CatalogSpec extends SparkSpec {
     assert(drift.isEmpty,
       s"script-rebuilt catalog drifted: ${drift.mkString("; ")}")
   }
+
+  test("shallow clone is metadata-only; its whole lifecycle is 2 revisions") {
+    // the key itself requires zero data-file churn and drop-keeps-files;
+    // the spec pins the METADATA contract: clone + drop are exactly one
+    // revision each, and the final head serves only the original
+    SparkEntry.queries("meta_v2_clone")(spark, sf).count()
+    val dir = new java.io.File(Tables.scratch(sf, "v2_clone_snapshot"))
+      .getAbsolutePath
+    // bootstrap rev 1 = CREATE NAMESPACE, 2 = CREATE TABLE,
+    // 3 = CREATE clone, 4 = DROP clone — INSERT moves data, not metadata
+    val revs = Option(new java.io.File(s"$dir/revs").list()).toSeq.flatten
+    assert(revs.map(_.toInt).sorted == Seq(1, 2, 3, 4),
+      s"clone lifecycle must be exactly 4 metadata revisions, got $revs")
+    val head = CatalogTransfer.read(spark, s"$dir/revs/4")
+    assert(head.tables.map(_.name) == Seq("orders_cl"),
+      "head must serve only the original after the clone is dropped")
+    // at rev 3 both names pointed at ONE location — the zero-copy claim
+    val atClone = CatalogTransfer.read(spark, s"$dir/revs/3")
+    // a SQL-level LOCATION arrives URI-qualified ("file:/...") while the
+    // derived managed location is a bare path — same directory
+    assert(atClone.tables.map(_.location.stripPrefix("file:"))
+        .distinct.size == 1,
+      "clone must share the source table's location")
+  }
+
+  test("merge copy-on-write broadcasts the delta, never the target") {
+    SparkEntry.queries("meta_v2_merge")(spark, sf).count()
+    val cat = "gusnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    // the rewrite's join shape: anti join with the DELTA broadcast —
+    // the 100 TB target side must not shuffle
+    val plan = spark.sql(
+      s"""SELECT t.o_orderkey
+         |FROM $cat.corp.orders_t t
+         |LEFT ANTI JOIN (SELECT o_orderkey FROM orders_src_m
+         |                WHERE o_orderkey % 2 = 0) u
+         |  ON t.o_orderkey = u.o_orderkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"merge anti-join must broadcast the delta:\n$plan")
+    // the swap re-pointed the table at the merged generation
+    val dir = new java.io.File(Tables.scratch(sf, "v2_merge_snapshot"))
+      .getAbsolutePath
+    // head = rev 3: CREATE NAMESPACE, CREATE TABLE, SET LOCATION
+    val head = CatalogTransfer.read(spark, s"$dir/revs/3")
+    assert(head.tables.head.location.endsWith("/gen2"),
+      "merge must re-point the table at the rewritten generation")
+  }
 }
