@@ -181,6 +181,45 @@ object Aggregates extends QueryGroup {
           |FROM vals""".stripMargin)
     }),
 
+    // SKETCHED SET INTERSECTION by inclusion-exclusion — the audience-
+    // overlap question (how many order keys appear in BOTH segments)
+    // answered without ever joining the raw keys: |A∩B| ≈ est(A) +
+    // est(B) − est(A∪B), three mergeable HLL sketches that travel as
+    // KBs between stages/days/clusters while the raw 100 TB key sets
+    // never co-locate. The subtraction's error scales with the UNION
+    // size (the known inclusion-exclusion caveat — tiny overlaps of
+    // huge sets need exact joins or theta sketches instead), so the
+    // oracled accuracy contract is stated relative to the union:
+    // exact overlap + a 0/1 flag that the estimate landed within 5%
+    // of the exact union. The exact sides here are the fixture-scale
+    // verification, not the featured path.
+    "agg_sketch_intersect" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("ski_lineitem")
+      s.sql(
+        """WITH a AS (SELECT HLL_SKETCH_AGG(l_orderkey) AS sk
+          |           FROM ski_lineitem WHERE l_returnflag = 'R'),
+          |b AS (SELECT HLL_SKETCH_AGG(l_orderkey) AS sk
+          |      FROM ski_lineitem WHERE l_returnflag = 'A'),
+          |est AS (SELECT
+          |  HLL_SKETCH_ESTIMATE(a.sk) + HLL_SKETCH_ESTIMATE(b.sk)
+          |    - HLL_SKETCH_ESTIMATE(HLL_UNION(a.sk, b.sk)) AS approx
+          |  FROM a, b),
+          |ex AS (SELECT
+          |  (SELECT COUNT(*) FROM
+          |    (SELECT l_orderkey FROM ski_lineitem
+          |     WHERE l_returnflag = 'R'
+          |     INTERSECT
+          |     SELECT l_orderkey FROM ski_lineitem
+          |     WHERE l_returnflag = 'A')) AS exact_overlap,
+          |  (SELECT COUNT(DISTINCT l_orderkey) FROM ski_lineitem
+          |   WHERE l_returnflag IN ('R', 'A')) AS exact_union)
+          |SELECT 'R_and_A' AS scope, exact_overlap,
+          |  CAST(CASE WHEN ABS(approx - exact_overlap)
+          |    <= exact_union * 0.05 THEN 1 ELSE 0 END AS INT)
+          |    AS within_5pct_of_union
+          |FROM est, ex""".stripMargin)
+    }),
+
     // equi-width histogram via width_bucket — the profiling aggregate
     // a stats collector runs; one hash-agg pass, bucket count bounded.
     "agg_histogram" -> ((s, d) => {
@@ -554,6 +593,14 @@ object Aggregates extends QueryGroup {
       """SELECT 'all' AS scope,
         | COUNT(DISTINCT l_orderkey) AS exact_orders, 1 AS within_5pct
         |FROM lineitem""".stripMargin,
+    "agg_sketch_intersect" ->
+      """SELECT 'R_and_A' AS scope,
+        | (SELECT COUNT(*) FROM
+        |   (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |    INTERSECT
+        |    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'))
+        |   AS exact_overlap,
+        | 1 AS within_5pct_of_union""".stripMargin,
     "agg_corr_bool" ->
       """SELECT l_linestatus,
         | ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,

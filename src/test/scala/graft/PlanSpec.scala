@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
     assert(row.getInt(2) == 1, s"within_5pct flag not set: $row")
   }
 
+  test("HLL inclusion-exclusion overlap lands within 5% of the union") {
+    // the intersect key's flag must hold, and the estimate itself must
+    // be sane (positive, below both segment sizes)
+    val row = SparkEntry.queries("agg_sketch_intersect")(spark, sf).head
+    assert(row.getInt(2) == 1, s"within_5pct_of_union flag not set: $row")
+    assert(row.getLong(1) > 0, s"fixture segments must overlap: $row")
+  }
+
   test("q1 aggregates map-side before the 6-group shuffle") {
     assert(planOf("q1_pricing_summary").contains("partial_sum"),
       "no partial aggregation in the Q1 plan")
