@@ -324,6 +324,37 @@ object Relational extends QueryGroup {
       audit.orderBy("rel")
     }),
 
+    // Data-quality metrics OBSERVED on the main job — `Dataset.observe`
+    // (CollectMetrics) piggybacks aggregates on the exact rows a query
+    // streams through, so a pipeline publishes row counts / domain
+    // violations / control totals WITHOUT a second pass: at 100 TB the
+    // difference between observe and a separate audit query is a whole
+    // re-read of the input. The observed node sits below the main
+    // consumer (here a filtered count), the metrics ride its stage, and
+    // the driver collects them from the completed action — KBs of
+    // side-channel, zero extra scan. The oracle re-derives the same
+    // audit aggregates relationally, proving observe saw every row
+    // exactly once.
+    "audit_observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      val li = Tables(s, d, "lineitem").observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("n_bad_qty"),
+        count(when(col("l_returnflag").isNull, 1)).as("n_null_flag"),
+        round(sum("l_extendedprice"), 4).as("sum_price"))
+      // the MAIN job: the metrics ride this count's single scan
+      val nHighDisc = li.filter(col("l_discount") > 0.05).count()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_bad_qty").asInstanceOf[Long],
+        m("n_null_flag").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double],
+        nHighDisc))
+        .toDF("n_rows", "n_bad_qty", "n_null_flag", "sum_price",
+          "n_high_disc")
+    }),
+
     // Change-data capture between two dimension snapshots — the MERGE
     // INTO classification step: one full-outer join on the business
     // key, each row labeled insert/delete/update/unchanged. The
@@ -381,6 +412,18 @@ object Relational extends QueryGroup {
   )
 
   private val oC: Map[String, String] = Map(
+    // the observed side-channel must equal a relational re-derivation
+    // over the same input — observe saw every row exactly once
+    "audit_observe_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad_qty,
+        |  CAST(COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END)
+        |    AS BIGINT) AS n_null_flag,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_discount > 0.05)
+        |    AS n_high_disc
+        |FROM lineitem""".stripMargin,
     "audit_referential" ->
       """SELECT rel, n_child, n_orphan FROM (
         |  SELECT 'customer->nation' AS rel, COUNT(*) AS n_child,
