@@ -28,7 +28,9 @@ object Bench {
     "q19_disjunctive", "embed_pq", "sim_ann_ivfpq", "meta_v2_write",
     "stream_v2_sink", "meta_v2_timetravel", "meta_v2_compact",
     "corpus_shuffle_shards", "agg_approx_percentile",
-    "meta_v2_partitioned", "sql_scripting")
+    "meta_v2_partitioned", "sql_scripting", "meta_v2_merge",
+    "meta_v2_clone", "corpus_token_budget", "agg_sketch_intersect",
+    "audit_observe_metrics")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

@@ -31,6 +31,27 @@ object Windows extends QueryGroup {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // the DISTRIBUTION window family (percent_rank / cume_dist /
+    // ntile) — the normalized-position trio behind percentile
+    // reporting and equal-depth binning. Computed from the same single
+    // sort the ranking family uses (one hash exchange on the partition
+    // key, per-partition sort, no second pass: percent_rank and
+    // cume_dist derive from rank and the partition row count the
+    // window frame already knows). Total order (acctbal, custkey) makes
+    // every position — and therefore every normalized value —
+    // engine-independent.
+    "win_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal"), 4).as("acctbal"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
     "win_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -373,6 +394,15 @@ object Windows extends QueryGroup {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |  ORDER BY c_acctbal DESC, c_custkey ASC)
         |ORDER BY c_mktsegment, rn""".stripMargin,
+    "win_distribution" ->
+      """SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 4) AS acctbal,
+        | ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 4) AS cume,
+        | NTILE(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "win_lag_lead" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | LAG(o_orderkey, 1) OVER w AS prev_order,
