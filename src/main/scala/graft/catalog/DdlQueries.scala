@@ -732,6 +732,75 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
+    // catalog tables — the shuffle-elimination feature of a catalog at
+    // 100 TB: both tables are laid out on the same bucket column
+    // (identity partition), each hive directory becomes one KEYED
+    // split ([[CoPartitioned]]: HasPartitionKey +
+    // KeyGroupedPartitioning, the mechanism lakehouse table formats
+    // use), and Spark's stock planner aligns the sides split-by-split
+    // — the fact⋈dim join AND the bucket-grouped aggregate after it
+    // run with ZERO exchanges (engine-asserted below on the exact plan
+    // that executes). Opt-in via the graft SPJ flag (the stock
+    // v2.bucketing flag defaults true on Spark 4 and so cannot be the
+    // opt-in — CoPartitioned.spjEnabled), scoped to this key;
+    // requireAllClusterKeysForCoPartition=false admits the
+    // realistic shape where join keys ⊃ partition keys (bucket +
+    // business key). The result is materialized inside the conf scope
+    // (localCheckpoint) so the plan that ran IS the plan asserted. At
+    // 100 TB this is bucketed-layout maintenance paying for itself:
+    // the join reads both sides in place, no exchange of either.
+    "join_spj_copartitioned" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_spj_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gjsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.fact_o
+               |(o_custkey BIGINT, o_totalprice DOUBLE, ob INT)
+               |USING parquet PARTITIONED BY (ob)""".stripMargin)
+      s.sql(s"""CREATE TABLE $cat.corp.dim_c
+               |(c_custkey BIGINT, c_acctbal DOUBLE, cb INT)
+               |USING parquet PARTITIONED BY (cb)""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_spj")
+      Tables(s, d, "customer").createOrReplaceTempView("customer_spj")
+      s.sql(s"""INSERT INTO $cat.corp.fact_o
+               |SELECT o_custkey, o_totalprice,
+               |  CAST(o_custkey % 8 AS INT) AS ob
+               |FROM orders_spj""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.corp.dim_c
+               |SELECT c_custkey, c_acctbal,
+               |  CAST(c_custkey % 8 AS INT) AS cb
+               |FROM customer_spj""".stripMargin)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      graft.operators.ScaleOps.withConfs(s, Seq(
+        "spark.sql.graft.spj.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+        val agg = s.sql(
+          s"""SELECT f.ob, COUNT(*) AS n_pairs,
+             |  ROUND(SUM(f.o_totalprice), 4) AS sum_price,
+             |  ROUND(SUM(c.c_acctbal), 4) AS sum_bal
+             |FROM $cat2.corp.fact_o f JOIN $cat2.corp.dim_c c
+             |  ON f.ob = c.cb AND f.o_custkey = c.c_custkey
+             |GROUP BY f.ob""".stripMargin)
+        val plan = agg.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+          s"storage-partitioned join must run with zero exchanges:\n$plan")
+        // materialize while the SPJ confs hold: the asserted plan is
+        // the one that executes (8 aggregate rows checkpointed)
+        agg.localCheckpoint().orderBy("ob")
+      }
+    }),
+
     // PARTITION MANAGEMENT through the V2 catalog (SHOW PARTITIONS —
     // the HMS partition-service read surface the reference provisions;
     // metastore-import.tf:112-117): the partitioned V2 table serves
@@ -1292,6 +1361,18 @@ object DdlQueries extends QueryGroup {
         |      WHERE NOT EXISTS (SELECT 1 FROM u
         |                        WHERE u.o_orderkey = t.o_orderkey))
         |ORDER BY o_orderkey""".stripMargin,
+    // the zero-exchange plan is engine-asserted; the oracle checks the
+    // join itself — co-partitioned layout must not change the answer
+    "join_spj_copartitioned" ->
+      """WITH f AS (SELECT o_custkey, o_totalprice,
+        |             CAST(o_custkey % 8 AS INT) AS ob FROM orders),
+        |c AS (SELECT c_custkey, c_acctbal,
+        |        CAST(c_custkey % 8 AS INT) AS cb FROM customer)
+        |SELECT ob, COUNT(*) AS n_pairs,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  ROUND(SUM(c_acctbal), 4) AS sum_bal
+        |FROM f JOIN c ON ob = cb AND o_custkey = c_custkey
+        |GROUP BY ob ORDER BY ob""".stripMargin,
     // compaction must be invisible to readers: the re-pointed table
     // holds exactly the rows the four appends landed
     "meta_v2_compact" ->

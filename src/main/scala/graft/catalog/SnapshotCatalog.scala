@@ -156,7 +156,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val ti = findTable(ident)
       .getOrElse(throw new NoSuchTableException(ident))
-    serveTable(ti)
+    val base = serveTable(ti)
+    // storage-partitioned-join serving: strictly opt-in via the stock
+    // SPJ flag — with the flag off this is exactly the stock file
+    // table (bin-packed splits, full pushdown); see [[CoPartitioned]]
+    val partCols = ti.columns.filter(_.isPartition).map(_.name)
+    if (partCols.nonEmpty && CoPartitioned.spjEnabled)
+      new CoPartitioned.CoPartitionedReadTable(base, partCols)
+    else base
   }
 
   /** Metadata time travel (`SELECT ... VERSION AS OF 'N'`): serve the
@@ -867,9 +874,19 @@ private[catalog] class PartitionedWriteTable(inner: Table, ti: TableInfo,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val base = inner
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(options)
+    // storage-partitioned-join serving, opt-in (see [[CoPartitioned]]):
+    // with the SPJ flag off the stock builder passes through untouched,
+    // keeping catalyst filter pushdown and bin-packed parallelism
+    if (CoPartitioned.spjEnabled)
+      new CoPartitioned.SpjScanBuilder(base, StructType(partCols.map(c =>
+        inner.schema().fields.find(_.name == c).getOrElse(
+          StructField(c, org.apache.spark.sql.types.StringType)))))
+    else base
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -971,6 +971,38 @@ class CatalogSpec extends SparkSpec {
       "clone must share the source table's location")
   }
 
+  test("storage-partitioned join is exchange-free and strictly opt-in") {
+    // the key end-to-end (its in-scope require already pins the
+    // zero-exchange plan); 8 buckets out
+    assert(SparkEntry.queries("join_spj_copartitioned")(spark, sf)
+      .count() == 8)
+    val cat2 = "gjsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_") + "_ro"
+    def joinPlan: String = spark.sql(
+      s"""SELECT f.ob, f.o_custkey, c.c_acctbal
+         |FROM $cat2.corp.fact_o f JOIN $cat2.corp.dim_c c
+         |  ON f.ob = c.cb AND f.o_custkey = c.c_custkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    // flag OFF (default): the stock serving path — no SPJ wrapper in
+    // the scan, join plans through an exchange (broadcast or shuffle)
+    val off = joinPlan
+    assert(!off.contains("SPJ("),
+      s"SPJ wrapper must not engage without the flag:\n$off")
+    assert(off.contains("Exchange"),
+      s"without SPJ the join must move data:\n$off")
+    // flag ON: both scans keyed, sort-merge join, zero exchanges
+    graft.operators.ScaleOps.withConfs(spark, Seq(
+      "spark.sql.graft.spj.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      val on = joinPlan
+      assert(on.contains("SPJ(") && on.contains("SortMergeJoin") &&
+          !on.contains("Exchange"),
+        s"co-partitioned join must align splits without exchange:\n$on")
+    }
+  }
+
   test("merge copy-on-write broadcasts the delta, never the target") {
     SparkEntry.queries("meta_v2_merge")(spark, sf).count()
     val cat = "gusnap_" + sf.replaceAll("[^A-Za-z0-9]", "_")

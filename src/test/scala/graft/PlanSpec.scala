@@ -140,7 +140,10 @@ class PlanSpec extends SparkSpec {
       "meta_import",
       // sim_ann_ivfpq broadcast-NLJs the tiny centroid set against the
       // corpus for cell assignment (the sim_ann_ivf quantizer shape)
-      "sim_ann_ivfpq")
+      "sim_ann_ivfpq",
+      // agg_sketch_intersect crossjoins 1-row sketch/exact aggregates
+      // (scalar-subquery pattern — three sketches, two exact counts)
+      "agg_sketch_intersect")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
