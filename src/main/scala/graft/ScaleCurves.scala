@@ -24,7 +24,9 @@ object ScaleCurves {
     "agg_bitmap_distinct" -> "events",
     "join_bitmap_overlap" -> "events",
     "dedup_clusters" -> "documents",
-    "text_bpe_merges" -> "documents")
+    "text_bpe_merges" -> "documents",
+    "meta_v2_merge" -> "orders",
+    "join_spj_copartitioned" -> "orders")
 
   private val RunsPerKey = 3
 
