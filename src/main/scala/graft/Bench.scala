@@ -30,7 +30,9 @@ object Bench {
     "corpus_shuffle_shards", "agg_approx_percentile",
     "meta_v2_partitioned", "sql_scripting", "meta_v2_merge",
     "meta_v2_clone", "corpus_token_budget", "agg_sketch_intersect",
-    "audit_observe_metrics", "join_spj_copartitioned")
+    "audit_observe_metrics", "join_spj_copartitioned",
+    "audit_table_checksum", "geo_radius_join", "ts_holt", "fn_hash",
+    "text_boilerplate", "feat_onehot")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

@@ -64,6 +64,25 @@ object ScalarFns extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // Cryptographic hash family — the content-addressing primitives
+    // under dedup keys, cache keys, and row fingerprints (md5 hex,
+    // sha2-256 hex, and the md5-prefix→int64 reduction every hash-
+    // bucket trick here builds on). Standard algorithms, so the hex
+    // strings are engine-independent facts — unlike xxhash64/crc32,
+    // whose seeds/variants differ per engine (those stay engine-side;
+    // cf. join_skew_salted's xxhash64 salt, which never leaves Spark).
+    "fn_hash" -> ((s, d) => {
+      val composite = concat_ws(":", col("n_name"),
+        col("n_nationkey").cast("string"))
+      Tables(s, d, "nation")
+        .select(col("n_nationkey"),
+          md5(col("n_name")).as("h_md5"),
+          sha2(col("n_name"), 256).as("h_sha256"),
+          conv(substring(md5(composite), 1, 15), 16, 10).cast("long")
+            .as("h_int60"))
+        .orderBy("n_nationkey")
+    }),
+
     // Spark 4 collations: case-insensitive comparison/distinctness via
     // COLLATE UTF8_LCASE (the oracle computes the same answer with
     // LOWER, which is equivalent on this ASCII domain).
@@ -347,6 +366,12 @@ object ScalarFns extends QueryGroup {
         |   '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
         |   AS masked_seg
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_hash" ->
+      """SELECT n_nationkey, md5(n_name) AS h_md5,
+        | sha256(n_name) AS h_sha256,
+        | ('0x' || substr(md5(n_name || ':' ||
+        |   CAST(n_nationkey AS VARCHAR)), 1, 15))::BIGINT AS h_int60
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "fn_collation" ->
       """WITH x AS (SELECT p_partkey,
         |  CASE WHEN p_partkey % 2 = 0 THEN LOWER(p_type) ELSE p_type END

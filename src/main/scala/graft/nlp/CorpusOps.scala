@@ -848,10 +848,72 @@ object CorpusOps extends QueryGroup {
           min(col("lang")).as("lang"))
         .select(col("doc_id"), col("lang"), col("n_in_batch"))
         .orderBy("doc_id")
+    }),
+
+    // Cross-document BOILERPLATE detection (the C4/RefinedWeb repeated-
+    // line rule, chunk-level): a fixed-width word chunk appearing in
+    // ≥3 distinct documents is boilerplate (nav bars, footers, cookie
+    // banners — invisible to whole-doc dedup because the surrounding
+    // text differs). Per-doc report: chunks, boilerplate hits, keep
+    // ratio. The heavy shuffle groups 60-BIT CHUNK HASHES, never chunk
+    // text (at 100 TB the distinct-doc count per chunk moves 8 bytes a
+    // chunk; the md5-prefix space makes a false merge a ~1e-11 event
+    // at 1e9 chunks — the documented trade, cf. dedup_minhash); the
+    // flagged set is corpus-boilerplate-sized and broadcasts. Injected
+    // header on every 7th doc (dedup_prefix precedent) keeps the
+    // fixture non-degenerate; natural repeats surface too.
+    "text_boilerplate" -> ((s, d) => {
+      val d2 = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("subscribe to our newsletter follow us on twitter "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      val chunks = d2
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("i", explode(sequence(lit(0L),
+          ceil(size(col("ws")) / lit(8.0)).cast("long") - 1)))
+        .select(col("doc_id"),
+          conv(substring(md5(array_join(
+            slice(col("ws"), (col("i") * 8 + 1).cast("int"), lit(8)), " ")),
+            1, 15), 16, 10).cast("long").as("h"))
+      val boiler = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("h"), lit(1).as("is_boiler"))
+      chunks.join(broadcast(boiler), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+        .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+          round(lit(1.0) - col("n_boiler") / col("n_chunks"), 4)
+            .as("keep_ratio"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // groups chunk STRINGS where the engine groups chunk hashes — equal
+    // output certifies the hash-space trade lost nothing on this corpus
+    "text_boilerplate" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'subscribe to our newsletter follow us on twitter '
+        |           || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d2),
+        |ck AS (SELECT doc_id,
+        |    array_to_string(ws[i*8+1:i*8+8], ' ') AS chunk
+        |  FROM w, LATERAL UNNEST(
+        |    range(0, CAST(CEIL(len(ws)/8.0) AS BIGINT))) t(i)),
+        |b AS (SELECT chunk FROM ck
+        |  GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT ck.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(COUNT(b.chunk) AS BIGINT) AS n_boiler,
+        |  ROUND(1.0 - COUNT(b.chunk) / COUNT(*), 4) AS keep_ratio
+        |FROM ck LEFT JOIN b ON ck.chunk = b.chunk
+        |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin,
     // the seeded shuffle is pure integer arithmetic — DuckDB re-derives
     // the identical shard assignment and within-shard order
     "corpus_shuffle_shards" ->

@@ -276,10 +276,47 @@ object FeatureOps extends QueryGroup {
         .select(col("doc_id"), col("lang").as("pred_lang"),
           round(col("score").cast("double"), 4).as("score"))
         .orderBy("doc_id")
+    }),
+
+    // One-hot encoding, vocabulary DERIVED FROM THE DATA (the two-pass
+    // shape every categorical encoder runs): pass 1 collects the
+    // sorted distinct categories — a driver-side read bounded by the
+    // dimension's cardinality, the same contract as feat_binning's
+    // quantile fetch; pass 2 is a pure codegen'd projection, one 0/1
+    // column per category, no shuffle. At 100 TB pass 1 aggregates
+    // map-side to |vocab| rows and pass 2 streams. High-cardinality
+    // categoricals belong in feat_hash_trick (fixed width, no
+    // vocabulary) — the documented split between the two encoders.
+    "feat_onehot" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val vocab = c.select("c_mktsegment").distinct()
+        .collect().map(_.getString(0)).sorted
+      require(vocab.length <= 64,
+        s"one-hot vocabulary too wide (${vocab.length}); use feat_hash_trick")
+      val oneHot = vocab.map(v =>
+        when(col("c_mktsegment") === v, 1).otherwise(0)
+          .as(s"seg_${v.toLowerCase}"))
+      c.select(col("c_custkey") +: col("c_mktsegment") +: oneHot: _*)
+        .orderBy("c_custkey")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // pins the five TPC-H segments: if the fixture's vocabulary drifts
+    // the compare fails loudly instead of silently reshaping
+    "feat_onehot" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+        |    AS seg_automobile,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |    AS seg_building,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END
+        |    AS seg_furniture,
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END
+        |    AS seg_household,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END
+        |    AS seg_machinery
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "feat_pit_leakfree" ->
       """SELECT o_orderkey, o_custkey,
         |  COUNT(*) OVER w AS n_prior_orders,

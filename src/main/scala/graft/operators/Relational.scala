@@ -355,6 +355,35 @@ object Relational extends QueryGroup {
           "n_high_disc")
     }),
 
+    // Order-independent table content CHECKSUM — the cutover gate a
+    // metastore migration runs AFTER meta_validate's row counts: does
+    // the migrated table hold the same BYTES, not just the same
+    // cardinality? Each row renders to a canonical string (explicit
+    // null sentinel, '|' separator, dates at day precision), hashes to
+    // a 60-bit integer (md5 prefix — engine-independent, unlike
+    // xxhash64), and folds into per-bucket signatures: bit_xor (order-
+    // and overflow-free) plus a modular sum (catches the xor blind
+    // spot: a row duplicated an even number of times). 16 buckets by
+    // key let a mismatch pinpoint the divergent shard instead of
+    // "table differs somewhere". One map-side-combined pass, 16 output
+    // rows — at 100 TB the checksum costs one scan and shuffles KBs.
+    "audit_table_checksum" -> ((s, d) => {
+      val canon = concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        coalesce(col("o_orderstatus"), lit("∅")),
+        coalesce(col("o_orderpriority"), lit("∅")),
+        col("o_orderdate").cast("date").cast("string"))
+      Tables(s, d, "orders")
+        .select((col("o_orderkey") % 16).as("bucket"),
+          conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h64"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h64)").as("xor_sig"),
+          sum(col("h64") % 1000000007L).as("sum_sig"))
+        .orderBy("bucket")
+    }),
+
     // Change-data capture between two dimension snapshots — the MERGE
     // INTO classification step: one full-outer join on the business
     // key, each row labeled insert/delete/update/unchanged. The
@@ -424,6 +453,22 @@ object Relational extends QueryGroup {
         |  (SELECT COUNT(*) FROM lineitem WHERE l_discount > 0.05)
         |    AS n_high_disc
         |FROM lineitem""".stripMargin,
+    // same canonical rendering + md5-prefix hash on both engines: the
+    // signatures must agree bit-for-bit or the table content differs
+    "audit_table_checksum" ->
+      """SELECT o_orderkey % 16 AS bucket, COUNT(*) AS n_rows,
+        |  BIT_XOR(h64) AS xor_sig,
+        |  CAST(SUM(h64 % 1000000007) AS BIGINT) AS sum_sig
+        |FROM (
+        |  SELECT o_orderkey,
+        |    ('0x' || substr(md5(concat_ws('|',
+        |       CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |       COALESCE(o_orderstatus, '∅'),
+        |       COALESCE(o_orderpriority, '∅'),
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR))), 1, 15))::BIGINT
+        |      AS h64
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "audit_referential" ->
       """SELECT rel, n_child, n_orphan FROM (
         |  SELECT 'customer->nation' AS rel, COUNT(*) AS n_child,

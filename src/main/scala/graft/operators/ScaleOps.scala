@@ -241,7 +241,57 @@ object ScaleOps extends QueryGroup {
     // residual. Bins are distinct per interval and a point has one bin,
     // so no pair can match twice — no dedup pass. Results are provably
     // identical to join_interval (same oracle SQL).
-    "join_interval_binned" -> ((s, d) => intervalBinned(s, d, 30))
+    "join_interval_binned" -> ((s, d) => intervalBinned(s, d, 30)),
+
+    // Spatial RADIUS JOIN by grid binning — the geo analogue of the
+    // binned interval join: find every point within R km of each query
+    // site WITHOUT the all-pairs distance matrix. Both sides bin to a
+    // 12° lat/lon grid; each query explodes to its 3×3 neighbor cells
+    // (longitude wraps mod 30, latitude clamps); the equi-join on
+    // (latc, lonc) bounds candidates to cells that can possibly hold a
+    // match, and the exact haversine runs only on candidates. Cell
+    // coverage proof: R=500 km ⇒ Δlat ≤ 4.6° < 12°, and with query
+    // sites clamped to |lat| ≤ 59.5° a match's |lat| ≤ 64.1° where
+    // cos ≥ 0.43 ⇒ Δlon ≤ 500/(111.045·0.43) ≈ 10.5° < 12° — so every
+    // true pair lands in a neighbor cell and the binned result is
+    // provably identical to the brute-force oracle. At 100 TB the
+    // point side never shuffles beyond the grid hash and the tiny
+    // query side broadcasts; candidates are cell-density-proportional,
+    // never n².
+    "geo_radius_join" -> ((s, d) => {
+      val R = 500.0
+      val pts = Tables(s, d, "customer").select(
+        col("c_custkey"),
+        ((col("c_custkey") * 7 % 180).cast("double") - 90 + 0.5).as("lat"),
+        ((col("c_custkey") * 13 % 360).cast("double") - 180 + 0.5).as("lon"))
+        .withColumn("latc", floor((col("lat") + 90) / 12))
+        .withColumn("lonc", floor((col("lon") + 180) / 12))
+      val sites = Tables(s, d, "nation").select(
+        col("n_nationkey").as("site_id"),
+        ((col("n_nationkey") * 11 % 120).cast("double") - 60 + 0.5).as("qlat"),
+        ((col("n_nationkey") * 17 % 360).cast("double") - 180 + 0.5).as("qlon"))
+        .withColumn("dl", explode(array((-1 to 1).map(lit): _*)))
+        .withColumn("dm", explode(array((-1 to 1).map(lit): _*)))
+        .withColumn("latc",
+          greatest(lit(0), least(lit(14),
+            floor((col("qlat") + 90) / 12) + col("dl"))))
+        .withColumn("lonc",
+          pmod(floor((col("qlon") + 180) / 12) + col("dm"), lit(30)))
+        .drop("dl", "dm")
+        // edge clamp can collapse two neighbor offsets into one cell;
+        // dedup so no (site, cell) pair joins twice
+        .dropDuplicates("site_id", "latc", "lonc")
+      val dist = lit(2 * 6371.0) * asin(sqrt(
+        pow(sin(radians(col("lat") - col("qlat")) / 2), 2)
+          + cos(radians(col("qlat"))) * cos(radians(col("lat")))
+            * pow(sin(radians(col("lon") - col("qlon")) / 2), 2)))
+      pts.join(broadcast(sites), Seq("latc", "lonc"))
+        .withColumn("dist_km", dist)
+        .filter(col("dist_km") <= R)
+        .select(col("site_id"), col("c_custkey"),
+          round(col("dist_km"), 4).as("dist_km"))
+        .orderBy("site_id", "c_custkey")
+    })
   )
 
   /** The binned interval join at an arbitrary bin width. Any
@@ -461,6 +511,28 @@ object ScaleOps extends QueryGroup {
         |JOIN orders o ON e.user_id = o.o_custkey
         | AND o.o_orderdate <= e.ts2
         | AND e.ts2 < o.o_orderdate + INTERVAL 30 DAY
-        |ORDER BY event_id, o_orderkey""".stripMargin
+        |ORDER BY event_id, o_orderkey""".stripMargin,
+    // Deliberately the BRUTE-FORCE all-pairs formulation: the grid-
+    // binned join must be result-identical to exhaustive search.
+    "geo_radius_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey * 7 % 180 AS DOUBLE) - 90 + 0.5 AS lat,
+        |    CAST(c_custkey * 13 % 360 AS DOUBLE) - 180 + 0.5 AS lon
+        |  FROM customer),
+        |sites AS (
+        |  SELECT n_nationkey AS site_id,
+        |    CAST(n_nationkey * 11 % 120 AS DOUBLE) - 60 + 0.5 AS qlat,
+        |    CAST(n_nationkey * 17 % 360 AS DOUBLE) - 180 + 0.5 AS qlon
+        |  FROM nation)
+        |SELECT site_id, c_custkey, ROUND(dist_km, 4) AS dist_km FROM (
+        |  SELECT site_id, c_custkey,
+        |    2 * 6371.0 * ASIN(SQRT(
+        |      POW(SIN(RADIANS(lat - qlat) / 2), 2)
+        |      + COS(RADIANS(qlat)) * COS(RADIANS(lat))
+        |        * POW(SIN(RADIANS(lon - qlon) / 2), 2))) AS dist_km
+        |  FROM sites CROSS JOIN pts)
+        |WHERE dist_km <= 500.0
+        |ORDER BY site_id, c_custkey""".stripMargin
   )
 }

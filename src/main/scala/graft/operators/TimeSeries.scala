@@ -210,6 +210,51 @@ object TimeSeries extends QueryGroup {
         .orderBy("user_id", "day_no")
     }),
 
+    // Holt's LINEAR trend smoothing (level + trend double-exponential) —
+    // the forecasting recurrence EWMA can't express: each step feeds the
+    // smoothed level AND slope back into the next (l' = αx + (1-α)(l+b);
+    // b' = γ(l'-l) + (1-γ)b), so no closed-form window rewrite exists
+    // (the EWMA geometric-weight trick needs a single self-referencing
+    // state). The engine shape is the per-series stateful scan:
+    // groupByKey(series) + flatMapGroups, one shuffle on the series key,
+    // each series scanned once in day order. At 100 TB series count is
+    // the parallelism (millions of independent groups); a single series
+    // must fit one task — the documented contract of every per-entity
+    // scan here (cf. win_sessionize). Gaps smooth by observation index,
+    // by declaration. α=0.3, γ=0.2; trend seeds from the first
+    // difference, the standard init.
+    "ts_holt" -> ((s, d) => {
+      import s.implicits._
+      val daily = purchases(s, d).filter(col("user_id") < 5)
+        .groupBy(col("user_id"),
+          unix_date(col("day")).cast("long").as("day_no"))
+        .agg(round(sum("value"), 4).as("x"))
+        .as[(Long, Long, Double)]
+      daily.groupByKey(_._1).flatMapGroups { (uid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var l = 0.0
+        var b = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, day, x), i) =>
+          if (i == 0) {
+            l = x
+            b = if (rows.length > 1) rows(1)._3 - x else 0.0
+          } else {
+            // arithmetic written to match the oracle term-for-term:
+            // IEEE doubles agree bitwise when the op order agrees
+            val l2 = 0.3 * x + 0.7 * (l + b)
+            b = 0.2 * (l2 - l) + 0.8 * b
+            l = l2
+          }
+          (uid, day, l, b)
+        }
+      }.toDF("user_id", "day_no", "lvl", "tr")
+        .select(col("user_id"), col("day_no"),
+          round(col("lvl"), 4).as("level"),
+          round(col("tr"), 4).as("trend"),
+          round(col("lvl") + col("tr"), 4).as("forecast_1"))
+        .orderBy("user_id", "day_no")
+    }),
+
     // OHLC bar aggregation: per (type, day) first/max/min/last value by
     // event time. min_by/max_by keep the whole bar build inside one
     // partial-aggregating hash agg — no sort, no window, no self-join.
@@ -499,6 +544,32 @@ object TimeSeries extends QueryGroup {
         |SELECT user_id, day_no,
         |  ROUND(POWER(0.8, rd) * sn / (POWER(0.8, rd) * sd), 4) AS ewma
         |FROM acc ORDER BY user_id, day_no""".stripMargin,
+    // the recurrence replayed as a recursive CTE: one anchor row per
+    // series, each step joins observation rn+1 — identical arithmetic
+    // order, so the doubles agree bitwise before the final round
+    "ts_holt" ->
+      """WITH RECURSIVE p AS (SELECT user_id,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+        |    ROUND(SUM(value), 4) AS x
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 5
+        |  GROUP BY 1, 2),
+        |b AS (SELECT user_id, day_no, x,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_no) AS rn,
+        |    LEAD(x) OVER (PARTITION BY user_id ORDER BY day_no) AS nx
+        |  FROM p),
+        |rec AS (
+        |  SELECT user_id, day_no, rn, x, x AS lvl,
+        |    COALESCE(nx - x, 0.0) AS tr
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.day_no, b.rn, b.x,
+        |    0.3 * b.x + 0.7 * (r.lvl + r.tr) AS lvl,
+        |    0.2 * ((0.3 * b.x + 0.7 * (r.lvl + r.tr)) - r.lvl)
+        |      + 0.8 * r.tr AS tr
+        |  FROM rec r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, day_no, ROUND(lvl, 4) AS level,
+        |  ROUND(tr, 4) AS trend, ROUND(lvl + tr, 4) AS forecast_1
+        |FROM rec ORDER BY user_id, day_no""".stripMargin,
     "ts_ohlc" ->
       """SELECT event_type,
         |  EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,

@@ -253,4 +253,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.count(_.getAs[String]("status") == "keep") >= corpus,
       "dedup dropped more than the injected copies")
   }
+
+  test("text_boilerplate flags every injected header and only real chunks") {
+    val rows = run("text_boilerplate").collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boiler"))
+      assert(b >= 0 && b <= n, s"boiler count out of range: $r")
+      val keep = r.getAs[Double]("keep_ratio")
+      // output is ROUND(...,4); allow the half-ulp of that rounding
+      assert(math.abs(keep - (1.0 - b.toDouble / n)) < 5e-5)
+      // the injected header chunk makes every 7th doc boilerplated
+      if (r.getAs[Long]("doc_id") % 7 == 0)
+        assert(b >= 1, s"injected header not flagged: $r")
+    }
+    // boilerplate must actually appear: ≥ the injected population
+    val flagged = rows.count(_.getAs[Long]("n_boiler") > 0)
+    assert(flagged >= rows.length / 7, s"only $flagged docs flagged")
+  }
 }

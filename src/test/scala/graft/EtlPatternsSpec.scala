@@ -51,4 +51,53 @@ class EtlPatternsSpec extends SparkSpec {
         s"purchase_value null-ness disagrees with n_purchase: $r")
     }
   }
+
+  test("audit_table_checksum is order-independent and detects a flip") {
+    def sig(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("xor_sig"), r.getAs[Long]("sum_sig")))
+        .sortBy(_._1).toVector
+    val base = sig(
+      SparkEntry.queries("audit_table_checksum")(spark, sf).collect())
+    assert(base.nonEmpty)
+    // order independence: the signature of a reshuffled table is the
+    // signature (the property that lets source and target clusters
+    // checksum under different partitionings/layouts)
+    import org.apache.spark.sql.functions._
+    Tables(spark, sf, "orders").orderBy(rand(7)).repartition(7)
+      .createOrReplaceTempView("orders_shuffled")
+    val shuffled = spark.table("orders_shuffled")
+    val canon = concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      coalesce(col("o_orderstatus"), lit("∅")),
+      coalesce(col("o_orderpriority"), lit("∅")),
+      col("o_orderdate").cast("date").cast("string"))
+    def checksum(df: org.apache.spark.sql.DataFrame) = sig(df
+      .select((col("o_orderkey") % 16).as("bucket"),
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h64"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h64)").as("xor_sig"),
+        sum(col("h64") % 1000000007L).as("sum_sig"))
+      .collect())
+    assert(checksum(shuffled) == base, "reshuffle changed the signature")
+    // sensitivity: one flipped cell must move exactly one bucket's sigs
+    val perturbed = checksum(Tables(spark, sf, "orders")
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") === 1, lit("X"))
+          .otherwise(col("o_orderstatus"))))
+    val diffs = base.zip(perturbed).filter { case (a, b) => a != b }
+    assert(diffs.length == 1 && diffs.head._1._1 == 1L % 16,
+      s"single-row flip should move exactly bucket 1: $diffs")
+  }
+
+  test("fn_hash agrees with the RFC 1321 / FIPS 180-4 test vectors") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("abc").toDF("x").select(
+      md5(col("x")).as("m"), sha2(col("x"), 256).as("s"))
+      .collect().head
+    assert(r.getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(1) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
 }

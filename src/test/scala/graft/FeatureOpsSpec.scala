@@ -51,4 +51,17 @@ class FeatureOpsSpec extends SparkSpec {
         s"bins overlap: ${lo.getAs[Double]("hi")} > ${hi.getAs[Double]("lo")}")
     }
   }
+
+  test("feat_onehot is exactly one-hot and consistent with the label") {
+    val rows = run("feat_onehot").collect()
+    assert(rows.length == Tables(spark, sf, "customer").count())
+    val segCols = rows.head.schema.fieldNames.filter(_.startsWith("seg_"))
+    assert(segCols.nonEmpty)
+    rows.foreach { r =>
+      val hots = segCols.filter(c => r.getAs[Int](c) == 1)
+      assert(hots.length == 1, s"row not one-hot: $r")
+      assert(hots.head == s"seg_${r.getAs[String]("c_mktsegment").toLowerCase}",
+        s"hot column ${hots.head} disagrees with label: $r")
+    }
+  }
 }

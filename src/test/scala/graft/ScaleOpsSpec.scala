@@ -48,6 +48,39 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("geo_radius_join equals brute-force haversine search") {
+    val binned = run("geo_radius_join").collect()
+      .map(r => (r.getAs[Int]("site_id"), r.getAs[Long]("c_custkey")))
+      .toSet
+    // exhaustive cross product with the same distance formula — the
+    // grid pruning must lose no pair and admit no extra
+    val pts = Tables(spark, sf, "customer").select(col("c_custkey"),
+      ((col("c_custkey") * 7 % 180).cast("double") - 90 + 0.5).as("lat"),
+      ((col("c_custkey") * 13 % 360).cast("double") - 180 + 0.5).as("lon"))
+    val sites = Tables(spark, sf, "nation").select(
+      col("n_nationkey").as("site_id"),
+      ((col("n_nationkey") * 11 % 120).cast("double") - 60 + 0.5).as("qlat"),
+      ((col("n_nationkey") * 17 % 360).cast("double") - 180 + 0.5).as("qlon"))
+    val brute = pts.crossJoin(sites)
+      .withColumn("dist_km", lit(2 * 6371.0) * asin(sqrt(
+        pow(sin(radians(col("lat") - col("qlat")) / 2), 2)
+          + cos(radians(col("qlat"))) * cos(radians(col("lat")))
+            * pow(sin(radians(col("lon") - col("qlon")) / 2), 2))))
+      .filter(col("dist_km") <= 500.0)
+      .collect()
+      .map(r => (r.getAs[Int]("site_id"), r.getAs[Long]("c_custkey")))
+      .toSet
+    assert(binned == brute,
+      s"grid pruning diverged: missing ${brute -- binned}, " +
+        s"extra ${binned -- brute}")
+    assert(brute.nonEmpty, "degenerate fixture: no pair within radius")
+    // the scale claim: the tiny site side broadcasts
+    val plan = SparkEntry.queries("geo_radius_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "site side did not broadcast")
+  }
+
   test("two-phase distinct equals the naive distinct aggregation") {
     val twoPhase = run("agg_distinct_twophase").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -110,6 +110,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out.toMap.apply(firstDay) - daily.head._2) < 1e-3)
   }
 
+  test("ts_holt matches a plain-Scala recursive recompute") {
+    val out = SparkEntry.queries("ts_holt")(spark, sf).collect()
+      .filter(_.getAs[Long]("user_id") == 0L)
+      .sortBy(_.getAs[Long]("day_no"))
+    assert(out.nonEmpty)
+    val daily = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") === 0)
+      .groupBy(unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .agg(round(sum("value"), 4).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(out.length == daily.length)
+    var l = daily.head._2
+    var b = if (daily.length > 1) daily(1)._2 - daily.head._2 else 0.0
+    daily.zipWithIndex.foreach { case ((dayNo, x), i) =>
+      if (i > 0) {
+        val l2 = 0.3 * x + 0.7 * (l + b)
+        b = 0.2 * (l2 - l) + 0.8 * b
+        l = l2
+      }
+      val row = out(i)
+      assert(row.getAs[Long]("day_no") == dayNo)
+      assert(math.abs(row.getAs[Double]("level") - l) < 1e-3,
+        s"level at $dayNo: ${row.getAs[Double]("level")} vs $l")
+      assert(math.abs(row.getAs[Double]("trend") - b) < 1e-3,
+        s"trend at $dayNo: ${row.getAs[Double]("trend")} vs $b")
+      assert(math.abs(row.getAs[Double]("forecast_1") - (l + b)) < 1e-3)
+    }
+  }
+
   test("ts_moving_median matches a plain-Scala trailing-frame recompute") {
     val rows = SparkEntry.queries("ts_moving_median")(spark, sf).collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
