@@ -351,6 +351,40 @@ object Analytics extends QueryGroup {
         .orderBy("degree")
     }),
 
+    // Neighborhood Jaccard similarity — the structural node-similarity
+    // primitive under link-prediction and entity-resolution pipelines:
+    // two nodes are similar when their adjacency sets overlap. Shape:
+    // one wedge self-join keyed on the SHARED neighbor (a pair is
+    // counted once per common neighbor, so GROUP BY pair counts the
+    // intersection), then two degree lookups give the union by
+    // inclusion-exclusion — |A∩B| / (deg a + deg b − |A∩B|). The wedge
+    // join is the quadratic hazard: a hub of degree h emits h² pairs
+    // (Σ deg², not Σ deg — same blow-up graph_triangles dodges by
+    // orienting). At 100 TB the standard mitigations are a degree cap
+    // on the wedge side or MinHash over adjacency sets (exactly
+    // dedup_minhash's trade, applied to neighbor lists); here the
+    // common ≥ 2 floor keeps the reported pair set evidence-bearing
+    // and the fixture's hubs (degree ~n/10) stay wedge-join-sized.
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      val (_, raw) = linkGraph(s, d)
+      val und = raw.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      val nbr = und.select(col("u").as("x"), col("v").as("y"))
+        .union(und.select(col("v").as("x"), col("u").as("y")))
+      val deg = nbr.groupBy("x").agg(count(lit(1)).as("dg"))
+      val pairs = nbr.select(col("y").as("n"), col("x").as("a"))
+        .join(nbr.select(col("y").as("n"), col("x").as("b")), "n")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      pairs.filter(col("common") >= 2)
+        .join(deg.select(col("x").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("x").as("b"), col("dg").as("db")), "b")
+        .select(col("a"), col("b"), col("common"),
+          round(col("common") / (col("da") + col("db") - col("common")), 4)
+            .as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
     // GROUP BY ALL / ORDER BY ALL (Spark 4 syntax): every non-aggregate
     // select item becomes a grouping key — the analyst shorthand both
     // engines now share. Plans identically to the explicit GROUP BY
@@ -625,6 +659,21 @@ object Analytics extends QueryGroup {
         |  GROUP BY x)
         |SELECT degree, COUNT(*) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "graph_jaccard_neighbors" ->
+      s"""WITH $oLinkGraph,
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+        |        GREATEST(src, dst) AS v FROM edges),
+        |nbr AS (SELECT u AS x, v AS y FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT x, COUNT(*) AS dg FROM nbr GROUP BY x),
+        |pr AS (SELECT n1.x AS a, n2.x AS b, COUNT(*) AS common
+        |       FROM nbr n1 JOIN nbr n2 ON n1.y = n2.y AND n1.x < n2.x
+        |       GROUP BY 1, 2)
+        |SELECT a, b, common,
+        |  ROUND(common / (da.dg + db.dg - common), 4) AS jaccard
+        |FROM pr JOIN deg da ON pr.a = da.x JOIN deg db ON pr.b = db.x
+        |WHERE common >= 2
+        |ORDER BY a, b""".stripMargin,
     "sql_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 4) AS sum_total

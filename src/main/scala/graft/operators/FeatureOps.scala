@@ -278,6 +278,24 @@ object FeatureOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Multivariate linear regression by the NORMAL EQUATIONS — the
+    // closed-form counterpart of ml_logreg_gd's 25-round loop: ONE
+    // map-side-combined reduce produces the 10 Gram-matrix scalars
+    // (n, Σx, Σxx', Σxy, Σy²) and the 3×3 solve is pure expression
+    // arithmetic (Cramer) — no driver loop, no second scan; R² falls
+    // out of the same scalars (SSE = Σy² − β·X'y). At 100 TB this is
+    // the cheapest model fit that exists: one scan, a p²-wide partial
+    // agg, p³ solve on p = 3. Cross-engine bitwise determinism: inputs
+    // scale to ×100 fixed-point BIGINTs (exact — TPC-H money/qty/
+    // discount carry ≤ 2 decimals), products stay in int64 range, and
+    // sums run as DECIMAL(38,0) (order-insensitive, the q9
+    // discipline); the identical formula text then runs on both
+    // engines, so the op order cannot diverge.
+    "ml_linreg_normal" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("lr_lineitem")
+      s.sql(linregSql("lr_lineitem"))
+    }),
+
     // One-hot encoding, vocabulary DERIVED FROM THE DATA (the two-pass
     // shape every categorical encoder runs): pass 1 collects the
     // sorted distinct categories — a driver-side read bounded by the
@@ -301,7 +319,54 @@ object FeatureOps extends QueryGroup {
     })
   )
 
+  /** OLS fit of l_extendedprice ~ l_quantity + l_discount, shared
+    * verbatim by engine and oracle (identical op order ⇒ identical
+    * doubles). Sums are ×100 fixed-point / DECIMAL(38,0)-exact; the
+    * solve is Cramer's rule on the 3×3 normal system. */
+  private def linregSql(t: String): String =
+    s"""WITH r AS (SELECT
+       |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+       |    CAST(ROUND(l_discount * 100) AS BIGINT) AS dd,
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+       |  FROM $t),
+       |m AS (SELECT
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS s1,
+       |    CAST(SUM(CAST(dd AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS s2,
+       |    CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sy,
+       |    CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+       |      AS s11,
+       |    CAST(SUM(CAST(dd * dd AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+       |      AS s22,
+       |    CAST(SUM(CAST(q * dd AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+       |      AS s12,
+       |    CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+       |      AS s1y,
+       |    CAST(SUM(CAST(dd * p AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+       |      AS s2y,
+       |    CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+       |      AS syy
+       |  FROM r),
+       |c AS (SELECT n, sy, s1y, s2y, syy,
+       |    (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       |      + s2 * (s1 * s12 - s11 * s2)) AS det,
+       |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+       |      + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+       |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+       |      + s2 * (s1 * s2y - s1y * s2)) AS det1,
+       |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+       |      + sy * (s1 * s12 - s11 * s2)) AS det2
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ROUND(det0 / det, 4) AS b0,
+       |  ROUND(det1 / det, 4) AS b1,
+       |  ROUND(det2 / det, 4) AS b2,
+       |  ROUND(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+       |    - (det2 / det) * s2y) / (syy - sy * sy / n), 4) AS r2
+       |FROM c""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ml_linreg_normal" -> linregSql("lineitem"),
     // pins the five TPC-H segments: if the fixture's vocabulary drifts
     // the compare fails loudly instead of silently reshaping
     "feat_onehot" ->

@@ -410,6 +410,89 @@ object Relational extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // Type-2 slowly-changing dimension BUILD — the versioned-history
+    // table dim_change_capture's nightly diff feeds: each business
+    // key's attribute timeline becomes [eff_from, eff_to] validity
+    // ranges with a current flag. Three per-entity window passes, all
+    // on the same (key, date) partitioning so ONE shuffle serves them:
+    // (1) same-day changes collapse to the last write (max_by on the
+    // order id — deterministic, the ts_ohlc tiebreak lesson); (2)
+    // consecutive duplicate values collapse via lag() — true SCD2
+    // records CHANGES, not snapshots; (3) lead() closes each range at
+    // the next change minus a day, the standard 9999-12-31 high date
+    // marking the open row. At 100 TB keys are the parallelism and a
+    // key's history is task-sized — the per-entity-scan contract
+    // (cf. win_sessionize); no window ever spans entities.
+    "dim_scd2_build" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ch = Tables(s, d, "orders").filter(col("o_custkey") < 300)
+        .groupBy(col("o_custkey").as("custkey"),
+          col("o_orderdate").cast("date").as("dt"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+      val w = Window.partitionBy("custkey").orderBy("dt")
+      ch.withColumn("pv", lag(col("prio"), 1).over(w))
+        .filter(col("pv").isNull || col("prio") =!= col("pv"))
+        .select(col("custkey"), col("dt"), col("prio"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("nxt", lead(col("dt"), 1).over(w))
+        .select(col("custkey"), col("version"), col("prio"),
+          // ISO strings, not DATE columns: the two engines' clients
+          // render bare dates differently (date vs midnight timestamp)
+          col("dt").cast("string").as("eff_from"),
+          coalesce(date_sub(col("nxt"), 1),
+            to_date(lit("9999-12-31"))).cast("string").as("eff_to"),
+          when(col("nxt").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy("custkey", "version")
+    }),
+
+    // One-pass multi-column data PROFILE — the audit every ingest runs
+    // before anything else (null rates, cardinality, ranges, means).
+    // ONE aggregate over the table computes all four columns' stats
+    // simultaneously, then a codegen'd stack() unpivots the single
+    // row into the per-column report — the table is scanned exactly
+    // once regardless of column count. The multi-column exact
+    // COUNT(DISTINCT ...) plans as Catalyst's Expand (×4 row
+    // amplification before the partial agg) — at 100 TB the scale
+    // path swaps in approx_count_distinct's mergeable sketch
+    // (cf. agg_approx_distinct) and the amplification disappears;
+    // exact is kept here because the profile IS the oracle contract.
+    // min/max render through decimal-for-doubles so both engines
+    // print identical strings (Java vs DuckDB double formatting
+    // diverges outside ±1e7).
+    "audit_profile" -> ((s, d) => {
+      val bal = col("c_acctbal").cast("decimal(12,2)")
+      Tables(s, d, "customer")
+        .agg(
+          count(col("c_custkey")).as("n1"),
+          countDistinct(col("c_custkey")).as("d1"),
+          min(col("c_custkey")).cast("string").as("mn1"),
+          max(col("c_custkey")).cast("string").as("mx1"),
+          round(avg(col("c_custkey")), 4).as("a1"),
+          count(col("c_nationkey")).as("n2"),
+          countDistinct(col("c_nationkey")).as("d2"),
+          min(col("c_nationkey")).cast("string").as("mn2"),
+          max(col("c_nationkey")).cast("string").as("mx2"),
+          round(avg(col("c_nationkey")), 4).as("a2"),
+          count(col("c_acctbal")).as("n3"),
+          countDistinct(bal).as("d3"),
+          min(bal).cast("string").as("mn3"),
+          max(bal).cast("string").as("mx3"),
+          round(avg(col("c_acctbal")), 4).as("a3"),
+          count(col("c_mktsegment")).as("n4"),
+          countDistinct(col("c_mktsegment")).as("d4"),
+          min(col("c_mktsegment")).as("mn4"),
+          max(col("c_mktsegment")).as("mx4"))
+        .select(expr(
+          """stack(4,
+            |  'c_custkey',    n1, d1, mn1, mx1, a1,
+            |  'c_nationkey',  n2, d2, mn2, mx2, a2,
+            |  'c_acctbal',    n3, d3, mn3, mx3, a3,
+            |  'c_mktsegment', n4, d4, mn4, mx4, CAST(NULL AS DOUBLE))
+            | AS (col_name, n_nonnull, n_distinct, min_s, max_s, avg_num)
+            |""".stripMargin))
+        .orderBy("col_name")
+    }),
+
     // lateral correlated subquery in FROM: per-customer top-2 orders.
     // Catalyst decorrelates the LIMIT'd subquery into a ranked window
     // join — no per-row re-execution, one shuffle on the join key.
@@ -509,6 +592,51 @@ object Relational extends QueryGroup {
         |  old_bal, new_bal
         |FROM cur FULL OUTER JOIN nxt ON cur.c_custkey = nxt.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "dim_scd2_build" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS dt,
+        |    ARG_MAX(o_orderpriority, o_orderkey) AS prio
+        |  FROM orders WHERE o_custkey < 300 GROUP BY 1, 2),
+        |col AS (SELECT custkey, dt, prio,
+        |    LAG(prio) OVER (PARTITION BY custkey ORDER BY dt) AS pv
+        |  FROM ch),
+        |flt AS (SELECT custkey, dt, prio FROM col
+        |        WHERE pv IS NULL OR prio <> pv)
+        |SELECT custkey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY dt)
+        |       AS INTEGER) AS version,
+        |  prio, CAST(dt AS VARCHAR) AS eff_from,
+        |  CAST(COALESCE((LEAD(dt) OVER (PARTITION BY custkey
+        |                  ORDER BY dt) - INTERVAL 1 DAY)::DATE,
+        |                DATE '9999-12-31') AS VARCHAR) AS eff_to,
+        |  CASE WHEN LEAD(dt) OVER (PARTITION BY custkey ORDER BY dt)
+        |       IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM flt ORDER BY custkey, version""".stripMargin,
+    "audit_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS col_name, COUNT(c_custkey) AS n_nonnull,
+        |    COUNT(DISTINCT c_custkey) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_s,
+        |    ROUND(AVG(c_custkey), 4) AS avg_num FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(c_nationkey),
+        |    COUNT(DISTINCT c_nationkey),
+        |    CAST(MIN(c_nationkey) AS VARCHAR),
+        |    CAST(MAX(c_nationkey) AS VARCHAR),
+        |    ROUND(AVG(c_nationkey), 4) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_acctbal', COUNT(c_acctbal),
+        |    COUNT(DISTINCT CAST(c_acctbal AS DECIMAL(12,2))),
+        |    CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR),
+        |    CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR),
+        |    ROUND(AVG(c_acctbal), 4) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(c_mktsegment),
+        |    COUNT(DISTINCT c_mktsegment),
+        |    MIN(c_mktsegment), MAX(c_mktsegment),
+        |    CAST(NULL AS DOUBLE) FROM customer)
+        |ORDER BY col_name""".stripMargin,
     "join_inner_equi" ->
       """SELECT l_orderkey, l_linenumber, o_custkey,
         | ROUND(o_totalprice, 4) AS o_totalprice, l_quantity

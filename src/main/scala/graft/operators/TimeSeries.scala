@@ -424,6 +424,43 @@ object TimeSeries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Robust outlier stats via median/MAD (the Iglewicz–Hoaglin
+    // modified z-score) — the per-entity robust twin of anomaly_zscore:
+    // mean/stddev break under the heavy-tailed values anomaly
+    // detection exists for; median and median-absolute-deviation
+    // don't. EXACT per-group medians are deliberate and scale-safe
+    // here because the group is the ENTITY (millions of bounded user
+    // histories = parallelism), never a handful of global types — the
+    // global-median variant must switch to approx_percentile's
+    // mergeable sketch (cf. agg_approx_percentile). Three passes on
+    // one user-keyed partitioning: median, MAD over deviations, then
+    // the outlier count; med/mad round to 4 BEFORE entering downstream
+    // arithmetic so both engines compare identical doubles (the
+    // anomaly_zscore rounded-predicate discipline, applied at every
+    // float boundary).
+    "anomaly_mad" -> ((s, d) => {
+      val p = purchases(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("value"))
+      val med = p.groupBy("user_id")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = p.join(broadcast(med), "user_id")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(ad, 0.5)"), 4).as("mad"),
+          min(col("med")).as("med"))
+      val out = dev.join(broadcast(mad.select("user_id", "mad")), "user_id")
+        .withColumn("score",
+          round(lit(0.6745) * col("ad") / col("mad"), 4))
+        .groupBy("user_id")
+        .agg(sum(when(col("mad") > 0 && col("score") > 3.5, 1)
+          .otherwise(0)).as("n_outliers"))
+      mad.join(out, "user_id")
+        .select(col("user_id"), col("n"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy("user_id")
+    }),
+
     // The FILTER runs on the ROUNDED z (and behind an sd > 0 guard):
     // m/sd come from whole-table float aggregation, which is not
     // bitwise-reproducible across engines — an unrounded `abs(z) > 2`
@@ -666,6 +703,26 @@ object TimeSeries extends QueryGroup {
         |JOIN prof USING (event_type, hr)
         |WHERE sd > 0 AND abs(ROUND((value - m) / sd, 4)) > 3
         |ORDER BY event_id""".stripMargin,
+    "anomaly_mad" ->
+      """WITH p AS (SELECT user_id, value FROM events
+        |           WHERE event_type = 'purchase' AND user_id < 50),
+        |med AS (SELECT user_id,
+        |          ROUND(QUANTILE_CONT(value, 0.5), 4) AS med
+        |        FROM p GROUP BY 1),
+        |dev AS (SELECT p.user_id, abs(value - med) AS ad, med
+        |        FROM p JOIN med USING (user_id)),
+        |mad AS (SELECT user_id, COUNT(*) AS n,
+        |          ROUND(QUANTILE_CONT(ad, 0.5), 4) AS mad,
+        |          MIN(med) AS med
+        |        FROM dev GROUP BY 1),
+        |outl AS (SELECT d.user_id,
+        |          CAST(SUM(CASE WHEN m.mad > 0
+        |                   AND ROUND(0.6745 * d.ad / m.mad, 4) > 3.5
+        |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |         FROM dev d JOIN mad m USING (user_id) GROUP BY 1)
+        |SELECT m.user_id, n, med, mad, n_outliers
+        |FROM mad m JOIN outl USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "anomaly_zscore" ->
       """WITH s AS (SELECT event_type, avg(value) AS m,
         |             stddev_samp(value) AS sd FROM events GROUP BY 1)

@@ -52,6 +52,47 @@ class EtlPatternsSpec extends SparkSpec {
     }
   }
 
+  test("dim_scd2_build: dense versions, disjoint ranges, one current") {
+    val rows = SparkEntry.queries("dim_scd2_build")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("custkey")).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to vs.length),
+        s"key $k: versions not dense")
+      assert(vs.count(_.getAs[Int]("is_current") == 1) == 1,
+        s"key $k: not exactly one current row")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // ranges close strictly before the next opens, and
+          // consecutive versions really changed (SCD2 records changes)
+          assert(a.getAs[String]("eff_to") < b.getAs[String]("eff_from"),
+            s"key $k: overlapping validity ranges")
+          assert(a.getAs[String]("prio") != b.getAs[String]("prio"),
+            s"key $k: un-collapsed duplicate value")
+        case _ =>
+      }
+      assert(sorted.last.getAs[String]("eff_to") == "9999-12-31",
+        s"key $k: open row not closed by the high date")
+    }
+  }
+
+  test("audit_profile stats agree with directly-computed column facts") {
+    val rows = SparkEntry.queries("audit_profile")(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val n = Tables(spark, sf, "customer").count()
+    assert(rows.keySet ==
+      Set("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_nonnull") <= n)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_nonnull"))
+    }
+    assert(rows("c_custkey").getAs[Long]("n_distinct") == n,
+      "key column must be all-distinct")
+    assert(rows("c_mktsegment").getAs[Long]("n_distinct") == 5)
+    assert(rows("c_mktsegment").getAs[Any]("avg_num") == null,
+      "string column has no mean")
+  }
+
   test("audit_table_checksum is order-independent and detects a flip") {
     def sig(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),

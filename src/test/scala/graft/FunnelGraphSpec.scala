@@ -44,6 +44,34 @@ class FunnelGraphSpec extends SparkSpec {
     assert(got == brute, s"degree-oriented count $got != brute-force $brute")
   }
 
+  test("graph_jaccard_neighbors matches brute-force adjacency Jaccard") {
+    val n = Tables(spark, sf, "documents").count()
+    val edges = (0L until n).flatMap { i =>
+      Seq((i * 7 + 13) % n, (i * 31 + 5) % n, i % 10)
+        .filter(_ != i).map(j => (math.min(i, j), math.max(i, j)))
+    }.toSet
+    val adj = {
+      val m = collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      edges.foreach { case (u, v) => m(u) += v; m(v) += u }
+      m
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b
+      inter = (adj(a) intersect adj(b)).size if inter >= 2
+    } yield (a, b) -> BigDecimal(
+      inter.toDouble / (adj(a).size + adj(b).size - inter))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val got = SparkEntry.queries("graph_jaccard_neighbors")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))
+        -> r.getAs[Double]("jaccard")).toMap
+    assert(got == brute,
+      s"pair sets differ: extra=${got.keySet -- brute.keySet} " +
+        s"missing=${brute.keySet -- got.keySet}")
+  }
+
   test("graph_degree_hist satisfies the handshake lemma") {
     val n = Tables(spark, sf, "documents").count()
     val edges = (0L until n).flatMap { i =>

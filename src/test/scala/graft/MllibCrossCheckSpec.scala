@@ -68,4 +68,31 @@ class MllibCrossCheckSpec extends SparkSpec {
     val rerun = SparkEntry.queries("embed_pca")(spark, sf).collect()
     assert(rows.toSeq == rerun.toSeq, "PCA projection is not rerun-stable")
   }
+
+  test("ml_linreg_normal matches MLlib's normal-equation solver") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val got = SparkEntry.queries("ml_linreg_normal")(spark, sf)
+      .collect().head
+    val data = Tables(spark, sf, "lineitem")
+      .select(col("l_quantity").cast("double").as("x1"),
+        col("l_discount").cast("double").as("x2"),
+        col("l_extendedprice").cast("double").as("label"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("x1", "x2")).setOutputCol("features")
+      .transform(data)
+    val model = new LinearRegression()
+      .setSolver("normal").setRegParam(0.0).setFitIntercept(true)
+      .fit(assembled)
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-3 * math.max(1.0, math.abs(b))
+    assert(close(got.getAs[Double]("b0"), model.intercept),
+      s"intercept ${got.getAs[Double]("b0")} vs ${model.intercept}")
+    assert(close(got.getAs[Double]("b1"), model.coefficients(0)),
+      s"b1 ${got.getAs[Double]("b1")} vs ${model.coefficients(0)}")
+    assert(close(got.getAs[Double]("b2"), model.coefficients(1)),
+      s"b2 ${got.getAs[Double]("b2")} vs ${model.coefficients(1)}")
+    assert(math.abs(got.getAs[Double]("r2") - model.summary.r2) < 1e-4,
+      s"r2 ${got.getAs[Double]("r2")} vs ${model.summary.r2}")
+  }
 }

@@ -57,6 +57,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df.collect().forall(r => math.abs(r.getAs[Double]("z")) > 2.0))
   }
 
+  test("anomaly_mad obeys the median-flagging bound") {
+    val rows = SparkEntry.queries("anomaly_mad")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Double]("mad") >= 0.0)
+      // at least half of any series sits within one MAD of its median
+      // (MAD is the median of the deviations), and those points score
+      // 0.6745 < 3.5 — so the modified z-score can flag at most half
+      assert(r.getAs[Long]("n_outliers") <= (n + 1) / 2,
+        s"flagged more than half the series: $r")
+    }
+  }
+
   test("text_chunk covers every document with the right chunk count") {
     val out = SparkEntry.queries("text_chunk")(spark, sf)
       .groupBy("doc_id").agg(count(lit(1)).as("n"),
