@@ -26,7 +26,9 @@ object ScaleCurves {
     "dedup_clusters" -> "documents",
     "text_bpe_merges" -> "documents",
     "meta_v2_merge" -> "orders",
-    "join_spj_copartitioned" -> "orders")
+    "join_spj_copartitioned" -> "orders",
+    "text_boilerplate" -> "documents",
+    "graph_jaccard_neighbors" -> "documents")
 
   private val RunsPerKey = 3
 

@@ -111,7 +111,8 @@ class PlanSpec extends SparkSpec {
       "dedup_embed_cosine", "join_cross", "nlp_tfidf", "sim_ann_ivf",
       "text_unigram_logprob", "text_ppl_bucket", "dedup_semantic",
       "graph_triangles", "graph_pagerank", "text_domain_mix",
-      "ts_resample", "graph_degree_hist", "sim_mips",
+      "ts_resample", "graph_degree_hist", "graph_jaccard_neighbors",
+      "sim_mips",
       // ts_interpolate reuses the ts_resample grid shape (broadcast
       // day-span list); win_rolling_distinct / feat_target_encode
       // broadcast-crossjoin a 1-row derived agg (scalar-subquery
