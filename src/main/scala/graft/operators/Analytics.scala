@@ -358,27 +358,36 @@ object Analytics extends QueryGroup {
     // counted once per common neighbor, so GROUP BY pair counts the
     // intersection), then two degree lookups give the union by
     // inclusion-exclusion — |A∩B| / (deg a + deg b − |A∩B|). The wedge
-    // join is the quadratic hazard: a hub of degree h emits h² pairs
-    // (Σ deg², not Σ deg — same blow-up graph_triangles dodges by
-    // orienting). At 100 TB the standard mitigations are a degree cap
-    // on the wedge side or MinHash over adjacency sets (exactly
-    // dedup_minhash's trade, applied to neighbor lists); here the
-    // common ≥ 2 floor keeps the reported pair set evidence-bearing
-    // and the fixture's hubs (degree ~n/10) stay wedge-join-sized.
+    // join is the quadratic hazard: a shared hub of degree h emits h²
+    // pairs (Σ deg² — the blow-up graph_triangles dodges by
+    // orienting), and UNLIKE triangles no orientation fixes Jaccard.
+    // The scale-correct cut is the DEGREE CAP τ: only nodes of degree
+    // ≤ τ may act as the shared neighbor, and neighborhoods are
+    // measured over those informative nodes — co-membership in a mega-
+    // hub carries ~zero discriminative signal anyway (the stop-word /
+    // idf intuition; same family as dedup_minhash's bucket cap). That
+    // bounds the wedge join at Σ_{deg≤τ} deg² ≤ τ·|E| — linear in
+    // edges at any scale (measured: SCALE_CURVES.md). Self-consistent
+    // semantics: intersection AND union both count capped neighbors.
     "graph_jaccard_neighbors" -> ((s, d) => {
+      val tau = 16
       val (_, raw) = linkGraph(s, d)
       val und = raw.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
       val nbr = und.select(col("u").as("x"), col("v").as("y"))
         .union(und.select(col("v").as("x"), col("u").as("y")))
-      val deg = nbr.groupBy("x").agg(count(lit(1)).as("dg"))
-      val pairs = nbr.select(col("y").as("n"), col("x").as("a"))
-        .join(nbr.select(col("y").as("n"), col("x").as("b")), "n")
+      val informative = nbr.groupBy(col("y").as("yk"))
+        .agg(count(lit(1)).as("ydg")).filter(col("ydg") <= tau)
+        .select(col("yk").as("y"))
+      val nf = nbr.join(informative, "y")
+      val degf = nf.groupBy("x").agg(count(lit(1)).as("dg"))
+      val pairs = nf.select(col("y").as("n"), col("x").as("a"))
+        .join(nf.select(col("y").as("n"), col("x").as("b")), "n")
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("common"))
       pairs.filter(col("common") >= 2)
-        .join(deg.select(col("x").as("a"), col("dg").as("da")), "a")
-        .join(deg.select(col("x").as("b"), col("dg").as("db")), "b")
+        .join(degf.select(col("x").as("a"), col("dg").as("da")), "a")
+        .join(degf.select(col("x").as("b"), col("dg").as("db")), "b")
         .select(col("a"), col("b"), col("common"),
           round(col("common") / (col("da") + col("db") - col("common")), 4)
             .as("jaccard"))
@@ -665,13 +674,16 @@ object Analytics extends QueryGroup {
         |        GREATEST(src, dst) AS v FROM edges),
         |nbr AS (SELECT u AS x, v AS y FROM und
         |        UNION ALL SELECT v, u FROM und),
-        |deg AS (SELECT x, COUNT(*) AS dg FROM nbr GROUP BY x),
+        |informative AS (SELECT y FROM nbr GROUP BY y
+        |                HAVING COUNT(*) <= 16),
+        |nf AS (SELECT x, y FROM nbr JOIN informative USING (y)),
+        |degf AS (SELECT x, COUNT(*) AS dg FROM nf GROUP BY x),
         |pr AS (SELECT n1.x AS a, n2.x AS b, COUNT(*) AS common
-        |       FROM nbr n1 JOIN nbr n2 ON n1.y = n2.y AND n1.x < n2.x
+        |       FROM nf n1 JOIN nf n2 ON n1.y = n2.y AND n1.x < n2.x
         |       GROUP BY 1, 2)
         |SELECT a, b, common,
         |  ROUND(common / (da.dg + db.dg - common), 4) AS jaccard
-        |FROM pr JOIN deg da ON pr.a = da.x JOIN deg db ON pr.b = db.x
+        |FROM pr JOIN degf da ON pr.a = da.x JOIN degf db ON pr.b = db.x
         |WHERE common >= 2
         |ORDER BY a, b""".stripMargin,
     "sql_group_by_all" ->

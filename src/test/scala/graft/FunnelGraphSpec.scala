@@ -56,12 +56,19 @@ class FunnelGraphSpec extends SparkSpec {
       edges.foreach { case (u, v) => m(u) += v; m(v) += u }
       m
     }
+    // same τ = 16 informative-neighbor cap as the engine: only nodes
+    // of degree ≤ τ count toward intersection and union
+    val informative = adj.collect {
+      case (x, ns) if ns.size <= 16 => x
+    }.toSet
+    val adjF = adj.map { case (x, ns) => x -> (ns intersect informative) }
+      .withDefaultValue(Set.empty[Long])
     val nodes = adj.keys.toSeq.sorted
     val brute = (for {
       a <- nodes; b <- nodes if a < b
-      inter = (adj(a) intersect adj(b)).size if inter >= 2
+      inter = (adjF(a) intersect adjF(b)).size if inter >= 2
     } yield (a, b) -> BigDecimal(
-      inter.toDouble / (adj(a).size + adj(b).size - inter))
+      inter.toDouble / (adjF(a).size + adjF(b).size - inter))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     val got = SparkEntry.queries("graph_jaccard_neighbors")(spark, sf)
       .collect()
