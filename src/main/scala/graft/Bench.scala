@@ -33,7 +33,8 @@ object Bench {
     "audit_observe_metrics", "join_spj_copartitioned",
     "audit_table_checksum", "geo_radius_join", "ts_holt", "fn_hash",
     "text_boilerplate", "feat_onehot", "dim_scd2_build", "audit_profile",
-    "graph_jaccard_neighbors", "anomaly_mad", "ml_linreg_normal")
+    "graph_jaccard_neighbors", "anomaly_mad", "ml_linreg_normal",
+    "dedup_substring")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

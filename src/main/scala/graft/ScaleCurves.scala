@@ -28,7 +28,8 @@ object ScaleCurves {
     "meta_v2_merge" -> "orders",
     "join_spj_copartitioned" -> "orders",
     "text_boilerplate" -> "documents",
-    "graph_jaccard_neighbors" -> "documents")
+    "graph_jaccard_neighbors" -> "documents",
+    "dedup_substring" -> "documents")
 
   private val RunsPerKey = 3
 

@@ -177,6 +177,63 @@ object TextOps extends QueryGroup {
         .orderBy("keeper")
     }),
 
+    // EXACT SUBSTRING dedup (the Lee et al. "Deduplicating Training
+    // Data" op): every character position covered by a ≥ 40-char
+    // substring that occurs ANYWHERE else in the corpus — at arbitrary
+    // offset, which whole-doc dedup (dedup_exact), prefix dedup
+    // (dedup_prefix) and fixed-chunk boilerplate (text_boilerplate)
+    // all miss. Plan: stride-1 40-char grams hash to 60-bit md5
+    // prefixes (the shuffle ships (hash, doc, pos) — 24 B/char, never
+    // the text; text_boilerplate's string-grouped oracle certifies
+    // this hash trade on the corpus), grams seen ≥ 2× anywhere mark
+    // their positions, and a per-doc islands pass (lag + running sum —
+    // the per-entity window contract) merges overlapping [pos, pos+39]
+    // covers into maximal duplicated spans. Linear in corpus bytes —
+    // the production scale notes: the 24×-bytes shuffle is the cost of
+    // the distributed-join form (suffix arrays do it in-memory per
+    // shard); a stride-s probe side cuts it s× at the price of
+    // guaranteed detection only for dups ≥ 40+s chars. A shared
+    // banner is injected mid-text into every 11th doc (dedup_prefix
+    // precedent) so the fixture exercises the arbitrary-offset case.
+    "dedup_substring" -> ((s, d) => {
+      val L = 40
+      val banner = "this article was automatically generated please " +
+        "visit the archive for more information"
+      val d2 = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(substring(col("text"), 1, 50), lit(" " + banner + " "),
+            expr("substring(text, 51)")))
+          .otherwise(col("text")).as("text"))
+      val base = d2.withColumn("len", length(col("text")))
+      val grams = base.filter(col("len") >= L)
+        .withColumn("pos", explode(sequence(lit(1), col("len") - (L - 1))))
+        .select(col("doc_id"), col("pos"),
+          conv(substring(md5(expr(s"substring(text, pos, $L)")), 1, 15),
+            16, 10).cast("long").as("h"))
+      val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("h")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = grams.join(dup, "h")
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") - col("prev") > L, 1)
+            .otherwise(0))
+        .withColumn("isl", sum("brk").over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg((max("pos") - min("pos") + L).as("span_chars"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("span_chars").cast("long").as("dup_chars"))
+      base.select(col("doc_id"), col("len"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          round(lit(1.0) - coalesce(col("dup_chars"), lit(0L))
+            / col("len"), 4).as("keep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH near-dup: exact-text collapse → shingle → 64-perm
     // signature (seeded xxhash64 family) → 16 bands × 4 rows → CAPPED
     // band-bucket groupBy → candidate pairs → exact-Jaccard verify ≥ 0.8
@@ -634,6 +691,43 @@ object TextOps extends QueryGroup {
         |  SELECT doc_id + 1000000, SHA256(text) FROM documents
         |  WHERE doc_id % 3 = 0)
         |GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
+    "dedup_substring" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN substr(text, 1, 50)
+        |           || ' this article was automatically generated'
+        |           || ' please visit the archive for more information '
+        |           || substr(text, 51)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, text, LEN(text) AS len FROM d2),
+        |g0 AS (SELECT doc_id, text,
+        |         UNNEST(GENERATE_SERIES(1, len - 39)) AS pos
+        |       FROM b WHERE len >= 40),
+        |g AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT
+        |          AS h
+        |      FROM g0),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |marks AS (SELECT doc_id, pos,
+        |    CASE WHEN LAG(pos) OVER w IS NULL
+        |           OR pos - LAG(pos) OVER w > 40 THEN 1 ELSE 0 END AS brk
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM marks),
+        |spans AS (SELECT doc_id, isl, MAX(pos) - MIN(pos) + 40
+        |            AS span_chars
+        |          FROM isl GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+        |         CAST(SUM(span_chars) AS BIGINT) AS dup_chars
+        |       FROM spans GROUP BY 1)
+        |SELECT b.doc_id, COALESCE(n_spans, 0) AS n_spans,
+        |  COALESCE(dup_chars, 0) AS dup_chars,
+        |  ROUND(1.0 - COALESCE(dup_chars, 0) / len, 4) AS keep_ratio
+        |FROM b LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       """WITH d AS (
         |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(

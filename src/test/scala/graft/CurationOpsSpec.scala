@@ -271,4 +271,44 @@ class CurationOpsSpec extends SparkSpec {
     val flagged = rows.count(_.getAs[Long]("n_boiler") > 0)
     assert(flagged >= rows.length / 7, s"only $flagged docs flagged")
   }
+
+  test("dedup_substring matches a plain-Scala substring-dedup replay") {
+    val banner = "this article was automatically generated please " +
+      "visit the archive for more information"
+    val texts = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val t = r.getAs[String]("text")
+        id -> (if (id % 11 == 0) t.take(50) + " " + banner + " " + t.drop(50)
+               else t)
+      }.toMap
+    val L = 40
+    // every stride-1 L-gram with global multiplicity ≥ 2 marks its span
+    val counts = collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for ((_, t) <- texts; p <- 0 to t.length - L)
+      counts(t.substring(p, p + L)) += 1
+    val expect = texts.map { case (id, t) =>
+      val hits = (0 to t.length - L)
+        .filter(p => counts(t.substring(p, p + L)) >= 2)
+      // merge [p, p+L-1] covers that overlap or touch into islands
+      val spans = hits.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p <= e0 + 1 =>
+          (s0, math.max(e0, p + L - 1)) :: rest
+        case (acc, p) => (p, p + L - 1) :: acc
+      }
+      id -> (spans.length.toLong, spans.map(s => s._2 - s._1 + 1).sum.toLong)
+    }
+    val got = run("dedup_substring").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"))).toMap
+    assert(got == expect,
+      s"diff: ${(got.toSet diff expect.toSet).take(3)} vs " +
+        s"${(expect.toSet diff got.toSet).take(3)}")
+    // the injected banner must be detected in every 11th doc
+    texts.keys.filter(_ % 11 == 0).foreach { id =>
+      assert(got(id)._2 >= banner.length,
+        s"doc $id: banner span not detected: ${got(id)}")
+    }
+  }
 }
