@@ -34,7 +34,7 @@ object Bench {
     "audit_table_checksum", "geo_radius_join", "ts_holt", "fn_hash",
     "text_boilerplate", "feat_onehot", "dim_scd2_build", "audit_profile",
     "graph_jaccard_neighbors", "anomaly_mad", "ml_linreg_normal",
-    "dedup_substring")
+    "dedup_substring", "agg_moments", "ts_downsample_ltob")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

@@ -375,6 +375,20 @@ object Aggregates extends QueryGroup {
         .limit(10)
     }),
 
+    // Higher statistical MOMENTS (variance / skewness / excess
+    // kurtosis) from raw power sums — the portable form: the built-in
+    // skewness/kurtosis disagree across engines on the sample-vs-
+    // population adjustment, so this computes Σx..Σx⁴ exactly
+    // (l_quantity is a whole number — BIGINT powers, DECIMAL(38,0)
+    // sums, order-insensitive) and derives the moments in ONE shared
+    // SQL string run verbatim on both engines (the ml_linreg_normal
+    // bitwise-determinism recipe). One map-side-combined pass; at
+    // 100 TB the shuffle carries 5 scalars per group.
+    "agg_moments" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("mom_lineitem")
+      s.sql(momentsSql("mom_lineitem"))
+    }),
+
     // Deterministic mode: the most frequent l_quantity per return flag.
     // Built-in mode() is tie-arbitrary (engine picks any max-count
     // value), so this is counts (one partial-agg shuffle to the tiny
@@ -439,7 +453,37 @@ object Aggregates extends QueryGroup {
     })
   )
 
+  /** Raw-power-sum moments of l_quantity per return flag, shared
+    * verbatim by engine and oracle: exact integer power sums, then
+    * identical double arithmetic (population m2/m3/m4; skew =
+    * m3/m2^1.5, excess kurtosis = m4/m2² − 3). */
+  private def momentsSql(t: String): String =
+    s"""WITH r AS (SELECT l_returnflag,
+       |    CAST(l_quantity AS BIGINT) AS q FROM $t),
+       |m AS (SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST(q * q * q AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+       |    CAST(SUM(CAST(q * q * q * q AS DECIMAL(38,0))) AS DOUBLE)
+       |      AS s4
+       |  FROM r GROUP BY l_returnflag),
+       |c AS (SELECT l_returnflag, n, s1 / n AS mu,
+       |    (s2 / n) - (s1 / n) * (s1 / n) AS m2,
+       |    (s3 / n) - 3.0 * (s1 / n) * (s2 / n)
+       |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+       |    (s4 / n) - 4.0 * (s1 / n) * (s3 / n)
+       |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+       |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+       |  FROM m)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       |  ROUND(mu, 4) AS mean, ROUND(m2, 4) AS var_pop,
+       |  ROUND(m3 / (m2 * SQRT(m2)), 4) AS skew,
+       |  ROUND(m4 / (m2 * m2) - 3.0, 4) AS kurt_excess
+       |FROM c ORDER BY l_returnflag""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "agg_moments" -> momentsSql("lineitem"),
     "agg_heavy_hitters_cms" ->
       """WITH rows_ AS (SELECT unnest(generate_series(0,3)) AS r),
         |cnt AS (SELECT r,

@@ -424,6 +424,46 @@ object TimeSeries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Largest-Triangle downsampling (the LTOB variant of Steinarsson's
+    // LTTB) — the visual-fidelity decimator every dashboard runs
+    // before plotting a long series: per 7-point bucket keep the point
+    // with the largest effective triangle area against its IMMEDIATE
+    // neighbors (LTOB's fixed anchors make the choice windowable —
+    // full LTTB chains each choice into the next, a per-series
+    // sequential scan like ts_holt; same output class, strictly
+    // cheaper plan). Endpoints always survive. One (series, day)
+    // window partitioning serves rank, neighbors, and bucket argmax;
+    // at 100 TB series are the parallelism (per-entity contract) and
+    // the output is ~n/7 points. y pre-rounds to 4 so the area
+    // arithmetic — written term-for-term like the oracle — runs on
+    // identical doubles; area ties break on day.
+    "ts_downsample_ltob" -> ((s, d) => {
+      val daily = purchases(s, d).filter(col("user_id") < 10)
+        .groupBy(col("user_id"),
+          unix_date(col("day")).cast("long").as("day_no"))
+        .agg(round(sum("value"), 4).as("y"))
+      val w = Window.partitionBy("user_id").orderBy("day_no")
+      val pts = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("px", lag("day_no", 1).over(w))
+        .withColumn("py", lag("y", 1).over(w))
+        .withColumn("nx", lead("day_no", 1).over(w))
+        .withColumn("ny", lead("y", 1).over(w))
+        .withColumn("area",
+          abs((col("px") - col("nx")) * (col("y") - col("py"))
+            - (col("px") - col("day_no")) * (col("ny") - col("py")))
+            * 0.5)
+        .withColumn("bkt", floor((col("rn") - 1) / 7))
+      val w2 = Window.partitionBy("user_id", "bkt")
+        .orderBy(col("area").desc_nulls_last, col("day_no"))
+      pts.withColumn("rk", row_number().over(w2))
+        .filter(col("rn") === 1 || col("rn") === col("n")
+          || (col("rk") === 1 && col("area").isNotNull))
+        .select(col("user_id"), col("day_no"), col("y"))
+        .orderBy("user_id", "day_no")
+    }),
+
     // Robust outlier stats via median/MAD (the Iglewicz–Hoaglin
     // modified z-score) — the per-entity robust twin of anomaly_zscore:
     // mean/stddev break under the heavy-tailed values anomaly
@@ -703,6 +743,29 @@ object TimeSeries extends QueryGroup {
         |JOIN prof USING (event_type, hr)
         |WHERE sd > 0 AND abs(ROUND((value - m) / sd, 4)) > 3
         |ORDER BY event_id""".stripMargin,
+    "ts_downsample_ltob" ->
+      """WITH p AS (SELECT user_id,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+        |    ROUND(SUM(value), 4) AS y
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 10
+        |  GROUP BY 1, 2),
+        |q AS (SELECT user_id, day_no, y,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    LAG(day_no) OVER w AS px, LAG(y) OVER w AS py,
+        |    LEAD(day_no) OVER w AS nx, LEAD(y) OVER w AS ny
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY day_no)),
+        |a AS (SELECT user_id, day_no, y, rn, n,
+        |    ABS((px - nx) * (y - py) - (px - day_no) * (ny - py)) * 0.5
+        |      AS area,
+        |    CAST(FLOOR((rn - 1) / 7) AS BIGINT) AS bkt
+        |  FROM q),
+        |r AS (SELECT user_id, day_no, y, rn, n, area,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, bkt
+        |      ORDER BY area DESC NULLS LAST, day_no) AS rk FROM a)
+        |SELECT user_id, day_no, y FROM r
+        |WHERE rn = 1 OR rn = n OR (rk = 1 AND area IS NOT NULL)
+        |ORDER BY user_id, day_no""".stripMargin,
     "anomaly_mad" ->
       """WITH p AS (SELECT user_id, value FROM events
         |           WHERE event_type = 'purchase' AND user_id < 50),

@@ -9,6 +9,31 @@ class ScaleOpsSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("agg_moments matches a plain-Scala central-moment replay") {
+    val rows = run("agg_moments").collect()
+    assert(rows.length == 3)
+    val data = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1).toDouble) }
+    rows.foreach { r =>
+      val xs = data(r.getString(0))
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      assert(r.getAs[Long]("n") == xs.length)
+      assert(math.abs(r.getAs[Double]("mean") - mu) < 1e-3, s"mean: $r")
+      assert(math.abs(r.getAs[Double]("var_pop") - m2) < 1e-3, s"var: $r")
+      assert(math.abs(r.getAs[Double]("skew") - m3 / (m2 * math.sqrt(m2)))
+        < 1e-3, s"skew: $r")
+      assert(math.abs(r.getAs[Double]("kurt_excess") - (m4 / (m2 * m2) - 3))
+        < 1e-3, s"kurtosis: $r")
+    }
+  }
+
   test("sort_range_partitioned runs are disjoint, ordered, complete") {
     // pid-level fingerprint (the oracled key aggregates it to
     // sampling-independent totals; the LAWS live here)

@@ -57,6 +57,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(df.collect().forall(r => math.abs(r.getAs[Double]("z")) > 2.0))
   }
 
+  test("ts_downsample_ltob keeps endpoints and bucket area-argmaxes") {
+    val daily = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .groupBy(col("user_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("day_no"))
+      .agg(round(sum("value"), 4).as("y"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day_no"),
+        r.getAs[Double]("y")))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      val pts = rs.sortBy(_._2)
+      val kept = collection.mutable.Set(pts.head._2, pts.last._2)
+      pts.indices.grouped(7).foreach { bucket =>
+        val scored = bucket
+          .filter(i => i > 0 && i < pts.length - 1)
+          .map { i =>
+            val (px, py) = (pts(i - 1)._2, pts(i - 1)._3)
+            val (nx, ny) = (pts(i + 1)._2, pts(i + 1)._3)
+            val a = math.abs((px - nx) * (pts(i)._3 - py)
+              - (px - pts(i)._2) * (ny - py)) * 0.5
+            (a, pts(i)._2)
+          }
+        if (scored.nonEmpty) {
+          // max area, earliest day on ties — the engine's rank order
+          val best = scored.maxBy { case (a, d0) => (a, -d0.toDouble) }
+          kept += best._2
+        }
+      }
+      kept.map(uid -> _)
+    }.toSet
+    val got = SparkEntry.queries("ts_downsample_ltob")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("day_no")).toSet
+    assert(got == expect,
+      s"extra=${(got diff expect).take(3)} missing=${(expect diff got).take(3)}")
+  }
+
   test("anomaly_mad obeys the median-flagging bound") {
     val rows = SparkEntry.queries("anomaly_mad")(spark, sf).collect()
     assert(rows.nonEmpty)
