@@ -408,6 +408,27 @@ object Analytics extends QueryGroup {
           |GROUP BY ALL ORDER BY ALL""".stripMargin)
     }),
 
+    // CACHE TABLE ... AS SELECT (eager) — the REUSE primitive for
+    // dashboard/report fan-out: the derived table materializes ONCE
+    // into the executor block store (MEMORY_AND_DISK, columnar
+    // batches) and every consumer reads InMemoryTableScan instead of
+    // re-running the derivation; CacheLifecycleSpec asserts the
+    // in-memory scan and the uncache release. At 100 TB the discipline
+    // is to cache derived AGGREGATES (orders of magnitude below the
+    // scan), never raw corpus scans — the cache is partition-local,
+    // LRU-evicted, and a spilled cache re-reads slower than parquet.
+    "sql_cache_table" -> ((s, d) => {
+      Tables(s, d, "nation").createOrReplaceTempView("ct_nation")
+      s.sql("""CACHE TABLE ct_nation_cached AS
+              |SELECT n_nationkey, n_name, n_regionkey FROM ct_nation
+              |WHERE n_nationkey < 20""".stripMargin)
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n_nations,
+          |  MIN(n_name) AS first_name
+          |FROM ct_nation_cached
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // Parameterized SQL (Spark 4 named-parameter binding): the query
     // text carries :threshold / :flag placeholders and the values bind
     // at execution — the injection-safe template path a serving layer
@@ -686,6 +707,11 @@ object Analytics extends QueryGroup {
         |FROM pr JOIN degf da ON pr.a = da.x JOIN degf db ON pr.b = db.x
         |WHERE common >= 2
         |ORDER BY a, b""".stripMargin,
+    "sql_cache_table" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name
+        |FROM nation WHERE n_nationkey < 20
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "sql_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 4) AS sum_total

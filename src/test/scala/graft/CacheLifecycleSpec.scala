@@ -28,4 +28,23 @@ class CacheLifecycleSpec extends SparkSpec {
       "cache entries leaked after a verify-style pass over the " +
         s"persisting queries: ${cacheManaging.mkString(", ")}")
   }
+
+  test("sql_cache_table reads the in-memory materialization, releasable") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("sql_cache_table")(spark, sf)
+    assert(df.collect().nonEmpty)
+    // the cached subtree shows as InMemoryRelation in the optimized
+    // logical plan (the physical rendering hides the cache stage
+    // behind AQE query-stage wrappers)
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"),
+      s"consumer did not read the cache:\n${df.queryExecution.optimizedPlan}")
+    // unlike internal persists, CACHE TABLE is a session-owned entity:
+    // it MUST stay registered until the user releases it
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "CACHE TABLE did not register an entry")
+    spark.sql("UNCACHE TABLE ct_nation_cached")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "UNCACHE did not release the entry")
+  }
 }
