@@ -54,7 +54,11 @@ object PlanDump {
     "win_rolling_distinct" ->
       "sliding distinct via coverage expansion of the collapsed distinct set — no window over raw events",
     "q9_product_profit" ->
-      "widest star (5-way): dims broadcast, single fact shuffle, DECIMAL-exact profit sum")
+      "widest star (5-way): dims broadcast, single fact shuffle, DECIMAL-exact profit sum",
+    "dedup_substring" ->
+      "substring dedup: gram hashes shuffle (24 B/char), dup-marked positions, per-doc islands window",
+    "graph_jaccard_neighbors" ->
+      "τ-capped wedge self-join (Σ deg² bounded at τ·|E|) + degree inclusion-exclusion")
 
   /** Queries that materialize-and-release internally (cache lifecycle)
     * return a checkpointed result whose executed plan is just an RDD
