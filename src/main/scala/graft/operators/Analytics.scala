@@ -419,6 +419,9 @@ object Analytics extends QueryGroup {
     // LRU-evicted, and a spilled cache re-reads slower than parquet.
     "sql_cache_table" -> ((s, d) => {
       Tables(s, d, "nation").createOrReplaceTempView("ct_nation")
+      // idempotent within a session: CACHE TABLE ... AS registers a
+      // temp view, and dropping a temp view also releases its cache
+      s.sql("DROP VIEW IF EXISTS ct_nation_cached")
       s.sql("""CACHE TABLE ct_nation_cached AS
               |SELECT n_nationkey, n_name, n_regionkey FROM ct_nation
               |WHERE n_nationkey < 20""".stripMargin)
