@@ -1041,6 +1041,62 @@ object DdlQueries extends QueryGroup {
       s.table(s"$cat.corp.nation_c").orderBy("n_nationkey")
     }),
 
+    // Revision retention VACUUM — the maintenance op that completes
+    // the metadata lifecycle (write → history → time travel → compact
+    // → vacuum): unbounded DDL history is a real metastore cost (every
+    // revision is a full snapshot copy), so retention deletes all but
+    // the newest R revision dirs. HEAD and the bootstrap snapshot are
+    // never touched; revisions are immutable, so removal is invisible
+    // to every already-resolved reader — only a later VERSION AS OF
+    // into a vacuumed revision fails, LOUDLY, through the existing
+    // missing-revision error (the key proves both directions: a kept
+    // revision stays readable, a vacuumed one refuses). Driver-side
+    // KiB file ops (the writeLocal discipline), O(1) in data size.
+    // Revision numbering is deterministic per run (the dir-wipe reset,
+    // cf. meta_v2_timetravel), so the report is a cross-engine
+    // constant: 5 revisions before, retain 2, head 5.
+    "meta_v2_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val dir = new java.io.File(Tables.scratch(d, "v2_vacuum_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gvsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")       // rev 1
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.vac_t")           // no-op
+      s.sql(s"""CREATE TABLE $cat.corp.vac_t
+               |(n_nationkey INT, n_name STRING) USING parquet"""
+        .stripMargin)                                          // rev 2
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_v")
+      s.sql(s"""INSERT INTO $cat.corp.vac_t
+               |SELECT n_nationkey, n_name FROM nation_src_v""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.corp.vac_t ADD COLUMN src STRING")  // 3
+      s.sql(s"ALTER TABLE $cat.corp.vac_t ADD COLUMN note STRING") // 4
+      s.sql(s"ALTER TABLE $cat.corp.vac_t ADD COLUMN tag STRING")  // 5
+      val wc = s.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[WritableSnapshotCatalog]
+      val (dropped, kept) = wc.vacuum(2)
+      val keptRows = s.sql(
+        s"SELECT * FROM $cat.corp.vac_t VERSION AS OF '${kept.min}'")
+        .count().toInt
+      val vacFails =
+        try {
+          s.sql(s"SELECT * FROM $cat.corp.vac_t VERSION AS OF " +
+            s"'${dropped.max}'").count()
+          0
+        } catch { case _: UnsupportedOperationException => 1 }
+      Seq(
+        ("head_rev", kept.max),
+        ("kept_probe_rows", keptRows),
+        ("revs_after", kept.length),
+        ("revs_before", dropped.length + kept.length),
+        ("vacuumed_probe_fails", vacFails))
+        .toDF("item", "value").orderBy("item")
+    }),
+
     // CROSS-CATALOG federation: one SQL statement resolving tables
     // from TWO catalogs by qualified name — the snapshot catalog (the
     // shared-metastore attach) joined to a session-catalog table (the
@@ -1378,6 +1434,15 @@ object DdlQueries extends QueryGroup {
     "meta_v2_compact" ->
       """SELECT n_nationkey, n_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // the retention report is a declared constant of the DDL sequence
+    // (5 revisions, retain 2, 25-row nation probe): the engine DERIVES
+    // every value — a numbering or retention drift fails the compare
+    "meta_v2_vacuum" ->
+      """SELECT * FROM (VALUES
+        |  ('head_rev', 5), ('kept_probe_rows', 25), ('revs_after', 2),
+        |  ('revs_before', 5), ('vacuumed_probe_fails', 1))
+        |  AS t(item, value)
+        |ORDER BY item""".stripMargin,
     // the cross-catalog join must equal the plain nation⋈region join
     "meta_v2_federation" ->
       """SELECT r_name, COUNT(*) AS n_nations,

@@ -460,6 +460,31 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     setSnap(next)
   }
 
+  /** Revision retention GC — the VACUUM maintenance op completing the
+    * compact / time-travel / history lifecycle: delete revision
+    * directories older than the newest `retain`, never the HEAD
+    * pointer or the bootstrap top-level snapshot. Revisions are
+    * immutable metadata copies, so removal is safe for every reader
+    * that has already resolved; only a later `VERSION AS OF` into a
+    * vacuumed revision fails — loudly, through
+    * [[SnapshotCatalog.loadTable(ident:*,version:*)]]'s existing
+    * missing-revision error that lists what remains. Driver-side file
+    * ops (KiB of JSON — the writeLocal discipline); returns
+    * (removed, kept) revision numbers for the caller's report. */
+  def vacuum(retain: Int): (Seq[Int], Seq[Int]) = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val revsDir = new java.io.File(s"$snapshotDir/revs")
+    val revs = Option(revsDir.list())
+      .map(_.flatMap(_.toIntOption).sorted.toSeq).getOrElse(Nil)
+    val cutoff = headRevOnDisk - retain + 1
+    val (drop, keep) = revs.partition(_ < cutoff)
+    drop.foreach { r =>
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$snapshotDir/revs/$r"))
+    }
+    (drop, keep)
+  }
+
   override def createNamespace(ns: Array[String],
       metadata: util.Map[String, String]): Unit = {
     require(ns.length == 1,

@@ -738,6 +738,30 @@ class CatalogSpec extends SparkSpec {
     c
   }
 
+  test("vacuum retains the newest revisions; DDL continues past it") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_vacspec_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val c = attachWritable("vac_spec", dir.getPath)
+    val noMeta = java.util.Collections.emptyMap[String, String]()
+    for (i <- 1 to 4) c.createNamespace(Array(s"db$i"), noMeta) // revs 1-4
+    val (dropped, kept) = c.vacuum(2)
+    assert(dropped == Seq(1, 2) && kept == Seq(3, 4),
+      s"retention miscut: dropped=$dropped kept=$kept")
+    // idempotent: a second pass at the same retention removes nothing
+    assert(c.vacuum(2) == (Seq(), Seq(3, 4)))
+    // the catalog keeps working: next DDL appends rev 5, and the new
+    // retention window slides with HEAD
+    c.createNamespace(Array("db5"), noMeta) // rev 5
+    assert(c.namespaceExists(Array("db5")))
+    assert(c.vacuum(2) == (Seq(3), Seq(4, 5)))
+    // a fresh attach over the vacuumed dir resolves HEAD normally
+    assert(attachWritable("vac_spec2", dir.getPath)
+      .namespaceExists(Array("db5")))
+    // retain must be >= 1: the head revision is never removable
+    intercept[IllegalArgumentException](c.vacuum(0))
+  }
+
   test("writable V2 catalog: stale second writer fails the revision CAS") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_cas_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
