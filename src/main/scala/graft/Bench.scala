@@ -35,7 +35,7 @@ object Bench {
     "text_boilerplate", "feat_onehot", "dim_scd2_build", "audit_profile",
     "graph_jaccard_neighbors", "anomaly_mad", "ml_linreg_normal",
     "dedup_substring", "agg_moments", "ts_downsample_ltob",
-    "sql_cache_table", "meta_v2_vacuum")
+    "sql_cache_table", "meta_v2_vacuum", "sim_mrl_truncate")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

@@ -256,6 +256,48 @@ object VectorOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // Matryoshka-style PREFIX TRUNCATION (MRL serving): retrieval over
+    // the first 16 of 64 dims — the 4× cheaper index every
+    // MRL-trained embedding ships with. The measurement that decides
+    // the trade: per query, top-5 under truncated cosine vs top-5
+    // under full cosine (overlap@5 = the recall the cheap index
+    // keeps), plus the query's retained prefix energy
+    // (|q[1:16]|/|q|) — the norm ratio that predicts it. Same
+    // broadcast-query / single-corpus-scan shape as sim_cosine_topk;
+    // both rankings come off ONE scan (two codegen'd cosines per
+    // pair, two rank windows on the same partitioning). At 100 TB the
+    // truncated column is what the IVF/LSH indexes above would be
+    // built over; this key is the exact evidence for that choice.
+    "sim_mrl_truncate" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val base = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosf", expr(cosExpr("qv", "v")))
+        .withColumn("cost",
+          expr("graft_cosine(slice(qv, 1, 16), slice(v, 1, 16))"))
+      val wf = Window.partitionBy("qid")
+        .orderBy(col("cosf").desc, col("vec_id").asc)
+      val wt = Window.partitionBy("qid")
+        .orderBy(col("cost").desc, col("vec_id").asc)
+      val top = base
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rt", row_number().over(wt))
+      val overlap = top.filter(col("rf") <= 5)
+        .select(col("qid"), col("vec_id"))
+        .join(top.filter(col("rt") <= 5).select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("overlap5"))
+      q.select(col("qid"),
+          round(expr("sqrt(graft_dot(slice(qv, 1, 16), slice(qv, 1, 16)))" +
+            " / sqrt(graft_dot(qv, qv))"), 4).as("retained"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("overlap5"), lit(0L)).as("overlap5"),
+          col("retained"))
+        .orderBy("qid")
+    }),
+
     // MIPS: maximum-inner-product top-5 per query — the recommender
     // retrieval objective (unnormalized dot, NOT cosine: a long vector
     // can beat a better-aligned short one). At scale this reduces to
@@ -631,6 +673,37 @@ object VectorOps extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> oracleTopK,
+    "sim_mrl_truncate" -> {
+      def dot16(a: String, b: String): String =
+        s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
+          s"GENERATE_SERIES(1, 16), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val cos16 = s"${dot16("qv", "v")} / (SQRT(${dot16("qv", "qv")})" +
+        s" * SQRT(${dot16("v", "v")}))"
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT qid, qv, vec_id, ${oCos("qv", "v")} AS cosf,
+         |    $cos16 AS cost
+         |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+         |ranked AS (SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosf DESC, vec_id ASC) AS rf,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cost DESC, vec_id ASC) AS rt
+         |  FROM pairs),
+         |ov AS (SELECT f.qid, COUNT(*) AS overlap5
+         |  FROM (SELECT qid, vec_id FROM ranked WHERE rf <= 5) f
+         |  JOIN (SELECT qid, vec_id FROM ranked WHERE rt <= 5) t
+         |    ON f.qid = t.qid AND f.vec_id = t.vec_id
+         |  GROUP BY f.qid)
+         |SELECT q.qid, COALESCE(overlap5, 0) AS overlap5,
+         |  ROUND(SQRT(${dot16("qv", "qv")}) /
+         |    SQRT(${oDot("qv", "qv")}), 4) AS retained
+         |FROM q LEFT JOIN ov ON q.qid = ov.qid
+         |ORDER BY q.qid""".stripMargin
+    },
     "sim_mips" ->
       s"""WITH e AS (SELECT vec_id, label,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

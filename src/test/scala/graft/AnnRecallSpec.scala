@@ -98,4 +98,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == rerun.map(_.toString).toSeq,
       "PQ encoding is not rerun-stable")
   }
+
+  test("sim_mrl_truncate reports lawful overlap and energy ratios") {
+    val rows = SparkEntry.queries("sim_mrl_truncate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("overlap5")
+      assert(ov >= 0 && ov <= 5, s"overlap@5 out of range: $r")
+      val ret = r.getAs[Double]("retained")
+      // a norm ratio of a real prefix: strictly positive, never above 1
+      assert(ret > 0.0 && ret <= 1.0, s"retained energy out of range: $r")
+    }
+    // the truncated index must carry real signal on this corpus: at
+    // least one query keeps at least one true top-5 neighbor
+    assert(rows.map(_.getAs[Long]("overlap5")).max >= 1,
+      "prefix dims retain zero retrieval signal — dim slice broken?")
+    val rerun = SparkEntry.queries("sim_mrl_truncate")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == rerun.map(_.toString).toSeq,
+      "truncation report is not rerun-stable")
+  }
 }
