@@ -1061,12 +1061,16 @@ object DdlQueries extends QueryGroup {
         .getAbsolutePath
       deleteTree(new java.io.File(dir))
       CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
-      val cat = "gvsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      // unique per-key prefix: catalog plugin instances are CACHED BY
+      // NAME (the instance pins the path it was constructed with), so
+      // sharing a name with another key silently redirects that key's
+      // DDL into this snapshot dir
+      val cat = "gxsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[WritableSnapshotCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.path", dir)
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")       // rev 1
-      s.sql(s"DROP TABLE IF EXISTS $cat.corp.vac_t")           // no-op
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.vac_t")           // no-op (1st run)
       s.sql(s"""CREATE TABLE $cat.corp.vac_t
                |(n_nationkey INT, n_name STRING) USING parquet"""
         .stripMargin)                                          // rev 2
