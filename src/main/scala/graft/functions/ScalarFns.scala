@@ -101,6 +101,43 @@ object ScalarFns extends QueryGroup {
           |FROM x""".stripMargin)
     }),
 
+    // XML parsing surface (from_xml, Spark 4) — the remaining
+    // semi-structured decoder next to fn_json/fn_variant: an XML
+    // payload column parses against an explicit schema into a struct,
+    // fields project out as plain columns. Round-trip construction
+    // (build XML from row data, parse it back) makes the op
+    // oracle-able without an XML engine on the other side: the oracle
+    // recomputes the plain columns directly, so any parser drift
+    // fails the diff. Codegen'd per-row, zero shuffle.
+    "fn_xml" -> ((s, d) => {
+      Tables(s, d, "nation")
+        .withColumn("x", concat(lit("<r><k>"), col("n_nationkey"),
+          lit("</k><n>"), col("n_name"), lit("</n></r>")))
+        .select(col("n_nationkey"),
+          expr("from_xml(x, 'k INT, n STRING')").as("p"))
+        .select(col("n_nationkey"), col("p.k").as("k"), col("p.n").as("n"))
+        .orderBy("n_nationkey")
+    }),
+
+    // Regex family beyond fn_string's extract/replace basics: RLIKE
+    // predicate, match COUNT, first-match SUBSTR, and the full
+    // EXTRACT_ALL array (array-typed output column — the hash compare
+    // canonicalizes arrays, so the contract is exercised end-to-end).
+    // All codegen'd per-row scans, zero shuffle; patterns are anchored
+    // or character-class only so both engines' regex dialects (Java vs
+    // RE2-ish) provably agree.
+    "fn_regex" -> ((s, d) => {
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_type").rlike("^PROMO").as("is_promo"),
+          expr("CAST(regexp_count(p_name, '[aeiou]') AS BIGINT)")
+            .as("n_vowels"),
+          expr("regexp_substr(p_type, '[A-Z]+')").as("first_caps"),
+          expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("words"),
+          expr("regexp_replace(p_brand, '[0-9]+', '#')").as("brand_mask"))
+        .orderBy("p_partkey")
+    }),
+
     "fn_string" -> ((s, d) => {
       Tables(s, d, "part")
         .select(col("p_partkey"),
@@ -331,6 +368,30 @@ object ScalarFns extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // INTERVAL-type arithmetic — the family fn_datetime's day-level
+    // helpers don't cover: year-month intervals (calendar-aware, both
+    // engines clamp Jan 31 + 1 month → Feb 28/29) and day-time
+    // intervals on timestamps. Diff lands on HOURS against a
+    // midnight-anchored literal: the operands are always midnight-
+    // aligned, so Spark's elapsed-full-hours and DuckDB's
+    // boundary-crossing count provably agree (whole multiples of 24) —
+    // MONTH diffs would not (crossing vs elapsed differ mid-month) and
+    // deliberately stay out. All codegen'd projections, no shuffle.
+    "fn_interval" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).cast(StringType).as("plus3m"),
+          expr("CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 MONTH AS DATE)")
+            .cast(StringType).as("minus2m"),
+          expr("o_orderdate + INTERVAL 90 MINUTE").cast(StringType)
+            .as("plus90min"),
+          expr("o_orderdate + INTERVAL 36 HOUR").cast(StringType)
+            .as("plus36h"),
+          expr("timestampdiff(HOUR, o_orderdate, " +
+            "TIMESTAMP '2000-01-01 00:00:00')").as("hrs_to_y2k"))
+        .orderBy("o_orderkey")
+    }),
+
     "fn_explode" -> ((s, d) => {
       Tables(s, d, "documents")
         .filter(col("doc_id") % 10 === 0)
@@ -382,6 +443,17 @@ object ScalarFns extends QueryGroup {
         | COUNT(DISTINCT LOWER(t2)) AS distinct_ci,
         | COUNT(CASE WHEN LOWER(t2) = LOWER(p_type) THEN 1 END) AS eq_ci
         |FROM x""".stripMargin,
+    "fn_xml" ->
+      """SELECT n_nationkey, n_nationkey AS k, n_name AS n
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "fn_regex" ->
+      """SELECT p_partkey,
+        | REGEXP_MATCHES(p_type, '^PROMO') AS is_promo,
+        | LEN(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS n_vowels,
+        | REGEXP_EXTRACT(p_type, '[A-Z]+') AS first_caps,
+        | REGEXP_EXTRACT_ALL(p_name, '[a-z]+') AS words,
+        | REGEXP_REPLACE(p_brand, '[0-9]+', '#', 'g') AS brand_mask
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         | CONCAT_WS('-', p_brand, p_type) AS brand_type,
@@ -532,6 +604,19 @@ object ScalarFns extends QueryGroup {
         |        EXTRACT(DAY FROM o_orderdate) AS dom
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |   AS VARCHAR) AS plus3m,
+        | CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 MONTH AS DATE)
+        |   AS VARCHAR) AS minus2m,
+        | CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 MINUTE
+        |   AS VARCHAR) AS plus90min,
+        | CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 36 HOUR
+        |   AS VARCHAR) AS plus36h,
+        | DATE_DIFF('hour', CAST(o_orderdate AS TIMESTAMP),
+        |   TIMESTAMP '2000-01-01 00:00:00') AS hrs_to_y2k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_explode" ->
       """SELECT doc_id,
         | UNNEST(GENERATE_SERIES(1, LEN(STR_SPLIT(text, ' ')))) - 1 AS pos,

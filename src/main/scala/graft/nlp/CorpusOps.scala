@@ -428,6 +428,38 @@ object CorpusOps extends QueryGroup {
     // Low scores = in-distribution text, high = outliers. Two hash aggs
     // + one broadcast-sized join on the vocab; the corpus text never
     // shuffles. Scaled-integer output keeps the oracle hash-stable.
+    // Add-one-smoothed BIGRAM language model trained on the corpus and
+    // scoring every doc in the same job — the next step up from
+    // text_unigram_logprob's context-free model, and the cheap in-engine
+    // stand-in for the external-LM perplexity filter (CCNet/Gopher use
+    // KenLM; the plumbing — train counts, join scores back, per-doc mean
+    // NLL — is identical). P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V). Bigrams
+    // come from ONE lead() window per doc (a single (doc_id) shuffle),
+    // counts map-side combine on Zipf-skewed keys, and the scoring join
+    // ships (w1,w2)-keyed counts, never text. At 100 TB the LM tables
+    // are the small side (≤ vocab², bounded) — AQE broadcasts them;
+    // per-ulp log noise dies in avg + round(4), the unigram precedent.
+    "text_bigram_lm" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = toks
+        .withColumn("w2", lead(col("tok"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+      val v = toks.agg(countDistinct(col("tok")).cast("double").as("v"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("cnt2") + 1) / (col("cnt1") + col("v")))), 4)
+            .as("nll"))
+        .orderBy("doc_id")
+    }),
+
     "text_unigram_logprob" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -794,6 +826,34 @@ object CorpusOps extends QueryGroup {
     // scaled integers so the oracle hash is exact. Target weights are
     // derived deterministically from the source name (fixtures carry
     // no external mix table).
+    // Temperature-scaled language sampling (the XLM/mT5 multilingual
+    // mixture rule): sampling weight q_l ∝ p_l^(1/T) flattens the
+    // head-language dominance; T=2 here so the exponent is sqrt —
+    // deliberately, because IEEE sqrt is CORRECTLY ROUNDED on every
+    // engine while libm pow(x, 0.3) is not, so the cross-engine hash
+    // survives without a fixed-point detour. upsample_x = q_l/p_l is
+    // the per-language repetition factor the data loader applies. One
+    // 5-row aggregate + a broadcast total — at 100 TB this is a
+    // metadata computation over per-language token counts; only the
+    // downstream WEIGHTED sampler (sample_importance) touches rows.
+    "sample_temperature" -> ((s, d) => {
+      val per = docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+      val tot = per.agg(
+        sum(col("n_tokens")).as("tot_tokens"),
+        sum(sqrt(col("n_tokens").cast("double"))).as("tot_sqrt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div tot_tokens").as("share_x1e6"),
+          round(sqrt(col("n_tokens").cast("double")) / col("tot_sqrt"), 4)
+            .as("samp_weight"),
+          round(sqrt(col("n_tokens").cast("double")) * col("tot_tokens")
+            / (col("tot_sqrt") * col("n_tokens")), 4).as("upsample_x"))
+        .orderBy("lang")
+    }),
+
     "text_domain_mix" -> ((s, d) => {
       val per = docs(s, d)
         .groupBy(col("source"))
@@ -1009,6 +1069,24 @@ object CorpusOps extends QueryGroup {
         |    || REGEXP_EXTRACT(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS canon,
         |  MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
         |FROM u GROUP BY canon ORDER BY canon""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    UNNEST(GENERATE_SERIES(1, LEN(STR_SPLIT(text, ' ')))) AS pos,
+        |    UNNEST(STR_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, tok AS w1,
+        |      LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks) WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM bg GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(-LN((cnt2 + 1) / (cnt1 + v))), 4) AS nll
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok
@@ -1164,6 +1242,21 @@ object CorpusOps extends QueryGroup {
         |  COUNT(*) AS n_docs, ROUND(AVG(nll), 4) AS mean_nll
         |FROM nll, thr
         |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "sample_temperature" ->
+      """WITH per AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |               SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS tot_sqrt
+        |        FROM per)
+        |SELECT lang, n_docs, n_tokens,
+        |  n_tokens * 1000000 // tot_tokens AS share_x1e6,
+        |  ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / tot_sqrt, 4)
+        |    AS samp_weight,
+        |  ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * tot_tokens
+        |    / (tot_sqrt * n_tokens), 4) AS upsample_x
+        |FROM per, tot ORDER BY lang""".stripMargin,
     "text_domain_mix" ->
       """WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -417,6 +417,23 @@ object Aggregates extends QueryGroup {
         .orderBy("o_custkey")
     }),
 
+    // Boolean aggregate family — BOOL_AND / BOOL_OR (a.k.a. EVERY/SOME)
+    // and the COUNT_IF conditional counter: the data-quality assertion
+    // shape ("every row in the group satisfies P", "how many violate
+    // Q") without a self-join or a CASE-wrapped SUM. All three are
+    // plain map-side-combinable aggregates — one scan, one shuffle of
+    // 3 booleans/longs per group at any scale.
+    "agg_bool" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          count_if(col("o_totalprice") > 200000).as("n_large"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Incremental aggregate maintenance — the materialized-view update
     // every warehouse ETL runs: the already-ingested 90% lives as a
     // persisted PARTIAL aggregate (count/sum are mergeable state), the
@@ -667,6 +684,14 @@ object Aggregates extends QueryGroup {
         | ARG_MAX(o_orderkey, o_totalprice) AS top_order,
         | ARG_MIN(o_orderkey, o_totalprice) AS bottom_order,
         | ROUND(MAX(o_totalprice), 4) AS top_price
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        | BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+        | BOOL_OR(o_orderstatus = 'P') AS any_pending,
+        | COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -341,6 +341,35 @@ object Analytics extends QueryGroup {
     // orientation above and skew decisions generally). Canonicalize →
     // count both endpoints → histogram: three partial-agg shuffles,
     // each output orders of magnitude smaller than its input.
+    // Single-source SHORTEST PATH (BFS hop count) over the directed
+    // link graph — the remaining graph primitive next to PageRank /
+    // triangles / CC / Jaccard. DELTA-FRONTIER iteration: each round
+    // joins only the newly-reached frontier against the edge table
+    // (never the full dist set — re-expanding settled nodes is the
+    // classic Pregel waste), anti-joins out already-settled nodes, and
+    // localCheckpoints both tables (the dedup_clusters discipline —
+    // without it the plan doubles per round). 6 rounds cover the
+    // fixture diameter; rounds are diameter-bounded like every BFS. At
+    // 100 TB the frontier join shuffles |frontier|·outdeg rows keyed
+    // on node — cost tracks the BFS wavefront, not |V|², and the edge
+    // table partitioning is reused across rounds via the checkpoint.
+    "graph_shortest_path" -> ((s, d) => {
+      val (_, edgesRaw) = linkGraph(s, d)
+      val e = edgesRaw.localCheckpoint()
+      var dist = s.range(1)
+        .select(lit(0L).as("node"), lit(0).as("dist")).localCheckpoint()
+      var frontier = dist
+      for (k <- 1 to 6) {
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(k).as("dist")).localCheckpoint()
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+      dist.orderBy("node")
+    }),
+
     "graph_degree_hist" -> ((s, d) => {
       val (_, raw) = linkGraph(s, d)
       val und = raw.select(least(col("src"), col("dst")).as("u"),
@@ -497,6 +526,23 @@ object Analytics extends QueryGroup {
           |WHERE l_quantity >= :min_qty AND l_returnflag <> :excl
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
         Map("min_qty" -> 30, "excl" -> "N"))
+    }),
+
+    // IDENTIFIER() clause (SQL:2023 / Spark 4): table AND column names
+    // arrive as PARAMETERS — the injection-safe dynamic-SQL surface a
+    // multi-tenant warehouse template engine needs (string-concat SQL
+    // is the alternative, and it is how SQL injection happens).
+    // Resolution is parse-time; the resulting plan is identical to the
+    // literal-name query, so pushdown/pruning are unaffected.
+    "sql_identifier" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("id_orders")
+      s.sql(
+        """SELECT IDENTIFIER(:grp) AS status, COUNT(*) AS n_orders,
+          |  ROUND(SUM(IDENTIFIER(:val)), 4) AS total
+          |FROM IDENTIFIER(:tbl)
+          |GROUP BY IDENTIFIER(:grp) ORDER BY status""".stripMargin,
+        Map("tbl" -> "id_orders", "grp" -> "o_orderstatus",
+          "val" -> "o_totalprice"))
     }),
 
     // recursive CTE (new in Spark 4): a generated monthly calendar spine
@@ -683,6 +729,30 @@ object Analytics extends QueryGroup {
         |SELECT COUNT(*) AS n_triangles FROM dir e1
         |JOIN dir e2 ON e1.s = e2.s AND e1.t <> e2.t
         |JOIN dir e3 ON e3.s = e1.t AND e3.t = e2.t""".stripMargin,
+    "graph_shortest_path" ->
+      s"""WITH $oLinkGraph,
+        |p1 AS (SELECT DISTINCT dst AS node, 1 AS dist FROM edges
+        |       WHERE src = 0),
+        |p2 AS (SELECT DISTINCT e.dst AS node, 2 AS dist
+        |       FROM p1 JOIN edges e ON e.src = p1.node),
+        |p3 AS (SELECT DISTINCT e.dst AS node, 3 AS dist
+        |       FROM p2 JOIN edges e ON e.src = p2.node),
+        |p4 AS (SELECT DISTINCT e.dst AS node, 4 AS dist
+        |       FROM p3 JOIN edges e ON e.src = p3.node),
+        |p5 AS (SELECT DISTINCT e.dst AS node, 5 AS dist
+        |       FROM p4 JOIN edges e ON e.src = p4.node),
+        |p6 AS (SELECT DISTINCT e.dst AS node, 6 AS dist
+        |       FROM p5 JOIN edges e ON e.src = p5.node),
+        |allp AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+        |  UNION ALL SELECT node, dist FROM p1
+        |  UNION ALL SELECT node, dist FROM p2
+        |  UNION ALL SELECT node, dist FROM p3
+        |  UNION ALL SELECT node, dist FROM p4
+        |  UNION ALL SELECT node, dist FROM p5
+        |  UNION ALL SELECT node, dist FROM p6)
+        |SELECT node, MIN(dist) AS dist FROM allp
+        |GROUP BY node ORDER BY node""".stripMargin,
     "graph_degree_hist" ->
       s"""WITH $oLinkGraph,
         |und AS (SELECT DISTINCT LEAST(src, dst) AS u,
@@ -741,6 +811,10 @@ object Analytics extends QueryGroup {
         |         THEN hi ELSE (lo+hi)/2 END
         |  FROM b WHERE i < 6)
         |SELECT ROUND(hi, 4) AS median_upper FROM b WHERE i = 6""".stripMargin,
+    "sql_identifier" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     "sql_named_params" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         |  ROUND(SUM(l_extendedprice), 4) AS sum_price

@@ -225,6 +225,34 @@ object Relational extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // As-of join with a TOLERANCE bound (pandas merge_asof semantics):
+    // match the latest prior order ONLY if it is within 7 days;
+    // otherwise the event keeps NULLs via the LEFT join (join_asof
+    // silently matches arbitrarily stale rows — for feature lookups
+    // that staleness is leakage, so the bounded form is what a feature
+    // store actually runs). The tolerance also changes the SCALE story:
+    // the join range is now fixed-width, so at 100 TB this key's plan
+    // upgrade is bin-by-90-day-window equi-join (join_interval_binned's
+    // recipe) instead of an unbounded per-key backward scan.
+    "join_asof_tolerance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "events")
+        .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
+      val o = Tables(s, d, "orders")
+      val joined = e.join(o,
+        col("user_id") === col("o_custkey")
+          && col("o_orderdate") <= col("ts2")
+          && col("o_orderdate") >= expr("ts2 - INTERVAL 7 DAYS"), "left")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey"),
+          datediff(col("ts2").cast("date"), col("o_orderdate").cast("date"))
+            .as("gap_days"))
+        .orderBy("event_id")
+    }),
+
     // null-safe equi join: <=> as the JOIN KEY (not just a predicate) —
     // NULL keys match each other, which a plain = join silently drops.
     // Still plans as a hash join (null-safe equality is hashable).
@@ -704,6 +732,21 @@ object Relational extends QueryGroup {
         |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
         |  JOIN orders o ON e.user_id = o.o_custkey
         |   AND o.o_orderdate <= e.ts2)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT event_id, o_orderkey,
+        |  DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(ts2 AS DATE))
+        |    AS gap_days
+        |FROM (
+        |  SELECT e.event_id, e.ts2, o.o_orderkey, o.o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT event_id, user_id,
+        |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2
+        |        FROM events) e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey
+        |   AND o.o_orderdate <= e.ts2
+        |   AND o.o_orderdate >= e.ts2 - INTERVAL 7 DAY)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_null_safe" ->
       """SELECT nk, COUNT(*) AS n_matches, MIN(n_name) AS first_name

@@ -291,6 +291,39 @@ object ScaleOps extends QueryGroup {
         .select(col("site_id"), col("c_custkey"),
           round(col("dist_km"), 4).as("dist_km"))
         .orderBy("site_id", "c_custkey")
+    }),
+
+    // Cost-based join REORDER: register the three tables in the session
+    // catalog, ANALYZE row+column stats, and run the star join with CBO
+    // + joinReorder on — the stats-driven planning a 100 TB warehouse
+    // lives by (without stats Catalyst keeps the syntactic order and
+    // only rule-based heuristics fire; with them the optimizer picks
+    // build sides and join order from estimated cardinalities — here
+    // orders⋈customer first, the 25-row nation last as a broadcast).
+    // ScaleOpsSpec asserts the catalog stats exist and the reordered
+    // plan equals the unreordered result; the oracle proves the rows.
+    "opt_cbo_reorder" -> ((s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_cbo")
+      for (t <- Seq("nation", "customer", "orders")) {
+        s.sql(s"DROP TABLE IF EXISTS graft_cbo.${t}_cbo")
+        s.sql(s"""CREATE TABLE graft_cbo.${t}_cbo
+                 |USING parquet LOCATION '$d/$t.parquet'""".stripMargin)
+        s.sql(s"ANALYZE TABLE graft_cbo.${t}_cbo COMPUTE STATISTICS " +
+          "FOR ALL COLUMNS")
+      }
+      withConfs(s, Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true")) {
+        s.sql(
+          """SELECT n_name, COUNT(*) AS n_orders,
+            | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            |   AS DOUBLE), 2) AS revenue
+            |FROM graft_cbo.orders_cbo, graft_cbo.customer_cbo,
+            |     graft_cbo.nation_cbo
+            |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+            |GROUP BY n_name ORDER BY n_name""".stripMargin)
+          .localCheckpoint() // materialize while CBO confs are active
+      }
     })
   )
 
@@ -533,6 +566,13 @@ object ScaleOps extends QueryGroup {
         |        * POW(SIN(RADIANS(lon - qlon) / 2), 2))) AS dist_km
         |  FROM sites CROSS JOIN pts)
         |WHERE dist_km <= 500.0
-        |ORDER BY site_id, c_custkey""".stripMargin
+        |ORDER BY site_id, c_custkey""".stripMargin,
+    "opt_cbo_reorder" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

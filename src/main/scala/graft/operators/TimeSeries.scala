@@ -35,6 +35,31 @@ object TimeSeries extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
 
+    // Calendar GAP detection per user (the data-freshness audit every
+    // event pipeline runs): collapse to distinct active days, one lag()
+    // window gives each day's gap to its predecessor, and a per-user
+    // rollup reports span/active/missing/max-gap — missing days are
+    // DERIVED (span − active, max over lag diffs), never materialized:
+    // no calendar explode, so a user active twice a decade costs 2
+    // rows, not 3650. One (user) shuffle after a map-side distinct.
+    "ts_gaps" -> ((s, d) => {
+      val days = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("gap",
+          datediff(col("day"), lag(col("day"), 1).over(w)) - 1)
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).cast("string").as("first_day"),
+          max(col("day")).cast("string").as("last_day"),
+          (datediff(max(col("day")), min(col("day"))) + 1).cast("bigint")
+            .as("span_days"),
+          count(lit(1)).as("active_days"),
+          coalesce(sum(col("gap")), lit(0)).cast("bigint")
+            .as("missing_days"),
+          coalesce(max(col("gap")), lit(0)).cast("bigint").as("max_gap"))
+        .orderBy("user_id")
+    }),
+
     // Gap-filled daily resample: every (user, day) cell of the observed
     // span, zero-filled where the user was inactive that day. The grid
     // (distinct users × day sequence) is derived data orders of magnitude
@@ -521,6 +546,22 @@ object TimeSeries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    "ts_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    DATE_DIFF('day', LAG(day) OVER (PARTITION BY user_id
+        |      ORDER BY day), day) - 1 AS gap
+        |  FROM days)
+        |SELECT user_id,
+        |  CAST(MIN(day) AS VARCHAR) AS first_day,
+        |  CAST(MAX(day) AS VARCHAR) AS last_day,
+        |  DATE_DIFF('day', MIN(day), MAX(day)) + 1 AS span_days,
+        |  COUNT(*) AS active_days,
+        |  CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS missing_days,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_resample" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
         |           WHERE event_type = 'purchase' AND user_id < 10),

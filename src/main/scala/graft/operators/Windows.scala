@@ -382,6 +382,28 @@ object Windows extends QueryGroup {
       o.filter(col("o_orderkey") % 2 === 0)
         .except(o.filter(col("o_orderkey") % 4 === 0))
         .orderBy("o_orderkey")
+    }),
+
+    // Multiset INTERSECT ALL — duplicates carry min(multiplicity), the
+    // semantics DISTINCT intersect erases (lineitem repeats partkeys, so
+    // the two sides genuinely disagree on counts). Catalyst plans both
+    // ALL set ops as ONE hash aggregate on the key computing the two
+    // side-counts, then a generate replays min/difference copies — a
+    // single shuffle at any scale, never a join of the raw multisets.
+    "set_intersect_all" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+      val a = l.filter(col("l_quantity") > 30).select(col("l_partkey"))
+      val b = l.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+      a.intersectAll(b).orderBy("l_partkey")
+    }),
+
+    // Multiset EXCEPT ALL — multiplicity subtraction (keep max(0, a-b)
+    // copies). Same one-aggregate plan class as set_intersect_all.
+    "set_except_all" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+      val a = l.filter(col("l_quantity") > 30).select(col("l_partkey"))
+      val b = l.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+      a.exceptAll(b).orderBy("l_partkey")
     })
   )
 
@@ -609,6 +631,16 @@ object Windows extends QueryGroup {
       """SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
         |EXCEPT
         |SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity > 30
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_partkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity > 30
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_partkey""".stripMargin
   )
 }

@@ -286,6 +286,23 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // REBALANCE-hinted write — the AQE-era answer to output-file sizing
+    // (sink_compact's fixed repartition(2) is the manual form): the
+    // hint lets AQE coalesce small partitions AND split skewed ones at
+    // runtime to advisoryPartitionSizeInBytes, so the writer neither
+    // hand-picks a partition count nor melts one reducer on a hot key.
+    // At 100 TB this replaces the nightly "small files" compaction
+    // tuning loop entirely — the advisory size IS the file size knob.
+    "sink_rebalance_write" -> ((s, d) => {
+      val out = Tables.scratch(d, "orders_rebalanced")
+      Tables(s, d, "orders").hint("rebalance")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // JSONL sink: write supplier as JSON lines, read back with an
     // explicit schema (inference would widen int32 → bigint).
     // XML round-trip — Spark 4's built-in XML source (rowTag records):
@@ -624,6 +641,9 @@ object Scans extends QueryGroup {
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sink_compact" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sink_rebalance_write" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sink_dynamic_overwrite" ->

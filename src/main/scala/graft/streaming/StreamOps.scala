@@ -182,6 +182,26 @@ object StreamOps extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
+    // the state-safe production form of stream_dedup — plain
+    // dropDuplicates keeps every key seen FOREVER (state grows with the
+    // stream; at 100 TB/day that is the job's death), while the
+    // within-watermark variant evicts keys older than the event-time
+    // bound, trading unbounded memory for the documented guarantee
+    // (exact dedup only within the watermark window — the right
+    // contract when duplicates are retries arriving close together).
+    // The fixture replay fits inside one watermark window, so the
+    // result provably equals the unbounded dedup (the oracle).
+    "stream_dedup_watermark" -> ((s, d) => {
+      val e = eventsStream(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "90 days")
+      val deduped = e.union(e).dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "event_type")
+      runToTable(deduped, "graft_stream_dedup_wm", "append")
+        .orderBy("event_id")
+    }),
+
     // stream-static join: each micro-batch of events joins the static
     // customer dimension (broadcast-eligible — the standard enrichment
     // topology at any scale).
@@ -656,6 +676,9 @@ object StreamOps extends QueryGroup {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_dedup" ->
+      """SELECT DISTINCT event_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    "stream_dedup_watermark" ->
       """SELECT DISTINCT event_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
     "stream_stream_join" ->

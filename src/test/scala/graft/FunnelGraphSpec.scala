@@ -122,4 +122,26 @@ class FunnelGraphSpec extends SparkSpec {
       else assert(conv == 0, s"non-converting depth carries latency $conv")
     }
   }
+
+  test("graph_shortest_path matches a plain-Scala BFS replay") {
+    val got = SparkEntry.queries("graph_shortest_path")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent BFS over the same synthetic edge rule
+    val n = Tables(spark, sf, "documents").count()
+    val adj = (0L until n).map { v =>
+      v -> Seq((v * 7 + 13) % n, (v * 31 + 5) % n, v % 10)
+        .filter(_ != v).distinct
+    }.toMap
+    val dist = scala.collection.mutable.Map(0L -> 0)
+    var frontier = Set(0L)
+    for (k <- 1 to 6) {
+      frontier = frontier.flatMap(adj)
+        .filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = k)
+    }
+    assert(got == dist.toMap,
+      s"BFS diverged: missing ${dist.keySet -- got.keySet}, " +
+        s"extra ${got.keySet -- dist.keySet}, " +
+        s"diffs ${got.collect { case (k, v) if dist.get(k).exists(_ != v) => (k, v, dist(k)) }.take(5)}")
+  }
 }

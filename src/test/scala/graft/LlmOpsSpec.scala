@@ -115,4 +115,59 @@ class LlmOpsSpec extends SparkSpec {
         s"doc $id features mismatch")
     }
   }
+
+  test("sample_temperature: weights normalize and flatten the mixture") {
+    val rows = SparkEntry.queries("sample_temperature")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("samp_weight"), r.getAs[Double]("upsample_x")))
+    assert(rows.length >= 2)
+    val wsum = rows.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-2, s"weights sum to $wsum")
+    // temperature flattening: the sampled ratio between the largest and
+    // smallest language is the SQRT of the raw token ratio
+    val byTok = rows.sortBy(_._2)
+    val (lo, hi) = (byTok.head, byTok.last)
+    val rawRatio = hi._2.toDouble / lo._2
+    val sampRatio = hi._3 / lo._3
+    assert(math.abs(sampRatio - math.sqrt(rawRatio)) < 0.05 * sampRatio,
+      s"flattening law violated: $sampRatio vs sqrt($rawRatio)")
+    // upsample_x = q/p must exceed 1 for the rarest, undercut 1 for the
+    // most common (that is the entire point of temperature sampling)
+    assert(lo._4 > 1.0 && hi._4 < 1.0, s"upsample direction: $lo $hi")
+  }
+
+  test("text_bigram_lm: per-doc NLL behaves like a smoothed bigram LM") {
+    val rows = SparkEntry.queries("text_bigram_lm")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("nll"))).toSeq
+    val nTok = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every doc with ≥2 tokens scores; bigram count is tokens-1
+    rows.foreach { case (id, nBg, nll) =>
+      assert(nBg == nTok(id) - 1, s"doc $id: $nBg bigrams, ${nTok(id)} toks")
+      assert(nll > 0, s"doc $id: smoothed NLL must be positive, got $nll")
+    }
+    assert(rows.map(_._1).toSet == nTok.filter(_._2 >= 2).keySet)
+  }
+
+  test("join_asof_tolerance: gaps bounded, all events preserved") {
+    val rows = SparkEntry.queries("join_asof_tolerance")(spark, sf)
+      .collect()
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(rows.length == nEvents, "left as-of join must keep every event")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("o_orderkey"))) {
+        val gap = r.getAs[Int]("gap_days")
+        assert(gap >= 0 && gap <= 7, s"tolerance violated: $r")
+      } else assert(r.isNullAt(r.fieldIndex("gap_days")), s"$r")
+    }
+    // the tolerance must actually bind on this fixture: some events
+    // match under plain as-of but not under the 7-day bound
+    val unmatched = rows.count(_.isNullAt(1))
+    val asofUnmatched = SparkEntry.queries("join_asof")(spark, sf).count()
+    assert(unmatched > nEvents - asofUnmatched,
+      s"tolerance never binds: $unmatched unmatched vs plain as-of")
+  }
 }

@@ -144,7 +144,14 @@ class PlanSpec extends SparkSpec {
       "sim_ann_ivfpq",
       // agg_sketch_intersect crossjoins 1-row sketch/exact aggregates
       // (scalar-subquery pattern — three sketches, two exact counts)
-      "agg_sketch_intersect")
+      "agg_sketch_intersect",
+      // sample_temperature / text_bigram_lm broadcast-crossjoin a
+      // 1-row derived total (corpus token totals; vocab size) — the
+      // nlp_tfidf scalar-subquery pattern
+      "sample_temperature", "text_bigram_lm",
+      // sim_mrl_truncate broadcast-NLJs the tiny query set against one
+      // corpus scan (the sim_cosine_topk brute-force-serve shape)
+      "sim_mrl_truncate")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {

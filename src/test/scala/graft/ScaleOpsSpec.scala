@@ -106,6 +106,39 @@ class ScaleOpsSpec extends SparkSpec {
       "site side did not broadcast")
   }
 
+  test("opt_cbo_reorder: stats exist and CBO result equals stock plan") {
+    val withCbo = run("opt_cbo_reorder").collect()
+    // ANALYZE left row+column stats behind for all three tables
+    for (t <- Seq("nation", "customer", "orders")) {
+      val stats = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${t}_cbo", Some("graft_cbo"))).stats
+      assert(stats.flatMap(_.rowCount).exists(_ > 0), s"no row stats on $t")
+      assert(stats.exists(_.colStats.nonEmpty), s"no column stats on $t")
+    }
+    // the reorder is a pure plan change: same rows as the stock planner
+    val stock = spark.sql(
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |   AS DOUBLE), 2) AS revenue
+        |FROM graft_cbo.orders_cbo, graft_cbo.customer_cbo,
+        |     graft_cbo.nation_cbo
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin).collect()
+    assert(withCbo.map(_.toString).toSeq == stock.map(_.toString).toSeq)
+  }
+
+  test("ALL set ops satisfy the multiset identity |A∩B| + |A∖B| = |A|") {
+    val nInter = run("set_intersect_all").count()
+    val nExcept = run("set_except_all").count()
+    val nA = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30).count()
+    assert(nInter + nExcept == nA,
+      s"$nInter + $nExcept != $nA — ALL semantics lost multiplicities")
+    // and the DISTINCT forms are strictly coarser
+    assert(run("set_intersect_all").distinct().count() <= nInter)
+  }
+
   test("two-phase distinct equals the naive distinct aggregation") {
     val twoPhase = run("agg_distinct_twophase").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -91,4 +91,18 @@ class ScansSpec extends SparkSpec {
     assert(drop.getAs[Long]("n_rows") == 600)
     assert(drop.getAs[Long]("n_amount_ok") == 500)
   }
+
+  test("sink_rebalance_write: content lossless, file count AQE-bounded") {
+    val out = SparkEntry.queries("sink_rebalance_write")(spark, sf)
+    assert(out.count() == Tables(spark, sf, "orders").count())
+    val dir = Tables.scratch(sf, "orders_rebalanced")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "*.parquet")).length
+    // AQE coalesces the tiny fixture into a handful of output files —
+    // the point of the hint vs the shuffle-partition count (4 here,
+    // 32+ in prod) fanning out one file each
+    assert(nFiles >= 1 && nFiles <= 4, s"rebalance wrote $nFiles files")
+  }
 }
