@@ -305,6 +305,85 @@ object VectorOps extends QueryGroup {
     // ([x; sqrt(M²−|x|²)] on the corpus side, [q; 0] on the query
     // side), so the IVF/LSH paths above serve MIPS unchanged; this is
     // the exact baseline those would be measured against.
+    // 1-BIT BINARY QUANTIZATION + Hamming serve — the most aggressive
+    // compression on the quantization ladder (float64 → int8
+    // embed_quantize → 8-code PQ → 1 bit/dim here): sign-bit pack 63
+    // dims into ONE BIGINT (63 not 64 — shiftleft(1L,63) overflows
+    // signed in the oracle engine, the agg_bitmap_distinct precedent),
+    // rank by bit_count(XOR) Hamming distance, and report per-query
+    // overlap@5 against true cosine — the number that decides whether
+    // 8 bytes/vector survives as a first-pass filter. All-integer
+    // candidate math: at 100 TB the packed column is 128 GB per 16B
+    // vectors, popcount is SIMD, and exact re-rank touches only the
+    // Hamming shortlist. Fully deterministic (no float in the Hamming
+    // path), so the oracle replays it bit-for-bit.
+    "embed_bitpack_hamming" -> ((s, d) => {
+      val packed = emb(s, d).withColumn("code", expr(
+        "aggregate(sequence(1, 63), 0L, (acc, i) -> acc + " +
+          "CASE WHEN element_at(v, i) > 0D THEN shiftleft(1L, i - 1) " +
+          "ELSE 0L END)"))
+      val q = packed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("code").as("qcode"))
+      val base = packed.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr("bit_count(code ^ qcode)"))
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+      val wh = Window.partitionBy("qid")
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      val wc = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val ranked = base
+        .withColumn("rh", row_number().over(wh))
+        .withColumn("rc", row_number().over(wc))
+      val overlap = ranked.filter(col("rh") <= 5)
+        .select(col("qid"), col("vec_id"))
+        .join(ranked.filter(col("rc") <= 5).select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("overlap5"))
+      ranked.filter(col("rh") === 1)
+        .select(col("qid"), col("ham").as("best_ham"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"), col("best_ham"),
+          coalesce(col("overlap5"), lit(0L)).as("overlap5"))
+        .orderBy("qid")
+    }),
+
+    // ONE Lloyd iteration of k-means, fully oracled — the in-engine
+    // clustering step (sim_centroids serves trained centroids;
+    // ml_logreg_gd loops 25 GD rounds under ScalaTest): deterministic
+    // init (the 8 vectors with id ≡ 0 mod 64 below 512), assignment by
+    // rank over exact squared distance (the graft_dot fold order makes
+    // both engines' doubles bitwise equal, so ranks agree — the
+    // sim_cosine_topk contract), then per-(cluster, dim) means rebuild
+    // the centroids. Scale shape: assignment is a broadcast-NLJ of K
+    // tiny centroids against one corpus scan (the IVF quantizer shape);
+    // the update shuffles (cid, dim) partial sums — K·dim cells, never
+    // vectors. A full training loop is this key iterated with
+    // localCheckpoint (the dedup_clusters discipline).
+    "ml_kmeans_step" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist2").asc, col("cid").asc)
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("dist2", expr(
+          s"${dot("v", "v")} - 2 * ${dot("v", "cv")} + ${dot("cv", "cv")}"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val newNorm = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dimi", "x")))
+        .groupBy(col("cid"), col("dimi")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("cid"))
+        .agg(round(sqrt(sum(col("mu") * col("mu"))), 4).as("centroid_norm"))
+      assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("dist2")), 4).as("inertia"))
+        .join(newNorm, Seq("cid"))
+        .orderBy("cid")
+    }),
+
     "sim_mips" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") % 100 === 0)
@@ -704,6 +783,65 @@ object VectorOps extends QueryGroup {
          |FROM q LEFT JOIN ov ON q.qid = ov.qid
          |ORDER BY q.qid""".stripMargin
     },
+    "embed_bitpack_hamming" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |packed AS (SELECT vec_id, v,
+         |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, 63), i ->
+         |      CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+         |           ELSE CAST(0 AS BIGINT) END)),
+         |    (x, y) -> x + y) AS code
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, code AS qcode FROM packed
+         |      WHERE vec_id % 100 = 0),
+         |base AS (
+         |  SELECT qid, vec_id, BIT_COUNT(XOR(code, qcode)) AS ham,
+         |    ${oDot("qv", "v")} / (${oNorm("qv")} * ${oNorm("v")}) AS cos
+         |  FROM packed CROSS JOIN q WHERE vec_id <> qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, ham,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ham ASC, vec_id ASC) AS rh,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rc
+         |  FROM base),
+         |ovl AS (SELECT a.qid, COUNT(*) AS overlap5
+         |  FROM (SELECT qid, vec_id FROM ranked WHERE rh <= 5) a
+         |  JOIN (SELECT qid, vec_id FROM ranked WHERE rc <= 5) b
+         |    ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |  GROUP BY a.qid)
+         |SELECT r.qid, r.ham AS best_ham,
+         |  CAST(COALESCE(overlap5, 0) AS BIGINT) AS overlap5
+         |FROM ranked r LEFT JOIN ovl ON r.qid = ovl.qid
+         |WHERE r.rh = 1 ORDER BY r.qid""".stripMargin,
+    "ml_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |      WHERE vec_id % 64 = 0 AND vec_id < 512),
+         |a AS (SELECT vec_id, v, cid,
+         |    ${oDot("v", "v")} - 2 * ${oDot("v", "cv")} + ${oDot("cv", "cv")}
+         |      AS dist2
+         |  FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, v, cid, dist2 FROM (
+         |  SELECT vec_id, v, cid, dist2, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+         |  FROM a) WHERE rn = 1),
+         |dims AS (SELECT cid,
+         |    UNNEST(GENERATE_SERIES(1, 64)) AS dimi, UNNEST(v) AS x
+         |  FROM asg),
+         |mu AS (SELECT cid, dimi, AVG(x) AS mu FROM dims
+         |       GROUP BY cid, dimi),
+         |nc AS (SELECT cid, ROUND(SQRT(SUM(mu * mu)), 4) AS centroid_norm
+         |       FROM mu GROUP BY cid),
+         |st AS (SELECT cid, COUNT(*) AS n_members,
+         |         ROUND(SUM(dist2), 4) AS inertia
+         |       FROM asg GROUP BY cid)
+         |SELECT st.cid, n_members, inertia, centroid_norm
+         |FROM st JOIN nc ON st.cid = nc.cid ORDER BY st.cid""".stripMargin,
     "sim_mips" ->
       s"""WITH e AS (SELECT vec_id, label,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

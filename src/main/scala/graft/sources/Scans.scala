@@ -286,6 +286,25 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // Hidden _metadata columns (file provenance + row_index) — the
+    // ROW-LEVEL LINEAGE primitive: at 100 TB, "which file and offset
+    // did this bad row come from" is the difference between re-reading
+    // one 128 MB file and re-scanning a table. The key reports the
+    // structural laws (row_index is a dense 0..N−1 bijection per file,
+    // one source file here) rather than raw paths — machine-specific
+    // LOCATION never reaches the oracle (SURVEY §5.2), and the laws
+    // are exactly what an incremental-repair job relies on.
+    "scan_metadata_cols" -> ((s, d) => {
+      s.read.parquet(s"$d/orders.parquet")
+        .select(expr("_metadata.row_index").as("ri"),
+          expr("_metadata.file_name").as("fn"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fn")).as("n_files"),
+          min(col("ri")).as("min_idx"),
+          max(col("ri")).as("max_idx"),
+          countDistinct(col("ri")).as("n_distinct_idx"))
+    }),
+
     // REBALANCE-hinted write — the AQE-era answer to output-file sizing
     // (sink_compact's fixed repartition(2) is the manual form): the
     // hint lets AQE coalesce small partitions AND split skewed ones at
@@ -646,6 +665,12 @@ object Scans extends QueryGroup {
     "sink_rebalance_write" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_metadata_cols" ->
+      """SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
+        | CAST(0 AS BIGINT) AS min_idx,
+        | CAST(COUNT(*) - 1 AS BIGINT) AS max_idx,
+        | COUNT(*) AS n_distinct_idx
+        |FROM orders""".stripMargin,
     "sink_dynamic_overwrite" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
         | ROUND(SUM(l_quantity *

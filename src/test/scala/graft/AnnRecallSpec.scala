@@ -117,4 +117,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == rerun.map(_.toString).toSeq,
       "truncation report is not rerun-stable")
   }
+
+  test("embed_bitpack_hamming: sign bits carry signal, overlap bounded") {
+    val rows = SparkEntry.queries("embed_bitpack_hamming")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("overlap5")
+      assert(ov >= 0 && ov <= 5, s"overlap@5 out of range: $r")
+      // a random 63-bit code pair lands at E[ham]=31.5; the nearest
+      // neighbor must beat that midpoint or the packing carries no
+      // geometry at all
+      assert(r.getAs[Int]("best_ham") < 32, s"no Hamming signal: $r")
+    }
+  }
+
+  test("ml_kmeans_step: assignment is a partition of the corpus") {
+    val rows = SparkEntry.queries("ml_kmeans_step")(spark, sf).collect()
+    assert(rows.length == 8, s"expected 8 clusters, got ${rows.length}")
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n,
+      "cluster sizes must partition the corpus exactly")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("inertia") > 0 &&
+        r.getAs[Double]("centroid_norm") > 0, s"degenerate cluster: $r")
+    }
+  }
 }

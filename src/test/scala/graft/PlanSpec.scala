@@ -151,7 +151,11 @@ class PlanSpec extends SparkSpec {
       "sample_temperature", "text_bigram_lm",
       // sim_mrl_truncate broadcast-NLJs the tiny query set against one
       // corpus scan (the sim_cosine_topk brute-force-serve shape)
-      "sim_mrl_truncate")
+      "sim_mrl_truncate",
+      // embed_bitpack_hamming broadcast-NLJs the tiny query set (the
+      // sim_cosine_topk serve shape); ml_kmeans_step broadcast-NLJs the
+      // 8-centroid set for assignment (the sim_ann_ivf quantizer shape)
+      "embed_bitpack_hamming", "ml_kmeans_step")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
