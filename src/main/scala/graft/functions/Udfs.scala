@@ -80,6 +80,34 @@ object Udfs extends QueryGroup {
 
     // table-generating function: one row in, N rows out, via typed
     // flatMap (public API; same semantics as a Catalyst Generator).
+    // Custom Catalyst AGGREGATE (TypedImperativeAggregate) — the
+    // deliberate §4.3 gap closed: graft_hll (HllExpressions.scala) is
+    // a HyperLogLog whose registers are a portable function of the
+    // md5-prefix hash, so the ENTIRE sketch — register sum, zero
+    // count, estimate — is replayed by the DuckDB oracle in plain SQL
+    // and hash-compared exactly (s_scaled/zeros are exact integers;
+    // only the final estimate is rounded). approx_count_distinct
+    // remains the production choice (its HLL++ is better-tuned); this
+    // key proves the custom-aggregate extension surface end to end.
+    // The exact COUNT(DISTINCT) rides along as the accuracy witness.
+    "expr_custom_hll" -> ((s, d) => {
+      VectorExpressions.register(s)
+      Tables(s, d, "events").createOrReplaceTempView("hll_events")
+      s.sql(
+        """SELECT event_type, ROUND(hll.est, 4) AS est_distinct,
+          |  hll.s_scaled AS s_scaled, hll.zeros AS zeros, n_exact
+          |FROM (
+          |  SELECT event_type, graft_hll(h) AS hll,
+          |    COUNT(DISTINCT user_id) AS n_exact
+          |  FROM (
+          |    SELECT event_type, user_id,
+          |      CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),
+          |           16, 10) AS BIGINT) AS h
+          |    FROM hll_events)
+          |  GROUP BY event_type)
+          |ORDER BY event_type""".stripMargin)
+    }),
+
     "udtf_generator" -> ((s, d) => {
       import s.implicits._
       Tables(s, d, "orders")
@@ -96,6 +124,43 @@ object Udfs extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "expr_custom_hll" ->
+      """WITH src AS (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events),
+        |reg AS (
+        |  SELECT event_type, h % 512 AS bucket,
+        |    MAX(CASE WHEN h // 512 = 0 THEN 52
+        |        ELSE 52 - LENGTH(BIN(h // 512)) END) AS rho
+        |  FROM src GROUP BY event_type, h % 512),
+        |grid AS (
+        |  SELECT et.event_type, gs.b
+        |  FROM (SELECT DISTINCT event_type FROM src) et,
+        |       (SELECT UNNEST(GENERATE_SERIES(0, 511)) AS b) gs),
+        |full_reg AS (
+        |  SELECT g.event_type, g.b, COALESCE(r.rho, 0) AS rho
+        |  FROM grid g LEFT JOIN reg r
+        |    ON g.event_type = r.event_type AND g.b = r.bucket),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (52 - rho)) AS BIGINT)
+        |      AS s_scaled,
+        |    CAST(COUNT(*) FILTER (rho = 0) AS INTEGER) AS zeros
+        |  FROM full_reg GROUP BY event_type),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        |       FROM src GROUP BY event_type)
+        |SELECT agg.event_type,
+        |  ROUND(CASE WHEN 0.7213 / (1 + 1.079 / 512) * 512 * 512
+        |           * 4503599627370496.0 / s_scaled <= 1280.0
+        |           AND zeros > 0
+        |      THEN 512 * LN(512.0 / zeros)
+        |      ELSE 0.7213 / (1 + 1.079 / 512) * 512 * 512
+        |           * 4503599627370496.0 / s_scaled END, 4) AS est_distinct,
+        |  s_scaled, zeros, n_exact
+        |FROM agg JOIN ex ON agg.event_type = ex.event_type
+        |ORDER BY agg.event_type""".stripMargin,
     "udf_scalar" ->
       """SELECT o_orderkey,
         | ((o_orderkey % 1000003) * 2654435761 % 1000000007) % 97 AS ck

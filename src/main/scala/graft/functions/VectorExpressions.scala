@@ -251,5 +251,9 @@ object VectorExpressions {
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    // custom HLL aggregate (HllExpressions.scala) — the analyzer wraps
+    // a bare AggregateFunction builder in AggregateExpression itself
+    reg.createOrReplaceTempFunction("graft_hll",
+      exprs => HllSketchAgg(exprs.head), "built-in")
   }
 }

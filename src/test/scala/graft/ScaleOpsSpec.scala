@@ -139,6 +139,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(run("set_intersect_all").distinct().count() <= nInter)
   }
 
+  test("expr_custom_hll: estimate within 5% of exact, repartition-stable") {
+    val rows = run("expr_custom_hll").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("n_exact").toDouble
+      // tiny groups (n≈15 at sf0.001) sit in linear-counting range
+      // where the relative error floor is ~1/sqrt(m)·corrections — use
+      // an absolute floor of 2 alongside the 5% relative bound
+      assert(math.abs(est - exact) <= math.max(0.05 * exact, 2.0),
+        s"HLL estimate out of tolerance: $r")
+    }
+    // merge correctness: the sketch must be partitioning-invariant —
+    // 1 partition vs 8 partitions exercise different partial/merge
+    // paths and must produce the SAME registers (s_scaled is the
+    // register sum, so equality here is register-level equality)
+    graft.functions.VectorExpressions.register(spark)
+    def sketch(parts: Int) = {
+      Tables(spark, sf, "events").repartition(parts)
+        .createOrReplaceTempView(s"hll_merge_$parts")
+      spark.sql(
+        s"""SELECT event_type, graft_hll(CAST(conv(substring(
+           |  md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT))
+           |  AS h
+           |FROM hll_merge_$parts GROUP BY event_type""".stripMargin)
+        .selectExpr("event_type", "h.s_scaled", "h.zeros")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(sketch(1) == sketch(8),
+      "sketch registers depend on partitioning — merge path broken")
+  }
+
   test("two-phase distinct equals the naive distinct aggregation") {
     val twoPhase = run("agg_distinct_twophase").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
