@@ -35,6 +35,27 @@ object TimeSeries extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
 
+    // Forward-fill / LOCF (last observation carried forward) — the
+    // gap-fill every sparse sensor/price series needs, complementary
+    // to ts_interpolate's linear fill: each event carries the latest
+    // PURCHASE value seen at-or-before it, via last(ignoreNulls) over
+    // a running frame. One (user) shuffle, one in-partition sort, the
+    // frame scan is streaming (running state, not a re-scan per row) —
+    // the 100 TB contract of every per-entity window here.
+    "ts_locf" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          when(col("event_type") === "purchase", round(col("value"), 4))
+            .as("pv"))
+        .withColumn("last_purchase_value",
+          last(col("pv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("last_purchase_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Calendar GAP detection per user (the data-freshness audit every
     // event pipeline runs): collapse to distinct active days, one lag()
     // window gives each day's gap to its predecessor, and a per-user
@@ -546,6 +567,17 @@ object TimeSeries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    "ts_locf" ->
+      """SELECT user_id, event_id, event_type,
+        | LAST_VALUE(pv IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS last_purchase_value
+        |FROM (SELECT user_id, event_id, event_type,
+        |        CASE WHEN event_type = 'purchase' THEN ROUND(value, 4)
+        |             END AS pv
+        |      FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ts_gaps" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

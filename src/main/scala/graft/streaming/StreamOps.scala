@@ -308,6 +308,37 @@ object StreamOps extends QueryGroup {
         .orderBy("left_id")
     }),
 
+    // Stream-stream INTERVAL join with watermarks on BOTH sides — the
+    // production attribution topology (purchase joins the clicks that
+    // preceded it within 10 minutes): the event-time range condition
+    // plus the two watermarks is what lets the state store EVICT —
+    // without the time bound the join buffers both streams forever
+    // (the stream_stream_join equality form survives only because ids
+    // arrive once). At 100 TB the state held per key is
+    // watermark-window-sized, the documented contract of this join.
+    // Append-mode over the full replay makes the result the exact
+    // batch join (the oracle).
+    "stream_interval_join" -> ((s, d) => {
+      val e = eventsStream(s, d)
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "30 days")
+      val click = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "30 days")
+      val joined = purch.join(click,
+        col("cu") === col("pu")
+          && col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES")
+          && col("cts") <= col("pts"), "inner")
+        .select(col("pu").as("user_id"), col("purchase_id"),
+          col("click_id"),
+          (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+      runToTable(joined, "graft_stream_interval", "append")
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // foreachBatch: the escape hatch sink — each micro-batch lands as
     // parquet through the batch writer, then reads back losslessly.
     "stream_foreach_batch" -> ((s, d) => {
@@ -681,6 +712,16 @@ object StreamOps extends QueryGroup {
     "stream_dedup_watermark" ->
       """SELECT DISTINCT event_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        | EPOCH_US(CAST(p.ts AS TIMESTAMP)) - EPOCH_US(CAST(c.ts AS TIMESTAMP))
+        |   AS gap_us
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP)
+        |   >= CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_stream_join" ->
       """SELECT a.event_id AS left_id, a.event_type AS left_type,
         | b.event_id AS right_id, b.event_type AS right_type
