@@ -35,7 +35,10 @@ object Bench {
     "text_boilerplate", "feat_onehot", "dim_scd2_build", "audit_profile",
     "graph_jaccard_neighbors", "anomaly_mad", "ml_linreg_normal",
     "dedup_substring", "agg_moments", "ts_downsample_ltob",
-    "sql_cache_table", "meta_v2_vacuum", "sim_mrl_truncate")
+    "sql_cache_table", "meta_v2_vacuum", "sim_mrl_truncate",
+    "expr_custom_hll", "text_bigram_lm", "graph_shortest_path",
+    "embed_bitpack_hamming", "ml_kmeans_step", "stream_interval_join",
+    "opt_cbo_reorder", "dedup_substring")
 
   /** Runs per key; the reported time is the median. Single-run timing
     * proved unusable: identical code measured 0.54 s vs 2.15 s for the

@@ -184,6 +184,35 @@ object DdlQueries extends QueryGroup {
         .toDF("stat", "value").orderBy("stat")
     }),
 
+    // COMMENT ON + TBLPROPERTIES — the documentation half of the
+    // metastore surface (HMS's parameters map is how every governance
+    // tool annotates tables: owners, SLAs, PII flags). The key sets a
+    // table comment and two properties, updates one (last-write-wins),
+    // and reads all three back through the CATALOG interface — the
+    // round-trip a metadata sync has to preserve. Report rows are
+    // engine-derived; the oracle declares the contracted outcome.
+    "ddl_comment_props" -> ((s, d) => {
+      import s.implicits._
+      freshDb(s, "graft_ext")
+      s.sql("DROP TABLE IF EXISTS graft_ext.region_doc")
+      s.sql(s"""CREATE TABLE graft_ext.region_doc
+               |USING parquet LOCATION '$d/region.parquet'""".stripMargin)
+      s.sql("COMMENT ON TABLE graft_ext.region_doc IS 'regions dim'")
+      s.sql("""ALTER TABLE graft_ext.region_doc SET TBLPROPERTIES (
+              |  'graft.owner' = 'pipeline', 'graft.sla' = 'daily')"""
+        .stripMargin)
+      s.sql("""ALTER TABLE graft_ext.region_doc SET TBLPROPERTIES (
+              |  'graft.sla' = 'hourly')""".stripMargin) // last write wins
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "region_doc", Some("graft_ext")))
+      Seq(
+        ("comment", meta.comment.getOrElse("<none>")),
+        ("graft.owner", meta.properties.getOrElse("graft.owner", "<none>")),
+        ("graft.sla", meta.properties.getOrElse("graft.sla", "<none>")))
+        .toDF("key", "value").orderBy("key")
+    }),
+
     "meta_export" -> ((s, d) => {
       import s.implicits._
       fixtureCatalog(s, d)
@@ -1254,6 +1283,12 @@ object DdlQueries extends QueryGroup {
     // key constructs the state, so the report is a declared constant
     "ddl_create_database" ->
       "SELECT 'graft_ddl_db' AS namespace",
+    // comment + property round-trip: the contracted outcome is a
+    // declared constant (comment set, owner set, sla last-write-wins)
+    "ddl_comment_props" ->
+      """SELECT * FROM (VALUES ('comment', 'regions dim'),
+        |  ('graft.owner', 'pipeline'), ('graft.sla', 'hourly'))
+        |  AS t(key, value) ORDER BY key""".stripMargin,
     // the alter-then-drop probe's observable outcome is a declared
     // constant: the property landed, then the table was gone
     "ddl_alter_drop" ->

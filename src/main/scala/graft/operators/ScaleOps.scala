@@ -202,6 +202,30 @@ object ScaleOps extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // BUCKET PRUNING on read — the other half of the bucketing bargain
+    // (join_bucketed buys the shuffle-free join; this buys point
+    // lookups): an equality/IN filter on the bucket column lets the
+    // scan open ONLY the matching buckets (SelectedBucketsCount in the
+    // plan, asserted in ScaleOpsSpec) — at 100 TB an S-bucket layout
+    // turns a key probe from a full scan into 1/S of the files, no
+    // index structure needed beyond the layout itself.
+    "scan_bucket_prune" -> ((s, d) => {
+      bucketedTables(s, d)
+      // autoBucketedScan drops the bucketed read when no JOIN wants the
+      // partitioning — it does not weigh filter pruning, so pin the
+      // bucketed scan for the duration of this query (scoped conf)
+      withConfs(s, Seq(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+          -> "false")) {
+        s.table("graft_bkt_orders")
+          .filter(col("o_orderkey").isin(42L, 4242L))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"))
+          .orderBy("o_orderkey")
+          .localCheckpoint() // materialize while the conf is active
+      }
+    }),
+
     // runtime bloom-filter pruning: the optimizer builds a bloom filter
     // from the SELECTIVE dim side's join keys at runtime and applies it
     // to the fact side BELOW the shuffle (`might_contain` in the plan,
@@ -567,6 +591,10 @@ object ScaleOps extends QueryGroup {
         |  FROM sites CROSS JOIN pts)
         |WHERE dist_km <= 500.0
         |ORDER BY site_id, c_custkey""".stripMargin,
+    "scan_bucket_prune" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey IN (42, 4242)
+        |ORDER BY o_orderkey""".stripMargin,
     "opt_cbo_reorder" ->
       """SELECT n_name, COUNT(*) AS n_orders,
         | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)

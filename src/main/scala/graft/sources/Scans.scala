@@ -286,6 +286,29 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // Recursive directory scan — the data-lake layout reality:
+    // producers drop files under arbitrary nested prefixes
+    // (date/hour/host trees that are NOT hive partitions), and
+    // recursiveFileLookup reads the whole tree as one relation without
+    // partition-column inference. At 100 TB file LISTING is the
+    // startup cost this option governs: the driver parallelizes the
+    // tree walk (spark.sql.sources.parallelPartitionDiscovery.*), and
+    // a catalog-backed table with a file index replaces the walk
+    // entirely — the note a real deployment needs next to this key.
+    "scan_recursive_glob" -> ((s, d) => {
+      val base = Tables.scratch(d, "nation_nested")
+      if (!Tables.scratchCurrent(d, "nation_nested", base)) {
+        val n = Tables(s, d, "nation")
+        for (r <- 0 to 4)
+          n.filter(col("n_regionkey") === r).write.mode("overwrite")
+            .parquet(s"$base/r$r/sub")
+        Tables.stampScratch(d, "nation_nested", base)
+      }
+      s.read.option("recursiveFileLookup", "true").parquet(base)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // Hidden _metadata columns (file provenance + row_index) — the
     // ROW-LEVEL LINEAGE primitive: at 100 TB, "which file and offset
     // did this bad row come from" is the difference between re-reading
@@ -665,6 +688,9 @@ object Scans extends QueryGroup {
     "sink_rebalance_write" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_recursive_glob" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "scan_metadata_cols" ->
       """SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
         | CAST(0 AS BIGINT) AS min_idx,

@@ -171,6 +171,25 @@ class ScaleOpsSpec extends SparkSpec {
       "sketch registers depend on partitioning — merge path broken")
   }
 
+  test("scan_bucket_prune opens only the buckets the filter selects") {
+    run("scan_bucket_prune").collect() // registers the bucketed table
+    // the key returns a checkpointed result (conf-scoped); re-derive
+    // the same query under the same pinned conf to inspect the scan
+    val plan = graft.operators.ScaleOps.withConfs(spark, Seq(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")) {
+      spark.table("graft_bkt_orders")
+        .filter(col("o_orderkey").isin(42L, 4242L))
+        .queryExecution.executedPlan.toString
+    }
+    // FileSourceScanExec renders "SelectedBucketsCount: k out of S"
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    val (selected, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(selected < total && selected <= 2,
+      s"pruning ineffective: $selected of $total buckets")
+  }
+
   test("two-phase distinct equals the naive distinct aggregation") {
     val twoPhase = run("agg_distinct_twophase").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
