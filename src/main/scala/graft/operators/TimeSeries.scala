@@ -35,6 +35,32 @@ object TimeSeries extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
 
+    // Rolling 7-day CORRELATION between two daily series (click value
+    // vs view value) — the co-movement monitor under every pair-trading
+    // / metric-drift dashboard. The stream collapses to ~30 daily rows
+    // through one partial-agg shuffle BEFORE the window (the win_streaks
+    // discipline), so the unpartitioned frame is over post-agg rows —
+    // at 100 TB the window would partition by entity and this global
+    // form runs only on already-aggregated series. Daily sums are
+    // rounded BEFORE the corr so both engines correlate identical
+    // doubles (the anomaly_zscore float-boundary discipline).
+    "ts_rolling_corr" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          round(sum(when(col("event_type") === "click", col("value"))), 4)
+            .as("clicks"),
+          round(sum(when(col("event_type") === "view", col("value"))), 4)
+            .as("views"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("corr7",
+          round(corr(col("clicks"), col("views")).over(w), 4))
+        .withColumn("day", col("day").cast("string"))
+        .orderBy("day")
+    }),
+
     // Forward-fill / LOCF (last observation carried forward) — the
     // gap-fill every sparse sensor/price series needs, complementary
     // to ts_interpolate's linear fill: each event carries the latest
@@ -567,6 +593,19 @@ object TimeSeries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    "ts_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4)
+        |      AS clicks,
+        |    ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4)
+        |      AS views
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY day)
+        |SELECT CAST(day AS VARCHAR) AS day, clicks, views,
+        |  ROUND(CORR(clicks, views) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS corr7
+        |FROM daily ORDER BY day""".stripMargin,
     "ts_locf" ->
       """SELECT user_id, event_id, event_type,
         | LAST_VALUE(pv IGNORE NULLS) OVER (PARTITION BY user_id

@@ -74,6 +74,27 @@ object Windows extends QueryGroup {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Time-INTERVAL range frame — the trailing-window form every
+    // revenue dashboard runs ("90-day trailing spend per customer"):
+    // the frame is bounded by the ORDER-BY timestamp VALUE, not row
+    // position, so ties (same-day orders) always share a frame and
+    // gaps don't shrink it — semantics ROWS frames cannot express.
+    // One (custkey) shuffle; the frame scan is streaming add/remove.
+    "win_time_range_frame" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .selectExpr("o_custkey", "o_orderkey",
+          "CAST(CAST(o_orderdate AS DATE) AS STRING) AS odate",
+          """round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            | ORDER BY CAST(o_orderdate AS TIMESTAMP)
+            | RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW),
+            | 4) AS trailing_90d""".stripMargin,
+          """count(1) OVER (PARTITION BY o_custkey
+            | ORDER BY CAST(o_orderdate AS TIMESTAMP)
+            | RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+            | AS n_90d""".stripMargin)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "win_range_frame" -> ((s, d) => {
       // DataFrame rangeBetween only takes Long offsets; a double-valued
       // RANGE frame is SQL-only syntax, so use expression form. The
@@ -408,6 +429,16 @@ object Windows extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_time_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+        | ROUND(SUM(o_totalprice) OVER w, 4) AS trailing_90d,
+        | COUNT(*) OVER w AS n_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_orderdate AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_ranking" ->
       """SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 4) AS acctbal,
         | ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,

@@ -423,6 +423,49 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // Model EVALUATION in-engine: per-class confusion counts +
+    // precision/recall/F1 over the kNN classifier's predictions (k=5,
+    // every 10th vector is a query — 10× the sim_knn_label query set
+    // so each class has support). Two grouped counts + one full-outer
+    // join on the class label; at 100 TB the prediction table is the
+    // only big input and the metric table is |classes| rows. F1 is
+    // derived from the ROUNDED precision/recall so both engines
+    // compute it from identical doubles.
+    "ml_eval_confusion" -> ((s, d) => {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val top5 = pairs(s, d, 10)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val votes = top5.groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("label").asc)
+      val pred = votes.withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("qid"), col("label").as("predicted"))
+      val truth = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("qid"), col("label").as("actual"))
+      val j = pred.join(truth, "qid")
+      val byActual = j.groupBy(col("actual").as("label"))
+        .agg(count(lit(1)).as("n_actual"),
+          count_if(col("predicted") === col("actual")).as("tp"))
+      val byPred = j.groupBy(col("predicted").as("label"))
+        .agg(count(lit(1)).as("n_pred"))
+      byActual.join(byPred, Seq("label"), "full")
+        .select(col("label"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          round(col("tp") / col("n_pred"), 4)).otherwise(lit(0.0)))
+        .withColumn("recall", when(col("n_actual") > 0,
+          round(col("tp") / col("n_actual"), 4)).otherwise(lit(0.0)))
+        .withColumn("f1", when(col("precision") + col("recall") > 0,
+          round(lit(2) * col("precision") * col("recall")
+            / (col("precision") + col("recall")), 4)).otherwise(lit(0.0)))
+        .orderBy("label")
+    }),
+
     // near-dup by embedding cosine: nearest neighbor per query + dup flag.
     "dedup_embed_cosine" -> ((s, d) => {
       val w = Window.partitionBy(col("qid"))
@@ -868,6 +911,41 @@ object VectorOps extends QueryGroup {
          | p.predicted = e.label AS correct
          |FROM pred p JOIN embeddings e ON p.qid = e.vec_id
          |ORDER BY p.qid""".stripMargin,
+    "ml_eval_confusion" ->
+      s"""${oPairs(10)},
+         |top5 AS (SELECT qid, vec_id, label FROM (
+         |  SELECT qid, vec_id, label, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs) WHERE rn <= 5),
+         |votes AS (SELECT qid, label, COUNT(*) AS n_votes FROM top5
+         |  GROUP BY qid, label),
+         |pred AS (SELECT qid, label AS predicted FROM (
+         |  SELECT qid, label, n_votes, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY n_votes DESC, label ASC) AS vr FROM votes) WHERE vr = 1),
+         |j AS (SELECT p.qid, p.predicted, e.label AS actual
+         |      FROM pred p JOIN embeddings e ON p.qid = e.vec_id),
+         |ba AS (SELECT actual AS label, COUNT(*) AS n_actual,
+         |         COUNT(*) FILTER (predicted = actual) AS tp
+         |       FROM j GROUP BY actual),
+         |bp AS (SELECT predicted AS label, COUNT(*) AS n_pred
+         |       FROM j GROUP BY predicted),
+         |m AS (SELECT label,
+         |    CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual,
+         |    CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+         |    CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred
+         |  FROM ba FULL JOIN bp USING (label)),
+         |pr AS (SELECT label, n_actual, tp, n_pred,
+         |    CASE WHEN n_pred > 0
+         |      THEN ROUND(CAST(tp AS DOUBLE) / n_pred, 4) ELSE 0.0 END
+         |      AS precision,
+         |    CASE WHEN n_actual > 0
+         |      THEN ROUND(CAST(tp AS DOUBLE) / n_actual, 4) ELSE 0.0 END
+         |      AS recall
+         |  FROM m)
+         |SELECT label, n_actual, tp, n_pred, precision, recall,
+         |  CASE WHEN precision + recall > 0
+         |    THEN ROUND(2 * precision * recall / (precision + recall), 4)
+         |    ELSE 0.0 END AS f1
+         |FROM pr ORDER BY label""".stripMargin,
     "dedup_embed_cosine" ->
       s"""${oPairs(50)}
          |SELECT qid, vec_id AS nn, ROUND(cos, 4) AS cos,
