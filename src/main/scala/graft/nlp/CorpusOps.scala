@@ -826,6 +826,25 @@ object CorpusOps extends QueryGroup {
     // scaled integers so the oracle hash is exact. Target weights are
     // derived deterministically from the source name (fixtures carry
     // no external mix table).
+    // Deterministic diversity INTERLEAVE — the anti-clumping pass after
+    // sharding: training batches degrade when consecutive docs share a
+    // source (domain gradients correlate), so emit sources round-robin:
+    // rank within source, then order globally by (rank, source). Two
+    // windows; the per-source window shuffles once on source, and the
+    // global order is a range-partitioned sort on the tiny (rn, source)
+    // composite — at 100 TB that sort IS the shuffle (the
+    // corpus_shuffle_shards contract), no extra pass.
+    "corpus_interleave" -> ((s, d) => {
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(wSrc))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("rn"), col("source"), col("doc_id"))))
+        .select(col("pos"), col("doc_id"), col("source"))
+        .orderBy("pos")
+    }),
+
     // Temperature-scaled language sampling (the XLM/mT5 multilingual
     // mixture rule): sampling weight q_l ∝ p_l^(1/T) flattens the
     // head-language dominance; T=2 here so the exponent is sqrt —
@@ -1242,6 +1261,14 @@ object CorpusOps extends QueryGroup {
         |  COUNT(*) AS n_docs, ROUND(AVG(nll), 4) AS mean_nll
         |FROM nll, thr
         |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "corpus_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS pos,
+        |  doc_id, source
+        |FROM r ORDER BY pos""".stripMargin,
     "sample_temperature" ->
       """WITH per AS (
         |  SELECT lang, COUNT(*) AS n_docs,

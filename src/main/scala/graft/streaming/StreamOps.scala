@@ -308,6 +308,23 @@ object StreamOps extends QueryGroup {
         .orderBy("left_id")
     }),
 
+    // COMPLETE output mode — the third output-mode surface (append +
+    // update are covered above): every trigger re-emits the ENTIRE
+    // result table, the mode a live leaderboard sink wants. Complete
+    // mode is only legal over aggregations (the full result must be
+    // re-derivable from state) and costs O(|result|) per trigger — the
+    // 100 TB rule is: complete mode for small cardinality results
+    // (here: 5 event types), never for per-key tables. After the full
+    // replay the memory sink holds exactly the batch aggregate.
+    "stream_complete_topk" -> ((s, d) => {
+      val counts = eventsStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+      runToTable(counts, "graft_stream_complete", "complete")
+        .orderBy(col("n_events").desc, col("event_type"))
+    }),
+
     // Stream-stream INTERVAL join with watermarks on BOTH sides — the
     // production attribution topology (purchase joins the clicks that
     // preceded it within 10 minutes): the event-time range condition
@@ -712,6 +729,11 @@ object StreamOps extends QueryGroup {
     "stream_dedup_watermark" ->
       """SELECT DISTINCT event_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+    "stream_complete_topk" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY n_events DESC, event_type""".stripMargin,
     "stream_interval_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         | EPOCH_US(CAST(p.ts AS TIMESTAMP)) - EPOCH_US(CAST(c.ts AS TIMESTAMP))
