@@ -80,6 +80,25 @@ object Udfs extends QueryGroup {
 
     // table-generating function: one row in, N rows out, via typed
     // flatMap (public API; same semantics as a Catalyst Generator).
+    // SQL TABLE function (Spark 4: CREATE FUNCTION ... RETURNS TABLE):
+    // the declarative UDTF — the body is a parameterized SELECT the
+    // optimizer INLINES at each call site, so unlike the JVM-closure
+    // UDTF (udtf_generator) filters and pruning push through it and
+    // whole-stage codegen is uninterrupted. The reusable-view-with-
+    // arguments every reporting layer wants.
+    "udf_sql_table_function" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("orders_tvf")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION big_orders(minp DOUBLE)
+          |RETURNS TABLE (o_orderkey BIGINT, o_custkey BIGINT,
+          |               total DOUBLE)
+          |RETURN SELECT o_orderkey, o_custkey, round(o_totalprice, 4)
+          |FROM orders_tvf WHERE o_totalprice >= minp""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, total
+          |FROM big_orders(400000.0) ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Custom Catalyst AGGREGATE (TypedImperativeAggregate) — the
     // deliberate §4.3 gap closed: graft_hll (HllExpressions.scala) is
     // a HyperLogLog whose registers are a portable function of the
@@ -124,6 +143,10 @@ object Udfs extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "udf_sql_table_function" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS total
+        |FROM orders WHERE o_totalprice >= 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "expr_custom_hll" ->
       """WITH src AS (
         |  SELECT event_type, user_id,

@@ -417,6 +417,36 @@ object Aggregates extends QueryGroup {
         .orderBy("o_custkey")
     }),
 
+    // The built-in BITMAP function family (Spark 3.5+): bucket every
+    // user into a 32k-bit bitmap slot (bitmap_bucket_number /
+    // bitmap_bit_position), build per-(group, bucket) bitmaps with
+    // bitmap_construct_agg, OR them across groups with bitmap_or_agg,
+    // popcount with bitmap_count. This is the pre-packaged form of
+    // agg_bitmap_distinct's hand-rolled 63-bit words — exact distinct
+    // counting whose shuffle carries fixed-size bitmap BYTES, never raw
+    // id pairs. The oracle is plain COUNT(DISTINCT): the bitmaps are
+    // exact, so the driver diff proves the whole family.
+    "agg_bitmap_builtin" -> ((s, d) => {
+      Tables(s, d, "events").createOrReplaceTempView("bmf_events")
+      s.sql(
+        """WITH per_bucket AS (
+          |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+          |    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          |  FROM bmf_events GROUP BY event_type, bkt),
+          |per_type AS (
+          |  SELECT event_type,
+          |    CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users
+          |  FROM per_bucket GROUP BY event_type),
+          |overall AS (
+          |  SELECT 'ALL' AS event_type,
+          |    CAST(SUM(bitmap_count(bm2)) AS BIGINT) AS n_users FROM (
+          |    SELECT bkt, bitmap_or_agg(bm) AS bm2
+          |    FROM per_bucket GROUP BY bkt))
+          |SELECT event_type, n_users FROM per_type
+          |UNION ALL SELECT event_type, n_users FROM overall
+          |ORDER BY event_type""".stripMargin)
+    }),
+
     // Boolean aggregate family — BOOL_AND / BOOL_OR (a.k.a. EVERY/SOME)
     // and the COUNT_IF conditional counter: the data-quality assertion
     // shape ("every row in the group satisfies P", "how many violate
@@ -685,6 +715,12 @@ object Aggregates extends QueryGroup {
         | ARG_MIN(o_orderkey, o_totalprice) AS bottom_order,
         | ROUND(MAX(o_totalprice), 4) AS top_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_bitmap_builtin" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+        |ORDER BY event_type""".stripMargin,
     "agg_bool" ->
       """SELECT o_orderpriority,
         | BOOL_AND(o_totalprice > 1000) AS all_over_1k,

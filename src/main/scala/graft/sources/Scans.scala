@@ -286,6 +286,23 @@ object Scans extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // Schema-on-read PROJECTION over a column the file doesn't have —
+    // the forward-compatibility half of schema evolution (the reader's
+    // schema leads the writer's): declaring an absent column yields
+    // typed NULLs, no rewrite, no failure. This is the contract that
+    // lets a 100 TB table gain a column by only rewriting FUTURE files
+    // (scan_merge_schema proves the multi-vintage union; this proves a
+    // single old file under the new schema).
+    "scan_schema_projection" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/nation.parquet").schema
+      val widened = org.apache.spark.sql.types.StructType(
+        base.fields :+ org.apache.spark.sql.types.StructField(
+          "n_comment", org.apache.spark.sql.types.StringType))
+      s.read.schema(widened).parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_comment"))
+        .orderBy("n_nationkey")
+    }),
+
     // Recursive directory scan — the data-lake layout reality:
     // producers drop files under arbitrary nested prefixes
     // (date/hour/host trees that are NOT hive partitions), and
@@ -690,6 +707,9 @@ object Scans extends QueryGroup {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scan_recursive_glob" ->
       """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "scan_schema_projection" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS n_comment
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "scan_metadata_cols" ->
       """SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
