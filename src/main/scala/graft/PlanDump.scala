@@ -58,7 +58,11 @@ object PlanDump {
     "dedup_substring" ->
       "substring dedup: gram hashes shuffle (24 B/char), dup-marked positions, per-doc islands window",
     "graph_jaccard_neighbors" ->
-      "τ-capped wedge self-join (Σ deg² bounded at τ·|E|) + degree inclusion-exclusion")
+      "τ-capped wedge self-join (Σ deg² bounded at τ·|E|) + degree inclusion-exclusion",
+    "embed_bitpack_hamming" ->
+      "1-bit quantized serve: sign-pack to one BIGINT, integer bit_count(XOR) rank, cosine only for the overlap report",
+    "text_bigram_lm" ->
+      "bigram LM: one lead() window per doc, map-side-combined Zipf counts, count-keyed scoring joins (text never re-shuffles)")
 
   /** Queries that materialize-and-release internally (cache lifecycle)
     * return a checkpointed result whose executed plan is just an RDD
