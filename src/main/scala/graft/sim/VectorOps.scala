@@ -349,6 +349,44 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // TWO-STAGE serve over the 1-bit codes — the production use of
+    // embed_bitpack_hamming (which measures raw-Hamming fidelity):
+    // integer Hamming SHORTLISTS 50 candidates per query (8 B/vector
+    // touched, SIMD popcount), exact cosine re-ranks only the
+    // shortlist to top-5 — the ivfpq pattern with bitpack as the
+    // coarse stage. Per-query hits-vs-true-top5 rides along: at 100 TB
+    // the shortlist join is the only corpus-wide work and it never
+    // touches floats.
+    "sim_ann_bitpack" -> ((s, d) => {
+      val packed = emb(s, d).withColumn("code", expr(
+        "aggregate(sequence(1, 63), 0L, (acc, i) -> acc + " +
+          "CASE WHEN element_at(v, i) > 0D THEN shiftleft(1L, i - 1) " +
+          "ELSE 0L END)"))
+      val q = packed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("code").as("qcode"))
+      val base = packed.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr("bit_count(code ^ qcode)"))
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+      val wh = Window.partitionBy("qid")
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      val wTrue = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val ranked = base
+        .withColumn("rh", row_number().over(wh))
+        .withColumn("rtrue", row_number().over(wTrue))
+      val wRerank = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      ranked.filter(col("rh") <= 50)
+        .withColumn("rn", row_number().over(wRerank))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id").as("neighbor"),
+          round(col("cos"), 4).as("cos"),
+          (col("rtrue") <= 5).as("in_true_top5"))
+        .orderBy("qid", "rn")
+    }),
+
     // ONE Lloyd iteration of k-means, fully oracled — the in-engine
     // clustering step (sim_centroids serves trained centroids;
     // ml_logreg_gd loops 25 GD rounds under ScalaTest): deterministic
@@ -859,6 +897,38 @@ object VectorOps extends QueryGroup {
          |  CAST(COALESCE(overlap5, 0) AS BIGINT) AS overlap5
          |FROM ranked r LEFT JOIN ovl ON r.qid = ovl.qid
          |WHERE r.rh = 1 ORDER BY r.qid""".stripMargin,
+    "sim_ann_bitpack" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |packed AS (SELECT vec_id, v,
+         |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, 63), i ->
+         |      CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+         |           ELSE CAST(0 AS BIGINT) END)),
+         |    (x, y) -> x + y) AS code
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, code AS qcode FROM packed
+         |      WHERE vec_id % 100 = 0),
+         |base AS (
+         |  SELECT qid, vec_id, BIT_COUNT(XOR(code, qcode)) AS ham,
+         |    ${oDot("qv", "v")} / (${oNorm("qv")} * ${oNorm("v")}) AS cos
+         |  FROM packed CROSS JOIN q WHERE vec_id <> qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ham ASC, vec_id ASC) AS rh,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rtrue
+         |  FROM base),
+         |short AS (
+         |  SELECT qid, vec_id, cos, rtrue,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM ranked WHERE rh <= 50)
+         |SELECT qid, rn, vec_id AS neighbor, ROUND(cos, 4) AS cos,
+         |  rtrue <= 5 AS in_true_top5
+         |FROM short WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "ml_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

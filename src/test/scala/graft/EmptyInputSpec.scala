@@ -64,4 +64,21 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"))
     assert(graft.nlp.TextOps.minhashPairs(none).count() == 0)
   }
+
+  test("custom HLL over empty and null-only input estimates zero") {
+    graft.functions.VectorExpressions.register(spark)
+    val s = spark
+    import s.implicits._
+    // empty input: all 512 registers zero → linear counting of m/m → 0
+    val empty = Seq.empty[Long].toDF("h")
+    val r0 = empty.selectExpr("graft_hll(h) AS x")
+      .selectExpr("x.est", "x.zeros").head()
+    assert(r0.getDouble(0) == 0.0 && r0.getInt(1) == 512, s"$r0")
+    // null inputs are skipped, not counted
+    val nulls = Seq[Option[Long]](None, None, Some(728752383503378226L))
+      .toDF("h")
+    val r1 = nulls.selectExpr("graft_hll(h) AS x")
+      .selectExpr("x.zeros").head()
+    assert(r1.getInt(0) == 511, s"one non-null must fill one register: $r1")
+  }
 }

@@ -156,9 +156,9 @@ class PlanSpec extends SparkSpec {
       // sim_cosine_topk serve shape); ml_kmeans_step broadcast-NLJs the
       // 8-centroid set for assignment (the sim_ann_ivf quantizer shape)
       "embed_bitpack_hamming", "ml_kmeans_step",
-      // ml_eval_confusion reuses the kNN pairs shape (broadcast query
-      // set against one corpus scan)
-      "ml_eval_confusion")
+      // ml_eval_confusion / sim_ann_bitpack reuse the kNN pairs shape
+      // (broadcast query set against one corpus scan)
+      "ml_eval_confusion", "sim_ann_bitpack")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
