@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** SURVEY §5.2 as a GATE, not a convention: an oracled key whose output
+    * carries a list/map column crashes the driver's pandas diff
+    * ("unhashable type: numpy.ndarray") and the round records a red row —
+    * fn_regex in r10, embed_pq in r8. Failing here, at dump time, names
+    * the offending key and column while it's still one edit away. */
+  private[graft] def nonScalarColumns(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if !isScalar(f.dataType) => s"${f.name}: ${f.dataType.sql}"
+    }
+  private def isScalar(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [key ...] — extra keys restrict the dump to
     // that subset (dev iteration); the driver always passes exactly two.
@@ -22,8 +38,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Lint only keys the DuckDB diff will actually hash; scalatest-only
+        // keys (no oracle entry) may return whatever shape their spec needs.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val bad = nonScalarColumns(df.schema)
+          require(bad.isEmpty, s"oracled key '$name' emits non-scalar " +
+            s"column(s) [${bad.mkString("; ")}] — the driver diff can't " +
+            "hash them (SURVEY §5.2); array_join/to_json them instead")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -121,8 +121,10 @@ object ScalarFns extends QueryGroup {
 
     // Regex family beyond fn_string's extract/replace basics: RLIKE
     // predicate, match COUNT, first-match SUBSTR, and the full
-    // EXTRACT_ALL array (array-typed output column — the hash compare
-    // canonicalizes arrays, so the contract is exercised end-to-end).
+    // EXTRACT_ALL sweep. The extract-all column is array_join'd to a
+    // flat string — list-typed output columns are banned for oracled
+    // keys (SURVEY §5.2: the cross-engine pandas diff can't hash
+    // numpy arrays; this key was the r10 red row for exactly that).
     // All codegen'd per-row scans, zero shuffle; patterns are anchored
     // or character-class only so both engines' regex dialects (Java vs
     // RE2-ish) provably agree.
@@ -133,7 +135,8 @@ object ScalarFns extends QueryGroup {
           expr("CAST(regexp_count(p_name, '[aeiou]') AS BIGINT)")
             .as("n_vowels"),
           expr("regexp_substr(p_type, '[A-Z]+')").as("first_caps"),
-          expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("words"),
+          expr("array_join(regexp_extract_all(p_name, '[a-z]+', 0), ' ')")
+            .as("words"),
           expr("regexp_replace(p_brand, '[0-9]+', '#')").as("brand_mask"))
         .orderBy("p_partkey")
     }),
@@ -451,7 +454,7 @@ object ScalarFns extends QueryGroup {
         | REGEXP_MATCHES(p_type, '^PROMO') AS is_promo,
         | LEN(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS n_vowels,
         | REGEXP_EXTRACT(p_type, '[A-Z]+') AS first_caps,
-        | REGEXP_EXTRACT_ALL(p_name, '[a-z]+') AS words,
+        | ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(p_name, '[a-z]+'), ' ') AS words,
         | REGEXP_REPLACE(p_brand, '[0-9]+', '#', 'g') AS brand_mask
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_string" ->

@@ -314,12 +314,19 @@ object Scans extends QueryGroup {
     // entirely — the note a real deployment needs next to this key.
     "scan_recursive_glob" -> ((s, d) => {
       val base = Tables.scratch(d, "nation_nested")
-      if (!Tables.scratchCurrent(d, "nation_nested", base)) {
+      // Staleness is gated on the SOURCE fixture ("nation"), not the
+      // scratch tag — fingerprinting a nonexistent nation_nested.parquet
+      // yields a constant and the guard never fires (r10 advice). The
+      // writes land in subdirs, so the root _SUCCESS that scratchCurrent
+      // checks must be touched explicitly.
+      if (!Tables.scratchCurrent(d, "nation", base)) {
         val n = Tables(s, d, "nation")
         for (r <- 0 to 4)
           n.filter(col("n_regionkey") === r).write.mode("overwrite")
             .parquet(s"$base/r$r/sub")
-        Tables.stampScratch(d, "nation_nested", base)
+        java.nio.file.Files.writeString(
+          new java.io.File(base, "_SUCCESS").toPath, "")
+        Tables.stampScratch(d, "nation", base)
       }
       s.read.option("recursiveFileLookup", "true").parquet(base)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
