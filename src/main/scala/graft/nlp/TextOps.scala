@@ -320,19 +320,26 @@ object TextOps extends QueryGroup {
       out
     }),
 
-    // 64-bit SimHash (xxhash64 per token, ±1 per bit, sign → bit).
-    // Engine-internal hash ⇒ no SQL oracle; SimHashSpec asserts
-    // near-dup pairs land within small Hamming distance.
+    // 60-bit SimHash (±1 vote per token bit, sign → bit). The per-token
+    // hash is the repo's PORTABLE md5-prefix family (15 hex digits =
+    // 60 bits, fits signed 64), not engine-internal xxhash64 — so the
+    // DuckDB oracle replays every signature bit-for-bit, and SimHashSpec
+    // keeps the Hamming-separation law on top. Hashes are computed ONCE
+    // per token (transform), then the 60 bit-votes reuse them: the hot
+    // loop is shifts and adds, not repeated md5. Zero shuffle.
     "dedup_simhash" -> ((s, d) => {
       val sub = docs(s, d).filter(col("doc_id") < 1000)
-        .withColumn("tokens", array_distinct(split(col("text"), " ")))
+        .withColumn("hs", expr(
+          """transform(array_distinct(split(text, ' ')),
+            |  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"""
+            .stripMargin))
       val sim = sub.withColumn("simhash", expr(
-        """aggregate(sequence(0, 63),
+        """aggregate(sequence(0, 59),
           |  0L,
           |  (acc, k) -> acc + if(
-          |    aggregate(tokens,
+          |    aggregate(hs,
           |      0L,
-          |      (s, t) -> s + if(((xxhash64(t) >> k) & 1) = 1, 1L, -1L)) >= 0,
+          |      (s, h) -> s + if(((h >> k) & 1) = 1, 1L, -1L)) >= 0,
           |    shiftleft(1L, k), 0L))""".stripMargin))
       sim.select(col("doc_id"), col("simhash"))
         .orderBy("doc_id")
@@ -619,6 +626,25 @@ object TextOps extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // bit-for-bit signature replay: same distinct-token set, same
+    // md5-prefix hash, same ±1 vote per bit, same sign convention.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok
+        |        FROM documents WHERE doc_id < 1000)),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hs, GENERATE_SERIES(0, 59) AS g(k)
+        |  GROUP BY doc_id, k)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << k) ELSE 0 END)
+        |    AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "nlp_tokenize_tf" ->
       """SELECT doc_id, term, COUNT(*) AS tf
         |FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term

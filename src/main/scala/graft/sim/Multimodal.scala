@@ -7,20 +7,51 @@ import org.apache.spark.sql.functions._
   * columns"]: media as opaque `binary` columns with
   * typed metadata, batch-shaped feature extraction over partitions.
   *
-  * The decode step is a clearly-marked deterministic STUB (image/audio
-  * codecs are not available in this environment); everything around it —
-  * schema (id, media binary, meta struct), partition-parallel batch
-  * processing, typed output — is the real plumbing a production decode
-  * UDF drops into. On a cluster the same `mapPartitions` shape is where
-  * a vectorized decoder (one model/codec init per partition, batched
-  * inference) plugs in.
+  * The image leg (`mm_decode_pipeline`) is a REAL codec round-trip: a
+  * deterministic grayscale PNG is synthesized per document (the binary
+  * media column a production table would carry), then decoded back with
+  * `javax.imageio` inside `mapPartitions` — dims, band count, and pixel
+  * probes come out of the actual decoded raster, and PNG is lossless so
+  * the DuckDB oracle replays them in closed form. The byte-granular keys
+  * (`mm_frame_sample`) keep the deterministic byte-stat stand-in for
+  * codecs this container lacks (video/audio). On a cluster the same
+  * `mapPartitions` shape is where a vectorized decoder (one codec/model
+  * init per partition, batched inference) plugs in.
   */
 object Multimodal extends QueryGroup {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte],
       lang: String, n_chars: Long)
-  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
-      head_byte: Int, checksum: Long, lang: String)
+  final case class PngRow(doc_id: Long, media: Array[Byte])
+  final case class DecodedImage(doc_id: Long, img_w: Int, img_h: Int,
+      n_channels: Int, px_00: Int, px_mid: Int, px_corner: Int)
+
+  /** Deterministic synthetic grayscale PNG: pixel(x,y) =
+    * (7x + 13y + id) mod 256. PNG is lossless, so a faithful decode must
+    * reproduce every pixel bit-for-bit — the closed form doubles as the
+    * DuckDB oracle for the decoded output. */
+  def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((7L * x + 13L * y + id) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image dims derived from row metadata — small enough that the
+    * per-row encode/decode cost is codec overhead, not pixel volume. */
+  def imgDims(id: Long, nChars: Long): (Int, Int) =
+    (8 + (id % 25).toInt, 8 + (nChars % 17).toInt)
 
   /** STUB decode: deterministic fake feature extraction standing in for
     * an image/audio decoder. Real implementation would decode `bytes`
@@ -56,19 +87,36 @@ object Multimodal extends QueryGroup {
         .orderBy("doc_id", "frame_no")
     }),
 
-    // binary media column + struct metadata → per-partition batch decode.
+    // binary media column → per-partition batch decode, with a REAL
+    // image codec: stage 1 materializes the PNG-bytes media column
+    // (standing in for the object-store binary a production table
+    // references), stage 2 decodes it back through javax.imageio. The
+    // emitted dims / band count / pixel probes come from the decoded
+    // raster, NOT the generator — a broken decode (wrong stride, wrong
+    // color model, truncated stream) diverges from the closed-form
+    // oracle immediately.
     "mm_decode_pipeline" -> ((s, d) => {
       import s.implicits._
       val media = Tables(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("media"),
-          col("lang"), col("n_chars"))
-        .as[MediaRow]
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val (w, h) = imgDims(id, nChars)
+          PngRow(id, makePng(id, w, h))
+        }
       media.mapPartitions { rows =>
-        // one init per partition (where a real codec/model would load),
-        // then batch over the partition's rows.
+        // one codec init per partition (where a real decoder/model
+        // loads); ImageIO's disk cache is useless for in-memory blobs.
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
-          val (n, head, ck) = decodeStub(r.media)
-          MediaFeatures(r.doc_id, n, head, ck, r.lang)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          DecodedImage(r.doc_id, w, h, raster.getNumBands,
+            raster.getSample(0, 0, 0),
+            raster.getSample(w / 2, h / 2, 0),
+            raster.getSample(w - 1, h - 1, 0))
         }
       }.toDF()
         .orderBy("doc_id")
@@ -106,10 +154,24 @@ object Multimodal extends QueryGroup {
   final case class ResizePlan(doc_id: Long, w: Int, h: Int,
       out_w: Int, out_h: Int)
 
-  // the byte-level keys are engine-internal (LlmOpsSpec); the resize
-  // plan is integer arithmetic on the blob length, which DuckDB can
-  // replay from LENGTH(text) (ASCII fixture ⇒ byte length).
+  // mm_frame_sample stays engine-internal (LlmOpsSpec) — its checksum
+  // needs the raw bytes. The decode pipeline IS oracled: PNG is
+  // lossless, so the decoded raster must equal the generator's closed
+  // form, which DuckDB computes from doc_id/n_chars alone.
   val oracles: Map[String, String] = Map(
+    "mm_decode_pipeline" ->
+      """SELECT doc_id, img_w, img_h, 1 AS n_channels,
+        |  CAST(doc_id % 256 AS INTEGER) AS px_00,
+        |  CAST((7*(img_w//2) + 13*(img_h//2) + doc_id) % 256 AS INTEGER)
+        |    AS px_mid,
+        |  CAST((7*(img_w-1) + 13*(img_h-1) + doc_id) % 256 AS INTEGER)
+        |    AS px_corner
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 25) AS INTEGER) AS img_w,
+        |    CAST(8 + (n_chars % 17) AS INTEGER) AS img_h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "mm_resize_batch" ->
       """SELECT doc_id, w, h,
         |  CAST(CASE WHEN GREATEST(w, h) <= 224 THEN w

@@ -100,19 +100,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(r1.sameElements(r2))
   }
 
-  test("multimodal decode pipeline emits faithful byte features") {
+  test("multimodal decode pipeline: real PNG codec round-trip") {
+    // the part the closed-form oracle can't see: the media column is a
+    // genuine PNG byte stream and the decode is a genuine codec parse
+    for (id <- Seq(0L, 17L, 499L)) {
+      val (w, h) = Multimodal.imgDims(id, id * 31 + 5)
+      val bytes = Multimodal.makePng(id, w, h)
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G', s"doc $id: not a PNG stream")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          ((7L * x + 13L * y + id) % 256L).toInt,
+          s"doc $id pixel ($x,$y) corrupted by the codec round-trip")
+    }
     val feats: DataFrame = SparkEntry.queries("mm_decode_pipeline")(spark, sf)
-    val docs: Map[Long, String] = Tables(spark, sf, "documents")
-      .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got = feats.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
     assert(got.length == docs.size)
-    for ((id, nBytes, head, ck) <- got.take(20)) {
-      val bytes = docs(id).getBytes("UTF-8")
-      val (en, eh, eck) = Multimodal.decodeStub(bytes)
-      assert(nBytes == en && head == eh && ck == eck,
-        s"doc $id features mismatch")
+    for ((id, w, h, bands) <- got) {
+      val (ew, eh) = Multimodal.imgDims(id, docs(id))
+      assert(w == ew && h == eh && bands == 1, s"doc $id dims mismatch")
     }
   }
 
