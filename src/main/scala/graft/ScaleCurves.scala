@@ -29,7 +29,14 @@ object ScaleCurves {
     "join_spj_copartitioned" -> "orders",
     "text_boilerplate" -> "documents",
     "graph_jaccard_neighbors" -> "documents",
-    "dedup_substring" -> "documents")
+    "dedup_substring" -> "documents",
+    // round-10 newcomers + the slowest suite keys: the streaming pair
+    // also logs its micro-batch count so cost is attributed (trigger
+    // overhead vs state growth) rather than guessed
+    "stream_interval_join" -> "events",
+    "stream_stateful_count" -> "events",
+    "opt_cbo_reorder" -> "orders",
+    "geo_radius_join" -> "customer")
 
   private val RunsPerKey = 3
 
@@ -51,6 +58,22 @@ object ScaleCurves {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Micro-batch attribution for streaming keys: a replayed file stream
+    // whose cost is N near-empty triggers has a very different 100 TB
+    // story than one whose state grows per batch — the count tells them
+    // apart. Progress events arrive on the async listener bus, so the
+    // counter is read only after a short drain.
+    val batchCount = new java.util.concurrent.atomic.AtomicLong
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          batchCount.incrementAndGet()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     val r2 = (v: Double) =>
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     for ((key, inputTable) <- keys) {
@@ -64,6 +87,7 @@ object ScaleCurves {
         try SparkEntry.queries(key)(spark, d).count()
         catch { case e: Throwable =>
           System.err.println(s"[scale] $key warmup failed at $d: $e") }
+        batchCount.set(0L)
         val times = Seq.fill(RunsPerKey) {
           RunCaches.reset()
           spark.catalog.clearCache()
@@ -72,11 +96,15 @@ object ScaleCurves {
           (System.nanoTime() - t0) / 1e9
         }
         val med = times.sorted.apply(RunsPerKey / 2)
+        // drain the async listener bus before reading the batch counter
+        val batches = { Thread.sleep(500); batchCount.get / RunsPerKey }
+        val batchesJson =
+          if (batches > 0) s""","batches_per_run":$batches""" else ""
         val growth = prev.map { case (r0, t0) =>
           s""","rows_x":${r2(rows.toDouble / r0)},"time_x":${r2(med / t0)}"""
         }.getOrElse("")
         println(s"""{"key":"$key","dir":"$d","input_rows":$rows,""" +
-          s""""median_sec":${r2(med)}$growth}""")
+          s""""median_sec":${r2(med)}$batchesJson$growth}""")
         prev = Some((rows, med))
       }
     }
