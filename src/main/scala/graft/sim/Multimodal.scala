@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * media column a production table would carry), then decoded back with
   * `javax.imageio` inside `mapPartitions` — dims, band count, and pixel
   * probes come out of the actual decoded raster, and PNG is lossless so
-  * the DuckDB oracle replays them in closed form. The byte-granular keys
-  * (`mm_frame_sample`) keep the deterministic byte-stat stand-in for
-  * codecs this container lacks (video/audio). On a cluster the same
+  * the DuckDB oracle replays them in closed form. The frame-sampling key
+  * keeps the deterministic byte-stat stand-in for codecs this container
+  * lacks (video/audio) — but is oracled too: ASCII fixture bytes make
+  * the per-frame rolling checksum SQL-replayable. On a cluster the same
   * `mapPartitions` shape is where a vectorized decoder (one codec/model
   * init per partition, batched inference) plugs in.
   */
@@ -154,11 +155,30 @@ object Multimodal extends QueryGroup {
   final case class ResizePlan(doc_id: Long, w: Int, h: Int,
       out_w: Int, out_h: Int)
 
-  // mm_frame_sample stays engine-internal (LlmOpsSpec) — its checksum
-  // needs the raw bytes. The decode pipeline IS oracled: PNG is
+  // All three image keys are oracled. The decode pipeline: PNG is
   // lossless, so the decoded raster must equal the generator's closed
-  // form, which DuckDB computes from doc_id/n_chars alone.
+  // form, which DuckDB computes from doc_id/n_chars alone. Frame
+  // sampling: the fixture text is ASCII (byte == UNICODE(char)), so the
+  // per-frame rolling checksum is the same LIST_REDUCE fold the
+  // text_fingerprint oracle already replays, over SUBSTR chunks.
   val oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_no,
+        |  CAST(LENGTH(chunk) AS INTEGER) AS frame_bytes,
+        |  LIST_REDUCE(
+        |    LIST_PREPEND(CAST(0 AS BIGINT),
+        |      LIST_TRANSFORM(STR_SPLIT(chunk, ''),
+        |        c -> CAST(UNICODE(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_checksum
+        |FROM (
+        |  SELECT doc_id, CAST(k AS INTEGER) AS frame_no,
+        |    SUBSTR(text, k * 64 + 1, 64) AS chunk
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      UNNEST(GENERATE_SERIES(0,
+        |        CAST(CEIL(LENGTH(text) / 64.0) AS INTEGER) - 1)) AS k
+        |    FROM documents))
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "mm_decode_pipeline" ->
       """SELECT doc_id, img_w, img_h, 1 AS n_channels,
         |  CAST(doc_id % 256 AS INTEGER) AS px_00,
