@@ -20,6 +20,11 @@ object Verify {
     case _ => true
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [key ...] — extra keys restrict the dump to
     // that subset (dev iteration); the driver always passes exactly two.
@@ -38,6 +43,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
+      // Delete any pre-existing dump for this key BEFORE attempting it:
+      // the catch below skips failing keys (so one broken key can't void
+      // the whole round), but a stale parquet from a prior run in a
+      // reused outDir would then be diffed as green — a failure must
+      // leave NO output behind, never yesterday's.
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try {
         val df = fn(spark, sfDir)
         // Lint only keys the DuckDB diff will actually hash; scalatest-only
