@@ -112,6 +112,48 @@ object VectorOps extends QueryGroup {
        |${step(1)}""".stripMargin
   }
 
+  /** DuckDB mirror of [[pqCodebook]] training + the graft_pq_encode
+    * argmin (the ml_kmeans_step recipe applied per subspace): subspace
+    * explode → hash-ranked top-16 seeds → two refinements with the same
+    * unrolled left-to-right L2 and per-dim ROUND(AVG, 6) means → final
+    * assignment with the same (dist ASC, cid ASC) tie order the encoder's
+    * strict `<` over cid-ascending codewords implements. Only AVG's
+    * accumulation order differs across engines and the round-6 absorbs
+    * it — every other double op is replayed in identical order, so dists
+    * are bitwise equal and ranks agree. */
+  private def oPqEncode: String = {
+    val subDim = 8
+    // identical textual form to the trainer's l2 (unrolled, left-assoc)
+    def l2(a: String, b: String): String = (1 to subDim)
+      .map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+      .mkString("(", " + ", ")")
+    val avgs = (1 to subDim).map(i => s"ROUND(AVG(sv[$i]), 6)")
+      .mkString("LIST_VALUE(", ", ", ")")
+    def refine(n: Int): String =
+      s"""asg$n AS (SELECT vec_id, sidx, sv, cid FROM (
+         |  SELECT s.vec_id, s.sidx, s.sv, c.cid, ROW_NUMBER() OVER (
+         |    PARTITION BY s.vec_id, s.sidx
+         |    ORDER BY ${l2("s.sv", "c.cv")} ASC, c.cid ASC) AS rn
+         |  FROM subs s JOIN cb$n c ON s.sidx = c.sidx) WHERE rn = 1),
+         |cb${n + 1} AS (SELECT sidx, cid, $avgs AS cv
+         |  FROM asg$n GROUP BY sidx, cid)""".stripMargin
+    s"""subs AS (SELECT vec_id, sidx,
+       |    LIST_SLICE(v, sidx * $subDim + 1, sidx * $subDim + $subDim) AS sv
+       |  FROM (SELECT vec_id, v, UNNEST(GENERATE_SERIES(0, 7)) AS sidx
+       |        FROM e)),
+       |cb0 AS (SELECT sidx, CAST(rn AS INTEGER) AS cid, sv AS cv FROM (
+       |  SELECT sidx, sv, ROW_NUMBER() OVER (PARTITION BY sidx
+       |    ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) AS rn
+       |  FROM subs) WHERE rn <= 16),
+       |${refine(0)},
+       |${refine(1)},
+       |enc AS (SELECT vec_id, sidx, cid, dist FROM (
+       |  SELECT s.vec_id, s.sidx, c.cid, ${l2("s.sv", "c.cv")} AS dist,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sidx
+       |      ORDER BY ${l2("s.sv", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM subs s JOIN cb2 c ON s.sidx = c.sidx) WHERE rn = 1)""".stripMargin
+  }
+
   /** Trained IVF coarse quantizer as a fixture-stamped artifact: two
     * [[kmeansStep]] refinements of the %29 seeds over the %2 half-sample,
     * trained ONCE per fixture and persisted (the text_bpe_merges
@@ -647,9 +689,10 @@ object VectorOps extends QueryGroup {
     // codegen map over the corpus. `codes` is emitted as a comma-joined
     // STRING, not array<int>: verify artifacts must stay sort-stable
     // for the driver diff (SURVEY §5.2), and pandas cannot sort ndarray
-    // cells. No SQL oracle — codebook training isn't SQL-expressible;
-    // AnnRecallSpec pins code validity, quantization-beats-variance,
-    // and rerun determinism.
+    // cells. DuckDB-oracled end-to-end ([[oPqEncode]]): the codebook
+    // training is seeded-deterministic, so the oracle re-derives it in
+    // SQL and replays the argmin encode; AnnRecallSpec additionally
+    // pins quantization-beats-variance and rerun determinism.
     "embed_pq" -> ((s, d) => {
       pqRegister(s, d)
       emb(s, d).select(col("vec_id"),
@@ -955,6 +998,20 @@ object VectorOps extends QueryGroup {
          |       FROM asg GROUP BY cid)
          |SELECT st.cid, n_members, inertia, centroid_norm
          |FROM st JOIN nc ON st.cid = nc.cid ORDER BY st.cid""".stripMargin,
+    // encode/serve leg only: codebook training is replayed in SQL from
+    // the same deterministic seeds, so the shipped artifact (byte-equal
+    // to inline training) and the oracle's re-derivation agree; sq_err
+    // is folded in subspace order to mirror the encoder's m=0..7 loop
+    "embed_pq" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oPqEncode
+         |SELECT vec_id,
+         |  ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+         |    LIST(dist ORDER BY sidx)), (x, y) -> x + y), 6) AS sq_err,
+         |  STRING_AGG(CAST(cid AS VARCHAR), ',' ORDER BY sidx) AS codes
+         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sim_mips" ->
       s"""WITH e AS (SELECT vec_id, label,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
