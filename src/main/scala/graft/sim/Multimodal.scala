@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * media column a production table would carry), then decoded back with
   * `javax.imageio` inside `mapPartitions` — dims, band count, and pixel
   * probes come out of the actual decoded raster, and PNG is lossless so
-  * the DuckDB oracle replays them in closed form. The frame-sampling key
-  * keeps the deterministic byte-stat stand-in for codecs this container
-  * lacks (video/audio) — but is oracled too: ASCII fixture bytes make
+  * the DuckDB oracle replays them in closed form. The audio leg
+  * (`mm_audio_decode`) runs the same contract through the JDK's other
+  * real codec: a deterministic PCM WAV per document decoded back with
+  * `javax.sound.sampled` — header fields and samples must match the
+  * closed form exactly. The frame-sampling key keeps the deterministic
+  * byte-stat stand-in for the one modality without a pure-JVM codec
+  * (video) — but is oracled too: ASCII fixture bytes make
   * the per-frame rolling checksum SQL-replayable. On a cluster the same
   * `mapPartitions` shape is where a vectorized decoder (one codec/model
   * init per partition, batched inference) plugs in.
@@ -53,6 +57,38 @@ object Multimodal extends QueryGroup {
     * per-row encode/decode cost is codec overhead, not pixel volume. */
   def imgDims(id: Long, nChars: Long): (Int, Int) =
     (8 + (id % 25).toInt, 8 + (nChars % 17).toInt)
+
+  final case class WavRow(doc_id: Long, media: Array[Byte])
+  final case class DecodedAudio(doc_id: Long, sample_rate: Int,
+      n_frames: Long, n_channels: Int, s_first: Int, s_mid: Int,
+      s_last: Int, checksum: Long)
+
+  /** Deterministic synthetic WAV (PCM s16le mono): sample(i) =
+    * ((31·id + 7i) mod 65536) − 32768, rate 8000 + (id mod 8) kHz-steps,
+    * 32 + (n_chars mod 41) frames. WAV is a lossless container, so a
+    * faithful decode must return every header field and sample exactly —
+    * the closed form doubles as the DuckDB oracle (the [[makePng]]
+    * recipe transposed to the JDK's other real codec). */
+  def makeWav(id: Long, nChars: Long): Array[Byte] = {
+    val sr = 8000 + (id % 8).toInt * 1000
+    val n = 32 + (nChars % 41).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((31L * id + 7L * i) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** STUB decode: deterministic fake feature extraction standing in for
     * an image/audio decoder. Real implementation would decode `bytes`
@@ -118,6 +154,46 @@ object Multimodal extends QueryGroup {
             raster.getSample(0, 0, 0),
             raster.getSample(w / 2, h / 2, 0),
             raster.getSample(w - 1, h - 1, 0))
+        }
+      }.toDF()
+        .orderBy("doc_id")
+    }),
+
+    // binary media column → per-partition batch decode, with the JDK's
+    // SECOND real codec (audio): stage 1 materializes a PCM-WAV media
+    // column, stage 2 decodes it back through javax.sound.sampled —
+    // sample rate, frame count, and channel count come from the parsed
+    // RIFF header, the amplitude probes and rolling checksum from the
+    // decoded little-endian s16 samples. WAV is lossless, so a broken
+    // decode (wrong endianness, header-length drift, sign error)
+    // diverges from the closed-form oracle immediately. Two of three
+    // media modalities (image + audio) now run REAL codecs; video keeps
+    // the frame-sample stand-in (no pure-JVM video codec ships).
+    "mm_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) => WavRow(id, makeWav(id, nChars)) }
+      media.mapPartitions { rows =>
+        // one decoder init per partition (provider lookup is the
+        // per-call cost a real audio featurizer would also hoist)
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val fmt = ais.getFormat
+          val n = ais.getFrameLength.toInt
+          val buf = ais.readAllBytes()
+          def sample(i: Int): Int =
+            (buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)
+          var ck = 0L
+          var i = 0
+          while (i < n) {
+            ck = (ck * 31 + (sample(i) + 32768)) % 1000000007L
+            i += 1
+          }
+          DecodedAudio(r.doc_id, fmt.getSampleRate.toInt, n.toLong,
+            fmt.getChannels, sample(0), sample(n / 2), sample(n - 1), ck)
         }
       }.toDF()
         .orderBy("doc_id")
@@ -191,6 +267,25 @@ object Multimodal extends QueryGroup {
         |    CAST(8 + (doc_id % 25) AS INTEGER) AS img_w,
         |    CAST(8 + (n_chars % 17) AS INTEGER) AS img_h
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // WAV is lossless and the waveform is closed-form: sample(i)+32768
+    // = (31·id + 7i) mod 65536, so the checksum fold runs over that
+    // directly; header fields replay from doc_id / n_chars alone.
+    "mm_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST((31 * doc_id) % 65536 - 32768 AS INTEGER) AS s_first,
+        |  CAST((31 * doc_id + 7 * (n // 2)) % 65536 - 32768 AS INTEGER)
+        |    AS s_mid,
+        |  CAST((31 * doc_id + 7 * (n - 1)) % 65536 - 32768 AS INTEGER)
+        |    AS s_last,
+        |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+        |    LIST_TRANSFORM(GENERATE_SERIES(0, n - 1),
+        |      i -> (31 * doc_id + 7 * i) % 65536)),
+        |    (acc, s) -> (acc * 31 + s) % 1000000007) AS checksum
+        |FROM (SELECT doc_id, 32 + (n_chars % 41) AS n FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "mm_resize_batch" ->
       """SELECT doc_id, w, h,
