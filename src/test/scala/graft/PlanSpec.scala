@@ -54,6 +54,37 @@ class PlanSpec extends SparkSpec {
       s"no partition filter in:\n$scan")
   }
 
+  test("V2 snapshot-catalog partition predicate prunes served splits") {
+    // the reference metastore earns its keep via partition-filtered
+    // listing (get_partitions_by_filter): a partition-value predicate
+    // on a catalog-served table must shrink the SPLITS the scan is
+    // handed, not just annotate the plan. CatalogSpec asserts the
+    // PartitionFilters string; this asserts the file count — the number
+    // that matters at 100 TB (prune 1 of S status partitions → read
+    // ~1/S of the files).
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    SparkEntry.queries("meta_v2_partitioned")(spark, sf).count()
+    val rcat = "gpsnap_" + sf.replaceAll("[^A-Za-z0-9]", "_") + "_ro"
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }
+        .flatMap(_.partitions.flatten)
+        .flatMap {
+          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty
+        }.distinct
+    val all = scannedFiles(spark.table(s"$rcat.corp.orders_p"))
+    val pruned = scannedFiles(spark.table(s"$rcat.corp.orders_p")
+      .filter(col("o_orderstatus") === "F"))
+    assert(pruned.nonEmpty, "pruned scan planned zero splits")
+    assert(pruned.size < all.size,
+      s"partition predicate did not shrink the split list " +
+        s"(${pruned.size} of ${all.size} files)")
+    assert(pruned.forall(_.contains("o_orderstatus=F")),
+      s"pruned split list leaked other partitions:\n${pruned.mkString("\n")}")
+  }
+
   test("theta join is equi-join on brand with residual, not cartesian") {
     val plan = planOf("join_theta_range")
     assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
