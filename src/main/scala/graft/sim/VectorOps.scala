@@ -130,13 +130,13 @@ object VectorOps extends QueryGroup {
     val avgs = (1 to subDim).map(i => s"ROUND(AVG(sv[$i]), 6)")
       .mkString("LIST_VALUE(", ", ", ")")
     def refine(n: Int): String =
-      s"""asg$n AS (SELECT vec_id, sidx, sv, cid FROM (
+      s"""pasg$n AS (SELECT vec_id, sidx, sv, cid FROM (
          |  SELECT s.vec_id, s.sidx, s.sv, c.cid, ROW_NUMBER() OVER (
          |    PARTITION BY s.vec_id, s.sidx
          |    ORDER BY ${l2("s.sv", "c.cv")} ASC, c.cid ASC) AS rn
          |  FROM subs s JOIN cb$n c ON s.sidx = c.sidx) WHERE rn = 1),
          |cb${n + 1} AS (SELECT sidx, cid, $avgs AS cv
-         |  FROM asg$n GROUP BY sidx, cid)""".stripMargin
+         |  FROM pasg$n GROUP BY sidx, cid)""".stripMargin
     s"""subs AS (SELECT vec_id, sidx,
        |    LIST_SLICE(v, sidx * $subDim + 1, sidx * $subDim + $subDim) AS sv
        |  FROM (SELECT vec_id, v, UNNEST(GENERATE_SERIES(0, 7)) AS sidx
@@ -803,8 +803,10 @@ object VectorOps extends QueryGroup {
     // standard two-stage serve shape, and the gather join touches 8
     // rows per query regardless of corpus size. Both
     // index artifacts (centroids, codebook) are fixture-stamped and
-    // shipped. No SQL oracle (trained codebook); AnnRecallSpec pins
-    // answer quality vs brute force and agreement with rerun.
+    // shipped. DuckDB-oracled serve leg: BOTH artifacts re-derive in
+    // SQL (oKmeans + oPqEncode) and ADC replays as cosine against the
+    // flattened reconstruction; AnnRecallSpec additionally pins answer
+    // quality vs brute force and agreement with rerun.
     "sim_ann_ivfpq" -> ((s, d) => {
       val e = emb(s, d)
       val cent = ivfCentroids(s, d)
@@ -1012,6 +1014,52 @@ object VectorOps extends QueryGroup {
          |    LIST(dist ORDER BY sidx)), (x, y) -> x + y), 6) AS sq_err,
          |  STRING_AGG(CAST(cid AS VARCHAR), ',' ORDER BY sidx) AS codes
          |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // serve leg only, BOTH index artifacts re-derived in SQL: IVF
+    // centroids via oKmeans, the PQ codebook via oPqEncode. The ADC
+    // score replays as plain cosine against the flattened per-subspace
+    // reconstruction — graft_pq_adc's interleaved m,j loop accumulates
+    // dot/nc/nq each in flat i=0..63 order, exactly oCos's left fold,
+    // and IEEE multiply commutes, so the doubles are bitwise equal and
+    // all three rank windows agree. Train legs stay scalatest.
+    "sim_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oKmeans,
+         |$oPqEncode,
+         |recon AS (SELECT n.vec_id,
+         |    FLATTEN(LIST(c.cv ORDER BY n.sidx)) AS rv
+         |  FROM enc n JOIN cb2 c ON c.sidx = n.sidx AND c.cid = n.cid
+         |  GROUP BY n.vec_id),
+         |ivfsc AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ivfsc) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ivfsc
+         |  WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |cand AS (SELECT p.qid, s.vec_id, s.cell, qq.qv,
+         |    ${oCos("qq.qv", "r.rv")} AS adc
+         |  FROM cells s
+         |    JOIN probes p ON s.cell = p.cell
+         |    JOIN recon r ON r.vec_id = s.vec_id
+         |    JOIN q qq ON qq.qid = p.qid
+         |  WHERE s.vec_id <> p.qid),
+         |shortl AS (SELECT qid, vec_id, cell, qv, adc FROM (
+         |  SELECT qid, vec_id, cell, qv, adc, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
+         |  FROM cand) WHERE rn <= 8),
+         |rer AS (SELECT s.qid, s.cell, s.vec_id, s.adc,
+         |    ${oCos("s.qv", "ce.v")} AS cos
+         |  FROM shortl s JOIN e ce ON ce.vec_id = s.vec_id)
+         |SELECT qid, cell, vec_id AS nn, ROUND(cos, 4) AS cos,
+         |  ROUND(adc, 4) AS adc_cos FROM (
+         |  SELECT qid, cell, vec_id, cos, adc, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM rer) WHERE rn = 1 ORDER BY qid""".stripMargin,
     "sim_mips" ->
       s"""WITH e AS (SELECT vec_id, label,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
