@@ -35,4 +35,34 @@ class GoldenSnapshotSpec extends SparkSpec {
     assert(got == Files.readString(p),
       s"snapshot drifted from golden; got:\n$got")
   }
+
+  private val ddlGoldenPath = "src/test/resources/golden/meta_ddl_script.sql"
+
+  test("meta_ddl_script DDL text matches the committed golden file") {
+    // CatalogSpec proves the script EXECUTES back to a drift-free
+    // catalog (semantic fidelity); this pins the TEXT itself — a quoting
+    // change, a reordered clause, or a lost IF NOT EXISTS alters the
+    // reviewable migration artifact an operator diffs, even when the
+    // semantics survive. Paths are relativized (fixture dir, scratch
+    // dir, fixture-mangled scratch key) so the file is
+    // machine-independent.
+    val rows = SparkEntry.queries("meta_ddl_script")(spark, sf)
+      .orderBy("stmt_order").collect()
+    val scratchAbs = new java.io.File("target/scratch").getAbsolutePath
+    val sfAbs = new java.io.File(sf).getAbsolutePath
+    val got = rows.map(r => s"-- ${r.getString(1)}\n${r.getString(2)};")
+      .mkString("", "\n", "\n")
+      .replace("file://" + scratchAbs, "<SCRATCH>")
+      .replace("file://" + sfAbs, "<SF>")
+      .replace(sf.replaceAll("[^A-Za-z0-9._-]", "_"), "<SFKEY>")
+      .replace(sf, "<SF>")
+    val p = Paths.get(ddlGoldenPath)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, got)
+      fail(s"golden file created at $ddlGoldenPath — commit it and re-run")
+    }
+    assert(got == Files.readString(p),
+      s"DDL script drifted from golden; got:\n$got")
+  }
 }
