@@ -41,7 +41,13 @@ object ScaleCurves {
     // heavy: DedupScale curves the FAMILY's candidate growth; this line
     // curves the shipped query itself (shingle explode → band shuffle →
     // verify join)
-    "dedup_minhash" -> "documents")
+    "dedup_minhash" -> "documents",
+    // the real-codec mm keys are per-ROW codec-bound (PNG / WAV encode
+    // + decode per document) — the two curves that SHOULD grow with
+    // rows, proving the methodology separates per-row cost from the
+    // fixed-cost plateaus above
+    "mm_decode_pipeline" -> "documents",
+    "mm_audio_decode" -> "documents")
 
   private val RunsPerKey = 3
 
