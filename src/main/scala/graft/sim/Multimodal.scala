@@ -90,6 +90,9 @@ object Multimodal extends QueryGroup {
     bos.toByteArray
   }
 
+  final case class AudioFeatures(doc_id: Long, n_frames: Long, zcr: Long,
+      peak: Int, rms: Double, clipped: Long)
+
   /** STUB decode: deterministic fake feature extraction standing in for
     * an image/audio decoder. Real implementation would decode `bytes`
     * and emit model features; this emits byte-level stats so the
@@ -199,6 +202,49 @@ object Multimodal extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // audio FEATURE EXTRACTION over the decoded samples — the analysis
+    // leg a curation pipeline actually filters on (silence/clipping
+    // gates, voice-activity proxies): zero-crossing rate, peak
+    // amplitude, RMS energy, clipped-sample count, all computed from
+    // the REAL decoded s16 stream in one pass per blob. Integer
+    // accumulators (Σs² ≤ 72·2³⁰ stays exact), sqrt is IEEE-correctly-
+    // rounded, so the closed-form waveform gives an exact DuckDB
+    // replay. Same zero-shuffle mapPartitions shape as the decode leg.
+    "mm_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) => WavRow(id, makeWav(id, nChars)) }
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val n = ais.getFrameLength.toInt
+          val buf = ais.readAllBytes()
+          def sample(i: Int): Int =
+            (buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)
+          var zcr = 0L; var peak = 0; var ss = 0L; var clipped = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = sample(i)
+            if (i > 0 && ((prev >= 0) != (v >= 0))) zcr += 1
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            ss += v.toLong * v
+            if (v == 32767 || v == -32768) clipped += 1
+            prev = v
+            i += 1
+          }
+          AudioFeatures(r.doc_id, n.toLong, zcr, peak,
+            math.sqrt(ss.toDouble / n), clipped)
+        }
+      }.toDF()
+        .withColumn("rms", round(col("rms"), 4))
+        .orderBy("doc_id")
+    }),
+
     // aspect-preserving resize planning — the third leg of the
     // decode / frame-sample / resize quartet. The stub "decoder"
     // derives source dims from the blob length (deterministic integer
@@ -287,6 +333,36 @@ object Multimodal extends QueryGroup {
         |    (acc, s) -> (acc * 31 + s) % 1000000007) AS checksum
         |FROM (SELECT doc_id, 32 + (n_chars % 41) AS n FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // features replay from the closed-form waveform: ZCR via LAG sign
+    // comparison, peak/Σs²/clip-count as integer aggregates, RMS as
+    // SQRT over the exact integer power sum (sqrt is IEEE-correctly-
+    // rounded on both engines — the agg_moments discipline).
+    "mm_audio_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, 32 + (n_chars % 41) AS n FROM documents),
+        |samp AS (
+        |  SELECT doc_id, n, i,
+        |    (31 * doc_id + 7 * i) % 65536 - 32768 AS s
+        |  FROM (SELECT doc_id, n,
+        |          UNNEST(GENERATE_SERIES(0, n - 1)) AS i FROM base)),
+        |lagged AS (
+        |  SELECT doc_id, i, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS sprev
+        |  FROM samp),
+        |agg AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN i > 0 AND ((sprev >= 0) <> (s >= 0))
+        |        THEN 1 ELSE 0 END) AS zcr,
+        |    MAX(ABS(s)) AS peak,
+        |    SUM(s * s) AS ss,
+        |    SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)
+        |      AS clipped
+        |  FROM lagged GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_frames,
+        |  CAST(zcr AS BIGINT) AS zcr, CAST(peak AS INTEGER) AS peak,
+        |  ROUND(SQRT(CAST(ss AS DOUBLE) / b.n), 4) AS rms,
+        |  CAST(clipped AS BIGINT) AS clipped
+        |FROM base b JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "mm_resize_batch" ->
       """SELECT doc_id, w, h,
         |  CAST(CASE WHEN GREATEST(w, h) <= 224 THEN w

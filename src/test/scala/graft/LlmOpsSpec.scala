@@ -167,6 +167,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_features: laws hold and a plain-Scala replay agrees") {
+    val rows = SparkEntry.queries("mm_audio_features")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, zcr, peak, rms) =
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))
+      assert(peak <= 32768 && peak >= 0, s"peak out of s16 range: $peak")
+      assert(rms <= peak + 1e-9, s"RMS $rms exceeds peak $peak")
+      assert(zcr < n, s"more zero crossings than sample transitions")
+    }
+    // independent replay for a few docs: features from the WAV BYTES
+    // (not the closed form) — pins the decode-side arithmetic
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect().take(3)
+    for (d <- docs) {
+      val (id, nChars) = (d.getLong(0), d.getLong(1))
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.makeWav(id, nChars)))
+      val n = ais.getFrameLength.toInt
+      val buf = ais.readAllBytes()
+      def s(i: Int): Int = (buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)
+      val zcr = (1 until n).count(i => (s(i - 1) >= 0) != (s(i) >= 0))
+      val peak = (0 until n).map(i => math.abs(s(i))).max
+      val r = byId(id)
+      assert(r.getLong(1) == n && r.getLong(2) == zcr &&
+        r.getInt(3) == peak, s"doc $id feature replay mismatch")
+    }
+  }
+
   test("sample_temperature: weights normalize and flatten the mixture") {
     val rows = SparkEntry.queries("sample_temperature")(spark, sf)
       .collect()
