@@ -93,6 +93,9 @@ object Multimodal extends QueryGroup {
   final case class AudioFeatures(doc_id: Long, n_frames: Long, zcr: Long,
       peak: Int, rms: Double, clipped: Long)
 
+  final case class ImageFeatures(doc_id: Long, img_w: Int, img_h: Int,
+      mean_px: Double, min_px: Int, max_px: Int, grad_energy: Long)
+
   /** STUB decode: deterministic fake feature extraction standing in for
     * an image/audio decoder. Real implementation would decode `bytes`
     * and emit model features; this emits byte-level stats so the
@@ -199,6 +202,52 @@ object Multimodal extends QueryGroup {
             fmt.getChannels, sample(0), sample(n / 2), sample(n - 1), ck)
         }
       }.toDF()
+        .orderBy("doc_id")
+    }),
+
+    // image FEATURE EXTRACTION over the decoded raster — the
+    // brightness/contrast/sharpness stats an image-curation gate
+    // filters on (dark/blank frames, low-texture crops): per-image
+    // mean/min/max pixel plus horizontal gradient energy
+    // (Σ|p(x+1,y)−p(x,y)|, the sharpness proxy), one pass over the
+    // REAL javax.imageio-decoded raster. Integer sums are exact, so
+    // the generator's closed form replays the whole row in DuckDB.
+    "mm_image_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val (w, h) = imgDims(id, nChars)
+          PngRow(id, makePng(id, w, h))
+        }
+      media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L; var mn = 255; var mx = 0; var gx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            var prev = 0
+            while (x < w) {
+              val p = raster.getSample(x, y, 0)
+              sum += p
+              if (p < mn) mn = p
+              if (p > mx) mx = p
+              if (x > 0) gx += math.abs(p - prev)
+              prev = p
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(r.doc_id, w, h, sum.toDouble / (w * h), mn, mx, gx)
+        }
+      }.toDF()
+        .withColumn("mean_px", round(col("mean_px"), 4))
         .orderBy("doc_id")
     }),
 
@@ -333,6 +382,33 @@ object Multimodal extends QueryGroup {
         |    (acc, s) -> (acc * 31 + s) % 1000000007) AS checksum
         |FROM (SELECT doc_id, 32 + (n_chars % 41) AS n FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // pixel stats replay from the generator's closed form over a
+    // generate_series grid; the horizontal-gradient term re-derives
+    // p(x+1,y) from the same formula (integer mod arithmetic, exact)
+    "mm_image_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 25) AS INTEGER) AS w,
+        |    CAST(8 + (n_chars % 17) AS INTEGER) AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h,
+        |    UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM dims),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |    (7 * x + 13 * y + doc_id) % 256 AS p
+        |  FROM (SELECT doc_id, w, h, x,
+        |          UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs)),
+        |agg AS (SELECT doc_id,
+        |    SUM(p) AS sp, MIN(p) AS pmin, MAX(p) AS pmax,
+        |    SUM(CASE WHEN x < w - 1 THEN
+        |          ABS((7 * (x + 1) + 13 * y + doc_id) % 256 - p)
+        |        ELSE 0 END) AS gx
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, d.w AS img_w, d.h AS img_h,
+        |  ROUND(CAST(sp AS DOUBLE) / (d.w * d.h), 4) AS mean_px,
+        |  CAST(pmin AS INTEGER) AS min_px,
+        |  CAST(pmax AS INTEGER) AS max_px,
+        |  CAST(gx AS BIGINT) AS grad_energy
+        |FROM dims d JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // features replay from the closed-form waveform: ZCR via LAG sign
     // comparison, peak/Σs²/clip-count as integer aggregates, RMS as
     // SQRT over the exact integer power sum (sqrt is IEEE-correctly-

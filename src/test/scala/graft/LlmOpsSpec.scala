@@ -167,6 +167,37 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_image_features: laws hold and a raster replay agrees") {
+    val rows = SparkEntry.queries("mm_image_features")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      val (mean, mn, mx) = (r.getDouble(3), r.getInt(4), r.getInt(5))
+      assert(mn >= 0 && mx <= 255 && mn <= mx, s"pixel range law: $mn..$mx")
+      assert(mean >= mn - 1e-9 && mean <= mx + 1e-9,
+        s"mean $mean outside [$mn, $mx]")
+      // gradient bound: each of the (w-1)*h steps moves at most 255
+      assert(r.getLong(6) <= 255L * (w - 1) * h, "gradient energy bound")
+    }
+    // independent replay for a few docs from the decoded raster
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    for (d <- Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("n_chars")).collect().take(3)) {
+      val (id, nChars) = (d.getLong(0), d.getLong(1))
+      val (w, h) = Multimodal.imgDims(id, nChars)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.makePng(id, w, h)))
+      val ps = for (y <- 0 until h; x <- 0 until w)
+        yield img.getRaster.getSample(x, y, 0)
+      val gx = (for (y <- 0 until h; x <- 1 until w) yield math.abs(
+        img.getRaster.getSample(x, y, 0) -
+          img.getRaster.getSample(x - 1, y, 0))).map(_.toLong).sum
+      val r = byId(id)
+      assert(r.getInt(4) == ps.min && r.getInt(5) == ps.max &&
+        r.getLong(6) == gx, s"doc $id image feature replay mismatch")
+    }
+  }
+
   test("mm_audio_features: laws hold and a plain-Scala replay agrees") {
     val rows = SparkEntry.queries("mm_audio_features")(spark, sf).collect()
     assert(rows.nonEmpty)
