@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   * (`mm_audio_decode`) runs the same contract through the JDK's other
   * real codec: a deterministic PCM WAV per document decoded back with
   * `javax.sound.sampled` — header fields and samples must match the
-  * closed form exactly. The frame-sampling key keeps the deterministic
-  * byte-stat stand-in for the one modality without a pure-JVM codec
-  * (video) — but is oracled too: ASCII fixture bytes make
-  * the per-frame rolling checksum SQL-replayable. On a cluster the same
+  * closed form exactly. The video leg (`mm_video_frames`) completes
+  * the set with the JDK's one real multi-frame container: an animated
+  * GIF per document, frame count and every decoded frame replayed in
+  * closed form — all three media modalities run REAL codecs. The
+  * generic frame-sampling key keeps the byte-stat fixed-stride
+  * chunking topology (and is oracled too: ASCII fixture bytes make
+  * the per-frame rolling checksum SQL-replayable). On a cluster the same
   * `mapPartitions` shape is where a vectorized decoder (one codec/model
   * init per partition, batched inference) plugs in.
   */
@@ -95,6 +98,49 @@ object Multimodal extends QueryGroup {
 
   final case class ImageFeatures(doc_id: Long, img_w: Int, img_h: Int,
       mean_px: Double, min_px: Int, max_px: Int, grad_energy: Long)
+
+  final case class GifRow(doc_id: Long, media: Array[Byte])
+  final case class VideoFrame(doc_id: Long, frame_no: Int, fw: Int,
+      fh: Int, px_00: Int, px_mid: Int, px_corner: Int, frame_sum: Long)
+
+  /** Deterministic synthetic "video": a multi-frame animated GIF —
+    * the one multi-frame container the JDK encodes AND decodes natively
+    * — with 2 + (id mod 7) frames of pixel(f,x,y) =
+    * (7x + 13y + 31f + id) mod 256. A 256-level gray palette makes GIF
+    * lossless here, so the closed form replays every decoded frame. */
+  def makeGif(id: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = imgDims(id, nChars)
+    val nFrames = 2 + (id % 7).toInt
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((7L * x + 13L * y + 31L * f + id) % 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
 
   /** STUB decode: deterministic fake feature extraction standing in for
     * an image/audio decoder. Real implementation would decode `bytes`
@@ -203,6 +249,48 @@ object Multimodal extends QueryGroup {
         }
       }.toDF()
         .orderBy("doc_id")
+    }),
+
+    // VIDEO frame extraction with a REAL multi-frame container: each
+    // document carries an animated GIF (the JDK's one natively
+    // encodable+decodable multi-frame format), and frame sampling is a
+    // genuine codec parse — ImageReader opens the container, reports
+    // the frame count from the stream, and each decoded frame yields
+    // pixel probes + an exact integer frame sum (the scene-change
+    // statistic). All three media modalities now run real codecs. One
+    // reader per partition, input reset per blob — the vectorized-
+    // decoder hoisting shape. 1→N row expansion per doc, zero shuffles.
+    "mm_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) => GifRow(id, makeGif(id, nChars)) }
+      media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        rows.flatMap { r =>
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media)))
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            def gray(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += gray(x, y); x += 1 }
+              y += 1
+            }
+            VideoFrame(r.doc_id, f, w, h, gray(0, 0),
+              gray(w / 2, h / 2), gray(w - 1, h - 1), sum)
+          }
+        }
+      }.toDF()
+        .orderBy("doc_id", "frame_no")
     }),
 
     // image FEATURE EXTRACTION over the decoded raster — the
@@ -382,6 +470,37 @@ object Multimodal extends QueryGroup {
         |    (acc, s) -> (acc * 31 + s) % 1000000007) AS checksum
         |FROM (SELECT doc_id, 32 + (n_chars % 41) AS n FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // GIF is lossless over the gray palette: every decoded frame must
+    // equal the generator's closed form, which replays per (doc,
+    // frame, x, y) over generate_series grids; the frame count is
+    // metadata-derived (2 + id mod 7) and must round-trip the container
+    "mm_video_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 25) AS INTEGER) AS w,
+        |    CAST(8 + (n_chars % 17) AS INTEGER) AS h,
+        |    CAST(2 + (doc_id % 7) AS INTEGER) AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h,
+        |    UNNEST(GENERATE_SERIES(0, nf - 1)) AS f FROM dims),
+        |xs AS (SELECT doc_id, w, h, f,
+        |    UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM fr),
+        |px AS (SELECT doc_id, f,
+        |    (7 * x + 13 * y + 31 * f + doc_id) % 256 AS p
+        |  FROM (SELECT doc_id, w, f, x,
+        |          UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs)),
+        |agg AS (SELECT doc_id, f, SUM(p) AS frame_sum
+        |        FROM px GROUP BY doc_id, f)
+        |SELECT d.doc_id, CAST(a.f AS INTEGER) AS frame_no,
+        |  d.w AS fw, d.h AS fh,
+        |  CAST((31 * a.f + d.doc_id) % 256 AS INTEGER) AS px_00,
+        |  CAST((7 * (d.w // 2) + 13 * (d.h // 2) + 31 * a.f + d.doc_id)
+        |    % 256 AS INTEGER) AS px_mid,
+        |  CAST((7 * (d.w - 1) + 13 * (d.h - 1) + 31 * a.f + d.doc_id)
+        |    % 256 AS INTEGER) AS px_corner,
+        |  CAST(frame_sum AS BIGINT) AS frame_sum
+        |FROM dims d JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id, frame_no""".stripMargin,
     // pixel stats replay from the generator's closed form over a
     // generate_series grid; the horizontal-gradient term re-derives
     // p(x+1,y) from the same formula (integer mod arithmetic, exact)

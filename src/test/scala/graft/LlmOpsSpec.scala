@@ -167,6 +167,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_video_frames: real multi-frame GIF container round-trip") {
+    // the part the closed-form oracle can't see: the media column is a
+    // genuine GIF89a stream and frame extraction is a genuine container
+    // parse — frame count from the stream, every pixel bit-for-bit
+    for ((id, nChars) <- Seq((0L, 0L), (17L, 523L), (499L, 40L))) {
+      val bytes = Multimodal.makeGif(id, nChars)
+      assert(new String(bytes.take(6), "ASCII") == "GIF89a",
+        s"doc $id: not a GIF stream")
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      assert(n == 2 + (id % 7).toInt, s"doc $id frame count drifted")
+      val (w, h) = Multimodal.imgDims(id, nChars)
+      for (f <- 0 until n) {
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((img.getRGB(x, y) & 0xff) ==
+            ((7L * x + 13L * y + 31L * f + id) % 256L).toInt,
+            s"doc $id frame $f pixel ($x,$y) corrupted by the container")
+      }
+    }
+    // end-to-end: per-doc frame counts over the corpus follow the law
+    val counts = SparkEntry.queries("mm_video_frames")(spark, sf)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.nonEmpty)
+    for ((id, c) <- counts)
+      assert(c == 2 + id % 7, s"doc $id emitted $c frames")
+  }
+
   test("mm_image_features: laws hold and a raster replay agrees") {
     val rows = SparkEntry.queries("mm_image_features")(spark, sf).collect()
     assert(rows.nonEmpty)
