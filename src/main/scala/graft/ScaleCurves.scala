@@ -47,7 +47,8 @@ object ScaleCurves {
     // rows, proving the methodology separates per-row cost from the
     // fixed-cost plateaus above
     "mm_decode_pipeline" -> "documents",
-    "mm_audio_decode" -> "documents")
+    "mm_audio_decode" -> "documents",
+    "mm_video_frames" -> "documents")
 
   private val RunsPerKey = 3
 
