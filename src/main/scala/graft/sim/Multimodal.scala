@@ -102,6 +102,8 @@ object Multimodal extends QueryGroup {
   final case class GifRow(doc_id: Long, media: Array[Byte])
   final case class VideoFrame(doc_id: Long, frame_no: Int, fw: Int,
       fh: Int, px_00: Int, px_mid: Int, px_corner: Int, frame_sum: Long)
+  final case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Long,
+      max_delta: Long)
 
   /** Deterministic synthetic "video": a multi-frame animated GIF —
     * the one multi-frame container the JDK encodes AND decodes natively
@@ -293,6 +295,56 @@ object Multimodal extends QueryGroup {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // VIDEO curation gate: SHOT-BOUNDARY detection over the decoded
+    // frames — consecutive-frame brightness delta beyond a per-pixel
+    // threshold flags a cut (the clip-segmentation primitive a video
+    // pipeline samples around). ALL-INTEGER decision rule:
+    // |sum_f − sum_{f−1}| > 8·w·h compares exact integer frame sums,
+    // so the gate is bit-robust on both engines. Completes the
+    // curation-gate triad (image/audio/video) over real codecs; one
+    // container parse per blob, one output row per doc, zero shuffles.
+    "mm_video_scene_cut" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) => GifRow(id, makeGif(id, nChars)) }
+      media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        rows.map { r =>
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media)))
+          val n = reader.getNumImages(true)
+          var prev = 0L; var cuts = 0L; var maxDelta = 0L
+          var threshold = 0L
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (f == 0) threshold = 8L * w * h
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            if (f > 0) {
+              val delta = math.abs(sum - prev)
+              if (delta > threshold) cuts += 1
+              if (delta > maxDelta) maxDelta = delta
+            }
+            prev = sum
+            f += 1
+          }
+          SceneCuts(r.doc_id, n, cuts, maxDelta)
+        }
+      }.toDF()
+        .orderBy("doc_id")
+    }),
+
     // image FEATURE EXTRACTION over the decoded raster — the
     // brightness/contrast/sharpness stats an image-curation gate
     // filters on (dark/blank frames, low-texture crops): per-image
@@ -470,6 +522,38 @@ object Multimodal extends QueryGroup {
         |    (acc, s) -> (acc * 31 + s) % 1000000007) AS checksum
         |FROM (SELECT doc_id, 32 + (n_chars % 41) AS n FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the gate replays on exact integer frame sums (LAG over the
+    // per-frame grid sums) with the same integer threshold
+    "mm_video_scene_cut" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 25) AS INTEGER) AS w,
+        |    CAST(8 + (n_chars % 17) AS INTEGER) AS h,
+        |    CAST(2 + (doc_id % 7) AS INTEGER) AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h,
+        |    UNNEST(GENERATE_SERIES(0, nf - 1)) AS f FROM dims),
+        |xs AS (SELECT doc_id, w, h, f,
+        |    UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM fr),
+        |px AS (SELECT doc_id, f,
+        |    (7 * x + 13 * y + 31 * f + doc_id) % 256 AS p
+        |  FROM (SELECT doc_id, w, f, x,
+        |          UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs)),
+        |sums AS (SELECT doc_id, f, SUM(p) AS fsum
+        |         FROM px GROUP BY doc_id, f),
+        |deltas AS (SELECT doc_id, f,
+        |    ABS(fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f))
+        |      AS delta
+        |  FROM sums),
+        |agg AS (SELECT d2.doc_id,
+        |    SUM(CASE WHEN delta > 8 * w * h THEN 1 ELSE 0 END) AS n_cuts,
+        |    MAX(delta) AS max_delta
+        |  FROM deltas JOIN dims d2 USING (doc_id)
+        |  WHERE delta IS NOT NULL GROUP BY d2.doc_id)
+        |SELECT d.doc_id, d.nf AS n_frames,
+        |  CAST(n_cuts AS BIGINT) AS n_cuts,
+        |  CAST(max_delta AS BIGINT) AS max_delta
+        |FROM dims d JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // GIF is lossless over the gray palette: every decoded frame must
     // equal the generator's closed form, which replays per (doc,
     // frame, x, y) over generate_series grids; the frame count is

@@ -200,6 +200,25 @@ class LlmOpsSpec extends SparkSpec {
       assert(c == 2 + id % 7, s"doc $id emitted $c frames")
   }
 
+  test("mm_video_scene_cut: gate laws hold and discriminate") {
+    val rows = SparkEntry.queries("mm_video_scene_cut")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id, n, cuts) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(n == 2 + id % 7, s"doc $id frame count drifted")
+      assert(cuts <= n - 1, s"doc $id: more cuts than transitions")
+      // max_delta bounds every delta, so zero cuts implies max under
+      // the per-pixel threshold would need dims — just sign law here:
+      assert(r.getLong(3) >= 0)
+    }
+    // the gate must DISCRIMINATE on this corpus: some docs cut, some
+    // don't — a degenerate threshold (all or none) is a broken gate
+    val withCuts = rows.count(_.getLong(2) > 0)
+    assert(withCuts > 0 && withCuts < rows.length,
+      s"scene-cut gate is degenerate: $withCuts of ${rows.length}")
+  }
+
   test("mm_image_features: laws hold and a raster replay agrees") {
     val rows = SparkEntry.queries("mm_image_features")(spark, sf).collect()
     assert(rows.nonEmpty)
