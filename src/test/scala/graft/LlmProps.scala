@@ -91,6 +91,44 @@ object LlmProps extends Properties("graft.llm") {
       got == want
     }
 
+  // pure-JVM codec round-trips over RANDOM metadata — exercises the
+  // dimension/frame-count/sample-rate extremes the fixed-doc law specs
+  // can't: every synthesized container must decode back to the
+  // generator's closed form bit-for-bit (no Spark involved; these are
+  // the per-row kernels the mm_* keys run inside mapPartitions).
+  private val ids = Gen.chooseNum(0L, 100000L)
+  private val chars = Gen.chooseNum(0L, 100000L)
+
+  property("WAV codec round-trip is lossless for any metadata") =
+    forAll(ids, chars) { (id, nChars) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(sim.Multimodal.makeWav(id, nChars)))
+      val n = 32 + (nChars % 41).toInt
+      val buf = ais.readAllBytes()
+      def s(i: Int): Int = (buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)
+      ais.getFormat.getSampleRate.toInt == 8000 + (id % 8).toInt * 1000 &&
+        buf.length == n * 2 &&
+        (0 until n).forall(i =>
+          s(i) == (((31L * id + 7L * i) % 65536L) - 32768L).toInt)
+    }
+
+  property("GIF container round-trip is lossless for any metadata") =
+    forAll(ids, chars) { (id, nChars) =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(sim.Multimodal.makeGif(id, nChars))))
+      val (w, h) = sim.Multimodal.imgDims(id, nChars)
+      val n = reader.getNumImages(true)
+      n == 2 + (id % 7).toInt && (0 until n).forall { f =>
+        val img = reader.read(f)
+        img.getWidth == w && img.getHeight == h &&
+          (0 until h).forall(y => (0 until w).forall(x =>
+            (img.getRGB(x, y) & 0xff) ==
+              ((7L * x + 13L * y + 31L * f + id) % 256L).toInt))
+      }
+    }
+
   property("exact dedup is idempotent") = forAll(corpus) { texts =>
     import org.apache.spark.sql.functions._
     val s = spark
