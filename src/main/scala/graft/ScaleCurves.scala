@@ -42,10 +42,11 @@ object ScaleCurves {
     // curves the shipped query itself (shingle explode → band shuffle →
     // verify join)
     "dedup_minhash" -> "documents",
-    // the real-codec mm keys are per-ROW codec-bound (PNG / WAV encode
-    // + decode per document) — the two curves that SHOULD grow with
-    // rows, proving the methodology separates per-row cost from the
-    // fixed-cost plateaus above
+    // the real-codec mm keys are per-ROW codec-bound (PNG / WAV /
+    // multi-frame GIF encode + decode per document) — the control
+    // group whose curves SHOULD grow with rows, proving the
+    // methodology separates per-row cost from the fixed-cost plateaus
+    // above
     "mm_decode_pipeline" -> "documents",
     "mm_audio_decode" -> "documents",
     "mm_video_frames" -> "documents")
@@ -104,32 +105,51 @@ object ScaleCurves {
         // the warmup (or a prior run) can land after a naive reset and
         // inflate the count. Drain (sleep) once after warmup — a nonzero
         // counter marks this as a streaming key, and only those pay the
-        // per-run drain-before-reset / drain-before-read sleeps.
+        // extra per-run drain sleeps. The counter is still reset EVERY
+        // run regardless: if the warmup failed or its events out-ran
+        // the drain, a misclassified streaming key then reports at
+        // worst one stray batch per run, never the old cumulative
+        // 2,4,6 staircase.
         val streaming = { Thread.sleep(500); batchCount.get > 0 }
+        // a run failure (the warmup catch above exists because runs DO
+        // fail transiently) must cost this (key, dir) line only — never
+        // abort the remaining keys' curves
         val timed = Seq.fill(RunsPerKey) {
           RunCaches.reset()
           spark.catalog.clearCache()
-          if (streaming) { Thread.sleep(500); batchCount.set(0L) }
+          if (streaming) Thread.sleep(500)
+          batchCount.set(0L)
           val t0 = System.nanoTime()
-          SparkEntry.queries(key)(spark, d).count()
+          val ok = try { SparkEntry.queries(key)(spark, d).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[scale] $key failed at $d: $e"); false }
           val sec = (System.nanoTime() - t0) / 1e9
           if (streaming) Thread.sleep(500)
-          (sec, batchCount.get)
+          (if (ok) sec else Double.NaN, batchCount.get)
         }
+        // TotalOrdering sorts NaN last, so one failed run still yields
+        // a valid median; a majority-failed (key, dir) skips its line
+        // (and the growth baseline) instead of printing NaN
         val times = timed.map(_._1)
         val med = times.sorted.apply(RunsPerKey / 2)
         // per-run counts, not a truncating total/Runs division; runs of
         // one key replay the same fixture stream, so the median run IS
         // the per-run batch count
         val batches = timed.map(_._2).sorted.apply(RunsPerKey / 2)
-        val batchesJson =
-          if (batches > 0) s""","batches_per_run":$batches""" else ""
-        val growth = prev.map { case (r0, t0) =>
-          s""","rows_x":${r2(rows.toDouble / r0)},"time_x":${r2(med / t0)}"""
-        }.getOrElse("")
-        println(s"""{"key":"$key","dir":"$d","input_rows":$rows,""" +
-          s""""median_sec":${r2(med)}$batchesJson$growth}""")
-        prev = Some((rows, med))
+        if (med.isNaN) {
+          System.err.println(s"[scale] $key skipped at $d: majority of " +
+            s"runs failed")
+          prev = None
+        } else {
+          val batchesJson =
+            if (batches > 0) s""","batches_per_run":$batches""" else ""
+          val growth = prev.map { case (r0, t0) =>
+            s""","rows_x":${r2(rows.toDouble / r0)},"time_x":${r2(med / t0)}"""
+          }.getOrElse("")
+          println(s"""{"key":"$key","dir":"$d","input_rows":$rows,""" +
+            s""""median_sec":${r2(med)}$batchesJson$growth}""")
+          prev = Some((rows, med))
+        }
       }
     }
     spark.stop()

@@ -21,7 +21,12 @@ object Verify {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // Option-guard: listFiles() returns null on I/O error or when the
+    // dir vanishes between isDirectory and the listing (a concurrent
+    // cleanup sharing the reused outDir — the very scenario this
+    // delete targets)
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete()
   }
 
@@ -43,13 +48,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      // Delete any pre-existing dump for this key BEFORE attempting it:
-      // the catch below skips failing keys (so one broken key can't void
-      // the whole round), but a stale parquet from a prior run in a
-      // reused outDir would then be diffed as green — a failure must
-      // leave NO output behind, never yesterday's.
-      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try {
+        // Delete any pre-existing dump for this key BEFORE attempting
+        // it: the catch below skips failing keys (so one broken key
+        // can't void the whole round), but a stale parquet from a prior
+        // run in a reused outDir would then be diffed as green — a
+        // failure must leave NO output behind, never yesterday's.
+        // Inside the try: a delete failure must cost this key only,
+        // not abort the whole dump.
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
         val df = fn(spark, sfDir)
         // Lint only keys the DuckDB diff will actually hash; scalatest-only
         // keys (no oracle entry) may return whatever shape their spec needs.

@@ -220,9 +220,9 @@ object Multimodal extends QueryGroup {
     // RIFF header, the amplitude probes and rolling checksum from the
     // decoded little-endian s16 samples. WAV is lossless, so a broken
     // decode (wrong endianness, header-length drift, sign error)
-    // diverges from the closed-form oracle immediately. Two of three
-    // media modalities (image + audio) now run REAL codecs; video keeps
-    // the frame-sample stand-in (no pure-JVM video codec ships).
+    // diverges from the closed-form oracle immediately. (All three
+    // media modalities run real codecs — see mm_video_frames for the
+    // multi-frame GIF container leg.)
     "mm_audio_decode" -> ((s, d) => {
       import s.implicits._
       val media = Tables(s, d, "documents")
@@ -230,8 +230,10 @@ object Multimodal extends QueryGroup {
         .as[(Long, Long)]
         .map { case (id, nChars) => WavRow(id, makeWav(id, nChars)) }
       media.mapPartitions { rows =>
-        // one decoder init per partition (provider lookup is the
-        // per-call cost a real audio featurizer would also hoist)
+        // AudioSystem's provider lookup runs per blob here (measured at
+        // ~0.09 ms/doc in SCALE_CURVES.md); the mapPartitions boundary
+        // is where a real vectorized featurizer would hoist its one
+        // per-partition decoder/model init
         rows.map { r =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.media))
@@ -472,6 +474,28 @@ object Multimodal extends QueryGroup {
   // sampling: the fixture text is ASCII (byte == UNICODE(char)), so the
   // per-frame rolling checksum is the same LIST_REDUCE fold the
   // text_fingerprint oracle already replays, over SUBSTR chunks.
+  /** Shared oracle CTE prefix for the video keys (the VectorOps
+    * oKmeans/oPqEncode sharing pattern — one definition of the
+    * generator's pixel grid, interpolated into each query): `dims`
+    * (w/h/frame-count from metadata), `fr`/`xs` (frame and column
+    * explodes), `px` (per-(doc, frame, x, y) closed-form pixel). A
+    * formula change edits ONE place next to [[makeGif]], not N copies. */
+  private def oVideoPixels: String =
+    """dims AS (
+      |  SELECT doc_id,
+      |    CAST(8 + (doc_id % 25) AS INTEGER) AS w,
+      |    CAST(8 + (n_chars % 17) AS INTEGER) AS h,
+      |    CAST(2 + (doc_id % 7) AS INTEGER) AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, w, h,
+      |    UNNEST(GENERATE_SERIES(0, nf - 1)) AS f FROM dims),
+      |xs AS (SELECT doc_id, w, h, f,
+      |    UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM fr),
+      |px AS (SELECT doc_id, f,
+      |    (7 * x + 13 * y + 31 * f + doc_id) % 256 AS p
+      |  FROM (SELECT doc_id, w, f, x,
+      |          UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_frame_sample" ->
       """SELECT doc_id, frame_no,
@@ -525,20 +549,7 @@ object Multimodal extends QueryGroup {
     // the gate replays on exact integer frame sums (LAG over the
     // per-frame grid sums) with the same integer threshold
     "mm_video_scene_cut" ->
-      """WITH dims AS (
-        |  SELECT doc_id,
-        |    CAST(8 + (doc_id % 25) AS INTEGER) AS w,
-        |    CAST(8 + (n_chars % 17) AS INTEGER) AS h,
-        |    CAST(2 + (doc_id % 7) AS INTEGER) AS nf
-        |  FROM documents),
-        |fr AS (SELECT doc_id, w, h,
-        |    UNNEST(GENERATE_SERIES(0, nf - 1)) AS f FROM dims),
-        |xs AS (SELECT doc_id, w, h, f,
-        |    UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM fr),
-        |px AS (SELECT doc_id, f,
-        |    (7 * x + 13 * y + 31 * f + doc_id) % 256 AS p
-        |  FROM (SELECT doc_id, w, f, x,
-        |          UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs)),
+      s"""WITH $oVideoPixels,
         |sums AS (SELECT doc_id, f, SUM(p) AS fsum
         |         FROM px GROUP BY doc_id, f),
         |deltas AS (SELECT doc_id, f,
@@ -559,20 +570,7 @@ object Multimodal extends QueryGroup {
     // frame, x, y) over generate_series grids; the frame count is
     // metadata-derived (2 + id mod 7) and must round-trip the container
     "mm_video_frames" ->
-      """WITH dims AS (
-        |  SELECT doc_id,
-        |    CAST(8 + (doc_id % 25) AS INTEGER) AS w,
-        |    CAST(8 + (n_chars % 17) AS INTEGER) AS h,
-        |    CAST(2 + (doc_id % 7) AS INTEGER) AS nf
-        |  FROM documents),
-        |fr AS (SELECT doc_id, w, h,
-        |    UNNEST(GENERATE_SERIES(0, nf - 1)) AS f FROM dims),
-        |xs AS (SELECT doc_id, w, h, f,
-        |    UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM fr),
-        |px AS (SELECT doc_id, f,
-        |    (7 * x + 13 * y + 31 * f + doc_id) % 256 AS p
-        |  FROM (SELECT doc_id, w, f, x,
-        |          UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs)),
+      s"""WITH $oVideoPixels,
         |agg AS (SELECT doc_id, f, SUM(p) AS frame_sum
         |        FROM px GROUP BY doc_id, f)
         |SELECT d.doc_id, CAST(a.f AS INTEGER) AS frame_no,
