@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   *  - All randomness is seeded hashing (xxhash64 / LCG / polynomial-mod)
   *    — never rand() — so every result is deterministic and
   *    oracle-checkable.
-  *  - Fixture bounding: pair-producing queries restrict to doc_id<1000
-  *    (where the constructed near-dups live) so the DuckDB oracle's
-  *    quadratic check stays cheap; the Spark pipelines themselves are
-  *    the scalable form and run unbounded on a cluster.
+  *  - Fixture bounding: most pair-producing queries restrict to
+  *    doc_id<1000 (where the constructed near-dups live) so the DuckDB
+  *    oracle's quadratic check stays cheap; the Spark pipelines
+  *    themselves are the scalable form and run unbounded on a cluster.
+  *    `dedup_minhash` is UNCAPPED since r13 — its oracle uses the same
+  *    collision-proportional posting-join shape as the engine, so the
+  *    dual-scale sweep verifies the full corpus at every SF.
   */
 object TextOps extends QueryGroup {
 
@@ -237,9 +240,12 @@ object TextOps extends QueryGroup {
     // MinHash + LSH near-dup: exact-text collapse → shingle → 64-perm
     // signature (seeded xxhash64 family) → 16 bands × 4 rows → CAPPED
     // band-bucket groupBy → candidate pairs → exact-Jaccard verify ≥ 0.8
-    // → expand back through the duplicate groups.
+    // → expand back through the duplicate groups. UNCAPPED input (r13):
+    // the oracle's posting-list formulation is collision-proportional,
+    // so the DuckDB side now verifies the key over the FULL corpus at
+    // every SF — the dual-scale sweep sees real corpus growth here.
     "dedup_minhash" -> ((s, d) =>
-      minhashPairs(shingled(docs(s, d).filter(col("doc_id") < 1000)))),
+      minhashPairs(shingled(docs(s, d)))),
 
     // exact n-gram Jaccard dedup via the scalable inverted-index plan:
     // |A∩B| falls directly out of the posting-list self-join as a
@@ -754,22 +760,31 @@ object TextOps extends QueryGroup {
         |  ROUND(1.0 - COALESCE(dup_chars, 0) / len, 4) AS keep_ratio
         |FROM b LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Uncapped full-corpus oracle (r13): the old all-pairs LIST_INTERSECT
+    // check was quadratic (>120 s at 5000 docs); this posting-list
+    // self-join mirrors the engine's own inverted-index shape — the join
+    // is collision-proportional, |A∩B| falls out of the group count —
+    // and runs in ~3 s at sf0.1. Ground truth is identical: every pair
+    // with a shared shingle is scored, exact Jaccard, threshold 0.8.
     "dedup_minhash" ->
       """WITH d AS (
         |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
         |      GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
-        |        WHERE doc_id < 1000)
-        |  WHERE LEN(t) > 2)
-        |SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-        |      / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
-        |      AS jaccard
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |   AND ABS(LEN(a.sh) - LEN(b.sh)) * 4 <= GREATEST(LEN(a.sh), LEN(b.sh)))
-        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
+        |  WHERE LEN(t) > 2),
+        |posts AS (SELECT doc_id, UNNEST(sh) AS g FROM d),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, LEN(sh) AS n FROM d)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |           JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
