@@ -457,6 +457,40 @@ object DdlQueries extends QueryGroup {
       s.read.parquet(out).orderBy("n_nationkey")
     }),
 
+    // HMS-side partition pruning PROVEN on the real Hive path (r13):
+    // the subprocess lays orders out as a Hive-partitioned external
+    // table in an embedded-Derby HMS, scans with a partition predicate,
+    // and REQUIREs (a) the metastore client returned exactly the 2
+    // matching partition objects (HiveCatalogMetrics counter — the
+    // get_partitions_by_filter analog of metastore-import.tf:112-117),
+    // (b) the scan read only those directories, (c) the
+    // pruning-disabled control fetched ALL partitions. The oracled
+    // result is the pruned aggregate itself, so a wrong-partition scan
+    // fails the DuckDB diff too. Subprocess JVM for the same
+    // fixed-catalog reason as meta_hive_roundtrip; idempotent per input
+    // dir via the scratch fingerprint.
+    "meta_hive_partition_prune" -> ((s, d) => {
+      val out = new java.io.File(Tables.scratch(d, "hive_pprune_out"))
+        .getAbsolutePath
+      if (!Tables.scratchCurrent(d, "orders", out)) {
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val cmd = Seq(javaBin) ++ HiveRoundtrip.jdkOpens ++ Seq(
+          "-Xmx2g", "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.catalog.HivePartitionPrune", d, out)
+        val logPath = s"$out.sub.log"
+        val log = new java.io.PrintWriter(logPath)
+        import scala.sys.process._
+        val rc = try Process(cmd).!(ProcessLogger(log.println, log.println))
+        finally log.close()
+        require(rc == 0, s"HivePartitionPrune subprocess rc=$rc ($logPath)")
+        Tables.stampScratch(d, "orders", out)
+      }
+      s.read.parquet(out).orderBy("o_year")
+    }),
+
     // the reference's ACTUAL transport: the same export→drop→import
     // scenario with the metastore reached over a real Thrift SOCKET
     // (HiveMetaStore server thread + a hive.metastore.uris session —
@@ -1400,6 +1434,14 @@ object DdlQueries extends QueryGroup {
     "meta_thrift_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // the pruned aggregate recomputed from the raw fixture: if the
+    // HMS-pruned scan dropped or double-read a partition, these sums
+    // can't match.
+    "meta_hive_partition_prune" ->
+      """SELECT CAST(YEAR(o_orderdate) AS VARCHAR) AS o_year,
+        |  COUNT(*) AS n_orders, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders WHERE YEAR(o_orderdate) IN (1996, 1998)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the wire transport must be lossless — same oracle as
     // meta_roundtrip (values, not just shapes, survive the protocol)
     "sql_thrift_endpoint" ->
