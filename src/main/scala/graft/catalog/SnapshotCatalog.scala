@@ -65,12 +65,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   // plugin once per (session, catalog name) and caches it. A var (not
   // lazy val) so [[WritableSnapshotCatalog]] can refresh it after a
   // mutation persists.
-  private var snapCache: CatalogSnapshot = _
+  // @volatile: a concurrent reader thread must observe a writer's
+  // published (snapCache, loadedRev) pair without holding the writer's
+  // monitor — reference/int writes are individually atomic, and
+  // mutations revalidate against HEAD anyway, so a transiently stale
+  // pair only costs one extra re-read.
+  @volatile private var snapCache: CatalogSnapshot = _
 
   /** Revision number the cached snapshot was loaded at (0 = the
     * bootstrap top-level layout, before any [[WritableSnapshotCatalog]]
     * mutation). [[WritableSnapshotCatalog.persist]] CASes against this. */
-  protected var loadedRev: Int = 0
+  @volatile protected var loadedRev: Int = 0
 
   /** The published head revision on disk: contents of the `HEAD`
     * pointer file, or 0 when no writer has ever persisted (the
@@ -413,6 +418,22 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * (metadata + default warehouse) moves as one directory. */
   private def warehouseDir: String = s"$snapshotDir/_warehouse"
 
+  /** Revision this thread's last [[snap]] read resolved at — the OCC
+    * base token. Every DDL statement reads snap (its existence checks
+    * and its `snap.copy(...)` body), so by the time [[persist]] runs,
+    * this holds the revision the mutation was derived from. A SHARED
+    * instance raced by two threads needs this: after thread A commits,
+    * the instance's own `loadedRev` has advanced, so comparing disk
+    * against `loadedRev` alone would wave B's stale mutation through
+    * (the lost-update race CatalogSpec's concurrency test schedules). */
+  private val seenRev = new ThreadLocal[Integer]
+
+  override protected def snap: CatalogSnapshot = this.synchronized {
+    val s = super.snap
+    seenRev.set(loadedRev)
+    s
+  }
+
   /** Persist one metadata mutation as an immutable numbered revision
     * under `revs/` and atomically publish it via the `HEAD` pointer
     * file — the same revisions `VERSION AS OF` reads
@@ -427,10 +448,18 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     *     ATOMIC_MOVE), so a reader resolving through [[snap]] sees
     *     revision n or n+1 in full, never a torn mix.
     *  3. Before writing, the on-disk head is re-read and compared to
-    *     the revision this instance loaded (CAS): a second writer that
-    *     raced past us fails LOUDLY here instead of silently dropping
-    *     the other writer's DDL. This is conflict *detection*, not a
-    *     lock — one statement wins, the loser's catalog must re-attach.
+    *     the revision this THREAD's mutation was derived from (the
+    *     [[seenRev]] OCC token, not the instance's possibly-advanced
+    *     `loadedRev`): a second writer that raced past us fails LOUDLY
+    *     here instead of silently dropping the other writer's DDL.
+    *  4. The revision number itself is CLAIMED by an atomic
+    *     `createDirectory(revs/<n+1>)` — the one step two racing
+    *     writers cannot both win, across threads and across separate
+    *     attaches over the same directory. Together with the
+    *     instance-level monitor this makes N racing DDL statements
+    *     yield exactly N revisions (CatalogSpec's two-writer race
+    *     schedules real interleavings against this). The loser's next
+    *     statement re-reads head and retries cleanly.
     *
     * `private[graft]` (not private) solely so CatalogSpec can drive
     * the CAS with a deterministically-stale writer: through public DDL
@@ -438,16 +467,34 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * ([[SnapshotCatalog.snap]] revalidates), leaving only the
     * microsecond commit race, which a single-threaded spec cannot
     * schedule. */
-  private[graft] def persist(next: CatalogSnapshot): Unit = {
+  private[graft] def persist(next: CatalogSnapshot): Unit = this.synchronized {
+    // OCC base: the revision THIS mutation was derived from (thread's
+    // last snap read). Falls back to loadedRev for direct persist calls
+    // that never read snap on this thread.
+    val base = Option(seenRev.get).fold(loadedRev)(_.intValue)
     val diskRev = headRevOnDisk
-    if (diskRev != loadedRev)
+    if (diskRev != base)
       throw new java.util.ConcurrentModificationException(
         s"catalog ${name()} snapshot at $snapshotDir moved to revision " +
-          s"$diskRev while this writer held revision $loadedRev — " +
-          "another writer committed DDL concurrently; re-attach the " +
-          "catalog (fresh session or new catalog name) and retry")
-    val rev = loadedRev + 1
+          s"$diskRev while this writer held revision $base — " +
+          "another writer committed DDL concurrently; re-read the " +
+          "catalog state (the next statement does this automatically) " +
+          "and retry")
+    val rev = base + 1
     val revDir = new java.io.File(s"$snapshotDir/revs/$rev")
+    // atomic revision CLAIM: exactly one writer — across threads AND
+    // across separate attaches/processes over the same directory — can
+    // create revs/<n+1>; the loser fails here loudly even if it raced
+    // past the head check above (createDirectory is atomic on POSIX,
+    // unlike check-then-write).
+    java.nio.file.Files.createDirectories(revDir.getParentFile.toPath)
+    try java.nio.file.Files.createDirectory(revDir.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"catalog ${name()} revision $rev at $snapshotDir was claimed " +
+            "by a concurrent writer — re-read the catalog state and retry")
+    }
     CatalogTransfer.writeLocal(next, revDir.getPath)
     val headTmp = java.nio.file.Paths.get(snapshotDir, s".HEAD.tmp-$rev")
     java.nio.file.Files.write(headTmp, rev.toString
@@ -457,6 +504,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     loadedRev = rev
+    seenRev.set(rev)
     setSnap(next)
   }
 

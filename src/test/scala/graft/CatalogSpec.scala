@@ -791,6 +791,73 @@ class CatalogSpec extends SparkSpec {
     assert(a.namespaceExists(Array("corp3")))
   }
 
+  test("writable V2 catalog: two RACING writers yield exactly N " +
+      "revisions under real interleaving, losers retry") {
+    // The single-threaded CAS test above schedules one deterministic
+    // stale write; this one races two threads through the PUBLIC DDL
+    // path on a shared attach — the lost-update shape a check-then-act
+    // persist would wave through silently. Invariants: every statement
+    // eventually lands, head advances by exactly one per success (no
+    // skipped or double-claimed revision numbers), and each revision
+    // adds exactly one database over its predecessor (no torn/merged
+    // snapshots).
+    val dir = new java.io.File(Tables.scratch(sf, "v2_race_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val noMeta = java.util.Collections.emptyMap[String, String]()
+    val cat = attachWritable("race_w", dir.getPath)
+    val perThread = 8
+    val nThreads = 2
+    val session = spark // pin: SparkSession.active is thread-local
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until nThreads).map { t =>
+      val th = new Thread(() => {
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        start.await()
+        try {
+          for (i <- 0 until perThread) {
+            var done = false
+            while (!done) {
+              try {
+                cat.createNamespace(Array(s"race_${t}_$i"), noMeta)
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  retries.incrementAndGet(): Unit // loser path: re-read + retry
+              }
+            }
+          }
+        } catch { case e: Throwable => errors.add(e): Unit }
+      }, s"race-writer-$t")
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "racing writer deadlocked")
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
+    val total = nThreads * perThread
+    val head = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.toInt
+    assert(head == total,
+      s"$total successful DDL statements produced head revision $head " +
+        "— a revision was lost or double-claimed")
+    // dense immutable history: revs/1..N all present, each exactly one
+    // database richer than its predecessor, union = all requested names
+    val sizes = (1 to head).map { r =>
+      val rd = new java.io.File(dir, s"revs/$r")
+      assert(rd.isDirectory, s"revision $r missing from history")
+      CatalogTransfer.read(spark, rd.getPath).databases.length
+    }
+    assert(sizes == (1 to head),
+      s"revision growth not one-DDL-per-revision: $sizes")
+    val fresh = attachWritable("race_chk", dir.getPath)
+    for (t <- 0 until nThreads; i <- 0 until perThread)
+      assert(fresh.namespaceExists(Array(s"race_${t}_$i")),
+        s"race_${t}_$i lost despite its statement succeeding")
+  }
+
   test("V2 catalog visibility flips on the HEAD swap, never torn") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_head_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
