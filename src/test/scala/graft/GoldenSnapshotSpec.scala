@@ -65,4 +65,57 @@ class GoldenSnapshotSpec extends SparkSpec {
     assert(got == Files.readString(p),
       s"DDL script drifted from golden; got:\n$got")
   }
+
+  // The BPE pair is scalatest-by-design (iterative corpus-wide argmax —
+  // no SQL oracle), so its unguarded surface was the largest of the
+  // no-oracle tail. These pins close it the meta_ddl_script way: the
+  // trainer's merge table and a fixed encode sample are committed as
+  // golden files, so ANY drift in the training rule, the tie-break, the
+  // batching, or the encode regex fails the suite loudly even without a
+  // DuckDB oracle. (CurationOpsSpec keeps the semantic laws — plain-
+  // Scala replay equality and monotone shrinkage; this pins the VALUES.)
+
+  private val bpeMergesGoldenPath =
+    "src/test/resources/golden/text_bpe_merges.tsv"
+
+  test("text_bpe_merges merge table matches the committed golden file") {
+    val rows = SparkEntry.queries("text_bpe_merges")(spark, sf)
+      .orderBy("merge_rank").collect()
+    val got = rows.map(r => s"${r.getAs[Int]("merge_rank")}\t" +
+        s"${r.getAs[String]("pair")}\t${r.getAs[Long]("n_occurrences")}")
+      .mkString("", "\n", "\n")
+    val p = Paths.get(bpeMergesGoldenPath)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, got)
+      fail(s"golden file created at $bpeMergesGoldenPath — commit it " +
+        "and re-run")
+    }
+    assert(got == Files.readString(p),
+      s"BPE merge table drifted from golden; got:\n$got")
+  }
+
+  private val bpeEncodeGoldenPath =
+    "src/test/resources/golden/text_bpe_encode.tsv"
+
+  test("text_bpe_encode sample matches the committed golden file") {
+    // first 25 docs by id: enough to cover merged and untouched docs;
+    // n_raw/n_bpe/ratio pin the end-to-end encode (merge table ×
+    // greedy left-to-right application) numerically.
+    val rows = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .orderBy("doc_id").limit(25).collect()
+    val got = rows.map(r => s"${r.getAs[Long]("doc_id")}\t" +
+        s"${r.getAs[Long]("n_raw")}\t${r.getAs[Long]("n_bpe")}\t" +
+        s"${r.getAs[Double]("ratio")}")
+      .mkString("", "\n", "\n")
+    val p = Paths.get(bpeEncodeGoldenPath)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, got)
+      fail(s"golden file created at $bpeEncodeGoldenPath — commit it " +
+        "and re-run")
+    }
+    assert(got == Files.readString(p),
+      s"BPE encode sample drifted from golden; got:\n$got")
+  }
 }
