@@ -98,8 +98,10 @@ object ScaleCurves {
         // artifact-handoff keys) the once-per-fixture training write —
         // the curve measures the steady-state query, as the bench does
         batchCount.set(0L) // clear any residue from the previous key
+        var warmupOk = true
         try SparkEntry.queries(key)(spark, d).count()
         catch { case e: Throwable =>
+          warmupOk = false
           System.err.println(s"[scale] $key warmup failed at $d: $e") }
         // progress events ride the ASYNC listener bus: a straggler from
         // the warmup (or a prior run) can land after a naive reset and
@@ -110,7 +112,7 @@ object ScaleCurves {
         // the drain, a misclassified streaming key then reports at
         // worst one stray batch per run, never the old cumulative
         // 2,4,6 staircase.
-        val streaming = { Thread.sleep(500); batchCount.get > 0 }
+        var streaming = { Thread.sleep(500); batchCount.get > 0 }
         // a run failure (the warmup catch above exists because runs DO
         // fail transiently) must cost this (key, dir) line only — never
         // abort the remaining keys' curves
@@ -125,7 +127,16 @@ object ScaleCurves {
               System.err.println(s"[scale] $key failed at $d: $e"); false }
           val sec = (System.nanoTime() - t0) / 1e9
           if (streaming) Thread.sleep(500)
-          (if (ok) sec else Double.NaN, batchCount.get)
+          val runBatches = batchCount.get
+          // fallback classification: a FAILED warmup can misclassify a
+          // streaming key as batch (its progress events never fired),
+          // silently skipping the per-run drains; the first successful
+          // timed run's own count re-derives the flag for the rest
+          if (!streaming && !warmupOk && runBatches > 0) {
+            streaming = true
+            Thread.sleep(500) // drain this run's stragglers too
+          }
+          (if (ok) sec else Double.NaN, runBatches)
         }
         // TotalOrdering sorts NaN last, so one failed run still yields
         // a valid median; a majority-failed (key, dir) skips its line

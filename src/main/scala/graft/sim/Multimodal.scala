@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends QueryGroup {
 
+  /** JVM-global ImageIO toggle, flipped exactly ONCE per executor JVM
+    * (lazy val init) instead of from every partition task: the disk
+    * cache is useless for in-memory blobs, and a global mutated
+    * per-task both races and could stomp other code's setting
+    * mid-stream. Referenced at the top of each decode partition. */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, media: Array[Byte],
       lang: String, n_chars: Long)
   final case class PngRow(doc_id: Long, media: Array[Byte])
@@ -198,7 +206,7 @@ object Multimodal extends QueryGroup {
       media.mapPartitions { rows =>
         // one codec init per partition (where a real decoder/model
         // loads); ImageIO's disk cache is useless for in-memory blobs.
-        javax.imageio.ImageIO.setUseCache(false)
+        imageIoNoCache
         rows.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.media))
@@ -271,28 +279,37 @@ object Multimodal extends QueryGroup {
         .as[(Long, Long)]
         .map { case (id, nChars) => GifRow(id, makeGif(id, nChars)) }
       media.mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
+        imageIoNoCache
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
-        rows.flatMap { r =>
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.media)))
-          val n = reader.getNumImages(true)
-          (0 until n).map { f =>
-            val img = reader.read(f)
-            val (w, h) = (img.getWidth, img.getHeight)
-            def gray(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += gray(x, y); x += 1 }
-              y += 1
+        val frames = rows.flatMap { r =>
+          // per-blob stream closed in finally (with memory caching it
+          // holds no OS resources, but if any other code re-enables the
+          // ImageIO disk cache an unclosed stream leaks a temp file)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            // eager IndexedSeq — all frames decoded before iis closes
+            (0 until n).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              def gray(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += gray(x, y); x += 1 }
+                y += 1
+              }
+              VideoFrame(r.doc_id, f, w, h, gray(0, 0),
+                gray(w / 2, h / 2), gray(w - 1, h - 1), sum)
             }
-            VideoFrame(r.doc_id, f, w, h, gray(0, 0),
-              gray(w / 2, h / 2), gray(w - 1, h - 1), sum)
-          }
+          } finally iis.close()
         }
+        // dispose the shared reader once the partition is exhausted
+        frames ++ { reader.dispose(); Iterator.empty }
       }.toDF()
         .orderBy("doc_id", "frame_no")
     }),
@@ -312,37 +329,41 @@ object Multimodal extends QueryGroup {
         .as[(Long, Long)]
         .map { case (id, nChars) => GifRow(id, makeGif(id, nChars)) }
       media.mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
+        imageIoNoCache
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
-        rows.map { r =>
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.media)))
-          val n = reader.getNumImages(true)
-          var prev = 0L; var cuts = 0L; var maxDelta = 0L
-          var threshold = 0L
-          var f = 0
-          while (f < n) {
-            val img = reader.read(f)
-            val (w, h) = (img.getWidth, img.getHeight)
-            if (f == 0) threshold = 8L * w * h
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
-              y += 1
+        val out = rows.map { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            var prev = 0L; var cuts = 0L; var maxDelta = 0L
+            var threshold = 0L
+            var f = 0
+            while (f < n) {
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              if (f == 0) threshold = 8L * w * h
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+              if (f > 0) {
+                val delta = math.abs(sum - prev)
+                if (delta > threshold) cuts += 1
+                if (delta > maxDelta) maxDelta = delta
+              }
+              prev = sum
+              f += 1
             }
-            if (f > 0) {
-              val delta = math.abs(sum - prev)
-              if (delta > threshold) cuts += 1
-              if (delta > maxDelta) maxDelta = delta
-            }
-            prev = sum
-            f += 1
-          }
-          SceneCuts(r.doc_id, n, cuts, maxDelta)
+            SceneCuts(r.doc_id, n, cuts, maxDelta)
+          } finally iis.close()
         }
+        out ++ { reader.dispose(); Iterator.empty }
       }.toDF()
         .orderBy("doc_id")
     }),
@@ -364,7 +385,7 @@ object Multimodal extends QueryGroup {
           PngRow(id, makePng(id, w, h))
         }
       media.mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
+        imageIoNoCache
         rows.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.media))
