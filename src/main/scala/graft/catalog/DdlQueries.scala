@@ -320,6 +320,45 @@ object DdlQueries extends QueryGroup {
       CatalogTransfer.diff(s, src, tgt)
     }),
 
+    // the APPLY leg of meta_diff (r13): the operational form of the
+    // reference's migration loop — re-running a full import is the
+    // naive path; this computes the source→target drift and re-emits
+    // ONLY the drifted objects' DDL. The catalog is drifted all three
+    // ways (property alter, table drop, extra table), synced, and the
+    // lambda REQUIREs the action report is exactly {recreate, create,
+    // drop} and the post-sync diff is EMPTY. The served rows come from
+    // the re-created table, so the oracle also proves the restored
+    // metadata resolves to identical data.
+    "meta_sync_apply" -> ((s, d) => {
+      s.sql("DROP DATABASE IF EXISTS graft_sync CASCADE")
+      s.sql("CREATE DATABASE graft_sync")
+      s.sql(s"""CREATE TABLE graft_sync.nation_s
+               |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
+      s.sql(s"""CREATE TABLE graft_sync.region_s
+               |USING parquet LOCATION '$d/region.parquet'""".stripMargin)
+      s.sql("""ALTER TABLE graft_sync.nation_s
+              |SET TBLPROPERTIES ('graft.rev' = 'v1')""".stripMargin)
+      val src = CatalogTransfer.export(s, Seq("graft_sync"))
+      // drift the live catalog three ways
+      s.sql("""ALTER TABLE graft_sync.nation_s
+              |SET TBLPROPERTIES ('graft.rev' = 'v2-drifted')""".stripMargin)
+      s.sql("DROP TABLE graft_sync.region_s")
+      s.sql(s"""CREATE TABLE graft_sync.extra_t
+               |USING parquet LOCATION '$d/supplier.parquet'""".stripMargin)
+      val actions = CatalogTransfer.syncApply(s, src, Seq("graft_sync"))
+      require(actions == Seq(
+        ("table", "graft_sync.extra_t", "drop"),
+        ("table", "graft_sync.nation_s", "recreate"),
+        ("table", "graft_sync.region_s", "create")),
+        s"unexpected sync actions: $actions")
+      require(CatalogTransfer.diff(s, src,
+          CatalogTransfer.export(s, Seq("graft_sync"))).isEmpty,
+        "drift survived an incremental sync")
+      s.table("graft_sync.region_s")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
     // the reference's flagship scenario end-to-end: table created on the
     // "source", metadata exported, catalog destroyed, metadata imported,
     // SELECT by name works and data is intact (files never moved).
@@ -1429,6 +1468,11 @@ object DdlQueries extends QueryGroup {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     "meta_import_remap" ->
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin,
+    // served from the table the incremental sync re-created — restored
+    // metadata must resolve to the identical source rows
+    "meta_sync_apply" ->
       """SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey""".stripMargin,
     "meta_thrift_roundtrip" ->
