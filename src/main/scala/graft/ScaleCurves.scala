@@ -49,7 +49,14 @@ object ScaleCurves {
     // above
     "mm_decode_pipeline" -> "documents",
     "mm_audio_decode" -> "documents",
-    "mm_video_frames" -> "documents")
+    "mm_video_frames" -> "documents",
+    // r13: the codec FEATURE keys join the control group next to their
+    // decode siblings — same per-row codec parse plus a full
+    // raster/sample/frame fold, so their curves should also grow with
+    // rows
+    "mm_image_features" -> "documents",
+    "mm_audio_features" -> "documents",
+    "mm_video_scene_cut" -> "documents")
 
   private val RunsPerKey = 3
 
