@@ -134,13 +134,56 @@ object ThriftRoundtrip {
       .head().getDouble(0) == piBefore,
       "permanent function lost through Thrift round-trip")
 
+    // Partition-filter pushdown over the WIRE (r13): the same
+    // get_partitions_by_filter proof HivePartitionPrune runs embedded,
+    // here marshalled through the Thrift socket — the exact call the
+    // reference's managed HMS serves (metastore-import.tf:112-117). A
+    // 2-of-N partition predicate must make the metastore RPC return
+    // exactly 2 partition objects; the disabled control must fetch all.
+    import org.apache.spark.sql.functions.{col, year}
+    val partData = s"$scratch/orders_part_data"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("string").as("o_year"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(partData)
+    spark.sql(s"""CREATE EXTERNAL TABLE thrift_src.orders_part (
+                 |  o_orderkey BIGINT, o_custkey BIGINT)
+                 |PARTITIONED BY (o_year STRING)
+                 |STORED AS PARQUET LOCATION '$partData'""".stripMargin)
+    spark.sql("MSCK REPAIR TABLE thrift_src.orders_part")
+    val nParts = spark.sql("SHOW PARTITIONS thrift_src.orders_part").count()
+    require(nParts >= 5, s"fixture surprise: only $nParts year partitions")
+    import org.apache.spark.metrics.source.HiveCatalogMetrics
+    spark.conf.set("spark.sql.hive.metastorePartitionPruning", "true")
+    HiveCatalogMetrics.reset()
+    val prunedDf = spark.sql(
+      """SELECT COUNT(*) AS c FROM thrift_src.orders_part
+        |WHERE o_year IN ('1996', '1998')""".stripMargin)
+    val prunedCount = prunedDf.head().getLong(0)
+    val fetched = HiveCatalogMetrics.METRIC_PARTITIONS_FETCHED.getCount
+    require(fetched == 2,
+      s"Thrift metastore served $fetched partitions for a 2-partition " +
+        s"predicate (of $nParts) — filter not pushed over the socket")
+    require(prunedDf.inputFiles.forall(f =>
+      f.contains("o_year=1996") || f.contains("o_year=1998")),
+      "scan read outside the 2 matching partitions")
+    spark.conf.set("spark.sql.hive.metastorePartitionPruning", "false")
+    HiveCatalogMetrics.reset()
+    spark.sql(
+      """SELECT COUNT(*) AS c FROM thrift_src.orders_part
+        |WHERE o_year IN ('1996', '1998')""".stripMargin).head()
+    require(HiveCatalogMetrics.METRIC_PARTITIONS_FETCHED.getCount == nParts,
+      "control did not fetch every partition — counter not measuring " +
+        "metastore listing")
+    require(prunedCount > 0, "pruned scan returned no rows")
+
     outDir.foreach { o =>
       spark.table("thrift_src.nation_t")
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
         .coalesce(1).write.mode("overwrite").parquet(o)
     }
-    println(s"THRIFT_ROUNDTRIP_OK=$n")
+    println(s"THRIFT_ROUNDTRIP_OK=$n,pruned_fetch=$fetched/$nParts")
     spark.stop()
   }
 }
