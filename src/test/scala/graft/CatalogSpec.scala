@@ -903,6 +903,57 @@ class CatalogSpec extends SparkSpec {
         s"race_${t}_$i lost despite its statement succeeding")
   }
 
+  test("writable V2 catalog: two racing ATTACHES (separate instances) " +
+      "serialize through the on-disk revision claim") {
+    // The shared-attach race above is serialized by the instance
+    // monitor; two separate attaches over the same directory share NO
+    // JVM state — only the atomic createDirectory claim on revs/<n+1>
+    // stands between them and a lost update (the two-clusters-one-
+    // metastore shape, metastore-import.tf's whole premise).
+    val dir = new java.io.File(Tables.scratch(sf, "v2_race2_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val noMeta = java.util.Collections.emptyMap[String, String]()
+    val session = spark
+    val perThread = 8
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      val cat = attachWritable(s"race2_w$t", dir.getPath)
+      val th = new Thread(() => {
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        start.await()
+        try {
+          for (i <- 0 until perThread) {
+            var done = false
+            while (!done) {
+              try {
+                cat.createNamespace(Array(s"xrace_${t}_$i"), noMeta)
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException => ()
+              }
+            }
+          }
+        } catch { case e: Throwable => errors.add(e): Unit }
+      }, s"race2-writer-$t")
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "cross-attach writer deadlocked")
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
+    val head = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.toInt
+    assert(head == 2 * perThread,
+      s"${2 * perThread} statements produced head $head — lost or " +
+        "double-claimed revision across attaches")
+    val fresh = attachWritable("race2_chk", dir.getPath)
+    for (t <- 0 until 2; i <- 0 until perThread)
+      assert(fresh.namespaceExists(Array(s"xrace_${t}_$i")),
+        s"xrace_${t}_$i lost across attaches")
+  }
+
   test("V2 catalog visibility flips on the HEAD swap, never torn") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_head_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
