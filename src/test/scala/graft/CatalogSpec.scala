@@ -903,6 +903,55 @@ class CatalogSpec extends SparkSpec {
         s"race_${t}_$i lost despite its statement succeeding")
   }
 
+  test("vacuum racing a live writer never loses a committed revision " +
+      "or the head") {
+    // Maintenance-vs-DDL interleaving: one thread commits namespaces,
+    // another repeatedly vacuums with retain=2. Invariants: the writer
+    // never fails, vacuum never throws, the HEAD revision directory is
+    // always resolvable afterwards, every committed namespace survives
+    // on a fresh attach, and the kept tail after the final vacuum is
+    // exactly the newest `retain` revisions.
+    val dir = new java.io.File(Tables.scratch(sf, "v2_vacrace_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val noMeta = java.util.Collections.emptyMap[String, String]()
+    val writerCat = attachWritable("vacrace_w", dir.getPath)
+    val gcCat = attachWritable("vacrace_gc", dir.getPath)
+    val session = spark
+    val n = 12
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(session)
+      try for (i <- 0 until n) {
+        writerCat.createNamespace(Array(s"vrace_$i"), noMeta)
+        Thread.sleep(5)
+      } catch { case e: Throwable => errors.add(e): Unit }
+      finally writerDone.set(true)
+    }, "vacrace-writer")
+    val gc = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(session)
+      try while (!writerDone.get) { gcCat.vacuum(2); Thread.sleep(3) }
+      catch { case e: Throwable => errors.add(e): Unit }
+    }, "vacrace-gc")
+    writer.start(); gc.start()
+    writer.join(60000); gc.join(60000)
+    assert(!writer.isAlive && !gc.isAlive, "vacuum/writer race hung")
+    assert(errors.isEmpty, s"race threw: ${Option(errors.peek())}")
+    val head = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.toInt
+    assert(head == n, s"$n commits but head=$head — vacuum ate a revision")
+    assert(new java.io.File(dir, s"revs/$head").isDirectory,
+      "head revision directory missing after vacuum race")
+    val (removed, kept) = gcCat.vacuum(2)
+    assert(kept == Seq(head - 1, head),
+      s"final retain=2 tail wrong: removed=$removed kept=$kept")
+    val fresh = attachWritable("vacrace_chk", dir.getPath)
+    for (i <- 0 until n)
+      assert(fresh.namespaceExists(Array(s"vrace_$i")),
+        s"vrace_$i lost under concurrent vacuum")
+  }
+
   test("writable V2 catalog: two racing ATTACHES (separate instances) " +
       "serialize through the on-disk revision claim") {
     // The shared-attach race above is serialized by the instance
