@@ -50,6 +50,28 @@ object Scans extends QueryGroup {
         .orderBy("r_regionkey")
     }),
 
+    // raw text shards (r13) — the training-corpus front door a text
+    // pipeline reads constantly: one UTF-8 line per document, written
+    // as a distributed multi-file shard set and read back with
+    // spark.read.text. Lines carry their own key (doc_id TAB text), so
+    // the round-trip is ORDER-INDEPENDENT: no coalesce(1), no reliance
+    // on file enumeration order — the 100 TB shape, where a shard set
+    // is thousands of files and any ordering guarantee would serialize
+    // the write. Fixture text is newline-free (asserted by the oracle
+    // hash: an embedded newline would split a line and break the key).
+    "scan_text_lines" -> ((s, d) => {
+      val dir = Tables.scratch(d, "documents_text_shards")
+      Tables(s, d, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(
+          substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "scan_partition_prune" -> ((s, d) => {
       val dir = Tables.scratch(d, "lineitem_by_flag")
       // write-once per sf dir, re-done if the source fixture changes
@@ -68,6 +90,25 @@ object Scans extends QueryGroup {
     "sink_parquet_roundtrip" -> ((s, d) => {
       val dir = Tables.scratch(d, "supplier_rt_parquet")
       Tables(s, d, "supplier").write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
+    // codec-explicit round-trip (r13): at 100 TB the compression codec
+    // is a first-order storage/scan-throughput knob, not a default to
+    // inherit. zstd parquet write → read back; the filename REQUIRE
+    // proves the codec actually took effect (a silently-ignored option
+    // would still round-trip the rows).
+    "sink_zstd_roundtrip" -> ((s, d) => {
+      val dir = Tables.scratch(d, "supplier_rt_zstd")
+      Tables(s, d, "supplier").write.mode("overwrite")
+        .option("compression", "zstd").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      require(files.nonEmpty && files.forall(_.contains(".zstd.")),
+        s"zstd codec not applied: ${files.mkString(",")}")
       s.read.parquet(dir)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
           round(col("s_acctbal"), 4).as("s_acctbal"))
@@ -675,11 +716,15 @@ object Scans extends QueryGroup {
         |FROM cont ORDER BY fname""".stripMargin,
     "scan_json_lines" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_text_lines" ->
+      """SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "scan_partition_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_parquet_roundtrip" -> supplierSql,
+    "sink_zstd_roundtrip" -> supplierSql,
     "sink_csv_roundtrip" -> supplierSql,
     "scan_ignore_corrupt" ->
       """SELECT n_nationkey, n_name, n_regionkey
