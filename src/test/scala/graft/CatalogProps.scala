@@ -191,3 +191,60 @@ object CatalogProps extends Properties("graft.catalog") {
     stateOk && headRev && revsOk && travelOk
   }
 }
+
+/** Property check of [[CatalogTransfer.syncApply]] (r13): for ANY
+  * subset of five independent drift operations — property alter, table
+  * drop, extra table, schema widen, function drop — the incremental
+  * sync must emit exactly one repair action per drifted object,
+  * converge to a zero diff against the source snapshot, and be
+  * idempotent (a second sync applies nothing). Each drift targets its
+  * own object so |actions| == |drifts| exactly. */
+object SyncApplyProps extends Properties("graft.syncapply") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private def spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val driftGen: Gen[Seq[Int]] =
+    Gen.someOf(0 to 4).map(_.toSeq.sorted)
+
+  property("converges with one action per drifted object, " +
+      "for any drift subset") = forAll(driftGen) { drifts =>
+    val s = spark
+    s.sql("DROP DATABASE IF EXISTS graft_syncprop CASCADE")
+    s.sql("CREATE DATABASE graft_syncprop")
+    s.sql(s"""CREATE TABLE graft_syncprop.t_prop
+             |USING parquet LOCATION '$sf/nation.parquet'""".stripMargin)
+    s.sql(s"""CREATE TABLE graft_syncprop.t_drop
+             |USING parquet LOCATION '$sf/region.parquet'""".stripMargin)
+    s.sql(s"""CREATE TABLE graft_syncprop.t_col
+             |USING parquet LOCATION '$sf/part.parquet'""".stripMargin)
+    s.sql("""CREATE FUNCTION graft_syncprop.fn_p
+            |AS 'org.apache.hadoop.hive.ql.udf.UDFPI'""".stripMargin)
+    val src = CatalogTransfer.export(s, Seq("graft_syncprop"))
+    drifts.foreach {
+      case 0 => s.sql("""ALTER TABLE graft_syncprop.t_prop
+                        |SET TBLPROPERTIES ('drift' = 'y')""".stripMargin)
+      case 1 => s.sql("DROP TABLE graft_syncprop.t_drop")
+      case 2 => s.sql(s"""CREATE TABLE graft_syncprop.extra_p
+                         |USING parquet LOCATION '$sf/supplier.parquet'"""
+                  .stripMargin)
+      case 3 => s.sql("""ALTER TABLE graft_syncprop.t_col
+                        |ADD COLUMNS (drift_col INT)""".stripMargin)
+      case 4 => s.sharedState.externalCatalog
+                  .dropFunction("graft_syncprop", "fn_p")
+    }
+    val actions = CatalogTransfer.syncApply(s, src, Seq("graft_syncprop"))
+    val oneActionPerDrift = actions.length == drifts.length
+    val converged = CatalogTransfer.diff(s, src,
+      CatalogTransfer.export(s, Seq("graft_syncprop"))).isEmpty
+    val idempotent =
+      CatalogTransfer.syncApply(s, src, Seq("graft_syncprop")).isEmpty
+    if (!(oneActionPerDrift && converged && idempotent))
+      println(s"drifts=$drifts actions=$actions " +
+        s"converged=$converged idempotent=$idempotent")
+    oneActionPerDrift && converged && idempotent
+  }
+}
