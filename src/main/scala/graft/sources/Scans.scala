@@ -63,7 +63,14 @@ object Scans extends QueryGroup {
       val dir = Tables.scratch(d, "documents_text_shards")
       Tables(s, d, "documents")
         .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        // hash-distribute into a real multi-file shard set — the
+        // order-independence claim must actually be exercised (a
+        // single-partition write would hide any file-ordering reliance)
+        .repartition(8, col("value"))
         .write.mode("overwrite").text(dir)
+      val shards = new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".txt"))
+      require(shards > 1, s"expected a multi-file shard set, got $shards")
       s.read.text(dir)
         .select(
           substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
