@@ -41,6 +41,8 @@ object Multimodal extends QueryGroup {
   final case class PngRow(doc_id: Long, media: Array[Byte])
   final case class DecodedImage(doc_id: Long, img_w: Int, img_h: Int,
       n_channels: Int, px_00: Int, px_mid: Int, px_corner: Int)
+  final case class DecodeStatus(doc_id: Long, status: String, img_w: Int,
+      img_h: Int, px_00: Int, px_mid: Int, px_corner: Int)
 
   /** Deterministic synthetic grayscale PNG: pixel(x,y) =
     * (7x + 13y + id) mod 256. PNG is lossless, so a faithful decode must
@@ -216,6 +218,49 @@ object Multimodal extends QueryGroup {
             raster.getSample(0, 0, 0),
             raster.getSample(w / 2, h / 2, 0),
             raster.getSample(w - 1, h - 1, 0))
+        }
+      }.toDF()
+        .orderBy("doc_id")
+    }),
+
+    // corrupt-media tolerance (r13) — the scan_ignore_corrupt analog
+    // for the media column: at 100 TB one mangled blob must cost one
+    // ROW, not the stage. Every doc_id % 10 == 3 blob has its 8-byte
+    // PNG signature zeroed (no ImageReader claims it, ImageIO.read
+    // returns null); the decode leg maps that — and any decoder
+    // IOException — to status='corrupt' with -1 sentinel probes
+    // instead of throwing. Sentinels (not NULLs) keep every column
+    // non-nullable, the cross-engine-hash-stable shape. The oracle
+    // replays both legs: the corruption rule is closed-form on doc_id,
+    // the ok rows replay the PNG closed form.
+    "mm_decode_errors" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val (w, h) = imgDims(id, nChars)
+          val b = makePng(id, w, h)
+          if (id % 10 == 3) java.util.Arrays.fill(b, 0, 8, 0.toByte)
+          PngRow(id, b)
+        }
+      media.mapPartitions { rows =>
+        imageIoNoCache
+        rows.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media))
+            catch { case _: java.io.IOException => null }
+          if (img == null)
+            DecodeStatus(r.doc_id, "corrupt", -1, -1, -1, -1, -1)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            DecodeStatus(r.doc_id, "ok", w, h,
+              raster.getSample(0, 0, 0),
+              raster.getSample(w / 2, h / 2, 0),
+              raster.getSample(w - 1, h - 1, 0))
+          }
         }
       }.toDF()
         .orderBy("doc_id")
@@ -542,6 +587,28 @@ object Multimodal extends QueryGroup {
         |    AS px_mid,
         |  CAST((7*(img_w-1) + 13*(img_h-1) + doc_id) % 256 AS INTEGER)
         |    AS px_corner
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 25) AS INTEGER) AS img_w,
+        |    CAST(8 + (n_chars % 17) AS INTEGER) AS img_h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // corruption rule and probes are both closed-form: doc_id%10==3
+    // rows carry -1 sentinels, everything else replays the PNG formula
+    "mm_decode_errors" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 3 THEN 'corrupt' ELSE 'ok' END
+        |    AS status,
+        |  CASE WHEN doc_id % 10 = 3 THEN -1 ELSE img_w END AS img_w,
+        |  CASE WHEN doc_id % 10 = 3 THEN -1 ELSE img_h END AS img_h,
+        |  CASE WHEN doc_id % 10 = 3 THEN -1
+        |    ELSE CAST(doc_id % 256 AS INTEGER) END AS px_00,
+        |  CASE WHEN doc_id % 10 = 3 THEN -1
+        |    ELSE CAST((7*(img_w//2) + 13*(img_h//2) + doc_id) % 256
+        |      AS INTEGER) END AS px_mid,
+        |  CASE WHEN doc_id % 10 = 3 THEN -1
+        |    ELSE CAST((7*(img_w-1) + 13*(img_h-1) + doc_id) % 256
+        |      AS INTEGER) END AS px_corner
         |FROM (
         |  SELECT doc_id,
         |    CAST(8 + (doc_id % 25) AS INTEGER) AS img_w,
