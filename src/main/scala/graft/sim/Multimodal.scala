@@ -44,6 +44,28 @@ object Multimodal extends QueryGroup {
   final case class DecodeStatus(doc_id: Long, status: String, img_w: Int,
       img_h: Int, px_00: Int, px_mid: Int, px_corner: Int)
 
+  /** One tolerant decode: unclaimable blobs (ImageIO.read → null, e.g.
+    * a zeroed signature) and mid-stream decoder failures (IOException,
+    * e.g. a truncated body) both map to status='corrupt' with −1
+    * sentinel probes — never a throw. `private[graft]` so LlmOpsSpec
+    * can drive both failure arms directly (the fixture's zeroed-
+    * signature rows only exercise the null arm). */
+  private[graft] def decodeStatusRow(id: Long,
+      media: Array[Byte]): DecodeStatus = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: java.io.IOException => null }
+    if (img == null) DecodeStatus(id, "corrupt", -1, -1, -1, -1, -1)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      DecodeStatus(id, "ok", w, h,
+        raster.getSample(0, 0, 0),
+        raster.getSample(w / 2, h / 2, 0),
+        raster.getSample(w - 1, h - 1, 0))
+    }
+  }
+
   /** Deterministic synthetic grayscale PNG: pixel(x,y) =
     * (7x + 13y + id) mod 256. PNG is lossless, so a faithful decode must
     * reproduce every pixel bit-for-bit — the closed form doubles as the
@@ -246,22 +268,7 @@ object Multimodal extends QueryGroup {
         }
       media.mapPartitions { rows =>
         imageIoNoCache
-        rows.map { r =>
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.media))
-            catch { case _: java.io.IOException => null }
-          if (img == null)
-            DecodeStatus(r.doc_id, "corrupt", -1, -1, -1, -1, -1)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val raster = img.getRaster
-            DecodeStatus(r.doc_id, "ok", w, h,
-              raster.getSample(0, 0, 0),
-              raster.getSample(w / 2, h / 2, 0),
-              raster.getSample(w - 1, h - 1, 0))
-          }
-        }
+        rows.map(r => decodeStatusRow(r.doc_id, r.media))
       }.toDF()
         .orderBy("doc_id")
     }),

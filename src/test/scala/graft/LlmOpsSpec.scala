@@ -334,4 +334,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(unmatched > nEvents - asofUnmatched,
       s"tolerance never binds: $unmatched unmatched vs plain as-of")
   }
+
+  test("tolerant decode survives every corruption arm without throwing") {
+    import graft.sim.Multimodal
+    val good = Multimodal.makePng(7, 12, 9)
+    // intact blob decodes ok with the closed-form probes
+    val ok = Multimodal.decodeStatusRow(7, good)
+    assert(ok.status == "ok" && ok.img_w == 12 && ok.img_h == 9 &&
+      ok.px_00 == 7 % 256)
+    // zeroed signature: no reader claims it (the null arm — what the
+    // oracled fixture exercises)
+    val unsigned = good.clone()
+    java.util.Arrays.fill(unsigned, 0, 8, 0.toByte)
+    assert(Multimodal.decodeStatusRow(8, unsigned).status == "corrupt")
+    // valid signature but truncated body: the decoder starts and then
+    // fails mid-stream (the IOException arm the fixture never reaches)
+    val truncated = java.util.Arrays.copyOf(good, 40)
+    assert(Multimodal.decodeStatusRow(9, truncated).status == "corrupt")
+    // garbage tail after a valid signature: claimed by the PNG reader,
+    // then chunk parsing explodes
+    val mangled = good.clone()
+    java.util.Arrays.fill(mangled, 8, mangled.length, 0x5A.toByte)
+    assert(Multimodal.decodeStatusRow(10, mangled).status == "corrupt")
+  }
 }
