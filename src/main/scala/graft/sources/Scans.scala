@@ -122,6 +122,42 @@ object Scans extends QueryGroup {
         .orderBy("s_suppkey")
     }),
 
+    // External-RDBMS round trip (r13): Spark's JDBC source against an
+    // EMBEDDED Derby database — the relational-federation front door
+    // (operational dims living in Postgres/MySQL next to the lake;
+    // Derby is the sandbox's in-process stand-in, same DataFrameWriter/
+    // DataFrameReader JDBC path and dialect machinery). Write is the
+    // distributed batched-INSERT path; the read comes back PARTITIONED
+    // (4 range partitions on s_suppkey → 4 parallel cursors, the shape
+    // that keeps a big external read off one connection) with the
+    // filter pushed into the remote WHERE clause (asserted in
+    // ScansSpec via JDBCRelation's pushed-filter plan text). 100 TB
+    // note: JDBC sources stay dim-sized — facts live in parquet; this
+    // path exists so dims federate without an export hop.
+    "scan_jdbc" -> ((s, d) => {
+      // route the engine-wide Derby log off the repo root before any
+      // embedded database (metastore keys included) boots this JVM
+      System.setProperty("derby.stream.error.file",
+        Tables.scratch(d, "derby.log"))
+      val db = new java.io.File(Tables.scratch(d, "jdbc_derby_db"))
+        .getAbsolutePath
+      val url = s"jdbc:derby:;databaseName=$db;create=true"
+      val props = new java.util.Properties
+      val src = Tables(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.write.mode("overwrite").jdbc(url, "graft_supplier_rt", props)
+      val hi = src.agg(max("s_suppkey")).head.getLong(0) // bounded scalar
+      s.read
+        .option("partitionColumn", "s_suppkey")
+        .option("lowerBound", "1").option("upperBound", hi.toString)
+        .option("numPartitions", "4")
+        .jdbc(url, "graft_supplier_rt", props)
+        .filter(col("s_nationkey") < 13)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     "sink_csv_roundtrip" -> ((s, d) => {
       val dir = Tables.scratch(d, "supplier_rt_csv")
       Tables(s, d, "supplier").write.mode("overwrite")
@@ -732,6 +768,10 @@ object Scans extends QueryGroup {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_parquet_roundtrip" -> supplierSql,
     "sink_zstd_roundtrip" -> supplierSql,
+    // the remote WHERE must deliver exactly the matching dim rows
+    "scan_jdbc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+        |FROM supplier WHERE s_nationkey < 13 ORDER BY s_suppkey""".stripMargin,
     "sink_csv_roundtrip" -> supplierSql,
     "scan_ignore_corrupt" ->
       """SELECT n_nationkey, n_name, n_regionkey

@@ -105,4 +105,21 @@ class ScansSpec extends SparkSpec {
     // 32+ in prod) fanning out one file each
     assert(nFiles >= 1 && nFiles <= 4, s"rebalance wrote $nFiles files")
   }
+
+  test("scan_jdbc: filter pushed to the remote DB, read is partitioned") {
+    val df = SparkEntry.queries("scan_jdbc")(spark, sf)
+    // the JDBC scan is a RowDataSourceScanExec; its PushedFilters
+    // metadata records what reached the remote WHERE clause
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s }
+    assert(scans.nonEmpty, "no JDBC scan node in the plan")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThan(s_nationkey,13)"),
+      s"nationkey filter not pushed to Derby: $pushed")
+    // the scan itself must fan out over 4 range partitions (4 parallel
+    // cursors against the external DB), independent of the later sort
+    assert(scans.head.execute().getNumPartitions == 4,
+      "JDBC read not split into 4 range partitions")
+  }
 }
