@@ -1226,6 +1226,44 @@ object DdlQueries extends QueryGroup {
            |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
     }),
 
+    // RDBMS federation through the V2 CATALOG surface (r13): Spark's
+    // stock JDBCTableCatalog mounted over an embedded Derby database —
+    // the other half of the federation story next to meta_v2_federation
+    // (snapshot catalog ⋈ session catalog). Here the remote system is a
+    // live external RDBMS: DDL (CREATE NAMESPACE / CTAS / DROP) executes
+    // as real SQL against Derby through the connector, the dim LIVES
+    // remotely, and the query joins it against a lake-resident parquet
+    // fact by three-part name — no export hop. Catalog name is
+    // fixture-keyed (plugin instances cache construction-time options
+    // by name). 100 TB note: the remote side stays dim-sized; the join
+    // broadcasts the JDBC side, facts never cross the connector.
+    "meta_jdbc_catalog" -> ((s, d) => {
+      System.setProperty("derby.stream.error.file",
+        Tables.scratch(d, "derby.log"))
+      val db = new java.io.File(Tables.scratch(d, "jdbc_cat_db"))
+        .getAbsolutePath
+      val cat = "gjdbccat_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.url",
+        s"jdbc:derby:;databaseName=$db;create=true")
+      s.conf.set(s"spark.sql.catalog.$cat.driver",
+        "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gmeta")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gmeta.nation_dim")
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_jc")
+      s.sql(s"""CREATE TABLE $cat.gmeta.nation_dim AS
+               |SELECT n_nationkey, n_name, n_regionkey
+               |FROM nation_src_jc""".stripMargin)
+      Tables(s, d, "supplier").createOrReplaceTempView("supplier_src_jc")
+      s.sql(
+        s"""SELECT n.n_name, COUNT(*) AS n_suppliers,
+           |  ROUND(SUM(sp.s_acctbal), 4) AS sum_acctbal
+           |FROM $cat.gmeta.nation_dim n
+           |JOIN supplier_src_jc sp ON sp.s_nationkey = n.n_nationkey
+           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    }),
+
     // HMS-style schema evolution through the writable catalog,
     // metadata-only (no file rewrite): fill a table, ADD a nullable
     // COLUMN + set a table property, insert a second generation WITH
@@ -1574,6 +1612,13 @@ object DdlQueries extends QueryGroup {
         |  MIN(n_nationkey) AS lo_key
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // the Derby-resident dim must deliver exactly the source rows to
+    // the federated join
+    "meta_jdbc_catalog" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  ROUND(SUM(s_acctbal), 4) AS sum_acctbal
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // schema evolution: both write generations visible under the
     // evolved schema — pre-alter rows with the added column null,
     // post-alter rows carrying it

@@ -1261,4 +1261,27 @@ class CatalogSpec extends SparkSpec {
     assert(head.tables.head.location.endsWith("/gen2"),
       "merge must re-point the table at the rewritten generation")
   }
+
+  test("meta_jdbc_catalog: DDL lands in the external RDBMS for real") {
+    SparkEntry.queries("meta_jdbc_catalog")(spark, sf).count()
+    val cat = "gjdbccat_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    // the connector's metadata surface lists the table by namespace
+    val listed = spark.sql(s"SHOW TABLES IN $cat.gmeta")
+      .select("tableName").collect().map(_.getString(0))
+    assert(listed.contains("nation_dim"), s"not listed: ${listed.toSeq}")
+    // bypass Spark entirely: a direct embedded-JDBC session against the
+    // same Derby database must see the CTAS rows — the dim physically
+    // lives in the RDBMS, not in any Spark-side shim
+    val db = new java.io.File(Tables.scratch(sf, "jdbc_cat_db"))
+      .getAbsolutePath
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:derby:;databaseName=$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT COUNT(*), MIN("n_nationkey") FROM "gmeta"."nation_dim"""")
+      assert(rs.next())
+      assert(rs.getLong(1) == 25 && rs.getInt(2) == 0,
+        s"Derby-side content mismatch: n=${rs.getLong(1)}")
+    } finally conn.close()
+  }
 }
