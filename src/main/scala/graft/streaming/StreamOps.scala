@@ -132,6 +132,42 @@ object StreamOps extends QueryGroup {
         .orderBy("window_start", "event_type")
     }),
 
+    // SYNTHETIC SOURCE (r13): the rate-micro-batch generator — the
+    // deterministic load-test/backfill source (soak a new sink, size
+    // state stores, rehearse a catch-up) that ships in-box. Pinning
+    // startTimestamp=0 with a fixed per-batch advance makes
+    // (value, timestamp) a CLOSED FORM — the one streaming source
+    // whose entire output is oracle-expressible without a fixture.
+    // The stream itself is unbounded, so the key bounds the result in
+    // EVENT space (value < 1000) and polls until that prefix has fully
+    // landed: however the engine slices batches, the answer is
+    // identical — cadence-independence is the property under test.
+    "stream_rate_source" -> ((s, d) => {
+      val src = s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "250")
+        .option("numPartitions", "4")
+        .option("startTimestamp", "0")
+        .option("advanceMillisPerBatch", "60000")
+        .load()
+      val bounded = src.filter(col("value") < 1000)
+        .select(col("value").as("seq"),
+          (col("value") % 250).as("pos_in_batch"),
+          unix_millis(col("timestamp")).as("ts_ms"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = bounded.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_rate").start()
+      try {
+        val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+        while (s.table("graft_stream_rate").count() < 1000
+            && System.nanoTime < deadline) Thread.sleep(50)
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      s.table("graft_stream_rate").orderBy("seq")
+    }),
+
     "stream_sliding" -> ((s, d) => {
       val agg = eventsStream(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
@@ -657,6 +693,12 @@ object StreamOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the generator's closed form: value dense in [0,1000), timestamp
+    // advancing one fixed step per 250-row batch from epoch 0
+    "stream_rate_source" ->
+      """SELECT range AS seq, range % 250 AS pos_in_batch,
+        |  (range // 250) * 60000 AS ts_ms
+        |FROM range(0, 1000) ORDER BY seq""".stripMargin,
     // the full stream landed in the catalog table exactly once —
     // count, distinct ids, and value mass all match the batch table
     "stream_v2_sink" ->

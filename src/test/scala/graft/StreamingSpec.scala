@@ -221,4 +221,42 @@ class StreamingSpec extends SparkSpec {
       s"partition filter did not reach the streamed table's scan:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("rate source output is micro-batch-cadence-independent") {
+    import org.apache.spark.sql.functions._
+    // same bounded prefix, DIFFERENT batch slicing (100-row batches →
+    // 10 batches instead of 4): the landed rows must be identical —
+    // the closed form depends only on value, never on batch boundaries
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "100")
+      .option("numPartitions", "2")
+      .option("startTimestamp", "0")
+      .option("advanceMillisPerBatch", "24000") // 60000 * 100/250
+      .load()
+      .filter(col("value") < 1000)
+      .select(col("value").as("seq"),
+        (col("value") % 250).as("pos_in_batch"),
+        unix_millis(col("timestamp")).as("ts_ms"))
+    val q = src.writeStream.outputMode("append")
+      .format("memory").queryName("graft_rate_alt").start()
+    try {
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (spark.table("graft_rate_alt").count() < 1000
+          && System.nanoTime < deadline) Thread.sleep(50)
+    } finally q.stop()
+    val alt = spark.table("graft_rate_alt").orderBy("seq").collect()
+    val ref = SparkEntry.queries("stream_rate_source")(spark, sf).collect()
+    assert(alt.length == 1000 && ref.length == 1000)
+    // the VALUE sequence is cadence-independent: both runs land the
+    // dense prefix 0..999 exactly once, whatever the batch slicing
+    assert(alt.map(_.getLong(0)).toSeq == ref.map(_.getLong(0)).toSeq,
+      "rate-source value sequence depends on micro-batch cadence")
+    // the TIMESTAMP closed form tracks each run's own cadence exactly:
+    // ts = (value div rowsPerBatch) * advancePerBatch — per-run
+    // deterministic, which is what makes the source oracle-able
+    assert(alt.forall(r => r.getLong(2) == r.getLong(0) / 100 * 24000),
+      "alt-cadence timestamps off closed form")
+    assert(ref.forall(r => r.getLong(2) == r.getLong(0) / 250 * 60000),
+      "key-cadence timestamps off closed form")
+  }
 }
