@@ -64,6 +64,28 @@ object ScalarFns extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // Column-level ENCRYPTION round trip (r13) — the PII-at-rest
+    // primitive next to fn_mask's redaction: aes_encrypt/aes_decrypt
+    // over the document text with a 128-bit key. ECB mode is the
+    // DETERMINISTIC variant (no random IV), which is what makes the
+    // ciphertext schema oracle-able: the decrypt leg must reproduce
+    // the plaintext exactly, and the ciphertext length is the closed
+    // PKCS#7 form 16·(⌊n/16⌋+1) over the UTF-8 byte length. (Real
+    // deployments use GCM — aes_encrypt's default — whose random IV is
+    // exactly what a value-diff can't pin; the mode knob, not the
+    // machinery, is the difference. A GCM round-trip law lives in
+    // EngineSpec.) Pure codegen expressions, zero shuffles.
+    "fn_aes_roundtrip" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .withColumn("ct", expr(
+          "aes_encrypt(text, '0123456789abcdef', 'ECB')"))
+        .select(col("doc_id"),
+          expr("cast(aes_decrypt(ct, '0123456789abcdef', 'ECB') as string)")
+            .as("text_rt"),
+          length(col("ct")).cast("long").as("ct_len"))
+        .orderBy("doc_id")
+    }),
+
     // Cryptographic hash family — the content-addressing primitives
     // under dedup keys, cache keys, and row fingerprints (md5 hex,
     // sha2-256 hex, and the md5-prefix→int64 reduction every hash-
@@ -405,6 +427,12 @@ object ScalarFns extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // decrypt(encrypt(x)) must be x; ECB+PKCS#7 ciphertext length is
+    // the closed form over the UTF-8 byte length
+    "fn_aes_roundtrip" ->
+      """SELECT doc_id, text AS text_rt,
+        |  16 * (strlen(text) // 16 + 1) AS ct_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_geo_haversine" ->
       """WITH pts AS (SELECT n_nationkey, n_name,
         |    CAST(n_nationkey*7 % 180 AS DOUBLE) - 90 + 0.5 AS lat,

@@ -141,4 +141,32 @@ class EtlPatternsSpec extends SparkSpec {
     assert(r.getString(1) ==
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
   }
+
+  test("AES-GCM round-trips but never repeats a ciphertext") {
+    val s = spark
+    import s.implicits._
+    // GCM (aes_encrypt's default, the production mode fn_aes_roundtrip
+    // deliberately swaps for ECB) draws a fresh random IV per call: the
+    // decrypt leg must invert it, and two encryptions of the SAME
+    // plaintext must differ — the semantic-security property that makes
+    // GCM un-oracle-able by value diff
+    val rt = Seq("the quick brown fox").toDF("x").select(
+      expr("cast(aes_decrypt(aes_encrypt(x, '0123456789abcdef'), " +
+        "'0123456789abcdef') as string)").as("rt"))
+      .collect().head.getString(0)
+    assert(rt == "the quick brown fox")
+    // two SEPARATE executions — in one projection Catalyst's CSE
+    // (correctly) collapses the textually-identical calls
+    def enc(): Array[Byte] = Seq("the quick brown fox").toDF("x")
+      .select(expr("aes_encrypt(x, '0123456789abcdef')").as("c"))
+      .collect().head.getAs[Array[Byte]]("c")
+    assert(!java.util.Arrays.equals(enc(), enc()),
+      "GCM produced identical ciphertexts — IV not randomized")
+    // and a wrong key must fail loudly (GCM authenticates), caught by
+    // the try_ variant as null rather than a crash
+    val bad = Seq("x").toDF("x").select(
+      expr("try_aes_decrypt(aes_encrypt(x, '0123456789abcdef'), " +
+        "'FEDCBA9876543210')").as("d")).collect().head
+    assert(bad.isNullAt(0), "wrong-key GCM decrypt must not succeed")
+  }
 }
