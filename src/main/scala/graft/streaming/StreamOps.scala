@@ -198,14 +198,65 @@ object StreamOps extends QueryGroup {
     // is asserted in StreamingSpec — a single replay batch can't observe
     // drops (the watermark only advances between batches), so this
     // declared query is a rows-only check.
+    // Watermark LATE-DROP semantics, oracled (r13 promotion — was
+    // scalatest-by-design since r2). The drop only fires across a
+    // micro-batch boundary, so the key builds a DETERMINISTIC
+    // three-file replay (file source orders by mtime;
+    // maxFilesPerTrigger=1): batch 0 = the fixture's final 1-hour
+    // window (carries the global max ts, so it alone fixes the
+    // watermark at max − 10 days), batch 1 = a SPACER (the day before
+    // the final window: its rows can neither be late under that
+    // watermark nor raise it), batch 2 = everything older — the late
+    // candidates. The spacer makes the result insensitive to HOW MANY
+    // batches the watermark update lags (measured on this engine:
+    // back-to-back data batches apply stats two batches back; no-data
+    // batches shorten that — either way batch 2 runs under
+    // wm = max − 10 d). Every batch-2 row whose window closed by then
+    // is DROPPED — ~2/3 of the corpus, a closed form the DuckDB oracle
+    // replays exactly. Update-mode sink accumulates one row per state
+    // change; max(n_events) per group is the final state (counts are
+    // monotone). MemoryStream-driven hand-ordered variants stay in
+    // StreamingSpec.
     "stream_watermark_late" -> ((s, d) => {
-      val agg = eventsStream(s, d)
-        .withWatermark("ts", "10 minutes")
+      val dir = Tables.scratch(d, "wm_late_replay")
+      if (!Tables.scratchCurrent(d, "events", dir, ver = ":3file")) {
+        val ev = Tables(s, d, "events").select("event_id", "ts", "event_type")
+        val mx = ev.agg(max("ts")).head.getTimestamp(0) // bounded scalar
+        val fw = date_trunc("HOUR", lit(mx))
+        val fw1 = fw - expr("INTERVAL 1 DAY")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        new java.io.File(dir).mkdirs()
+        val t0 = System.currentTimeMillis - 120000
+        val splits = Seq(
+          ("b0_final_window.parquet", col("ts") >= fw, t0),
+          ("b1_spacer.parquet", col("ts") < fw && col("ts") >= fw1,
+            t0 + 5000),
+          ("b2_late.parquet", col("ts") < fw1, t0 + 10000))
+        for ((name, pred, mt) <- splits) {
+          val tmp = dir + "_tmp"
+          ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(dir, name)
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        }
+        Tables.stampScratch(d, "events", dir, ver = ":3file")
+      }
+      val schema = s.read.parquet(dir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val agg = src
+        .withWatermark("ts", "10 days")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
       runToTable(agg, "graft_stream_watermark", "update")
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"))
+        .groupBy("window_start", "event_type")
+        .agg(max("n_events").as("n_events"))
         .orderBy("window_start", "event_type")
     }),
 
@@ -693,6 +744,26 @@ object StreamOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the three-batch watermark closed form: the final window
+    // and its one-day spacer are never late; older rows survive only
+    // if their 1-hour window is still open under wm = max(ts) − 10 d
+    "stream_watermark_late" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |mx AS (SELECT MAX(ts) AS m, DATE_TRUNC('hour', MAX(ts)) AS fw
+        |  FROM e),
+        |kept AS (
+        |  SELECT ts, event_type FROM e, mx
+        |  WHERE ts >= fw - INTERVAL 1 DAY
+        |  UNION ALL
+        |  SELECT ts, event_type FROM e, mx
+        |  WHERE ts < fw - INTERVAL 1 DAY
+        |    AND DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
+        |      > m - INTERVAL 10 DAY)
+        |SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events
+        |FROM kept GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     // the generator's closed form: value dense in [0,1000), timestamp
     // advancing one fixed step per 250-row batch from epoch 0
     "stream_rate_source" ->
