@@ -1264,6 +1264,41 @@ object DdlQueries extends QueryGroup {
            |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
     }),
 
+    // COMPUTE pushdown across the federation boundary (r13): with
+    // pushDownAggregate/pushDownLimit the V2 JDBC connector compiles
+    // the whole GROUP BY into the remote engine — the scan comes back
+    // PRE-AGGREGATED (PushedAggregates + PushedGroupByExpressions in
+    // the scan node; Spark's plan is a bare rename-Project, no
+    // HashAggregate — asserted in PlanSpec, with TopN pushdown
+    // beside it). This is the 100 TB federation contract: the remote
+    // side ships one row per group over the wire, never the table.
+    "meta_jdbc_pushdown" -> ((s, d) => {
+      System.setProperty("derby.stream.error.file",
+        Tables.scratch(d, "derby.log"))
+      val db = new java.io.File(Tables.scratch(d, "jdbc_pd_db"))
+        .getAbsolutePath
+      val cat = "gjdbcpd_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.url",
+        s"jdbc:derby:;databaseName=$db;create=true")
+      s.conf.set(s"spark.sql.catalog.$cat.driver",
+        "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      s.conf.set(s"spark.sql.catalog.$cat.pushDownAggregate", "true")
+      s.conf.set(s"spark.sql.catalog.$cat.pushDownLimit", "true")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gpd")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gpd.supp_pd")
+      Tables(s, d, "supplier").createOrReplaceTempView("supplier_src_pd")
+      s.sql(s"""CREATE TABLE $cat.gpd.supp_pd AS
+               |SELECT s_suppkey, s_nationkey, s_acctbal
+               |FROM supplier_src_pd""".stripMargin)
+      s.sql(
+        s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           |  ROUND(SUM(s_acctbal), 4) AS sum_acctbal
+           |FROM $cat.gpd.supp_pd
+           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
     // HMS-style schema evolution through the writable catalog,
     // metadata-only (no file rewrite): fill a table, ADD a nullable
     // COLUMN + set a table property, insert a second generation WITH
@@ -1612,6 +1647,11 @@ object DdlQueries extends QueryGroup {
         |  MIN(n_nationkey) AS lo_key
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // the remotely-computed aggregate must equal the local one
+    "meta_jdbc_pushdown" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |  ROUND(SUM(s_acctbal), 4) AS sum_acctbal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // the Derby-resident dim must deliver exactly the source rows to
     // the federated join
     "meta_jdbc_catalog" ->

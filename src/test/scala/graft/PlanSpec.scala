@@ -423,4 +423,25 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().forall(_.getInt(2) == 1), "within_5pct flag not set")
   }
+
+  test("meta_jdbc_pushdown: GROUP BY and TopN compile into the remote DB") {
+    val df = SparkEntry.queries("meta_jdbc_pushdown")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    // complete pushdown: the scan returns pre-aggregated rows and no
+    // Spark-side HashAggregate remains in the plan
+    assert(plan.contains("PushedAggregates: [COUNT(*), SUM(s_acctbal)]"),
+      s"aggregate not pushed to Derby:\n$plan")
+    assert(plan.contains("PushedGroupByExpressions: [s_nationkey]"),
+      s"group-by not pushed to Derby:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"residual Spark-side aggregation — pushdown was partial:\n$plan")
+    // order-by-limit compiles to remote TopN on the same mount
+    val cat = "gjdbcpd_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val topn = spark.sql(
+      s"""SELECT s_suppkey FROM $cat.gpd.supp_pd
+         |ORDER BY s_suppkey LIMIT 5""".stripMargin)
+      .queryExecution.sparkPlan.toString
+    assert(topn.contains("PushedTopN: ORDER BY [s_suppkey ASC NULLS FIRST] LIMIT 5"),
+      s"TopN not pushed to Derby:\n$topn")
+  }
 }
