@@ -1299,6 +1299,49 @@ object DdlQueries extends QueryGroup {
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     }),
 
+    // JOIN pushdown across the federation boundary (r13): the third
+    // pushdown leg after filters (scan_jdbc) and aggregates
+    // (meta_jdbc_pushdown) — with the graft Derby dialect declaring
+    // join capability, Spark's DSv2 join-pushdown rule compiles the
+    // supplier⋈nation join INTO the remote engine as one SQL
+    // statement: the scan returns PRE-JOINED rows and no Spark-side
+    // join operator remains (asserted in PlanSpec). The 100 TB
+    // federation contract completed: the remote side ships the join
+    // RESULT over the wire, never either input table.
+    "meta_jdbc_join_pushdown" -> ((s, d) => {
+      System.setProperty("derby.stream.error.file",
+        Tables.scratch(d, "derby.log"))
+      DerbyJoinDialect.ensureRegistered()
+      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      val db = new java.io.File(Tables.scratch(d, "jdbc_jp_db"))
+        .getAbsolutePath
+      val cat = "gjdbcjp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.url",
+        s"jdbc:derby:;databaseName=$db;create=true")
+      s.conf.set(s"spark.sql.catalog.$cat.driver",
+        "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      s.conf.set(s"spark.sql.catalog.$cat.pushDownJoin", "true")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gjp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gjp.supp_jp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gjp.nat_jp")
+      Tables(s, d, "supplier").createOrReplaceTempView("supplier_src_jp")
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_jp")
+      s.sql(s"""CREATE TABLE $cat.gjp.supp_jp AS
+               |SELECT s_suppkey, s_nationkey, s_acctbal
+               |FROM supplier_src_jp""".stripMargin)
+      s.sql(s"""CREATE TABLE $cat.gjp.nat_jp AS
+               |SELECT n_nationkey, n_name FROM nation_src_jp""".stripMargin)
+      s.sql(
+        s"""SELECT sp.s_suppkey, n.n_name,
+           |  ROUND(sp.s_acctbal, 4) AS acctbal
+           |FROM $cat.gjp.supp_jp sp
+           |JOIN $cat.gjp.nat_jp n ON sp.s_nationkey = n.n_nationkey
+           |WHERE sp.s_acctbal > 9000.0
+           |ORDER BY sp.s_suppkey""".stripMargin)
+    }),
+
     // HMS-style schema evolution through the writable catalog,
     // metadata-only (no file rewrite): fill a table, ADD a nullable
     // COLUMN + set a table property, insert a second generation WITH
@@ -1652,6 +1695,12 @@ object DdlQueries extends QueryGroup {
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  ROUND(SUM(s_acctbal), 4) AS sum_acctbal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // the remotely-joined rows must equal the locally-joined rows
+    "meta_jdbc_join_pushdown" ->
+      """SELECT s_suppkey, n_name, ROUND(s_acctbal, 4) AS acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 9000.0
+        |ORDER BY s_suppkey""".stripMargin,
     // the Derby-resident dim must deliver exactly the source rows to
     // the federated join
     "meta_jdbc_catalog" ->

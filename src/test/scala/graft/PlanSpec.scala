@@ -424,6 +424,27 @@ class PlanSpec extends SparkSpec {
       .collect().forall(_.getInt(2) == 1), "within_5pct flag not set")
   }
 
+  test("meta_jdbc_join_pushdown: the join compiles into the remote DB") {
+    val df = SparkEntry.queries("meta_jdbc_join_pushdown")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    // complete pushdown: ONE scan returns pre-joined rows and no
+    // Spark-side join operator remains in the plan
+    assert(plan.contains("PushedJoins:"),
+      s"join not pushed to Derby:\n$plan")
+    assert(!plan.contains("HashJoin") && !plan.contains("SortMergeJoin")
+      && !plan.contains("NestedLoop"),
+      s"residual Spark-side join — pushdown was partial:\n$plan")
+    // the stock-dialect behaviors must survive the dialect swap: the
+    // same mount still serves a plain filtered scan with pushdown
+    val cat = "gjdbcjp_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val single = spark.sql(
+      s"""SELECT s_suppkey FROM $cat.gjp.supp_jp
+         |WHERE s_acctbal > 9000.0""".stripMargin)
+    assert(single.queryExecution.sparkPlan.toString
+      .contains("PushedFilters: [s_acctbal IS NOT NULL, s_acctbal > 9000.0]"),
+      "filter pushdown regressed under the graft Derby dialect")
+  }
+
   test("meta_jdbc_pushdown: GROUP BY and TopN compile into the remote DB") {
     val df = SparkEntry.queries("meta_jdbc_pushdown")(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
