@@ -702,6 +702,40 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // FILTER ENSEMBLE — the decision layer over the gate family: rule
+    // gates (length, repetition) VOTE alongside the learned classifier
+    // (text_classifier_score's hashed linear model), and the verdict
+    // ships with an operational DROP-REASON column (first failing gate
+    // in a fixed priority order — the column an operator greps when a
+    // corpus shrinks unexpectedly). All signals integer (repetition as
+    // distinct*10 ≥ nw*4, classifier as score*5 ≥ nw — no division),
+    // so the oracle replays every vote exactly. One projection pass,
+    // zero shuffles; at 100 TB this runs fused over the same scan as
+    // the gates themselves.
+    "corpus_filter_ensemble" -> ((s, d) => {
+      val wSum =
+        """aggregate(toks, 0L, (acc, t) -> acc +
+          |  ((pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT),
+          |    64) * 37) % 21 - 10))""".stripMargin
+      val m = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nw", size(col("toks")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("score", expr(wSum))
+      val fLen = col("nw") >= 25
+      val fRep = col("n_uniq") * 10 >= col("nw") * 4
+      val fClf = col("score") * 5 >= col("nw")
+      def flag(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+      m.select(col("doc_id"), col("nw").as("n_words"), col("score"),
+          (flag(fLen) + flag(fRep) + flag(fClf)).as("votes"),
+          when(!fLen, "too_short")
+            .when(!fRep, "repetitive")
+            .when(!fClf, "low_classifier")
+            .otherwise("keep").as("reason"),
+          flag(fLen && fRep && fClf).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Containment dedup: documents whose full text is a PROPER PREFIX
     // of a longer document (truncated re-crawls, partial mirrors —
     // invisible to exact-hash dedup). Candidate pairs come from an
@@ -1181,6 +1215,26 @@ object CorpusOps extends QueryGroup {
         |               / n))),
         |    (a, b) -> a + b), 4) AS entropy,
         |  CAST(n AS BIGINT) AS n_tokens
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "corpus_filter_ensemble" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nw,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  CAST(list_sum(list_transform(toks, tok ->
+        |    ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 64) * 37) % 21
+        |      - 10)) AS BIGINT) AS score
+        | FROM t)
+        |SELECT doc_id, nw AS n_words, score,
+        |  (CASE WHEN nw >= 25 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_uniq * 10 >= nw * 4 THEN 1 ELSE 0 END
+        |   + CASE WHEN score * 5 >= nw THEN 1 ELSE 0 END) AS votes,
+        |  CASE WHEN NOT nw >= 25 THEN 'too_short'
+        |       WHEN NOT n_uniq * 10 >= nw * 4 THEN 'repetitive'
+        |       WHEN NOT score * 5 >= nw THEN 'low_classifier'
+        |       ELSE 'keep' END AS reason,
+        |  CASE WHEN nw >= 25 AND n_uniq * 10 >= nw * 4
+        |        AND score * 5 >= nw THEN 1 ELSE 0 END AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
     "text_gopher_filter" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

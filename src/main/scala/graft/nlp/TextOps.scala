@@ -389,6 +389,36 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // QUALITY-CLASSIFIER INFERENCE (the fastText/DCLM-style learned
+    // filter, the step after the rule gates text_quality/gopher): a
+    // 64-bucket hashed bag-of-words linear model scored per document.
+    // The model is tiny and fixed-width by construction (feature
+    // HASHING bounds it regardless of vocabulary), so it compiles into
+    // the expression as a literal weight array — the degenerate
+    // broadcast join; at 100 TB real trained weights ship the same way
+    // (a broadcast array/map) and the scoring stays a per-partition
+    // codegen'd fold: ZERO shuffles, text never leaves its partition.
+    // Weights are deterministic integers ((k*37)%21-10 ∈ [-10,10]) and
+    // the token hash is the repo's portable md5-prefix family, so the
+    // DuckDB oracle replays every score exactly; the keep verdict is a
+    // multiplication compare (score*5 ≥ n_tokens ⇔ mean weight ≥ 0.2),
+    // no integer division — truncation direction never matters.
+    "text_classifier_score" -> ((s, d) => {
+      val wArr = (0 until 64).map(k => (k * 37) % 21 - 10)
+        .mkString("array(", "L, ", "L)")
+      docs(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("score_sum", expr(
+          s"""aggregate(tokens, 0L, (acc, t) -> acc + element_at($wArr,
+             |  cast(pmod(cast(conv(substring(md5(t), 1, 15), 16, 10)
+             |    AS BIGINT), 64) AS INT) + 1))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          col("score_sum"),
+          (col("score_sum") * 5 >= size(col("tokens"))).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // whitespace tokens + a BPE-ish subword estimate (4-char chunks).
     "text_tokens" -> ((s, d) => {
       docs(s, d)
@@ -859,6 +889,18 @@ object TextOps extends QueryGroup {
         |  LEN(LIST_FILTER(t, x -> x = 'table' OR x = 'scan')) AS s_sql,
         |  LEN(LIST_FILTER(t, x -> x = 'sort' OR x = 'merge')) AS s_ops
         |  FROM (SELECT doc_id, lang, STR_SPLIT(text, ' ') AS t FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // same weights re-derived from the closed form (k*37)%21-10 over
+    // the same md5-prefix bucket — hugeint list_sum cast back down
+    "text_classifier_score" ->
+      """SELECT doc_id, LEN(t) AS n_tokens,
+        | CAST(LIST_SUM(LIST_TRANSFORM(t, tok ->
+        |   ((('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT % 64) * 37) % 21
+        |     - 10)) AS BIGINT) AS score_sum,
+        | CAST(LIST_SUM(LIST_TRANSFORM(t, tok ->
+        |   ((('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT % 64) * 37) % 21
+        |     - 10)) AS BIGINT) * 5 >= LEN(t) AS keep
+        |FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, LEN(t) AS n_ws_tokens,

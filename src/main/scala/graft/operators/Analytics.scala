@@ -563,6 +563,27 @@ object Analytics extends QueryGroup {
           |GROUP BY m ORDER BY month_start""".stripMargin)
     }),
 
+    // SQL session VARIABLES (SQL:2023 / Spark 4: DECLARE VARIABLE +
+    // SET VAR): the stateful scripting surface between one-shot
+    // parameter maps (sql_named_params) and full procedural scripting
+    // (sql_scripting) — a threshold COMPUTED FROM DATA by one
+    // statement parameterizes the next. Values bind at parse time, so
+    // the final plan is identical to the literal query (pushdown
+    // unaffected). Arithmetic kept exact-integer-representable
+    // (max/2), no float-accumulation noise crosses the binding.
+    "sql_session_variables" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("sv_lineitem")
+      s.sql("DECLARE OR REPLACE VARIABLE sv_qty_cut DOUBLE")
+      s.sql("DECLARE OR REPLACE VARIABLE sv_excl_flag STRING DEFAULT 'N'")
+      s.sql("SET VAR sv_qty_cut = (SELECT MAX(l_quantity) / 2 FROM sv_lineitem)")
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n_lines,
+          |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+          |FROM sv_lineitem
+          |WHERE l_quantity >= sv_qty_cut AND l_returnflag <> sv_excl_flag
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Q7 shape: cross-nation trade volume by ship year — the same
     // dimension table joined twice under different roles (supplier
     // nation / customer nation), both broadcast.
@@ -820,6 +841,14 @@ object Analytics extends QueryGroup {
         |  ROUND(SUM(l_extendedprice), 4) AS sum_price
         |FROM lineitem
         |WHERE l_quantity >= 30 AND l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the variable's defining subquery inlined as a scalar subquery
+    "sql_session_variables" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity >= (SELECT MAX(l_quantity) / 2 FROM lineitem)
+        |  AND l_returnflag <> 'N'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (

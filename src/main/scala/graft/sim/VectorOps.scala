@@ -601,6 +601,43 @@ object VectorOps extends QueryGroup {
         .orderBy("vec_id")
     }),
 
+    // k-NN GRAPH construction (k=3) bounded by coarse-quantizer cells —
+    // the input structure of SemDeDup clustering, graph-based pruning,
+    // and kNN-retrieval eval sets. Same cell assignment as
+    // dedup_semantic (broadcast seed quantizer, map-side argmax), then
+    // each vector ranks only its CELLMATES by cosine: candidate pairs
+    // are Σ|cell|², never n², and the per-cell work is one equi-join on
+    // cell + one windowed top-k — both shapes that scale out (cells
+    // stay executor-sized because K grows with the corpus; at 100 TB
+    // the candidates are PQ-compressed and re-ranked exact, the
+    // sim_ann_ivfpq ladder). Cosine is the codegen'd graft_cosine with
+    // textually-pinned fold order, so ranks replay exactly in DuckDB.
+    "sim_knn_graph" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"),
+          struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
+          first(col("v")).as("v"))
+      val a = assigned
+        .select(col("cell"), col("vec_id").as("src"), col("v").as("xa"))
+      val b = assigned
+        .select(col("cell"), col("vec_id").as("nbr"), col("v").as("xb"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("nbr").asc)
+      a.join(b, "cell")
+        .filter(col("src") =!= col("nbr"))
+        .withColumn("c", expr(cosExpr("xa", "xb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("rank"), col("nbr"),
+          round(col("c"), 4).as("cos"))
+        .orderBy("src", "rank")
+    }),
+
     // per-label centroids over the leading dims — the training step of a
     // coarse quantizer (k-means assignment phase = sim_ann_ivf) run as a
     // plain narrow explode + hash agg; per-(label,dim) partial means
@@ -631,6 +668,35 @@ object VectorOps extends QueryGroup {
             .as("qmax"),
           round(expr(
             "array_max(transform(v, x -> abs(round(x / m * 127) * m / 127 - x)))"),
+            6).as("max_err"),
+          round(col("m"), 6).as("scale"))
+        .orderBy("vec_id")
+    }),
+
+    // int4 NIBBLE-PACKED quantization — the rung below int8 on the
+    // compression ladder (8× smaller than float32; what memory-bound
+    // vector serving ships when recall tolerates it): symmetric absmax
+    // to [-7,7], two codes packed per byte ((hi+8)*16 + (lo+8)). Pure
+    // map, no shuffle; the payload is summarized as a mod-p rolling
+    // checksum over the packed bytes (bit-exact packing proof without
+    // hauling blobs through the oracle) plus the worst-case
+    // reconstruction error. Identical op order in both engines.
+    "embed_int4_pack" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("m",
+          expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12)"))
+        .withColumn("q",
+          expr("transform(v, x -> cast(round(x / m * 7) AS int))"))
+        .withColumn("packed", expr(
+          """transform(sequence(0, cast(size(q) / 2 AS int) - 1),
+            |  i -> (element_at(q, 2*i + 1) + 8) * 16
+            |     + (element_at(q, 2*i + 2) + 8))""".stripMargin))
+        .select(col("vec_id"),
+          size(col("packed")).as("n_bytes"),
+          expr("aggregate(packed, 0L, (acc, p) -> (acc * 31 + p) % 1000000007)")
+            .as("checksum"),
+          round(expr(
+            "array_max(transform(v, x -> abs(round(x / m * 7) * m / 7 - x)))"),
             6).as("max_err"),
           round(col("m"), 6).as("scale"))
         .orderBy("vec_id")
@@ -1152,6 +1218,26 @@ object VectorOps extends QueryGroup {
          |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status
          |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
          |ORDER BY g.vec_id""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         WHERE vec_id % 29 = 0),
+         |sc AS (SELECT a.vec_id, a.v, c.cid, ${oCos("a.v", "c.cv")} AS ccos
+         |  FROM e a CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+         |prs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+         |    ${oCos("a.v", "b.v")} AS c
+         |  FROM asg a JOIN asg b ON a.cell = b.cell
+         |  WHERE a.vec_id <> b.vec_id)
+         |SELECT src, rank, nbr, ROUND(c, 4) AS cos FROM (
+         |  SELECT src, nbr, c, ROW_NUMBER() OVER (PARTITION BY src
+         |    ORDER BY c DESC, nbr ASC) AS rank FROM prs)
+         |WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
     "sim_centroids" ->
       """SELECT label, i AS dim,
         | ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid,
@@ -1159,6 +1245,30 @@ object VectorOps extends QueryGroup {
         |FROM embeddings,
         |     (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS i) u
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    // LIST_REDUCE folds left over a prepended 0 seed (the established
+    // rolling-hash discipline); nibble arithmetic replayed 1-based
+    "embed_int4_pack" ->
+      """WITH e AS (SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-12) AS m
+        |  FROM e),
+        |q AS (SELECT vec_id, v, m,
+        |    LIST_TRANSFORM(v, x -> CAST(ROUND(x / m * 7) AS INT)) AS qv
+        |  FROM s),
+        |p AS (SELECT vec_id, v, m,
+        |    LIST_TRANSFORM(GENERATE_SERIES(0, LEN(qv) // 2 - 1),
+        |      i -> CAST((qv[2*i + 1] + 8) * 16 + (qv[2*i + 2] + 8)
+        |           AS BIGINT)) AS packed
+        |  FROM q)
+        |SELECT vec_id, LEN(packed) AS n_bytes,
+        | LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), packed),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        | ROUND(LIST_MAX(LIST_TRANSFORM(v,
+        |   x -> ABS(ROUND(x / m * 7) * m / 7 - x))), 6) AS max_err,
+        | ROUND(m, 6) AS scale
+        |FROM p ORDER BY vec_id""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id,
         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -132,6 +132,38 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_graph: ranks dense, cosines non-increasing, no self-edges") {
+    val rows = SparkEntry.queries("sim_knn_graph")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[Long]("src"))
+    // every vector gets a full k=3 list (no cell is smaller than 4 on
+    // the fixture), ranks dense from 1, cos non-increasing, nbr != src
+    bySrc.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+        s"ranks not dense for $src")
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse, s"cosines not non-increasing for $src")
+      assert(rs.forall(_.getAs[Long]("nbr") != src), s"self-edge at $src")
+    }
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(bySrc.size == n, "some vectors got no neighbor list")
+  }
+
+  test("embed_int4_pack: packing is lossless to the int4 grid") {
+    val rows = SparkEntry.queries("embed_int4_pack")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") == 32, s"64 dims must pack to 32: $r")
+      val ck = r.getAs[Long]("checksum")
+      assert(ck >= 0 && ck < 1000000007L, s"checksum out of field: $r")
+      // absmax scaling to [-7,7]: worst reconstruction error is half a
+      // quantization step = scale/14 (+ float slack)
+      assert(r.getAs[Double]("max_err") <=
+        r.getAs[Double]("scale") / 14 + 1e-6, s"int4 error bound broken: $r")
+    }
+  }
+
   test("ml_kmeans_step: assignment is a partition of the corpus") {
     val rows = SparkEntry.queries("ml_kmeans_step")(spark, sf).collect()
     assert(rows.length == 8, s"expected 8 clusters, got ${rows.length}")

@@ -335,6 +335,51 @@ class LlmOpsSpec extends SparkSpec {
       s"tolerance never binds: $unmatched unmatched vs plain as-of")
   }
 
+  test("text_classifier_score: scores bounded, verdict is the threshold") {
+    val rows = SparkEntry.queries("text_classifier_score")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens").toLong
+      val sc = r.getAs[Long]("score_sum")
+      // every weight lives in [-10, 10]
+      assert(math.abs(sc) <= 10 * n, s"score outside weight bounds: $r")
+      assert(r.getAs[Boolean]("keep") == (sc * 5 >= n),
+        s"verdict disagrees with threshold: $r")
+    }
+    // the model must discriminate on the fixture, not rubber-stamp
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"classifier verdict is constant ($kept/${rows.length})")
+  }
+
+  test("corpus_filter_ensemble: votes, verdict and reason are consistent") {
+    val rows = SparkEntry.queries("corpus_filter_ensemble")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // the ensemble shares its learned gate with text_classifier_score:
+    // scores must agree doc-for-doc
+    val clf = SparkEntry.queries("text_classifier_score")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_sum"))
+      .toMap
+    rows.foreach { r =>
+      val votes = r.getAs[Int]("votes")
+      val keep = r.getAs[Int]("keep")
+      val reason = r.getAs[String]("reason")
+      assert(votes >= 0 && votes <= 3)
+      assert((keep == 1) == (reason == "keep"),
+        s"keep flag disagrees with reason: $r")
+      // keep requires all three gates; a kept doc must carry 3 votes
+      if (keep == 1) assert(votes == 3, s"kept with missing votes: $r")
+      if (r.getAs[Long]("n_words") < 25)
+        assert(reason == "too_short", s"priority order broken: $r")
+      assert(clf(r.getAs[Long]("doc_id")) == r.getAs[Long]("score"),
+        s"ensemble score drifted from the classifier key: $r")
+    }
+    assert(rows.map(_.getAs[String]("reason")).distinct.length >= 3,
+      "ensemble reasons do not discriminate on the fixture")
+  }
+
   test("tolerant decode survives every corruption arm without throwing") {
     import graft.sim.Multimodal
     val good = Multimodal.makePng(7, 12, 9)
