@@ -1299,6 +1299,26 @@ object DdlQueries extends QueryGroup {
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     }),
 
+    // USE CATALOG / USE NAMESPACE — the session-state half of the
+    // multi-catalog story (meta_v2_federation resolves by THREE-part
+    // name; an interactive user instead points the session at a
+    // catalog.namespace once and writes unqualified SQL — exactly how
+    // the reference's second cluster consumes the shared metastore:
+    // same queries, different session default). Resolution happens at
+    // analysis time, so the session state is restored immediately
+    // after and no later key inherits it.
+    "sql_use_catalog" -> ((s, d) => {
+      val cat = v2SnapshotCatalog(s, d)
+      s.sql(s"USE $cat.graft_meta")
+      val out = s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n_nations,
+          |  MIN(n_name) AS first_name
+          |FROM nation_meta
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      s.sql("USE spark_catalog.default")
+      out
+    }),
+
     // JOIN pushdown across the federation boundary (r13): the third
     // pushdown leg after filters (scan_jdbc) and aggregates
     // (meta_jdbc_pushdown) — with the graft Derby dialect declaring
@@ -1695,6 +1715,13 @@ object DdlQueries extends QueryGroup {
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  ROUND(SUM(s_acctbal), 4) AS sum_acctbal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // unqualified resolution through the session default must read the
+    // same nation rows
+    "sql_use_catalog" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name
+        |FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     // the remotely-joined rows must equal the locally-joined rows
     "meta_jdbc_join_pushdown" ->
       """SELECT s_suppkey, n_name, ROUND(s_acctbal, 4) AS acctbal

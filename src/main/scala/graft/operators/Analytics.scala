@@ -563,6 +563,30 @@ object Analytics extends QueryGroup {
           |GROUP BY m ORDER BY month_start""".stripMargin)
     }),
 
+    // BIPARTITE PROJECTION (co-purchase graph): the order⋈part
+    // bipartite graph projected onto parts — pairs of parts that share
+    // an order, weighted by distinct co-orders; the item-item graph
+    // behind collaborative filtering and market-basket analysis. Pair
+    // generation is a self equi-join on the order key — ONE shuffle,
+    // co-partitioned on both sides — and its cost is Σ basket², which
+    // stays linear because baskets are domain-bounded (an order holds
+    // a handful of items at any corpus size; the degree-cap idea of
+    // graph_jaccard_neighbors applied to the natural key). The ≥2
+    // support threshold is the standard noise floor.
+    "graph_copurchase" -> ((s, d) => {
+      val items = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = items.select(col("ok"), col("pk").as("pa"))
+      val b = items.select(col("ok"), col("pk").as("pb"))
+      a.join(b, "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+        .orderBy(col("n_co").desc, col("pa"), col("pb"))
+    }),
+
     // SQL session VARIABLES (SQL:2023 / Spark 4: DECLARE VARIABLE +
     // SET VAR): the stateful scripting surface between one-shot
     // parameter maps (sql_named_params) and full procedural scripting
@@ -842,6 +866,14 @@ object Analytics extends QueryGroup {
         |FROM lineitem
         |WHERE l_quantity >= 30 AND l_returnflag <> 'N'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "graph_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem)
+        |SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_co
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk
+        |HAVING COUNT(*) >= 2
+        |ORDER BY n_co DESC, pa, pb""".stripMargin,
     // the variable's defining subquery inlined as a scalar subquery
     "sql_session_variables" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
