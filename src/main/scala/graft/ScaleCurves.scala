@@ -56,7 +56,15 @@ object ScaleCurves {
     // rows
     "mm_image_features" -> "documents",
     "mm_audio_features" -> "documents",
-    "mm_video_scene_cut" -> "documents")
+    "mm_video_scene_cut" -> "documents",
+    // r13 session 2: the classifier is a per-row fold (control-group
+    // shape — should grow with rows); the kNN graph is cell-bounded
+    // (Σ|cell|² candidates — should grow sub-quadratically); the
+    // co-purchase projection is basket-bounded (Σ basket² pairs —
+    // corpus-linear)
+    "text_classifier_score" -> "documents",
+    "sim_knn_graph" -> "embeddings",
+    "graph_copurchase" -> "lineitem")
 
   private val RunsPerKey = 3
 
