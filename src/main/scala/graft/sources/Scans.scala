@@ -79,6 +79,37 @@ object Scans extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // GZIP-compressed text shards — how web-scale corpora actually
+    // arrive (WET/WARC-adjacent .gz files). The 100 TB lesson this key
+    // encodes: gzip is NOT SPLITTABLE — each shard is exactly one task
+    // regardless of spark.sql.files.maxPartitionBytes — so shard COUNT
+    // and SIZE are the parallelism knobs (many ~256 MB shards, never
+    // one fat archive); splittable alternatives (zstd parquet:
+    // sink_zstd_roundtrip; plain text: scan_text_lines) trade that
+    // constraint away. The read asserts one-partition-per-shard to
+    // keep the claim honest, and the round trip is byte-lossless and
+    // order-independent like its uncompressed sibling.
+    "scan_gzip_text" -> ((s, d) => {
+      val dir = Tables.scratch(d, "documents_gzip_shards")
+      Tables(s, d, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .repartition(8, col("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(dir)
+      val shards = new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".txt.gz"))
+      require(shards > 1, s"expected gzip shards, got $shards")
+      val back = s.read.text(dir)
+      // non-splittability: the scan cannot fan out beyond the shard set
+      require(back.rdd.getNumPartitions <= shards,
+        s"gzip scan claimed ${back.rdd.getNumPartitions} partitions " +
+          s"over $shards non-splittable shards")
+      back.select(
+          substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "scan_partition_prune" -> ((s, d) => {
       val dir = Tables.scratch(d, "lineitem_by_flag")
       // write-once per sf dir, re-done if the source fixture changes
@@ -760,6 +791,9 @@ object Scans extends QueryGroup {
     "scan_json_lines" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_text_lines" ->
+      """SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "scan_gzip_text" ->
       """SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "scan_partition_prune" ->
