@@ -626,6 +626,58 @@ object DdlQueries extends QueryGroup {
       s.table(s"$cat2.corp.nation_w").orderBy("n_nationkey")
     }),
 
+    // CHECK CONSTRAINTS through the V2 catalog (SQL:2023 / Spark 4.1
+    // connector constraints API): `ALTER TABLE ... ADD CONSTRAINT ...
+    // CHECK (...)` persists the predicate as one metadata revision;
+    // the serving table surfaces it via Table.constraints() and STOCK
+    // Spark compiles it into every subsequent V2 write
+    // (ResolveTableConstraints → CheckInvariant — runtime enforcement
+    // with zero graft execution code). The key proves the full
+    // lifecycle: constrained inserts land, a VIOLATING insert fails
+    // loudly AND leaves no partial files (the DSv2 write abort), and
+    // the final content — served through a second read-only attach —
+    // is exactly the admitted rows. At 100 TB the check rides each
+    // write task (scan-shaped, no extra pass); ALTER-time validation
+    // of existing data is the engine's job, not the catalog's.
+    "meta_v2_constraint" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_ck_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gksnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.orders_ck")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_ck
+               |(o_orderkey BIGINT, o_totalprice DOUBLE,
+               | o_orderstatus STRING) USING parquet""".stripMargin)
+      s.sql(s"""ALTER TABLE $cat.corp.orders_ck ADD CONSTRAINT
+               |positive_price CHECK (o_totalprice > 0)""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_ck")
+      s.sql(s"""INSERT INTO $cat.corp.orders_ck
+               |SELECT o_orderkey, o_totalprice, o_orderstatus
+               |FROM orders_src_ck WHERE o_orderkey <= 2000""".stripMargin)
+      val violated =
+        try {
+          s.sql(s"""INSERT INTO $cat.corp.orders_ck
+                   |VALUES (-1L, -5.0D, 'X')""".stripMargin)
+          false
+        } catch { case _: Throwable => true }
+      require(violated,
+        "CHECK constraint did not reject the violating insert")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+           |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+           |  ROUND(MIN(o_totalprice), 4) AS min_price
+           |FROM $cat2.corp.orders_ck
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // VIEWS through the V2 catalog — the day-two object of a shared
     // metastore (create a view on one cluster, SELECT it by name on
     // another). The view lands in the writable catalog through the V2
@@ -1715,6 +1767,14 @@ object DdlQueries extends QueryGroup {
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  ROUND(SUM(s_acctbal), 4) AS sum_acctbal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // the admitted rows (and ONLY those — the violating insert must
+    // leave no partial files) re-derived from the source
+    "meta_v2_constraint" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  ROUND(MIN(o_totalprice), 4) AS min_price
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // unqualified resolution through the session default must read the
     // same nation rows
     "sql_use_catalog" ->

@@ -608,13 +608,27 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * stay the stock file table (directory partition discovery +
     * pruning), writes route through the V1 path that actually lays out
     * `col=value` directories — see [[PartitionedWriteTable]]. */
+  /** Declared so the analyzer routes `ALTER TABLE ... ADD CONSTRAINT`
+    * to [[alterTable]] instead of refusing at resolution. */
+  override def capabilities():
+      util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def loadTable(ident: Identifier): Table = {
     val ti = findTable(ident)
       .getOrElse(throw new NoSuchTableException(ident))
     val partCols = ti.columns.filter(_.isPartition).map(_.name)
     val base = serveTable(ti)
-    if (partCols.isEmpty) base
-    else new PartitionedWriteTable(base, ti, partCols)
+    val served =
+      if (partCols.isEmpty) base
+      else new PartitionedWriteTable(base, ti, partCols)
+    val checks = ti.properties
+      .filter(_.key.startsWith(WritableSnapshotCatalog.ConstraintProp))
+      .map(p => p.key.stripPrefix(WritableSnapshotCatalog.ConstraintProp)
+        -> p.value)
+    if (checks.isEmpty) served
+    else new ConstraintTable(served, checks)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -681,6 +695,39 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             PropKV(sp.property, sp.value))
         case rp: TableChange.RemoveProperty =>
           t.copy(properties = t.properties.filterNot(_.key == rp.property))
+        // CHECK constraints — the last HMS/lakehouse metadata object
+        // family: persisted as a table property (metadata-only, one
+        // revision like any DDL), served back through Table
+        // .constraints() where stock ResolveTableConstraints compiles
+        // the predicate into every V2 write (runtime enforcement —
+        // CheckInvariant — with zero graft-side execution code).
+        // Scope: enforced CHECK only; PK/FK/UNIQUE are informational
+        // promises this catalog has no way to make true, so they are
+        // refused loudly rather than recorded as a lie.
+        case ac: TableChange.AddConstraint =>
+          ac.constraint() match {
+            case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              val key = WritableSnapshotCatalog.ConstraintProp + chk.name()
+              require(!t.properties.exists(_.key == key),
+                s"constraint ${chk.name()} already exists on " +
+                  s"${t.db}.${t.name}")
+              require(chk.predicateSql() != null &&
+                chk.predicateSql().nonEmpty,
+                s"constraint ${chk.name()} carries no predicate SQL")
+              t.copy(properties = t.properties :+
+                PropKV(key, chk.predicateSql()))
+            case other => throw new UnsupportedOperationException(
+              s"snapshot catalog enforces CHECK constraints only; " +
+                s"${other.getClass.getSimpleName} is an informational " +
+                "promise it cannot keep")
+          }
+        case dc: TableChange.DropConstraint =>
+          val key = WritableSnapshotCatalog.ConstraintProp + dc.name()
+          if (!t.properties.exists(_.key == key)) {
+            require(dc.ifExists(),
+              s"no constraint ${dc.name()} on ${t.db}.${t.name}")
+            t
+          } else t.copy(properties = t.properties.filterNot(_.key == key))
         case other => throw new UnsupportedOperationException(
           s"snapshot catalog cannot apply ${other.getClass.getSimpleName} " +
             s"to ${t.db}.${t.name} (column renames silently null " +
@@ -852,6 +899,54 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
   * static overwrite semantics, stated loudly here rather than
   * implemented as a silent half-measure.
   */
+object WritableSnapshotCatalog {
+  /** Table-property prefix a persisted CHECK constraint lives under
+    * (`graft.check.<name>` → predicate SQL). */
+  val ConstraintProp = "graft.check."
+}
+
+/** Serving wrapper that surfaces persisted CHECK constraints through
+  * the connector contract (`Table.constraints()`): reads and writes
+  * delegate untouched to the wrapped file table, and stock Spark does
+  * the rest — `ResolveTableConstraints` compiles every enforced check
+  * into a `CheckInvariant` over each V2 write, so a violating INSERT
+  * fails at runtime with no graft-side execution code. Constraints are
+  * served ENFORCED/UNVALIDATED (the catalog never claims it scanned
+  * existing data) and rely=false. */
+private[catalog] class ConstraintTable(inner: Table,
+    checks: Seq[(String, String)]) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.constraints.Constraint
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities():
+      util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+
+  override def constraints(): Array[Constraint] =
+    checks.map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+        .rely(false)
+        .build(): Constraint
+    }.toArray
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info)
+}
+
 private[catalog] class PartitionedWriteTable(inner: Table, ti: TableInfo,
     partCols: Seq[String]) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead

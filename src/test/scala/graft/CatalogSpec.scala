@@ -738,6 +738,54 @@ class CatalogSpec extends SparkSpec {
     c
   }
 
+  test("CHECK constraint: full lifecycle through the writable catalog") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_ckspec_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "ck_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.ckdb")
+    spark.sql(s"CREATE TABLE $cat.ckdb.t (k BIGINT, v DOUBLE) USING parquet")
+    spark.sql(s"ALTER TABLE $cat.ckdb.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // served through the connector contract
+    val c = attachWritable("ck_spec_probe", dir.getPath)
+    val served = c.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ckdb"), "t")).constraints()
+    assert(served.length == 1 && served.head.name == "v_pos" &&
+      served.head.enforced(), s"constraint not served: ${served.toSeq}")
+    // admitted write lands; violating write fails NAMING the constraint
+    spark.sql(s"INSERT INTO $cat.ckdb.t VALUES (1L, 2.0D)")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ckdb.t VALUES (2L, -1.0D)")
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("v_pos") || msg.toUpperCase.contains("CHECK"),
+      s"rejection does not name the constraint: $msg")
+    // the aborted write left no partial files
+    assert(spark.table(s"$cat.ckdb.t").count() == 1)
+    // duplicate names refused; unknown drop refused; IF EXISTS tolerated
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ckdb.t ADD CONSTRAINT v_pos CHECK (v < 9)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ckdb.t DROP CONSTRAINT nope")
+    }
+    spark.sql(s"ALTER TABLE $cat.ckdb.t DROP CONSTRAINT IF EXISTS nope")
+    // DROP re-admits the previously violating row
+    spark.sql(s"ALTER TABLE $cat.ckdb.t DROP CONSTRAINT v_pos")
+    spark.sql(s"INSERT INTO $cat.ckdb.t VALUES (2L, -1.0D)")
+    assert(spark.table(s"$cat.ckdb.t").count() == 2)
+    // non-CHECK constraints are refused loudly, not recorded as a lie
+    val pk = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ckdb.t ADD CONSTRAINT pk PRIMARY KEY (k)")
+    }
+    assert(pk.getMessage != null)
+  }
+
   test("vacuum retains the newest revisions; DDL continues past it") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_vacspec_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
