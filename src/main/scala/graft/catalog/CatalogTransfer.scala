@@ -20,7 +20,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 final case class ColumnInfo(
     name: String, dataType: String, nullable: Boolean, isPartition: Boolean,
-    comment: String = "")
+    comment: String = "",
+    defaultSql: String = "") // DEFAULT expression SQL; empty = none
 
 final case class PropKV(key: String, value: String)
 
@@ -306,7 +307,8 @@ object CatalogTransfer {
         """transform(columns, c -> struct(
           |  c.name AS name, c.dataType AS dataType, c.nullable AS nullable,
           |  c.isPartition AS isPartition,
-          |  ifnull(c.comment, '') AS comment))""".stripMargin))
+          |  ifnull(c.comment, '') AS comment,
+          |  ifnull(c.defaultSql, '') AS defaultSql))""".stripMargin))
       .as[TableInfo].collect().toSeq
       .sortBy(t => (t.db, t.name))
     // partitions dataset (absent in pre-split snapshots, where they are

@@ -678,6 +678,55 @@ object DdlQueries extends QueryGroup {
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // COLUMN DEFAULT VALUES through the V2 catalog (the
+    // SUPPORT_COLUMN_DEFAULT_VALUE surface): defaults are catalog
+    // metadata exactly like HMS column comments — declared at CREATE,
+    // persisted as a revision, and consulted by the ANALYZER (not the
+    // storage) whenever an INSERT omits the column or says DEFAULT
+    // explicitly. The key writes three shapes (full row, by-name
+    // partial insert, explicit DEFAULT keyword), reads back through a
+    // second read-only attach — which must serve the same metadata for
+    // the defaults to survive the cluster boundary — and refuses the
+    // retroactive form (ADD COLUMN ... DEFAULT) loudly because parquet
+    // would read NULL where the metadata promises a value.
+    "meta_v2_column_default" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_dft_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gdsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.orders_dft")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_dft
+               |(o_orderkey BIGINT,
+               | status STRING DEFAULT 'NEW',
+               | priority INT DEFAULT 3) USING parquet""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_dft")
+      // full-row insert: explicit values win
+      s.sql(s"""INSERT INTO $cat.corp.orders_dft
+               |SELECT o_orderkey, o_orderstatus, 1
+               |FROM orders_src_dft WHERE o_orderkey <= 1000""".stripMargin)
+      // by-name partial insert: omitted columns take their defaults
+      s.sql(s"""INSERT INTO $cat.corp.orders_dft (o_orderkey)
+               |SELECT o_orderkey FROM orders_src_dft
+               |WHERE o_orderkey > 1000 AND o_orderkey <= 2000""".stripMargin)
+      // the explicit DEFAULT keyword
+      s.sql(s"""INSERT INTO $cat.corp.orders_dft
+               |VALUES (9999999L, DEFAULT, DEFAULT)""".stripMargin)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.sql(
+        s"""SELECT status, priority, COUNT(*) AS n_rows,
+           |  MIN(o_orderkey) AS lo_key
+           |FROM $cat2.corp.orders_dft
+           |GROUP BY status, priority
+           |ORDER BY status, priority""".stripMargin)
+    }),
+
     // VIEWS through the V2 catalog — the day-two object of a shared
     // metastore (create a view on one cluster, SELECT it by name on
     // another). The view lands in the writable catalog through the V2
@@ -1767,6 +1816,20 @@ object DdlQueries extends QueryGroup {
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  ROUND(SUM(s_acctbal), 4) AS sum_acctbal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // replay the three insert shapes with the defaults inlined
+    "meta_v2_column_default" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus AS status, 1 AS priority
+        |  FROM orders WHERE o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'NEW', 3 FROM orders
+        |  WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+        |  UNION ALL
+        |  SELECT 9999999, 'NEW', 3)
+        |SELECT status, priority, COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS lo_key
+        |FROM t GROUP BY status, priority
+        |ORDER BY status, priority""".stripMargin,
     // the admitted rows (and ONLY those — the violating insert must
     // leave no partial files) re-derived from the source
     "meta_v2_constraint" ->

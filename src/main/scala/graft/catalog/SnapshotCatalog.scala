@@ -213,9 +213,21 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       s"${ti.db}.${ti.name} has custom-location partitions — those " +
         "storage descriptors need a real catalog (importInto path)")
     // full schema (data + partition columns) from the snapshot; the file
-    // table splits it against the discovered directory partitioning
-    val schema = StructType(ti.columns.map(c => StructField(c.name,
-      CatalystSqlParser.parseDataType(c.dataType), c.nullable)))
+    // table splits it against the discovered directory partitioning.
+    // Persisted DEFAULT expressions ride back as the metadata keys the
+    // analyzer consults (CURRENT_DEFAULT for new writes; EXISTS_DEFAULT
+    // equal to it because this catalog never mutates a default — our
+    // defaults are literals, so the frozen-at-add form is the same SQL)
+    val schema = StructType(ti.columns.map { c =>
+      val md =
+        if (c.defaultSql.isEmpty) org.apache.spark.sql.types.Metadata.empty
+        else new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("CURRENT_DEFAULT", c.defaultSql)
+          .putString("EXISTS_DEFAULT", c.defaultSql)
+          .build()
+      StructField(c.name,
+        CatalystSqlParser.parseDataType(c.dataType), c.nullable, md)
+    })
     val spark = SparkSession.active
     val opts = new CaseInsensitiveStringMap(
       ti.serdeProps.map(kv => kv.key -> kv.value).toMap.asJava)
@@ -595,9 +607,19 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     // the location must exist for the first scan (Spark's file index
     // rejects missing roots); an empty dir is a valid empty table
     new java.io.File(loc).mkdirs()
-    val cols = schema.fields.toSeq.map(f =>
+    // DEFAULT values arrive embedded in field metadata (the analyzer
+    // folds them there when the catalog declares
+    // SUPPORT_COLUMN_DEFAULT_VALUE); persist the expression SQL so any
+    // attach serves it back — defaults are catalog metadata exactly
+    // like HMS column comments
+    val cols = schema.fields.toSeq.map { f =>
+      val dft =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          f.metadata.getString("CURRENT_DEFAULT")
+        else ""
       ColumnInfo(f.name, f.dataType.sql.toLowerCase, f.nullable,
-        isPartition = partNames.contains(f.name)))
+        isPartition = partNames.contains(f.name), "", dft)
+    }
     val ti = TableInfo(db, ident.name, "EXTERNAL", provider, loc,
       cols, Nil, "", "")
     persist(snap.copy(tables = snap.tables :+ ti))
@@ -612,8 +634,11 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * to [[alterTable]] instead of refusing at resolution. */
   override def capabilities():
       util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def loadTable(ident: Identifier): Table = {
     val ti = findTable(ident)
@@ -666,6 +691,11 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           require(add.isNullable,
             s"added column $cn must be nullable — existing data files " +
               "carry no values for it")
+          require(add.defaultValue() == null,
+            s"ADD COLUMN $cn WITH DEFAULT is refused: rows written " +
+              "before the column exist read back NULL from parquet, so " +
+              "a retroactive default would lie about existing data — " +
+              "declare defaults at CREATE TABLE time")
           t.copy(columns = t.columns :+ ColumnInfo(cn,
             add.dataType.sql.toLowerCase, nullable = true,
             isPartition = false, Option(add.comment).getOrElse("")))

@@ -786,6 +786,42 @@ class CatalogSpec extends SparkSpec {
     assert(pk.getMessage != null)
   }
 
+  test("column DEFAULT: declared at CREATE, served across attaches") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_dftspec_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "dft_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.ddb")
+    spark.sql(
+      s"CREATE TABLE $cat.ddb.t (k BIGINT, v STRING DEFAULT 'x') USING parquet")
+    // a FRESH attach over the same snapshot serves the default metadata
+    val c = attachWritable("dft_spec_probe", dir.getPath)
+    val f = c.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("ddb"), "t")).schema().fields.find(_.name == "v").get
+    assert(f.metadata.contains("CURRENT_DEFAULT") &&
+      f.metadata.getString("CURRENT_DEFAULT") == "'x'" &&
+      f.metadata.getString("EXISTS_DEFAULT") == "'x'",
+      s"default metadata not served: ${f.metadata}")
+    // the analyzer applies it for omitted columns and DEFAULT keyword
+    spark.sql(s"INSERT INTO $cat.ddb.t (k) VALUES (1L)")
+    spark.sql(s"INSERT INTO $cat.ddb.t VALUES (2L, DEFAULT)")
+    spark.sql(s"INSERT INTO $cat.ddb.t VALUES (3L, 'y')")
+    val got = spark.table(s"$cat.ddb.t").orderBy("k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "x", 2L -> "x", 3L -> "y"), s"got $got")
+    // the retroactive form is refused loudly
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ddb.t ADD COLUMN w STRING DEFAULT 'z'")
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("refused") ||
+      Option(e.getCause).exists(c2 =>
+        Option(c2.getMessage).exists(_.contains("refused"))),
+      s"unexpected refusal shape: ${e.getMessage}")
+  }
+
   test("vacuum retains the newest revisions; DDL continues past it") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_vacspec_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
