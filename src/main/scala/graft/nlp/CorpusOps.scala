@@ -736,6 +736,61 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END CURATION PIPELINE — the composition proof: a real
+    // corpus pass chains exact dedup → quality-ensemble gate →
+    // per-source token budget as ONE dataframe program (each stage is
+    // its own oracled key elsewhere; this key pins that they COMPOSE —
+    // the whole pass a reference user would run). Output is the
+    // per-stage survivor ledger (docs + tokens after each stage), the
+    // number an operator actually watches. Near-dup (MinHash) slots in
+    // between stages 1 and 2 at production scale; it is kept out here
+    // so the ledger stays exactly replayable row-for-row in SQL.
+    // Scale shape: stage 1 shuffles 32 B hashes, stage 2 is a zero-
+    // shuffle projection, stage 3 is one window per source — three
+    // shuffles total for the whole pass, none carrying text.
+    "corpus_dedup_pipeline" -> ((s, d) => {
+      val wSum =
+        """aggregate(toks, 0L, (acc, t) -> acc +
+          |  ((pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT),
+          |    64) * 37) % 21 - 10))""".stripMargin
+      // deterministic injected copies (the dedup_exact convention —
+      // the sf0.01 fixture has no natural exact dups) so stage 1
+      // demonstrably removes, never rubber-stamps
+      val raw = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      val aug = raw.union(raw.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("source"), col("text")))
+      val base = aug
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nw", size(col("toks")).cast("long"))
+      val s1 = base
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val s2 = s1
+        .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("score", expr(wSum))
+        .filter(col("nw") >= 25 &&
+          col("n_uniq") * 10 >= col("nw") * 4 &&
+          col("score") * 5 >= col("nw"))
+      val s3 = s2
+        .withColumn("cum", sum(col("nw")).over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= 100)
+      def ledger(stage: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("nw")), lit(0L)).as("tokens"))
+          .withColumn("stage", lit(stage))
+      ledger("0_input", base)
+        .unionByName(ledger("1_exact_dedup", s1))
+        .unionByName(ledger("2_quality_gate", s2))
+        .unionByName(ledger("3_token_budget", s3))
+        .select(col("stage"), col("docs"), col("tokens"))
+        .orderBy("stage")
+    }),
+
     // Containment dedup: documents whose full text is a PROPER PREFIX
     // of a longer document (truncated re-crawls, partial mirrors —
     // invisible to exact-hash dedup). Candidate pairs come from an
@@ -1216,6 +1271,44 @@ object CorpusOps extends QueryGroup {
         |    (a, b) -> a + b), 4) AS entropy,
         |  CAST(n AS BIGINT) AS n_tokens
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the whole pass replayed: same hash-window dedup, same integer
+    // gates, same per-source running-token cutoff
+    "corpus_dedup_pipeline" ->
+      """WITH aug AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |base AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    sha256(text) AS h
+        |  FROM aug),
+        |s1 AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id)
+        |      AS rn FROM base) WHERE rn = 1),
+        |s2 AS (SELECT * FROM (
+        |    SELECT *, CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |      CAST(list_sum(list_transform(toks, tok ->
+        |        ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 64) * 37) % 21
+        |          - 10)) AS BIGINT) AS score
+        |    FROM s1)
+        |  WHERE nw >= 25 AND n_uniq * 10 >= nw * 4 AND score * 5 >= nw),
+        |s3 AS (SELECT * FROM (
+        |    SELECT *, SUM(nw) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM s2)
+        |  WHERE cum <= 100)
+        |SELECT stage, docs, tokens FROM (
+        |  SELECT '0_input' AS stage, COUNT(*) AS docs,
+        |    CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS tokens FROM base
+        |  UNION ALL
+        |  SELECT '1_exact_dedup', COUNT(*),
+        |    CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM s1
+        |  UNION ALL
+        |  SELECT '2_quality_gate', COUNT(*),
+        |    CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT '3_token_budget', COUNT(*),
+        |    CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM s3)
+        |ORDER BY stage""".stripMargin,
     "corpus_filter_ensemble" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
