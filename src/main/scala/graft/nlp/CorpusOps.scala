@@ -865,6 +865,32 @@ object CorpusOps extends QueryGroup {
         .orderBy("lang", "part")
     }),
 
+    // GROUP-LEVEL holdout — the leak-free eval split: hashing the
+    // SOURCE (not the document) sends every doc of a source to the
+    // same partition, so near-duplicate documents within one crawl
+    // domain can never straddle train/test (the contamination channel
+    // a doc-level split like split_train_eval leaves open; both belong
+    // in the toolbox — doc-level maximizes balance, group-level
+    // guarantees isolation). Same portable integer hash family; the
+    // per-part source count + a per-part id checksum make any
+    // straddling source flip the hash.
+    "sample_group_holdout" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("gb", expr(
+          """((cast(conv(substring(md5(source), 1, 15), 16, 10) AS BIGINT)
+            |  % 1000000007L) * 2654435761L) % 1000000007L % 100L"""
+            .stripMargin))
+        .withColumn("part", expr(
+          """CASE WHEN gb < 80 THEN 'train'
+            |     WHEN gb < 90 THEN 'val' ELSE 'test' END""".stripMargin))
+        .groupBy(col("part"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("doc_id") * col("doc_id")).as("id_checksum"))
+        .orderBy("part")
+    }),
+
     // CCNet-style perplexity bucketing: per-doc unigram NLL (the KenLM
     // proxy of text_unigram_logprob) cut into head/middle/tail by
     // GLOBAL exact terciles. The threshold agg reduces the per-doc
@@ -1375,6 +1401,17 @@ object CorpusOps extends QueryGroup {
         |  CAST(length(chunk) AS BIGINT) AS chunk_chars,
         |  md5(chunk) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "sample_group_holdout" ->
+      """WITH g AS (SELECT doc_id, source, text,
+        |    (((('0x' || substr(md5(source), 1, 15))::BIGINT
+        |      % 1000000007) * 2654435761) % 1000000007) % 100 AS gb
+        |  FROM documents)
+        |SELECT CASE WHEN gb < 80 THEN 'train'
+        |            WHEN gb < 90 THEN 'val' ELSE 'test' END AS part,
+        |  COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(doc_id * doc_id) AS BIGINT) AS id_checksum
+        |FROM g GROUP BY 1 ORDER BY part""".stripMargin,
     "split_train_eval" ->
       """SELECT lang, part, COUNT(*) AS n_docs,
         |  CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 group D — aggregation.
@@ -277,6 +278,33 @@ object Aggregates extends QueryGroup {
           round(expr("percentile(l_quantity, 0.5D)"), 4).as("median_qty"),
           round(expr("percentile(l_quantity, 0.9D)"), 4).as("p90_qty"),
           round(expr("percentile(l_extendedprice, 0.25D)"), 4).as("p25_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // WEIGHTED median — the percentile family's weighted form (revenue-
+    // weighted median quantity: "half the money sits at or below this
+    // quantity"), which no built-in aggregate covers. Exact via the
+    // cumulative-weight window: weights are CENTS (bigint — prices
+    // carry 2 decimals, so the cumulative sum is exact integer
+    // arithmetic in any engine and any accumulation order; a double
+    // running sum here would be order-of-association noise), the
+    // boundary row is the first whose 2·cum ≥ total under a fully
+    // deterministic tie order. One hash exchange on the group key +
+    // per-partition sort — the window IS the shuffle.
+    "agg_weighted_median" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("wt",
+          expr("cast(round(l_extendedprice * 100) AS bigint)"))
+      val cumW = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("cum", sum(col("wt")).over(cumW))
+        .withColumn("tot", sum(col("wt")).over(totW))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("w_median_qty"),
+          max(col("tot")).as("total_cents"))
         .orderBy("l_returnflag")
     }),
 
@@ -660,6 +688,20 @@ object Aggregates extends QueryGroup {
         |         p_retailprice AS retail FROM part)
         | UNPIVOT (val FOR metric IN ("size", retail))
         |ORDER BY p_partkey, metric""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH w AS (SELECT l_returnflag, l_quantity,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS wt,
+        |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |      OVER (PARTITION BY l_returnflag
+        |            ORDER BY l_quantity, l_orderkey, l_linenumber
+        |            ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |      OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, MIN(l_quantity) AS w_median_qty,
+        |  CAST(MAX(tot) AS BIGINT) AS total_cents
+        |FROM w WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
