@@ -189,7 +189,10 @@ class PlanSpec extends SparkSpec {
       "embed_bitpack_hamming", "ml_kmeans_step",
       // ml_eval_confusion / sim_ann_bitpack reuse the kNN pairs shape
       // (broadcast query set against one corpus scan)
-      "ml_eval_confusion", "sim_ann_bitpack")
+      "ml_eval_confusion", "sim_ann_bitpack",
+      // sim_knn_graph broadcast-NLJs the tiny seed-centroid set for
+      // cell assignment (the dedup_semantic quantizer shape)
+      "sim_knn_graph")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
