@@ -128,6 +128,45 @@ object Multimodal extends QueryGroup {
   final case class AudioFeatures(doc_id: Long, n_frames: Long, zcr: Long,
       peak: Int, rms: Double, clipped: Long)
 
+  final case class PhashRow(doc_id: Long, img_w: Int, img_h: Int,
+      phash: Long, n_bits: Int)
+
+  /** 16-bit average-hash over a 4×4 pooling grid: bit c set iff cell
+    * c's mean exceeds the image mean, decided by integer cross-multiply
+    * (exact — no division, no float). Invariant under global brightness
+    * shift (±c cancels on both sides), which is what makes it a
+    * PERCEPTUAL key where a byte hash is not. */
+  def aHash16(img: java.awt.image.BufferedImage): (Long, Int) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val cellSum = new Array[Long](16)
+    val cellN = new Array[Long](16)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = raster.getSample(x, y, 0)
+        val c = (y * 4 / h) * 4 + (x * 4 / w)
+        cellSum(c) += p
+        cellN(c) += 1
+        total += p
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var bits = 0
+    var c = 0
+    while (c < 16) {
+      if (cellSum(c) * w * h > total * cellN(c)) {
+        hash |= (1L << c); bits += 1
+      }
+      c += 1
+    }
+    (hash, bits)
+  }
+
   final case class ImageFeatures(doc_id: Long, img_w: Int, img_h: Int,
       mean_px: Double, min_px: Int, max_px: Int, grad_energy: Long)
 
@@ -427,6 +466,36 @@ object Multimodal extends QueryGroup {
     // (Σ|p(x+1,y)−p(x,y)|, the sharpness proxy), one pass over the
     // REAL javax.imageio-decoded raster. Integer sums are exact, so
     // the generator's closed form replays the whole row in DuckDB.
+    // PERCEPTUAL HASH (average-hash) over the decoded raster — the
+    // image near-dup primitive (re-encoded / resized copies of one
+    // image survive exact-byte dedup; their aHash doesn't): pixels
+    // pool into a fixed 4×4 GRID (cells absorb the varying w×h, the
+    // resize step of classic aHash without interpolation), each bit =
+    // "cell brighter than the image mean", compared by integer
+    // CROSS-MULTIPLY (cell_sum·w·h > total·cell_npx — no division, no
+    // float, exact in any engine). 16-bit hash + popcount per doc;
+    // Hamming bucketing downstream is embed_bitpack_hamming's shape.
+    // Zero shuffles — one decoder init per partition, one raster pass.
+    "mm_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val (w, h) = imgDims(id, nChars)
+          PngRow(id, makePng(id, w, h))
+        }
+      media.mapPartitions { rows =>
+        imageIoNoCache
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          val (hash, bits) = aHash16(img)
+          PhashRow(r.doc_id, img.getWidth, img.getHeight, hash, bits)
+        }
+      }.toDF().orderBy("doc_id")
+    }),
+
     "mm_image_features" -> ((s, d) => {
       import s.implicits._
       val media = Tables(s, d, "documents")
@@ -681,6 +750,33 @@ object Multimodal extends QueryGroup {
     // pixel stats replay from the generator's closed form over a
     // generate_series grid; the horizontal-gradient term re-derives
     // p(x+1,y) from the same formula (integer mod arithmetic, exact)
+    // the closed-form raster replayed over a generate_series grid,
+    // pooled by the same integer cell arithmetic
+    "mm_image_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 25) AS INTEGER) AS w,
+        |    CAST(8 + (n_chars % 17) AS INTEGER) AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h,
+        |    UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM dims),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |    (y * 4 // h) * 4 + (x * 4 // w) AS c,
+        |    (7 * x + 13 * y + doc_id) % 256 AS p
+        |  FROM (SELECT doc_id, w, h, x,
+        |          UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs)),
+        |cells AS (SELECT doc_id, w, h, c,
+        |    SUM(p) AS cs, COUNT(*) AS cn
+        |  FROM px GROUP BY doc_id, w, h, c),
+        |tot AS (SELECT doc_id, SUM(p) AS total FROM px GROUP BY doc_id)
+        |SELECT c1.doc_id, c1.w AS img_w, c1.h AS img_h,
+        |  CAST(SUM(CASE WHEN cs * w * h > total * cn
+        |        THEN 1::BIGINT << c ELSE 0 END) AS BIGINT) AS phash,
+        |  CAST(SUM(CASE WHEN cs * w * h > total * cn
+        |        THEN 1 ELSE 0 END) AS INTEGER) AS n_bits
+        |FROM cells c1 JOIN tot USING (doc_id)
+        |GROUP BY c1.doc_id, c1.w, c1.h
+        |ORDER BY c1.doc_id""".stripMargin,
     "mm_image_features" ->
       """WITH dims AS (
         |  SELECT doc_id,

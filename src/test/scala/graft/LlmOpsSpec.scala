@@ -380,6 +380,37 @@ class LlmOpsSpec extends SparkSpec {
       "ensemble reasons do not discriminate on the fixture")
   }
 
+  test("mm_image_phash: brightness-invariant where a byte hash is not") {
+    import graft.sim.Multimodal
+    def mk(shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        20, 14, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 14; x <- 0 until 20)
+        // pattern capped at 199 so +shift never clips at 255
+        img.getRaster.setSample(x, y, 0, (7 * x + 13 * y) % 200 + shift)
+      img
+    }
+    val (h0, b0) = Multimodal.aHash16(mk(0))
+    val (h40, b40) = Multimodal.aHash16(mk(40))
+    // the perceptual property: a uniformly brightened copy (different
+    // bytes, same picture) hashes identically — exact cross-multiply
+    // cancellation, not approximation
+    assert(h0 == h40 && b0 == b40,
+      s"aHash not brightness-invariant: $h0/$b0 vs $h40/$b40")
+    // and it still discriminates: an inverted image flips bits
+    val inv = new java.awt.image.BufferedImage(
+      20, 14, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 14; x <- 0 until 20)
+      inv.getRaster.setSample(x, y, 0, 255 - ((7 * x + 13 * y) % 200))
+    val (hInv, _) = Multimodal.aHash16(inv)
+    assert(hInv != h0, "inverted image must not collide")
+    // key-level: hashes discriminate on the fixture
+    val rows = SparkEntry.queries("mm_image_phash")(spark, sf).collect()
+    val distinct = rows.map(_.getAs[Long]("phash")).distinct.length
+    assert(distinct > rows.length / 10,
+      s"phash barely discriminates: $distinct/${rows.length}")
+  }
+
   test("tolerant decode survives every corruption arm without throwing") {
     import graft.sim.Multimodal
     val good = Multimodal.makePng(7, 12, 9)
