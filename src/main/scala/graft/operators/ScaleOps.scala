@@ -317,6 +317,38 @@ object ScaleOps extends QueryGroup {
         .orderBy("site_id", "c_custkey")
     }),
 
+    // Spatial NEAREST-SITE assignment (the dispatch problem: every
+    // point gets its closest facility) — the argmin counterpart of
+    // geo_radius_join: the site list broadcasts (dimension-sized), the
+    // haversine evaluates map-side, and min_by picks per-point argmin
+    // with a deterministic id tie-break — zero shuffles beyond the
+    // final sort. At production site counts the broadcast swaps for
+    // the radius join's grid-cell candidate join + the same per-point
+    // argmin; sites here are well-separated so the trig arithmetic is
+    // nowhere near an argmin knife-edge (same libm discipline as
+    // geo_radius_join's fixed threshold).
+    "geo_nearest_site" -> ((s, d) => {
+      val pts = Tables(s, d, "customer").select(
+        col("c_custkey"),
+        ((col("c_custkey") * 7 % 180).cast("double") - 90 + 0.5).as("lat"),
+        ((col("c_custkey") * 13 % 360).cast("double") - 180 + 0.5).as("lon"))
+      val sites = Tables(s, d, "nation").select(
+        col("n_nationkey").as("site_id"),
+        ((col("n_nationkey") * 11 % 120).cast("double") - 60 + 0.5).as("qlat"),
+        ((col("n_nationkey") * 17 % 360).cast("double") - 180 + 0.5).as("qlon"))
+      val dist = lit(2 * 6371.0) * asin(sqrt(
+        pow(sin(radians(col("lat") - col("qlat")) / 2), 2)
+          + cos(radians(col("qlat"))) * cos(radians(col("lat")))
+            * pow(sin(radians(col("lon") - col("qlon")) / 2), 2)))
+      pts.crossJoin(broadcast(sites))
+        .withColumn("dist_km", dist)
+        .groupBy("c_custkey")
+        .agg(min_by(col("site_id"),
+            struct(col("dist_km"), col("site_id"))).as("site_id"),
+          round(min(col("dist_km")), 4).as("dist_km"))
+        .orderBy("c_custkey")
+    }),
+
     // Cost-based join REORDER: register the three tables in the session
     // catalog, ANALYZE row+column stats, and run the star join with CBO
     // + joinReorder on — the stats-driven planning a 100 TB warehouse
@@ -571,6 +603,30 @@ object ScaleOps extends QueryGroup {
         |ORDER BY event_id, o_orderkey""".stripMargin,
     // Deliberately the BRUTE-FORCE all-pairs formulation: the grid-
     // binned join must be result-identical to exhaustive search.
+    "geo_nearest_site" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey * 7 % 180 AS DOUBLE) - 90 + 0.5 AS lat,
+        |    CAST(c_custkey * 13 % 360 AS DOUBLE) - 180 + 0.5 AS lon
+        |  FROM customer),
+        |sites AS (
+        |  SELECT n_nationkey AS site_id,
+        |    CAST(n_nationkey * 11 % 120 AS DOUBLE) - 60 + 0.5 AS qlat,
+        |    CAST(n_nationkey * 17 % 360 AS DOUBLE) - 180 + 0.5 AS qlon
+        |  FROM nation),
+        |dists AS (
+        |  SELECT c_custkey, site_id,
+        |    2 * 6371.0 * ASIN(SQRT(
+        |      POW(SIN(RADIANS(lat - qlat) / 2), 2)
+        |      + COS(RADIANS(qlat)) * COS(RADIANS(lat))
+        |        * POW(SIN(RADIANS(lon - qlon) / 2), 2))) AS dist_km
+        |  FROM sites CROSS JOIN pts)
+        |SELECT c_custkey, site_id, ROUND(dist_km, 4) AS dist_km FROM (
+        |  SELECT c_custkey, site_id, dist_km,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |      ORDER BY dist_km, site_id) AS rn
+        |  FROM dists)
+        |WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
     "geo_radius_join" ->
       """WITH pts AS (
         |  SELECT c_custkey,

@@ -192,7 +192,11 @@ class PlanSpec extends SparkSpec {
       "ml_eval_confusion", "sim_ann_bitpack",
       // sim_knn_graph broadcast-NLJs the tiny seed-centroid set for
       // cell assignment (the dedup_semantic quantizer shape)
-      "sim_knn_graph")
+      "sim_knn_graph",
+      // geo_nearest_site broadcast-NLJs the 25-site facility list for
+      // per-point argmin (the dispatch shape; grid-cell candidates
+      // replace it at production site counts)
+      "geo_nearest_site")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
