@@ -1044,6 +1044,45 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // BLOOM-PREFILTERED incremental dedup — the scale accelerator over
+    // dedup_incremental's hash index: the history compresses into a
+    // Bloom SKETCH (public `stat.bloomFilter`; bits-only — ~1.2 MB per
+    // million docs at 3% fpp, vs 32 B/doc for the exact index), the
+    // sketch broadcasts, and only MIGHT-CONTAIN candidates pay the
+    // exact verify join against history. No false negatives, so docs
+    // the bloom clears are definitively new without touching the
+    // index — the final decision is EXACT and fully oracled; the fpp
+    // only sizes the verify traffic (the broadcast-size-vs-recheck
+    // trade a 100 TB ingest pipeline tunes). The key REQUIREs the
+    // bloom actually pruned on the fixture, so the accelerator can
+    // never silently degrade into verify-everything.
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val history = base.filter(col("doc_id") < 250)
+      val recrawl = base
+        .filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val batch = base.filter(col("doc_id") >= 250).union(recrawl)
+      val bloom = s.sparkContext.broadcast(
+        history.stat.bloomFilter("text", 1000L, 0.03))
+      val typed = batch.as[(Long, String)]
+      val candidates = typed
+        .filter(t => bloom.value.mightContainString(t._2))
+        .toDF("doc_id", "text")
+      val nBatch = batch.count()
+      val nCand = candidates.count()
+      require(nCand < nBatch,
+        s"bloom pruned nothing ($nCand of $nBatch) — sketch degraded")
+      val confirmed = candidates
+        .join(history.select(col("text")), Seq("text"), "left_semi")
+        .select(col("doc_id")).withColumn("isdup", lit(1))
+      batch.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("isdup").isNotNull, "dup").otherwise("new").as("status"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-document BOILERPLATE detection (the C4/RefinedWeb repeated-
     // line rule, chunk-level): a fixed-width word chunk appearing in
     // ≥3 distinct documents is boilerplate (nav bars, footers, cookie
@@ -1335,6 +1374,18 @@ object CorpusOps extends QueryGroup {
         |  SELECT '3_token_budget', COUNT(*),
         |    CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM s3)
         |ORDER BY stage""".stripMargin,
+    // the bloom is prune-only, so the exact decision replays without it
+    "dedup_bloom_prefilter" ->
+      """WITH history AS (SELECT text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents
+        |  WHERE doc_id < 250 AND doc_id % 5 = 0)
+        |SELECT b.doc_id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM history h WHERE h.text = b.text)
+        |       THEN 'dup' ELSE 'new' END AS status
+        |FROM batch b ORDER BY b.doc_id""".stripMargin,
     "corpus_filter_ensemble" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
