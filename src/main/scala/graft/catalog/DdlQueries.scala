@@ -1459,7 +1459,7 @@ object DdlQueries extends QueryGroup {
            |  ROUND(sp.s_acctbal, 4) AS acctbal
            |FROM $cat.gjp.supp_jp sp
            |JOIN $cat.gjp.nat_jp n ON sp.s_nationkey = n.n_nationkey
-           |WHERE sp.s_acctbal > 9000.0
+           |WHERE sp.s_acctbal > 5000.0
            |ORDER BY sp.s_suppkey""".stripMargin)
     }),
 
@@ -1849,7 +1849,7 @@ object DdlQueries extends QueryGroup {
     "meta_jdbc_join_pushdown" ->
       """SELECT s_suppkey, n_name, ROUND(s_acctbal, 4) AS acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE s_acctbal > 9000.0
+        |WHERE s_acctbal > 5000.0
         |ORDER BY s_suppkey""".stripMargin,
     // the Derby-resident dim must deliver exactly the source rows to
     // the federated join

@@ -446,9 +446,9 @@ class PlanSpec extends SparkSpec {
     val cat = "gjdbcjp_" + sf.replaceAll("[^A-Za-z0-9]", "_")
     val single = spark.sql(
       s"""SELECT s_suppkey FROM $cat.gjp.supp_jp
-         |WHERE s_acctbal > 9000.0""".stripMargin)
+         |WHERE s_acctbal > 5000.0""".stripMargin)
     assert(single.queryExecution.sparkPlan.toString
-      .contains("PushedFilters: [s_acctbal IS NOT NULL, s_acctbal > 9000.0]"),
+      .contains("PushedFilters: [s_acctbal IS NOT NULL, s_acctbal > 5000.0]"),
       "filter pushdown regressed under the graft Derby dialect")
   }
 
