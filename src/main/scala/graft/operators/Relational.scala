@@ -225,6 +225,29 @@ object Relational extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of join (pandas merge_asof direction='forward'): the
+    // NEXT event at-or-after the anchor — next-touch attribution,
+    // time-to-next-order, "what happened after the incident". Same
+    // range-join + per-anchor window shape as join_asof with the
+    // direction reversed (o_orderdate >= ts, window ascending); the
+    // same 100 TB upgrade applies (bound the horizon, bin to
+    // equi-join — join_interval_binned's recipe).
+    "join_asof_forward" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "events")
+        .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
+      val o = Tables(s, d, "orders")
+      val joined = e.join(o,
+        col("user_id") === col("o_custkey")
+          && col("o_orderdate") >= col("ts2"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // As-of join with a TOLERANCE bound (pandas merge_asof semantics):
     // match the latest prior order ONLY if it is within 7 days;
     // otherwise the event keeps NULLs via the LEFT join (join_asof
@@ -732,6 +755,16 @@ object Relational extends QueryGroup {
         |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
         |  JOIN orders o ON e.user_id = o.o_custkey
         |   AND o.o_orderdate <= e.ts2)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        |  FROM (SELECT event_id, user_id,
+        |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
+        |  JOIN orders o ON e.user_id = o.o_custkey
+        |   AND o.o_orderdate >= e.ts2)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_asof_tolerance" ->
       """SELECT event_id, o_orderkey,
