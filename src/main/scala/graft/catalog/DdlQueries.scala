@@ -1433,6 +1433,12 @@ object DdlQueries extends QueryGroup {
       System.setProperty("derby.stream.error.file",
         Tables.scratch(d, "derby.log"))
       DerbyJoinDialect.ensureRegistered()
+      // Stays set for the session deliberately: the returned DataFrame
+      // is LAZY — the pushdown rule reads this conf at optimization
+      // time, after this lambda returned, so restoring it here would
+      // un-push the join. Inert for every other reader: the feature
+      // additionally requires the per-catalog pushDownJoin=true opt-in,
+      // which only this key's catalog sets.
       s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
       val db = new java.io.File(Tables.scratch(d, "jdbc_jp_db"))
         .getAbsolutePath

@@ -9,9 +9,12 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder}
 /** Derby speaks standard SQL-92 join syntax; the stock `DerbyDialect`
   * simply never declares it (`supportsJoin` is false, so the DSv2
   * join-pushdown rule skips every Derby scan). This dialect is the
-  * public-extension-point fix: it matches ONLY the join-pushdown key's
-  * database (never the suite's other Derby URLs), answers
-  * `supportsJoin = true`, and forwards every Derby-specific behavior
+  * public-extension-point fix: it REPLACES the stock dialect JVM-wide
+  * for every `jdbc:derby:` URL (two matching dialects would merge into
+  * an AggregatedDialect that reports supportsJoin=false — see
+  * canHandle), answers `supportsJoin = true` — which stays inert for
+  * every reader that doesn't opt in with `pushDownJoin=true` — and
+  * forwards every Derby-specific behavior
   * (type mappings, limit clause, error classification) to the stock
   * dialect instance obtained through the public `JdbcDialects.get` —
   * the built-in class itself is `private[jdbc]` in source.

@@ -440,6 +440,12 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * (the lost-update race CatalogSpec's concurrency test schedules). */
   private val seenRev = new ThreadLocal[Integer]
 
+  /** Age beyond which an unpublished revision claim (dir exists, HEAD
+    * never advanced) is treated as a crashed writer and reclaimed.
+    * `private[graft]` so CatalogSpec can simulate the crash
+    * deterministically with a back-dated claim dir. */
+  private[graft] var claimGraceMs: Long = 10000L
+
   override protected def snap: CatalogSnapshot = this.synchronized {
     val s = super.snap
     seenRev.set(loadedRev)
@@ -503,9 +509,30 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     try java.nio.file.Files.createDirectory(revDir.toPath)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"catalog ${name()} revision $rev at $snapshotDir was claimed " +
-            "by a concurrent writer — re-read the catalog state and retry")
+        // A claim left behind by a writer that DIED between claiming
+        // revs/<rev> and publishing HEAD would otherwise wedge the
+        // catalog forever: every later persist derives base = rev-1 and
+        // collides here, yet the promised retry can never succeed. A
+        // claim is reclaimable iff it was never published (on-disk HEAD
+        // still behind it) AND it is older than claimGraceMs — far above
+        // the claim→publish window (a KiB JSON write + atomic rename),
+        // so a LIVE concurrent writer mid-commit is never reclaimed; it
+        // still fails loudly below and its claim publishes or goes stale.
+        val stale = headRevOnDisk < rev && System.currentTimeMillis -
+          revDir.lastModified > claimGraceMs
+        if (!stale)
+          throw new java.util.ConcurrentModificationException(
+            s"catalog ${name()} revision $rev at $snapshotDir was claimed " +
+              "by a concurrent writer — re-read the catalog state and retry")
+        org.apache.commons.io.FileUtils.deleteDirectory(revDir)
+        try java.nio.file.Files.createDirectory(revDir.toPath)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new java.util.ConcurrentModificationException(
+              s"catalog ${name()} stale revision claim $rev at " +
+                s"$snapshotDir was re-claimed by a concurrent writer — " +
+                "re-read the catalog state and retry")
+        }
     }
     CatalogTransfer.writeLocal(next, revDir.getPath)
     val headTmp = java.nio.file.Paths.get(snapshotDir, s".HEAD.tmp-$rev")
@@ -653,7 +680,13 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .map(p => p.key.stripPrefix(WritableSnapshotCatalog.ConstraintProp)
         -> p.value)
     if (checks.isEmpty) served
-    else new ConstraintTable(served, checks)
+    else served match {
+      // preserve partition management under a CHECK constraint — the
+      // plain wrapper would strip SupportsPartitionManagement
+      case _: org.apache.spark.sql.connector.catalog.SupportsPartitionManagement =>
+        new ConstraintPartitionedTable(served, checks)
+      case _ => new ConstraintTable(served, checks)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -975,6 +1008,36 @@ private[catalog] class ConstraintTable(inner: Table,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
       .newWriteBuilder(info)
+}
+
+/** [[ConstraintTable]] for inners that also manage partitions
+  * ([[PartitionedWriteTable]]): without this variant, adding a CHECK
+  * constraint to a partitioned table would silently strip
+  * `SupportsPartitionManagement` from the served table and break SHOW
+  * PARTITIONS / partition ops. All partition methods delegate to the
+  * wrapped table. */
+private[catalog] class ConstraintPartitionedTable(inner: Table,
+    checks: Seq[(String, String)]) extends ConstraintTable(inner, checks)
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+  import org.apache.spark.sql.catalyst.InternalRow
+  private val pm = inner
+    .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]
+  override def partitionSchema(): StructType = pm.partitionSchema()
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    pm.createPartition(ident, properties)
+  override def dropPartition(ident: InternalRow): Boolean =
+    pm.dropPartition(ident)
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    pm.replacePartitionMetadata(ident, properties)
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] = pm.loadPartitionMetadata(ident)
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] =
+    pm.listPartitionIdentifiers(names, ident)
+  override def partitionExists(ident: InternalRow): Boolean =
+    pm.partitionExists(ident)
 }
 
 private[catalog] class PartitionedWriteTable(inner: Table, ti: TableInfo,

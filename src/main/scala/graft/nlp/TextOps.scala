@@ -244,6 +244,24 @@ object TextOps extends QueryGroup {
     // the oracle's posting-list formulation is collision-proportional,
     // so the DuckDB side now verifies the key over the FULL corpus at
     // every SF — the dual-scale sweep sees real corpus growth here.
+    //
+    // ORACLE-GAP DISCLOSURE (r14, per advisor): the oracle is
+    // EXHAUSTIVE ground truth (every shingle-sharing pair with exact
+    // Jaccard ≥ 0.8) while LSH banding is probabilistic — a threshold
+    // pair misses all 16 bands with probability (1 − J⁴)¹⁶, i.e.
+    // ≤ 2.2e-4 at J = 0.8 and falling fast above it (2.6e-7 at 0.9,
+    // 0 at 1.0 — and exact dups bypass banding entirely via the
+    // dup-group collapse), and a hot band bucket past [[maxBucket]]
+    // drops its tail candidates. Today's green is therefore a measured
+    // property of this corpus (expected misses ≪ 1 across the fixture's
+    // pair set; no bucket near the cap at either SF), not an identity —
+    // a future fixture/SF bump can fail the hash compare with NO code
+    // change. If that happens it is the banding FN budget showing up,
+    // not a bug: either widen the signature (more bands at the same
+    // band width tightens (1−J^r)^b) or re-shape the oracle to the
+    // banding candidate set. The engine cannot be made exhaustive
+    // without giving up LSH's collision-proportional cost — that
+    // trade is the entire point of the operator at 100 TB.
     "dedup_minhash" -> ((s, d) =>
       minhashPairs(shingled(docs(s, d)))),
 

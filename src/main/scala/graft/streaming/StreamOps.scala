@@ -243,6 +243,13 @@ object StreamOps extends QueryGroup {
           dst.setLastModified(mt)
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
         }
+        // scratchCurrent requires _SUCCESS in the dir, but the part files
+        // above were MOVED out of tmp writes (each tmp's own _SUCCESS was
+        // deleted with it) — without this marker the guard is always
+        // false and the fixture is rebuilt + re-timestamped every run.
+        // Spark's file listing ignores underscore-prefixed files, so the
+        // marker never becomes a fourth micro-batch.
+        new java.io.File(dir, "_SUCCESS").createNewFile()
         Tables.stampScratch(d, "events", dir, ver = ":3file")
       }
       val schema = s.read.parquet(dir).schema
@@ -610,7 +617,10 @@ object StreamOps extends QueryGroup {
           df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
           // … then crash before the engine can commit the batch
           if (attempts.size == 1)
-            throw new RuntimeException("graft injected post-sink crash")
+            // the [expected-crash] prefix lets bench-tail forensics grep
+            // this stack apart from genuine failures
+            throw new RuntimeException(
+              "[expected-crash] graft injected post-sink crash")
         }
         .start()
       val q1 = start()

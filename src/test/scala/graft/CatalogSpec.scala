@@ -875,6 +875,88 @@ class CatalogSpec extends SparkSpec {
     assert(a.namespaceExists(Array("corp3")))
   }
 
+  test("writable V2 catalog: a crashed writer's unpublished claim is " +
+      "reclaimed after the grace window; a live claim still conflicts") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_claim_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val noMeta = java.util.Collections.emptyMap[String, String]()
+    val cat = attachWritable("claim_w", dir.getPath)
+    cat.createNamespace(Array("db1"), noMeta) // rev 1
+    // simulate a writer that DIED between claiming revs/2 and publishing
+    // HEAD: the claim dir exists (even with a partial snapshot inside),
+    // HEAD still points at 1
+    val orphan = new java.io.File(s"${dir.getPath}/revs/2")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(new java.io.File(orphan, "partial.json").toPath,
+      "{".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a FRESH claim (inside the grace window) must still conflict loudly
+    // — it could be a live writer microseconds from publishing
+    val e = intercept[java.util.ConcurrentModificationException] {
+      cat.createNamespace(Array("db2"), noMeta)
+    }
+    assert(e.getMessage.contains("claimed"), s"wrong error: ${e.getMessage}")
+    // ... but once the claim is older than the grace window with HEAD
+    // still behind it, the retry the error message promises SUCCEEDS —
+    // the catalog must not wedge forever on a crashed writer
+    assert(orphan.setLastModified(
+      System.currentTimeMillis - cat.claimGraceMs - 60000L))
+    cat.createNamespace(Array("db2"), noMeta) // reclaims rev 2
+    assert(cat.namespaceExists(Array("db2")))
+    // the reclaimed revision is a COMPLETE snapshot (the orphan's
+    // partial file is gone) and a fresh attach resolves it
+    assert(!new java.io.File(orphan, "partial.json").exists(),
+      "orphaned partial snapshot survived the reclaim")
+    assert(attachWritable("claim_r", dir.getPath)
+      .namespaceExists(Array("db2")))
+  }
+
+  test("CHECK constraint on a PARTITIONED table keeps partition " +
+      "management and still enforces") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_ckpart_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "ckpart_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.pdb")
+    spark.sql(s"""CREATE TABLE $cat.pdb.t (k BIGINT, v DOUBLE, p STRING)
+                 |USING parquet PARTITIONED BY (p)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.pdb.t VALUES (1L, 2.0D, 'a'), (2L, 3.0D, 'b')")
+    spark.sql(s"ALTER TABLE $cat.pdb.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // the served table must still manage partitions — the plain
+    // ConstraintTable wrapper would strip SupportsPartitionManagement
+    // and break SHOW PARTITIONS on any constrained partitioned table
+    val parts = spark.sql(s"SHOW PARTITIONS $cat.pdb.t")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("p=a", "p=b"), s"SHOW PARTITIONS broke: $parts")
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("pdb"), "t"))
+    val pm = t.asInstanceOf[org.apache.spark.sql.connector.catalog
+      .SupportsPartitionManagement]
+    assert(pm.partitionSchema().fieldNames.toSeq == Seq("p"))
+    assert(pm.partitionExists(InternalRow(UTF8String.fromString("a"))))
+    assert(!pm.partitionExists(InternalRow(UTF8String.fromString("zz"))))
+    // ... and the constraint is served AND enforced through the same
+    // wrapper: partition management did not cost the CHECK
+    assert(t.constraints().exists(_.name == "v_pos"))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.pdb.t VALUES (3L, -1.0D, 'c')")
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("v_pos") || msg.toUpperCase.contains("CHECK"),
+      s"rejection does not name the constraint: $msg")
+    // admitted partitioned write still lands and prunes
+    spark.sql(s"INSERT INTO $cat.pdb.t VALUES (4L, 5.0D, 'c')")
+    assert(spark.table(s"$cat.pdb.t").where(col("p") === "c").count() == 1)
+  }
+
   test("syncApply repairs create/drop/alter drift incrementally, " +
       "functions included, and is a no-op when converged") {
     spark.sql("DROP DATABASE IF EXISTS graft_syncspec CASCADE")
