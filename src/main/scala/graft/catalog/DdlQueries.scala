@@ -376,6 +376,50 @@ object DdlQueries extends QueryGroup {
         .orderBy("n_nationkey")
     }),
 
+    // ANALYZE statistics survive the migration (r14): the default
+    // snapshot deliberately scrubs spark.sql.statistics.* / numrows as
+    // volatile bookkeeping, which leaves a migrated warehouse with a
+    // BLIND CBO until someone re-ANALYZEs 100 TB — the one HMS object
+    // family that didn't survive the reference's cluster→cluster loop
+    // (README_en.md:3; the Thrift metastore service,
+    // metastore-import.tf:112-117). export(withStats = true) carries
+    // the typed CatalogStatistics (rowCount, sizeInBytes, per-column
+    // min/max/nullCount/NDV) through the snapshot; importInto rebuilds
+    // them through the same catalog API ANALYZE commits through. The
+    // report reads ONLY the migrated catalog — no re-ANALYZE, no data
+    // scan; the oracle recomputes the truth from the files, so a lossy
+    // transfer (or a stale source stat) fails the hash compare.
+    // CatalogSpec adds the planner half: the target session's CBO
+    // reorders the star join identically without re-running ANALYZE.
+    "meta_stats_transfer" -> ((s, d) => {
+      import s.implicits._
+      s.sql("DROP DATABASE IF EXISTS graft_stx CASCADE")
+      s.sql("CREATE DATABASE graft_stx")
+      s.sql(s"""CREATE TABLE graft_stx.orders_st
+               |USING parquet LOCATION '$d/orders.parquet'""".stripMargin)
+      s.sql("ANALYZE TABLE graft_stx.orders_st COMPUTE STATISTICS " +
+        "FOR COLUMNS o_custkey")
+      val dir = Tables.scratch(d, "meta_stats_snapshot")
+      CatalogTransfer.write(s,
+        CatalogTransfer.export(s, Seq("graft_stx"), withStats = true), dir)
+      s.sql("DROP DATABASE graft_stx CASCADE") // the "cluster destroyed"
+      CatalogTransfer.importInto(s, CatalogTransfer.read(s, dir))
+      val st = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "orders_st", Some("graft_stx"))).stats
+        .getOrElse(sys.error("migrated table lost its ANALYZE statistics"))
+      val ck = st.colStats.getOrElse("o_custkey",
+        sys.error("migrated table lost its o_custkey column statistics"))
+      Seq(
+        ("row_count", st.rowCount
+          .getOrElse(sys.error("no rowCount survived")).toString),
+        ("o_custkey_min", ck.min.getOrElse(sys.error("no min survived"))),
+        ("o_custkey_max", ck.max.getOrElse(sys.error("no max survived"))),
+        ("o_custkey_nulls", ck.nullCount
+          .getOrElse(sys.error("no nullCount survived")).toString))
+        .toDF("stat", "value").orderBy("stat")
+    }),
+
     // Cross-namespace migration: the target cluster wants a DIFFERENT
     // database name and the data files moved — the remap transform
     // renames graft_mig → graft_mig_prod (including the view's
@@ -1707,6 +1751,20 @@ object DdlQueries extends QueryGroup {
     "meta_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // the migrated catalog's statistics must equal the truth computed
+    // from the files — the engine side never scans the data, so any
+    // loss in the withStats snapshot path breaks the compare
+    "meta_stats_transfer" ->
+      """SELECT * FROM (
+        |  SELECT 'row_count' AS stat, CAST(COUNT(*) AS VARCHAR) AS value
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey_min',
+        |    CAST(MIN(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_custkey_max',
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_custkey_nulls',
+        |    CAST(COUNT(*) - COUNT(o_custkey) AS VARCHAR) FROM orders
+        |) ORDER BY stat""".stripMargin,
     "meta_hive_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

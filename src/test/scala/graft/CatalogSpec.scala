@@ -875,6 +875,82 @@ class CatalogSpec extends SparkSpec {
     assert(a.namespaceExists(Array("corp3")))
   }
 
+  test("migrated ANALYZE stats drive the target CBO with no re-ANALYZE") {
+    // the meta_stats_transfer key proves VALUE fidelity against the
+    // oracle; this proves the PLANNER consequence: a star join on the
+    // imported catalog reorders exactly as it did on the source, with
+    // CBO inputs served from the migrated snapshot — and a control
+    // import through the DEFAULT (stats-scrubbed) snapshot shows the
+    // assertion bites (no stats → no cardinalities for the planner).
+    val db = "graft_stx_cbo"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    for (t <- Seq("nation", "customer", "orders")) {
+      spark.sql(s"""CREATE TABLE $db.${t}_sx
+                   |USING parquet LOCATION '$sf/$t.parquet'""".stripMargin)
+      spark.sql(s"ANALYZE TABLE $db.${t}_sx COMPUTE STATISTICS " +
+        "FOR ALL COLUMNS")
+    }
+    // deliberately bad syntactic order (tiny dim first) so reordering
+    // has something to do
+    val star =
+      s"""SELECT n_name, COUNT(*) AS n
+         |FROM $db.nation_sx, $db.orders_sx, $db.customer_sx
+         |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin
+    def withCbo[T](f: => T): T = {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try f finally {
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+    }
+    def leafOrder() = {
+      val plan = spark.sql(star).queryExecution.optimizedPlan
+      ("(nation|customer|orders)\\.parquet".r
+        .findAllMatchIn(plan.toString).map(_.group(1)).toSeq,
+        plan.collectLeaves().forall(_.stats.rowCount.isDefined))
+    }
+    def statsOf() = Seq("nation", "customer", "orders").map { t =>
+      t -> spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${t}_sx", Some(db))).stats
+    }.toMap
+    val statsSrc = statsOf()
+    assert(statsSrc.values.forall(s =>
+      s.exists(_.rowCount.isDefined) && s.exists(_.colStats.nonEmpty)),
+      s"ANALYZE left no stats: $statsSrc")
+    val (orderSrc, srcHasCard) = withCbo(leafOrder())
+    assert(srcHasCard, "source CBO plan missing leaf cardinalities")
+    // migrate: stats-carrying snapshot through the JSON wire form
+    val dir = new java.io.File(Tables.scratch(sf, "stx_cbo_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val snapDefault = CatalogTransfer.export(spark, Seq(db))
+    CatalogTransfer.writeLocal(
+      CatalogTransfer.export(spark, Seq(db), withStats = true), dir.getPath)
+    spark.sql(s"DROP DATABASE $db CASCADE")
+    CatalogTransfer.importInto(spark,
+      CatalogTransfer.read(spark, dir.getPath))
+    assert(statsOf() == statsSrc,
+      "statistics did not survive the migration bit-for-bit")
+    val (orderDst, dstHasCard) = withCbo(leafOrder())
+    assert(dstHasCard,
+      "target CBO plan missing leaf cardinalities — stats not served")
+    assert(orderDst == orderSrc,
+      s"CBO join order drifted across the migration: $orderSrc → $orderDst")
+    // control: the default snapshot scrubs stats, so the same import
+    // leaves the planner blind — proving the assertions above are not
+    // vacuously true of any freshly-created table
+    spark.sql(s"DROP DATABASE $db CASCADE")
+    CatalogTransfer.importInto(spark, snapDefault)
+    assert(statsOf().values.forall(_.isEmpty),
+      "default snapshot unexpectedly carried statistics")
+    val (_, controlHasCard) = withCbo(leafOrder())
+    assert(!controlHasCard,
+      "control plan has cardinalities without stats — assertion vacuous")
+  }
+
   test("writable V2 catalog: a crashed writer's unpublished claim is " +
       "reclaimed after the grace window; a live claim still conflicts") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_claim_snapshot"))
