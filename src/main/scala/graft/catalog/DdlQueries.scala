@@ -1579,6 +1579,36 @@ object DdlQueries extends QueryGroup {
       rows.map(r => (r(0).toInt, r(1), r(2).toInt))
         .toDF("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    }),
+
+    // SQL/DataFrame over the MODERN wire (r14): the same shared-
+    // persistent-catalog serving story as sql_thrift_endpoint, one
+    // protocol generation later — an in-process Spark Connect gRPC
+    // service + a real Connect client session
+    // (SparkSession.builder.remote("sc://...")). The query — a GROUP
+    // BY, not a bare scan, so Catalyst execution provably runs behind
+    // the wire — is planned from a protobuf plan relayed over gRPC and
+    // its rows come back as Arrow batches through an ISOLATED
+    // server-side session, which can only resolve the table through
+    // shared persistent catalog metadata. Values are re-typed from the
+    // wire strings so the oracle diff checks they survived marshalling.
+    "sql_connect_endpoint" -> ((s, d) => {
+      import s.implicits._
+      freshDb(s, "graft_conn")
+      s.sql("DROP TABLE IF EXISTS graft_conn.nation_c")
+      s.sql(s"""CREATE TABLE graft_conn.nation_c
+               |USING parquet LOCATION '$d/nation.parquet'""".stripMargin)
+      val (cols, rows) = ConnectEndpoint.withServer(s)(port =>
+        ConnectEndpoint.query(port,
+          """SELECT n_regionkey, COUNT(*) AS n_nations,
+            |  MIN(n_name) AS first_nation
+            |FROM graft_conn.nation_c
+            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+      require(cols == Seq("n_regionkey", "n_nations", "first_nation"),
+        s"connect wire metadata drifted: $cols")
+      rows.map(r => (r(0).toInt, r(1).toLong, r(2)))
+        .toDF("n_regionkey", "n_nations", "first_nation")
+        .orderBy("n_regionkey")
     })
   )
 
@@ -1792,6 +1822,12 @@ object DdlQueries extends QueryGroup {
     "sql_thrift_endpoint" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // the gRPC/Arrow transport must be lossless AND execute compute
+    // remotely — aggregate values, not just scanned cells, survive
+    "sql_connect_endpoint" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_nation
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "meta_v2_catalog" ->
       """SELECT l_linestatus, COUNT(*) AS n_rows,
         | ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -1409,6 +1409,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("connect endpoint round-trips values over a real gRPC wire, " +
+      "restarts cleanly, and isolates the client session") {
+    val out = SparkEntry.queries("sql_connect_endpoint")(spark, sf).collect()
+    assert(out.length == 5) // nation spans 5 regions at every SF
+    assert(out.map(_.getLong(1)).sum == 25)
+    // the key's withServer block STOPPED the service — a second block
+    // must start fresh on a new port (Bench runs every key 3×; a
+    // non-restartable service would fail the 2nd run, and a lingering
+    // one would pin the JVM at exit — this is the lifecycle contract)
+    ConnectEndpoint.withServer(spark) { port =>
+      // an isolated wire session resolves SHARED persistent catalog
+      // objects but NOT the driving session's temp views
+      spark.range(3).createOrReplaceTempView("graft_conn_local_tmp")
+      val (cols, rows) = ConnectEndpoint.query(port,
+        "SELECT COUNT(*) AS n FROM graft_conn.nation_c")
+      assert(cols == Seq("n") && rows.head.head == "25")
+      intercept[Exception] {
+        ConnectEndpoint.query(port,
+          "SELECT COUNT(*) AS n FROM graft_conn_local_tmp")
+      }
+    }
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = SparkEntry.queries("meta_ddl_script")(spark, sf)
       .orderBy("stmt_order").collect()
