@@ -284,26 +284,54 @@ object DdlQueries extends QueryGroup {
     // dry-run migration script: the ordered DDL an import WOULD execute,
     // as reviewable rows — the pre-flight artifact an operator diffs
     // before pointing a real import at a production metastore.
+    // ORACLED as of r14 the ddl_show_create way: the key PARSES its own
+    // generated script text into normalized (object, kind, col_name,
+    // data_type) rows — columns/types per CREATE TABLE, provider,
+    // PARTITIONED BY column, one row per ADD PARTITION spec, the
+    // database — and DuckDB recomputes the same rows from the raw
+    // files. Locations stay out (machine-dependent, SURVEY §5.2); the
+    // full TEXT stays pinned by GoldenSnapshotSpec and executed back to
+    // a drift-free catalog by CatalogSpec, both via [[ddlScript]]. A
+    // wrong type, a lost column, a dropped partition spec, or a broken
+    // PARTITIONED BY clause in the emitted DDL now fails the hash
+    // compare, not just the golden diff.
     "meta_ddl_script" -> ((s, d) => {
-      import s.implicits._
-      fixtureCatalog(s, d)
-      val snap = CatalogTransfer.export(s, Seq("graft_meta"))
-      val stmts =
-        snap.databases.map(db =>
-          (s"database:${db.name}", s"CREATE DATABASE IF NOT EXISTS `${db.name}`")) ++
-        snap.tables.sortBy(t => (t.tableType == "VIEW", t.db, t.name))
-          .flatMap { t =>
-            val create = (s"table:${t.db}.${t.name}",
-              CatalogTransfer.createTableDdl(t))
-            val parts = CatalogTransfer.addPartitionDdl(t)
-              .zipWithIndex.map { case (ddl, i) =>
-                (s"table:${t.db}.${t.name}#part$i", ddl) }
-            create +: parts
-          }
-      stmts.zipWithIndex
-        .map { case ((obj, ddl), i) => (i, obj, ddl) }
-        .toDF("stmt_order", "object", "ddl")
-        .orderBy("stmt_order")
+      val base = ddlScript(s, d).select(col("object"), col("ddl"))
+      val dbRows = base.filter(col("ddl").startsWith("CREATE DATABASE"))
+        .select(col("object"), lit("database").as("kind"),
+          regexp_extract(col("ddl"), "`([^`]+)`", 1).as("col_name"),
+          lit("").as("data_type"))
+      val creates = base.filter(col("ddl").startsWith("CREATE TABLE"))
+      val colRows = creates
+        .select(col("object"), explode(split(
+          regexp_extract(col("ddl"), "\\((.+?)\\) USING", 1), ", "))
+          .as("coldef"))
+        .select(col("object"), lit("column").as("kind"),
+          regexp_replace(split(col("coldef"), " ").getItem(0), "`", "")
+            .as("col_name"),
+          lower(split(col("coldef"), " ").getItem(1)).as("data_type"))
+      val provRows = creates.select(col("object"),
+        lit("provider").as("kind"), lit("<provider>").as("col_name"),
+        lower(regexp_extract(col("ddl"), "USING (\\w+)", 1))
+          .as("data_type"))
+      val pbyRows = creates.filter(col("ddl").contains("PARTITIONED BY"))
+        .select(col("object"), lit("partitioned_by").as("kind"),
+          regexp_replace(regexp_extract(col("ddl"),
+            "PARTITIONED BY \\(([^)]*)\\)", 1), "`", "").as("col_name"),
+          lit("").as("data_type"))
+      val partRows = base
+        .filter(col("ddl").contains("ADD IF NOT EXISTS"))
+        .select(regexp_replace(col("object"), "#part\\d+$", "")
+            .as("object"),
+          explode(regexp_extract_all(col("ddl"),
+            lit("PARTITION \\(([^)]*)\\)"), lit(1))).as("spec"))
+        .select(col("object"), lit("partition").as("kind"),
+          regexp_replace(regexp_replace(col("spec"), "[`']", ""),
+            " = ", "=").as("col_name"),
+          lit("").as("data_type"))
+      dbRows.unionAll(colRows).unionAll(provRows).unionAll(pbyRows)
+        .unionAll(partRows)
+        .orderBy("object", "kind", "col_name", "data_type")
     }),
 
     // catalog drift report: what changed between two exports — the
@@ -1612,6 +1640,34 @@ object DdlQueries extends QueryGroup {
     })
   )
 
+  /** Dry-run migration script: the ordered DDL an import WOULD execute,
+    * as reviewable (stmt_order, object, ddl) rows — the pre-flight
+    * artifact an operator diffs before pointing a real import at a
+    * production metastore. GoldenSnapshotSpec pins the TEXT;
+    * CatalogSpec executes it back to a drift-free catalog; the
+    * meta_ddl_script KEY parses it into oracle-able normalized rows. */
+  def ddlScript(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    fixtureCatalog(s, d)
+    val snap = CatalogTransfer.export(s, Seq("graft_meta"))
+    val stmts =
+      snap.databases.map(db =>
+        (s"database:${db.name}", s"CREATE DATABASE IF NOT EXISTS `${db.name}`")) ++
+      snap.tables.sortBy(t => (t.tableType == "VIEW", t.db, t.name))
+        .flatMap { t =>
+          val create = (s"table:${t.db}.${t.name}",
+            CatalogTransfer.createTableDdl(t))
+          val parts = CatalogTransfer.addPartitionDdl(t)
+            .zipWithIndex.map { case (ddl, i) =>
+              (s"table:${t.db}.${t.name}#part$i", ddl) }
+          create +: parts
+        }
+    stmts.zipWithIndex
+      .map { case ((obj, ddl), i) => (i, obj, ddl) }
+      .toDF("stmt_order", "object", "ddl")
+      .orderBy("stmt_order")
+  }
+
   /** Fixture catalog for export/import probes: one plain external table,
     * one partitioned external table (partitions are the metastore's core
     * object — SURVEY.md §2 group A basis). */
@@ -1781,6 +1837,47 @@ object DdlQueries extends QueryGroup {
     "meta_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // the script's normalized projection must equal the truth from the
+    // raw files: every column with its type (dialect-normalized oracle-
+    // side, engine output untouched), the provider, the PARTITIONED BY
+    // column, one partition spec per distinct key in the data, the db
+    "meta_ddl_script" ->
+      """WITH li AS (
+        |  SELECT 'table:graft_meta.lineitem_part' AS object,
+        |    'column' AS kind, column_name AS col_name,
+        |    CASE lower(column_type)
+        |      WHEN 'varchar' THEN 'string'
+        |      WHEN 'integer' THEN 'int'
+        |      WHEN 'timestamp' THEN 'timestamp_ntz'
+        |      ELSE lower(column_type) END AS data_type
+        |  FROM (DESCRIBE SELECT * FROM lineitem)),
+        |na AS (
+        |  SELECT 'table:graft_meta.nation_meta' AS object,
+        |    'column' AS kind, column_name AS col_name,
+        |    CASE lower(column_type)
+        |      WHEN 'varchar' THEN 'string'
+        |      WHEN 'integer' THEN 'int'
+        |      WHEN 'timestamp' THEN 'timestamp_ntz'
+        |      ELSE lower(column_type) END AS data_type
+        |  FROM (DESCRIBE SELECT * FROM nation)),
+        |parts AS (
+        |  SELECT 'table:graft_meta.lineitem_part' AS object,
+        |    'partition' AS kind,
+        |    'l_returnflag=' || l_returnflag AS col_name, '' AS data_type
+        |  FROM (SELECT DISTINCT l_returnflag FROM lineitem)),
+        |fixed AS (
+        |  SELECT * FROM (VALUES
+        |    ('database:graft_meta', 'database', 'graft_meta', ''),
+        |    ('table:graft_meta.lineitem_part', 'provider',
+        |     '<provider>', 'parquet'),
+        |    ('table:graft_meta.nation_meta', 'provider',
+        |     '<provider>', 'parquet'),
+        |    ('table:graft_meta.lineitem_part', 'partitioned_by',
+        |     'l_returnflag', ''))
+        |    AS t(object, kind, col_name, data_type))
+        |SELECT * FROM li UNION ALL SELECT * FROM na
+        |UNION ALL SELECT * FROM parts UNION ALL SELECT * FROM fixed
+        |ORDER BY object, kind, col_name, data_type""".stripMargin,
     // the migrated catalog's statistics must equal the truth computed
     // from the files — the engine side never scans the data, so any
     // loss in the withStats snapshot path breaks the compare

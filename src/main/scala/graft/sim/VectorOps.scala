@@ -711,7 +711,9 @@ object VectorOps extends QueryGroup {
     // (with the binary decode boundary): mllib.linalg owns the
     // distributed Gram primitive. No SQL oracle — an eigensolver's
     // sign/order conventions aren't SQL-expressible; MllibCrossCheckSpec
-    // pins captured-variance dominance and rerun determinism instead.
+    // pins captured-variance dominance and rerun determinism instead,
+    // and embed_pca_gram (below) oracles the DISTRIBUTED half — the
+    // Gram aggregate the solver consumes — exactly, in fixed point.
     "embed_pca" -> ((s, d) => {
       import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
       import org.apache.spark.mllib.linalg.distributed.RowMatrix
@@ -739,6 +741,34 @@ object VectorOps extends QueryGroup {
         .localCheckpoint()
       e.unpersist(blocking = false)
       out
+    }),
+
+    // The distributed HALF of PCA, oracled exactly (r14): embed_pca's
+    // eigensolve is driver-side LAPACK (sign/order conventions aren't
+    // SQL-expressible — stays ScalaTest), but the 64×64 GRAM the solver
+    // consumes is a pure distributed aggregate, and THAT is the part
+    // that can silently break at scale (a dropped row, a float-order
+    // drift, a wrong dimension pairing). ml_linreg_normal recipe:
+    // quantize coordinates to ×10⁴ fixed-point BIGINTs, so every
+    // product and sum is exact INTEGER arithmetic — bit-identical
+    // cross-engine, no float-summation-order exposure. One generator
+    // expands each row to its 2080 upper-triangle (i, j, qᵢ·qⱼ)
+    // contributions inside codegen; one partial-agg shuffle carries
+    // 2080 longs per partition, never rows — the same shape RowMatrix's
+    // treeAggregate ships for the real (double) Gram above.
+    "embed_pca_gram" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("q", expr(
+          "transform(v, x -> cast(round(x * 10000) AS bigint))"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 63), i ->
+            |  transform(sequence(i, 63), j ->
+            |    struct(i AS i, j AS j,
+            |      element_at(q, i + 1) * element_at(q, j + 1) AS p))))"""
+            .stripMargin)).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.p")).as("gram"))
+        .orderBy("i", "j")
     }),
 
     // Product quantization (M=8 subspaces × K=16 codewords): the
@@ -944,6 +974,17 @@ object VectorOps extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> oracleTopK,
+    // exact integer Gram: ×10⁴ fixed-point quantization, then every
+    // product/sum is integer — SUM goes HUGEINT in DuckDB, cast back
+    "embed_pca_gram" ->
+      """WITH q AS (SELECT LIST_TRANSFORM(embedding,
+        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT i, j, CAST(SUM(q[i + 1] * q[j + 1]) AS BIGINT) AS gram
+        |FROM q, UNNEST(GENERATE_SERIES(0, 63)) AS ti(i),
+        |     UNNEST(GENERATE_SERIES(0, 63)) AS tj(j)
+        |WHERE i <= j
+        |GROUP BY i, j ORDER BY i, j""".stripMargin,
     "sim_mrl_truncate" -> {
       def dot16(a: String, b: String): String =
         s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +

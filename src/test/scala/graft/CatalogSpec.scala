@@ -1433,7 +1433,7 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
-    val script = SparkEntry.queries("meta_ddl_script")(spark, sf)
+    val script = graft.catalog.DdlQueries.ddlScript(spark, sf)
       .orderBy("stmt_order").collect()
     assert(script.head.getString(2).startsWith("CREATE DATABASE"),
       "script must lead with database creation")

@@ -46,7 +46,7 @@ class GoldenSnapshotSpec extends SparkSpec {
     // semantics survive. Paths are relativized (fixture dir, scratch
     // dir, fixture-mangled scratch key) so the file is
     // machine-independent.
-    val rows = SparkEntry.queries("meta_ddl_script")(spark, sf)
+    val rows = graft.catalog.DdlQueries.ddlScript(spark, sf)
       .orderBy("stmt_order").collect()
     val scratchAbs = new java.io.File("target/scratch").getAbsolutePath
     val sfAbs = new java.io.File(sf).getAbsolutePath
