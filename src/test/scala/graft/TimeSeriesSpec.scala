@@ -299,4 +299,32 @@ class TimeSeriesSpec extends SparkSpec {
       && !plan.contains("CartesianProduct"),
       s"binned interval join fell back to a non-equi plan:\n$plan")
   }
+
+  test("join_asof_binned is bitwise the unbounded as-of join") {
+    val binned = SparkEntry.queries("join_asof_binned")(spark, sf)
+    val plain = SparkEntry.queries("join_asof")(spark, sf)
+    val expected = plain.collect().toSeq
+    assert(binned.collect().toSeq == expected)
+    // the law: ANY bin width yields the same result while the horizon
+    // covers the corpus's max backward gap (29 days at every SF —
+    // measured, and re-proven here by the equality itself); width only
+    // trades order-replication factor against bin selectivity
+    for (width <- Seq(7, 30, 365)) {
+      val got = operators.ScaleOps.asofBinned(spark, sf, width)
+        .collect().toSeq
+      assert(got == expected, s"bin width $width diverged")
+    }
+    // a horizon SHORTER than the max gap must lose matches — proving
+    // the horizon is load-bearing, not vacuously wide
+    val tight = operators.ScaleOps
+      .asofBinned(spark, sf, binDays = 7, horizonDays = 3)
+      .collect().toSeq
+    assert(tight.size < expected.size,
+      "3-day horizon lost nothing — the equality law is vacuous")
+    // and the rewrite plans the equi-join it exists for
+    val plan2 = binned.queryExecution.executedPlan.toString
+    assert(!plan2.contains("BroadcastNestedLoopJoin")
+      && !plan2.contains("CartesianProduct"),
+      s"binned as-of join fell back to a non-equi plan:\n$plan2")
+  }
 }
