@@ -64,7 +64,20 @@ object ScaleCurves {
     // corpus-linear)
     "text_classifier_score" -> "documents",
     "sim_knn_graph" -> "embeddings",
-    "graph_copurchase" -> "lineitem")
+    "graph_copurchase" -> "lineitem",
+    // r14: the heavy r13 newcomers the judge asked to curve —
+    // join_asof_forward is the unbounded per-user-history range join
+    // (growth attributes to history depth × events), its binned r14
+    // sibling should stay corpus-linear; agg_weighted_median is one
+    // full-lineitem window; meta_sync_apply is catalog-DDL-bound
+    // (should be flat — the data never moves); the bloom prefilter is
+    // sketch-build + candidate-verify (corpus-linear build, collision-
+    // proportional verify)
+    "join_asof_forward" -> "events",
+    "join_asof_binned" -> "events",
+    "agg_weighted_median" -> "lineitem",
+    "meta_sync_apply" -> "supplier",
+    "dedup_bloom_prefilter" -> "documents")
 
   private val RunsPerKey = 3
 
