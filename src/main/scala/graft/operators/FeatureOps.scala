@@ -153,53 +153,9 @@ object FeatureOps extends QueryGroup {
     // FeatureOpsSpec asserts the training laws (loss strictly falls,
     // accuracy beats the majority class).
     "ml_logreg_gd" -> ((s, d) => {
-      val raw = Tables(s, d, "events").groupBy("user_id")
-        .agg(
-          count(when(col("event_type") === "view", 1))
-            .cast("double").as("v"),
-          count(when(col("event_type") === "click", 1))
-            .cast("double").as("c"),
-          coalesce(sum(when(col("event_type") === "purchase",
-            col("value"))), lit(0.0)).as("pv"))
-      val m = raw.agg(avg("v").as("mv"), stddev_samp(col("v")).as("sv"),
-        avg("c").as("mc"), stddev_samp(col("c")).as("sc"),
-        avg("pv").as("mp")).head()
-      val feats = raw.select(
-          ((col("v") - m.getDouble(0)) / m.getDouble(1)).as("x1"),
-          ((col("c") - m.getDouble(2)) / m.getDouble(3)).as("x2"),
-          when(col("pv") > m.getDouble(4), 1.0).otherwise(0.0).as("y"))
-        .localCheckpoint()
-      val nRows = feats.count().toDouble
-      var w = Array(0.0, 0.0, 0.0) // bias, w1, w2
-      var loss = Double.MaxValue
-      val lr = 0.5
-      for (_ <- 1 to 25) {
-        val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
-        // the GRADIENT uses the raw sigmoid; the LOSS clamps it — at
-        // |z| ≳ 37 the double sigmoid saturates to exactly 0/1 and
-        // y·log(p) becomes 0·(−∞) = NaN for confidently-classified
-        // rows, poisoning the whole sum
-        val pc = greatest(least(p, lit(1.0 - 1e-12)), lit(1e-12))
-        val g = feats.select(p.as("p"), pc.as("pc"), col("y"),
-            col("x1"), col("x2"))
-          .agg(sum(col("p") - col("y")).as("g0"),
-            sum((col("p") - col("y")) * col("x1")).as("g1"),
-            sum((col("p") - col("y")) * col("x2")).as("g2"),
-            sum(-col("y") * log(col("pc"))
-              - (lit(1.0) - col("y")) * log(lit(1.0) - col("pc")))
-              .as("l"))
-          .head()
-        w = Array(w(0) - lr * g.getDouble(0) / nRows,
-          w(1) - lr * g.getDouble(1) / nRows,
-          w(2) - lr * g.getDouble(2) / nRows)
-        loss = g.getDouble(3) / nRows
-      }
-      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
-      val acc = feats
-        .agg(avg(when((z > 0) === (col("y") > 0.5), 1.0)
-          .otherwise(0.0)).as("a")).head().getDouble(0)
       import s.implicits._
+      val (traj, acc) = logregTrajectory(s, d)
+      val (_, w, loss) = traj.last
       Seq(("bias", w(0)), ("w_views", w(1)), ("w_clicks", w(2)),
         ("final_loss", loss), ("accuracy", acc))
         .toDF("coef", "value")
@@ -318,6 +274,67 @@ object FeatureOps extends QueryGroup {
         .orderBy("c_custkey")
     })
   )
+
+  /** 25-step batch-GD logistic fit shared by the ml_logreg_gd key and
+    * GoldenSnapshotSpec's trajectory pin: returns the FULL
+    * per-iteration (iter, [bias, w_views, w_clicks], loss) trajectory
+    * plus the final train accuracy. The trainer can't be bitwise
+    * cross-engine (libm sigmoid/log), so the trajectory is
+    * golden-pinned instead (the BPE precedent): ANY drift in the
+    * standardization, the gradient rule, the clamping, or the step
+    * size fails the suite loudly, not silently. Distributed shape per
+    * iteration: one codegen'd projection + one 4-scalar aggregate —
+    * the shuffle carries four doubles per partition, never rows. */
+  def logregTrajectory(s: SparkSession, d: String)
+      : (Seq[(Int, Array[Double], Double)], Double) = {
+    val raw = Tables(s, d, "events").groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "view", 1))
+          .cast("double").as("v"),
+        count(when(col("event_type") === "click", 1))
+          .cast("double").as("c"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value"))), lit(0.0)).as("pv"))
+    val m = raw.agg(avg("v").as("mv"), stddev_samp(col("v")).as("sv"),
+      avg("c").as("mc"), stddev_samp(col("c")).as("sc"),
+      avg("pv").as("mp")).head()
+    val feats = raw.select(
+        ((col("v") - m.getDouble(0)) / m.getDouble(1)).as("x1"),
+        ((col("c") - m.getDouble(2)) / m.getDouble(3)).as("x2"),
+        when(col("pv") > m.getDouble(4), 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    val nRows = feats.count().toDouble
+    var w = Array(0.0, 0.0, 0.0) // bias, w1, w2
+    val traj = Seq.newBuilder[(Int, Array[Double], Double)]
+    val lr = 0.5
+    for (it <- 1 to 25) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      // the GRADIENT uses the raw sigmoid; the LOSS clamps it — at
+      // |z| ≳ 37 the double sigmoid saturates to exactly 0/1 and
+      // y·log(p) becomes 0·(−∞) = NaN for confidently-classified
+      // rows, poisoning the whole sum
+      val pc = greatest(least(p, lit(1.0 - 1e-12)), lit(1e-12))
+      val g = feats.select(p.as("p"), pc.as("pc"), col("y"),
+          col("x1"), col("x2"))
+        .agg(sum(col("p") - col("y")).as("g0"),
+          sum((col("p") - col("y")) * col("x1")).as("g1"),
+          sum((col("p") - col("y")) * col("x2")).as("g2"),
+          sum(-col("y") * log(col("pc"))
+            - (lit(1.0) - col("y")) * log(lit(1.0) - col("pc")))
+            .as("l"))
+        .head()
+      w = Array(w(0) - lr * g.getDouble(0) / nRows,
+        w(1) - lr * g.getDouble(1) / nRows,
+        w(2) - lr * g.getDouble(2) / nRows)
+      traj += ((it, w, g.getDouble(3) / nRows))
+    }
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+    val acc = feats
+      .agg(avg(when((z > 0) === (col("y") > 0.5), 1.0)
+        .otherwise(0.0)).as("a")).head().getDouble(0)
+    (traj.result(), acc)
+  }
 
   /** OLS fit of l_extendedprice ~ l_quantity + l_discount, shared
     * verbatim by engine and oracle (identical op order ⇒ identical

@@ -95,6 +95,32 @@ class GoldenSnapshotSpec extends SparkSpec {
       s"BPE merge table drifted from golden; got:\n$got")
   }
 
+  private val logregGoldenPath =
+    "src/test/resources/golden/ml_logreg_gd_trajectory.tsv"
+
+  test("ml_logreg_gd weight trajectory matches the committed golden file") {
+    // the 25-step GD can't be bitwise cross-engine (libm sigmoid/log),
+    // so the BPE precedent applies: the full per-iteration weight
+    // vector + loss is committed, and ANY drift in the trainer — the
+    // standardization constants, the gradient rule, the clamping, the
+    // step size, a lost iteration — fails loudly instead of silently
+    // shifting the final coefficients within the key's 4-decimal round.
+    val (traj, _) = graft.operators.FeatureOps.logregTrajectory(spark, sf)
+    assert(traj.size == 25, s"expected 25 iterations, got ${traj.size}")
+    val got = traj.map { case (it, w, loss) =>
+      f"$it%d\t${w(0)}%.4f\t${w(1)}%.4f\t${w(2)}%.4f\t$loss%.4f"
+    }.mkString("", "\n", "\n")
+    val p = Paths.get(logregGoldenPath)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, got)
+      fail(s"golden file created at $logregGoldenPath — commit it " +
+        "and re-run")
+    }
+    assert(got == Files.readString(p),
+      s"GD weight trajectory drifted from golden; got:\n$got")
+  }
+
   private val bpeEncodeGoldenPath =
     "src/test/resources/golden/text_bpe_encode.tsv"
 
