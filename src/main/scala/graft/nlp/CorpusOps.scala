@@ -140,6 +140,17 @@ object CorpusOps extends QueryGroup {
   /** Token-boundary-safe merge pattern for the pair (a, b). Lookaround
     * (not capture) so adjacent merge sites don't consume each other's
     * separator — `x y x y` must merge twice. */
+  /** Fixed declared merge table for `text_bpe_encode_fixed` — chosen
+    * adversarially over the corpus vocabulary: chains that share tokens
+    * (the→the_table vs a_the; big consumed by #8 before #10 wants it;
+    * order consumed by #8 before #9) and self-pairs (sort sort,
+    * data data) where greedy non-overlap matters. ORDER IS THE
+    * CONTRACT — both engines apply rank 1→10 sequentially. */
+  private[nlp] val fixedMerges: Seq[(String, String)] = Seq(
+    "a" -> "the", "the" -> "table", "sort" -> "query", "sort" -> "sort",
+    "table" -> "hash", "stream" -> "data", "data" -> "data",
+    "big" -> "order", "order" -> "column", "join" -> "big")
+
   private def bpePattern(a: String, b: String): String =
     "(?<=^| )" + java.util.regex.Pattern.quote(a) +
       " " + java.util.regex.Pattern.quote(b) + "(?= |$)"
@@ -652,6 +663,32 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // The ENCODE ALGORITHM oracled cross-engine (r14): text_bpe_encode
+    // itself can't be DuckDB-oracled — its merge table is a per-SF
+    // trained artifact, and the driver's oracle contract is one STATIC
+    // SQL string per key (the sf0.01 and sf0.1 merge tables provably
+    // differ, so no literal embedding works at both scales; see SURVEY
+    // §5.2). This key isolates the risky half — the greedy
+    // left-to-right lookaround-regex merge application — under a FIXED
+    // DECLARED merge table chosen adversarially (chained pairs sharing
+    // tokens, self-pairs a==b), so DuckDB can replay the exact greedy
+    // fold per merge (RE2 has no lookbehind; the oracle's
+    // string-accumulator list_reduce is semantics-identical: a merged
+    // a_b token can never re-match as bare `a`). Same one-projection
+    // zero-shuffle plan as text_bpe_encode; the trained-artifact key
+    // keeps its golden pin + plain-Scala replay.
+    "text_bpe_encode_fixed" -> ((s, d) => {
+      val encoded = fixedMerges.foldLeft(col("text")) {
+        case (c, (a, b)) => regexp_replace(c, bpePattern(a, b), a + "_" + b)
+      }
+      docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_raw"),
+          size(split(encoded, " ")).cast("long").as("n_bpe"))
+        .withColumn("ratio",
+          round(col("n_bpe").cast("double") / col("n_raw"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Per-doc unigram Shannon entropy (low entropy = repetitive/
     // templated text, a standard corpus-quality cut). Whole computation
     // is per-row array lambdas — array_distinct → per-token counts →
@@ -1124,7 +1161,32 @@ object CorpusOps extends QueryGroup {
     })
   )
 
+  /** The greedy left-to-right merge fold, RE2-free: per merge (a, b),
+    * fold the token list into a string accumulator — merge exactly when
+    * the accumulator's LAST TOKEN is bare `a` (string equality or a
+    * space boundary, so an earlier-merged `x_a` never false-matches)
+    * and the next token is `b`. A merged `a_b` can never re-match as
+    * `a` (it contains an underscore; corpus tokens don't), which is
+    * precisely the non-overlap rule the engine's lookaround regex
+    * implements — the two are semantics-identical by construction and
+    * the full-corpus hash compare re-proves it at every SF. */
+  private def oBpeEncodeFixed: String = {
+    val enc = fixedMerges.foldLeft("text") { case (prev, (a, b)) =>
+      s"LIST_REDUCE(STR_SPLIT($prev, ' '), (acc, x) -> " +
+        s"CASE WHEN x = '$b' AND (acc = '$a' OR ENDS_WITH(acc, ' $a')) " +
+        s"THEN acc || '_$b' ELSE acc || ' ' || x END)"
+    }
+    s"""SELECT doc_id, n_raw, n_bpe,
+       |  ROUND(n_bpe * 1.0 / n_raw, 4) AS ratio
+       |FROM (SELECT doc_id,
+       |    LEN(STR_SPLIT(text, ' ')) AS n_raw,
+       |    LEN(STR_SPLIT($enc, ' ')) AS n_bpe
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_encode_fixed" -> oBpeEncodeFixed,
     // groups chunk STRINGS where the engine groups chunk hashes — equal
     // output certifies the hash-space trade lost nothing on this corpus
     "text_boilerplate" ->
