@@ -285,6 +285,17 @@ object ScaleOps extends QueryGroup {
     // the oracle is join_asof's own unbounded formulation.
     "join_asof_binned" -> ((s, d) => asofBinned(s, d, binDays = 90)),
 
+    // the FORWARD direction of the same rewrite (join_asof_forward's
+    // 2.05× curve is the measured case for it): next-touch attribution
+    // with staleness bounded at the horizon. The fixture's forward
+    // gaps run to ~6 years (events sit mid-history, so the "next
+    // order" can be far out) — the 2200-day horizon covers them for
+    // the bitwise-equality law; a production next-touch query bounds
+    // the horizon to days and reaps the full equi-join win.
+    "join_asof_forward_binned" -> ((s, d) =>
+      asofBinned(s, d, binDays = 2200, horizonDays = 2200,
+        forward = true)),
+
     // Spatial RADIUS JOIN by grid binning — the geo analogue of the
     // binned interval join: find every point within R km of each query
     // site WITHOUT the all-pairs distance matrix. Both sides bin to a
@@ -428,32 +439,45 @@ object ScaleOps extends QueryGroup {
       .orderBy("event_id", "o_orderkey")
   }
 
-  /** Horizon-bounded backward as-of via bin-equi-join, at an arbitrary
-    * bin width. Any `binDays >= 1` with `horizonDays` covering the
-    * fixture's max backward gap produces results identical to the
-    * unbounded [[graft.operators.Relational]] `join_asof`;
-    * TimeSeriesSpec asserts the law across widths. */
+  /** Horizon-bounded as-of via bin-equi-join, at an arbitrary bin
+    * width, both directions. Any `binDays >= 1` with `horizonDays`
+    * covering the fixture's max gap in that direction produces results
+    * identical to the unbounded [[graft.operators.Relational]]
+    * `join_asof` / `join_asof_forward`; TimeSeriesSpec asserts the law
+    * across widths in both directions. */
   def asofBinned(s: SparkSession, d: String, binDays: Int,
-      horizonDays: Int = 90): org.apache.spark.sql.DataFrame = {
+      horizonDays: Int = 90, forward: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(s, d, "events")
       .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
       .withColumn("eday", unix_date(to_date(col("ts2"))))
       .withColumn("ebin", floor(col("eday") / binDays))
+    // backward: an order at day D serves events in [D, D + H];
+    // forward: events in [D - H, D] — replicate the order into exactly
+    // the bins its service range overlaps (events carry ONE bin key)
+    val (lo, hi) =
+      if (forward) (col("oday") - lit(horizonDays), col("oday"))
+      else (col("oday"), col("oday") + lit(horizonDays))
     val o = Tables(s, d, "orders")
       .withColumn("oday", unix_date(to_date(col("o_orderdate"))))
-      // an order at day D serves events in [D, D + H] — replicate it
-      // into exactly the bins that range overlaps
       .withColumn("obin", explode(sequence(
-        floor(col("oday") / binDays),
-        floor((col("oday") + lit(horizonDays)) / binDays))))
+        floor(lo / binDays), floor(hi / binDays))))
+    val range =
+      if (forward)
+        col("o_orderdate") >= col("ts2") &&
+          col("oday") <= col("eday") + lit(horizonDays)
+      else
+        col("o_orderdate") <= col("ts2") &&
+          col("oday") >= col("eday") - lit(horizonDays)
     val joined = e.join(o,
       col("user_id") === col("o_custkey")
-        && col("ebin") === col("obin")
-        && col("o_orderdate") <= col("ts2")
-        && col("oday") >= col("eday") - lit(horizonDays))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        && col("ebin") === col("obin") && range)
+    val w =
+      if (forward) Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      else Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
@@ -663,6 +687,18 @@ object ScaleOps extends QueryGroup {
         |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
         |  JOIN orders o ON e.user_id = o.o_custkey
         |   AND o.o_orderdate <= e.ts2)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // join_asof_forward's unbounded formulation — same contract as
+    // join_asof_binned's oracle (max forward gap 2135 days < horizon)
+    "join_asof_forward_binned" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        |  FROM (SELECT event_id, user_id,
+        |          CAST(ts AS TIMESTAMP) - INTERVAL 29 YEAR AS ts2 FROM events) e
+        |  JOIN orders o ON e.user_id = o.o_custkey
+        |   AND o.o_orderdate >= e.ts2)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // Deliberately the BRUTE-FORCE all-pairs formulation: the grid-
     // binned join must be result-identical to exhaustive search.

@@ -326,5 +326,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!plan2.contains("BroadcastNestedLoopJoin")
       && !plan2.contains("CartesianProduct"),
       s"binned as-of join fell back to a non-equi plan:\n$plan2")
+    // FORWARD direction: same law against join_asof_forward (the
+    // fixture's forward gaps run to ~6 years, so the covering horizon
+    // is 2200 days; the binning mechanics are direction-symmetric)
+    val fwdExpected = SparkEntry.queries("join_asof_forward")(spark, sf)
+      .collect().toSeq
+    assert(SparkEntry.queries("join_asof_forward_binned")(spark, sf)
+      .collect().toSeq == fwdExpected)
+    for (width <- Seq(400, 1100)) {
+      val got = operators.ScaleOps
+        .asofBinned(spark, sf, width, horizonDays = 2200, forward = true)
+        .collect().toSeq
+      assert(got == fwdExpected, s"forward bin width $width diverged")
+    }
   }
 }
