@@ -448,6 +448,52 @@ object DdlQueries extends QueryGroup {
         .toDF("stat", "value").orderBy("stat")
     }),
 
+    // PARTITION-level statistics survive the migration (r14, the
+    // second stats leg): partitions are first-class HMS objects with
+    // their own parameters — ANALYZE ... PARTITION(...) stats live on
+    // the partition, not the table, and a migration that drops them
+    // leaves partition-pruned plans costed blind even after
+    // meta_stats_transfer restored the table totals. The snapshot's
+    // partition rows now carry the same flat stats rendering; import
+    // rides them through the same bulk createPartitions call that
+    // restores the layout (no extra RPCs). The report reads ONLY the
+    // migrated catalog's per-partition rowCounts; the oracle recomputes
+    // the per-partition truth from the files.
+    "meta_stats_partition" -> ((s, d) => {
+      import s.implicits._
+      s.sql("DROP DATABASE IF EXISTS graft_stp CASCADE")
+      s.sql("CREATE DATABASE graft_stp")
+      val partDir = Tables.scratch(d, "lineitem_by_flag")
+      if (!Tables.scratchCurrent(d, "lineitem", partDir)) {
+        Tables(s, d, "lineitem").write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(partDir)
+        Tables.stampScratch(d, "lineitem", partDir)
+      }
+      s.sql(CatalogTransfer.externalPartitionedDdl(s,
+        "graft_stp.li_sp",
+        new java.io.File(partDir).getAbsolutePath, Seq("l_returnflag")))
+      s.catalog.recoverPartitions("graft_stp.li_sp")
+      for (f <- Seq("A", "N", "R"))
+        s.sql(s"ANALYZE TABLE graft_stp.li_sp " +
+          s"PARTITION (l_returnflag='$f') COMPUTE STATISTICS")
+      val dir = Tables.scratch(d, "meta_stats_part_snapshot")
+      CatalogTransfer.write(s,
+        CatalogTransfer.export(s, Seq("graft_stp"), withStats = true), dir)
+      s.sql("DROP DATABASE graft_stp CASCADE") // the "cluster destroyed"
+      CatalogTransfer.importInto(s, CatalogTransfer.read(s, dir))
+      val parts = s.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "li_sp", Some("graft_stp")))
+      parts.map(p => (
+          p.spec.getOrElse("l_returnflag",
+            sys.error(s"unexpected partition spec: ${p.spec}")),
+          p.stats.flatMap(_.rowCount)
+            .getOrElse(sys.error(
+              s"partition ${p.spec} lost its ANALYZE rowCount")).toLong))
+        .toDF("l_returnflag", "n_rows")
+        .orderBy("l_returnflag")
+    }),
+
     // Cross-namespace migration: the target cluster wants a DIFFERENT
     // database name and the data files moved — the remap transform
     // renames graft_mig → graft_mig_prod (including the view's
@@ -1878,6 +1924,11 @@ object DdlQueries extends QueryGroup {
         |SELECT * FROM li UNION ALL SELECT * FROM na
         |UNION ALL SELECT * FROM parts UNION ALL SELECT * FROM fixed
         |ORDER BY object, kind, col_name, data_type""".stripMargin,
+    // the migrated catalog's PER-PARTITION rowCounts must equal the
+    // per-partition truth from the files — the engine never rescans
+    "meta_stats_partition" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the migrated catalog's statistics must equal the truth computed
     // from the files — the engine side never scans the data, so any
     // loss in the withStats snapshot path breaks the compare
