@@ -105,6 +105,34 @@ object HiveRoundtrip {
     require(spark.table("hive_src.nation_text").count() == textBefore,
       "serde table rows changed through round-trip")
 
+    // ANALYZE-statistics leg (r14): in the reference deployment these
+    // live as HMS table parameters (numRows / spark.sql.statistics.*),
+    // so the stats-carrying snapshot must survive the REAL Hive
+    // metastore round trip too, not just the in-memory catalog
+    // (meta_stats_transfer). Second pass: ANALYZE the re-imported
+    // table, export withStats, destroy, import, compare the typed
+    // stats object bit-for-bit.
+    spark.sql("ANALYZE TABLE hive_src.nation_h COMPUTE STATISTICS " +
+      "FOR COLUMNS n_nationkey")
+    def statsOf() = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "nation_h", Some("hive_src"))).stats
+    val stBefore = statsOf()
+      .getOrElse(sys.error("ANALYZE left no stats in the HMS"))
+    require(stBefore.rowCount.isDefined && stBefore.colStats.nonEmpty,
+      s"unexpected pre-migration stats shape: $stBefore")
+    val snapDir2 = s"$scratch/snapshot_stats"
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("hive_src"), withStats = true),
+      snapDir2)
+    spark.sql("DROP DATABASE hive_src CASCADE")
+    CatalogTransfer.importInto(spark,
+      CatalogTransfer.read(spark, snapDir2))
+    val stAfter = statsOf()
+      .getOrElse(sys.error("statistics lost through the HMS round-trip"))
+    require(stAfter == stBefore,
+      s"HMS statistics drifted through migration: $stBefore -> $stAfter")
+
     outDir.foreach { o =>
       spark.table("hive_src.nation_h")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -112,6 +140,7 @@ object HiveRoundtrip {
         .coalesce(1).write.mode("overwrite").parquet(o)
     }
     println(s"HIVE_ROUNDTRIP_OK=$n")
+    println(s"HIVE_STATS_OK=${stAfter.rowCount.get}")
     spark.stop()
   }
 }
