@@ -74,6 +74,10 @@ object ScaleCurves {
     // sketch-build + candidate-verify (corpus-linear build, collision-
     // proportional verify)
     "join_asof_forward" -> "events",
+    // r14 session 2: the exact fixed-point Gram — generator-chain
+    // rewrite measured 3.7× over the HOF form; candidate volume is
+    // rows × d(d+1)/2, corpus-linear at fixed dimension
+    "embed_pca_gram" -> "embeddings",
     "join_asof_binned" -> "events",
     "agg_weighted_median" -> "lineitem",
     "meta_sync_apply" -> "supplier",
