@@ -81,7 +81,13 @@ object ScaleCurves {
     "join_asof_binned" -> "events",
     "agg_weighted_median" -> "lineitem",
     "meta_sync_apply" -> "supplier",
-    "dedup_bloom_prefilter" -> "documents")
+    "dedup_bloom_prefilter" -> "documents",
+    // r14 session 2: the stats-migration pair — each run pays a real
+    // ANALYZE scan (data-proportional by design: statistics ARE a
+    // data pass) plus a fixed catalog export/import; the curve
+    // attributes which term dominates at these SFs
+    "meta_stats_transfer" -> "orders",
+    "meta_stats_partition" -> "lineitem")
 
   private val RunsPerKey = 3
 

@@ -1429,6 +1429,21 @@ class CatalogSpec extends SparkSpec {
         ConnectEndpoint.query(port,
           "SELECT COUNT(*) AS n FROM graft_conn_local_tmp")
       }
+      // the DATAFRAME API travels too, not just SQL strings: a
+      // client-side .table/.groupBy/.agg chain compiles to a protobuf
+      // plan relayed over the same socket
+      val remote = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        val got = remote.table("graft_conn.nation_c")
+          .groupBy("n_regionkey")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .orderBy("n_regionkey")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        assert(got.map(_._2).sum == 25 && got.size == 5,
+          s"DataFrame-API wire aggregate wrong: $got")
+      } finally remote.close()
     }
   }
 
