@@ -89,6 +89,60 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id", "term")
     }),
 
+    // Okapi BM25 scoring (k1 = 1.2, b = 0.75) — the lexical-retrieval
+    // primitive the inventory was missing (TF-IDF weighs terms; BM25
+    // RANKS documents against queries, the scoring function behind
+    // every keyword search / hybrid-RAG retrieval stage). Plan is
+    // query-term-pruned end to end: postings are filtered to the
+    // query vocabulary BEFORE the tf groupBy (only matching-term rows
+    // ever shuffle — at 100 TB the corpus is scanned once and the
+    // exchange carries query-vocabulary postings, never the full
+    // (doc, term) matrix), document frequency is pruned the same way
+    // and broadcast, and the corpus stats (N, Σdl) are one scalar
+    // aggregate broadcast back (the nlp_tfidf pattern). Scores are
+    // emitted UNRANKED (every matching (query, doc) pair, rounded):
+    // ranking is a float top-k away, but near-equal scores could
+    // rank-flip cross-engine on the last ulp — the scored set is the
+    // deterministic contract, per the §5.2 determinism discipline.
+    // idf = ln(1 + (N − df + ½)/(df + ½)) (the Lucene form, always
+    // positive); ln noise is absorbed by round-4 (tfidf precedent).
+    "text_bm25_score" -> ((s, d) => {
+      import s.implicits._
+      val queryTerms = Seq(
+        (0, "table"), (0, "hash"), (0, "join"),
+        (1, "sort"), (1, "merge"), (1, "spark"),
+        (2, "stream"), (2, "data"), (2, "batch"))
+      val vocab = queryTerms.map(_._2).distinct
+      val q = queryTerms.toDF("query_id", "term")
+      val toks = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("term"))
+      val tf = toks.filter(col("term").isin(vocab: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = docs(s, d)
+        .select(explode(array_distinct(split(col("text"), " ")))
+          .as("term"))
+        .filter(col("term").isin(vocab: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val st = docs(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      val avgdl = col("sumdl").cast("double") / col("n")
+      val termScore =
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+      tf.join(broadcast(q), "term")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(st))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(termScore), 4).as("bm25"))
+        .orderBy("query_id", "doc_id")
+    }),
+
     "nlp_ngrams" -> ((s, d) => {
       val bi = docs(s, d)
         .withColumn("bigram", explode(bigramsRaw(col("text"))))
@@ -704,6 +758,34 @@ object TextOps extends QueryGroup {
         |FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term
         |      FROM documents WHERE doc_id % 5 = 0)
         |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    // BM25 replay: same formula with operand order mirrored textually;
+    // the ln and the ≤3-term double sum are absorbed by round-4
+    "text_bm25_score" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (0, 'table'), (0, 'hash'), (0, 'join'),
+        |    (1, 'sort'), (1, 'merge'), (1, 'spark'),
+        |    (2, 'stream'), (2, 'data'), (2, 'batch')),
+        |toks AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term
+        |         FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t
+        |               FROM documents)),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df
+        |          FROM (SELECT doc_id,
+        |                  UNNEST(LIST_DISTINCT(STR_SPLIT(text, ' ')))
+        |                    AS term
+        |                FROM documents)
+        |          GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n,
+        |         CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS sumdl
+        |       FROM documents)
+        |SELECT query_id, doc_id,
+        |  ROUND(SUM(LN(1.0 + (n - df + 0.5) / (df + 0.5))
+        |    * tf * 2.2 /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |      / (CAST(sumdl AS DOUBLE) / n)))), 4) AS bm25
+        |FROM tf JOIN q USING (term) JOIN dfreq USING (term), st
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "nlp_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf

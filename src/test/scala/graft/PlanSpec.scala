@@ -196,7 +196,10 @@ class PlanSpec extends SparkSpec {
       // geo_nearest_site broadcast-NLJs the 25-site facility list for
       // per-point argmin (the dispatch shape; grid-cell candidates
       // replace it at production site counts)
-      "geo_nearest_site")
+      "geo_nearest_site",
+      // text_bm25_score broadcast-crossjoins the 1-row (N, Σdl) corpus
+      // stats aggregate (the nlp_tfidf scalar-subquery pattern)
+      "text_bm25_score")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
