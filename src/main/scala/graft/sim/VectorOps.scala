@@ -298,6 +298,82 @@ object VectorOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // HYBRID RETRIEVAL FUSION (Reciprocal Rank Fusion, k = 60) — the
+    // op that makes the lexical and vector legs a SYSTEM: BM25 top-10
+    // (text_bm25_score's formula over each query doc's first-5
+    // distinct terms) fused with cosine top-10 (the sim_cosine_topk
+    // contract) as Σ 1/(60 + rank) per retrieved doc, the standard
+    // hybrid-search / RAG-retrieval combiner. Rank determinism is the
+    // whole design: the vector leg ranks on RAW cosine (bit-identical
+    // cross-engine — graft_cosine's fold order is textually pinned to
+    // the oracle's LIST_REDUCE), the lexical leg ranks on the
+    // ROUND-4 BM25 (the rounded score is the cross-engine-identical
+    // object; raw ln output is not), ties break by doc_id — so both
+    // engines derive the SAME integer ranks and RRF is exact
+    // arithmetic over them. Query set = ids present in BOTH fixtures
+    // (doc_id ≡ vec_id). Each leg keeps its scale shape: broadcast
+    // queries + one corpus scan (vector), query-term-pruned posting
+    // join (lexical); fusion is a full outer join on tiny top-k sets.
+    "sim_hybrid_rrf" -> ((s, d) => {
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val vec = pairs(s, d, 100)
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rn").as("vec_rank"))
+      val docsDf = Tables(s, d, "documents")
+      val qids = emb(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"))
+      val qt = docsDf.join(broadcast(qids), col("doc_id") === col("qid"))
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 5)))
+            .as("term"))
+      val toks = docsDf
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("term"))
+      val tf = toks.join(broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = docsDf
+        .select(explode(array_distinct(split(col("text"), " ")))
+          .as("term"))
+        .join(broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val st = docsDf
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      val avgdl = col("sumdl").cast("double") / col("n")
+      val termScore =
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = tf.join(broadcast(qt), "term")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(st))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(termScore), 4).as("bm25"))
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rn").as("lex_rank"))
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+          round(
+            when(col("lex_rank").isNotNull,
+              lit(1.0) / (lit(60) + col("lex_rank"))).otherwise(lit(0.0))
+            + when(col("vec_rank").isNotNull,
+              lit(1.0) / (lit(60) + col("vec_rank"))).otherwise(lit(0.0)),
+            6).as("rrf"))
+        .orderBy("query_id", "doc_id")
+    }),
+
     // Matryoshka-style PREFIX TRUNCATION (MRL serving): retrieval over
     // the first 16 of 64 dims — the 4× cheaper index every
     // MRL-trained embedding ships with. The measurement that decides
@@ -979,8 +1055,64 @@ object VectorOps extends QueryGroup {
        |    ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** RRF oracle: the two legs replayed exactly — raw-cosine ranks
+    * (bit-identical pinned folds) and round-4-BM25 ranks (the rounded
+    * score is the cross-engine object), fused with the identical
+    * left-to-right sum. */
+  private def oHybridRrf: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |vpairs AS (
+       |  SELECT qid, vec_id, ${oCos("qv", "v")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+       |vec AS (SELECT qid AS query_id, vec_id AS doc_id, rn AS vec_rank
+       |  FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rn FROM vpairs)
+       |  WHERE rn <= 10),
+       |qt AS (SELECT doc_id AS query_id,
+       |    UNNEST(LIST_DISTINCT(t[1:5])) AS term
+       |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
+       |  WHERE doc_id % 100 = 0
+       |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+       |toks AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term
+       |         FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t
+       |               FROM documents)),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+       |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, COUNT(*) AS df
+       |          FROM (SELECT doc_id,
+       |                  UNNEST(LIST_DISTINCT(STR_SPLIT(text, ' ')))
+       |                    AS term
+       |                FROM documents)
+       |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n,
+       |         CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS sumdl
+       |       FROM documents),
+       |lexscore AS (SELECT query_id, doc_id,
+       |    ROUND(SUM(LN(1.0 + (n - df + 0.5) / (df + 0.5))
+       |      * tf * 2.2 /
+       |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+       |        / (CAST(sumdl AS DOUBLE) / n)))), 4) AS bm25
+       |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term), st
+       |  WHERE doc_id <> query_id GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, rn AS lex_rank
+       |  FROM (SELECT query_id, doc_id,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY bm25 DESC, doc_id ASC) AS rn FROM lexscore)
+       |  WHERE rn <= 10)
+       |SELECT query_id, doc_id,
+       |  COALESCE(lex_rank, 0) AS lex_rank,
+       |  COALESCE(vec_rank, 0) AS vec_rank,
+       |  ROUND(COALESCE(1.0 / (60 + lex_rank), 0)
+       |    + COALESCE(1.0 / (60 + vec_rank), 0), 6) AS rrf
+       |FROM lex FULL JOIN vec USING (query_id, doc_id)
+       |ORDER BY query_id, doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> oracleTopK,
+    "sim_hybrid_rrf" -> oHybridRrf,
     // exact integer Gram: ×10⁴ fixed-point quantization, then every
     // product/sum is integer — SUM goes HUGEINT in DuckDB, cast back
     "embed_pca_gram" ->

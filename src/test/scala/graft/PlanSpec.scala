@@ -198,8 +198,10 @@ class PlanSpec extends SparkSpec {
       // replace it at production site counts)
       "geo_nearest_site",
       // text_bm25_score broadcast-crossjoins the 1-row (N, Σdl) corpus
-      // stats aggregate (the nlp_tfidf scalar-subquery pattern)
-      "text_bm25_score")
+      // stats aggregate (the nlp_tfidf scalar-subquery pattern);
+      // sim_hybrid_rrf inherits BOTH sanctioned shapes (the
+      // sim_cosine_topk broadcast-query scan and the bm25 stats scalar)
+      "text_bm25_score", "sim_hybrid_rrf")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
