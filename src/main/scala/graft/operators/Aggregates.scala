@@ -284,23 +284,32 @@ object Aggregates extends QueryGroup {
     // WEIGHTED median — the percentile family's weighted form (revenue-
     // weighted median quantity: "half the money sits at or below this
     // quantity"), which no built-in aggregate covers. Exact via the
-    // cumulative-weight window: weights are CENTS (bigint — prices
-    // carry 2 decimals, so the cumulative sum is exact integer
-    // arithmetic in any engine and any accumulation order; a double
-    // running sum here would be order-of-association noise), the
-    // boundary row is the first whose 2·cum ≥ total under a fully
-    // deterministic tie order. One hash exchange on the group key +
-    // per-partition sort — the window IS the shuffle.
+    // DOMAIN-BOUNDED rollup: weights are CENTS (bigint — prices carry
+    // 2 decimals, so every sum is exact integer arithmetic in any
+    // engine and any accumulation order), and `l_quantity` is a small
+    // discrete domain, so we first collapse the corpus through ONE
+    // partial-agg shuffle to a (flag, quantity) weight table — at most
+    // |flags|·|quantities| rows regardless of corpus size — and take
+    // the running-sum boundary (first quantity whose 2·cum ≥ total)
+    // over THAT tiny table. Equivalent to the row-level cumulative
+    // window (the threshold crossing lands inside the boundary
+    // quantity's run, so MIN(l_quantity) of the passing suffix is the
+    // same q*), but the whole-group sort now touches ~150 rows, never
+    // the corpus: a `PARTITION BY`-a-3-value-key window over 100 TB
+    // would be three giant sort partitions (the anomaly_zscore
+    // anti-pattern), while the partial agg combines map-side.
     "agg_weighted_median" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
+      val wq = Tables(s, d, "lineitem")
         .withColumn("wt",
           expr("cast(round(l_extendedprice * 100) AS bigint)"))
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(col("wt")).as("w"))
       val cumW = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val totW = Window.partitionBy(col("l_returnflag"))
-      li.withColumn("cum", sum(col("wt")).over(cumW))
-        .withColumn("tot", sum(col("wt")).over(totW))
+      wq.withColumn("cum", sum(col("w")).over(cumW))
+        .withColumn("tot", sum(col("w")).over(totW))
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy(col("l_returnflag"))
         .agg(min(col("l_quantity")).as("w_median_qty"),
