@@ -459,9 +459,10 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     *
     * Atomicity + conflict detection (the live-HMS DDL-serialization
     * contract, rendered on files):
-    *  1. The full next snapshot is written to `revs/<n+1>` FIRST —
-    *     nothing existing is touched (revisions are immutable, the
-    *     bootstrap top-level snapshot is never rewritten).
+    *  1. The full next snapshot is written to a writer-private
+    *     `revs/.stage-*` dir FIRST — nothing existing is touched
+    *     (revisions are immutable, the bootstrap top-level snapshot is
+    *     never rewritten).
     *  2. `HEAD` is then swapped by atomic rename (temp file +
     *     ATOMIC_MOVE), so a reader resolving through [[snap]] sees
     *     revision n or n+1 in full, never a torn mix.
@@ -470,10 +471,18 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     *     [[seenRev]] OCC token, not the instance's possibly-advanced
     *     `loadedRev`): a second writer that raced past us fails LOUDLY
     *     here instead of silently dropping the other writer's DDL.
-    *  4. The revision number itself is CLAIMED by an atomic
-    *     `createDirectory(revs/<n+1>)` — the one step two racing
-    *     writers cannot both win, across threads and across separate
-    *     attaches over the same directory. Together with the
+    *  4. The revision number itself is CLAIMED by one atomic rename of
+    *     the fully-written stage dir onto `revs/<n+1>` — the one step
+    *     two racing writers cannot both win, across threads and across
+    *     separate attaches over the same directory — so a claimed
+    *     revision is always complete content, never mid-write. A
+    *     crashed writer's unpublished claim is STOLEN (after
+    *     [[claimGraceMs]]) by another atomic rename to a contender-
+    *     unique tombstone, so of any number of contenders judging the
+    *     same orphan stale exactly one wins; and a `.writer` identity
+    *     token is re-checked immediately before the HEAD publish, so a
+    *     writer stalled past the grace window aborts rather than bless
+    *     a revision a thief re-claimed. Together with the
     *     instance-level monitor this makes N racing DDL statements
     *     yield exactly N revisions (CatalogSpec's two-writer race
     *     schedules real interleavings against this). The loser's next
@@ -500,41 +509,95 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           "and retry")
     val rev = base + 1
     val revDir = new java.io.File(s"$snapshotDir/revs/$rev")
-    // atomic revision CLAIM: exactly one writer — across threads AND
-    // across separate attaches/processes over the same directory — can
-    // create revs/<n+1>; the loser fails here loudly even if it raced
-    // past the head check above (createDirectory is atomic on POSIX,
-    // unlike check-then-write).
-    java.nio.file.Files.createDirectories(revDir.getParentFile.toPath)
-    try java.nio.file.Files.createDirectory(revDir.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // A claim left behind by a writer that DIED between claiming
-        // revs/<rev> and publishing HEAD would otherwise wedge the
-        // catalog forever: every later persist derives base = rev-1 and
-        // collides here, yet the promised retry can never succeed. A
-        // claim is reclaimable iff it was never published (on-disk HEAD
-        // still behind it) AND it is older than claimGraceMs — far above
-        // the claim→publish window (a KiB JSON write + atomic rename),
-        // so a LIVE concurrent writer mid-commit is never reclaimed; it
-        // still fails loudly below and its claim publishes or goes stale.
-        val stale = headRevOnDisk < rev && System.currentTimeMillis -
-          revDir.lastModified > claimGraceMs
-        if (!stale)
-          throw new java.util.ConcurrentModificationException(
-            s"catalog ${name()} revision $rev at $snapshotDir was claimed " +
-              "by a concurrent writer — re-read the catalog state and retry")
-        org.apache.commons.io.FileUtils.deleteDirectory(revDir)
-        try java.nio.file.Files.createDirectory(revDir.toPath)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw new java.util.ConcurrentModificationException(
-              s"catalog ${name()} stale revision claim $rev at " +
-                s"$snapshotDir was re-claimed by a concurrent writer — " +
-                "re-read the catalog state and retry")
-        }
+    val revsDir = java.nio.file.Paths.get(snapshotDir, "revs")
+    java.nio.file.Files.createDirectories(revsDir)
+    // Stage the COMPLETE snapshot (plus a writer-identity token) into a
+    // writer-private dir first, then CLAIM revs/<n+1> with one atomic
+    // rename: exactly one writer — across threads AND across separate
+    // attaches/processes over the same directory — wins the rename
+    // (POSIX rename is atomic, unlike check-then-write), and because
+    // claim == fully-written content there is no claimed-but-mid-write
+    // window for a reclaim to wipe.
+    val token = java.util.UUID.randomUUID.toString
+    val stage = revsDir.resolve(s".stage-$rev-$token")
+    CatalogTransfer.writeLocal(next, stage.toString)
+    java.nio.file.Files.write(stage.resolve(".writer"), token
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def claimTaken(): Boolean =
+      try { java.nio.file.Files.move(stage, revDir.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE); false }
+      catch {
+        // rename onto an existing non-empty dir surfaces as
+        // FileAlreadyExists / DirectoryNotEmpty / a provider-generic
+        // FileSystemException (ENOTEMPTY) — the guard pins the one
+        // meaning they share here: the revision is already claimed.
+        // Anything failing with NO dir at the target (permissions,
+        // disk) must surface, not read as "claimed".
+        case e: java.nio.file.FileSystemException =>
+          if (revDir.exists) true else throw e
+      }
+    def abandoned(msg: String): Nothing = {
+      org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile): Unit
+      throw new java.util.ConcurrentModificationException(msg)
     }
-    CatalogTransfer.writeLocal(next, revDir.getPath)
+    if (claimTaken()) {
+      // A claim left behind by a writer that DIED between claiming
+      // revs/<rev> and publishing HEAD would otherwise wedge the
+      // catalog forever: every later persist derives base = rev-1 and
+      // collides here, yet the promised retry can never succeed. A
+      // claim is reclaimable iff it was never published (on-disk HEAD
+      // still behind it) AND it is older than claimGraceMs — far above
+      // the claim→publish window (one atomic HEAD rename), so a LIVE
+      // concurrent writer mid-commit is never reclaimed; it still fails
+      // loudly below and its claim publishes or goes stale.
+      val stale = headRevOnDisk < rev && System.currentTimeMillis -
+        revDir.lastModified > claimGraceMs
+      if (!stale)
+        abandoned(
+          s"catalog ${name()} revision $rev at $snapshotDir was claimed " +
+            "by a concurrent writer — re-read the catalog state and retry")
+      // STEAL the stale claim with one atomic rename to a writer-unique
+      // tombstone: rename success IS the exclusive steal (of any number
+      // of contenders that judged the same orphan stale, exactly one
+      // move succeeds; losers see the path gone and back off). Never
+      // deleteDirectory the claim path in place — between a slower
+      // contender's staleness check and its delete, a faster one may
+      // already have claimed revs/<rev> with fresh content, and the
+      // in-place delete would tear it (the r14 TOCTOU).
+      val tomb = revsDir.resolve(s".tomb-$rev-$token")
+      try java.nio.file.Files.move(revDir.toPath, tomb,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.nio.file.FileSystemException =>
+          abandoned(
+            s"catalog ${name()} stale revision claim $rev at " +
+              s"$snapshotDir was re-claimed by a concurrent writer — " +
+              "re-read the catalog state and retry")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(tomb.toFile)
+      // our own claim, again atomically — a third writer may have
+      // claimed between our steal and this rename
+      if (claimTaken())
+        abandoned(
+          s"catalog ${name()} stale revision claim $rev at " +
+            s"$snapshotDir was re-claimed by a concurrent writer — " +
+            "re-read the catalog state and retry")
+    }
+    // Identity re-check before publish: if THIS writer stalled past
+    // claimGraceMs between claim and here (GC pause / slow FS), a
+    // contender may have stolen and re-claimed the revision. Publishing
+    // HEAD then would bless content that is not ours — verify the
+    // claim's writer token survived the stall and abort if not.
+    val owner = try new String(java.nio.file.Files.readAllBytes(
+        revDir.toPath.resolve(".writer")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+    if (owner != token)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog ${name()} revision $rev claim at $snapshotDir was " +
+          "stolen while this writer was stalled past the claim grace " +
+          "window — re-read the catalog state and retry")
     val headTmp = java.nio.file.Paths.get(snapshotDir, s".HEAD.tmp-$rev")
     java.nio.file.Files.write(headTmp, rev.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -569,6 +632,15 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(s"$snapshotDir/revs/$r"))
     }
+    // claim-protocol hygiene: a writer that died mid-stage or
+    // mid-steal leaves a `.stage-*`/`.tomb-*` dir behind; they are
+    // writer-private (no live writer ever touches another's), so any
+    // one older than the claim grace window is garbage by definition.
+    Option(revsDir.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(".stage-") ||
+        f.getName.startsWith(".tomb-"))
+      .filter(f => System.currentTimeMillis - f.lastModified > claimGraceMs)
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     (drop, keep)
   }
 

@@ -953,6 +953,7 @@ class CatalogSpec extends SparkSpec {
 
   test("writable V2 catalog: a crashed writer's unpublished claim is " +
       "reclaimed after the grace window; a live claim still conflicts") {
+    spark.catalog.currentDatabase: Unit // materialize the lazy session
     val dir = new java.io.File(Tables.scratch(sf, "v2_claim_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
     CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
@@ -985,6 +986,78 @@ class CatalogSpec extends SparkSpec {
       "orphaned partial snapshot survived the reclaim")
     assert(attachWritable("claim_r", dir.getPath)
       .namespaceExists(Array("db2")))
+  }
+
+  test("writable V2 catalog: N contenders racing to reclaim the SAME " +
+      "stale orphan — exactly one steal wins, no torn snapshot") {
+    // The r14 reclaim was delete-then-recreate: two instances that both
+    // judged the orphan stale could interleave so the slower delete
+    // wiped the faster writer's freshly reclaimed dir mid-write (torn
+    // snapshot). The r15 protocol steals by atomic rename to a
+    // contender-unique tombstone, so this race must always yield a
+    // coherent dense history. Separate catalog INSTANCES per thread —
+    // the cross-process shape, no shared monitor to hide behind.
+    spark.catalog.currentDatabase: Unit // materialize the lazy session
+    val dir = new java.io.File(Tables.scratch(sf, "v2_steal_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val noMeta = java.util.Collections.emptyMap[String, String]()
+    attachWritable("steal_w0", dir.getPath)
+      .createNamespace(Array("base"), noMeta) // rev 1
+    // the shared stale orphan: claimed rev 2, HEAD still 1, backdated
+    val orphan = new java.io.File(s"${dir.getPath}/revs/2")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "partial.json").toPath,
+      "{".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val grace = new graft.catalog.WritableSnapshotCatalog().claimGraceMs
+    assert(orphan.setLastModified(
+      System.currentTimeMillis - grace - 60000L))
+    val nThreads = 4
+    val session = spark
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until nThreads).map { t =>
+      val cat = attachWritable(s"steal_w${t + 1}", dir.getPath)
+      val th = new Thread(() => {
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        start.await()
+        try {
+          var done = false
+          while (!done) {
+            try { cat.createNamespace(Array(s"steal_$t"), noMeta); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException => ()
+            }
+          }
+        } catch { case e: Throwable => errors.add(e): Unit }
+      }, s"steal-contender-$t")
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "steal contender deadlocked")
+    assert(errors.isEmpty, s"contender died: ${Option(errors.peek())}")
+    // every contender landed: head = 1 + N, dense coherent history with
+    // each revision exactly one database richer (no torn/merged revs)
+    val head = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.toInt
+    assert(head == 1 + nThreads,
+      s"${1 + nThreads} statements produced head $head")
+    val sizes = (1 to head).map { r =>
+      CatalogTransfer.read(spark, s"${dir.getPath}/revs/$r")
+        .databases.length
+    }
+    assert(sizes == (1 to head),
+      s"history not dense-coherent: per-revision db counts $sizes")
+    assert(!new java.io.File(orphan, "partial.json").exists(),
+      "the stale orphan's partial snapshot survived the steal")
+    // protocol hygiene: winners delete their tombstone, losers their
+    // stage — nothing writer-private outlives the race
+    val leftovers = Option(new java.io.File(dir, "revs").list())
+      .toSeq.flatten.filter(n => n.startsWith(".stage-") ||
+        n.startsWith(".tomb-"))
+    assert(leftovers.isEmpty, s"claim-protocol litter: $leftovers")
   }
 
   test("CHECK constraint on a PARTITIONED table keeps partition " +
