@@ -37,31 +37,51 @@ object ConnectEndpoint {
 
   /** Start the Spark Connect gRPC service on a free port, run `f`
     * against it, then STOP the service (see the lifecycle note above —
-    * its non-daemon scheduler threads would otherwise pin the JVM). */
+    * its non-daemon scheduler threads would otherwise pin the JVM).
+    *
+    * Bind-race hardening (the probe-then-bind gap is real: freePort's
+    * socket closes before the service binds, and a foreign process can
+    * grab the port in the window): start is retried on up to 3 fresh
+    * ports — the SqlEndpoint discipline — and readiness is verified
+    * with a REAL Connect round-trip (client session + `SELECT 1` over
+    * gRPC), not a bare TCP connect that a foreign listener would also
+    * satisfy. The binding-port conf is restored after stop so the
+    * transient choice never leaks into later SparkConf readers. */
   def withServer[T](spark: SparkSession)(f: Int => T): T = synchronized {
     // the service reads its binding port from the live SparkConf at
     // start time; SparkEnv.get.conf is the PUBLIC handle to that
     // same mutable object (SparkContext.conf is private[spark]), and
     // this is a core conf, not a sealed SQL static — a plain set
     // suffices, no restart gymnastics
-    val port = freePort()
-    org.apache.spark.SparkEnv.get.conf
-      .set("spark.connect.grpc.binding.port", port.toString)
-    org.apache.spark.sql.connect.service.SparkConnectService
-      .start(spark.sparkContext)
-    try {
-      // wait for the listening socket (bind completes in start, but be
-      // symmetric with SqlEndpoint's defensive readiness probe)
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      var up = false
-      while (!up && System.nanoTime() < deadline) {
-        try { new java.net.Socket("localhost", port).close(); up = true }
-        catch { case _: java.io.IOException => Thread.sleep(100) }
-      }
-      require(up, s"connect endpoint did not come up on $port")
-      f(port)
-    } finally org.apache.spark.sql.connect.service.SparkConnectService
-      .stop(None, None)
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val prior = conf.getOption("spark.connect.grpc.binding.port")
+    def tryStart(port: Int): Boolean = {
+      conf.set("spark.connect.grpc.binding.port", port.toString)
+      try {
+        org.apache.spark.sql.connect.service.SparkConnectService
+          .start(spark.sparkContext)
+        // readiness = a genuine Connect query answers on this port;
+        // retry the ping while the service finishes coming up
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var up = false
+        while (!up && System.nanoTime() < deadline) {
+          try { up = query(port, "SELECT 1 AS ping")._2.head.head == "1" }
+          catch { case _: Exception => Thread.sleep(200) }
+        }
+        if (!up) org.apache.spark.sql.connect.service.SparkConnectService
+          .stop(None, None)
+        up
+      } catch { case _: Exception => false } // lost the port — next one
+    }
+    val port = Iterator.continually(freePort()).take(3).find(tryStart)
+      .getOrElse(sys.error("connect endpoint failed to bind (3 ports)"))
+    try f(port)
+    finally {
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None)
+      prior.fold { conf.remove("spark.connect.grpc.binding.port"): Unit } {
+        p => conf.set("spark.connect.grpc.binding.port", p): Unit }
+    }
   }
 
   /** Execute `sql` through a REAL Connect client session — gRPC

@@ -850,7 +850,15 @@ object VectorOps extends QueryGroup {
         .select(col("i"), (col("i") + col("jj")).as("j"),
           (col("qi") *
             round(col("vj").cast("double") * 10000).cast("long")).as("p"))
-        .groupBy("i", "j").agg(sum(col("p")).as("gram"))
+        // accumulate in DECIMAL(38,0), matching the oracle's HUGEINT
+        // accumulator: a LONG sum would wrap (or ANSI-throw) ~10^9 rows
+        // sooner than the 38-digit band, and the final BIGINT cast
+        // fails LOUDLY in both engines if a larger corpus ever pushes a
+        // Gram cell past 2^63 — an overflow must never surface as an
+        // opaque hash mismatch (the ml_linreg_normal precedent).
+        .groupBy("i", "j")
+        .agg(sum(col("p").cast("decimal(38,0)")).as("g"))
+        .select(col("i"), col("j"), col("g").cast("long").as("gram"))
         .orderBy("i", "j")
     }),
 

@@ -1520,6 +1520,63 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("connect endpoint serves TWO concurrent client sessions: " +
+      "temp-view isolation + live shared-catalog visibility") {
+    // the reference's interactive entry point (metastore-import.tf:196,
+    // Zeppelin against the shared HMS) means MANY notebooks against one
+    // service: each needs its own session state, all need one catalog.
+    // This drives two SIMULTANEOUSLY-open clients against a single
+    // service instance — not sequential lifecycles.
+    SparkEntry.queries("sql_connect_endpoint")(spark, sf).count()
+    ConnectEndpoint.withServer(spark) { port =>
+      def client() = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      val c1 = client(); val c2 = client()
+      try {
+        // SAME temp-view name, different content per session — the
+        // strongest isolation form: a shared/last-writer-wins session
+        // state would corrupt one of the two reads
+        c1.sql("CREATE OR REPLACE TEMPORARY VIEW conn_iso AS SELECT 42 AS x")
+        c2.sql("CREATE OR REPLACE TEMPORARY VIEW conn_iso AS SELECT 7 AS x")
+        assert(c1.sql("SELECT x FROM conn_iso").collect().head.getInt(0) == 42)
+        assert(c2.sql("SELECT x FROM conn_iso").collect().head.getInt(0) == 7)
+        // both sessions resolve the SHARED persistent catalog object —
+        // concurrently, from two threads, interleaved on one service
+        val errors =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val counts = new java.util.concurrent.atomic.AtomicLong(0)
+        val ths = Seq(c1, c2).zipWithIndex.map { case (c, i) =>
+          val t = new Thread(() => {
+            try {
+              for (_ <- 0 until 3)
+                counts.addAndGet(c.sql(
+                  "SELECT COUNT(*) AS n FROM graft_conn.nation_c")
+                  .collect().head.getLong(0)): Unit
+            } catch { case e: Throwable => errors.add(e): Unit }
+          }, s"conn-client-$i")
+          t.start(); t
+        }
+        ths.foreach(_.join(120000))
+        assert(ths.forall(!_.isAlive) && errors.isEmpty,
+          s"concurrent wire clients failed: ${Option(errors.peek())}")
+        assert(counts.get == 2 * 3 * 25,
+          s"interleaved shared-catalog reads wrong: ${counts.get}")
+        // one client's persistent DDL is visible to the other LIVE
+        // (shared externalCatalog), and a drop propagates back
+        c1.sql("DROP TABLE IF EXISTS graft_conn.conn_shared_t")
+        c1.sql("CREATE TABLE graft_conn.conn_shared_t USING parquet " +
+          "AS SELECT 99L AS k")
+        assert(c2.sql("SELECT k FROM graft_conn.conn_shared_t")
+          .collect().head.getLong(0) == 99L,
+          "client 2 cannot see client 1's persistent table")
+        c2.sql("DROP TABLE graft_conn.conn_shared_t")
+        intercept[Exception] {
+          c1.sql("SELECT k FROM graft_conn.conn_shared_t").collect()
+        }
+      } finally { c1.close(); c2.close() }
+    }
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = graft.catalog.DdlQueries.ddlScript(spark, sf)
       .orderBy("stmt_order").collect()
