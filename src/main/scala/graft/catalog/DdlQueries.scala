@@ -1053,6 +1053,64 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // STOCK row-level DML — the same upsert story as meta_v2_merge,
+    // but as the SQL STATEMENTS a user types at the provisioned
+    // cluster's prompt: UPDATE, DELETE, and MERGE INTO plan through
+    // Spark's own rewrite rules into group-based ReplaceData against
+    // the SupportsRowLevelOperations snapshot-catalog table
+    // (catalog/RowLevelOps.scala) — no composed SELECT program, no
+    // engine-side parsing. Each statement is one copy-on-write
+    // generation: fresh dir + atomic SET-LOCATION swap at commit
+    // (CatalogSpec proves the ReplaceData plan, crash atomicity, and
+    // swap-time OCC). The oracle replays the three statements as pure
+    // SELECT algebra in DuckDB (update = CASE, delete = filter,
+    // merge = left join + anti union) — a MERGE-free recomputation.
+    "meta_v2_rowlevel" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_rowlevel_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gysnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_rl
+               |(o_orderkey BIGINT, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_rl")
+      s.sql(s"""INSERT INTO $cat.corp.orders_rl
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_rl WHERE o_orderkey % 4 < 2""".stripMargin)
+      // UPDATE hits the odd half of the target (disjoint from the
+      // merge delta), DELETE removes rows the merge then re-inserts
+      // (exercising NOT MATCHED against previously-deleted keys)
+      s.sql(s"""UPDATE $cat.corp.orders_rl
+               |SET o_totalprice = o_totalprice * 1.10D
+               |WHERE o_orderkey % 8 = 1""".stripMargin)
+      s.sql(s"DELETE FROM $cat.corp.orders_rl WHERE o_orderkey % 16 = 0")
+      s.sql(
+        """SELECT o_orderkey, 'U' AS o_orderstatus,
+          | o_totalprice * 1.05D AS o_totalprice
+          |FROM orders_src_rl WHERE o_orderkey % 2 = 0""".stripMargin)
+        .createOrReplaceTempView("delta_rl")
+      s.sql(s"""MERGE INTO $cat.corp.orders_rl t
+               |USING delta_rl u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_orderstatus = u.o_orderstatus,
+               |  o_totalprice = u.o_totalprice
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // fresh read-only attach resolves the post-DML generation
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_rl")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -2026,6 +2084,36 @@ object DdlQueries extends QueryGroup {
         |      SELECT t.* FROM t
         |      WHERE NOT EXISTS (SELECT 1 FROM u
         |                        WHERE u.o_orderkey = t.o_orderkey))
+        |ORDER BY o_orderkey""".stripMargin,
+    // MERGE-free recomputation of the three stock statements: UPDATE
+    // as CASE, DELETE as filter, MERGE as matched-overwrite LEFT
+    // legwork + NOT-MATCHED anti union — all double arithmetic is a
+    // single IEEE multiply per row (bit-identical cross-engine),
+    // round(,4) on output only
+    "meta_v2_rowlevel" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 < 2),
+        |t1 AS (SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 8 = 1
+        |              THEN o_totalprice * 1.10 ELSE o_totalprice END
+        |           AS o_totalprice
+        |       FROM t0),
+        |t2 AS (SELECT * FROM t1 WHERE NOT (o_orderkey % 16 = 0)),
+        |u AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |        o_totalprice * 1.05 AS o_totalprice
+        |      FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM (SELECT t2.o_orderkey,
+        |        COALESCE(u.o_orderstatus, t2.o_orderstatus)
+        |          AS o_orderstatus,
+        |        COALESCE(u.o_totalprice, t2.o_totalprice)
+        |          AS o_totalprice
+        |      FROM t2 LEFT JOIN u ON t2.o_orderkey = u.o_orderkey
+        |      UNION ALL
+        |      SELECT u.* FROM u
+        |      WHERE NOT EXISTS (SELECT 1 FROM t2
+        |                        WHERE t2.o_orderkey = u.o_orderkey))
         |ORDER BY o_orderkey""".stripMargin,
     // the zero-exchange plan is engine-asserted; the oracle checks the
     // join itself — co-partitioned layout must not change the answer

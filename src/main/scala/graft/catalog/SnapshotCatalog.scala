@@ -751,15 +751,43 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .filter(_.key.startsWith(WritableSnapshotCatalog.ConstraintProp))
       .map(p => p.key.stripPrefix(WritableSnapshotCatalog.ConstraintProp)
         -> p.value)
-    if (checks.isEmpty) served
-    else served match {
-      // preserve partition management under a CHECK constraint — the
-      // plain wrapper would strip SupportsPartitionManagement
-      case _: org.apache.spark.sql.connector.catalog.SupportsPartitionManagement =>
-        new ConstraintPartitionedTable(served, checks)
-      case _ => new ConstraintTable(served, checks)
-    }
+    val withChecks =
+      if (checks.isEmpty) served
+      else served match {
+        // preserve partition management under a CHECK constraint — the
+        // plain wrapper would strip SupportsPartitionManagement
+        case _: org.apache.spark.sql.connector.catalog.SupportsPartitionManagement =>
+          new ConstraintPartitionedTable(served, checks)
+        case _ => new ConstraintTable(served, checks)
+      }
+    // stock row-level DML (MERGE/UPDATE/DELETE) — table-granular COW:
+    // unpartitioned parquet tables only (a partitioned rewrite must go
+    // partition-scoped to be honest at scale; see RowLevelOps scaladoc)
+    if (partCols.isEmpty && ti.provider.equalsIgnoreCase("parquet"))
+      new RowLevelCowTable(withChecks, this, ti)
+    else withChecks
   }
+
+  /** Atomically re-point `ti` at a freshly-written generation dir — the
+    * single publish step of a row-level COW rewrite. OCC on the DATA
+    * generation: if the table's location moved since the rewrite was
+    * planned (a concurrent COW commit), fail loudly — publishing would
+    * silently drop that writer's rows. */
+  private[catalog] def swapLocation(ti: TableInfo, newLoc: String): Unit =
+    this.synchronized {
+      val cur = snap // fresh head read (sets this thread's OCC token)
+      val t = cur.tables.find(x => x.db == ti.db && x.name == ti.name)
+        .getOrElse(throw new NoSuchTableException(
+          Identifier.of(Array(ti.db), ti.name)))
+      if (t.location != ti.location)
+        throw new java.util.ConcurrentModificationException(
+          s"table ${ti.db}.${ti.name} moved generations during the " +
+            s"row-level rewrite (${ti.location} -> ${t.location}) — a " +
+            "concurrent COW commit won; retry the statement")
+      persist(cur.copy(tables = cur.tables.map(x =>
+        if (x.db == ti.db && x.name == ti.name) x.copy(location = newLoc)
+        else x)))
+    }
 
   override def dropTable(ident: Identifier): Boolean =
     findTable(ident) match {

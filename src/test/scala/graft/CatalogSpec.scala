@@ -1577,6 +1577,84 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("stock row-level DML plans as ReplaceData and commits " +
+      "atomically (mid-rewrite crash leaves the table untouched)") {
+    spark.catalog.currentDatabase: Unit
+    val dir = new java.io.File(Tables.scratch(sf, "v2_rls_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "grlspec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.rl")
+    spark.sql(s"CREATE TABLE $cat.rl.t (k BIGINT, v DOUBLE, s STRING) " +
+      "USING parquet")
+    spark.sql(s"INSERT INTO $cat.rl.t SELECT id, id * 1.5D, " +
+      s"CASE WHEN id % 2 = 0 THEN 'E' ELSE 'O' END FROM range(100)")
+    // 1) the STOCK planner path: all three statements must rewrite to
+    // group-based ReplaceData — no Spark-side fallback, no custom parse
+    Seq(
+      s"UPDATE $cat.rl.t SET v = v + 1.0D WHERE k < 10",
+      s"DELETE FROM $cat.rl.t WHERE s = 'E'",
+      s"MERGE INTO $cat.rl.t t USING (SELECT 1L AS k) s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE").foreach { stmt =>
+      val plan = spark.sql(s"EXPLAIN EXTENDED $stmt").collect()
+        .head.getString(0)
+      assert(plan.contains("ReplaceData"),
+        s"statement did not plan as ReplaceData:\n$stmt\n$plan")
+    }
+    // 2) semantics end-to-end through real executions
+    spark.sql(s"UPDATE $cat.rl.t SET v = v * 2.0D WHERE k % 10 = 3")
+    spark.sql(s"DELETE FROM $cat.rl.t WHERE k >= 90")
+    spark.sql(s"MERGE INTO $cat.rl.t t USING (SELECT id AS k, " +
+      "id * 100.0D AS v, 'M' AS s FROM range(85, 95)) src " +
+      "ON t.k = src.k " +
+      "WHEN MATCHED THEN UPDATE SET v = src.v, s = src.s " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val got = spark.table(s"$cat.rl.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.length == 95, s"expected 95 rows, got ${got.length}")
+    assert(got(3) == ((3L, 9.0, "O")), s"UPDATE wrong: ${got(3)}")
+    assert(got(87) == ((87L, 8700.0, "M")), s"MERGE update wrong: ${got(87)}")
+    assert(got(92) == ((92L, 9200.0, "M")), s"MERGE insert wrong: ${got(92)}")
+    assert(!got.exists(r => r._1 >= 90 && r._3 != "M"), "DELETE leaked")
+    // 3) atomicity: a rewrite that crashes mid-job (ANSI error in the
+    // new-value expression) must leave content AND location untouched,
+    // with the half-written generation dir aborted away
+    def state() = {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "HEAD").toPath)).trim.toInt
+      val loc = CatalogTransfer.read(spark, s"${dir.getPath}/revs/$head")
+        .tables.find(t => t.db == "rl" && t.name == "t").get.location
+      (spark.table(s"$cat.rl.t").collect().map(_.toString).sorted.toSeq,
+        loc)
+    }
+    val before = state()
+    // superseded generations legitimately remain on disk (readers
+    // holding them stay consistent; vacuum is the cleaner) — the
+    // atomicity claim is that the CRASHED statement adds nothing
+    def genDirs() = Option(new java.io.File(before._2.stripPrefix("file:"))
+      .getParentFile.list()).toSeq.flatten.filter(_.contains("_rl")).sorted
+    val gensBefore = genDirs()
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.rl.t SET v = CAST(raise_error('boom') " +
+        "AS DOUBLE) WHERE k = 5")
+    }
+    assert(state() == before,
+      "mid-rewrite crash mutated the table or its location")
+    assert(genDirs() == gensBefore,
+      s"crashed rewrite leaked a generation dir: ${genDirs()
+        .diff(gensBefore)}")
+    // 4) concurrent-commit OCC: a second writer that swaps the
+    // generation between this statement's plan and its commit must
+    // surface loudly, not silently drop rows (simulated by moving the
+    // location out from under a planned-but-not-run rewrite is not
+    // schedulable single-threaded; the swap-time check is unit-proven
+    // via swapLocation's location equality in SnapshotCatalog)
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = graft.catalog.DdlQueries.ddlScript(spark, sf)
       .orderBy("stmt_order").collect()
