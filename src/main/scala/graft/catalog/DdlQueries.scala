@@ -494,6 +494,59 @@ object DdlQueries extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // EQUI-HEIGHT HISTOGRAMS survive the migration (r15, the third
+    // stats leg): with `spark.sql.statistics.histogram.enabled`,
+    // ANALYZE adds a per-column histogram to CatalogColumnStat — the
+    // one remaining ANALYZE artifact a migrated CBO could still lose
+    // (selectivity on skewed data comes from the histogram; min/max
+    // interpolation assumes uniformity). It rides the SAME wire form as
+    // the other column stats (CatalogColumnStat.toMap serializes the
+    // bins; fromMap rebuilds them), so export(withStats)/importInto
+    // carry it with zero new machinery — this key PROVES that by
+    // reading the bins ONLY from the migrated catalog. The oracle
+    // recomputes the equi-height truth from the raw files: l_quantity
+    // is a small discrete domain with ~n/50-row runs per value, and
+    // numBins is SEVEN, not eight, deliberately — no k/7 quantile lands
+    // on a 50-value run edge (closest approach 0.00286·n ≈ 29× the
+    // sketch's n/10⁴ rank error at every SF), so every endpoint is the
+    // exact quantile_disc value regardless of sketch merge order; an
+    // 8-bin histogram puts bin 4 EXACTLY on the 25|26 edge (50·4/8) and
+    // flips between runs. Per-bin NDV at ≤8 distinct values sits in the
+    // HLL++ exact range. CatalogSpec adds the plan-choice proof: the
+    // migrated histogram flips a skewed-filter join from sort-merge to
+    // broadcast.
+    "meta_stats_histogram" -> ((s, d) => {
+      import s.implicits._
+      s.sql("DROP DATABASE IF EXISTS graft_sth CASCADE")
+      s.sql("CREATE DATABASE graft_sth")
+      s.sql(s"""CREATE TABLE graft_sth.li_h
+               |USING parquet LOCATION '$d/lineitem.parquet'""".stripMargin)
+      graft.operators.ScaleOps.withConfs(s, Seq(
+        "spark.sql.statistics.histogram.enabled" -> "true",
+        "spark.sql.statistics.histogram.numBins" -> "7")) {
+        s.sql("ANALYZE TABLE graft_sth.li_h COMPUTE STATISTICS " +
+          "FOR COLUMNS l_quantity")
+      }
+      val dir = Tables.scratch(d, "meta_stats_hist_snapshot")
+      CatalogTransfer.write(s,
+        CatalogTransfer.export(s, Seq("graft_sth"), withStats = true), dir)
+      s.sql("DROP DATABASE graft_sth CASCADE") // the "cluster destroyed"
+      CatalogTransfer.importInto(s, CatalogTransfer.read(s, dir))
+      val cs = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "li_h", Some("graft_sth"))).stats
+        .getOrElse(sys.error("migrated table lost its ANALYZE statistics"))
+        .colStats.getOrElse("l_quantity",
+          sys.error("migrated table lost its l_quantity column statistics"))
+      val h = cs.histogram.getOrElse(
+        sys.error("migrated table lost its equi-height histogram"))
+      h.bins.toSeq.zipWithIndex.map { case (b, i) =>
+        (i, math.rint(b.lo * 10000) / 10000,
+          math.rint(b.hi * 10000) / 10000, b.ndv,
+          math.rint(h.height * 10000) / 10000)
+      }.toDF("bin", "lo", "hi", "ndv", "height").orderBy("bin")
+    }),
+
     // Cross-namespace migration: the target cluster wants a DIFFERENT
     // database name and the data files moved — the remap transform
     // renames graft_mig → graft_mig_prod (including the view's
@@ -1987,6 +2040,29 @@ object DdlQueries extends QueryGroup {
     "meta_stats_partition" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // equi-height truth recomputed from the files: endpoints are exact
+    // quantile_disc values (discrete domain, run length ≫ sketch rank
+    // error), first bin closed, later bins left-open — the engine's
+    // bin convention; height = rows/numBins by construction
+    "meta_stats_histogram" ->
+      """WITH s AS (SELECT l_quantity AS q FROM lineitem),
+        |qs AS (SELECT QUANTILE_DISC(q, [1.0/7, 2.0/7, 3.0/7, 4.0/7,
+        |                               5.0/7, 6.0/7]) AS ql,
+        |         MIN(q) AS mn, MAX(q) AS mx, COUNT(*) AS n FROM s),
+        |e AS (SELECT CAST(i AS INT) AS bin,
+        |        CASE WHEN i = 0 THEN (SELECT mn FROM qs)
+        |             ELSE (SELECT ql[CAST(i AS INT)] FROM qs) END AS lo,
+        |        CASE WHEN i = 6 THEN (SELECT mx FROM qs)
+        |             ELSE (SELECT ql[CAST(i + 1 AS INT)] FROM qs)
+        |        END AS hi
+        |      FROM UNNEST(GENERATE_SERIES(0, 6)) AS t(i))
+        |SELECT bin, ROUND(lo, 4) AS lo, ROUND(hi, 4) AS hi,
+        |  CAST((SELECT COUNT(DISTINCT q) FROM s
+        |        WHERE (CASE WHEN e.bin = 0 THEN q >= e.lo
+        |               ELSE q > e.lo END) AND q <= e.hi) AS BIGINT)
+        |    AS ndv,
+        |  ROUND((SELECT n FROM qs) / 7.0, 4) AS height
+        |FROM e ORDER BY bin""".stripMargin,
     // the migrated catalog's statistics must equal the truth computed
     // from the files — the engine side never scans the data, so any
     // loss in the withStats snapshot path breaks the compare

@@ -112,8 +112,14 @@ object HiveRoundtrip {
     // (meta_stats_transfer). Second pass: ANALYZE the re-imported
     // table, export withStats, destroy, import, compare the typed
     // stats object bit-for-bit.
+    // histogram on (r15): the equi-height histogram is the one ANALYZE
+    // artifact beyond min/max/NDV — it rides CatalogColumnStat.toMap's
+    // wire form as a serialized blob inside the same HMS parameters,
+    // and the bit-for-bit equality below now covers it
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
     spark.sql("ANALYZE TABLE hive_src.nation_h COMPUTE STATISTICS " +
       "FOR COLUMNS n_nationkey")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
     def statsOf() = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         "nation_h", Some("hive_src"))).stats
@@ -121,6 +127,9 @@ object HiveRoundtrip {
       .getOrElse(sys.error("ANALYZE left no stats in the HMS"))
     require(stBefore.rowCount.isDefined && stBefore.colStats.nonEmpty,
       s"unexpected pre-migration stats shape: $stBefore")
+    require(stBefore.colStats.get("n_nationkey")
+        .exists(_.histogram.isDefined),
+      "ANALYZE with histogram.enabled produced no equi-height histogram")
     val snapDir2 = s"$scratch/snapshot_stats"
     CatalogTransfer.write(spark,
       CatalogTransfer.export(spark, Seq("hive_src"), withStats = true),
@@ -141,6 +150,8 @@ object HiveRoundtrip {
     }
     println(s"HIVE_ROUNDTRIP_OK=$n")
     println(s"HIVE_STATS_OK=${stAfter.rowCount.get}")
+    println("HIVE_HIST_OK=" + stAfter.colStats("n_nationkey")
+      .histogram.map(_.bins.length).getOrElse(0))
     spark.stop()
   }
 }

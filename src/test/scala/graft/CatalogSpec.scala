@@ -1577,6 +1577,72 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("migrated equi-height histogram changes the CBO join choice " +
+      "on skewed data (min/max interpolation alone does not)") {
+    // the point of carrying histograms through the migration: on
+    // SKEWED data, uniform min/max interpolation estimates a range
+    // filter at ~100% selectivity, while the histogram sees that the
+    // tail bins hold a sliver — small enough to broadcast. The assert
+    // drives the SAME query twice: after a plain column ANALYZE
+    // (control: sort-merge join) and after a histogram ANALYZE carried
+    // through export→drop→import (broadcast join) — so the plan choice
+    // is made from MIGRATED bins, never the originals.
+    spark.sql("DROP DATABASE IF EXISTS graft_hskew CASCADE")
+    spark.sql("CREATE DATABASE graft_hskew")
+    val skewDir = new java.io.File(Tables.scratch(sf, "hskew_skew"))
+      .getAbsolutePath
+    val probeDir = new java.io.File(Tables.scratch(sf, "hskew_probe"))
+      .getAbsolutePath
+    // 95% zeros, 5% tail spread over 6..1005
+    spark.range(100000).selectExpr(
+      "CAST(CASE WHEN id % 20 = 0 THEN 6 + id % 1000 ELSE 0 END " +
+        "AS BIGINT) AS k")
+      .write.mode("overwrite").parquet(skewDir)
+    spark.range(200000).selectExpr("CAST(id % 1010 AS BIGINT) AS j",
+      "id AS payload").write.mode("overwrite").parquet(probeDir)
+    spark.sql("CREATE TABLE graft_hskew.skew (k BIGINT) USING parquet " +
+      s"LOCATION '$skewDir'")
+    spark.sql("CREATE TABLE graft_hskew.probe (j BIGINT, payload BIGINT) " +
+      s"USING parquet LOCATION '$probeDir'")
+    spark.sql("ANALYZE TABLE graft_hskew.probe COMPUTE STATISTICS " +
+      "FOR COLUMNS j")
+    def joinPlan(): String = graft.operators.ScaleOps.withConfs(spark, Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (512 * 1024).toString)) {
+      spark.sql("""SELECT p.payload FROM graft_hskew.probe p
+                  |JOIN (SELECT k FROM graft_hskew.skew WHERE k > 5) f
+                  |ON p.j = f.k""".stripMargin)
+        .queryExecution.sparkPlan.toString
+    }
+    spark.sql("ANALYZE TABLE graft_hskew.skew COMPUTE STATISTICS " +
+      "FOR COLUMNS k")
+    val control = joinPlan()
+    assert(!control.contains("BroadcastHashJoin"),
+      s"control (no histogram) already broadcasts — assertion vacuous:\n" +
+        control.take(2000))
+    // histogram ANALYZE, then the MIGRATION: export → destroy → import
+    graft.operators.ScaleOps.withConfs(spark, Seq(
+      "spark.sql.statistics.histogram.enabled" -> "true")) {
+      spark.sql("ANALYZE TABLE graft_hskew.skew COMPUTE STATISTICS " +
+        "FOR COLUMNS k")
+    }
+    val snapDir = Tables.scratch(sf, "hskew_snapshot")
+    CatalogTransfer.write(spark,
+      CatalogTransfer.export(spark, Seq("graft_hskew"), withStats = true),
+      snapDir)
+    spark.sql("DROP DATABASE graft_hskew CASCADE")
+    CatalogTransfer.importInto(spark, CatalogTransfer.read(spark, snapDir))
+    val hist = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "skew", Some("graft_hskew"))).stats.get.colStats("k").histogram
+    assert(hist.isDefined, "histogram did not survive the migration")
+    val withHist = joinPlan()
+    assert(withHist.contains("BroadcastHashJoin"),
+      s"migrated histogram did not flip the join to broadcast:\n" +
+        withHist.take(2000))
+  }
+
   test("stock row-level DML plans as ReplaceData and commits " +
       "atomically (mid-rewrite crash leaves the table untouched)") {
     spark.catalog.currentDatabase: Unit
