@@ -284,6 +284,70 @@ object VectorOps extends QueryGroup {
        |  SELECT qid, vec_id, label, ${oCos("qv", "v")} AS cos
        |  FROM e CROSS JOIN q WHERE vec_id <> qid)""".stripMargin
 
+  /** Lexical leg of the hybrid keys: BM25 top-10 per query doc
+    * (text_bm25_score's formula over each query doc's first-5 distinct
+    * terms), ranked on the ROUND-4 score with doc_id ties — the
+    * cross-engine-identical rank object. Query-vocab pruning happens
+    * BEFORE the tf groupBy (only matching-term rows shuffle), df and
+    * corpus stats are broadcast — the text_bm25_score scale shape. */
+  private def lexTop10(s: SparkSession, d: String): DataFrame = {
+    val docsDf = Tables(s, d, "documents")
+    val qids = emb(s, d).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"))
+    val qt = docsDf.join(broadcast(qids), col("doc_id") === col("qid"))
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 5)))
+          .as("term"))
+    val toks = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+    val tf = toks.join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = docsDf
+      .select(explode(array_distinct(split(col("text"), " ")))
+        .as("term"))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val st = docsDf
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val termScore =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))) *
+        col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(st))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(termScore), 4).as("bm25"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rn").as("lex_rank"))
+  }
+
+  /** Reciprocal Rank Fusion (k = 60) of the lexical and vector rank
+    * legs: full outer join on the tiny per-query top-k sets, exact
+    * integer-rank arithmetic. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        round(
+          when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(60) + col("lex_rank"))).otherwise(lit(0.0))
+          + when(col("vec_rank").isNotNull,
+            lit(1.0) / (lit(60) + col("vec_rank"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+      .orderBy("query_id", "doc_id")
+
   val queries: Map[String, Q] = Map(
 
     // brute-force cosine top-5 per query vector (baseline ANN).
@@ -314,6 +378,15 @@ object VectorOps extends QueryGroup {
     // (doc_id ≡ vec_id). Each leg keeps its scale shape: broadcast
     // queries + one corpus scan (vector), query-term-pruned posting
     // join (lexical); fusion is a full outer join on tiny top-k sets.
+    // DISCLOSED BOUNDARY RISK (the dedup_minhash FN-budget pattern):
+    // the lexical top-10 MEMBERSHIP hinges on the round-4 BM25 —
+    // libm's ln differs by ≤1 ulp across platforms, so a raw score
+    // sitting within ~1e-16 of a .00005 rounding boundary could round
+    // differently and flip rank-10/11 membership. The exposure is one
+    // doc per ~10⁸ random scores (none in either fixture, verified by
+    // the green hash at both SFs); eliminating it entirely would need
+    // a fixed-point ln, which the rank-determinism note above treats
+    // as out of scope for a float-scoring retrieval stack.
     "sim_hybrid_rrf" -> ((s, d) => {
       val wv = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -322,56 +395,47 @@ object VectorOps extends QueryGroup {
         .filter(col("rn") <= 10)
         .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
           col("rn").as("vec_rank"))
-      val docsDf = Tables(s, d, "documents")
-      val qids = emb(s, d).filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"))
-      val qt = docsDf.join(broadcast(qids), col("doc_id") === col("qid"))
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(slice(split(col("text"), " "), 1, 5)))
-            .as("term"))
-      val toks = docsDf
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), size(col("t")).as("dl"),
-          explode(col("t")).as("term"))
-      val tf = toks.join(broadcast(qt.select("term").distinct()), "term")
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = docsDf
-        .select(explode(array_distinct(split(col("text"), " ")))
-          .as("term"))
-        .join(broadcast(qt.select("term").distinct()), "term")
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val st = docsDf
-        .select(size(split(col("text"), " ")).cast("long").as("dl"))
-        .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-      val avgdl = col("sumdl").cast("double") / col("n")
-      val termScore =
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
-            / (col("df") + lit(0.5))) *
-          col("tf") * lit(2.2) /
-          (col("tf") + lit(1.2) *
-            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
-      val wl = Window.partitionBy(col("query_id"))
-        .orderBy(col("bm25").desc, col("doc_id").asc)
-      val lex = tf.join(broadcast(qt), "term")
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(st))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum(termScore), 4).as("bm25"))
-        .withColumn("rn", row_number().over(wl))
+      rrfFuse(lexTop10(s, d), vec)
+    }),
+
+    // The 100 TB form of the hybrid: SAME lexical leg and SAME fusion,
+    // but the vector leg serves from the IVF index (sim_ann_ivf's
+    // shipped quantizer + nprobe=4 candidate join) instead of the
+    // brute-force corpus×query cross — the candidate set a query
+    // touches is bounded by its probed cells, not the corpus. Fully
+    // oracled: the IVF oracle re-derives the centroids in SQL
+    // (oKmeans), so the candidate set — and therefore every rank RRF
+    // consumes — is recomputed from scratch cross-engine.
+    // AnnRecallSpec pins the fusion-level recall against the
+    // brute-force sim_hybrid_rrf.
+    "sim_hybrid_rrf_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = ivfCentroids(s, d)
+      val scored = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+      val cells = scored.groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cell"))
+      val corpus = e.select(col("vec_id"), col("v")).join(cells, "vec_id")
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val probes = scored.filter(col("vec_id") % 100 === 0)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val vec = corpus.join(probes, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(q, "qid")
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+        .withColumn("rn", row_number().over(wv))
         .filter(col("rn") <= 10)
-        .select(col("query_id"), col("doc_id"), col("rn").as("lex_rank"))
-      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-          coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
-          round(
-            when(col("lex_rank").isNotNull,
-              lit(1.0) / (lit(60) + col("lex_rank"))).otherwise(lit(0.0))
-            + when(col("vec_rank").isNotNull,
-              lit(1.0) / (lit(60) + col("vec_rank"))).otherwise(lit(0.0)),
-            6).as("rrf"))
-        .orderBy("query_id", "doc_id")
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rn").as("vec_rank"))
+      rrfFuse(lexTop10(s, d), vec)
     }),
 
     // Matryoshka-style PREFIX TRUNCATION (MRL serving): retrieval over
@@ -1067,19 +1131,10 @@ object VectorOps extends QueryGroup {
     * (bit-identical pinned folds) and round-4-BM25 ranks (the rounded
     * score is the cross-engine object), fused with the identical
     * left-to-right sum. */
-  private def oHybridRrf: String =
-    s"""WITH e AS (SELECT vec_id,
-       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
-       |vpairs AS (
-       |  SELECT qid, vec_id, ${oCos("qv", "v")} AS cos
-       |  FROM e CROSS JOIN q WHERE vec_id <> qid),
-       |vec AS (SELECT qid AS query_id, vec_id AS doc_id, rn AS vec_rank
-       |  FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
-       |          ORDER BY cos DESC, vec_id ASC) AS rn FROM vpairs)
-       |  WHERE rn <= 10),
-       |qt AS (SELECT doc_id AS query_id,
+  /** Lexical-leg CTEs shared by both hybrid oracles (expects `e` to be
+    * defined; defines qt → toks → tf → dfreq → st → lexscore → lex). */
+  private def oLexCtes: String =
+    s"""qt AS (SELECT doc_id AS query_id,
        |    UNNEST(LIST_DISTINCT(t[1:5])) AS term
        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
        |  WHERE doc_id % 100 = 0
@@ -1109,18 +1164,68 @@ object VectorOps extends QueryGroup {
        |  FROM (SELECT query_id, doc_id,
        |          ROW_NUMBER() OVER (PARTITION BY query_id
        |            ORDER BY bm25 DESC, doc_id ASC) AS rn FROM lexscore)
-       |  WHERE rn <= 10)
-       |SELECT query_id, doc_id,
-       |  COALESCE(lex_rank, 0) AS lex_rank,
-       |  COALESCE(vec_rank, 0) AS vec_rank,
-       |  ROUND(COALESCE(1.0 / (60 + lex_rank), 0)
-       |    + COALESCE(1.0 / (60 + vec_rank), 0), 6) AS rrf
-       |FROM lex FULL JOIN vec USING (query_id, doc_id)
-       |ORDER BY query_id, doc_id""".stripMargin
+       |  WHERE rn <= 10)""".stripMargin
+
+  /** RRF fusion select shared by both hybrid oracles (expects `lex`
+    * and `vec`). */
+  private def oRrfSelect: String =
+    """SELECT query_id, doc_id,
+      |  COALESCE(lex_rank, 0) AS lex_rank,
+      |  COALESCE(vec_rank, 0) AS vec_rank,
+      |  ROUND(COALESCE(1.0 / (60 + lex_rank), 0)
+      |    + COALESCE(1.0 / (60 + vec_rank), 0), 6) AS rrf
+      |FROM lex FULL JOIN vec USING (query_id, doc_id)
+      |ORDER BY query_id, doc_id""".stripMargin
+
+  private def oHybridRrf: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |vpairs AS (
+       |  SELECT qid, vec_id, ${oCos("qv", "v")} AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+       |vec AS (SELECT qid AS query_id, vec_id AS doc_id, rn AS vec_rank
+       |  FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rn FROM vpairs)
+       |  WHERE rn <= 10),
+       |$oLexCtes
+       |$oRrfSelect""".stripMargin
+
+  /** [[oHybridRrf]] with the vector leg replaced by the IVF serve:
+    * centroids re-derived via [[oKmeans]], nprobe=4 candidate join,
+    * rank over the candidate set only. */
+  private def oHybridRrfAnn: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$oKmeans,
+       |scored AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+       |  FROM e CROSS JOIN cent2 c),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored
+       |  WHERE vec_id % 100 = 0) WHERE rn <= 4),
+       |cand AS (SELECT p.qid, s.vec_id
+       |  FROM probes p JOIN cells s ON s.cell = p.cell
+       |  WHERE s.vec_id <> p.qid),
+       |vpairs AS (SELECT c.qid, c.vec_id, ${oCos("qe.v", "ce.v")} AS cos
+       |  FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
+       |              JOIN e qe ON qe.vec_id = c.qid),
+       |vec AS (SELECT qid AS query_id, vec_id AS doc_id, rn AS vec_rank
+       |  FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rn FROM vpairs)
+       |  WHERE rn <= 10),
+       |$oLexCtes
+       |$oRrfSelect""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> oracleTopK,
     "sim_hybrid_rrf" -> oHybridRrf,
+    "sim_hybrid_rrf_ann" -> oHybridRrfAnn,
     // exact integer Gram: ×10⁴ fixed-point quantization, then every
     // product/sum is integer — SUM goes HUGEINT in DuckDB, cast back
     "embed_pca_gram" ->

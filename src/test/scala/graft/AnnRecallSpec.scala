@@ -45,6 +45,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact >= 3, s"trained IVF recall@1 $exact/${truth.size} < 3/5")
   }
 
+  test("hybrid RRF on the IVF leg keeps most of the brute-force " +
+      "fusion's top answers") {
+    // fusion-level recall law: for each query, the RRF-top-5 doc set
+    // of sim_hybrid_rrf_ann (IVF vector leg) vs sim_hybrid_rrf (brute
+    // force). The lexical leg is IDENTICAL by construction, so any
+    // loss comes from IVF candidates missing brute-force vector hits;
+    // nprobe=4 over trained cells keeps the overlap high.
+    def top5(key: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(key)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("rrf")))
+        .groupBy(_._1)
+        .map { case (q, rows) =>
+          q -> rows.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toSet
+        }
+    val bf = top5("sim_hybrid_rrf")
+    val ann = top5("sim_hybrid_rrf_ann")
+    assert(bf.keySet == ann.keySet,
+      s"query sets differ: ${bf.keySet} vs ${ann.keySet}")
+    val recalls = bf.map { case (q, docs) =>
+      ann(q).intersect(docs).size.toDouble / docs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6,
+      s"fusion recall@5 vs brute-force RRF fell to $mean " +
+        s"(per-query: ${recalls.toSeq.sorted.mkString(", ")})")
+  }
+
   test("IVF+PQ ANN answers every query near the true neighbor's cosine") {
     // the chosen neighbor is picked by 8-byte ADC scores, then exactly
     // rescored — quality sits between raw PQ and IVF-flat
