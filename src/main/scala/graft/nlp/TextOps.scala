@@ -319,6 +319,109 @@ object TextOps extends QueryGroup {
     "dedup_minhash" -> ((s, d) =>
       minhashPairs(shingled(docs(s, d)))),
 
+    // INCREMENTAL MinHash — the crawl reality: yesterday's corpus is
+    // already signed; today's batch must find its near-dups against
+    // that PERSISTED band index and within itself WITHOUT re-signing
+    // the corpus. The index is dedup_incremental's discipline applied
+    // to dedup_minhash's banding: (doc_id, band, band_hash) rows over
+    // the history's distinct-text REPRESENTATIVES plus the (doc, rep)
+    // group map, built once per fixture and read back from disk (at
+    // 100 TB: 16 fixed-width rows per distinct doc, appended per
+    // crawl). Per batch the work is: shingle+sign the BATCH only, one
+    // bucket join against the index (cross candidates) + one batch
+    // self-bucket-join (in-batch candidates), exact-Jaccard verify of
+    // the collision-proportional candidate set — history shingles are
+    // re-read ONLY for candidate representatives (semi-join pruned),
+    // never the corpus. Identical-text copies collapse to reps on both
+    // sides; verified rep pairs expand back through the group maps and
+    // within-batch-group pairs emit at Jaccard 1.0 — the minhashPairs
+    // contract. Oracled by the agg_incremental_merge proof shape:
+    // output == the full-corpus exhaustive ground truth restricted to
+    // pairs touching the batch (doc_b >= 300; pure-history pairs were
+    // yesterday's answer), with the same (1−J⁴)¹⁶ FN budget the main
+    // key discloses.
+    "dedup_minhash_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      val hist = shingled(all.filter(col("doc_id") < 300))
+      val bandDir = Tables.scratch(d, "mh_inc_bands")
+      val grpDir = Tables.scratch(d, "mh_inc_groups")
+      if (!Tables.scratchCurrent(d, "documents", bandDir)) {
+        val hg = dupGroups(hist)
+        hg.write.mode("overwrite").parquet(grpDir)
+        bandsOf(hist.join(hg.filter(col("doc_id") === col("rep"))
+          .select("doc_id"), "doc_id"))
+          .write.mode("overwrite").parquet(bandDir)
+        Tables.stampScratch(d, "documents", bandDir)
+      }
+      val hBands = s.read.parquet(bandDir)
+      val hGroups = s.read.parquet(grpDir)
+      val batch = shingled(all.filter(col("doc_id") >= 300))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bGroups = dupGroups(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bBands = bandsOf(batch.join(
+        bGroups.filter(col("doc_id") === col("rep")).select("doc_id"),
+        "doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cross = bBands.as("b").join(hBands.as("h"),
+          Seq("band", "band_hash"))
+        .select(col("h.doc_id").as("ra"), col("b.doc_id").as("rb"))
+        .distinct()
+      val inb = bBands.as("x").join(bBands.as("y"),
+          Seq("band", "band_hash"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
+        .distinct()
+      val bSh = batch.select(col("doc_id"), col("sh"))
+      // history shingles: recomputed ONLY for candidate reps (the
+      // semi-join prunes before the shingle lambda runs on stored text)
+      val hShCand = hist
+        .join(cross.select(col("ra").as("doc_id")).distinct(), "doc_id")
+        .select(col("doc_id").as("ra"), col("sh").as("sha"))
+      def verified(pairs: DataFrame, shA: DataFrame): DataFrame =
+        pairs
+          .join(shA, "ra")
+          .join(bSh.select(col("doc_id").as("rb"), col("sh").as("shb")),
+            "rb")
+          .withColumn("inter",
+            size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jaccard", round(col("inter") /
+            (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("ra"), col("rb"), col("jaccard"))
+      val vCross = verified(cross, hShCand)
+      val vInb = verified(inb,
+        bSh.select(col("doc_id").as("ra"), col("sh").as("sha")))
+      // expansion: identical text ⇒ the member pair's Jaccard IS the
+      // representative pair's — no shingles touched again
+      val crossPairs = vCross
+        .join(hGroups.select(col("rep").as("ra"), col("doc_id").as("ma")),
+          "ra")
+        .join(bGroups.select(col("rep").as("rb"), col("doc_id").as("mb")),
+          "rb")
+        .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+          col("jaccard"))
+      val inbPairs = vInb
+        .join(bGroups.select(col("rep").as("ra"), col("doc_id").as("ma")),
+          "ra")
+        .join(bGroups.select(col("rep").as("rb"), col("doc_id").as("mb")),
+          "rb")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+      val withinGroup = bGroups.as("p").join(bGroups.as("q"),
+          col("p.rep") === col("q.rep") &&
+            col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      val out = crossPairs.union(inbPairs).union(withinGroup)
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint()
+      batch.unpersist(blocking = false)
+      bGroups.unpersist(blocking = false)
+      bBands.unpersist(blocking = false)
+      out
+    }),
+
     // exact n-gram Jaccard dedup via the scalable inverted-index plan:
     // |A∩B| falls directly out of the posting-list self-join as a
     // groupBy count — no set arrays ever shuffle, so the heavy exchange
@@ -576,9 +679,16 @@ object TextOps extends QueryGroup {
     * hash, doc_id), never the shingle arrays. (Measured: a shuffle-free
     * per-row transform/array_min formulation is 2× slower — interpreted
     * higher-order lambdas lose to codegen'd min-aggs.) */
-  private def bandsFrom(sub: DataFrame, members: DataFrame): DataFrame = {
-    val reps = sub.join(
-      members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+  private def bandsFrom(sub: DataFrame, members: DataFrame): DataFrame =
+    bandsOf(sub.join(
+      members.filter(col("doc_id") === col("rep")).select("doc_id"),
+      "doc_id"))
+
+  /** Pure plan: (doc_id, band, band_hash) LSH banding for EVERY row of
+    * `reps` ((doc_id, ..., sh) rows) — the per-doc core of
+    * [[bandsFrom]], also consumed directly by the incremental index
+    * build (which bands each side's representatives itself). */
+  private[nlp] def bandsOf(reps: DataFrame): DataFrame = {
     // Carter-Wegman permutation family: ONE string hash reduced mod a
     // 31-bit prime, 64 affine transforms (a_p·h + b_p) mod P with
     // fixed per-permutation constants. a_p·h reaches (P−1)² ≈ 2⁶² —
@@ -914,6 +1024,31 @@ object TextOps extends QueryGroup {
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
         |           JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental-correctness law AS the oracle: the batch-vs-index
+    // result must equal the full-corpus exhaustive ground truth
+    // restricted to pairs touching the batch (doc_b >= 300 — with
+    // doc_a < doc_b, any pair whose larger id is history-side is a
+    // pure-history pair, yesterday's answer)
+    "dedup_minhash_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
+        |  WHERE LEN(t) > 2),
+        |posts AS (SELECT doc_id, UNNEST(sh) AS g FROM d),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, LEN(sh) AS n FROM d)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |           JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |  AND doc_b >= 300
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH d AS (
