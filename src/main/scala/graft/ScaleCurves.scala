@@ -87,7 +87,21 @@ object ScaleCurves {
     // data pass) plus a fixed catalog export/import; the curve
     // attributes which term dominates at these SFs
     "meta_stats_transfer" -> "orders",
-    "meta_stats_partition" -> "lineitem")
+    "meta_stats_partition" -> "lineitem",
+    // r15: the retrieval stack the r14 verdict asked to curve — BM25's
+    // pruning claim ("only matching-term rows shuffle") gets its
+    // measured line; the hybrid pair separates brute-force vs IVF
+    // vector-leg growth against the SAME lexical leg; dedup_semantic's
+    // Σ|cell|² claim gets its line. Plus the r15 newcomers: the
+    // incremental-minhash batch cost and the COW statement rewrite
+    // (data-proportional BY DESIGN — it rewrites the table).
+    "text_bm25_score" -> "documents",
+    "sim_hybrid_rrf" -> "documents",
+    "sim_hybrid_rrf_ann" -> "documents",
+    "dedup_semantic" -> "embeddings",
+    "dedup_minhash_incremental" -> "documents",
+    "meta_v2_rowlevel" -> "orders",
+    "meta_stats_histogram" -> "lineitem")
 
   private val RunsPerKey = 3
 

@@ -81,8 +81,17 @@ private[catalog] class RowLevelCowTable(inner: Table,
     inner.columns()
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def properties(): util.Map[String, String] = inner.properties()
-  override def capabilities(): util.Set[TableCapability] =
-    inner.capabilities()
+  // the wrapper hides the inner FileTable from FallBackFileSourceV2
+  // (the rule that used to route INSERT OVERWRITE through the V1
+  // command), so TRUNCATE must be a first-class V2 capability here —
+  // served below as a COW generation swap, strictly safer than the V1
+  // delete-in-place it replaces
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.noneOf(classOf[TableCapability])
+    caps.addAll(inner.capabilities())
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     inner.constraints()
@@ -102,7 +111,15 @@ private[catalog] class RowLevelCowTable(inner: Table,
     inner.asInstanceOf[SupportsRead].newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write =
+        if (doTruncate)
+          CowWrites.swapWrite(cat, ti, inner.schema(), info)
+        else inner.asInstanceOf[SupportsWrite].newWriteBuilder(info).build()
+    }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -112,14 +129,60 @@ private[catalog] class RowLevelCowTable(inner: Table,
 /** One `UPDATE`/`DELETE`/`MERGE` rewrite: scan the current generation
   * (serving `_gen`), write the replacement rows Spark computes into a
   * fresh generation dir, atomically re-point the table at commit. */
+/** Shared COW write machinery: land rows in a fresh generation dir via
+  * Spark's own V2 parquet write, publish with the catalog's atomic
+  * location swap at commit, remove the dir on abort. Used by both the
+  * row-level operations and the wrapper's TRUNCATE (INSERT OVERWRITE)
+  * path. */
+private[catalog] object CowWrites {
+  def swapWrite(cat: WritableSnapshotCatalog, ti: TableInfo,
+      schema: StructType, wInfo: LogicalWriteInfo): Write = {
+    val spark = SparkSession.active
+    // fresh-generation sibling of the current location; the random
+    // suffix keeps racing statements (and aborted attempts) disjoint
+    val newLoc = ti.location.stripSuffix("/") +
+      s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+    val target = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetTable(s"${ti.db}.${ti.name}_cow", spark,
+        CaseInsensitiveStringMap.empty(), Seq(newLoc), Some(schema),
+        classOf[org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat])
+    new SwapOnCommitWrite(cat, ti, newLoc,
+      target.newWriteBuilder(wInfo).build())
+  }
+}
+
+/** Wraps the fresh-generation file write; commit additionally
+  * publishes the generation through the catalog's atomic location
+  * swap, abort removes the half-written dir. */
+private[catalog] class SwapOnCommitWrite(cat: WritableSnapshotCatalog,
+    ti: TableInfo, newLoc: String, d: Write) extends Write {
+  override def description(): String =
+    s"graft-cow-swap ${ti.db}.${ti.name} -> $newLoc"
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val db = d.toBatch
+    override def createBatchWriterFactory(
+        pInfo: PhysicalWriteInfo): DataWriterFactory =
+      db.createBatchWriterFactory(pInfo)
+    override def useCommitCoordinator(): Boolean =
+      db.useCommitCoordinator()
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      db.onDataWriterCommit(message)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      db.commit(messages) // files final under newLoc, nothing published
+      cat.swapLocation(ti, newLoc) // the ONLY publish point (atomic)
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      db.abort(messages)
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(newLoc)): Unit
+    }
+  }
+}
+
 private[catalog] class GroupCowRowLevelOperation(inner: Table,
     cat: WritableSnapshotCatalog, ti: TableInfo,
     info: RowLevelOperationInfo) extends RowLevelOperation {
-
-  // fresh-generation sibling of the current location; the random
-  // suffix keeps racing statements (and aborted attempts) disjoint
-  private val newLoc: String = ti.location.stripSuffix("/") +
-    s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
 
   override def command(): RowLevelOperation.Command = info.command
 
@@ -141,50 +204,14 @@ private[catalog] class GroupCowRowLevelOperation(inner: Table,
     new GenScanBuilder(
       inner.asInstanceOf[SupportsRead].newScanBuilder(options), ti.location)
 
-  override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder = {
-    val spark = SparkSession.active
-    // plain (unpartitioned, parquet) generation table at the fresh dir;
-    // the delegate write lands files there through Spark's own V2
-    // parquet write path — distributed, committed via the stock file
-    // commit protocol, never driver-materialized
-    val target = org.apache.spark.sql.execution.datasources.v2.parquet
-      .ParquetTable(s"${ti.db}.${ti.name}_cow", spark,
-        CaseInsensitiveStringMap.empty(), Seq(newLoc),
-        Some(inner.schema()),
-        classOf[org.apache.spark.sql.execution.datasources
-          .parquet.ParquetFileFormat])
-    val delegate = target.newWriteBuilder(wInfo)
+  // the replacement rows land through Spark's own V2 parquet write
+  // path into the fresh generation dir — distributed, committed via
+  // the stock file commit protocol, never driver-materialized
+  override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new SwapOnCommitWrite(delegate.build())
+      override def build(): Write =
+        CowWrites.swapWrite(cat, ti, inner.schema(), wInfo)
     }
-  }
-
-  /** Wraps the fresh-generation file write; commit additionally
-    * publishes the generation through the catalog's atomic location
-    * swap, abort removes the half-written dir. */
-  private class SwapOnCommitWrite(d: Write) extends Write {
-    override def description(): String =
-      s"graft-cow-swap ${ti.db}.${ti.name} -> $newLoc"
-    override def toBatch: BatchWrite = new BatchWrite {
-      private val db = d.toBatch
-      override def createBatchWriterFactory(
-          pInfo: PhysicalWriteInfo): DataWriterFactory =
-        db.createBatchWriterFactory(pInfo)
-      override def useCommitCoordinator(): Boolean =
-        db.useCommitCoordinator()
-      override def onDataWriterCommit(message: WriterCommitMessage): Unit =
-        db.onDataWriterCommit(message)
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        db.commit(messages) // files final under newLoc, nothing published
-        cat.swapLocation(ti, newLoc) // the ONLY publish point (atomic)
-      }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        db.abort(messages)
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(newLoc)): Unit
-      }
-    }
-  }
 }
 
 /** Scan builder serving the `_gen` metadata column next to the

@@ -77,6 +77,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * mutation). [[WritableSnapshotCatalog.persist]] CASes against this. */
   @volatile protected var loadedRev: Int = 0
 
+  /** Publish-time fingerprint (mtime) of the pointer the cache was
+    * loaded from. The revision NUMBER alone cannot detect a snapshot
+    * directory that was deleted and re-bootstrapped between accesses
+    * (fixture re-runs in one JVM: Spark caches the plugin instance by
+    * catalog name, revision counting restarts, and a fresh HEAD can
+    * land on the cached number with entirely different content — the
+    * stale cache then serves locations that no longer exist). HEAD is
+    * published by atomic rename of a fresh temp file, so its mtime
+    * moves on every publish; for rev 0 the bootstrap dir's own mtime
+    * plays the role. */
+  @volatile private var loadedFp: Long = Long.MinValue
+
+  protected def headFingerprint(rev: Int): Long = {
+    val p = if (rev == 0) java.nio.file.Paths.get(snapshotDir)
+      else java.nio.file.Paths.get(snapshotDir, "HEAD")
+    try java.nio.file.Files.getLastModifiedTime(p)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    catch { case _: java.io.IOException => Long.MinValue }
+  }
+
   /** The published head revision on disk: contents of the `HEAD`
     * pointer file, or 0 when no writer has ever persisted (the
     * bootstrap snapshot in the top-level subdirs is then current). */
@@ -97,16 +117,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // the published revision actually moved (a writer committed, or
     // the dir was externally reset for a fresh run).
     val rev = headRevOnDisk
-    if (snapCache == null || rev != loadedRev) {
+    val fp = headFingerprint(rev)
+    if (snapCache == null || rev != loadedRev || fp != loadedFp) {
       val dir = if (rev == 0) snapshotDir else s"$snapshotDir/revs/$rev"
       snapCache = CatalogTransfer.read(SparkSession.active, dir)
       loadedRev = rev
+      loadedFp = fp
     }
     snapCache
   }
 
-  /** Replace the in-memory snapshot (after the subclass persisted it). */
-  protected def setSnap(s: CatalogSnapshot): Unit = snapCache = s
+  /** Replace the in-memory snapshot (after the subclass persisted it),
+    * stamping the pointer fingerprint it corresponds to. */
+  protected def setSnap(s: CatalogSnapshot, fp: Long): Unit = {
+    snapCache = s
+    loadedFp = fp
+  }
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -607,7 +633,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     loadedRev = rev
     seenRev.set(rev)
-    setSnap(next)
+    setSnap(next, headFingerprint(rev))
   }
 
   /** Revision retention GC — the VACUUM maintenance op completing the
