@@ -1164,6 +1164,60 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // The FULL stock MERGE clause surface in one statement — what
+    // distinguishes a real MERGE planner from an upsert shim:
+    // conditional MATCHED update with a MATCHED delete fallthrough
+    // (clause order decides), a conditional NOT MATCHED insert, and
+    // BOTH "NOT MATCHED BY SOURCE" forms (conditional update and
+    // delete) — the clause family that cannot be expressed as
+    // insert-overwrite-from-join without reimplementing the planner.
+    // Same SupportsRowLevelOperations ReplaceData path and COW swap as
+    // meta_v2_rowlevel; the oracle replays all five clauses as SELECT
+    // algebra with the same clause-precedence semantics.
+    "meta_v2_merge_full" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_mergefull_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gzsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_mf
+               |(o_orderkey BIGINT, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_mf")
+      s.sql(s"""INSERT INTO $cat.corp.orders_mf
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_mf WHERE o_orderkey % 4 < 2""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, 'U' AS o_orderstatus,
+          | o_totalprice * 1.05D AS o_totalprice
+          |FROM orders_src_mf WHERE o_orderkey % 2 = 0""".stripMargin)
+        .createOrReplaceTempView("delta_mf")
+      s.sql(s"""MERGE INTO $cat.corp.orders_mf t
+               |USING delta_mf u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED AND t.o_totalprice > 200000D THEN UPDATE SET
+               |  o_orderstatus = u.o_orderstatus,
+               |  o_totalprice = u.o_totalprice
+               |WHEN MATCHED THEN DELETE
+               |WHEN NOT MATCHED AND u.o_totalprice <= 400000D
+               |  THEN INSERT *
+               |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 8 = 1
+               |  THEN UPDATE SET o_orderstatus = 'S'
+               |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 8 = 5
+               |  THEN DELETE""".stripMargin)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2", classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_mf")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -2191,6 +2245,31 @@ object DdlQueries extends QueryGroup {
         |      WHERE NOT EXISTS (SELECT 1 FROM t2
         |                        WHERE t2.o_orderkey = u.o_orderkey))
         |ORDER BY o_orderkey""".stripMargin,
+    // clause-precedence replay: matched rows take the conditional
+    // update or fall through to the delete; not-matched delta rows
+    // insert conditionally; by-source rows take the first qualifying
+    // by-source clause or survive untouched
+    "meta_v2_merge_full" ->
+      """WITH t0 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 4 < 2),
+        |u AS (SELECT o_orderkey AS k, 'U' AS st,
+        |    o_totalprice * 1.05 AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |m AS (
+        |  SELECT t0.k, u.st, u.p FROM t0 JOIN u USING (k)
+        |  WHERE t0.p > 200000
+        |  UNION ALL
+        |  SELECT u.k, u.st, u.p FROM u
+        |  WHERE k NOT IN (SELECT k FROM t0) AND u.p <= 400000
+        |  UNION ALL
+        |  SELECT t0.k,
+        |    CASE WHEN k % 8 = 1 THEN 'S' ELSE t0.st END, t0.p
+        |  FROM t0
+        |  WHERE k NOT IN (SELECT k FROM u) AND NOT (k % 8 = 5))
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  ROUND(p, 4) AS o_totalprice
+        |FROM m ORDER BY o_orderkey""".stripMargin,
     // the zero-exchange plan is engine-asserted; the oracle checks the
     // join itself — co-partitioned layout must not change the answer
     "join_spj_copartitioned" ->

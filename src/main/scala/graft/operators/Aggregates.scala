@@ -317,6 +317,36 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // the weighted-median plan GENERALIZED to arbitrary quantiles
+    // (revenue-weighted p25/p75 of quantity — the interquartile band
+    // of "where the money sits"): the same ONE partial-agg shuffle to
+    // the domain-bounded (flag, quantity) weight table, then BOTH
+    // boundaries read off the same ~150-row running sum — integer
+    // cross-multiply (4·cum ≥ tot, 4·cum ≥ 3·tot) keeps every
+    // comparison exact in both engines. Adding quantiles costs zero
+    // extra passes over the data — the point of the rollup shape.
+    "agg_weighted_percentile" -> ((s, d) => {
+      val wq = Tables(s, d, "lineitem")
+        .withColumn("wt",
+          expr("cast(round(l_extendedprice * 100) AS bigint)"))
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(col("wt")).as("w"))
+      val cumW = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("l_returnflag"))
+      wq.withColumn("cum", sum(col("w")).over(cumW))
+        .withColumn("tot", sum(col("w")).over(totW))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("cum") * 4 >= col("tot"), col("l_quantity")))
+            .as("w_p25_qty"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("l_quantity")))
+            .as("w_p75_qty"),
+          max(col("tot")).as("total_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // the SCALE path for quantiles: approx_percentile's mergeable
     // sketch (one partial-agg shuffle of sketch state, never values)
     // vs exact percentile's per-group full sort. The approx value
@@ -711,6 +741,22 @@ object Aggregates extends QueryGroup {
         |  CAST(MAX(tot) AS BIGINT) AS total_cents
         |FROM w WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_percentile" ->
+      """WITH w AS (SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_quantity,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |                  ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM w)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 4 >= tot THEN l_quantity END)
+        |    AS w_p25_qty,
+        |  MIN(CASE WHEN cum * 4 >= tot * 3 THEN l_quantity END)
+        |    AS w_p75_qty,
+        |  CAST(MAX(tot) AS BIGINT) AS total_cents
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         | ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,

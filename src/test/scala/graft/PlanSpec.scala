@@ -200,8 +200,10 @@ class PlanSpec extends SparkSpec {
       // text_bm25_score broadcast-crossjoins the 1-row (N, Σdl) corpus
       // stats aggregate (the nlp_tfidf scalar-subquery pattern);
       // sim_hybrid_rrf inherits BOTH sanctioned shapes (the
-      // sim_cosine_topk broadcast-query scan and the bm25 stats scalar)
-      "text_bm25_score", "sim_hybrid_rrf")
+      // sim_cosine_topk broadcast-query scan and the bm25 stats
+      // scalar); the _ann sibling swaps the first for sim_ann_ivfpq's
+      // broadcast-NLJ centroid assignment — also sanctioned
+      "text_bm25_score", "sim_hybrid_rrf", "sim_hybrid_rrf_ann")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
