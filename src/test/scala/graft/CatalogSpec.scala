@@ -1664,7 +1664,14 @@ class CatalogSpec extends SparkSpec {
       s"UPDATE $cat.rl.t SET v = v + 1.0D WHERE k < 10",
       s"DELETE FROM $cat.rl.t WHERE s = 'E'",
       s"MERGE INTO $cat.rl.t t USING (SELECT 1L AS k) s ON t.k = s.k " +
-        "WHEN MATCHED THEN DELETE").foreach { stmt =>
+        "WHEN MATCHED THEN DELETE",
+      s"MERGE INTO $cat.rl.t t USING (SELECT 1L AS k, 9.0D AS v, " +
+        "'m' AS s) src ON t.k = src.k " +
+        "WHEN MATCHED AND t.v > 1.0D THEN UPDATE SET v = src.v " +
+        "WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k > 95L THEN DELETE")
+      .foreach { stmt =>
       val plan = spark.sql(s"EXPLAIN EXTENDED $stmt").collect()
         .head.getString(0)
       assert(plan.contains("ReplaceData"),
