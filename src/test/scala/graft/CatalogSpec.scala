@@ -1720,12 +1720,80 @@ class CatalogSpec extends SparkSpec {
     assert(genDirs() == gensBefore,
       s"crashed rewrite leaked a generation dir: ${genDirs()
         .diff(gensBefore)}")
+    // 4) empty-replacement edge: a DELETE matching EVERY row swaps in a
+    // generation with zero data files — the table must read back empty
+    // and accept new writes, not dangle on a missing location
+    spark.sql(s"DELETE FROM $cat.rl.t WHERE k >= -1")
+    assert(spark.table(s"$cat.rl.t").count() == 0,
+      "delete-all left rows behind")
+    spark.sql(s"INSERT INTO $cat.rl.t VALUES (7L, 7.0D, 'z')")
+    assert(spark.table(s"$cat.rl.t").collect().map(_.getLong(0)).toSeq
+      == Seq(7L), "post-delete-all insert did not land")
     // 4) concurrent-commit OCC: a second writer that swaps the
     // generation between this statement's plan and its commit must
     // surface loudly, not silently drop rows (simulated by moving the
     // location out from under a planned-but-not-run rewrite is not
     // schedulable single-threaded; the swap-time check is unit-proven
     // via swapLocation's location equality in SnapshotCatalog)
+  }
+
+  test("two RACING row-level statements: swap-time OCC rejects the " +
+      "loser, its retry lands, final state = a serial order") {
+    // the COW publish is the only mutation point, so two UPDATEs whose
+    // rewrites overlap must serialize: the second swap sees the
+    // location moved and fails loudly (never silently dropping the
+    // other writer's rows); the promised retry re-plans from the new
+    // generation. The two updates touch DISJOINT rows, so any serial
+    // order yields the same final table — making the invariant exact.
+    spark.catalog.currentDatabase: Unit
+    val dir = new java.io.File(Tables.scratch(sf, "v2_rlrace_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "grlrace"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.rr")
+    spark.sql(s"CREATE TABLE $cat.rr.t (k BIGINT, v DOUBLE) USING parquet")
+    spark.sql(s"INSERT INTO $cat.rr.t SELECT id, 1.0D FROM range(1000)")
+    val session = spark
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val stmts = Seq(
+      s"UPDATE $cat.rr.t SET v = v + 10.0D WHERE k % 2 = 0",
+      s"UPDATE $cat.rr.t SET v = v + 100.0D WHERE k % 2 = 1")
+    val threads = stmts.zipWithIndex.map { case (stmt, i) =>
+      val th = new Thread(() => {
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        start.await()
+        var done = false
+        try while (!done) {
+          try { session.sql(stmt); done = true }
+          catch {
+            // the swap-time CME surfaces wrapped in Spark's write
+            // failure — unwrap by walking the cause chain
+            case e: Throwable =>
+              val isOcc = Iterator.iterate(e)(_.getCause)
+                .takeWhile(_ != null).take(8).exists(
+                  _.isInstanceOf[java.util.ConcurrentModificationException])
+              if (isOcc) retries.incrementAndGet(): Unit else throw e
+          }
+        } catch { case e: Throwable => errors.add(e): Unit }
+      }, s"rl-writer-$i")
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(180000))
+    assert(threads.forall(!_.isAlive), "row-level writer deadlocked")
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek())}")
+    val got = spark.table(s"$cat.rr.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length == 1000)
+    assert(got.forall { case (k, v) =>
+      v == (if (k % 2 == 0) 11.0 else 101.0) },
+      s"lost update: ${got.filterNot { case (k, v) =>
+        v == (if (k % 2 == 0) 11.0 else 101.0) }.take(5).toSeq}")
   }
 
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
