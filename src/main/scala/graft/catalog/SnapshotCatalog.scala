@@ -670,6 +670,40 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     (drop, keep)
   }
 
+  /** Remove copy-on-write GENERATION directories no longer referenced
+    * by any surviving snapshot — the file-removal half of the lakehouse
+    * VACUUM ([[vacuum]] is the metadata-retention half; run it first,
+    * since a generation stays live while any retained revision still
+    * points at it, which is exactly what keeps `VERSION AS OF`
+    * consistent). Scope is deliberately conservative: only dirs carrying
+    * [[CowWrites]]' private `_rl<8 hex>` naming, found next to
+    * locations the catalog references, are candidates — the original
+    * (pre-COW) table dir and anything user-named is never touched
+    * (EXTERNAL discipline: this reclaims the catalog's OWN write
+    * artifacts, nothing else). Returns (removed, keptCandidates). */
+  def gcGenerations(): (Seq[String], Seq[String]) = this.synchronized {
+    val spark = SparkSession.active
+    val revsDir = new java.io.File(s"$snapshotDir/revs")
+    val revs = Option(revsDir.list()).toSeq.flatten
+      .flatMap(_.toIntOption).sorted
+    def norm(p: String): String =
+      p.stripPrefix("file:").stripSuffix("/")
+    val snaps = CatalogTransfer.read(spark, snapshotDir) +:
+      revs.map(r => CatalogTransfer.read(spark, s"$snapshotDir/revs/$r"))
+    val referenced = snaps.flatMap(_.tables.map(t => norm(t.location)))
+      .filter(_.nonEmpty).toSet
+    val genName = ".*_rl[0-9a-f]{8}$"
+    val candidates = referenced.toSeq.sorted
+      .map(l => new java.io.File(l).getParentFile).distinct
+      .flatMap(p => Option(p.listFiles()).toSeq.flatten)
+      .filter(d => d.isDirectory && d.getName.matches(genName))
+      .distinct
+    val (kept, drop) = candidates.partition(d =>
+      referenced.contains(norm(d.getPath)))
+    drop.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    (drop.map(_.getPath).sorted, kept.map(_.getPath).sorted)
+  }
+
   override def createNamespace(ns: Array[String],
       metadata: util.Map[String, String]): Unit = {
     require(ns.length == 1,

@@ -1796,6 +1796,46 @@ class CatalogSpec extends SparkSpec {
         v == (if (k % 2 == 0) 11.0 else 101.0) }.take(5).toSeq}")
   }
 
+  test("gcGenerations reclaims only UNREFERENCED COW generations, " +
+      "after vacuum, never the live one or the pre-COW base") {
+    spark.catalog.currentDatabase: Unit
+    val dir = new java.io.File(Tables.scratch(sf, "v2_rlgc_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "grlgc"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.g")
+    spark.sql(s"CREATE TABLE $cat.g.t (k BIGINT, v DOUBLE) USING parquet")
+    spark.sql(s"INSERT INTO $cat.g.t SELECT id, 1.0D FROM range(100)")
+    spark.sql(s"UPDATE $cat.g.t SET v = 2.0D WHERE k < 10") // gen 1
+    spark.sql(s"UPDATE $cat.g.t SET v = 3.0D WHERE k < 5")  // gen 2
+    spark.sql(s"UPDATE $cat.g.t SET v = 4.0D WHERE k < 2")  // gen 3
+    val plug = new graft.catalog.WritableSnapshotCatalog
+    plug.initialize("grlgc_probe",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir.getPath)))
+    // every generation is still referenced by some revision — a gc
+    // before vacuum must remove NOTHING (VERSION AS OF depends on it)
+    val (pre, preKept) = plug.gcGenerations()
+    assert(pre.isEmpty,
+      s"gc removed revision-referenced generations: $pre")
+    assert(preKept.size == 3, s"expected 3 live generations: $preKept")
+    plug.vacuum(1)
+    val (removed, kept) = plug.gcGenerations()
+    assert(removed.size == 2 && kept.size == 1,
+      s"expected 2 reclaimed + 1 live generation, got $removed / $kept")
+    // the live generation still serves, the base dir was never touched
+    val sum = spark.table(s"$cat.g.t").collect().map(_.getDouble(1)).sum
+    assert(sum == 2 * 4.0 + 3 * 3.0 + 5 * 2.0 + 90 * 1.0,
+      s"post-gc table content wrong (sum=$sum)")
+    assert(new java.io.File(s"${dir.getPath}/_warehouse/g/t").isDirectory,
+      "gc touched the pre-COW base dir")
+    // idempotent
+    assert(plug.gcGenerations()._1.isEmpty, "gc not idempotent")
+  }
+
   test("meta_ddl_script executes verbatim and reproduces the snapshot") {
     val script = graft.catalog.DdlQueries.ddlScript(spark, sf)
       .orderBy("stmt_order").collect()
