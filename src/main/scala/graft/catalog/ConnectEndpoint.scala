@@ -73,14 +73,26 @@ object ConnectEndpoint {
         up
       } catch { case _: Exception => false } // lost the port — next one
     }
-    val port = Iterator.continually(freePort()).take(3).find(tryStart)
-      .getOrElse(sys.error("connect endpoint failed to bind (3 ports)"))
+    def restoreConf(): Unit =
+      prior.fold { conf.remove("spark.connect.grpc.binding.port"): Unit } {
+        p => conf.set("spark.connect.grpc.binding.port", p): Unit }
+    // the restore must also cover the every-port-failed path — the doc
+    // contract is that the transient binding-port choice never leaks
+    val port = try {
+      Iterator.continually(freePort()).take(3).find(tryStart)
+        .getOrElse(sys.error("connect endpoint failed to bind (3 ports)"))
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(org.apache.spark.sql.connect.service
+          .SparkConnectService.stop(None, None)): Unit
+        restoreConf()
+        throw e
+    }
     try f(port)
     finally {
       org.apache.spark.sql.connect.service.SparkConnectService
         .stop(None, None)
-      prior.fold { conf.remove("spark.connect.grpc.binding.port"): Unit } {
-        p => conf.set("spark.connect.grpc.binding.port", p): Unit }
+      restoreConf()
     }
   }
 

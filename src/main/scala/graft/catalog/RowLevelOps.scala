@@ -139,8 +139,12 @@ private[catalog] object CowWrites {
       schema: StructType, wInfo: LogicalWriteInfo): Write = {
     val spark = SparkSession.active
     // fresh-generation sibling of the current location; the random
-    // suffix keeps racing statements (and aborted attempts) disjoint
-    val newLoc = ti.location.stripSuffix("/") +
+    // suffix keeps racing statements (and aborted attempts) disjoint.
+    // Normalize a `file:` scheme away first (SET LOCATION stores the
+    // URI verbatim): Hadoop resolves both forms to the same files, but
+    // abort's java.io.File delete would silently miss a scheme-carrying
+    // path, leaking the half-written generation forever.
+    val newLoc = ti.location.stripPrefix("file:").stripSuffix("/") +
       s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
     val target = org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetTable(s"${ti.db}.${ti.name}_cow", spark,

@@ -555,12 +555,19 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       catch {
         // rename onto an existing non-empty dir surfaces as
         // FileAlreadyExists / DirectoryNotEmpty / a provider-generic
-        // FileSystemException (ENOTEMPTY) — the guard pins the one
-        // meaning they share here: the revision is already claimed.
-        // Anything failing with NO dir at the target (permissions,
-        // disk) must surface, not read as "claimed".
-        case e: java.nio.file.FileSystemException =>
-          if (revDir.exists) true else throw e
+        // FileSystemException (ENOTEMPTY) — all meaning the revision
+        // is already claimed. The claim may ALSO be stolen by another
+        // contender between our failed rename and any re-inspection
+        // (the dir then no longer exists) — still a claim conflict,
+        // routed to the stale/steal path below, which re-derives from
+        // disk and degrades to the retryable CME. Only distinctly
+        // typed genuine I/O failures (permissions; a missing STAGE
+        // source) surface raw.
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException => true
+        case e @ (_: java.nio.file.NoSuchFileException |
+             _: java.nio.file.AccessDeniedException) => throw e
+        case _: java.nio.file.FileSystemException => true
       }
     def abandoned(msg: String): Nothing = {
       org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile): Unit
@@ -600,6 +607,31 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             s"catalog ${name()} stale revision claim $rev at " +
               s"$snapshotDir was re-claimed by a concurrent writer — " +
               "re-read the catalog state and retry")
+      }
+      // POST-STEAL revalidation: between this writer's staleness
+      // verdict and the rename above, the claim's owner may have woken
+      // and PUBLISHED the revision — the tombstone then holds live,
+      // acknowledged content, and re-claiming would silently replace a
+      // committed snapshot (both writers reporting success). Re-read
+      // HEAD after the rename: the owner's own pre-publish `.writer`
+      // check covers the other interleaving (steal first → the owner
+      // finds its token gone and aborts), so the two checks together
+      // close the window from both sides.
+      if (headRevOnDisk >= rev) {
+        try java.nio.file.Files.move(tomb, revDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: java.io.IOException =>
+            throw new IllegalStateException(
+              s"catalog ${name()} revision $rev at $snapshotDir was " +
+                "stolen after its owner published HEAD, and restoring " +
+                s"it failed — the published snapshot is parked at $tomb;" +
+                " restore it manually before further DDL", e)
+        }
+        abandoned(
+          s"catalog ${name()} revision $rev at $snapshotDir was " +
+            "published while this writer judged its claim stale — " +
+            "re-read the catalog state and retry")
       }
       org.apache.commons.io.FileUtils.deleteDirectory(tomb.toFile)
       // our own claim, again atomically — a third writer may have
@@ -699,7 +731,15 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .filter(d => d.isDirectory && d.getName.matches(genName))
       .distinct
     val (kept, drop) = candidates.partition(d =>
-      referenced.contains(norm(d.getPath)))
+      referenced.contains(norm(d.getPath)) ||
+        // grace filter (the vacuum stage/tomb discipline): an
+        // unreferenced-LOOKING generation younger than the claim grace
+        // window may be a concurrent COW rewrite mid-write or between
+        // its file commit and its location swap — this monitor does
+        // not cover that writer's job, and cross-process instances
+        // share no monitor at all. Deleting it would wipe the rewrite
+        // out from under an acknowledged-soon statement.
+        System.currentTimeMillis - d.lastModified <= claimGraceMs)
     drop.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     (drop.map(_.getPath).sorted, kept.map(_.getPath).sorted)
   }

@@ -1816,6 +1816,13 @@ class CatalogSpec extends SparkSpec {
     plug.initialize("grlgc_probe",
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir.getPath)))
+    // age the generations past the in-flight grace window (a fresh
+    // unreferenced-looking dir may be a concurrent rewrite mid-commit;
+    // gc must not touch it — same discipline as the claim tests)
+    Option(new java.io.File(s"${dir.getPath}/_warehouse/g").listFiles())
+      .toSeq.flatten.filter(_.getName.contains("_rl"))
+      .foreach(d => assert(d.setLastModified(
+        System.currentTimeMillis - plug.claimGraceMs - 60000L)))
     // every generation is still referenced by some revision — a gc
     // before vacuum must remove NOTHING (VERSION AS OF depends on it)
     val (pre, preKept) = plug.gcGenerations()
@@ -1832,6 +1839,14 @@ class CatalogSpec extends SparkSpec {
       s"post-gc table content wrong (sum=$sum)")
     assert(new java.io.File(s"${dir.getPath}/_warehouse/g/t").isDirectory,
       "gc touched the pre-COW base dir")
+    // a FRESH unreferenced generation sits inside the grace window —
+    // it may be a concurrent rewrite mid-commit, so gc must keep it
+    val fresh = new java.io.File(s"${dir.getPath}/_warehouse/g/t_rldeadbeef")
+    assert(fresh.mkdirs())
+    val (r2, k2) = plug.gcGenerations()
+    assert(r2.isEmpty && k2.exists(_.endsWith("t_rldeadbeef")),
+      s"gc touched an in-grace generation: removed=$r2 kept=$k2")
+    org.apache.commons.io.FileUtils.deleteQuietly(fresh): Unit
     // idempotent
     assert(plug.gcGenerations()._1.isEmpty, "gc not idempotent")
   }
