@@ -101,7 +101,9 @@ object ScaleCurves {
     "dedup_semantic" -> "embeddings",
     "dedup_minhash_incremental" -> "documents",
     "meta_v2_rowlevel" -> "orders",
-    "meta_stats_histogram" -> "lineitem")
+    "meta_stats_histogram" -> "lineitem",
+    "meta_v2_merge_full" -> "orders",
+    "agg_weighted_percentile" -> "lineitem")
 
   private val RunsPerKey = 3
 
