@@ -116,10 +116,11 @@ object HiveRoundtrip {
     // artifact beyond min/max/NDV — it rides CatalogColumnStat.toMap's
     // wire form as a serialized blob inside the same HMS parameters,
     // and the bit-for-bit equality below now covers it
-    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
-    spark.sql("ANALYZE TABLE hive_src.nation_h COMPUTE STATISTICS " +
-      "FOR COLUMNS n_nationkey")
-    spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+    graft.operators.ScaleOps.withConfs(spark,
+      Seq("spark.sql.statistics.histogram.enabled" -> "true")) {
+      spark.sql("ANALYZE TABLE hive_src.nation_h COMPUTE STATISTICS " +
+        "FOR COLUMNS n_nationkey"): Unit
+    }
     def statsOf() = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         "nation_h", Some("hive_src"))).stats

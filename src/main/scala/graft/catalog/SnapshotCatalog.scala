@@ -120,7 +120,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val fp = headFingerprint(rev)
     if (snapCache == null || rev != loadedRev || fp != loadedFp) {
       val dir = if (rev == 0) snapshotDir else s"$snapshotDir/revs/$rev"
-      snapCache = CatalogTransfer.read(SparkSession.active, dir)
+      // driver-side parse: a snapshot is KiB of JSON, and this re-read
+      // runs on every publish/re-bootstrap — scheduling Spark collect
+      // jobs here (CatalogTransfer.read) measurably dominated the V2
+      // catalog keys (readLocal/read equivalence is a CatalogSpec law)
+      snapCache = CatalogTransfer.readLocal(dir)
       loadedRev = rev
       loadedFp = fp
     }
@@ -213,7 +217,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         s"catalog ${name()} has no snapshot revision '$version' " +
           s"(available: $have)")
     }
-    val revSnap = CatalogTransfer.read(SparkSession.active, revDir.getPath)
+    val revSnap = CatalogTransfer.readLocal(revDir.getPath)
     val ti = revSnap.tables.find(t =>
         ident.namespace.length == 1 &&
           t.db == ident.namespace()(0) && t.name == ident.name)
@@ -472,6 +476,15 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * deterministically with a back-dated claim dir. */
   private[graft] var claimGraceMs: Long = 10000L
 
+  /** Age beyond which a COW generation still carrying a `_temporary`
+    * committer dir — an in-flight DATA rewrite — is treated as a dead
+    * writer's staging litter and GC-eligible. Measured against the
+    * NEWEST mtime anywhere under the generation (a live job keeps
+    * writing task files), and sized to data-rewrite duration, not the
+    * metadata claim window: a data-proportional rewrite legitimately
+    * runs for minutes. */
+  private[graft] var rewriteGraceMs: Long = 60 * 60 * 1000L
+
   override protected def snap: CatalogSnapshot = this.synchronized {
     val s = super.snap
     seenRev.set(loadedRev)
@@ -565,8 +578,14 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         // source) surface raw.
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.DirectoryNotEmptyException => true
+        // capability errors are NOT claim conflicts: a filesystem
+        // without atomic rename would misdiagnose every persist as
+        // "claim taken", route into the steal path (which finds no
+        // dir) and retry forever — surface the unsupported-filesystem
+        // error raw instead.
         case e @ (_: java.nio.file.NoSuchFileException |
-             _: java.nio.file.AccessDeniedException) => throw e
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.AtomicMoveNotSupportedException) => throw e
         case _: java.nio.file.FileSystemException => true
       }
     def abandoned(msg: String): Nothing = {
@@ -647,22 +666,60 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     // contender may have stolen and re-claimed the revision. Publishing
     // HEAD then would bless content that is not ours — verify the
     // claim's writer token survived the stall and abort if not.
-    val owner = try new String(java.nio.file.Files.readAllBytes(
-        revDir.toPath.resolve(".writer")),
-        java.nio.charset.StandardCharsets.UTF_8)
+    def readWriter(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+          revDir.toPath.resolve(".writer")),
+          java.nio.charset.StandardCharsets.UTF_8)
       catch { case _: java.io.IOException => "" }
-    if (owner != token)
+    if (readWriter() != token)
       throw new java.util.ConcurrentModificationException(
         s"catalog ${name()} revision $rev claim at $snapshotDir was " +
           "stolen while this writer was stalled past the claim grace " +
           "window — re-read the catalog state and retry")
-    val headTmp = java.nio.file.Paths.get(snapshotDir, s".HEAD.tmp-$rev")
-    java.nio.file.Files.write(headTmp, rev.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(headTmp,
-      java.nio.file.Paths.get(snapshotDir, "HEAD"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    // HEAD-at-base re-check immediately before the rename: a writer
+    // that stalled past the .writer check above may find a stolen-and-
+    // published (or even further advanced) HEAD; renaming over it
+    // would silently bless foreign content — or REGRESS the pointer.
+    // This shrinks that window from grace-window scale to the
+    // microseconds between this read and the rename below.
+    val diskNow = headRevOnDisk
+    if (diskNow == rev && readWriter() == token) {
+      // a stalled contender published OUR claim on our behalf (it
+      // blessed revs/<rev> before its own post-publish ownership check
+      // aborted it) — the mutation is live; fall through to success.
+    } else if (diskNow != base) {
+      throw new java.util.ConcurrentModificationException(
+        s"catalog ${name()} snapshot at $snapshotDir moved to revision " +
+          s"$diskNow while this writer was publishing revision $rev — " +
+          "re-read the catalog state and retry")
+    } else {
+      val headTmp = java.nio.file.Paths.get(snapshotDir, s".HEAD.tmp-$rev")
+      java.nio.file.Files.write(headTmp, rev.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(headTmp,
+        java.nio.file.Paths.get(snapshotDir, "HEAD"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    // POST-publish ownership verification: if a thief stole and
+    // re-claimed between the checks above and the rename, HEAD now
+    // blesses the thief's (complete, validly staged) content, not ours
+    // — exactly one writer may report success, so abort retryably; the
+    // thief's own pre-publish HEAD check finds HEAD == its rev with its
+    // token still owning the claim and reports success without a second
+    // rename. Residual window (documented, not closed): a full
+    // steal + re-claim + publish + next-revision publish cycle landing
+    // inside the microseconds between the HEAD-at-base read and our
+    // rename could still regress the pointer — that needs THREE
+    // independent grace-window stalls to line up, and a fencing-token
+    // HEAD swap (compare-and-swap, which plain POSIX rename cannot
+    // express) to close fully.
+    if (readWriter() != token)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog ${name()} revision $rev claim at $snapshotDir was " +
+          "stolen during publish — the concurrent writer's content is " +
+          "now the published revision; re-read the catalog state and " +
+          "retry")
     loadedRev = rev
     seenRev.set(rev)
     setSnap(next, headFingerprint(rev))
@@ -714,14 +771,13 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * (EXTERNAL discipline: this reclaims the catalog's OWN write
     * artifacts, nothing else). Returns (removed, keptCandidates). */
   def gcGenerations(): (Seq[String], Seq[String]) = this.synchronized {
-    val spark = SparkSession.active
     val revsDir = new java.io.File(s"$snapshotDir/revs")
     val revs = Option(revsDir.list()).toSeq.flatten
       .flatMap(_.toIntOption).sorted
     def norm(p: String): String =
       p.stripPrefix("file:").stripSuffix("/")
-    val snaps = CatalogTransfer.read(spark, snapshotDir) +:
-      revs.map(r => CatalogTransfer.read(spark, s"$snapshotDir/revs/$r"))
+    val snaps = CatalogTransfer.readLocal(snapshotDir) +:
+      revs.map(r => CatalogTransfer.readLocal(s"$snapshotDir/revs/$r"))
     val referenced = snaps.flatMap(_.tables.map(t => norm(t.location)))
       .filter(_.nonEmpty).toSet
     val genName = ".*_rl[0-9a-f]{8}$"
@@ -730,16 +786,30 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .flatMap(p => Option(p.listFiles()).toSeq.flatten)
       .filter(d => d.isDirectory && d.getName.matches(genName))
       .distinct
+    // A generation MID-WRITE is not aged by its top-level mtime:
+    // Spark's file committer stages all task output under _temporary,
+    // so the generation dir's own mtime stays at creation until job
+    // commit — a rewrite longer than the claim grace window would look
+    // abandoned. The committer dir is the in-flight marker: treat any
+    // candidate still carrying _temporary as live unless NOTHING under
+    // it has moved for rewriteGraceMs (a dead writer's staging area
+    // goes quiet; a live job keeps writing task files into it).
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified +: Option(f.listFiles).toSeq.flatten
+        .map(newestMtime)).max
     val (kept, drop) = candidates.partition(d =>
       referenced.contains(norm(d.getPath)) ||
         // grace filter (the vacuum stage/tomb discipline): an
         // unreferenced-LOOKING generation younger than the claim grace
-        // window may be a concurrent COW rewrite mid-write or between
-        // its file commit and its location swap — this monitor does
-        // not cover that writer's job, and cross-process instances
-        // share no monitor at all. Deleting it would wipe the rewrite
-        // out from under an acknowledged-soon statement.
-        System.currentTimeMillis - d.lastModified <= claimGraceMs)
+        // window may be a concurrent COW rewrite between its file
+        // commit and its location swap (metadata-speed, so the short
+        // window suffices) — this monitor does not cover that writer's
+        // job, and cross-process instances share no monitor at all.
+        // Deleting it would wipe the rewrite out from under an
+        // acknowledged-soon statement.
+        System.currentTimeMillis - d.lastModified <= claimGraceMs ||
+        (new java.io.File(d, "_temporary").exists &&
+          System.currentTimeMillis - newestMtime(d) <= rewriteGraceMs))
     drop.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     (drop.map(_.getPath).sorted, kept.map(_.getPath).sorted)
   }

@@ -1968,4 +1968,48 @@ class CatalogSpec extends SparkSpec {
         s"Derby-side content mismatch: n=${rs.getLong(1)}")
     } finally conn.close()
   }
+
+  test("readLocal is bit-equal to the Spark reader on both writers' " +
+      "output (the snap-revalidation fast path serves identical state)") {
+    // rich fixture: stats (histogram blob), a partitioned table with
+    // recovered partitions, table properties, comments — every field
+    // family the wire form carries
+    spark.sql("DROP DATABASE IF EXISTS graft_rleq CASCADE")
+    spark.sql("CREATE DATABASE graft_rleq")
+    spark.sql(s"""CREATE TABLE graft_rleq.nation_eq
+                 |USING parquet LOCATION '$sf/nation.parquet'""".stripMargin)
+    spark.sql("""ALTER TABLE graft_rleq.nation_eq
+                |SET TBLPROPERTIES ('graft.eq' = 'law')""".stripMargin)
+    graft.operators.ScaleOps.withConfs(spark, Seq(
+      "spark.sql.statistics.histogram.enabled" -> "true")) {
+      spark.sql("ANALYZE TABLE graft_rleq.nation_eq COMPUTE STATISTICS " +
+        "FOR COLUMNS n_nationkey, n_name"): Unit
+    }
+    val partDir = Tables.scratch(sf, "rleq_li_by_flag")
+    Tables(spark, sf, "lineitem").limit(500).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(partDir)
+    spark.sql(CatalogTransfer.externalPartitionedDdl(spark,
+      "graft_rleq.li_eq",
+      new java.io.File(partDir).getAbsolutePath, Seq("l_returnflag")))
+    spark.catalog.recoverPartitions("graft_rleq.li_eq")
+    val snap = CatalogTransfer.export(spark, Seq("graft_rleq"),
+      withStats = true)
+    val sparkDir = Tables.scratch(sf, "rleq_spark_written")
+    val localDir = Tables.scratch(sf, "rleq_local_written")
+    CatalogTransfer.write(spark, snap, sparkDir)
+    CatalogTransfer.writeLocal(snap, localDir)
+    for (dir <- Seq(sparkDir, localDir)) {
+      val viaSpark = CatalogTransfer.read(spark, dir)
+      val viaLocal = CatalogTransfer.readLocal(dir)
+      assert(viaLocal == viaSpark,
+        s"readLocal diverges from the Spark reader on $dir")
+      assert(viaLocal.tables.exists(t => t.name == "nation_eq" &&
+        t.stats.exists(_.key == "n_nationkey.version") &&
+        t.stats.exists(_.key.endsWith(".histogram"))),
+        "fixture did not exercise the stats/histogram wire fields")
+      assert(viaLocal.tables.exists(t => t.name == "li_eq" &&
+        t.partitions.size == 3),
+        "fixture did not exercise the partitions dataset")
+    }
+  }
 }
