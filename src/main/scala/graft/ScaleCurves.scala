@@ -103,7 +103,11 @@ object ScaleCurves {
     "meta_v2_rowlevel" -> "orders",
     "meta_stats_histogram" -> "lineitem",
     "meta_v2_merge_full" -> "orders",
-    "agg_weighted_percentile" -> "lineitem")
+    "agg_weighted_percentile" -> "lineitem",
+    // r16: the partition-scoped contrast line against meta_v2_rowlevel
+    // (1.12x table-proportional): the scoped rewrite term must track
+    // the TOUCHED partition ('P', ~2% of orders), not the table
+    "meta_v2_merge_scoped" -> "orders")
 
   private val RunsPerKey = 3
 

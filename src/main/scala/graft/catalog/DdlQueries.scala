@@ -1218,6 +1218,90 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // PARTITION-SCOPED stock MERGE — group = hive partition, the
+    // scale-correct granularity for row-level DML on a partitioned
+    // table (yc-data-proc-metadata-import provisions the SQL prompt,
+    // metastore-import.tf:196; HMS partitions are its core object):
+    // Spark's own RowLevelOperationRuntimeGroupFiltering computes the
+    // partitions the delta touches and the rewrite scan serves ONLY
+    // those ([[PartScan]] file pruning), so the fresh generation
+    // rewrites the touched partition's data and hard-links every other
+    // partition file-for-file — asserted below: after a merge whose
+    // delta is confined to the small 'P' partition, the 'F' and 'O'
+    // directories of the published generation carry the IDENTICAL file
+    // sets (same names, same inodes — zero churn). At 100 TB this is
+    // the difference between rewriting a table and rewriting the
+    // day's partition. Atomicity/OCC identical to meta_v2_rowlevel
+    // (same location-swap publish point).
+    "meta_v2_merge_scoped" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_mscoped_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gqsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_ps
+               |(o_orderkey BIGINT, o_totalprice DOUBLE,
+               | o_orderstatus STRING)
+               |USING parquet PARTITIONED BY (o_orderstatus)""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_ms")
+      s.sql(s"""INSERT INTO $cat.corp.orders_ps
+               |SELECT o_orderkey, o_totalprice, o_orderstatus
+               |FROM orders_src_ms""".stripMargin)
+      val loc = s"$dir/_warehouse/corp/orders_ps"
+      def filesAt(root: String, p: String): Seq[String] =
+        Option(new java.io.File(s"$root/o_orderstatus=$p").list())
+          .toSeq.flatten
+          .filter(f => !f.startsWith(".") && !f.startsWith("_")).sorted
+      val beforeF = filesAt(loc, "F")
+      val beforeO = filesAt(loc, "O")
+      require(beforeF.nonEmpty && beforeO.nonEmpty,
+        "fixture landed no F/O partitions")
+      // delta confined to partition P: updates the even-keyed P rows,
+      // inserts brand-new keys that also land in P
+      s.sql(
+        """SELECT o_orderkey, o_totalprice * 1.05D AS o_totalprice,
+          | 'P' AS o_orderstatus
+          |FROM orders_src_ms
+          |WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT o_orderkey + 100000000, o_totalprice, 'P'
+          |FROM orders_src_ms
+          |WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 1""".stripMargin)
+        .createOrReplaceTempView("delta_ms")
+      s.sql(s"""MERGE INTO $cat.corp.orders_ps t
+               |USING delta_ms u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // the swap must have published a FRESH generation whose
+      // untouched partitions carry the IDENTICAL file set (hard
+      // links, zero churn — the meta_v2_clone discipline)
+      val head = new java.io.File(dir, "HEAD")
+      val rev = new String(java.nio.file.Files
+        .readAllBytes(head.toPath)).trim.split("\\s+")(0).toInt
+      val loc2 = CatalogTransfer.readLocal(s"$dir/revs/$rev").tables
+        .find(_.name == "orders_ps").get.location
+      require(loc2 != loc, "merge must publish a fresh generation")
+      val afterF = filesAt(loc2, "F")
+      val afterO = filesAt(loc2, "O")
+      require(afterF == beforeF && afterO == beforeO,
+        "untouched partitions must keep identical file sets " +
+          s"(zero churn): F $afterF vs $beforeF")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_ps")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -2270,6 +2354,34 @@ object DdlQueries extends QueryGroup {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  ROUND(p, 4) AS o_totalprice
         |FROM m ORDER BY o_orderkey""".stripMargin,
+    // partition-scoped merge: the zero-churn file identity is
+    // engine-asserted inside the key; the oracle replays the MERGE as
+    // SELECT algebra over the full table (same shape as
+    // meta_v2_rowlevel — DuckDB recomputes the post-merge content)
+    "meta_v2_merge_scoped" ->
+      """WITH t0 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |            FROM orders),
+        |u AS (SELECT o_orderkey, o_totalprice * 1.05 AS o_totalprice,
+        |        'P' AS o_orderstatus
+        |      FROM orders
+        |      WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0
+        |      UNION ALL
+        |      SELECT o_orderkey + 100000000, o_totalprice, 'P'
+        |      FROM orders
+        |      WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 1)
+        |SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+        |  o_orderstatus
+        |FROM (SELECT t0.o_orderkey,
+        |        COALESCE(u.o_totalprice, t0.o_totalprice)
+        |          AS o_totalprice,
+        |        t0.o_orderstatus
+        |      FROM t0 LEFT JOIN u ON t0.o_orderkey = u.o_orderkey
+        |      UNION ALL
+        |      SELECT u.o_orderkey, u.o_totalprice, u.o_orderstatus
+        |      FROM u
+        |      WHERE NOT EXISTS (SELECT 1 FROM t0
+        |                        WHERE t0.o_orderkey = u.o_orderkey))
+        |ORDER BY o_orderkey""".stripMargin,
     // the zero-exchange plan is engine-asserted; the oracle checks the
     // join itself — co-partitioned layout must not change the answer
     "join_spj_copartitioned" ->

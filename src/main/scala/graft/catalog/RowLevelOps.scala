@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.JoinedRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -286,4 +286,486 @@ private[catalog] class GenReaderFactory(delegate: PartitionReaderFactory,
       override def close(): Unit = dr.close()
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Partition-scoped row-level DML (group = partition) — the scale-correct
+// granularity: a MERGE/UPDATE/DELETE whose delta touches K of N hive
+// partitions rewrites K partitions' data and hard-links the other N-K
+// file-for-file (same inodes, zero data movement), so the rewrite term
+// tracks the TOUCHED partition volume, not the table. This is the shape
+// every lakehouse format ships (Iceberg/Delta COW at file/partition
+// granularity); here the group is the hive partition because the hive
+// directory IS the catalog's partition object (the HMS model the
+// reference migrates, yc-data-proc-metadata-import README_en.md:3).
+//
+// Moving parts, all stock-planner driven:
+//  - the operation requires the `_partition` metadata column (origin
+//    group of each row), so ReplaceDataExec routes rows through its
+//    data/metadata projections and the writer can verify carry-over rows
+//    land back in their origin group;
+//  - the rewrite scan implements SupportsRuntimeV2Filtering on the
+//    partition COLUMN: Spark's own RowLevelOperationRuntimeGroupFiltering
+//    plans a matching-groups subquery and feeds the touched partition
+//    values back through Scan.filter — the scan then serves ONLY touched
+//    partitions (file-level pruning on PartitionedFile.partitionValues),
+//    which is exactly the set the write replaces;
+//  - the write routes each row to a per-partition parquet file under a
+//    fresh generation root; commit hard-links every untouched partition
+//    from the old root, then publishes with the same atomic location
+//    swap + OCC as the table-granular path. A mid-rewrite crash leaves
+//    the table untouched; an aborted attempt removes its root.
+//
+// Deliberate refusals (loud, atomic — the statement fails, nothing
+// publishes): cross-partition moves (UPDATE/MERGE writing a row whose
+// new partition value differs from its origin — per-partition
+// replacement cannot express a move without rewriting the destination;
+// lakehouse formats route this through merge-on-read deletes instead),
+// and NULL partition values.
+// ---------------------------------------------------------------------------
+private[catalog] object PartitionScoped {
+  /** Name of the origin-group metadata column. */
+  val PartCol = "_partition"
+
+  /** Hive directory name for one partition value — escaping matches
+    * what the V1 partitioned writer lays out, so scope values, written
+    * dirs, and linked dirs all agree byte-for-byte. */
+  def dirName(col: String, value: Any): String = {
+    require(value != null,
+      s"NULL value in partition column $col — partition-scoped " +
+        "row-level DML refuses the default partition; filter NULLs " +
+        "before writing")
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(col, value.toString)
+  }
+}
+
+/** Serves a single-column-partitioned parquet table with stock
+  * row-level DML at PARTITION granularity. Plain reads/writes and the
+  * partition-management surface forward to the wrapped
+  * [[PartitionedWriteTable]] untouched. */
+private[catalog] class PartitionScopedRowLevelTable(inner: Table,
+    cat: WritableSnapshotCatalog, ti: TableInfo,
+    partField: org.apache.spark.sql.types.StructField)
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations with SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  private def pm = inner
+    .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    inner.constraints()
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name: String = PartitionScoped.PartCol
+      override def dataType: org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = true // NULL on inserted rows
+      override def comment: String =
+        "hive partition directory that served this row (row-level rewrites)"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new PartitionCowOperation(inner, cat, ti, partField, info)
+
+  // ---- partition management, forwarded ----
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def partitionSchema(): StructType = pm.partitionSchema()
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    pm.createPartition(ident, properties)
+  override def dropPartition(ident: InternalRow): Boolean =
+    pm.dropPartition(ident)
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    pm.replacePartitionMetadata(ident, properties)
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] = pm.loadPartitionMetadata(ident)
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] =
+    pm.listPartitionIdentifiers(names, ident)
+  override def partitionExists(ident: InternalRow): Boolean =
+    pm.partitionExists(ident)
+}
+
+/** One partition-scoped UPDATE/DELETE/MERGE rewrite. The operation
+  * object is the rendezvous between its scan (which learns the touched
+  * partition set from Spark's runtime group filter) and its write
+  * (whose commit replaces exactly that set): commit runs strictly
+  * after every scan task, so the handoff is race-free. */
+private[catalog] class PartitionCowOperation(inner: Table,
+    cat: WritableSnapshotCatalog, ti: TableInfo,
+    partField: org.apache.spark.sql.types.StructField,
+    info: RowLevelOperationInfo) extends RowLevelOperation {
+
+  /** Touched partition VALUES (catalyst form) per the runtime group
+    * filter; None = the filter never fired → every partition was read
+    * and every partition is replaced (correct, unscoped fallback). */
+  @volatile private[catalog] var scope: Option[Set[Any]] = None
+
+  override def command(): RowLevelOperation.Command = info.command
+
+  override def description(): String =
+    s"graft-partition-cow-${info.command} ${ti.db}.${ti.name}"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(PartitionScoped.PartCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PartScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options),
+      this, partField)
+
+  override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new PartitionRoutedCowWrite(cat, ti, PartitionCowOperation.this,
+          partField, inner.schema())
+    }
+}
+
+/** Scan builder serving `_partition` next to the data columns; same
+  * pruning contract as [[GenScanBuilder]] (metadata column last,
+  * stripped before delegating; no static filter pushdown — the ONLY
+  * pruning is the runtime group filter, so the served row set always
+  * equals the replaced group set). */
+private[catalog] class PartScanBuilder(delegate: ScanBuilder,
+    op: PartitionCowOperation,
+    partField: org.apache.spark.sql.types.StructField)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var partRequested = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    partRequested =
+      requiredSchema.fieldNames.contains(PartitionScoped.PartCol)
+    if (partRequested) {
+      require(requiredSchema.fieldNames.last == PartitionScoped.PartCol,
+        s"metadata column ${PartitionScoped.PartCol} must be requested " +
+          s"last, got ${requiredSchema.fieldNames.mkString(", ")}")
+      require(requiredSchema.fieldNames.contains(partField.name),
+        s"row-level rewrite scan must read partition column " +
+          s"${partField.name} to derive ${PartitionScoped.PartCol}")
+    }
+    val pruned = StructType(requiredSchema.fields
+      .filterNot(_.name == PartitionScoped.PartCol))
+    delegate match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(pruned)
+      case _ => ()
+    }
+  }
+
+  override def build(): Scan = {
+    val ds = delegate.build()
+    if (partRequested) new PartScan(ds, op, partField) else ds
+  }
+}
+
+/** The rewrite scan: appends the per-row `_partition` (hive dir name
+  * derived from the STORED partition value — i.e. the origin group) and
+  * implements runtime group filtering on the partition column: Spark's
+  * RowLevelOperationRuntimeGroupFiltering hands the touched values to
+  * [[filter]], and [[toBatch]] prunes the delegate's parquet file list
+  * to exactly those hive partitions. */
+private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
+    partField: org.apache.spark.sql.types.StructField) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def readSchema(): StructType =
+    delegate.readSchema().add(PartitionScoped.PartCol, StringType,
+      nullable = true)
+  override def description(): String =
+    s"graft-partition-scan(${delegate.description()})"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(partField.name))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // conjunctive predicates on the partition column; the group filter
+    // arrives as IN (or = for one group). Anything unrecognized leaves
+    // the scope at None — unscoped full rewrite, never wrong results.
+    def onPartCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 &&
+          r.fieldNames()(0).equalsIgnoreCase(partField.name)
+      case _ => false
+    }
+    val sets = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && onPartCol(kids.head) &&
+            kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+          Some(kids.tail.map(
+            _.asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]).toSet)
+        case "=" if kids.length == 2 && onPartCol(kids.head) &&
+            kids(1).isInstanceOf[V2Literal[_]] =>
+          Some(Set[Any](kids(1).asInstanceOf[V2Literal[_]]
+            .value.asInstanceOf[Any]))
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) op.scope = Some(sets.reduce(_ intersect _))
+  }
+
+  override def toBatch: Batch = new Batch {
+    private val db = delegate.toBatch
+    override def planInputPartitions(): Array[InputPartition] = {
+      val parts = db.planInputPartitions()
+      op.scope match {
+        case None => parts
+        case Some(vals) =>
+          import org.apache.spark.sql.execution.datasources.FilePartition
+          parts.flatMap {
+            case fp: FilePartition =>
+              val fs = fp.files.filter(f => vals.contains(
+                f.partitionValues.get(0, partField.dataType)))
+              if (fs.isEmpty) None else Some(fs)
+            case other => throw new IllegalStateException(
+              "partition-scoped rewrite expected a parquet FilePartition" +
+                s", got ${other.getClass.getName}")
+          }.zipWithIndex.map { case (fs, i) => FilePartition(i, fs) }
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val ord = delegate.readSchema().fieldIndex(partField.name)
+      new PartReaderFactory(db.createReaderFactory(), ord,
+        partField.name, partField.dataType)
+    }
+  }
+}
+
+private[catalog] class PartReaderFactory(delegate: PartitionReaderFactory,
+    partOrdinal: Int, partColName: String,
+    partType: org.apache.spark.sql.types.DataType)
+  extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val dr = delegate.createReader(p)
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      override def next(): Boolean = dr.next()
+      override def get(): InternalRow = {
+        val row = dr.get()
+        val dir = PartitionScoped.dirName(partColName,
+          row.get(partOrdinal, partType))
+        joined(row, InternalRow(UTF8String.fromString(dir)))
+      }
+      override def close(): Unit = dr.close()
+    }
+  }
+}
+
+/** One task's written files: (hive partition dir name, file name). */
+private[catalog] case class PartFilesMsg(files: Seq[(String, String)])
+  extends WriterCommitMessage
+
+/** The partition-routing COW write. Tasks write rows straight into
+  * `<newRoot>/<col>=<val>/part-...` (no Hadoop committer — task commits
+  * are arbitrated by Spark's commit coordinator, task aborts delete
+  * their own files, and driver commit sweeps any unauthorized stray
+  * before the swap). Commit hard-links every untouched partition from
+  * the old generation (same inodes — byte-identical by construction),
+  * then publishes via the catalog's atomic location swap. */
+private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
+    ti: TableInfo, op: PartitionCowOperation,
+    partField: org.apache.spark.sql.types.StructField,
+    tableSchema: StructType) extends Write {
+
+  private val oldRoot = ti.location.stripPrefix("file:").stripSuffix("/")
+  private val newRoot =
+    oldRoot + s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+
+  override def description(): String =
+    s"graft-partition-cow-swap ${ti.db}.${ti.name} -> $newRoot"
+
+  override def toBatch: BatchWrite = {
+    val spark = SparkSession.active
+    val fileSchema = StructType(
+      tableSchema.fields.filterNot(_.name == partField.name))
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sessionState.newHadoopConf())
+    job.setOutputKeyClass(classOf[Void])
+    job.setOutputValueClass(classOf[InternalRow])
+    val factory = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, fileSchema)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      job.getConfiguration)
+    new java.io.File(newRoot).mkdirs()
+    // in-flight marker for gcGenerations (this path has no _temporary):
+    // present from first byte until just before the swap
+    val marker = new java.io.File(newRoot, "_graftwriting")
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray): Unit
+
+    new BatchWrite {
+      override def createBatchWriterFactory(
+          pInfo: PhysicalWriteInfo): DataWriterFactory =
+        new PartitionRoutedWriterFactory(newRoot, tableSchema,
+          tableSchema.fieldIndex(partField.name), fileSchema,
+          factory, serConf)
+
+      // exactly one attempt per task may commit — with direct-to-final
+      // file writes this is what makes speculative duplicates safe
+      override def useCommitCoordinator(): Boolean = true
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val committed = messages.collect { case m: PartFilesMsg => m.files }
+          .flatten.toSeq
+        // sweep strays: files from attempts that died without abort()
+        val authorized = committed.map { case (d, f) => s"$d/$f" }.toSet
+        Option(new java.io.File(newRoot).listFiles()).toSeq.flatten
+          .filter(_.isDirectory).foreach { d =>
+            Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
+              .filterNot(f => authorized.contains(s"${d.getName}/${f.getName}"))
+              .foreach { f => f.delete(): Unit }
+          }
+        // replaced groups: what the scan served (every partition when
+        // the runtime group filter never fired)
+        val oldDirs = Option(new java.io.File(oldRoot).listFiles()).toSeq
+          .flatten.filter(d => d.isDirectory &&
+            d.getName.contains("=")).map(_.getName)
+        val replaced: Set[String] = op.scope match {
+          case Some(vals) =>
+            vals.map(v => PartitionScoped.dirName(partField.name, v))
+          case None => oldDirs.toSet
+        }
+        // hard-link untouched partitions file-for-file (same inodes —
+        // byte-identical, zero data movement); insert-only destinations
+        // (new rows landed in a partition the scan never read) keep
+        // their old files AND the new ones
+        for (dir <- oldDirs if !replaced.contains(dir)) {
+          val src = new java.io.File(oldRoot, dir)
+          val dst = new java.io.File(newRoot, dir)
+          dst.mkdirs()
+          Option(src.listFiles()).toSeq.flatten
+            .filter(f => f.isFile && !f.getName.startsWith(".") &&
+              !f.getName.startsWith("_"))
+            .foreach { f =>
+              val target = new java.io.File(dst, f.getName).toPath
+              try java.nio.file.Files.createLink(target, f.toPath)
+              catch { // filesystem without hard links: honest copy
+                case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+                  java.nio.file.Files.copy(f.toPath, target,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+              }
+            }
+        }
+        marker.delete(): Unit
+        cat.swapLocation(ti, newRoot) // the ONLY publish point (atomic)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(newRoot)): Unit
+      }
+    }
+  }
+}
+
+private[catalog] class PartitionRoutedWriterFactory(newRoot: String,
+    schema: StructType, partOrdinal: Int, fileSchema: StructType,
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PartitionRoutedDataWriter(newRoot, schema, partOrdinal,
+      fileSchema, owf, conf.value, partitionId, taskId)
+}
+
+private[catalog] class PartitionRoutedDataWriter(newRoot: String,
+    schema: StructType, partOrdinal: Int, fileSchema: StructType,
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.hadoop.conf.Configuration,
+    partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+
+  private val partField = schema(partOrdinal)
+  // rows land in files WITHOUT the partition column (hive layout);
+  // carry-over and updated rows alike — directory discovery serves it
+  private val proj = org.apache.spark.sql.catalyst.expressions
+    .UnsafeProjection.create(
+      schema.fields.indices.filterNot(_ == partOrdinal).map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, schema(i).dataType, schema(i).nullable)))
+  private val attempt = new org.apache.hadoop.mapreduce.task
+    .TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID("graftcow", 0),
+        TaskType.MAP, partitionId), taskId.toInt))
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[
+    String, (org.apache.spark.sql.execution.datasources.OutputWriter,
+      java.io.File)]
+
+  private def route(dir: String)
+      : org.apache.spark.sql.execution.datasources.OutputWriter =
+    writers.getOrElseUpdate(dir, {
+      val d = new java.io.File(newRoot, dir)
+      d.mkdirs()
+      val f = new java.io.File(d,
+        f"part-$partitionId%05d-$taskId${owf.getFileExtension(attempt)}")
+      (owf.newInstance(f.getPath, fileSchema, attempt), f)
+    })._1
+
+  private def currentDir(row: InternalRow): String =
+    PartitionScoped.dirName(partField.name,
+      row.get(partOrdinal, partField.dataType))
+
+  // ReplaceDataExec's DataAndMetadataWritingSparkTask path: metadata =
+  // the required `_partition` (origin group; NULL on inserted rows)
+  override def write(meta: InternalRow, row: InternalRow): Unit = {
+    val cur = currentDir(row)
+    if (meta != null && !meta.isNullAt(0)) {
+      val origin = meta.getUTF8String(0).toString
+      if (origin != cur)
+        throw new UnsupportedOperationException(
+          s"partition-scoped row-level DML cannot move a row between " +
+            s"partitions ($origin -> $cur): per-partition replacement " +
+            "cannot express the move without rewriting the destination." +
+            " Rewrite the statement as DELETE + INSERT, or repartition " +
+            "the table. The statement aborts atomically — nothing was " +
+            "published.")
+    }
+    route(cur).write(proj(row))
+  }
+
+  override def write(row: InternalRow): Unit =
+    route(currentDir(row)).write(proj(row))
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    PartFilesMsg(writers.toSeq.map { case (dir, (_, f)) =>
+      dir -> f.getName })
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (w, f) =>
+      try w.close() catch { case _: Throwable => () }
+      f.delete(): Unit
+    }
+  }
+
+  override def close(): Unit = ()
 }

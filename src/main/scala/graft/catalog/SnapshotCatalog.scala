@@ -930,11 +930,20 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           new ConstraintPartitionedTable(served, checks)
         case _ => new ConstraintTable(served, checks)
       }
-    // stock row-level DML (MERGE/UPDATE/DELETE) — table-granular COW:
-    // unpartitioned parquet tables only (a partitioned rewrite must go
-    // partition-scoped to be honest at scale; see RowLevelOps scaladoc)
+    // stock row-level DML (MERGE/UPDATE/DELETE): table-granular COW on
+    // unpartitioned parquet tables; PARTITION-granular COW (group =
+    // hive partition — only partitions the delta touches are
+    // rewritten, the rest hard-link) on single-column-partitioned
+    // parquet tables whose partition type the layout-backed partition
+    // management also supports
+    val partTypeOk = partCols.length == 1 &&
+      ti.columns.find(_.name == partCols.head).exists(c =>
+        Set("string", "int", "bigint")(c.dataType.toLowerCase))
     if (partCols.isEmpty && ti.provider.equalsIgnoreCase("parquet"))
       new RowLevelCowTable(withChecks, this, ti)
+    else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet"))
+      new PartitionScopedRowLevelTable(withChecks, this, ti,
+        base.schema().fields.find(_.name == partCols.head).get)
     else withChecks
   }
 

@@ -1969,6 +1969,102 @@ class CatalogSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("partition-scoped MERGE hard-links untouched partitions " +
+      "(same inodes), refuses cross-partition moves atomically, and " +
+      "handles partition-emptying DELETE and insert-only append") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_pscope_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gpscopespec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.ps")
+    spark.sql(s"CREATE TABLE $cat.ps.t (k BIGINT, v DOUBLE, g STRING) " +
+      "USING parquet PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.ps.t SELECT id, id * 1.5D, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' WHEN id % 3 = 1 THEN 'B' " +
+      "ELSE 'C' END FROM range(300)")
+    def location(): String = {
+      val head = new java.io.File(dir, "HEAD")
+      val rev = new String(java.nio.file.Files.readAllBytes(head.toPath))
+        .trim.split("\\s+")(0).toInt
+      CatalogTransfer.readLocal(s"$dir/revs/$rev").tables
+        .find(_.name == "t").get.location
+    }
+    def inodes(root: String, g: String): Map[String, AnyRef] =
+      Option(new java.io.File(s"$root/g=$g").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(f => f.getName -> java.nio.file.Files.readAttributes(
+          f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+          .fileKey()).toMap
+    val loc0 = location()
+    val inoA0 = inodes(loc0, "A")
+    val inoB0 = inodes(loc0, "B")
+    assert(inoA0.nonEmpty && inoB0.nonEmpty)
+
+    // 1. UPDATE confined to partition C: A and B must come through as
+    // the SAME inodes (hard links — byte-identical by construction)
+    spark.sql(s"UPDATE $cat.ps.t SET v = v * 2D WHERE g = 'C' AND k < 50")
+    val loc1 = location()
+    assert(loc1 != loc0, "update must publish a fresh generation")
+    assert(inodes(loc1, "A") == inoA0,
+      "partition A must be hard-linked file-for-file")
+    assert(inodes(loc1, "B") == inoB0,
+      "partition B must be hard-linked file-for-file")
+    assert(inodes(loc1, "C") != inodes(loc0, "C"),
+      "partition C must be rewritten")
+    val updated = spark.table(s"$cat.ps.t")
+      .where("g = 'C' AND k < 50 AND v = k * 3.0D").count()
+    assert(updated == spark.range(300).where("id % 3 = 2 AND id < 50")
+      .count(), "update semantics wrong")
+
+    // 2. cross-partition move: refused loudly, nothing published
+    val locBefore = location()
+    val rowsBefore = spark.table(s"$cat.ps.t").orderBy("k").collect().toSeq
+    val ex = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.ps.t SET g = 'A' WHERE g = 'B' AND k = 1")
+    }
+    def rootCauses(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: rootCauses(t.getCause)
+    assert(rootCauses(ex).exists(m => m != null &&
+      m.contains("cannot move a row between partitions")),
+      s"wrong failure: ${rootCauses(ex).mkString(" | ")}")
+    assert(location() == locBefore,
+      "failed move must not publish a generation")
+    assert(spark.table(s"$cat.ps.t").orderBy("k").collect().toSeq ==
+      rowsBefore, "failed move must leave content untouched")
+
+    // 3. partition-emptying DELETE: partition B disappears; A linked
+    spark.sql(s"DELETE FROM $cat.ps.t WHERE g = 'B'")
+    val loc3 = location()
+    assert(inodes(loc3, "A") == inoA0, "A must still be the same inodes")
+    assert(!new java.io.File(s"$loc3/g=B").exists,
+      "emptied partition must not reappear in the new generation")
+    assert(spark.table(s"$cat.ps.t").where("g = 'B'").count() == 0)
+
+    // 4. insert-only MERGE into an untouched partition: destination
+    // keeps its old files (linked) AND gains the new rows
+    val inoA3 = inodes(loc3, "A")
+    spark.range(5).selectExpr("id + 1000 AS k", "id * 1.0D AS v",
+      "'A' AS g").createOrReplaceTempView("ps_append")
+    spark.sql(s"""MERGE INTO $cat.ps.t t USING ps_append u
+                 |ON t.k = u.k
+                 |WHEN MATCHED THEN UPDATE SET v = u.v
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val loc4 = location()
+    val inoA4 = inodes(loc4, "A")
+    assert(inoA3.forall { case (n, key) => inoA4.get(n).contains(key) },
+      "append must keep the old files of the destination partition")
+    assert(inoA4.size > inoA3.size, "append must add a new file")
+    assert(spark.table(s"$cat.ps.t").where("k >= 1000").count() == 5)
+    // C untouched by the append statement: zero matched groups, so
+    // every pre-existing partition came through linked
+    assert(inodes(loc4, "C") == inodes(loc3, "C"),
+      "zero-match MERGE must hard-link every read-scope partition")
+  }
+
   test("readLocal is bit-equal to the Spark reader on both writers' " +
       "output (the snap-revalidation fast path serves identical state)") {
     // rich fixture: stats (histogram blob), a partitioned table with
