@@ -107,7 +107,9 @@ object ScaleCurves {
     // r16: the partition-scoped contrast line against meta_v2_rowlevel
     // (1.12x table-proportional): the scoped rewrite term must track
     // the TOUCHED partition ('P', ~2% of orders), not the table
-    "meta_v2_merge_scoped" -> "orders")
+    "meta_v2_merge_scoped" -> "orders",
+    // r16: super-node propagation must stay batch-proportional
+    "dedup_clusters_incremental" -> "documents")
 
   private val RunsPerKey = 3
 

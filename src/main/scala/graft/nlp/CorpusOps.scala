@@ -280,6 +280,113 @@ object CorpusOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL near-dup clustering — the crawl-day form of
+    // dedup_clusters: yesterday's corpus already has a component map
+    // (doc -> min-doc label) and an n-gram posting index persisted;
+    // today's batch must merge into that structure WITHOUT
+    // re-propagating pure-history edges. The trick is contraction:
+    // each history component is one SUPER-NODE (its persisted label —
+    // already the component's min doc_id), so the label-propagation
+    // graph is [batch docs + touched history components], orders of
+    // magnitude smaller than the corpus, and min-label propagation
+    // over it yields exactly the full graph's min-doc labels for every
+    // batch-touching component (contracting a connected subgraph
+    // preserves connectivity; the contracted id IS the sub-minimum).
+    // Batch-touching pairs come from the posting index, never an
+    // all-pairs pass: batch postings self-join + batch x history-index
+    // join, both collision-proportional, with exact Jaccard from the
+    // shared-gram counts (na + nb - inter) — history text is never
+    // re-read. Oracled by the incremental law (the
+    // agg_incremental_merge proof shape): output == the full-corpus
+    // dedup_clusters component structure RESTRICTED to components
+    // containing a batch doc.
+    "dedup_clusters_incremental" -> ((s, d) => {
+      val scope = docs(s, d).filter(col("doc_id") < 1000)
+        .withColumn("sh", array_distinct(TextOps.bigramsRaw(col("text"))))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+      val hist = scope.filter(col("doc_id") < 300)
+      val postDir = Tables.scratch(d, "njc_inc_post")
+      val sizeDir = Tables.scratch(d, "njc_inc_sizes")
+      val compDir = Tables.scratch(d, "njc_inc_comp")
+      if (!Tables.scratchCurrent(d, "documents", compDir)) {
+        hist.select(col("doc_id"), explode(col("sh")).as("g"))
+          .write.mode("overwrite").parquet(postDir)
+        hist.select(col("doc_id"), size(col("sh")).as("n"))
+          .write.mode("overwrite").parquet(sizeDir)
+        // one-time history clustering (yesterday's batch job); from
+        // here on only batches propagate
+        val hPost = s.read.parquet(postDir)
+        val hPairs = hPost.as("x").join(hPost.as("y"),
+            col("x.g") === col("y.g"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(s.read.parquet(sizeDir)
+            .select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(s.read.parquet(sizeDir)
+            .select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .filter(col("inter") / (col("na") + col("nb") - col("inter"))
+            >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        connectedComponents(hPairs)
+          .select(col("id").as("doc_id"), col("lbl"))
+          .write.mode("overwrite").parquet(compDir)
+        Tables.stampScratch(d, "documents", compDir)
+      }
+      val hPost = s.read.parquet(postDir)
+      val hSizes = s.read.parquet(sizeDir)
+      val hComp = s.read.parquet(compDir)
+      val batch = scope.filter(col("doc_id") >= 300)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bPost = batch.select(col("doc_id"), explode(col("sh")).as("g"))
+      val bSizes = batch.select(col("doc_id"), size(col("sh")).as("n"))
+      // batch ids all exceed history ids, so every batch-touching pair
+      // (a < b) has b in the batch: one cross join + one self join
+      // covers the full new-edge set
+      def jPairs(left: DataFrame, leftSizes: DataFrame): DataFrame =
+        left.as("x").join(bPost.as("y"), col("x.g") === col("y.g"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(leftSizes.select(col("doc_id").as("doc_a"),
+            col("n").as("na")), "doc_a")
+          .join(bSizes.select(col("doc_id").as("doc_b"),
+            col("n").as("nb")), "doc_b")
+          .filter(col("inter") / (col("na") + col("nb") - col("inter"))
+            >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+      val newEdges = jPairs(hPost, hSizes).union(jPairs(bPost, bSizes))
+      // contraction: history endpoints become their component label
+      // (their own id when historically pairless); batch endpoints
+      // stay themselves. doc_a < 300 by construction iff it is history.
+      val contracted = newEdges
+        .join(hComp.select(col("doc_id").as("doc_a"),
+          col("lbl").as("la")), Seq("doc_a"), "left")
+        .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+          col("doc_b"))
+      val superLbl = connectedComponents(contracted)
+        .select(col("id"), col("lbl"))
+      // expansion: history super-nodes pull in their full membership
+      // from the persisted map; batch docs are their own row
+      val histMembers = superLbl.filter(col("id") < 300)
+        .join(hComp.select(col("lbl").as("id"),
+          col("doc_id").as("member")), Seq("id"), "left")
+        .select(coalesce(col("member"), col("id")).as("doc_id"),
+          col("lbl").as("cluster_id"))
+      val batchMembers = superLbl.filter(col("id") >= 300)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      val out = histMembers.union(batchMembers)
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      batch.unpersist(blocking = false)
+      out
+    }),
+
     // Deterministic global shuffle into training shards: every doc gets
     // a pseudo-random but SEEDED position — shard = knuth-hash % 16,
     // seq = rank within shard by (hash, doc_id) — so the same corpus
@@ -1241,6 +1348,19 @@ object CorpusOps extends QueryGroup {
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize
         |FROM comp ORDER BY doc_id""".stripMargin,
+    // the incremental law: the merged-in-one-batch result must equal
+    // the full-corpus component structure restricted to components
+    // containing a batch doc (doc_id >= 300) — pure-history components
+    // were yesterday's answer and are exactly what the engine never
+    // re-propagates
+    "dedup_clusters_incremental" ->
+      s"""WITH RECURSIVE $oComponentCte
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+        |FROM comp
+        |WHERE cluster_id IN (SELECT cluster_id FROM comp
+        |                     WHERE doc_id >= 300)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_keep_list" ->
       s"""WITH RECURSIVE $oComponentCte
         |SELECT dd.doc_id, dd.lang,

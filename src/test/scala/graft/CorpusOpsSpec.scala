@@ -133,4 +133,32 @@ class CorpusOpsSpec extends SparkSpec {
         s"vec ${r.getLong(0)}: err $err exceeds half-step ${scale / 254.0}")
     }
   }
+
+  test("dedup_clusters_incremental: equals the full recomputation " +
+      "restricted to batch-touching components, cold and warm alike") {
+    // cold: force the index build; warm: the persisted-map path
+    val scratch = new java.io.File(Tables.scratch(sf, "njc_inc_comp"))
+      .getParentFile
+    Option(scratch.listFiles).toSeq.flatten
+      .filter(_.getName.startsWith("njc_inc_"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    def run(): Seq[(Long, Long, Long)] =
+      SparkEntry.queries("dedup_clusters_incremental")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val cold = run()
+    val warm = run()
+    assert(cold == warm, "cold index build and warm index path diverge")
+    // the incremental law, engine-side: full clustering restricted to
+    // components containing a batch doc (>= 300)
+    val full = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val touched = full.filter(_._1 >= 300).map(_._2).toSet
+    val expected = full.filter(t => touched.contains(t._2))
+    assert(cold == expected,
+      s"incremental merge diverges from restricted recomputation: " +
+        s"got ${cold.take(5)}... expected ${expected.take(5)}...")
+    assert(cold.nonEmpty, "law is vacuous on this fixture")
+  }
 }
