@@ -348,6 +348,46 @@ object VectorOps extends QueryGroup {
           6).as("rrf"))
       .orderBy("query_id", "doc_id")
 
+  /** Argmax-cosine cell assignment against broadcast centroids —
+    * (vec_id, cell, ccos) with the (ccos DESC, cid ASC) tie order every
+    * IVF key uses. Map-side max_by; no n×K shuffle. */
+  private[graft] def ivfAssign(cent: DataFrame, part: DataFrame)
+      : DataFrame =
+    part.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(cosExpr("v", "cv")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("ccos")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"),
+        col("best.ccos").as("ccos"))
+
+  /** Persisted HISTORY assignments (vec_id % 5 <> 3) of the IVF index —
+    * the day-one artifact [[queries sim_ann_ivf_append]] grows. Built
+    * once per fixture (ivfCentroids discipline). */
+  private[graft] def ivfHistAssignments(s: SparkSession, d: String)
+      : DataFrame = {
+    val dir = Tables.scratch(d, "ivf_assign_hist")
+    if (!Tables.scratchCurrent(d, "embeddings", dir)) {
+      ivfAssign(ivfCentroids(s, d),
+        emb(s, d).filter(col("vec_id") % 5 =!= 3))
+        .write.mode("overwrite").parquet(dir)
+      Tables.stampScratch(d, "embeddings", dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Fresh assignment of the append batch (vec_id % 5 = 3). */
+  private[graft] def ivfBatchAssignments(s: SparkSession, d: String)
+      : DataFrame =
+    ivfAssign(ivfCentroids(s, d), emb(s, d).filter(col("vec_id") % 5 === 3))
+
+  /** From-scratch full-corpus assignment — the spec's equality bridge:
+    * persisted history + appended batch must reproduce this exactly. */
+  private[graft] def ivfFullAssignments(s: SparkSession, d: String)
+      : DataFrame =
+    ivfAssign(ivfCentroids(s, d), emb(s, d))
+
   val queries: Map[String, Q] = Map(
 
     // brute-force cosine top-5 per query vector (baseline ANN).
@@ -1042,6 +1082,50 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // IVF INDEX MAINTENANCE — the day-two reality sim_ann_ivf's
+    // build-once story leaves out: a vector batch arrives and must
+    // join the PERSISTED index without retraining the quantizer or
+    // re-assigning the corpus. Work per append: broadcast the K
+    // centroids, argmax-assign the BATCH only (map-side max_by), and
+    // fold per-cell health out of the persisted assignment table with
+    // one K-row aggregate — the corpus vectors are never re-read. The
+    // report is the operational surface: per cell, its size before,
+    // how many the batch added, the round-6 mean centroid-cosine of
+    // old and new members, the drift between them, and a
+    // retrain-trigger flag at the DECLARED thresholds (new members fit
+    // >0.01 worse than the cell's historical mean, or the batch more
+    // than doubles the cell) — the signal an index operator pages on.
+    // Fully oracled: DuckDB re-derives the quantizer (oKmeans),
+    // replays the same argmax and the same round-6 means, and computes
+    // the same flags; AnnRecallSpec proves grown == from-scratch
+    // assignments, which transfers sim_ann_ivf's recall band to the
+    // post-append index.
+    "sim_ann_ivf_append" -> ((s, d) => {
+      val hist = ivfHistAssignments(s, d)
+      val batch = ivfBatchAssignments(s, d)
+      val h = hist.groupBy("cell")
+        .agg(count(lit(1)).as("n_before"),
+          round(avg("ccos"), 6).as("mean_before"))
+      val b = batch.groupBy("cell")
+        .agg(count(lit(1)).as("n_added"),
+          round(avg("ccos"), 6).as("mean_new"))
+      h.join(b, Seq("cell"), "full")
+        .select(col("cell").as("cid"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("mean_before"), lit(0.0)).as("mean_before"),
+          coalesce(col("mean_new"), lit(0.0)).as("mean_new"))
+        .withColumn("drift", expr(
+          """CASE WHEN n_added > 0 AND n_before > 0
+            |THEN ROUND(mean_new - mean_before, 6)
+            |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin))
+        .withColumn("retrain", expr(
+          """CAST(CASE WHEN (n_added > 0 AND n_before > 0 AND
+            |  mean_new < mean_before - 0.01D) OR n_added * 2 > n_before
+            |THEN 1 ELSE 0 END AS INT)""".stripMargin))
+        .orderBy("cid")
+    }),
+
     // IVF + PQ — the two scale halves COMBINED, the memory-bounded ANN
     // capstone: IVF bounds WHICH vectors a query touches (nprobe=4
     // trained cells), PQ bounds the BYTES per touched vector (the
@@ -1637,6 +1721,41 @@ object VectorOps extends QueryGroup {
          |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
          |                    JOIN e qe ON qe.vec_id = c.qid))
          |WHERE rn = 1 ORDER BY qid""".stripMargin,
+    // index-append health report: the quantizer re-derives via oKmeans,
+    // both sides replay the same argmax assignment and round-6 means,
+    // and the drift/retrain arithmetic is identical double ops over
+    // bit-identical inputs
+    "sim_ann_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oKmeans,
+         |sc AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c),
+         |asg AS (SELECT vec_id, cid AS cell, ccos FROM (
+         |  SELECT vec_id, cid, ccos, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |h AS (SELECT cell, COUNT(*) AS n_before,
+         |    ROUND(AVG(ccos), 6) AS mean_before
+         |  FROM asg WHERE vec_id % 5 <> 3 GROUP BY cell),
+         |b AS (SELECT cell, COUNT(*) AS n_added,
+         |    ROUND(AVG(ccos), 6) AS mean_new
+         |  FROM asg WHERE vec_id % 5 = 3 GROUP BY cell),
+         |j AS (SELECT COALESCE(h.cell, b.cell) AS cid,
+         |    CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+         |    CAST(COALESCE(n_added, 0) AS BIGINT) AS n_added,
+         |    COALESCE(mean_before, 0.0) AS mean_before,
+         |    COALESCE(mean_new, 0.0) AS mean_new
+         |  FROM h FULL JOIN b ON h.cell = b.cell)
+         |SELECT cid, n_before, n_added, mean_before, mean_new,
+         |  CASE WHEN n_added > 0 AND n_before > 0
+         |    THEN ROUND(mean_new - mean_before, 6)
+         |    ELSE 0.0 END AS drift,
+         |  CAST(CASE WHEN (n_added > 0 AND n_before > 0 AND
+         |      mean_new < mean_before - 0.01) OR n_added * 2 > n_before
+         |    THEN 1 ELSE 0 END AS INT) AS retrain
+         |FROM j ORDER BY cid""".stripMargin,
     "mm_multimodal_join" ->
       s"""SELECT doc_id, lang, source, n_chars, label,
          | ROUND(${oNorm("v")}, 4) AS emb_norm

@@ -37,6 +37,29 @@ class AnnRecallSpec extends SparkSpec {
     check("sim_ann_ivf", 0.9)
   }
 
+  test("IVF append: grown index (persisted history + assigned batch) " +
+      "equals the from-scratch assignment, transferring the recall band") {
+    import graft.sim.VectorOps
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val grown = toMap(VectorOps.ivfHistAssignments(spark, sf)
+      .unionByName(VectorOps.ivfBatchAssignments(spark, sf)))
+    val scratch = toMap(VectorOps.ivfFullAssignments(spark, sf))
+    assert(grown.nonEmpty && grown == scratch,
+      "append path diverges from the from-scratch corpus assignment — " +
+        "the post-append index would serve different cells")
+    // equality above transfers sim_ann_ivf's pinned >= 0.9 avg-cosine
+    // band to the post-append index (the serve path reads exactly
+    // these (vec_id, cell) rows); re-assert the band on this fixture
+    check("sim_ann_ivf", 0.9)
+    // the report itself must be non-vacuous: at least one cell flags
+    val flags = SparkEntry.queries("sim_ann_ivf_append")(spark, sf)
+      .select("retrain").collect().map(_.getInt(0)).toSeq
+    assert(flags.contains(1) && flags.contains(0),
+      s"retrain flag vacuous on this fixture: $flags")
+  }
+
   test("k-means training improves IVF exact recall@1 over raw seeds") {
     // deterministic pipeline: untrained centroids find the true nearest
     // neighbor for 1/5 queries; trained centroids find it for 3/5.
