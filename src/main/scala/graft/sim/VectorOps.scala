@@ -1082,6 +1082,51 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // LATE-INTERACTION retrieval (the ColBERT serve shape) — the
+    // multi-vector family the single-vector stack lacks: query and doc
+    // are each a BAG of token vectors, and relevance is MaxSim =
+    // Σ over query tokens of the max cosine against any doc token —
+    // finer-grained than one pooled cosine (a doc matching each query
+    // token somewhere beats a doc matching the average). Token vectors
+    // derive deterministically from the fixtures: each 64-dim embedding
+    // slices into 4×16-dim pseudo-tokens. Exactness discipline: slice
+    // norms precompute once per side, every dot is the pinned
+    // left-to-right graft_dot fold, GREATEST and the left-assoc 4-term
+    // sum replay textually in the oracle — scores are bit-identical
+    // cross-engine, so ranking on the RAW score is deterministic.
+    // Scale shape: brute-force over corpus × queries with the query
+    // side broadcast (the honest baseline; the IVF candidate join of
+    // sim_hybrid_rrf_ann is the 100 TB path for the first stage, with
+    // MaxSim as the re-rank stage over its bounded candidates — where
+    // late interaction is actually served in production).
+    "sim_maxsim_late" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("v"))
+      def tokens(df: DataFrame, p: String): DataFrame =
+        (0 to 3).foldLeft(df) { (r, t) =>
+          r.withColumn(s"${p}t$t", expr(s"slice(v, ${t * 16 + 1}, 16)"))
+            .withColumn(s"${p}n$t",
+              expr(s"sqrt(graft_dot(${p}t$t, ${p}t$t))"))
+        }.drop("v")
+      val q = tokens(e.filter(col("vec_id") % 100 === 0), "q")
+        .withColumnRenamed("vec_id", "qid")
+      val corpus = tokens(e, "d")
+      val msExpr = (0 to 3).map { i =>
+        val terms = (0 to 3).map(j =>
+          s"graft_dot(qt$i, dt$j) / (qn$i * dn$j)")
+        s"greatest(${terms.mkString(", ")})"
+      }.mkString(" + ")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("ms").desc, col("vec_id").asc)
+      corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("ms", expr(msExpr))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("nn"),
+          round(col("ms"), 4).as("maxsim"))
+        .orderBy("qid", "rn")
+    }),
+
     // IVF INDEX MAINTENANCE — the day-two reality sim_ann_ivf's
     // build-once story leaves out: a vector batch arrives and must
     // join the PERSISTED index without retraining the quantizer or
@@ -1721,6 +1766,37 @@ object VectorOps extends QueryGroup {
          |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
          |                    JOIN e qe ON qe.vec_id = c.qid))
          |WHERE rn = 1 ORDER BY qid""".stripMargin,
+    // MaxSim late interaction: slice norms precompute per side, every
+    // dot fold / division / GREATEST / left-assoc sum replays the
+    // engine's exact double-op order — raw-score ranks agree bitwise
+    "sim_maxsim_late" -> {
+      def oSliceDot(a: String, b: String): String =
+        s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
+          s"GENERATE_SERIES(1, 16), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val toks = (0 to 3).map(t =>
+        s"LIST_SLICE(v, ${t * 16 + 1}, ${t * 16 + 16}) AS t$t")
+        .mkString(", ")
+      val norms = (0 to 3).map(t =>
+        s"SQRT(${oSliceDot(s"t$t", s"t$t")}) AS n$t").mkString(", ")
+      val ms = (0 to 3).map { i =>
+        val terms = (0 to 3).map(j =>
+          s"${oSliceDot(s"q.t$i", s"d.t$j")} / (q.n$i * d.n$j)")
+        s"GREATEST(${terms.mkString(", ")})"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |tok AS (SELECT vec_id, $toks FROM e),
+         |tn AS (SELECT vec_id, t0, t1, t2, t3, $norms FROM tok),
+         |pairs AS (SELECT q.vec_id AS qid, d.vec_id, $ms AS ms
+         |  FROM tn d CROSS JOIN
+         |    (SELECT * FROM tn WHERE vec_id % 100 = 0) q
+         |  WHERE d.vec_id <> q.vec_id)
+         |SELECT qid, rn, vec_id AS nn, ROUND(ms, 4) AS maxsim FROM (
+         |  SELECT qid, vec_id, ms, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY ms DESC, vec_id ASC) AS rn FROM pairs)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    },
     // index-append health report: the quantizer re-derives via oKmeans,
     // both sides replay the same argmax assignment and round-6 means,
     // and the drift/retrain arithmetic is identical double ops over

@@ -37,6 +37,61 @@ class AnnRecallSpec extends SparkSpec {
     check("sim_ann_ivf", 0.9)
   }
 
+  test("sim_maxsim_late: ranks agree positively with single-vector " +
+      "cosine, scores bounded by the token count") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+      .select(col("vec_id"), col("v"))
+    def tokens(df: org.apache.spark.sql.DataFrame, p: String) =
+      (0 to 3).foldLeft(df) { (r, t) =>
+        r.withColumn(s"${p}t$t", expr(s"slice(v, ${t * 16 + 1}, 16)"))
+          .withColumn(s"${p}n$t",
+            expr(s"sqrt(graft_dot(${p}t$t, ${p}t$t))"))
+      }
+    val q = tokens(e.filter(col("vec_id") % 100 === 0), "q")
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
+    val msExpr = (0 to 3).map { i =>
+      val terms = (0 to 3).map(j => s"graft_dot(qt$i, dt$j) / (qn$i * dn$j)")
+      s"greatest(${terms.mkString(", ")})"
+    }.mkString(" + ")
+    val pairs = tokens(e, "d")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ms", expr(msExpr))
+      .withColumn("cosf", expr("graft_cosine(qv, v)"))
+      .select("qid", "vec_id", "ms", "cosf").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    // MaxSim of 4 query tokens is bounded by ±4 (each term is a cosine)
+    assert(pairs.forall(p => p._2 >= -4.0 && p._2 <= 4.0))
+    def spearman(xs: Seq[Double], ys: Seq[Double]): Double = {
+      def ranks(v: Seq[Double]): Seq[Double] = {
+        val idx = v.zipWithIndex.sortBy(_._1).map(_._2)
+        val r = new Array[Double](v.size)
+        idx.zipWithIndex.foreach { case (orig, rk) => r(orig) = rk + 1.0 }
+        r.toSeq
+      }
+      val (rx, ry) = (ranks(xs), ranks(ys))
+      val mx = rx.sum / rx.size; val my = ry.sum / ry.size
+      val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+      cov / (sx * sy)
+    }
+    val rhos = pairs.groupBy(_._1).map { case (_, g) =>
+      spearman(g.map(_._2).toSeq, g.map(_._3).toSeq)
+    }.toSeq
+    // measured on this fixture: avg 0.32 (sf0.001) / 0.42 (sf0.01),
+    // min 0.18 — MaxSim shares the underlying geometry with the pooled
+    // cosine even on near-random vectors; the band pins that agreement
+    // without overclaiming top-k identity (which random vectors defeat)
+    assert(rhos.nonEmpty && rhos.forall(_ > 0.0),
+      s"per-query Spearman not uniformly positive: $rhos")
+    val avg = rhos.sum / rhos.size
+    assert(avg >= 0.15, s"avg Spearman $avg < 0.15")
+  }
+
   test("IVF append: grown index (persisted history + assigned batch) " +
       "equals the from-scratch assignment, transferring the recall band") {
     import graft.sim.VectorOps

@@ -203,7 +203,11 @@ class PlanSpec extends SparkSpec {
       // sim_cosine_topk broadcast-query scan and the bm25 stats
       // scalar); the _ann sibling swaps the first for sim_ann_ivfpq's
       // broadcast-NLJ centroid assignment — also sanctioned
-      "text_bm25_score", "sim_hybrid_rrf", "sim_hybrid_rrf_ann")
+      "text_bm25_score", "sim_hybrid_rrf", "sim_hybrid_rrf_ann",
+      // sim_maxsim_late broadcast-NLJs the tiny query token bags
+      // against one corpus scan (the sim_cosine_topk brute-force-serve
+      // shape; the production first stage is the IVF candidate join)
+      "sim_maxsim_late")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
