@@ -808,7 +808,11 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         // Deleting it would wipe the rewrite out from under an
         // acknowledged-soon statement.
         System.currentTimeMillis - d.lastModified <= claimGraceMs ||
-        (new java.io.File(d, "_temporary").exists &&
+        // _temporary = the Hadoop committer's staging area (stock COW
+        // path mid-job); _graftwriting = the partition-routed writer's
+        // explicit marker (that path writes final files directly)
+        ((new java.io.File(d, "_temporary").exists ||
+          new java.io.File(d, "_graftwriting").exists) &&
           System.currentTimeMillis - newestMtime(d) <= rewriteGraceMs))
     drop.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     (drop.map(_.getPath).sorted, kept.map(_.getPath).sorted)

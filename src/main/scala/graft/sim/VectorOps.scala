@@ -1127,6 +1127,60 @@ object VectorOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // TWO-STAGE late-interaction serve — the production shape
+    // sim_maxsim_late's scaladoc promises: stage 1 bounds WHICH docs a
+    // query touches (the IVF candidate join — nprobe=4 trained cells,
+    // so candidates are Σ probed-cell sizes, never the corpus), stage
+    // 2 re-ranks ONLY those candidates by MaxSim over the 4×16-dim
+    // token bags. At 100 TB this is exactly how ColBERT-style systems
+    // deploy: an ANN first stage feeds a late-interaction re-ranker
+    // whose per-query cost is candidates × 16 token cosines, bounded
+    // by the index. Fully oracled: the quantizer re-derives via
+    // oKmeans, the probe/candidate set replays relationally, and the
+    // MaxSim arithmetic replays textually (pinned folds) — candidate
+    // sets and raw-score ranks agree bitwise cross-engine.
+    "sim_maxsim_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = ivfCentroids(s, d)
+      val scored = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+      val cells = scored.groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cell"))
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val probes = scored.filter(col("vec_id") % 100 === 0)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      def tokens(df: DataFrame, p: String): DataFrame =
+        (0 to 3).foldLeft(df) { (r, t) =>
+          r.withColumn(s"${p}t$t", expr(s"slice(v, ${t * 16 + 1}, 16)"))
+            .withColumn(s"${p}n$t",
+              expr(s"sqrt(graft_dot(${p}t$t, ${p}t$t))"))
+        }.drop("v")
+      val q = tokens(e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid2"), col("v")), "q")
+      val corpus = tokens(e.select(col("vec_id"), col("v")), "d")
+        .join(cells, "vec_id")
+      val msExpr = (0 to 3).map { i =>
+        val terms = (0 to 3).map(j =>
+          s"graft_dot(qt$i, dt$j) / (qn$i * dn$j)")
+        s"greatest(${terms.mkString(", ")})"
+      }.mkString(" + ")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("ms").desc, col("vec_id").asc)
+      corpus.join(probes, "cell") // the equi-join IS the index probe
+        .filter(col("vec_id") =!= col("qid"))
+        .join(q, col("qid") === col("qid2"))
+        .withColumn("ms", expr(msExpr))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("nn"),
+          round(col("ms"), 4).as("maxsim"))
+        .orderBy("qid", "rn")
+    }),
+
     // IVF INDEX MAINTENANCE — the day-two reality sim_ann_ivf's
     // build-once story leaves out: a vector batch arrives and must
     // join the PERSISTED index without retraining the quantizer or
@@ -1792,6 +1846,49 @@ object VectorOps extends QueryGroup {
          |  FROM tn d CROSS JOIN
          |    (SELECT * FROM tn WHERE vec_id % 100 = 0) q
          |  WHERE d.vec_id <> q.vec_id)
+         |SELECT qid, rn, vec_id AS nn, ROUND(ms, 4) AS maxsim FROM (
+         |  SELECT qid, vec_id, ms, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY ms DESC, vec_id ASC) AS rn FROM pairs)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    },
+    // two-stage serve: oKmeans re-derives the quantizer, the probe /
+    // candidate set replays relationally (same argmax + nprobe=4 tie
+    // order as sim_ann_ivf), MaxSim replays textually over candidates
+    "sim_maxsim_rerank" -> {
+      def oSliceDot(a: String, b: String): String =
+        s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
+          s"GENERATE_SERIES(1, 16), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val toks = (0 to 3).map(t =>
+        s"LIST_SLICE(v, ${t * 16 + 1}, ${t * 16 + 16}) AS t$t")
+        .mkString(", ")
+      val norms = (0 to 3).map(t =>
+        s"SQRT(${oSliceDot(s"t$t", s"t$t")}) AS n$t").mkString(", ")
+      val ms = (0 to 3).map { i =>
+        val terms = (0 to 3).map(j =>
+          s"${oSliceDot(s"q.t$i", s"d.t$j")} / (q.n$i * d.n$j)")
+        s"GREATEST(${terms.mkString(", ")})"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oKmeans,
+         |scored AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored
+         |  WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |cand AS (SELECT p.qid, s.vec_id
+         |  FROM probes p JOIN cells s ON s.cell = p.cell
+         |  WHERE s.vec_id <> p.qid),
+         |tok AS (SELECT vec_id, $toks FROM e),
+         |tn AS (SELECT vec_id, t0, t1, t2, t3, $norms FROM tok),
+         |pairs AS (SELECT c.qid, c.vec_id, $ms AS ms
+         |  FROM cand c JOIN tn d ON d.vec_id = c.vec_id
+         |              JOIN tn q ON q.vec_id = c.qid)
          |SELECT qid, rn, vec_id AS nn, ROUND(ms, 4) AS maxsim FROM (
          |  SELECT qid, vec_id, ms, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY ms DESC, vec_id ASC) AS rn FROM pairs)

@@ -92,6 +92,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(avg >= 0.15, s"avg Spearman $avg < 0.15")
   }
 
+  test("sim_maxsim_rerank: IVF-bounded candidates keep the brute-force " +
+      "MaxSim answer quality") {
+    def top1(key: String): Map[Long, Double] =
+      SparkEntry.queries(key)(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("rn") === 1)
+        .select("qid", "maxsim").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val brute = top1("sim_maxsim_late")
+    val rerank = top1("sim_maxsim_rerank")
+    assert(brute.nonEmpty && brute.keySet == rerank.keySet,
+      s"rerank left queries unanswered: ${brute.keySet -- rerank.keySet}")
+    // candidate-loss law (the sim_hybrid_rrf_ann shape): the re-ranked
+    // winner's MaxSim must stay close to the brute-force winner's —
+    // loss comes only from IVF probe misses, which the nprobe=4
+    // trained quantizer bounds. maxsim lives in roughly [0.4, 1.6] on
+    // this fixture, so a ratio band is meaningful.
+    val ratios = brute.map { case (q, b) => rerank(q) / b }
+    val avg = ratios.sum / ratios.size
+    assert(avg >= 0.85, s"avg rerank/brute MaxSim ratio $avg < 0.85")
+  }
+
   test("IVF append: grown index (persisted history + assigned batch) " +
       "equals the from-scratch assignment, transferring the recall band") {
     import graft.sim.VectorOps

@@ -1847,6 +1847,42 @@ class CatalogSpec extends SparkSpec {
     assert(r2.isEmpty && k2.exists(_.endsWith("t_rldeadbeef")),
       s"gc touched an in-grace generation: removed=$r2 kept=$k2")
     org.apache.commons.io.FileUtils.deleteQuietly(fresh): Unit
+    // an AGED dir still carrying the committer's _temporary staging
+    // area is an in-flight DATA rewrite (its top-level mtime never
+    // moves while tasks write below) — gc must keep it while anything
+    // under it is fresh, and reclaim it only once the whole tree has
+    // been quiet past the rewrite grace window
+    val midWrite =
+      new java.io.File(s"${dir.getPath}/_warehouse/g/t_rlcafe0123")
+    val tmp = new java.io.File(midWrite, "_temporary/0")
+    assert(tmp.mkdirs())
+    val taskFile = new java.io.File(tmp, "part-001.parquet")
+    java.nio.file.Files.write(taskFile.toPath, Array[Byte](1)): Unit
+    val old = System.currentTimeMillis - plug.claimGraceMs - 60000L
+    assert(midWrite.setLastModified(old)) // top level looks abandoned
+    val (r3, k3) = plug.gcGenerations()
+    assert(r3.isEmpty && k3.exists(_.endsWith("t_rlcafe0123")),
+      s"gc wiped an in-flight rewrite (live _temporary): $r3 / $k3")
+    // now the whole tree goes quiet past rewriteGraceMs → reclaimable
+    Seq(midWrite, new java.io.File(midWrite, "_temporary"), tmp, taskFile)
+      .foreach(f => assert(f.setLastModified(
+        System.currentTimeMillis - plug.rewriteGraceMs - 60000L)))
+    val (r4, _) = plug.gcGenerations()
+    assert(r4.exists(_.endsWith("t_rlcafe0123")),
+      s"gc failed to reclaim a dead writer's staging litter: $r4")
+    // the partition-scoped writer's explicit marker gets the same
+    // treatment (that path has no _temporary)
+    val marked =
+      new java.io.File(s"${dir.getPath}/_warehouse/g/t_rlfeed4567")
+    assert(marked.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(marked, "_graftwriting").toPath,
+      Array.emptyByteArray): Unit
+    assert(marked.setLastModified(old))
+    val (r5, k5) = plug.gcGenerations()
+    assert(r5.isEmpty && k5.exists(_.endsWith("t_rlfeed4567")),
+      s"gc wiped a marker-carrying in-flight rewrite: $r5 / $k5")
+    org.apache.commons.io.FileUtils.deleteQuietly(marked): Unit
     // idempotent
     assert(plug.gcGenerations()._1.isEmpty, "gc not idempotent")
   }

@@ -206,8 +206,11 @@ class PlanSpec extends SparkSpec {
       "text_bm25_score", "sim_hybrid_rrf", "sim_hybrid_rrf_ann",
       // sim_maxsim_late broadcast-NLJs the tiny query token bags
       // against one corpus scan (the sim_cosine_topk brute-force-serve
-      // shape; the production first stage is the IVF candidate join)
-      "sim_maxsim_late")
+      // shape; the production first stage is the IVF candidate join);
+      // sim_maxsim_rerank broadcast-NLJs the tiny centroid set for
+      // cell assignment (the sim_ann_ivf quantizer shape) — its
+      // re-rank stage joins candidates equi on cell
+      "sim_maxsim_late", "sim_maxsim_rerank")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
