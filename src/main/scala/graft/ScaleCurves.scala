@@ -109,7 +109,10 @@ object ScaleCurves {
     // the TOUCHED partition ('P', ~2% of orders), not the table
     "meta_v2_merge_scoped" -> "orders",
     // r16: super-node propagation must stay batch-proportional
-    "dedup_clusters_incremental" -> "documents")
+    "dedup_clusters_incremental" -> "documents",
+    "sim_ann_ivf_append" -> "embeddings",
+    "sim_maxsim_late" -> "embeddings",
+    "sim_maxsim_rerank" -> "embeddings")
 
   private val RunsPerKey = 3
 

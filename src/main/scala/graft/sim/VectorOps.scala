@@ -94,7 +94,11 @@ object VectorOps extends QueryGroup {
     * cent1 → sc1/asg1 → cent2`, with the same per-dim
     * ROUND(AVG(v[i]), 6) and the same (ccos DESC, cid ASC) assignment
     * tie order. */
-  private def oKmeans: String = {
+  private def oKmeans: String = oKmeansSteps(2)
+
+  /** Same builder with a configurable refinement count — cent$steps is
+    * the final quantizer (sim_ann_ivf_retrain re-derives cent3). */
+  private def oKmeansSteps(steps: Int): String = {
     def step(n: Int): String = {
       val avgs = (1 to dim).map(i => s"ROUND(AVG(v[$i]), 6)")
         .mkString("LIST_VALUE(", ", ", ")")
@@ -108,8 +112,7 @@ object VectorOps extends QueryGroup {
     }
     s"""tr AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
        |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 29 = 0),
-       |${step(0)},
-       |${step(1)}""".stripMargin
+       |${(0 until steps).map(step).mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB mirror of [[pqCodebook]] training + the graft_pq_encode
@@ -1181,6 +1184,49 @@ object VectorOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // IVF RETRAIN — the action sim_ann_ivf_append's flag calls for,
+    // completing the index lifecycle (build → serve → append+monitor →
+    // retrain): one k-means refinement of the shipped quantizer over
+    // the grown corpus's training half (the same half-sample
+    // discipline training used — a quantizer needs the density shape,
+    // never every point), then a before/after health report per cell:
+    // member counts under old vs new centroids, the centroid's own
+    // movement (cosine old-vs-new), and the mean member fit before vs
+    // after with an improvement marker. At 100 TB: the refinement is
+    // one broadcast-assign + one K×64 partial-agg shuffle over the
+    // sample; the report aggregates are map-side-combined K-row
+    // outputs. Fully oracled — cent3 re-derives in SQL (oKmeansSteps),
+    // both assignments and round-6 means replay exactly.
+    "sim_ann_ivf_retrain" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent2 = ivfCentroids(s, d)
+      val cent3 = kmeansStep(e.filter(col("vec_id") % 2 === 0), cent2)
+      def stats(cent: DataFrame, n: String, m: String): DataFrame =
+        ivfAssign(cent, e).groupBy(col("cell").as("cid"))
+          .agg(count(lit(1)).as(n), round(avg("ccos"), 6).as(m))
+      val before = stats(cent2, "n_before", "mean_before")
+      val after = stats(cent3, "n_after", "mean_after")
+      val shift = cent2.select(col("cid"), col("cv").as("cv2"))
+        .join(cent3.select(col("cid"), col("cv").as("cv3")), "cid")
+        .select(col("cid"),
+          round(expr(cosExpr("cv2", "cv3")), 6).as("shift_cos"))
+      // keyed on the RETRAINED quantizer's cells (a subset of the old
+      // cids by construction — a cell that loses every train member
+      // drops out and its members disperse)
+      after.join(before, Seq("cid"), "left")
+        .join(shift, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          col("n_after"),
+          coalesce(col("mean_before"), lit(0.0)).as("mean_before"),
+          col("mean_after"),
+          coalesce(col("shift_cos"), lit(0.0)).as("shift_cos"))
+        .withColumn("improved", expr(
+          "CAST(CASE WHEN mean_after > mean_before THEN 1 ELSE 0 END " +
+            "AS INT)"))
+        .orderBy("cid")
+    }),
+
     // IVF INDEX MAINTENANCE — the day-two reality sim_ann_ivf's
     // build-once story leaves out: a vector batch arrives and must
     // join the PERSISTED index without retraining the quantizer or
@@ -1894,6 +1940,43 @@ object VectorOps extends QueryGroup {
          |    ORDER BY ms DESC, vec_id ASC) AS rn FROM pairs)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
     },
+    // retrain report: cent3 re-derives via a third SQL k-means step;
+    // both full-corpus assignments and the round-6 means replay exactly
+    "sim_ann_ivf_retrain" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |${oKmeansSteps(3)},
+         |f2 AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c),
+         |f3 AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent3 c),
+         |b AS (SELECT cid, COUNT(*) AS n_before,
+         |    ROUND(AVG(ccos), 6) AS mean_before
+         |  FROM (SELECT vec_id, cid, ccos, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM f2) WHERE rn = 1 GROUP BY cid),
+         |a AS (SELECT cid, COUNT(*) AS n_after,
+         |    ROUND(AVG(ccos), 6) AS mean_after
+         |  FROM (SELECT vec_id, cid, ccos, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM f3) WHERE rn = 1 GROUP BY cid),
+         |sh AS (SELECT c2.cid,
+         |    ROUND(${oCos("c2.cv", "c3.cv")}, 6) AS shift_cos
+         |  FROM cent2 c2 JOIN cent3 c3 ON c2.cid = c3.cid),
+         |j AS (SELECT a.cid,
+         |    CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+         |    CAST(a.n_after AS BIGINT) AS n_after,
+         |    COALESCE(b.mean_before, 0.0) AS mean_before,
+         |    a.mean_after,
+         |    COALESCE(sh.shift_cos, 0.0) AS shift_cos
+         |  FROM a LEFT JOIN b ON a.cid = b.cid
+         |         LEFT JOIN sh ON a.cid = sh.cid)
+         |SELECT cid, n_before, n_after, mean_before, mean_after,
+         |  shift_cos,
+         |  CAST(CASE WHEN mean_after > mean_before THEN 1 ELSE 0 END
+         |    AS INT) AS improved
+         |FROM j ORDER BY cid""".stripMargin,
     // index-append health report: the quantizer re-derives via oKmeans,
     // both sides replay the same argmax assignment and round-6 means,
     // and the drift/retrain arithmetic is identical double ops over

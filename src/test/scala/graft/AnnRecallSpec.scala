@@ -113,6 +113,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(avg >= 0.85, s"avg rerank/brute MaxSim ratio $avg < 0.85")
   }
 
+  test("sim_ann_ivf_retrain: the refinement improves the corpus-wide " +
+      "mean centroid fit") {
+    val rows = SparkEntry.queries("sim_ann_ivf_retrain")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val before = rows.map(t => t._1 * t._3).sum / rows.map(_._1).sum
+    val after = rows.map(t => t._2 * t._4).sum / rows.map(_._2).sum
+    assert(after > before,
+      s"retrain step worsened the corpus-wide mean fit: " +
+        s"$before -> $after")
+  }
+
   test("IVF append: grown index (persisted history + assigned batch) " +
       "equals the from-scratch assignment, transferring the recall band") {
     import graft.sim.VectorOps
