@@ -71,29 +71,35 @@ object CorpusOps extends QueryGroup {
     * Single source for the clusters / keep-list oracles. MUST stay in
     * sync with TextOps' dedup_ngram_jaccard detection (same shingling,
     * threshold, and doc_id scope). */
-  private val oComponentCte =
-    """d AS (
+  /** Connected-components CTE family over the bigram-Jaccard pair
+    * graph of `documents WHERE $where` — CTE names suffixed with `sfx`
+    * so two scopes (full vs history) can coexist in one WITH (the
+    * incremental keys' oracles). */
+  private def oComponentCteFor(sfx: String, where: String): String =
+    s"""d$sfx AS (
       |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
       |      GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0)),
       |      i -> t[i] || ' ' || t[i+1])) AS sh
       |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
-      |        WHERE doc_id < 1000)
+      |        WHERE $where)
       |  WHERE LEN(t) > 1),
-      |pairs AS (
+      |pairs$sfx AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  FROM d$sfx a JOIN d$sfx b ON a.doc_id < b.doc_id
       |   AND LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
       |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
       |    / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5),
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |reach(id, lbl) AS (
-      |  SELECT DISTINCT src, src FROM edges
+      |edges$sfx AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs$sfx
+      |  UNION SELECT doc_b, doc_a FROM pairs$sfx),
+      |reach$sfx(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges$sfx
       |  UNION
-      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-      |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
-      |         FROM reach GROUP BY id)""".stripMargin
+      |  SELECT e.dst, r.lbl FROM reach$sfx r JOIN edges$sfx e ON e.src = r.id),
+      |comp$sfx AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+      |         FROM reach$sfx GROUP BY id)""".stripMargin
+
+  private val oComponentCte = oComponentCteFor("", "doc_id < 1000")
 
   /** Connected components over a bidirectional edge list via min-label
     * propagation. Labels only decrease, so sum(label) is a monotone
@@ -241,66 +247,12 @@ object CorpusOps extends QueryGroup {
     merges.result()
   }
 
-  val queries: Map[String, Q] = Map(
-
-    // near-dup clusters: the ngram-Jaccard pair list (the already-oracled
-    // detection step) closed into components; cluster_id = min doc_id of
-    // the component — the id a keep-lowest dedup policy retains.
-    "dedup_clusters" -> ((s, d) => {
-      // unsorted pair form: the pairs feed edge/union groupBys, where the
-      // oracled query's range exchange would be pure waste.
-      val pairs = TextOps
-        .ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
-        .select(col("doc_a"), col("doc_b"))
-      connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-        .withColumn("csize",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-        .orderBy("doc_id")
-    }),
-
-    // the dedup DECISION, end-to-end: every document tagged
-    // unique / keeper / dropped from the near-dup component structure —
-    // the keep-list a production pipeline materializes and joins against
-    // downstream. Same bounded pair scope as dedup_clusters.
-    "dedup_keep_list" -> ((s, d) => {
-      val pairs = TextOps
-        .ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
-        .select(col("doc_a"), col("doc_b"))
-      val comp = connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      docs(s, d).filter(col("doc_id") < 1000)
-        .select(col("doc_id"), col("lang"))
-        .join(comp, Seq("doc_id"), "left")
-        .withColumn("status", expr(
-          """CASE WHEN cluster_id IS NULL THEN 'unique'
-            |     WHEN cluster_id = doc_id THEN 'keeper'
-            |     ELSE 'dropped' END""".stripMargin))
-        .select(col("doc_id"), col("lang"), col("status"))
-        .orderBy("doc_id")
-    }),
-
-    // INCREMENTAL near-dup clustering — the crawl-day form of
-    // dedup_clusters: yesterday's corpus already has a component map
-    // (doc -> min-doc label) and an n-gram posting index persisted;
-    // today's batch must merge into that structure WITHOUT
-    // re-propagating pure-history edges. The trick is contraction:
-    // each history component is one SUPER-NODE (its persisted label —
-    // already the component's min doc_id), so the label-propagation
-    // graph is [batch docs + touched history components], orders of
-    // magnitude smaller than the corpus, and min-label propagation
-    // over it yields exactly the full graph's min-doc labels for every
-    // batch-touching component (contracting a connected subgraph
-    // preserves connectivity; the contracted id IS the sub-minimum).
-    // Batch-touching pairs come from the posting index, never an
-    // all-pairs pass: batch postings self-join + batch x history-index
-    // join, both collision-proportional, with exact Jaccard from the
-    // shared-gram counts (na + nb - inter) — history text is never
-    // re-read. Oracled by the incremental law (the
-    // agg_incremental_merge proof shape): output == the full-corpus
-    // dedup_clusters component structure RESTRICTED to components
-    // containing a batch doc.
-    "dedup_clusters_incremental" -> ((s, d) => {
+  /** Shared core of the incremental-clustering family: merge the batch
+    * (doc_id in [300, 1000)) into the PERSISTED history component map
+    * via super-node contraction — returns (doc_id, cluster_id) for
+    * every member of a batch-touching component. See
+    * `dedup_clusters_incremental` for the full discipline notes. */
+  private def incClusterMembers(s: SparkSession, d: String): DataFrame = {
       val scope = docs(s, d).filter(col("doc_id") < 1000)
         .withColumn("sh", array_distinct(TextOps.bigramsRaw(col("text"))))
         .filter(size(col("sh")) > 0)
@@ -378,13 +330,109 @@ object CorpusOps extends QueryGroup {
           col("lbl").as("cluster_id"))
       val batchMembers = superLbl.filter(col("id") >= 300)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      val out = histMembers.union(batchMembers)
+      val out = histMembers.union(batchMembers).localCheckpoint()
+      batch.unpersist(blocking = false)
+      out
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // near-dup clusters: the ngram-Jaccard pair list (the already-oracled
+    // detection step) closed into components; cluster_id = min doc_id of
+    // the component — the id a keep-lowest dedup policy retains.
+    "dedup_clusters" -> ((s, d) => {
+      // unsorted pair form: the pairs feed edge/union groupBys, where the
+      // oracled query's range exchange would be pure waste.
+      val pairs = TextOps
+        .ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("csize",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy("doc_id")
-        .localCheckpoint()
-      batch.unpersist(blocking = false)
-      out
+    }),
+
+    // the dedup DECISION, end-to-end: every document tagged
+    // unique / keeper / dropped from the near-dup component structure —
+    // the keep-list a production pipeline materializes and joins against
+    // downstream. Same bounded pair scope as dedup_clusters.
+    "dedup_keep_list" -> ((s, d) => {
+      val pairs = TextOps
+        .ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 1000))
+        .select(col("doc_a"), col("doc_b"))
+      val comp = connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      docs(s, d).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("lang"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("status", expr(
+          """CASE WHEN cluster_id IS NULL THEN 'unique'
+            |     WHEN cluster_id = doc_id THEN 'keeper'
+            |     ELSE 'dropped' END""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("status"))
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL near-dup clustering — the crawl-day form of
+    // dedup_clusters: yesterday's corpus already has a component map
+    // (doc -> min-doc label) and an n-gram posting index persisted;
+    // today's batch must merge into that structure WITHOUT
+    // re-propagating pure-history edges. The trick is contraction:
+    // each history component is one SUPER-NODE (its persisted label —
+    // already the component's min doc_id), so the label-propagation
+    // graph is [batch docs + touched history components], orders of
+    // magnitude smaller than the corpus, and min-label propagation
+    // over it yields exactly the full graph's min-doc labels for every
+    // batch-touching component (contracting a connected subgraph
+    // preserves connectivity; the contracted id IS the sub-minimum).
+    // Batch-touching pairs come from the posting index, never an
+    // all-pairs pass: batch postings self-join + batch x history-index
+    // join, both collision-proportional, with exact Jaccard from the
+    // shared-gram counts (na + nb - inter) — history text is never
+    // re-read. Oracled by the incremental law (the
+    // agg_incremental_merge proof shape): output == the full-corpus
+    // dedup_clusters component structure RESTRICTED to components
+    // containing a batch doc.
+    "dedup_clusters_incremental" -> ((s, d) =>
+      incClusterMembers(s, d)
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")),
+
+    // The dedup DECISION, incremental form — what the crawl pipeline
+    // actually materializes per batch: a status for every BATCH doc
+    // (unique / keeper / dropped, from the merged component structure)
+    // PLUS the history docs whose standing FLIPPED because the batch
+    // bridged their components (a keeper whose merged component now
+    // has a smaller minimum is demoted; a historically pairless doc
+    // that gained its first near-dup becomes a keeper). Pure-history
+    // components never re-propagate and never emit — the downstream
+    // keep-list store applies this as a delta, not a rewrite.
+    "dedup_keep_list_incremental" -> ((s, d) => {
+      val members = incClusterMembers(s, d)
+      val batchStatus = docs(s, d)
+        .filter(col("doc_id") >= 300 && col("doc_id") < 1000)
+        .select(col("doc_id"))
+        .join(members, Seq("doc_id"), "left")
+        .select(col("doc_id"), expr(
+          """CASE WHEN cluster_id IS NULL THEN 'unique'
+            |     WHEN cluster_id = doc_id THEN 'keeper'
+            |     ELSE 'dropped' END""".stripMargin).as("status"),
+          lit("batch").as("kind"))
+      val histMap = s.read.parquet(Tables.scratch(d, "njc_inc_comp"))
+      val flips = members.filter(col("doc_id") < 300)
+        .withColumn("status", expr(
+          "CASE WHEN cluster_id = doc_id THEN 'keeper' " +
+            "ELSE 'dropped' END"))
+        .join(histMap, Seq("doc_id"), "left")
+        .withColumn("old_status", expr(
+          """CASE WHEN lbl IS NULL THEN 'unique'
+            |     WHEN lbl = doc_id THEN 'keeper'
+            |     ELSE 'dropped' END""".stripMargin))
+        .filter(col("status") =!= col("old_status"))
+        .select(col("doc_id"), col("status"), lit("flipped").as("kind"))
+      batchStatus.union(flips).orderBy("doc_id")
     }),
 
     // Deterministic global shuffle into training shards: every doc gets
@@ -1360,6 +1408,33 @@ object CorpusOps extends QueryGroup {
         |FROM comp
         |WHERE cluster_id IN (SELECT cluster_id FROM comp
         |                     WHERE doc_id >= 300)
+        |ORDER BY doc_id""".stripMargin,
+    // batch statuses from the full component structure; history flips
+    // from full-vs-history-only status disagreement (untouched
+    // components agree and drop out — exactly the engine's scope)
+    "dedup_keep_list_incremental" ->
+      s"""WITH RECURSIVE $oComponentCte,
+        |${oComponentCteFor("_h", "doc_id < 300")},
+        |bs AS (SELECT dd.doc_id,
+        |    CASE WHEN c.cluster_id IS NULL THEN 'unique'
+        |         WHEN c.cluster_id = dd.doc_id THEN 'keeper'
+        |         ELSE 'dropped' END AS status,
+        |    'batch' AS kind
+        |  FROM (SELECT doc_id FROM documents
+        |        WHERE doc_id >= 300 AND doc_id < 1000) dd
+        |  LEFT JOIN comp c ON dd.doc_id = c.doc_id),
+        |hn AS (SELECT c.doc_id,
+        |    CASE WHEN c.cluster_id = c.doc_id THEN 'keeper'
+        |         ELSE 'dropped' END AS status,
+        |    CASE WHEN ch.cluster_id IS NULL THEN 'unique'
+        |         WHEN ch.cluster_id = c.doc_id THEN 'keeper'
+        |         ELSE 'dropped' END AS old_status
+        |  FROM comp c LEFT JOIN comp_h ch ON c.doc_id = ch.doc_id
+        |  WHERE c.doc_id < 300)
+        |SELECT doc_id, status, kind FROM bs
+        |UNION ALL
+        |SELECT doc_id, status, 'flipped' AS kind FROM hn
+        |WHERE status <> old_status
         |ORDER BY doc_id""".stripMargin,
     "dedup_keep_list" ->
       s"""WITH RECURSIVE $oComponentCte

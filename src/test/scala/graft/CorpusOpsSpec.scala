@@ -134,6 +134,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_keep_list_incremental: every emitted status agrees with " +
+      "the full keep-list, and the batch is covered completely") {
+    val full = SparkEntry.queries("dedup_keep_list")(spark, sf)
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inc = SparkEntry.queries("dedup_keep_list_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (doc, status, kind) =>
+      assert(full(doc) == status,
+        s"$kind row for doc $doc says $status, full keep-list says " +
+          s"${full(doc)}")
+    }
+    val batchIds = inc.filter(_._3 == "batch").map(_._1).toSet
+    val expected = Tables(spark, sf, "documents")
+      .where("doc_id >= 300 AND doc_id < 1000")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds == expected,
+      "batch delta must cover every batch doc exactly once")
+  }
+
   test("dedup_clusters_incremental: equals the full recomputation " +
       "restricted to batch-touching components, cold and warm alike") {
     // cold: force the index build; warm: the persisted-map path
