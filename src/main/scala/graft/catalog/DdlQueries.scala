@@ -1302,6 +1302,210 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // MERGE-ON-READ stock DELETE — the other half of the lakehouse DML
+    // cost model (meta_v2_rowlevel's COW is exact but O(table); this
+    // is O(matched rows)): the table opts in via TBLPROPERTIES, the
+    // stock DELETE plans DELTA-based (SupportsDelta → WriteDelta: the
+    // predicate pushes to parquet, ONLY matched rows are read, and
+    // their row ids land in a delete sidecar — no carry-over rows are
+    // read, computed, or written), and the publish hard-links every
+    // data file into the fresh generation. ZERO data rewrite is
+    // asserted below at inode level. Reads merge the sidecars out; the
+    // sidecar's applies-to file list is the Iceberg sequence-number
+    // rule as an explicit list, proven here by RE-INSERTING deleted
+    // keys — fresh files are in no sidecar's applies-to set, so the
+    // re-inserts are live while the original rows stay hidden. Full
+    // machinery + 100 TB cost model: MorOps.scala.
+    "meta_v2_mor_delete" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_mordel_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmdsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_mor
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_mor")
+      s.sql(s"""INSERT INTO $cat.corp.orders_mor
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_mor WHERE o_orderkey % 4 < 2""".stripMargin)
+      def inodes(p: String): Map[String, Any] =
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))
+          .map(f => f.getName -> java.nio.file.Files
+            .getAttribute(f.toPath, "unix:ino")).toMap
+      val loc0 = s"$dir/_warehouse/corp/orders_mor"
+      val before = inodes(loc0)
+      require(before.nonEmpty, "fixture landed no data files")
+      s.sql(s"DELETE FROM $cat.corp.orders_mor WHERE o_orderkey % 16 = 0")
+      s.sql(s"""DELETE FROM $cat.corp.orders_mor
+               |WHERE o_orderstatus = 'F' AND o_orderkey % 16 = 5"""
+        .stripMargin)
+      val head = new java.io.File(dir, "HEAD")
+      val rev = new String(java.nio.file.Files
+        .readAllBytes(head.toPath)).trim.split("\\s+")(0).toInt
+      val loc2 = CatalogTransfer.readLocal(s"$dir/revs/$rev").tables
+        .find(_.name == "orders_mor").get.location
+      require(loc2 != loc0, "each DELETE must publish a fresh generation")
+      // the merge-on-read contract: byte-identical data files (same
+      // names, same inodes — hard links, nothing rewritten), deletes
+      // accumulated as two sidecars
+      require(inodes(loc2) == before,
+        s"DELETE rewrote data files: ${inodes(loc2)} vs $before")
+      val sidecars = Option(
+        new java.io.File(loc2, "_deletes").list()).toSeq.flatten
+        .count(_.endsWith(".keys"))
+      require(sidecars >= 2,
+        s"expected >=2 accumulated delete sidecars, got $sidecars")
+      // delete-then-reinsert: the first DELETE's keys return in FRESH
+      // files no sidecar applies to — they must be visible again
+      s.sql(s"""INSERT INTO $cat.corp.orders_mor
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_mor
+               |WHERE o_orderkey % 4 < 2 AND o_orderkey % 16 = 0"""
+        .stripMargin)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_mor")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // COW-over-MOR: an UPDATE on a table with OUTSTANDING delete
+    // sidecars — the correctness trap of per-command DML modes
+    // (write.delete.mode=merge-on-read + write.update.mode=
+    // copy-on-write, the split lakehouse formats expose): the UPDATE's
+    // rewrite must read the MERGED rows — its predicate here OVERLAPS
+    // the deleted keys, so a naive raw-file rewrite would RESURRECT
+    // them — and its fresh COW generation materializes the delete
+    // vectors (no _deletes dir survives, asserted). The oracle's
+    // delete-then-update replay proves no resurrection row-for-row.
+    "meta_v2_mor_update" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_morupd_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmusnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_mu
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_mu")
+      s.sql(s"""INSERT INTO $cat.corp.orders_mu
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_mu WHERE o_orderkey % 4 < 2""".stripMargin)
+      s.sql(s"DELETE FROM $cat.corp.orders_mu WHERE o_orderkey % 16 = 0")
+      // %4=0 ⊃ %16=0: the update predicate covers the deleted keys
+      s.sql(s"""UPDATE $cat.corp.orders_mu
+               |SET o_totalprice = o_totalprice * 1.10D
+               |WHERE o_orderkey % 4 = 0""".stripMargin)
+      val head = new java.io.File(dir, "HEAD")
+      val rev = new String(java.nio.file.Files
+        .readAllBytes(head.toPath)).trim.split("\\s+")(0).toInt
+      val loc2 = CatalogTransfer.readLocal(s"$dir/revs/$rev").tables
+        .find(_.name == "orders_mu").get.location
+      require(!new java.io.File(loc2, "_deletes").exists(),
+        "the COW UPDATE must materialize the delete vectors — no " +
+          "_deletes dir may survive into its generation")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_mu")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Sidecar COMPACTION — the maintenance op that BOUNDS what readers
+    // pay for merge-on-read (the sidecar probe is the price of O(|Δ|)
+    // deletes; compaction is its amortization): rewrite the merged
+    // rows into a clean generation and publish via the atomic SET
+    // LOCATION swap (the meta_v2_compact primitive). Plan-level proof
+    // on the exact scans: BEFORE, the table serves the sidecar-merging
+    // row path (a MorScan wraps the parquet scan); AFTER, the
+    // UNWRAPPED stock vectorized scan — merge-on-read costs nothing
+    // once compacted. Content invariance is the oracle.
+    "meta_v2_mor_compact" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_morcmp_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmcsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_mc
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_mc")
+      s.sql(s"""INSERT INTO $cat.corp.orders_mc
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_mc WHERE o_orderkey % 4 < 2""".stripMargin)
+      s.sql(s"DELETE FROM $cat.corp.orders_mc WHERE o_orderkey % 16 = 0")
+      s.sql(s"""DELETE FROM $cat.corp.orders_mc
+               |WHERE o_orderstatus = 'F' AND o_orderkey % 16 = 5"""
+        .stripMargin)
+      def servesMor(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan
+        }.exists(_.isInstanceOf[MorScan])
+      val pre = s.table(s"$cat.corp.orders_mc")
+      require(servesMor(pre),
+        "outstanding sidecars must route the read through the " +
+          "merging scan")
+      val nPre = pre.count()
+      val head = new java.io.File(dir, "HEAD")
+      val rev = new String(java.nio.file.Files
+        .readAllBytes(head.toPath)).trim.split("\\s+")(0).toInt
+      val loc2 = CatalogTransfer.readLocal(s"$dir/revs/$rev").tables
+        .find(_.name == "orders_mc").get.location
+      // the compaction: merged rows → clean generation (gc-recognized
+      // `_rl` naming), atomic swap — same primitive as meta_v2_compact
+      val gen2 = Mor.normLoc(loc2) +
+        s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+      s.table(s"$cat.corp.orders_mc").repartition(4)
+        .write.parquet(gen2)
+      s.sql(s"ALTER TABLE $cat.corp.orders_mc SET LOCATION '$gen2'")
+      val post = s.table(s"$cat.corp.orders_mc")
+      require(!servesMor(post),
+        "a compacted table must serve the unwrapped stock parquet scan")
+      require(!new java.io.File(gen2, "_deletes").exists(),
+        "compaction must clear the sidecars")
+      require(post.count() == nPre,
+        "compaction changed the table's content")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_mc")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -2382,6 +2586,45 @@ object DdlQueries extends QueryGroup {
         |      WHERE NOT EXISTS (SELECT 1 FROM t0
         |                        WHERE t0.o_orderkey = u.o_orderkey))
         |ORDER BY o_orderkey""".stripMargin,
+
+    // merge-on-read: inserted subset, minus both DELETE predicates,
+    // plus the re-inserted first-delete keys (the applies-to /
+    // sequence-number rule: fresh files are never hidden)
+    "meta_v2_mor_delete" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 < 2),
+        |t1 AS (SELECT * FROM t0
+        |       WHERE NOT (o_orderkey % 16 = 0)
+        |         AND NOT (o_orderstatus = 'F' AND o_orderkey % 16 = 5))
+        |SELECT o_orderkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM (SELECT * FROM t1
+        |      UNION ALL
+        |      SELECT * FROM t0 WHERE o_orderkey % 16 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // COW-over-MOR: delete applies FIRST (merged read), then the
+    // update — a resurrected %16=0 row would land as an extra row here
+    "meta_v2_mor_update" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 < 2),
+        |t1 AS (SELECT * FROM t0 WHERE NOT (o_orderkey % 16 = 0))
+        |SELECT o_orderkey, o_orderstatus,
+        |  ROUND(CASE WHEN o_orderkey % 4 = 0
+        |             THEN o_totalprice * 1.10
+        |             ELSE o_totalprice END, 4) AS o_totalprice
+        |FROM t1 ORDER BY o_orderkey""".stripMargin,
+
+    // compaction is content-invariant: the merged pre-compaction rows
+    "meta_v2_mor_compact" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 < 2
+        |  AND NOT (o_orderkey % 16 = 0)
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 16 = 5)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // the zero-exchange plan is engine-asserted; the oracle checks the
     // join itself — co-partitioned layout must not change the answer
     "join_spj_copartitioned" ->

@@ -1,0 +1,598 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MERGE-ON-READ row-level DML — the counterpart of [[RowLevelOps]]'
+  * copy-on-write path, and the half every lakehouse format ships for
+  * delete-heavy tables (Iceberg position/equality deletes, Delta
+  * deletion vectors): a stock `DELETE FROM` statement costs
+  * O(|matched rows|), never O(table), because nothing rewrites — the
+  * matched row ids land in a tiny DELETE SIDECAR file and every
+  * subsequent read merges the sidecars back out of the scan.
+  *
+  * How the stock planner drives it: the table's row-level operation for
+  * DELETE implements [[SupportsDelta]], so Spark's own
+  * `RewriteDeleteFromTable` plans the statement as `WriteDelta` (not
+  * group-based `ReplaceData`): the rewrite scan reads ONLY rows
+  * matching the predicate (the condition pushes down to parquet through
+  * this scan builder like any data filter), and the delta writer
+  * receives one (operation=DELETE, rowId) pair per matched row — no
+  * carry-over rows are ever read, computed, or written. UPDATE and
+  * MERGE stay copy-on-write (the per-command mode split lakehouse
+  * formats expose as `write.delete.mode` / `write.update.mode`), but
+  * run over the MERGED read and land a clean generation — a COW
+  * statement MATERIALIZES the outstanding delete vectors.
+  *
+  * The sidecar (`_deletes/delete-*.keys` under the generation dir — an
+  * underscore path, so the stock parquet file index never lists it):
+  * a header naming the data files it APPLIES TO (the generation's file
+  * set at delete time) and one encoded row-id key per line. The
+  * applies-to set is what makes delete-then-reinsert correct — the
+  * Iceberg sequence-number rule expressed as an explicit file list: a
+  * key deleted today hides rows in files that existed today, never rows
+  * a later INSERT lands in fresh files. At 100 TB the applies-to set is
+  * a per-file delete index (roaring bitmaps keyed by file); the
+  * explicit name list is the same contract at catalog-test scale, and
+  * the sidecar volume readers pay is bounded by COMPACTION
+  * ([[Mor.sidecarBytes]] is the page-on signal), which rewrites merged
+  * data and clears `_deletes`.
+  *
+  * Publish protocol is the catalog's one atomic primitive, unchanged: a
+  * DELETE lands a FRESH generation dir holding hard links of every data
+  * file and prior sidecar (same inodes — byte-identical, zero data
+  * movement) plus the new sidecar, then swaps the table location with
+  * the same OCC as the COW path. Crash mid-delta: the half-written dir
+  * carries the `_graftwriting` marker ([[WritableSnapshotCatalog
+  * .gcGenerations]] leaves it alone until the rewrite grace window) and
+  * the table still points at the old generation — nothing published.
+  *
+  * Read-path cost model (the honest trade): a table with ZERO
+  * outstanding deletes serves the UNWRAPPED stock parquet scan
+  * (vectorized, filter pushdown — [[MorScanBuilder.build]] returns the
+  * delegate verbatim); outstanding deletes force affected files onto
+  * the row-based path with a hash-set probe per row, and file-level
+  * partition splitting keeps CLEAN files columnar whenever the row-id
+  * column was already in the projection. Compaction restores the stock
+  * scan everywhere. Like the rest of the snapshot catalog, file ops use
+  * local-posix java.io (the writeLocal discipline); a DFS deployment
+  * swaps these for the Hadoop FileSystem API.
+  *
+  * Reference basis: the provisioned cluster's SQL surface over the
+  * shared metastore (yc-data-proc-metadata-import
+  * metastore-import.tf:196, README_en.md:3) — `DELETE FROM` typed at
+  * that prompt should not rewrite a 100 TB table.
+  */
+private[catalog] object Mor {
+  /** Table property selecting the DELETE execution mode:
+    * `copy-on-write` (default) or `merge-on-read`. */
+  val DeleteModeProp = "graft.delete.mode"
+  val ModeMergeOnRead = "merge-on-read"
+  val ModeCopyOnWrite = "copy-on-write"
+
+  /** Table property naming the row-id column merge-on-read deletes key
+    * on (int/bigint/string; must uniquely identify a row, the
+    * equality-delete contract). */
+  val RowIdProp = "graft.row.id"
+
+  /** Sidecar directory under the generation dir (underscore-prefixed:
+    * hidden from the stock parquet file index). */
+  val DeletesDirName = "_deletes"
+
+  def normLoc(loc: String): String =
+    loc.stripPrefix("file:").stripSuffix("/")
+
+  def rowIdTypeOk(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType => true
+    case _ => false
+  }
+
+  /** One key per line; strings URL-encoded so any value stays
+    * one-line-safe. The reader-side comparison forms are what
+    * InternalRow.get returns (boxed Long/Integer, UTF8String). */
+  def encodeKey(v: Any): String = v match {
+    case u: UTF8String => java.net.URLEncoder.encode(u.toString, "UTF-8")
+    case other => String.valueOf(other)
+  }
+
+  def decodeKey(s: String, dt: DataType): Any = dt match {
+    case LongType => java.lang.Long.valueOf(s)
+    case IntegerType => java.lang.Integer.valueOf(s)
+    case StringType =>
+      UTF8String.fromString(java.net.URLDecoder.decode(s, "UTF-8"))
+    case other => throw new IllegalArgumentException(
+      s"merge-on-read row id type $other is not servable")
+  }
+
+  def fileName(
+      f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : String =
+    new org.apache.hadoop.fs.Path(f.filePath.toString).getName
+
+  /** Load every sidecar of the current generation — driver-side KiB
+    * (outstanding deletes between compactions; compaction is the
+    * bound). Sorted file order for determinism. */
+  def loadSidecars(loc: String): Seq[DeleteSidecar] = {
+    val dir = new java.io.File(normLoc(loc), DeletesDirName)
+    val files = Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".keys"))
+      .sortBy(_.getName)
+    files.map { f =>
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+      val (hdr, keys) = lines.span(_.startsWith("#applies-to:"))
+      DeleteSidecar(
+        hdr.map(l => java.net.URLDecoder
+          .decode(l.stripPrefix("#applies-to:"), "UTF-8")).toSet,
+        keys.filter(_.nonEmpty).toArray)
+    }.filter(s => s.applies.nonEmpty && s.keys.nonEmpty)
+  }
+
+  /** Outstanding sidecar volume — the compaction page-on signal. */
+  def sidecarBytes(loc: String): Long = {
+    val dir = new java.io.File(normLoc(loc), DeletesDirName)
+    Option(dir.listFiles()).toSeq.flatten.filter(_.isFile)
+      .map(_.length).sum
+  }
+
+  /** Hard-link every visible file of `src` into `dst` (same inodes —
+    * byte-identical, zero data movement); honest copy on filesystems
+    * without links. The COW carry-over primitive shared with
+    * [[PartitionRoutedCowWrite]]. */
+  def linkAll(src: java.io.File, dst: java.io.File): Unit = {
+    Option(src.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .foreach { f =>
+        val target = new java.io.File(dst, f.getName).toPath
+        try java.nio.file.Files.createLink(target, f.toPath)
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(f.toPath, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+  }
+}
+
+/** One delete sidecar: the data files it applies to (the generation's
+  * file set at delete time) and the encoded row-id keys hidden from
+  * them. Shipped to executors whole; decode happens once per reader. */
+private[catalog] case class DeleteSidecar(applies: Set[String],
+    keys: Array[String])
+
+private[catalog] object MorReadTable {
+  /** Wrap ANY read-side serving of a merge-on-read table so its scans
+    * merge the sidecars — the read-only catalog attach and time travel
+    * go through here; the writable catalog serves the full
+    * [[MorRowLevelTable]]. No-op for tables not opted in (and for
+    * partitioned tables, where the mode is never honored). */
+  def maybeWrap(base: Table, ti: TableInfo): Table = {
+    val mor = ti.properties.exists(p =>
+      p.key == Mor.DeleteModeProp && p.value == Mor.ModeMergeOnRead)
+    if (!mor || ti.columns.exists(_.isPartition)) base
+    else {
+      val rid = ti.properties.find(_.key == Mor.RowIdProp).map(_.value)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table ${ti.db}.${ti.name} sets ${Mor.DeleteModeProp}=" +
+            s"${Mor.ModeMergeOnRead} but not ${Mor.RowIdProp}"))
+      val f = base.schema().fields.find(_.name == rid)
+        .getOrElse(throw new IllegalArgumentException(
+          s"${Mor.RowIdProp}=$rid is not a column of " +
+            s"${ti.db}.${ti.name}"))
+      new MorReadTable(base, ti, f.copy(nullable = false))
+    }
+  }
+}
+
+/** Read-only merge-on-read serving: scans merge the sidecars of the
+  * generation this TableInfo points at (time travel thus applies the
+  * HISTORICAL generation's sidecars). Zero outstanding sidecars costs
+  * nothing — the builder hands back the delegate scan verbatim. */
+private[catalog] class MorReadTable(inner: Table, ti: TableInfo,
+    keyField: StructField) extends Table with SupportsRead {
+  override def name(): String = inner.name()
+  override def schema(): StructType =
+    StructType(inner.schema().fields.map(f =>
+      if (f.name == keyField.name) f.copy(nullable = false) else f))
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    schema().fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column
+        .create(f.name, f.dataType, f.nullable))
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    inner.partitioning()
+  override def properties(): util.Map[String, String] =
+    inner.properties()
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new MorScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options),
+      keyField, Mor.loadSidecars(ti.location))
+}
+
+/** Serves an unpartitioned parquet table whose DELETE mode is
+  * merge-on-read. Plain reads merge outstanding sidecars; DELETE plans
+  * delta-based (zero data rewrite); UPDATE/MERGE/TRUNCATE inherit the
+  * COW path — over the merged read, materializing the deletes. */
+private[catalog] class MorRowLevelTable(inner: Table,
+    cat: WritableSnapshotCatalog, ti: TableInfo, keyField: StructField)
+  extends RowLevelCowTable(inner, cat, ti) {
+
+  // fresh per scan/statement: the sidecar set is generation state
+  private def sidecars: Seq[DeleteSidecar] = Mor.loadSidecars(ti.location)
+
+  // the file table relaxes every column to nullable; the catalog's
+  // declared NOT NULL on the row id is re-asserted here (Spark's
+  // delta rewrite refuses nullable row ids — NULLABLE_ROW_ID_ATTRIBUTES)
+  override def schema(): StructType =
+    StructType(inner.schema().fields.map(f =>
+      if (f.name == keyField.name) f.copy(nullable = false) else f))
+
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    schema().fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column
+        .create(f.name, f.dataType, f.nullable))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MorScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options),
+      keyField, sidecars)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () =>
+      if (info.command == RowLevelOperation.Command.DELETE)
+        new MorDeleteOperation(this, cat, ti, keyField, info)
+      else
+        // UPDATE/MERGE stay copy-on-write but read through `this`
+        // (outstanding deletes apply to the rewrite scan — a deleted
+        // row must never resurrect), and their fresh generation
+        // carries no _deletes: a COW statement materializes the
+        // delete vectors
+        new GroupCowRowLevelOperation(this, cat, ti, info)
+}
+
+/** The delta-based DELETE: [[SupportsDelta]] routes Spark's own
+  * `RewriteDeleteFromTable` to a `WriteDelta` plan — the scan reads
+  * ONLY predicate-matched rows (condition pushed down like any data
+  * filter), the writer records their row ids in a sidecar. */
+private[catalog] class MorDeleteOperation(table: MorRowLevelTable,
+    cat: WritableSnapshotCatalog, ti: TableInfo, keyField: StructField,
+    info: RowLevelOperationInfo)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = info.command
+
+  override def description(): String =
+    s"graft-mor-delete ${ti.db}.${ti.name}"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(keyField.name))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  // the rewrite scan is the table's merged read: already-hidden rows
+  // are never re-matched, so a sidecar records each key at most once
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.newScanBuilder(options)
+
+  override def newWriteBuilder(wInfo: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new MorDeltaWrite(cat, ti, keyField)
+    }
+}
+
+/** Scan builder merging outstanding sidecars out of the delegate
+  * parquet scan. Zero sidecars → the delegate scan VERBATIM (stock
+  * vectorized path, nothing wrapped). Otherwise the row-id column
+  * rides the projection (appended if absent, dropped after the probe)
+  * and filter pushdown still forwards — deleted-row filtering composes
+  * with any pushed predicate conjunctively. Aggregate pushdown is
+  * deliberately NOT forwarded: a parquet-metadata COUNT cannot see
+  * delete vectors. */
+private[catalog] class MorScanBuilder(delegate: ScanBuilder,
+    keyField: StructField, sidecars: Seq[DeleteSidecar])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private var addedKey = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val withKey =
+      if (sidecars.nonEmpty &&
+          !requiredSchema.fieldNames.contains(keyField.name)) {
+        addedKey = true
+        requiredSchema.add(keyField)
+      } else requiredSchema
+    delegate match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(withKey)
+      case _ => ()
+    }
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushFilters(filters)
+      case _ => filters
+    }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def build(): Scan = {
+    val ds = delegate.build()
+    if (sidecars.isEmpty) ds
+    else new MorScan(ds, keyField, sidecars, addedKey)
+  }
+}
+
+/** The merging scan: splits file partitions so AFFECTED files (named in
+  * some sidecar's applies-to set) and CLEAN files never share a reader
+  * — clean partitions skip the probe entirely and stay columnar when
+  * the row-id column was already projected. */
+private[catalog] class MorScan(delegate: Scan, keyField: StructField,
+    sidecars: Seq[DeleteSidecar], dropKey: Boolean) extends Scan {
+
+  private val affected: Set[String] = sidecars.flatMap(_.applies).toSet
+
+  override def readSchema(): StructType =
+    if (dropKey) StructType(delegate.readSchema().fields.dropRight(1))
+    else delegate.readSchema()
+
+  override def description(): String =
+    s"graft-mor-scan(${delegate.description()}, sidecars=${sidecars.length})"
+
+  override def toBatch: Batch = new Batch {
+    private val db = delegate.toBatch
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[Array[org.apache.spark.sql.execution.datasources.PartitionedFile]]
+      db.planInputPartitions().foreach {
+        case fp: FilePartition =>
+          val (hit, clean) =
+            fp.files.partition(f => affected.contains(Mor.fileName(f)))
+          if (hit.nonEmpty) out += hit
+          if (clean.nonEmpty) out += clean
+        case other => throw new IllegalStateException(
+          "merge-on-read scan expected a parquet FilePartition, got " +
+            other.getClass.getName)
+      }
+      out.zipWithIndex.map { case (fs, i) => FilePartition(i, fs) }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MorReaderFactory(db.createReaderFactory(),
+        delegate.readSchema(), keyField, sidecars, dropKey)
+  }
+}
+
+private[catalog] class MorReaderFactory(delegate: PartitionReaderFactory,
+    fullSchema: StructType, keyField: StructField,
+    sidecars: Seq[DeleteSidecar], dropKey: Boolean)
+  extends PartitionReaderFactory {
+
+  private val keyOrd = fullSchema.fieldIndex(keyField.name)
+
+  private def partFileNames(p: InputPartition): Set[String] = p match {
+    case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+      fp.files.iterator.map(Mor.fileName).toSet
+    case _ => Set.empty
+  }
+
+  private def hitSidecars(p: InputPartition): Seq[DeleteSidecar] = {
+    val names = partFileNames(p)
+    sidecars.filter(_.applies.exists(names))
+  }
+
+  // Spark requires every partition of one scan to agree on columnar
+  // vs row (BatchScanExec refuses a mix), so outstanding sidecars put
+  // the WHOLE scan on the row path — clean partitions still skip the
+  // per-row probe below; compaction restores the vectorized scan
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val hit = hitSidecars(p)
+    val dr = delegate.createReader(p)
+    if (hit.isEmpty && !dropKey) return dr
+    val deleted = new util.HashSet[Any]()
+    hit.foreach(_.keys.foreach(k =>
+      deleted.add(Mor.decodeKey(k, keyField.dataType)): Unit))
+    val proj =
+      if (dropKey)
+        UnsafeProjection.create(fullSchema.fields.indices.dropRight(1)
+          .map(i => BoundReference(i, fullSchema(i).dataType,
+            fullSchema(i).nullable)))
+      else null
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (dr.next()) {
+          val r = dr.get()
+          val live = deleted.isEmpty || r.isNullAt(keyOrd) ||
+            !deleted.contains(r.get(keyOrd, keyField.dataType))
+          if (live) {
+            cur = if (proj != null) proj(r) else r
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = dr.close()
+    }
+  }
+}
+
+private[catalog] case class MorDeleteMsg(file: Option[String], keys: Long)
+  extends WriterCommitMessage
+
+/** The DELETE's write: tasks append encoded row-id keys to per-task
+  * sidecar files under the fresh generation's `_deletes/` (commit
+  * coordinator arbitrates attempts; task aborts delete their own
+  * files); driver commit sweeps strays, hard-links the old generation's
+  * data files and prior sidecars (same inodes — zero data movement),
+  * and publishes through the catalog's atomic location swap + OCC. */
+private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
+    ti: TableInfo, keyField: StructField) extends DeltaWrite {
+
+  private val oldRoot = Mor.normLoc(ti.location)
+  // the COW generation naming — gcGenerations recognizes and (once
+  // unreferenced) reclaims these like any other generation dir
+  private val newRoot =
+    oldRoot + s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+
+  override def description(): String =
+    s"graft-mor-delta ${ti.db}.${ti.name} -> $newRoot"
+
+  override def toBatch: DeltaBatchWrite = {
+    // the applies-to set: data files of the generation this statement
+    // was planned against (names are stable across hard-linked
+    // generations; a later INSERT's fresh files are never listed, so
+    // re-inserted keys stay visible — the sequence-number rule)
+    val dataFiles = Option(new java.io.File(oldRoot).listFiles()).toSeq
+      .flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).sorted
+    val delDir = new java.io.File(newRoot, Mor.DeletesDirName)
+    delDir.mkdirs()
+    // in-flight marker for gcGenerations (no _temporary on this path)
+    val marker = new java.io.File(newRoot, "_graftwriting")
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray): Unit
+
+    new DeltaBatchWrite {
+      override def createBatchWriterFactory(
+          pInfo: PhysicalWriteInfo): DeltaWriterFactory =
+        new MorDeltaWriterFactory(delDir.getAbsolutePath, dataFiles,
+          keyField.dataType)
+
+      override def useCommitCoordinator(): Boolean = true
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val authorized = messages
+          .collect { case MorDeleteMsg(Some(n), _) => n }.toSet
+        Option(delDir.listFiles()).toSeq.flatten.filter(_.isFile)
+          .filterNot(f => authorized.contains(f.getName))
+          .foreach(f => f.delete(): Unit)
+        Mor.linkAll(new java.io.File(oldRoot), new java.io.File(newRoot))
+        val oldDel = new java.io.File(oldRoot, Mor.DeletesDirName)
+        if (oldDel.isDirectory) {
+          // prior sidecars carry forward untouched (underscore dirs
+          // are skipped by linkAll's visible-file filter, so link
+          // them explicitly dir-to-dir)
+          Option(oldDel.listFiles()).toSeq.flatten
+            .filter(f => f.isFile && f.getName.endsWith(".keys"))
+            .foreach { f =>
+              val target = new java.io.File(delDir, f.getName).toPath
+              try java.nio.file.Files.createLink(target, f.toPath)
+              catch {
+                case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+                  java.nio.file.Files.copy(f.toPath, target,
+                    java.nio.file.StandardCopyOption
+                      .REPLACE_EXISTING): Unit
+              }
+            }
+        }
+        marker.delete(): Unit
+        cat.swapLocation(ti, newRoot) // the ONLY publish point (atomic)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(newRoot)): Unit
+    }
+  }
+}
+
+private[catalog] class MorDeltaWriterFactory(delDir: String,
+    appliesTo: Seq[String], keyType: DataType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new MorDeltaWriter(delDir, appliesTo, keyType, partitionId, taskId)
+}
+
+private[catalog] class MorDeltaWriter(delDir: String,
+    appliesTo: Seq[String], keyType: DataType, partitionId: Int,
+    taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private var out: java.io.BufferedWriter = _
+  private var file: java.io.File = _
+  private var n = 0L
+
+  private def writer(): java.io.BufferedWriter = {
+    if (out == null) {
+      file = new java.io.File(delDir,
+        f"delete-$partitionId%05d-$taskId.keys")
+      out = java.nio.file.Files.newBufferedWriter(file.toPath)
+      appliesTo.foreach { a =>
+        out.write("#applies-to:" +
+          java.net.URLEncoder.encode(a, "UTF-8"))
+        out.newLine()
+      }
+    }
+    out
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    require(!id.isNullAt(0),
+      "merge-on-read DELETE matched a row with a NULL row id — " +
+        s"the ${Mor.RowIdProp} column must be non-null on every row")
+    val w = writer()
+    w.write(Mor.encodeKey(id.get(0, keyType)))
+    w.newLine()
+    n += 1
+  }
+
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "merge-on-read delta write serves DELETE only; UPDATE/MERGE run " +
+        "copy-on-write")
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "merge-on-read delta write serves DELETE only; UPDATE/MERGE run " +
+        "copy-on-write")
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    MorDeleteMsg(Option(file).map(_.getName), n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) {
+      try out.close() catch { case _: Throwable => () }
+      file.delete(): Unit
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -198,7 +198,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val partCols = ti.columns.filter(_.isPartition).map(_.name)
     if (partCols.nonEmpty && CoPartitioned.spjEnabled)
       new CoPartitioned.CoPartitionedReadTable(base, partCols)
-    else base
+    else
+      // merge-on-read tables merge their delete sidecars on EVERY
+      // serving path — a read-only attach must not resurrect rows
+      MorReadTable.maybeWrap(base, ti)
   }
 
   /** Metadata time travel (`SELECT ... VERSION AS OF 'N'`): serve the
@@ -222,7 +225,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         ident.namespace.length == 1 &&
           t.db == ident.namespace()(0) && t.name == ident.name)
       .getOrElse(throw new NoSuchTableException(ident))
-    serveTable(ti)
+    // the HISTORICAL generation's sidecars apply (ti.location is the
+    // revision's location; sidecars are generation state)
+    MorReadTable.maybeWrap(serveTable(ti), ti)
   }
 
   /** Serve a snapshot table as Spark's own DSv2 file table. The
@@ -893,8 +898,14 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       ColumnInfo(f.name, f.dataType.sql.toLowerCase, f.nullable,
         isPartition = partNames.contains(f.name), "", dft)
     }
+    // engine-directed behavior properties (graft.*) persist from
+    // CREATE — e.g. graft.delete.mode=merge-on-read; Spark-internal
+    // bookkeeping keys (provider/location/owner) are handled above
+    val keepProps = properties.asScala.toSeq
+      .filter(_._1.startsWith("graft.")).sortBy(_._1)
+      .map { case (k, v) => PropKV(k, v) }
     val ti = TableInfo(db, ident.name, "EXTERNAL", provider, loc,
-      cols, Nil, "", "")
+      cols, keepProps, "", "")
     persist(snap.copy(tables = snap.tables :+ ti))
     loadTable(ident)
   }
@@ -943,9 +954,45 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     val partTypeOk = partCols.length == 1 &&
       ti.columns.find(_.name == partCols.head).exists(c =>
         Set("string", "int", "bigint")(c.dataType.toLowerCase))
-    if (partCols.isEmpty && ti.provider.equalsIgnoreCase("parquet"))
-      new RowLevelCowTable(withChecks, this, ti)
-    else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet"))
+    if (partCols.isEmpty && ti.provider.equalsIgnoreCase("parquet")) {
+      // per-command DML modes (the lakehouse write.delete.mode split):
+      // DELETE merge-on-read via delete sidecars when the table opts
+      // in; UPDATE/MERGE stay COW either way — see MorOps.scala
+      val mode = ti.properties.find(_.key == Mor.DeleteModeProp)
+        .map(_.value)
+      if (mode.contains(Mor.ModeMergeOnRead)) {
+        val rid = ti.properties.find(_.key == Mor.RowIdProp).map(_.value)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table ${ti.db}.${ti.name} sets ${Mor.DeleteModeProp}=" +
+              s"${Mor.ModeMergeOnRead} but not ${Mor.RowIdProp} — " +
+              "merge-on-read deletes need a declared row-id column"))
+        val ci = ti.columns.find(_.name == rid)
+          .getOrElse(throw new IllegalArgumentException(
+            s"${Mor.RowIdProp}=$rid is not a column of " +
+              s"${ti.db}.${ti.name}"))
+        val f = base.schema().fields.find(_.name == rid).get
+        require(Mor.rowIdTypeOk(f.dataType),
+          s"${Mor.RowIdProp}=$rid has type ${f.dataType.sql} — " +
+            "merge-on-read row ids must be INT, BIGINT, or STRING")
+        // Spark's delta rewrite refuses nullable row ids
+        // (NULLABLE_ROW_ID_ATTRIBUTES). The CATALOG's nullability is
+        // authoritative here: the file table relaxes every column to
+        // nullable (files may predate the schema), so the MOR wrapper
+        // re-asserts the declared NOT NULL on the row id — see
+        // MorRowLevelTable.schema()
+        require(!ci.nullable,
+          s"${Mor.RowIdProp}=$rid must be declared NOT NULL — " +
+            "merge-on-read deletes key on it")
+        new MorRowLevelTable(withChecks, this, ti,
+          f.copy(nullable = false))
+      } else {
+        require(mode.forall(_ == Mor.ModeCopyOnWrite),
+          s"unknown ${Mor.DeleteModeProp} '${mode.get}' on " +
+            s"${ti.db}.${ti.name} — use ${Mor.ModeCopyOnWrite} or " +
+            Mor.ModeMergeOnRead)
+        new RowLevelCowTable(withChecks, this, ti)
+      }
+    } else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet"))
       new PartitionScopedRowLevelTable(withChecks, this, ti,
         base.schema().fields.find(_.name == partCols.head).get)
     else withChecks

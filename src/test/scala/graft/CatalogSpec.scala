@@ -2144,4 +2144,121 @@ class CatalogSpec extends SparkSpec {
         "fixture did not exercise the partitions dataset")
     }
   }
+
+  test("merge-on-read DELETE plans delta-based (WriteDelta), keeps " +
+      "data inodes, serves merged reads on every path incl. time " +
+      "travel and pruned projections, and refuses bad configs loudly") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_morspec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmorspec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"CREATE TABLE $cat.m.cw (k BIGINT, v DOUBLE) USING parquet")
+    spark.sql(s"INSERT INTO $cat.m.t SELECT id, id * 1.0D FROM range(100)")
+    spark.sql(s"INSERT INTO $cat.m.cw SELECT id, id * 1.0D FROM range(100)")
+
+    // 1. plan dispatch: MOR table → delta-based WriteDelta; plain
+    // table → group-based ReplaceData (both from Spark's own
+    // RewriteDeleteFromTable, keyed on SupportsDelta)
+    val morPlan = spark.sql(
+      s"EXPLAIN EXTENDED DELETE FROM $cat.m.t WHERE k % 10 = 0")
+      .first.getString(0)
+    assert(morPlan.contains("WriteDelta"),
+      s"MOR DELETE did not plan delta-based:\n$morPlan")
+    assert(!morPlan.contains("ReplaceData"))
+    val cowPlan = spark.sql(
+      s"EXPLAIN EXTENDED DELETE FROM $cat.m.cw WHERE k % 10 = 0")
+      .first.getString(0)
+    assert(cowPlan.contains("ReplaceData"),
+      s"COW DELETE did not plan group-based:\n$cowPlan")
+
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+    def location(): String = CatalogTransfer
+      .readLocal(s"$dir/revs/${headRev()}").tables
+      .find(_.name == "t").get.location
+    def inodes(root: String): Map[String, AnyRef] =
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(f => f.getName -> java.nio.file.Files.readAttributes(
+          f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+          .fileKey()).toMap
+    val revPre = headRev()
+    val loc0 = location()
+    val ino0 = inodes(loc0)
+    assert(ino0.nonEmpty)
+
+    // 2. execute: fresh generation, SAME data inodes, one sidecar
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 10 = 0")
+    val revPost = headRev()
+    val loc1 = location()
+    assert(loc1 != loc0, "MOR delete must publish a fresh generation")
+    assert(inodes(loc1) == ino0,
+      "MOR delete must hard-link every data file (zero rewrite)")
+    // one sidecar PER TASK that matched rows (keys never funnel
+    // through the driver), all from this single statement
+    val sidecars = Option(
+      new java.io.File(loc1, "_deletes").list()).toSeq.flatten
+      .count(_.endsWith(".keys"))
+    assert(sidecars >= 1, s"expected >=1 sidecar, got $sidecars")
+    assert(spark.table(s"$cat.m.t").count() == 90)
+
+    // 3. the row-id-pruned projection path: k is appended to the scan
+    // internally and dropped after the probe — the result must still
+    // be the merged rows
+    val vSum = spark.table(s"$cat.m.t").selectExpr("SUM(v)")
+      .first.getDouble(0)
+    assert(math.abs(vSum - (4950.0 - 450.0)) < 1e-9,
+      s"pruned projection leaked deleted rows: $vSum")
+
+    // 4. read-only attach and time travel both merge; the PRE-delete
+    // revision's generation has no sidecars and serves all 100
+    val ro = cat + "_ro"
+    spark.conf.set(s"spark.sql.catalog.$ro",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ro.path", dir.getPath)
+    assert(spark.table(s"$ro.m.t").count() == 90)
+    assert(spark.sql(
+      s"SELECT * FROM $ro.m.t VERSION AS OF '$revPre'").count() == 100)
+    assert(spark.sql(
+      s"SELECT * FROM $ro.m.t VERSION AS OF '$revPost'").count() == 90)
+
+    // 5. INSERT OVERWRITE (the COW TRUNCATE path) materializes the
+    // delete vectors: clean generation, no _deletes
+    spark.sql(s"INSERT OVERWRITE $cat.m.t " +
+      "SELECT id + 500, 1.0D FROM range(10)")
+    assert(!new java.io.File(location(), "_deletes").exists(),
+      "overwrite must land a clean generation")
+    assert(spark.table(s"$cat.m.t").count() == 10)
+
+    // 6. loud refusals: nullable row id; missing row id; unknown mode
+    val e1 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.m.bad1 (k BIGINT, v DOUBLE)
+                   |USING parquet TBLPROPERTIES(
+                   | 'graft.delete.mode'='merge-on-read',
+                   | 'graft.row.id'='k')""".stripMargin)
+    }
+    assert(e1.getMessage.contains("NOT NULL"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.m.bad2 (k BIGINT NOT NULL)
+                   |USING parquet TBLPROPERTIES(
+                   | 'graft.delete.mode'='merge-on-read')""".stripMargin)
+    }
+    assert(e2.getMessage.contains("graft.row.id"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.m.bad3 (k BIGINT NOT NULL)
+                   |USING parquet TBLPROPERTIES(
+                   | 'graft.delete.mode'='merge-on-red')""".stripMargin)
+    }
+    assert(e3.getMessage.contains("unknown graft.delete.mode"),
+      e3.getMessage)
+  }
 }

@@ -210,7 +210,11 @@ class PlanSpec extends SparkSpec {
       // sim_maxsim_rerank broadcast-NLJs the tiny centroid set for
       // cell assignment (the sim_ann_ivf quantizer shape) — its
       // re-rank stage joins candidates equi on cell
-      "sim_maxsim_late", "sim_maxsim_rerank")
+      "sim_maxsim_late", "sim_maxsim_rerank",
+      // sim_ann_ivf_append / _retrain broadcast-NLJ the K-centroid set
+      // for batch/sample assignment (the ml_kmeans_step quantizer
+      // shape); every per-cell report aggregate is equi-keyed
+      "sim_ann_ivf_append", "sim_ann_ivf_retrain")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
