@@ -169,7 +169,7 @@ object VectorOps extends QueryGroup {
     * training produced (same lineage, written once), so the DuckDB
     * oracle — which re-derives training in SQL — still hash-matches.
     * On a cluster the scratch dir moves to object storage unchanged. */
-  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame = {
     val dir = Tables.scratch(d, "ivf_centroids")
     if (!Tables.scratchCurrent(d, "embeddings", dir)) {
       val e = emb(s, d)
@@ -1271,6 +1271,56 @@ object VectorOps extends QueryGroup {
         .orderBy("cid")
     }),
 
+    // IVF DELETE — the lifecycle's last leg (build → serve → append →
+    // retrain → DELETE): vectors LEAVE the index (document takedowns,
+    // dedup evictions, the user-deletion path) by anti-joining the
+    // persisted ASSIGNMENT table with the tombstone id set — only the
+    // fixed-width index rows move; the vectors are never re-read and
+    // no quantizer work happens. Tombstones here: every 7th history
+    // vector PLUS all of the SMALLEST cell id present (cell ids are
+    // sparse — they are the seed indices that survive training) — the
+    // second clause empties a whole cell on purpose, because a dead
+    // cell is the case the serve path must handle (drop the probe,
+    // never divide by zero). The report
+    // is the operational surface: per cell, size before, tombstones
+    // removed, survivors, round-6 mean fit before vs after (removal
+    // shifts cell health — survivors' mean ≠ before-mean wherever the
+    // removed members weren't average), and the EMPTIED flag
+    // (non-vacuity spec-asserted in AnnRecallSpec along with the
+    // exactness law: survivors == from-scratch assignment of the
+    // surviving corpus). At 100 TB: one equi anti-join on the
+    // assignment table + K-row map-side-combined aggregates — cost
+    // tracks |index| + |tombstones|, independent of vector bytes.
+    "sim_ann_ivf_delete" -> ((s, d) => {
+      val hist = ivfHistAssignments(s, d)
+      // one scalar off a K-row aggregate — a bounded driver artifact
+      // (the K-centroid discipline), replayed as a subquery in SQL
+      val minCell = hist.agg(min(col("cell"))).first.getLong(0)
+      val tomb = hist
+        .filter(col("vec_id") % 7 === 0 || col("cell") === minCell)
+        .select(col("vec_id"))
+      val live = hist.join(tomb, Seq("vec_id"), "left_anti")
+      val gone = hist.join(tomb, Seq("vec_id"), "left_semi")
+      val b = hist.groupBy("cell")
+        .agg(count(lit(1)).as("n_before"),
+          round(avg("ccos"), 6).as("mean_before"))
+      val r = gone.groupBy("cell").agg(count(lit(1)).as("n_removed"))
+      val a = live.groupBy("cell")
+        .agg(count(lit(1)).as("n_after"),
+          round(avg("ccos"), 6).as("mean_after"))
+      b.join(r, Seq("cell"), "left")
+        .join(a, Seq("cell"), "left")
+        .select(col("cell").as("cid"),
+          col("n_before"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("mean_before"),
+          coalesce(col("mean_after"), lit(0.0)).as("mean_after"))
+        .withColumn("emptied", expr(
+          "CAST(CASE WHEN n_after = 0 THEN 1 ELSE 0 END AS INT)"))
+        .orderBy("cid")
+    }),
+
     // IVF + PQ — the two scale halves COMBINED, the memory-bounded ANN
     // capstone: IVF bounds WHICH vectors a query touches (nprobe=4
     // trained cells), PQ bounds the BYTES per touched vector (the
@@ -2012,6 +2062,41 @@ object VectorOps extends QueryGroup {
          |      mean_new < mean_before - 0.01) OR n_added * 2 > n_before
          |    THEN 1 ELSE 0 END AS INT) AS retrain
          |FROM j ORDER BY cid""".stripMargin,
+
+    // full replay: quantizer, history assignment, tombstone predicate
+    // (vec_id%7 OR the emptied cell), and both health aggregates
+    "sim_ann_ivf_delete" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oKmeans,
+         |sc AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c),
+         |asg AS (SELECT vec_id, cid AS cell, ccos FROM (
+         |  SELECT vec_id, cid, ccos, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |h AS (SELECT vec_id, cell, ccos FROM asg WHERE vec_id % 5 <> 3),
+         |b AS (SELECT cell, COUNT(*) AS n_before,
+         |    ROUND(AVG(ccos), 6) AS mean_before
+         |  FROM h GROUP BY cell),
+         |mc AS (SELECT MIN(cell) AS m FROM h),
+         |r AS (SELECT cell, COUNT(*) AS n_removed FROM h, mc
+         |  WHERE vec_id % 7 = 0 OR cell = mc.m GROUP BY cell),
+         |a AS (SELECT cell, COUNT(*) AS n_after,
+         |    ROUND(AVG(ccos), 6) AS mean_after
+         |  FROM h, mc
+         |  WHERE NOT (vec_id % 7 = 0 OR cell = mc.m) GROUP BY cell)
+         |SELECT b.cell AS cid, n_before,
+         |  CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+         |  mean_before,
+         |  COALESCE(mean_after, 0.0) AS mean_after,
+         |  CAST(CASE WHEN COALESCE(n_after, 0) = 0
+         |    THEN 1 ELSE 0 END AS INT) AS emptied
+         |FROM b LEFT JOIN r ON b.cell = r.cell
+         |  LEFT JOIN a ON b.cell = a.cell
+         |ORDER BY cid""".stripMargin,
     "mm_multimodal_join" ->
       s"""SELECT doc_id, lang, source, n_chars, label,
          | ROUND(${oNorm("v")}, 4) AS emb_norm

@@ -149,6 +149,50 @@ class AnnRecallSpec extends SparkSpec {
       s"retrain flag vacuous on this fixture: $flags")
   }
 
+  test("IVF delete: surviving index equals the from-scratch assignment " +
+      "of the surviving corpus; the emptied-cell flag is non-vacuous") {
+    import graft.sim.VectorOps
+    import org.apache.spark.sql.functions.col
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hist = VectorOps.ivfHistAssignments(spark, sf)
+    val minCell = hist.agg(
+      org.apache.spark.sql.functions.min(col("cell"))).first.getLong(0)
+    val tombIds = hist
+      .filter(col("vec_id") % 7 === 0 || col("cell") === minCell)
+      .select("vec_id")
+    val survivors = toMap(hist.join(tombIds, Seq("vec_id"), "left_anti"))
+    // per-vector argmax is independent of the rest of the corpus, so
+    // the law is exact equality: dropping tombstone ROWS from the
+    // index is indistinguishable from never having indexed them
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .withColumn("v",
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> cast(x AS double))"))
+      .filter(col("vec_id") % 5 =!= 3)
+      .join(tombIds, Seq("vec_id"), "left_anti")
+    val scratch = toMap(VectorOps.ivfAssign(
+      VectorOps.ivfCentroids(spark, sf), emb))
+    assert(survivors.nonEmpty && survivors == scratch,
+      "post-delete index diverges from indexing only the survivors")
+    // the report: exactly the fixture's emptied cell flags, and the
+    // arithmetic ties out (before = removed + after, every row)
+    val rows = SparkEntry.queries("sim_ann_ivf_delete")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"n_before != n_removed + n_after in $r")
+      assert((r.getInt(6) == 1) == (r.getLong(3) == 0L),
+        s"emptied flag inconsistent in $r")
+    }
+    val emptied = rows.filter(_.getInt(6) == 1).map(_.getLong(0)).toSeq
+    assert(emptied == Seq(minCell),
+      s"expected exactly cell $minCell emptied, got $emptied")
+  }
+
   test("k-means training improves IVF exact recall@1 over raw seeds") {
     // deterministic pipeline: untrained centroids find the true nearest
     // neighbor for 1/5 queries; trained centroids find it for 3/5.
