@@ -112,7 +112,20 @@ object ScaleCurves {
     "dedup_clusters_incremental" -> "documents",
     "sim_ann_ivf_append" -> "embeddings",
     "sim_maxsim_late" -> "embeddings",
-    "sim_maxsim_rerank" -> "embeddings")
+    "sim_maxsim_rerank" -> "embeddings",
+    // r16 session 2: the rest of the round's index/catalog lifecycle —
+    // the keep-list delta (batch-proportional like its clusters
+    // sibling), the quantizer refinement (sample-bounded), the
+    // tombstone anti-join (index-row-bounded), and the merge-on-read
+    // trio (the DELETE line is the one that must stay FLAT — the
+    // sidecar write is O(matched), the links O(#files); contrast
+    // meta_v2_rowlevel's data-proportional 1.12-1.20x)
+    "dedup_keep_list_incremental" -> "documents",
+    "sim_ann_ivf_retrain" -> "embeddings",
+    "sim_ann_ivf_delete" -> "embeddings",
+    "meta_v2_mor_delete" -> "orders",
+    "meta_v2_mor_update" -> "orders",
+    "meta_v2_mor_compact" -> "orders")
 
   private val RunsPerKey = 3
 
