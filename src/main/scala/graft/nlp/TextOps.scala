@@ -342,84 +342,66 @@ object TextOps extends QueryGroup {
     // key discloses.
     "dedup_minhash_incremental" -> ((s, d) => {
       val all = docs(s, d)
-      val hist = shingled(all.filter(col("doc_id") < 300))
-      val bandDir = Tables.scratch(d, "mh_inc_bands")
-      val grpDir = Tables.scratch(d, "mh_inc_groups")
-      if (!Tables.scratchCurrent(d, "documents", bandDir)) {
-        val hg = dupGroups(hist)
-        hg.write.mode("overwrite").parquet(grpDir)
-        bandsOf(hist.join(hg.filter(col("doc_id") === col("rep"))
-          .select("doc_id"), "doc_id"))
-          .write.mode("overwrite").parquet(bandDir)
-        Tables.stampScratch(d, "documents", bandDir)
-      }
-      val hBands = s.read.parquet(bandDir)
-      val hGroups = s.read.parquet(grpDir)
-      val batch = shingled(all.filter(col("doc_id") >= 300))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bGroups = dupGroups(batch)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bBands = bandsOf(batch.join(
-        bGroups.filter(col("doc_id") === col("rep")).select("doc_id"),
-        "doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cross = bBands.as("b").join(hBands.as("h"),
-          Seq("band", "band_hash"))
-        .select(col("h.doc_id").as("ra"), col("b.doc_id").as("rb"))
-        .distinct()
-      val inb = bBands.as("x").join(bBands.as("y"),
-          Seq("band", "band_hash"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
-        .distinct()
-      val bSh = batch.select(col("doc_id"), col("sh"))
-      // history shingles: recomputed ONLY for candidate reps (the
-      // semi-join prunes before the shingle lambda runs on stored text)
-      val hShCand = hist
-        .join(cross.select(col("ra").as("doc_id")).distinct(), "doc_id")
-        .select(col("doc_id").as("ra"), col("sh").as("sha"))
-      def verified(pairs: DataFrame, shA: DataFrame): DataFrame =
-        pairs
-          .join(shA, "ra")
-          .join(bSh.select(col("doc_id").as("rb"), col("sh").as("shb")),
-            "rb")
-          .withColumn("inter",
-            size(array_intersect(col("sha"), col("shb"))))
-          .withColumn("jaccard", round(col("inter") /
-            (size(col("sha")) + size(col("shb")) - col("inter")), 4))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("ra"), col("rb"), col("jaccard"))
-      val vCross = verified(cross, hShCand)
-      val vInb = verified(inb,
-        bSh.select(col("doc_id").as("ra"), col("sh").as("sha")))
-      // expansion: identical text ⇒ the member pair's Jaccard IS the
-      // representative pair's — no shingles touched again
-      val crossPairs = vCross
-        .join(hGroups.select(col("rep").as("ra"), col("doc_id").as("ma")),
-          "ra")
-        .join(bGroups.select(col("rep").as("rb"), col("doc_id").as("mb")),
-          "rb")
-        .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
-          col("jaccard"))
-      val inbPairs = vInb
-        .join(bGroups.select(col("rep").as("ra"), col("doc_id").as("ma")),
-          "ra")
-        .join(bGroups.select(col("rep").as("rb"), col("doc_id").as("mb")),
-          "rb")
-        .select(least(col("ma"), col("mb")).as("doc_a"),
-          greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
-      val withinGroup = bGroups.as("p").join(bGroups.as("q"),
-          col("p.rep") === col("q.rep") &&
-            col("p.doc_id") < col("q.doc_id"))
-        .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
-          lit(1.0).as("jaccard"))
-      val out = crossPairs.union(inbPairs).union(withinGroup)
-        .orderBy("doc_a", "doc_b")
-        .localCheckpoint()
-      batch.unpersist(blocking = false)
-      bGroups.unpersist(blocking = false)
-      bBands.unpersist(blocking = false)
-      out
+      val (hBands, hGroups) = minhashHistIndex(s, d)
+      val (pairs, _, _) = incMinhashRound(
+        shingled(all.filter(col("doc_id") < 300)), hBands, hGroups,
+        shingled(all.filter(col("doc_id") >= 300)))
+      pairs.orderBy("doc_a", "doc_b")
+    }),
+
+    // STREAMING crawl dedup — the incremental MinHash machinery running
+    // where it runs in production: under Structured Streaming, one
+    // micro-batch per crawl drop. The feed stages the batch half of the
+    // corpus as THREE parquet files read with maxFilesPerTrigger=1, so
+    // detection genuinely executes three times against a GROWING index:
+    // each foreachBatch signs only its micro-batch, bucket-joins the
+    // persisted index (history reps + every previously streamed
+    // micro-batch's reps), verifies by exact Jaccard, then APPENDS the
+    // verified pairs to the result and the micro-batch's bands+groups
+    // to the index. Pair completeness is split-invariant: an unordered
+    // near-dup pair is detected exactly once — within one micro-batch
+    // (self-join) or when its later endpoint arrives (index join, with
+    // group expansion through the accumulated maps) — so the final
+    // pair SET equals the batch key's, and the oracle IS the same
+    // exhaustive law (every J ≥ 0.8 pair with doc_b ≥ 300),
+    // indifferent to how the stream was chopped. At 100 TB this is the
+    // crawl pipeline itself: the index grows 16 fixed-width rows per
+    // distinct doc per drop, and each drop pays collision-proportional
+    // joins only — the corpus is never re-signed.
+    "stream_dedup_minhash" -> ((s, d) => {
+      val all = docs(s, d)
+      val (hBands, hGroups) = minhashHistIndex(s, d)
+      val run = Tables.scratch(d, "mh_stream_run")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(run)): Unit
+      val feed = s"$run/feed"
+      all.filter(col("doc_id") >= 300).select("doc_id", "text")
+        .repartitionByRange(3, col("doc_id"))
+        .write.parquet(feed)
+      val idxB = s"$run/bands"
+      val idxG = s"$run/groups"
+      val pairsDir = s"$run/pairs"
+      hBands.write.parquet(idxB)
+      hGroups.write.parquet(idxG)
+      val corpusSh = shingled(all) // candidate-rep shingle source:
+      // history AND previously streamed docs (semi-join pruned)
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$run/cp")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val (pairs, bBands, bGroups) =
+            incMinhashRound(corpusSh, s.read.parquet(idxB),
+              s.read.parquet(idxG), shingled(b))
+          pairs.write.mode("append").parquet(pairsDir)
+          bBands.write.mode("append").parquet(idxB)
+          bGroups.write.mode("append").parquet(idxG)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(pairsDir).orderBy("doc_a", "doc_b")
     }),
 
     // exact n-gram Jaccard dedup via the scalable inverted-index plan:
@@ -688,6 +670,113 @@ object TextOps extends QueryGroup {
     * `reps` ((doc_id, ..., sh) rows) — the per-doc core of
     * [[bandsFrom]], also consumed directly by the incremental index
     * build (which bands each side's representatives itself). */
+  /** The persisted history half of the incremental MinHash index:
+    * (doc_id, band, band_hash) rows over the <300 corpus's
+    * distinct-text representatives plus the (doc, rep) group map —
+    * built once per fixture, read back from disk (at 100 TB: 16
+    * fixed-width rows per distinct doc, appended per crawl). */
+  private[graft] def minhashHistIndex(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val bandDir = Tables.scratch(d, "mh_inc_bands")
+    val grpDir = Tables.scratch(d, "mh_inc_groups")
+    if (!Tables.scratchCurrent(d, "documents", bandDir)) {
+      val hist = shingled(docs(s, d).filter(col("doc_id") < 300))
+      val hg = dupGroups(hist)
+      hg.write.mode("overwrite").parquet(grpDir)
+      bandsOf(hist.join(hg.filter(col("doc_id") === col("rep"))
+        .select("doc_id"), "doc_id"))
+        .write.mode("overwrite").parquet(bandDir)
+      Tables.stampScratch(d, "documents", bandDir)
+    }
+    (s.read.parquet(bandDir), s.read.parquet(grpDir))
+  }
+
+  /** One incremental near-dup detection round — the
+    * dedup_minhash_incremental machinery, factored so the streaming
+    * crawl key replays it per micro-batch: sign ONLY the batch,
+    * bucket-join the persisted band index (cross candidates) and
+    * itself (in-batch candidates), verify the collision-proportional
+    * candidate set by exact Jaccard — index-side shingles recomputed
+    * only for candidate reps via a semi-join on `corpusSh`, never the
+    * corpus. Verified rep pairs expand through BOTH group maps;
+    * within-batch-group pairs emit at Jaccard 1.0. Pair orientation is
+    * least/greatest (under streaming both endpoints can be stream docs
+    * in either arrival order; for the batch split hist<300 ≤ batch it
+    * is the identity). Returns (pairs, batch rep bands, batch groups)
+    * — the latter two are what an index APPEND persists, all three
+    * eagerly materialized so callers may persist/unpersist freely. */
+  private[graft] def incMinhashRound(corpusSh: DataFrame,
+      hBands: DataFrame, hGroups: DataFrame, batchSh: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val batch = batchSh
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bGroups = dupGroups(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = bandsOf(batch.join(
+      bGroups.filter(col("doc_id") === col("rep")).select("doc_id"),
+      "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = bBands.as("b").join(hBands.as("h"),
+        Seq("band", "band_hash"))
+      .select(col("h.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .distinct()
+    val inb = bBands.as("x").join(bBands.as("y"),
+        Seq("band", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
+      .distinct()
+    val bSh = batch.select(col("doc_id"), col("sh"))
+    // index-side shingles: recomputed ONLY for candidate reps (the
+    // semi-join prunes before the shingle lambda runs on stored text)
+    val hShCand = corpusSh
+      .join(cross.select(col("ra").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("ra"), col("sh").as("sha"))
+    def verified(pairs: DataFrame, shA: DataFrame): DataFrame =
+      pairs
+        .join(shA, "ra")
+        .join(bSh.select(col("doc_id").as("rb"), col("sh").as("shb")),
+          "rb")
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("ra"), col("rb"), col("jaccard"))
+    val vCross = verified(cross, hShCand)
+    val vInb = verified(inb,
+      bSh.select(col("doc_id").as("ra"), col("sh").as("sha")))
+    // expansion: identical text ⇒ the member pair's Jaccard IS the
+    // representative pair's — no shingles touched again
+    val crossPairs = vCross
+      .join(hGroups.select(col("rep").as("ra"), col("doc_id").as("ma")),
+        "ra")
+      .join(bGroups.select(col("rep").as("rb"), col("doc_id").as("mb")),
+        "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    val inbPairs = vInb
+      .join(bGroups.select(col("rep").as("ra"), col("doc_id").as("ma")),
+        "ra")
+      .join(bGroups.select(col("rep").as("rb"), col("doc_id").as("mb")),
+        "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    val withinGroup = bGroups.as("p").join(bGroups.as("q"),
+        col("p.rep") === col("q.rep") &&
+          col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val out = crossPairs.union(inbPairs).union(withinGroup)
+      .localCheckpoint()
+    val outBands = bBands.localCheckpoint()
+    val outGroups = bGroups.localCheckpoint()
+    batch.unpersist(blocking = false)
+    bGroups.unpersist(blocking = false)
+    bBands.unpersist(blocking = false)
+    (out, outBands, outGroups)
+  }
+
   private[nlp] def bandsOf(reps: DataFrame): DataFrame = {
     // Carter-Wegman permutation family: ONE string hash reduced mod a
     // 31-bit prime, 64 affine transforms (a_p·h + b_p) mod P with
@@ -1031,6 +1120,30 @@ object TextOps extends QueryGroup {
     // doc_a < doc_b, any pair whose larger id is history-side is a
     // pure-history pair, yesterday's answer)
     "dedup_minhash_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents)
+        |  WHERE LEN(t) > 2),
+        |posts AS (SELECT doc_id, UNNEST(sh) AS g FROM d),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, LEN(sh) AS n FROM d)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |           JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |  AND doc_b >= 300
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the SAME exhaustive law as dedup_minhash_incremental: the final
+    // pair set is invariant to the micro-batch split (each unordered
+    // pair detected exactly once — see the key), so the oracle does
+    // not care how the stream was chopped
+    "stream_dedup_minhash" ->
       """WITH d AS (
         |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
         |      GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),

@@ -259,4 +259,25 @@ class StreamingSpec extends SparkSpec {
     assert(ref.forall(r => r.getLong(2) == r.getLong(0) / 250 * 60000),
       "key-cadence timestamps off closed form")
   }
+
+  test("streaming minhash dedup: 3 real micro-batches against a " +
+      "growing index, final pair set invariant to the split") {
+    val streamed = SparkEntry.queries("stream_dedup_minhash")(spark, sf)
+      .collect().toSeq
+    // the stream genuinely chopped into micro-batches (one per feed
+    // file) — otherwise this is just the batch key with extra steps
+    val offsets = Option(new java.io.File(
+      Tables.scratch(sf, "mh_stream_run") + "/cp/offsets").list())
+      .toSeq.flatten.count(!_.startsWith("."))
+    assert(offsets >= 3, s"expected >=3 micro-batches, got $offsets")
+    // split invariance, engine-side: the accumulated pairs equal the
+    // one-shot batch key's output row-for-row (same doc pairs, same
+    // exact-Jaccard values) — detection against the growing index
+    // composes to the same answer as one big batch
+    val batch = SparkEntry.queries("dedup_minhash_incremental")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch,
+      s"streamed pair set diverges from the batch law: " +
+        s"${streamed.size} vs ${batch.size} rows")
+  }
 }
