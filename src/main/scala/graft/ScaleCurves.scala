@@ -125,7 +125,12 @@ object ScaleCurves {
     "sim_ann_ivf_delete" -> "embeddings",
     "meta_v2_mor_delete" -> "orders",
     "meta_v2_mor_update" -> "orders",
-    "meta_v2_mor_compact" -> "orders")
+    "meta_v2_mor_compact" -> "orders",
+    "meta_v2_mor_merge" -> "orders",
+    // r16 session 2: the streaming crawl form — per-drop cost must
+    // track the drop (collision-proportional joins vs the growing
+    // index), with the 3-micro-batch trigger machinery as fixed floor
+    "stream_dedup_minhash" -> "documents")
 
   private val RunsPerKey = 3
 

@@ -1506,6 +1506,93 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // MERGE-ON-READ stock MERGE — the capstone that makes the MOR
+    // family complete (DELETE + MERGE both O(delta)): with
+    // graft.merge.mode=merge-on-read the operation plans delta-based
+    // (SupportsDelta → WriteDelta) — matched DELETEs and the OLD
+    // images of matched UPDATEs become sidecar entries, updated images
+    // and NOT-MATCHED inserts land in FRESH per-task data files, and
+    // carry-over rows are never read, computed, or written (the
+    // group-based COW path reads and rewrites every one). Pre-existing
+    // data files come through the publish as hard links — asserted at
+    // inode level below — while the fresh files carry exactly the
+    // delta. A three-clause MERGE (conditional matched update, matched
+    // delete fallthrough, not-matched insert) exercises all writer
+    // paths in one statement; the oracle replays the clause algebra.
+    "meta_v2_mor_merge" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_mormrg_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmmsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_mm
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.merge.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_mm")
+      s.sql(s"""INSERT INTO $cat.corp.orders_mm
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_mm WHERE o_orderkey % 4 < 2""".stripMargin)
+      def inodes(p: String): Map[String, Any] =
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))
+          .map(f => f.getName -> java.nio.file.Files
+            .getAttribute(f.toPath, "unix:ino")).toMap
+      val loc0 = s"$dir/_warehouse/corp/orders_mm"
+      val before = inodes(loc0)
+      require(before.nonEmpty, "fixture landed no data files")
+      // delta: even keys updated (+5%) unless tiny — those delete;
+      // brand-new keys insert
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_src_mm
+          |WHERE o_orderkey % 8 = 0
+          |UNION ALL
+          |SELECT o_orderkey + 200000000, o_totalprice
+          |FROM orders_src_mm WHERE o_orderkey % 8 = 1""".stripMargin)
+        .createOrReplaceTempView("delta_mm")
+      s.sql(s"""MERGE INTO $cat.corp.orders_mm t
+               |USING delta_mm u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED AND u.o_totalprice > 50000D THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice * 1.05D,
+               |  o_orderstatus = 'M'
+               |WHEN MATCHED THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT
+               |  (o_orderkey, o_orderstatus, o_totalprice)
+               |  VALUES (u.o_orderkey, 'N', u.o_totalprice)""".stripMargin)
+      val head = new java.io.File(dir, "HEAD")
+      val rev = new String(java.nio.file.Files
+        .readAllBytes(head.toPath)).trim.split("\\s+")(0).toInt
+      val loc2 = CatalogTransfer.readLocal(s"$dir/revs/$rev").tables
+        .find(_.name == "orders_mm").get.location
+      require(loc2 != loc0, "merge must publish a fresh generation")
+      val after = inodes(loc2)
+      // every PRE-EXISTING data file came through as the same inode
+      // (hard link — zero rewrite); the delta landed in FRESH files
+      require(before.forall { case (n, k) => after.get(n).contains(k) },
+        "MOR merge rewrote a pre-existing data file")
+      require(after.size > before.size,
+        "MOR merge landed no fresh data files")
+      require(Option(new java.io.File(loc2, "_deletes").list()).toSeq
+        .flatten.exists(_.endsWith(".keys")),
+        "MOR merge landed no delete sidecar")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_mm")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -2614,6 +2701,35 @@ object DdlQueries extends QueryGroup {
         |             THEN o_totalprice * 1.10
         |             ELSE o_totalprice END, 4) AS o_totalprice
         |FROM t1 ORDER BY o_orderkey""".stripMargin,
+
+    // delta-MERGE clause algebra: matched rows update (price gate) or
+    // delete (fallthrough), unmatched source rows insert as 'N'
+    "meta_v2_mor_merge" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 < 2),
+        |u AS (SELECT o_orderkey, o_totalprice FROM orders
+        |      WHERE o_orderkey % 8 = 0
+        |      UNION ALL
+        |      SELECT o_orderkey + 200000000, o_totalprice FROM orders
+        |      WHERE o_orderkey % 8 = 1)
+        |SELECT o_orderkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM (SELECT t0.o_orderkey,
+        |        CASE WHEN u.o_orderkey IS NOT NULL
+        |               AND u.o_totalprice > 50000
+        |             THEN 'M' ELSE t0.o_orderstatus END AS o_orderstatus,
+        |        CASE WHEN u.o_orderkey IS NOT NULL
+        |               AND u.o_totalprice > 50000
+        |             THEN u.o_totalprice * 1.05
+        |             ELSE t0.o_totalprice END AS o_totalprice
+        |      FROM t0 LEFT JOIN u ON t0.o_orderkey = u.o_orderkey
+        |      WHERE u.o_orderkey IS NULL OR u.o_totalprice > 50000
+        |      UNION ALL
+        |      SELECT u.o_orderkey, 'N' AS o_orderstatus, u.o_totalprice
+        |      FROM u
+        |      WHERE NOT EXISTS (SELECT 1 FROM t0
+        |                        WHERE t0.o_orderkey = u.o_orderkey))
+        |ORDER BY o_orderkey""".stripMargin,
 
     // compaction is content-invariant: the merged pre-compaction rows
     "meta_v2_mor_compact" ->

@@ -2,6 +2,7 @@ package graft.catalog
 
 import java.util
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table}
@@ -83,6 +84,13 @@ private[catalog] object Mor {
     * on (int/bigint/string; must uniquely identify a row, the
     * equality-delete contract). */
   val RowIdProp = "graft.row.id"
+
+  /** Table property selecting the MERGE execution mode (independent of
+    * the DELETE mode — the per-command split lakehouse formats expose):
+    * `copy-on-write` (default) or `merge-on-read`, where matched
+    * updates/deletes become sidecar entries and inserted/updated rows
+    * land in FRESH data files — O(delta), no carry-over rows touched. */
+  val MergeModeProp = "graft.merge.mode"
 
   /** Sidecar directory under the generation dir (underscore-prefixed:
     * hidden from the stock parquet file index). */
@@ -230,7 +238,8 @@ private[catalog] class MorReadTable(inner: Table, ti: TableInfo,
   * delta-based (zero data rewrite); UPDATE/MERGE/TRUNCATE inherit the
   * COW path — over the merged read, materializing the deletes. */
 private[catalog] class MorRowLevelTable(inner: Table,
-    cat: WritableSnapshotCatalog, ti: TableInfo, keyField: StructField)
+    cat: WritableSnapshotCatalog, ti: TableInfo, keyField: StructField,
+    mergeMor: Boolean)
   extends RowLevelCowTable(inner, cat, ti) {
 
   // fresh per scan/statement: the sidecar set is generation state
@@ -257,22 +266,26 @@ private[catalog] class MorRowLevelTable(inner: Table,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () =>
-      if (info.command == RowLevelOperation.Command.DELETE)
-        new MorDeleteOperation(this, cat, ti, keyField, info)
+      if (info.command == RowLevelOperation.Command.DELETE ||
+          (info.command == RowLevelOperation.Command.MERGE && mergeMor))
+        new MorDeltaOperation(this, cat, ti, keyField, info)
       else
-        // UPDATE/MERGE stay copy-on-write but read through `this`
-        // (outstanding deletes apply to the rewrite scan — a deleted
-        // row must never resurrect), and their fresh generation
-        // carries no _deletes: a COW statement materializes the
-        // delete vectors
+        // UPDATE (and MERGE without the opt-in) stays copy-on-write
+        // but reads through `this` (outstanding deletes apply to the
+        // rewrite scan — a deleted row must never resurrect), and its
+        // fresh generation carries no _deletes: a COW statement
+        // materializes the delete vectors
         new GroupCowRowLevelOperation(this, cat, ti, info)
 }
 
-/** The delta-based DELETE: [[SupportsDelta]] routes Spark's own
-  * `RewriteDeleteFromTable` to a `WriteDelta` plan — the scan reads
-  * ONLY predicate-matched rows (condition pushed down like any data
-  * filter), the writer records their row ids in a sidecar. */
-private[catalog] class MorDeleteOperation(table: MorRowLevelTable,
+/** The delta-based operation: [[SupportsDelta]] routes Spark's own
+  * `RewriteDeleteFromTable` / `RewriteMergeIntoTable` to a `WriteDelta`
+  * plan — the scan reads ONLY rows the statement touches (DELETE's
+  * condition pushes down like any data filter; MERGE reads the join's
+  * matched side, never carry-over rows), and the writer lands row-id
+  * sidecar entries for deletes/updated-away rows plus FRESH data files
+  * for inserted/updated rows. O(delta) end-to-end. */
+private[catalog] class MorDeltaOperation(table: MorRowLevelTable,
     cat: WritableSnapshotCatalog, ti: TableInfo, keyField: StructField,
     info: RowLevelOperationInfo)
   extends RowLevelOperation with SupportsDelta {
@@ -280,11 +293,13 @@ private[catalog] class MorDeleteOperation(table: MorRowLevelTable,
   override def command(): RowLevelOperation.Command = info.command
 
   override def description(): String =
-    s"graft-mor-delete ${ti.db}.${ti.name}"
+    s"graft-mor-${info.command} ${ti.db}.${ti.name}"
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(keyField.name))
 
+  // updates arrive as update(meta, id, row) and the writer lands them
+  // as sidecar-delete + fresh-file insert itself — no split needed
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   // the rewrite scan is the table's merged read: already-hidden rows
@@ -294,7 +309,8 @@ private[catalog] class MorDeleteOperation(table: MorRowLevelTable,
 
   override def newWriteBuilder(wInfo: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new MorDeltaWrite(cat, ti, keyField)
+      override def build(): DeltaWrite =
+        new MorDeltaWrite(cat, ti, keyField, table.schema())
     }
 }
 
@@ -450,17 +466,22 @@ private[catalog] class MorReaderFactory(delegate: PartitionReaderFactory,
   }
 }
 
-private[catalog] case class MorDeleteMsg(file: Option[String], keys: Long)
-  extends WriterCommitMessage
+private[catalog] case class MorDeleteMsg(file: Option[String], keys: Long,
+    dataFile: Option[String] = None) extends WriterCommitMessage
 
-/** The DELETE's write: tasks append encoded row-id keys to per-task
-  * sidecar files under the fresh generation's `_deletes/` (commit
-  * coordinator arbitrates attempts; task aborts delete their own
-  * files); driver commit sweeps strays, hard-links the old generation's
-  * data files and prior sidecars (same inodes — zero data movement),
-  * and publishes through the catalog's atomic location swap + OCC. */
+/** The delta write: tasks append encoded row-id keys to per-task
+  * sidecar files under the fresh generation's `_deletes/` and land
+  * inserted/updated rows in per-task FRESH parquet files at its root
+  * (commit coordinator arbitrates attempts; task aborts delete their
+  * own files); driver commit sweeps strays, hard-links the old
+  * generation's data files and prior sidecars (same inodes — zero data
+  * movement), and publishes through the catalog's atomic location swap
+  * + OCC. Fresh files are never in any sidecar's applies-to set, so an
+  * updated row is hidden from its OLD file and served from its new one
+  * — exactly once. */
 private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
-    ti: TableInfo, keyField: StructField) extends DeltaWrite {
+    ti: TableInfo, keyField: StructField,
+    tableSchema: StructType) extends DeltaWrite {
 
   private val oldRoot = Mor.normLoc(ti.location)
   // the COW generation naming — gcGenerations recognizes and (once
@@ -486,20 +507,39 @@ private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
     // in-flight marker for gcGenerations (no _temporary on this path)
     val marker = new java.io.File(newRoot, "_graftwriting")
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray): Unit
+    // fresh-data-file writer machinery (MERGE inserts/updates); the
+    // stock parquet OutputWriterFactory, serialized to tasks
+    val spark = SparkSession.active
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sessionState.newHadoopConf())
+    job.setOutputKeyClass(classOf[Void])
+    job.setOutputValueClass(classOf[InternalRow])
+    val owf = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, tableSchema)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      job.getConfiguration)
 
     new DeltaBatchWrite {
       override def createBatchWriterFactory(
           pInfo: PhysicalWriteInfo): DeltaWriterFactory =
-        new MorDeltaWriterFactory(delDir.getAbsolutePath, dataFiles,
-          keyField.dataType)
+        new MorDeltaWriterFactory(newRoot, dataFiles,
+          keyField.dataType, tableSchema, owf, serConf)
 
       override def useCommitCoordinator(): Boolean = true
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val authorized = messages
-          .collect { case MorDeleteMsg(Some(n), _) => n }.toSet
+        val msgs = messages.collect { case m: MorDeleteMsg => m }
+        val authorized = msgs.flatMap(_.file).toSet
         Option(delDir.listFiles()).toSeq.flatten.filter(_.isFile)
           .filterNot(f => authorized.contains(f.getName))
+          .foreach(f => f.delete(): Unit)
+        // sweep stray DATA files from attempts that died without abort
+        val authorizedData = msgs.flatMap(_.dataFile).toSet
+        Option(new java.io.File(newRoot).listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .filterNot(f => authorizedData.contains(f.getName))
           .foreach(f => f.delete(): Unit)
         Mor.linkAll(new java.io.File(oldRoot), new java.io.File(newRoot))
         val oldDel = new java.io.File(oldRoot, Mor.DeletesDirName)
@@ -532,24 +572,35 @@ private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
   }
 }
 
-private[catalog] class MorDeltaWriterFactory(delDir: String,
-    appliesTo: Seq[String], keyType: DataType) extends DeltaWriterFactory {
+private[catalog] class MorDeltaWriterFactory(newRoot: String,
+    appliesTo: Seq[String], keyType: DataType, schema: StructType,
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
-    new MorDeltaWriter(delDir, appliesTo, keyType, partitionId, taskId)
+    new MorDeltaWriter(newRoot, appliesTo, keyType, schema, owf,
+      conf.value, partitionId, taskId)
 }
 
-private[catalog] class MorDeltaWriter(delDir: String,
-    appliesTo: Seq[String], keyType: DataType, partitionId: Int,
+private[catalog] class MorDeltaWriter(newRoot: String,
+    appliesTo: Seq[String], keyType: DataType, schema: StructType,
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.hadoop.conf.Configuration, partitionId: Int,
     taskId: Long) extends DeltaWriter[InternalRow] {
+
+  import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
 
   private var out: java.io.BufferedWriter = _
   private var file: java.io.File = _
   private var n = 0L
+  private var dataOut
+      : org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var dataFile: java.io.File = _
 
   private def writer(): java.io.BufferedWriter = {
     if (out == null) {
-      file = new java.io.File(delDir,
+      file = new java.io.File(new java.io.File(newRoot, Mor.DeletesDirName),
         f"delete-$partitionId%05d-$taskId.keys")
       out = java.nio.file.Files.newBufferedWriter(file.toPath)
       appliesTo.foreach { a =>
@@ -561,9 +612,23 @@ private[catalog] class MorDeltaWriter(delDir: String,
     out
   }
 
+  private def dataWriter()
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    if (dataOut == null) {
+      val attempt = new org.apache.hadoop.mapreduce.task
+        .TaskAttemptContextImpl(conf,
+          new TaskAttemptID(new TaskID(new JobID("graftmor", 0),
+            TaskType.MAP, partitionId), taskId.toInt))
+      dataFile = new java.io.File(newRoot,
+        f"part-$partitionId%05d-$taskId-mor${owf.getFileExtension(attempt)}")
+      dataOut = owf.newInstance(dataFile.getPath, schema, attempt)
+    }
+    dataOut
+  }
+
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     require(!id.isNullAt(0),
-      "merge-on-read DELETE matched a row with a NULL row id — " +
+      "merge-on-read delta matched a row with a NULL row id — " +
         s"the ${Mor.RowIdProp} column must be non-null on every row")
     val w = writer()
     w.write(Mor.encodeKey(id.get(0, keyType)))
@@ -571,26 +636,34 @@ private[catalog] class MorDeltaWriter(delDir: String,
     n += 1
   }
 
+  // MERGE inserts land in a fresh per-task data file — never listed in
+  // any sidecar's applies-to set, so they are live immediately
   override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "merge-on-read delta write serves DELETE only; UPDATE/MERGE run " +
-        "copy-on-write")
+    dataWriter().write(row)
 
+  // an update is sidecar-delete (hides the row in its OLD file) plus a
+  // fresh-file insert of the new image — served exactly once
   override def update(meta: InternalRow, id: InternalRow,
-      row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "merge-on-read delta write serves DELETE only; UPDATE/MERGE run " +
-        "copy-on-write")
+      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
 
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
-    MorDeleteMsg(Option(file).map(_.getName), n)
+    if (dataOut != null) dataOut.close()
+    MorDeleteMsg(Option(file).map(_.getName), n,
+      Option(dataFile).map(_.getName))
   }
 
   override def abort(): Unit = {
     if (out != null) {
       try out.close() catch { case _: Throwable => () }
       file.delete(): Unit
+    }
+    if (dataOut != null) {
+      try dataOut.close() catch { case _: Throwable => () }
+      dataFile.delete(): Unit
     }
   }
 

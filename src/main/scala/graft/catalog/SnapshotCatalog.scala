@@ -983,13 +983,25 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         require(!ci.nullable,
           s"${Mor.RowIdProp}=$rid must be declared NOT NULL — " +
             "merge-on-read deletes key on it")
+        val mergeMode = ti.properties
+          .find(_.key == Mor.MergeModeProp).map(_.value)
+        require(mergeMode.forall(m =>
+            m == Mor.ModeCopyOnWrite || m == Mor.ModeMergeOnRead),
+          s"unknown ${Mor.MergeModeProp} '${mergeMode.get}' on " +
+            s"${ti.db}.${ti.name}")
         new MorRowLevelTable(withChecks, this, ti,
-          f.copy(nullable = false))
+          f.copy(nullable = false),
+          mergeMode.contains(Mor.ModeMergeOnRead))
       } else {
         require(mode.forall(_ == Mor.ModeCopyOnWrite),
           s"unknown ${Mor.DeleteModeProp} '${mode.get}' on " +
             s"${ti.db}.${ti.name} — use ${Mor.ModeCopyOnWrite} or " +
             Mor.ModeMergeOnRead)
+        require(!ti.properties.exists(p => p.key == Mor.MergeModeProp &&
+            p.value == Mor.ModeMergeOnRead),
+          s"${Mor.MergeModeProp}=${Mor.ModeMergeOnRead} on " +
+            s"${ti.db}.${ti.name} requires ${Mor.DeleteModeProp}=" +
+            s"${Mor.ModeMergeOnRead} too (the sidecar read path)")
         new RowLevelCowTable(withChecks, this, ti)
       }
     } else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet"))

@@ -2260,5 +2260,48 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("unknown graft.delete.mode"),
       e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.m.bad4 (k BIGINT NOT NULL)
+                   |USING parquet TBLPROPERTIES(
+                   | 'graft.merge.mode'='merge-on-read')""".stripMargin)
+    }
+    assert(e4.getMessage.contains("requires graft.delete.mode"),
+      e4.getMessage)
+
+    // 7. per-command MERGE dispatch: without the opt-in, MERGE on the
+    // MOR table stays group-based COW; with graft.merge.mode, it plans
+    // delta-based
+    spark.range(3).selectExpr("id AS k", "id * 2.0D AS v")
+      .createOrReplaceTempView("mor_delta_src")
+    val mergeSql = (t: String) =>
+      s"""EXPLAIN EXTENDED MERGE INTO $cat.m.$t t
+         |USING mor_delta_src u ON t.k = u.k
+         |WHEN MATCHED THEN UPDATE SET v = u.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    val cowMerge = spark.sql(mergeSql("t")).first.getString(0)
+    assert(cowMerge.contains("ReplaceData") &&
+      !cowMerge.contains("WriteDelta"),
+      s"MERGE without the opt-in must stay COW:\n$cowMerge")
+    spark.sql(s"""CREATE TABLE $cat.m.t2 (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.merge.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.t2 SELECT id, id * 1.0D FROM range(6)")
+    val morMerge = spark.sql(mergeSql("t2")).first.getString(0)
+    assert(morMerge.contains("WriteDelta") &&
+      !morMerge.contains("ReplaceData"),
+      s"opted-in MERGE must plan delta-based:\n$morMerge")
+    // and its execution: matched updates hide in sidecars + fresh
+    // files; the merged read serves each key exactly once
+    spark.sql(s"""MERGE INTO $cat.m.t2 t USING mor_delta_src u
+                 |ON t.k = u.k
+                 |WHEN MATCHED THEN UPDATE SET v = u.v
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.table(s"$cat.m.t2").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == (0L to 2L).map(k => (k, k * 2.0)) ++
+      (3L to 5L).map(k => (k, k * 1.0)),
+      s"MOR merge produced wrong content: $rows")
   }
 }
