@@ -130,7 +130,8 @@ object ScaleCurves {
     // r16 session 2: the streaming crawl form — per-drop cost must
     // track the drop (collision-proportional joins vs the growing
     // index), with the 3-micro-batch trigger machinery as fixed floor
-    "stream_dedup_minhash" -> "documents")
+    "stream_dedup_minhash" -> "documents",
+    "stream_ivf_append" -> "embeddings")
 
   private val RunsPerKey = 3
 

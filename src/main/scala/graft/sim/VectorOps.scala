@@ -1271,6 +1271,53 @@ object VectorOps extends QueryGroup {
         .orderBy("cid")
     }),
 
+    // STREAMING vector ingest — sim_ann_ivf_append under Structured
+    // Streaming, where a production embedding pipeline actually runs:
+    // vectors arrive in micro-batches (3 feed files read with
+    // maxFilesPerTrigger=1) and each foreachBatch argmax-assigns ONLY
+    // its drop against the broadcast centroids, appending fixed-width
+    // (vec_id, cell, ccos) rows to the persisted assignment table.
+    // The index grows by exactly the drop, the corpus is never
+    // re-assigned, and the final table IS the from-scratch assignment
+    // (per-vector argmax is corpus-independent — the
+    // sim_ann_ivf_append equality law, now under the trigger, so the
+    // output is fully oracled by TOTAL re-derivation in SQL and is
+    // split-invariant by construction). At 100 TB: each drop pays one
+    // broadcast-assign over itself; the persisted table is the serve
+    // index every probe key reads.
+    "stream_ivf_append" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val cent = ivfCentroids(s, d)
+      val hist = ivfHistAssignments(s, d)
+      val run = Tables.scratch(d, "ivf_stream_run")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(run)): Unit
+      val feed = s"$run/feed"
+      Tables(s, d, "embeddings").filter(col("vec_id") % 5 === 3)
+        .select("vec_id", "embedding")
+        .repartitionByRange(3, col("vec_id"))
+        .write.parquet(feed)
+      val idx = s"$run/assign"
+      hist.write.parquet(idx)
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$run/cp")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val bv = b.withColumn("v",
+            expr("transform(embedding, x -> cast(x AS double))"))
+          ivfAssign(cent, bv).write.mode("append").parquet(idx)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(idx)
+        .select(col("vec_id"), col("cell"),
+          round(col("ccos"), 6).as("ccos"))
+        .orderBy("vec_id")
+    }),
+
     // IVF DELETE — the lifecycle's last leg (build → serve → append →
     // retrain → DELETE): vectors LEAVE the index (document takedowns,
     // dedup evictions, the user-deletion path) by anti-joining the
@@ -2062,6 +2109,21 @@ object VectorOps extends QueryGroup {
          |      mean_new < mean_before - 0.01) OR n_added * 2 > n_before
          |    THEN 1 ELSE 0 END AS INT) AS retrain
          |FROM j ORDER BY cid""".stripMargin,
+
+    // total re-derivation: the post-ingest index equals the
+    // full-corpus argmax assignment, whatever the micro-batch split
+    "stream_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oKmeans,
+         |sc AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c)
+         |SELECT vec_id, cid AS cell, ROUND(ccos, 6) AS ccos FROM (
+         |  SELECT vec_id, cid, ccos, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM sc) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // full replay: quantizer, history assignment, tombstone predicate
     // (vec_id%7 OR the emptied cell), and both health aggregates

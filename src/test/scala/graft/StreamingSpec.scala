@@ -280,4 +280,20 @@ class StreamingSpec extends SparkSpec {
       s"streamed pair set diverges from the batch law: " +
         s"${streamed.size} vs ${batch.size} rows")
   }
+
+  test("streaming IVF ingest: micro-batched appends reproduce the " +
+      "from-scratch corpus assignment") {
+    import graft.sim.VectorOps
+    val streamed = SparkEntry.queries("stream_ivf_append")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val offsets = Option(new java.io.File(
+      Tables.scratch(sf, "ivf_stream_run") + "/cp/offsets").list())
+      .toSeq.flatten.count(!_.startsWith("."))
+    assert(offsets >= 3, s"expected >=3 micro-batches, got $offsets")
+    val scratch = VectorOps.ivfFullAssignments(spark, sf)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == scratch,
+      "streamed ingest diverges from the from-scratch assignment")
+  }
 }
