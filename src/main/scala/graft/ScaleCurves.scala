@@ -127,6 +127,7 @@ object ScaleCurves {
     "meta_v2_mor_update" -> "orders",
     "meta_v2_mor_compact" -> "orders",
     "meta_v2_mor_merge" -> "orders",
+    "meta_v2_changefeed" -> "orders",
     // r16 session 2: the streaming crawl form — per-drop cost must
     // track the drop (collision-proportional joins vs the growing
     // index), with the 3-micro-batch trigger machinery as fixed floor

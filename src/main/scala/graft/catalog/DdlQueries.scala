@@ -1593,6 +1593,86 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // CHANGE DATA FEED from the merge-on-read artifacts — the CDC read
+    // the sidecar design gives away for free (the lakehouse CDF
+    // surface): between two revisions, the range's NEW sidecars name
+    // every key that disappeared and its FRESH data files hold every
+    // row that appeared, so the feed is assembled WITHOUT state
+    // diffing — post-images read the fresh files directly (O(delta),
+    // per-(file,key) hiding via _metadata.file_path for in-range
+    // churn), pre-images are one key-join against the time-travel
+    // state at the range start (the one non-delta term; commit-time
+    // CDC files are the alternative, documented at MorChangeFeed).
+    // The range spans THREE statements — a MOR DELETE, a MOR MERGE
+    // (update + insert clauses), and a plain INSERT INTO append — and
+    // the feed nets them into delete / update_preimage /
+    // update_postimage / insert rows, all four proven non-vacuous.
+    "meta_v2_changefeed" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_morcdf_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gcfsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_cf
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.merge.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_cf")
+      s.sql(s"""INSERT INTO $cat.corp.orders_cf
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_cf WHERE o_orderkey % 4 < 2""".stripMargin)
+      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      def locAt(rev: Int): String = CatalogTransfer
+        .readLocal(s"$dir/revs/$rev").tables
+        .find(_.name == "orders_cf").get.location
+      val revA = headRev()
+      val locA = locAt(revA)
+      s.sql(s"DELETE FROM $cat.corp.orders_cf WHERE o_orderkey % 16 = 0")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_src_cf
+          |WHERE o_orderkey % 8 = 4
+          |UNION ALL
+          |SELECT o_orderkey + 300000000, o_totalprice
+          |FROM orders_src_cf WHERE o_orderkey % 8 = 5""".stripMargin)
+        .createOrReplaceTempView("delta_cf")
+      s.sql(s"""MERGE INTO $cat.corp.orders_cf t
+               |USING delta_cf u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice * 1.10D,
+               |  o_orderstatus = 'U'
+               |WHEN NOT MATCHED THEN INSERT
+               |  (o_orderkey, o_orderstatus, o_totalprice)
+               |  VALUES (u.o_orderkey, 'N', u.o_totalprice)""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.corp.orders_cf
+               |SELECT o_orderkey + 400000000, 'A', o_totalprice
+               |FROM orders_src_cf WHERE o_orderkey % 16 = 9""".stripMargin)
+      val revB = headRev()
+      val locB = locAt(revB)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      val stateA = s.sql(
+        s"SELECT * FROM $cat2.corp.orders_cf VERSION AS OF '$revA'")
+      val feed = MorChangeFeed.between(s, stateA, locA, locB,
+        "o_orderkey")
+      val ops = feed.select("op").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(ops == Set("delete", "insert", "update_preimage",
+        "update_postimage"), s"feed op classes vacuous: $ops")
+      feed.select(col("op"), col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey", "op")
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -2730,6 +2810,29 @@ object DdlQueries extends QueryGroup {
         |      WHERE NOT EXISTS (SELECT 1 FROM t0
         |                        WHERE t0.o_orderkey = u.o_orderkey))
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the net range diff replayed from the statement algebra
+    "meta_v2_changefeed" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 < 2)
+        |SELECT op, o_orderkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM (
+        |  SELECT 'delete' AS op, o_orderkey, o_orderstatus,
+        |    o_totalprice FROM t0 WHERE o_orderkey % 16 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderkey, o_orderstatus,
+        |    o_totalprice FROM t0 WHERE o_orderkey % 8 = 4
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderkey, 'U',
+        |    o_totalprice * 1.10 FROM t0 WHERE o_orderkey % 8 = 4
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 300000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 = 5
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 400000000, 'A', o_totalprice
+        |  FROM orders WHERE o_orderkey % 16 = 9)
+        |ORDER BY o_orderkey, op""".stripMargin,
 
     // compaction is content-invariant: the merged pre-compaction rows
     "meta_v2_mor_compact" ->

@@ -138,7 +138,7 @@ private[catalog] object Mor {
       import scala.jdk.CollectionConverters._
       val lines = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
       val (hdr, keys) = lines.span(_.startsWith("#applies-to:"))
-      DeleteSidecar(
+      DeleteSidecar(f.getName,
         hdr.map(l => java.net.URLDecoder
           .decode(l.stripPrefix("#applies-to:"), "UTF-8")).toSet,
         keys.filter(_.nonEmpty).toArray)
@@ -176,8 +176,94 @@ private[catalog] object Mor {
 /** One delete sidecar: the data files it applies to (the generation's
   * file set at delete time) and the encoded row-id keys hidden from
   * them. Shipped to executors whole; decode happens once per reader. */
-private[catalog] case class DeleteSidecar(applies: Set[String],
-    keys: Array[String])
+private[catalog] case class DeleteSidecar(name: String,
+    applies: Set[String], keys: Array[String])
+
+/** CHANGE DATA FEED between two generations of a merge-on-read table —
+  * the CDC read the MOR artifacts give away for free: the range's NEW
+  * sidecars name every key that disappeared (deletes and updated-away
+  * images), and its FRESH data files hold every row that appeared
+  * (inserts and updated images). No state diffing, no commit-time CDC
+  * files:
+  *  - post-images read the fresh files DIRECTLY — O(delta) — with
+  *    per-(file, key) hiding for keys a later in-range sidecar removed
+  *    from a fresh file (insert-then-delete nets out; the `_metadata`
+  *    file-path column keys the hiding, so a re-insert after an
+  *    in-range delete stays live);
+  *  - pre-images are a key-join against the caller-provided state-A
+  *    relation (serve it via the catalog's `VERSION AS OF` time
+  *    travel, which merges A's own sidecars) — the one non-delta term,
+  *    prunable by broadcast/bloom on the delta keys; formats that must
+  *    avoid even that write CDC files at commit time, the documented
+  *    trade. Keys hidden in-range that never existed at A (mid-range
+  *    insert-then-delete) drop out of the inner pre-image join.
+  * The feed is the NET range diff: a key touched multiple times
+  * in-range emits its A-vs-B classification (delete / insert /
+  * update_preimage+update_postimage), not per-statement events. */
+private[catalog] object MorChangeFeed {
+  def between(s: SparkSession, stateA: org.apache.spark.sql.DataFrame,
+      locA: String, locB: String, keyName: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def dataFiles(loc: String): Set[String] =
+      Option(new java.io.File(Mor.normLoc(loc)).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.getName).toSet
+    def sidecarNames(loc: String): Set[String] =
+      Option(new java.io.File(Mor.normLoc(loc), Mor.DeletesDirName)
+        .listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".keys"))
+        .map(_.getName).toSet
+    val filesA = dataFiles(locA)
+    val freshNames = (dataFiles(locB) -- filesA).toSeq.sorted
+    val oldSidecars = sidecarNames(locA)
+    val newSidecars = Mor.loadSidecars(locB)
+      .filterNot(sc => oldSidecars.contains(sc.name))
+    import s.implicits._
+    // range-deleted keys (string form — the joins below cast; delta-
+    // sized, so the lost pushdown costs nothing)
+    val deletedKeys = newSidecars.flatMap(_.keys).distinct
+      .toDS().toDF("_k")
+    // fresh rows with per-(file, key) hiding
+    val freshRows =
+      if (freshNames.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row], stateA.schema)
+          .withColumn("_fname", lit(null: String))
+      else
+        s.read.parquet(freshNames.map(n =>
+            s"${Mor.normLoc(locB)}/$n"): _*)
+          .withColumn("_fname",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .drop("_metadata")
+    val hiddenPairs = newSidecars
+      .flatMap(sc => sc.applies.intersect(freshNames.toSet)
+        .flatMap(f => sc.keys.map(k => (f, k))))
+      .distinct.toDS().toDF("_fname", "_k")
+    val keyStr = col(keyName).cast("string")
+    val live = freshRows.withColumn("_k", keyStr)
+      .join(hiddenPairs, Seq("_fname", "_k"), "left_anti")
+    val inserted = live
+      .join(deletedKeys.withColumnRenamed("_k", "_dk"),
+        live("_k") === col("_dk"), "left")
+      .withColumn("_op",
+        when(col("_dk").isNull, lit("insert"))
+          .otherwise(lit("update_postimage")))
+      .drop("_fname", "_k", "_dk")
+    val pre = stateA.withColumn("_k", keyStr)
+      .join(deletedKeys, "_k") // inner: mid-range churn w/o an A row drops
+      .join(live.select(col("_k").as("_lk")).distinct(),
+        col("_k") === col("_lk"), "left")
+      .withColumn("_op",
+        when(col("_lk").isNull, lit("delete"))
+          .otherwise(lit("update_preimage")))
+      .drop("_k", "_lk")
+    val cols = col("_op").as("op") +:
+      stateA.schema.fieldNames.toSeq.map(col)
+    pre.select(cols: _*).unionByName(inserted.select(cols: _*))
+  }
+}
 
 private[catalog] object MorReadTable {
   /** Wrap ANY read-side serving of a merge-on-read table so its scans
