@@ -2304,4 +2304,45 @@ class CatalogSpec extends SparkSpec {
       (3L to 5L).map(k => (k, k * 1.0)),
       s"MOR merge produced wrong content: $rows")
   }
+
+  test("gcGenerations on a merge-on-read chain: reclaiming an old " +
+      "hard-linked generation never disturbs the live one") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_morgc_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmorgc"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.g")
+    spark.sql(s"""CREATE TABLE $cat.g.t (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.g.t SELECT id, 1.0D FROM range(100)")
+    spark.sql(s"DELETE FROM $cat.g.t WHERE k % 10 = 0") // gen 1 (links)
+    spark.sql(s"DELETE FROM $cat.g.t WHERE k % 10 = 1") // gen 2 (links)
+    assert(spark.table(s"$cat.g.t").count() == 80)
+    val plug = new graft.catalog.WritableSnapshotCatalog
+    plug.initialize("gmorgc_probe",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir.getPath)))
+    Option(new java.io.File(s"${dir.getPath}/_warehouse/g").listFiles())
+      .toSeq.flatten.filter(_.getName.contains("_rl"))
+      .foreach(d => assert(d.setLastModified(
+        System.currentTimeMillis - plug.claimGraceMs - 60000L)))
+    plug.vacuum(1)
+    val (removed, kept) = plug.gcGenerations()
+    // gen 1 (the mid-chain generation) is unreferenced after vacuum;
+    // the live gen 2 and the pre-COW base survive
+    assert(removed.size == 1 && kept.size == 1,
+      s"expected 1 reclaimed + 1 live MOR generation: $removed / $kept")
+    // the live generation's data files are HARD LINKS whose inodes
+    // also live in the reclaimed dir — deleting that dir's entries
+    // must leave the bytes (and both accumulated sidecars) intact
+    assert(spark.table(s"$cat.g.t").count() == 80,
+      "gc of a hard-linked MOR generation corrupted the live table")
+    assert(spark.table(s"$cat.g.t").where("k % 10 <= 1").count() == 0,
+      "gc resurrected sidecar-hidden rows")
+  }
 }
