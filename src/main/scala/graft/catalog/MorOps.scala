@@ -99,11 +99,6 @@ private[catalog] object Mor {
   def normLoc(loc: String): String =
     loc.stripPrefix("file:").stripSuffix("/")
 
-  def rowIdTypeOk(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | StringType => true
-    case _ => false
-  }
-
   /** One key per line; strings URL-encoded so any value stays
     * one-line-safe. The reader-side comparison forms are what
     * InternalRow.get returns (boxed Long/Integer, UTF8String). */
@@ -160,16 +155,62 @@ private[catalog] object Mor {
     Option(src.listFiles()).toSeq.flatten
       .filter(f => f.isFile && !f.getName.startsWith(".") &&
         !f.getName.startsWith("_"))
-      .foreach { f =>
-        val target = new java.io.File(dst, f.getName).toPath
-        try java.nio.file.Files.createLink(target, f.toPath)
-        catch {
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            java.nio.file.Files.copy(f.toPath, target,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-        }
-      }
+      .foreach(f => linkOne(f, new java.io.File(dst, f.getName)))
+  }
+
+  /** Hard-link one file; honest copy ONLY on filesystems without
+    * links. A name collision rethrows loudly — falling through to a
+    * REPLACE_EXISTING copy would silently clobber a just-committed
+    * fresh file with the old generation's bytes. */
+  def linkOne(src: java.io.File, dst: java.io.File): Unit = {
+    try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      case _: UnsupportedOperationException |
+           _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
+    }
+  }
+
+  /** The property keys [[validateTableProps]] guards. */
+  def dmlProps(key: String): Boolean =
+    key == DeleteModeProp || key == MergeModeProp || key == RowIdProp
+
+  /** Validate the graft.* DML-mode properties against the declared
+    * columns — called BEFORE a CREATE persists (a refused table must
+    * not register) and again at load (ALTER-set properties). */
+  def validateTableProps(db: String, name: String,
+      props: Seq[PropKV], cols: Seq[ColumnInfo]): Unit = {
+    val mode = props.find(_.key == DeleteModeProp).map(_.value)
+    require(mode.forall(m =>
+        m == ModeCopyOnWrite || m == ModeMergeOnRead),
+      s"unknown $DeleteModeProp '${mode.get}' on $db.$name — use " +
+        s"$ModeCopyOnWrite or $ModeMergeOnRead")
+    val mergeMode = props.find(_.key == MergeModeProp).map(_.value)
+    require(mergeMode.forall(m =>
+        m == ModeCopyOnWrite || m == ModeMergeOnRead),
+      s"unknown $MergeModeProp '${mergeMode.get}' on $db.$name")
+    if (mode.contains(ModeMergeOnRead)) {
+      val rid = props.find(_.key == RowIdProp).map(_.value)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table $db.$name sets $DeleteModeProp=$ModeMergeOnRead " +
+            s"but not $RowIdProp — merge-on-read deletes need a " +
+            "declared row-id column"))
+      val ci = cols.find(_.name == rid)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$RowIdProp=$rid is not a column of $db.$name"))
+      require(Set("int", "bigint", "string")(ci.dataType.toLowerCase),
+        s"$RowIdProp=$rid has type ${ci.dataType} — merge-on-read " +
+          "row ids must be INT, BIGINT, or STRING")
+      require(!ci.nullable,
+        s"$RowIdProp=$rid must be declared NOT NULL — merge-on-read " +
+          "deletes key on it")
+    } else {
+      require(!mergeMode.contains(ModeMergeOnRead),
+        s"$MergeModeProp=$ModeMergeOnRead on $db.$name requires " +
+          s"$DeleteModeProp=$ModeMergeOnRead too (the sidecar read " +
+          "path)")
+    }
   }
 }
 
@@ -221,9 +262,18 @@ private[catalog] object MorChangeFeed {
     val newSidecars = Mor.loadSidecars(locB)
       .filterNot(sc => oldSidecars.contains(sc.name))
     import s.implicits._
+    // sidecar keys are stored URL-ENCODED; the joins below compare
+    // against cast-to-string RAW values, so decode first (identity
+    // for int/bigint; a string key like "a b" rides as "a+b" on disk)
+    val keyDt = stateA.schema(keyName).dataType
+    def raw(k: String): String = keyDt match {
+      case org.apache.spark.sql.types.StringType =>
+        java.net.URLDecoder.decode(k, "UTF-8")
+      case _ => k
+    }
     // range-deleted keys (string form — the joins below cast; delta-
     // sized, so the lost pushdown costs nothing)
-    val deletedKeys = newSidecars.flatMap(_.keys).distinct
+    val deletedKeys = newSidecars.flatMap(_.keys.map(raw)).distinct
       .toDS().toDF("_k")
     // fresh rows with per-(file, key) hiding
     val freshRows =
@@ -239,7 +289,7 @@ private[catalog] object MorChangeFeed {
           .drop("_metadata")
     val hiddenPairs = newSidecars
       .flatMap(sc => sc.applies.intersect(freshNames.toSet)
-        .flatMap(f => sc.keys.map(k => (f, k))))
+        .flatMap(f => sc.keys.map(k => (f, raw(k)))))
       .distinct.toDS().toDF("_fname", "_k")
     val keyStr = col(keyName).cast("string")
     val live = freshRows.withColumn("_k", keyStr)
@@ -635,17 +685,8 @@ private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
           // them explicitly dir-to-dir)
           Option(oldDel.listFiles()).toSeq.flatten
             .filter(f => f.isFile && f.getName.endsWith(".keys"))
-            .foreach { f =>
-              val target = new java.io.File(delDir, f.getName).toPath
-              try java.nio.file.Files.createLink(target, f.toPath)
-              catch {
-                case _: UnsupportedOperationException |
-                     _: java.nio.file.FileSystemException =>
-                  java.nio.file.Files.copy(f.toPath, target,
-                    java.nio.file.StandardCopyOption
-                      .REPLACE_EXISTING): Unit
-              }
-            }
+            .foreach(f =>
+              Mor.linkOne(f, new java.io.File(delDir, f.getName)))
         }
         marker.delete(): Unit
         cat.swapLocation(ti, newRoot) // the ONLY publish point (atomic)
@@ -683,11 +724,17 @@ private[catalog] class MorDeltaWriter(newRoot: String,
   private var dataOut
       : org.apache.spark.sql.execution.datasources.OutputWriter = _
   private var dataFile: java.io.File = _
+  // (partitionId, taskId) repeat across Spark APPLICATIONS (the task
+  // counter resets per session) — without a per-writer nonce a fresh
+  // file could collide with a prior generation's name, landing it in
+  // the statement's own applies-to set (self-hiding) or clobbering on
+  // the hard-link carry-over
+  private val uniq = java.util.UUID.randomUUID.toString.take(8)
 
   private def writer(): java.io.BufferedWriter = {
     if (out == null) {
       file = new java.io.File(new java.io.File(newRoot, Mor.DeletesDirName),
-        f"delete-$partitionId%05d-$taskId.keys")
+        f"delete-$partitionId%05d-$taskId-$uniq.keys")
       out = java.nio.file.Files.newBufferedWriter(file.toPath)
       appliesTo.foreach { a =>
         out.write("#applies-to:" +
@@ -706,7 +753,8 @@ private[catalog] class MorDeltaWriter(newRoot: String,
           new TaskAttemptID(new TaskID(new JobID("graftmor", 0),
             TaskType.MAP, partitionId), taskId.toInt))
       dataFile = new java.io.File(newRoot,
-        f"part-$partitionId%05d-$taskId-mor${owf.getFileExtension(attempt)}")
+        f"part-$partitionId%05d-$taskId-$uniq-mor" +
+          owf.getFileExtension(attempt))
       dataOut = owf.newInstance(dataFile.getPath, schema, attempt)
     }
     dataOut

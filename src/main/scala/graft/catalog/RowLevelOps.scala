@@ -657,19 +657,10 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
           val src = new java.io.File(oldRoot, dir)
           val dst = new java.io.File(newRoot, dir)
           dst.mkdirs()
-          Option(src.listFiles()).toSeq.flatten
-            .filter(f => f.isFile && !f.getName.startsWith(".") &&
-              !f.getName.startsWith("_"))
-            .foreach { f =>
-              val target = new java.io.File(dst, f.getName).toPath
-              try java.nio.file.Files.createLink(target, f.toPath)
-              catch { // filesystem without hard links: honest copy
-                case _: UnsupportedOperationException |
-                     _: java.nio.file.FileSystemException =>
-                  java.nio.file.Files.copy(f.toPath, target,
-                    java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-              }
-            }
+          // linkOne rethrows name collisions loudly — an insert-only
+          // destination holds fresh files, and a REPLACE_EXISTING copy
+          // fallback would silently clobber one with old bytes
+          Mor.linkAll(src, dst)
         }
         marker.delete(): Unit
         cat.swapLocation(ti, newRoot) // the ONLY publish point (atomic)
@@ -719,13 +710,19 @@ private[catalog] class PartitionRoutedDataWriter(newRoot: String,
     String, (org.apache.spark.sql.execution.datasources.OutputWriter,
       java.io.File)]
 
+  // (partitionId, taskId) repeat across Spark applications; the nonce
+  // keeps fresh names from colliding with a prior generation's files
+  // on the insert-only-destination link path
+  private val uniq = java.util.UUID.randomUUID.toString.take(8)
+
   private def route(dir: String)
       : org.apache.spark.sql.execution.datasources.OutputWriter =
     writers.getOrElseUpdate(dir, {
       val d = new java.io.File(newRoot, dir)
       d.mkdirs()
       val f = new java.io.File(d,
-        f"part-$partitionId%05d-$taskId${owf.getFileExtension(attempt)}")
+        f"part-$partitionId%05d-$taskId-$uniq" +
+          owf.getFileExtension(attempt))
       (owf.newInstance(f.getPath, fileSchema, attempt), f)
     })._1
 

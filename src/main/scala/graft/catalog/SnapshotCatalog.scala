@@ -904,6 +904,9 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     val keepProps = properties.asScala.toSeq
       .filter(_._1.startsWith("graft.")).sortBy(_._1)
       .map { case (k, v) => PropKV(k, v) }
+    // refuse an invalid DML-mode configuration BEFORE persisting — a
+    // failed CREATE must not register a permanently unloadable table
+    Mor.validateTableProps(db, ident.name, keepProps, cols)
     val ti = TableInfo(db, ident.name, "EXTERNAL", provider, loc,
       cols, keepProps, "", "")
     persist(snap.copy(tables = snap.tables :+ ti))
@@ -958,52 +961,23 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       // per-command DML modes (the lakehouse write.delete.mode split):
       // DELETE merge-on-read via delete sidecars when the table opts
       // in; UPDATE/MERGE stay COW either way — see MorOps.scala
+      // the full property validation (modes, row-id existence/type,
+      // and the NOT NULL the delta rewrite demands — the CATALOG's
+      // nullability is authoritative: the file table relaxes every
+      // column to nullable, so MorRowLevelTable.schema() re-asserts
+      // the declared NOT NULL); CREATE validates pre-persist, this is
+      // the backstop for ALTER-set properties
+      Mor.validateTableProps(ti.db, ti.name, ti.properties, ti.columns)
       val mode = ti.properties.find(_.key == Mor.DeleteModeProp)
         .map(_.value)
       if (mode.contains(Mor.ModeMergeOnRead)) {
-        val rid = ti.properties.find(_.key == Mor.RowIdProp).map(_.value)
-          .getOrElse(throw new IllegalArgumentException(
-            s"table ${ti.db}.${ti.name} sets ${Mor.DeleteModeProp}=" +
-              s"${Mor.ModeMergeOnRead} but not ${Mor.RowIdProp} — " +
-              "merge-on-read deletes need a declared row-id column"))
-        val ci = ti.columns.find(_.name == rid)
-          .getOrElse(throw new IllegalArgumentException(
-            s"${Mor.RowIdProp}=$rid is not a column of " +
-              s"${ti.db}.${ti.name}"))
+        val rid = ti.properties.find(_.key == Mor.RowIdProp).get.value
         val f = base.schema().fields.find(_.name == rid).get
-        require(Mor.rowIdTypeOk(f.dataType),
-          s"${Mor.RowIdProp}=$rid has type ${f.dataType.sql} — " +
-            "merge-on-read row ids must be INT, BIGINT, or STRING")
-        // Spark's delta rewrite refuses nullable row ids
-        // (NULLABLE_ROW_ID_ATTRIBUTES). The CATALOG's nullability is
-        // authoritative here: the file table relaxes every column to
-        // nullable (files may predate the schema), so the MOR wrapper
-        // re-asserts the declared NOT NULL on the row id — see
-        // MorRowLevelTable.schema()
-        require(!ci.nullable,
-          s"${Mor.RowIdProp}=$rid must be declared NOT NULL — " +
-            "merge-on-read deletes key on it")
-        val mergeMode = ti.properties
-          .find(_.key == Mor.MergeModeProp).map(_.value)
-        require(mergeMode.forall(m =>
-            m == Mor.ModeCopyOnWrite || m == Mor.ModeMergeOnRead),
-          s"unknown ${Mor.MergeModeProp} '${mergeMode.get}' on " +
-            s"${ti.db}.${ti.name}")
+        val mergeMor = ti.properties.exists(p =>
+          p.key == Mor.MergeModeProp && p.value == Mor.ModeMergeOnRead)
         new MorRowLevelTable(withChecks, this, ti,
-          f.copy(nullable = false),
-          mergeMode.contains(Mor.ModeMergeOnRead))
-      } else {
-        require(mode.forall(_ == Mor.ModeCopyOnWrite),
-          s"unknown ${Mor.DeleteModeProp} '${mode.get}' on " +
-            s"${ti.db}.${ti.name} — use ${Mor.ModeCopyOnWrite} or " +
-            Mor.ModeMergeOnRead)
-        require(!ti.properties.exists(p => p.key == Mor.MergeModeProp &&
-            p.value == Mor.ModeMergeOnRead),
-          s"${Mor.MergeModeProp}=${Mor.ModeMergeOnRead} on " +
-            s"${ti.db}.${ti.name} requires ${Mor.DeleteModeProp}=" +
-            s"${Mor.ModeMergeOnRead} too (the sidecar read path)")
-        new RowLevelCowTable(withChecks, this, ti)
-      }
+          f.copy(nullable = false), mergeMor)
+      } else new RowLevelCowTable(withChecks, this, ti)
     } else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet"))
       new PartitionScopedRowLevelTable(withChecks, this, ti,
         base.schema().fields.find(_.name == partCols.head).get)
@@ -1095,11 +1069,22 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             s"empty LOCATION for ${t.db}.${t.name}")
           t.copy(location = sp.value)
         case sp: TableChange.SetProperty =>
-          t.copy(properties = t.properties
+          val nt = t.copy(properties = t.properties
             .filterNot(_.key == sp.property) :+
             PropKV(sp.property, sp.value))
+          // DML-mode properties validate against the resulting table
+          // — an ALTER must not poison later loads
+          if (Mor.dmlProps(sp.property))
+            Mor.validateTableProps(nt.db, nt.name, nt.properties,
+              nt.columns)
+          nt
         case rp: TableChange.RemoveProperty =>
-          t.copy(properties = t.properties.filterNot(_.key == rp.property))
+          val nt = t.copy(properties =
+            t.properties.filterNot(_.key == rp.property))
+          if (Mor.dmlProps(rp.property))
+            Mor.validateTableProps(nt.db, nt.name, nt.properties,
+              nt.columns)
+          nt
         // CHECK constraints — the last HMS/lakehouse metadata object
         // family: persisted as a table property (metadata-only, one
         // revision like any DDL), served back through Table

@@ -96,6 +96,42 @@ object VectorOps extends QueryGroup {
     * tie order. */
   private def oKmeans: String = oKmeansSteps(2)
 
+  /** 4×16-dim pseudo-token slices + per-slice norms — the
+    * late-interaction bag, shared by BOTH MaxSim keys (and mirrored by
+    * [[oMaxsim]]) so the pinned arithmetic can never diverge between
+    * them. */
+  private def maxsimTokens(df: DataFrame, p: String): DataFrame =
+    (0 to 3).foldLeft(df) { (r, t) =>
+      r.withColumn(s"${p}t$t", expr(s"slice(v, ${t * 16 + 1}, 16)"))
+        .withColumn(s"${p}n$t",
+          expr(s"sqrt(graft_dot(${p}t$t, ${p}t$t))"))
+    }.drop("v")
+
+  /** MaxSim = Σ over query tokens of the max cosine against any doc
+    * token — left-assoc 4-term sum, GREATEST per token. */
+  private def maxsimExpr: String = (0 to 3).map { i =>
+    val terms = (0 to 3).map(j =>
+      s"graft_dot(qt$i, dt$j) / (qn$i * dn$j)")
+    s"greatest(${terms.mkString(", ")})"
+  }.mkString(" + ")
+
+  /** DuckDB mirror of the MaxSim fragments, identical fold order. */
+  private object oMaxsim {
+    def sliceDot(a: String, b: String): String =
+      s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
+        s"GENERATE_SERIES(1, 16), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    val toks: String = (0 to 3).map(t =>
+      s"LIST_SLICE(v, ${t * 16 + 1}, ${t * 16 + 16}) AS t$t")
+      .mkString(", ")
+    val norms: String = (0 to 3).map(t =>
+      s"SQRT(${sliceDot(s"t$t", s"t$t")}) AS n$t").mkString(", ")
+    val ms: String = (0 to 3).map { i =>
+      val terms = (0 to 3).map(j =>
+        s"${sliceDot(s"q.t$i", s"d.t$j")} / (q.n$i * d.n$j)")
+      s"GREATEST(${terms.mkString(", ")})"
+    }.mkString(" + ")
+  }
+
   /** Same builder with a configurable refinement count — cent$steps is
     * the final quantizer (sim_ann_ivf_retrain re-derives cent3). */
   private def oKmeansSteps(steps: Int): String = {
@@ -1104,25 +1140,14 @@ object VectorOps extends QueryGroup {
     // late interaction is actually served in production).
     "sim_maxsim_late" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("v"))
-      def tokens(df: DataFrame, p: String): DataFrame =
-        (0 to 3).foldLeft(df) { (r, t) =>
-          r.withColumn(s"${p}t$t", expr(s"slice(v, ${t * 16 + 1}, 16)"))
-            .withColumn(s"${p}n$t",
-              expr(s"sqrt(graft_dot(${p}t$t, ${p}t$t))"))
-        }.drop("v")
-      val q = tokens(e.filter(col("vec_id") % 100 === 0), "q")
+      val q = maxsimTokens(e.filter(col("vec_id") % 100 === 0), "q")
         .withColumnRenamed("vec_id", "qid")
-      val corpus = tokens(e, "d")
-      val msExpr = (0 to 3).map { i =>
-        val terms = (0 to 3).map(j =>
-          s"graft_dot(qt$i, dt$j) / (qn$i * dn$j)")
-        s"greatest(${terms.mkString(", ")})"
-      }.mkString(" + ")
+      val corpus = maxsimTokens(e, "d")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("ms").desc, col("vec_id").asc)
       corpus.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("ms", expr(msExpr))
+        .withColumn("ms", expr(maxsimExpr))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("rn"), col("vec_id").as("nn"),
@@ -1156,27 +1181,16 @@ object VectorOps extends QueryGroup {
       val probes = scored.filter(col("vec_id") % 100 === 0)
         .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
         .select(col("vec_id").as("qid"), col("cid").as("cell"))
-      def tokens(df: DataFrame, p: String): DataFrame =
-        (0 to 3).foldLeft(df) { (r, t) =>
-          r.withColumn(s"${p}t$t", expr(s"slice(v, ${t * 16 + 1}, 16)"))
-            .withColumn(s"${p}n$t",
-              expr(s"sqrt(graft_dot(${p}t$t, ${p}t$t))"))
-        }.drop("v")
-      val q = tokens(e.filter(col("vec_id") % 100 === 0)
+      val q = maxsimTokens(e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid2"), col("v")), "q")
-      val corpus = tokens(e.select(col("vec_id"), col("v")), "d")
+      val corpus = maxsimTokens(e.select(col("vec_id"), col("v")), "d")
         .join(cells, "vec_id")
-      val msExpr = (0 to 3).map { i =>
-        val terms = (0 to 3).map(j =>
-          s"graft_dot(qt$i, dt$j) / (qn$i * dn$j)")
-        s"greatest(${terms.mkString(", ")})"
-      }.mkString(" + ")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("ms").desc, col("vec_id").asc)
       corpus.join(probes, "cell") // the equi-join IS the index probe
         .filter(col("vec_id") =!= col("qid"))
         .join(q, col("qid") === col("qid2"))
-        .withColumn("ms", expr(msExpr))
+        .withColumn("ms", expr(maxsimExpr))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("rn"), col("vec_id").as("nn"),
@@ -1967,19 +1981,7 @@ object VectorOps extends QueryGroup {
     // dot fold / division / GREATEST / left-assoc sum replays the
     // engine's exact double-op order — raw-score ranks agree bitwise
     "sim_maxsim_late" -> {
-      def oSliceDot(a: String, b: String): String =
-        s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
-          s"GENERATE_SERIES(1, 16), i -> $a[i] * $b[i])), (x, y) -> x + y)"
-      val toks = (0 to 3).map(t =>
-        s"LIST_SLICE(v, ${t * 16 + 1}, ${t * 16 + 16}) AS t$t")
-        .mkString(", ")
-      val norms = (0 to 3).map(t =>
-        s"SQRT(${oSliceDot(s"t$t", s"t$t")}) AS n$t").mkString(", ")
-      val ms = (0 to 3).map { i =>
-        val terms = (0 to 3).map(j =>
-          s"${oSliceDot(s"q.t$i", s"d.t$j")} / (q.n$i * d.n$j)")
-        s"GREATEST(${terms.mkString(", ")})"
-      }.mkString(" + ")
+      import oMaxsim.{toks, norms, ms}
       s"""WITH e AS (SELECT vec_id,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
@@ -1998,19 +2000,7 @@ object VectorOps extends QueryGroup {
     // candidate set replays relationally (same argmax + nprobe=4 tie
     // order as sim_ann_ivf), MaxSim replays textually over candidates
     "sim_maxsim_rerank" -> {
-      def oSliceDot(a: String, b: String): String =
-        s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(" +
-          s"GENERATE_SERIES(1, 16), i -> $a[i] * $b[i])), (x, y) -> x + y)"
-      val toks = (0 to 3).map(t =>
-        s"LIST_SLICE(v, ${t * 16 + 1}, ${t * 16 + 16}) AS t$t")
-        .mkString(", ")
-      val norms = (0 to 3).map(t =>
-        s"SQRT(${oSliceDot(s"t$t", s"t$t")}) AS n$t").mkString(", ")
-      val ms = (0 to 3).map { i =>
-        val terms = (0 to 3).map(j =>
-          s"${oSliceDot(s"q.t$i", s"d.t$j")} / (q.n$i * d.n$j)")
-        s"GREATEST(${terms.mkString(", ")})"
-      }.mkString(" + ")
+      import oMaxsim.{toks, norms, ms}
       s"""WITH e AS (SELECT vec_id,
          |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
