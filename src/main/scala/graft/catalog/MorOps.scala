@@ -241,7 +241,7 @@ private[catalog] case class DeleteSidecar(name: String,
   * The feed is the NET range diff: a key touched multiple times
   * in-range emits its A-vs-B classification (delete / insert /
   * update_preimage+update_postimage), not per-statement events. */
-private[catalog] object MorChangeFeed {
+private[graft] object MorChangeFeed {
   def between(s: SparkSession, stateA: org.apache.spark.sql.DataFrame,
       locA: String, locB: String, keyName: String)
       : org.apache.spark.sql.DataFrame = {

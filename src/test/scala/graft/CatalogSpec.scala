@@ -2305,6 +2305,52 @@ class CatalogSpec extends SparkSpec {
       s"MOR merge produced wrong content: $rows")
   }
 
+  test("merge-on-read with a STRING row id: URL-encodable keys survive " +
+      "the sidecar round trip and classify correctly in the feed") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_morstr_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmorstr"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.s (k STRING NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    // keys with spaces, plus-signs, percent signs, unicode — the exact
+    // set a naive encode/decode mismatch corrupts
+    spark.sql(s"""INSERT INTO $cat.m.s VALUES
+                 |('a b', 1.0D), ('a+b', 2.0D), ('a%20b', 3.0D),
+                 |('ünïcode', 4.0D), ('plain', 5.0D)""".stripMargin)
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+    def locAt(rev: Int): String = CatalogTransfer
+      .readLocal(s"$dir/revs/$rev").tables.find(_.name == "s").get.location
+    val revA = headRev()
+    val locA = locAt(revA)
+    spark.sql(s"DELETE FROM $cat.m.s WHERE k IN ('a b', 'ünïcode')")
+    // merged read: exactly the deleted keys hidden, look-alikes kept
+    // (an encode/decode mismatch would hide 'a+b' or keep 'a b')
+    val left = spark.table(s"$cat.m.s").orderBy("k")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("a%20b", "a+b", "plain"),
+      s"string-key sidecar round trip corrupted the merged read: $left")
+    // and the change feed classifies the same keys as deletes
+    val ro = cat + "_ro"
+    spark.conf.set(s"spark.sql.catalog.$ro",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ro.path", dir.getPath)
+    val stateA = spark.sql(
+      s"SELECT * FROM $ro.m.s VERSION AS OF '$revA'")
+    val feed = graft.catalog.MorChangeFeed
+      .between(spark, stateA, locA, locAt(headRev()), "k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(feed == Seq(("delete", "a b"), ("delete", "ünïcode")),
+      s"feed misclassified string keys: $feed")
+  }
+
   test("gcGenerations on a merge-on-read chain: reclaiming an old " +
       "hard-linked generation never disturbs the live one") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_morgc_snapshot"))
