@@ -132,7 +132,8 @@ object ScaleCurves {
     // track the drop (collision-proportional joins vs the growing
     // index), with the 3-micro-batch trigger machinery as fixed floor
     "stream_dedup_minhash" -> "documents",
-    "stream_ivf_append" -> "embeddings")
+    "stream_ivf_append" -> "embeddings",
+    "dedup_semantic_incremental" -> "embeddings")
 
   private val RunsPerKey = 3
 

@@ -1477,6 +1477,14 @@ object DdlQueries extends QueryGroup {
         "outstanding sidecars must route the read through the " +
           "merging scan")
       val nPre = pre.count()
+      // the operational trigger: outstanding sidecar volume is the
+      // page-on signal an operator compacts at
+      require(Mor.sidecarBytes(CatalogTransfer
+        .readLocal(s"$dir/revs/${new String(java.nio.file.Files
+          .readAllBytes(new java.io.File(dir, "HEAD").toPath))
+          .trim.split("\\s+")(0).toInt}").tables
+        .find(_.name == "orders_mc").get.location) > 0L,
+        "sidecarBytes must report the outstanding delete volume")
       val head = new java.io.File(dir, "HEAD")
       val rev = new String(java.nio.file.Files
         .readAllBytes(head.toPath)).trim.split("\\s+")(0).toInt

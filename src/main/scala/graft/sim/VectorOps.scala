@@ -820,6 +820,68 @@ object VectorOps extends QueryGroup {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL semantic dedup — the last incremental form the crawl
+    // family lacked (exact, bloom, MinHash, clusters, keep-list all
+    // have one): yesterday's corpus is already CELL-ASSIGNED — the
+    // persisted (vec_id, cell, v) table IS the cell-partitioned vector
+    // index IVF serving uses — and today's embedding batch finds its
+    // near-dups against that index and within itself WITHOUT
+    // re-scoring the corpus. Per batch: broadcast-assign the BATCH
+    // only, then exact-cosine verify the two collision-proportional
+    // candidate sets (batch × same-cell index via the cell equi-join —
+    // cell-partitioned storage prunes it at scale — and batch ×
+    // batch); candidates are Σ_cell |batch∩cell|·|cell|, never
+    // batch × corpus. Earlier id wins, as in dedup_semantic. Oracled
+    // by the incremental law: output == the full-corpus dedup_semantic
+    // restricted to the batch (the injected near-dups) — per-vector
+    // argmax and the pairwise predicate are corpus-independent, so
+    // restriction is exact.
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dir = Tables.scratch(d, "sem_inc_index")
+      if (!Tables.scratchCurrent(d, "embeddings", dir)) {
+        e.select(col("vec_id"), col("v")).crossJoin(broadcast(cent))
+          .withColumn("ccos", expr(cosExpr("v", "cv")))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"),
+            struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
+            first(col("v")).as("v"))
+          .write.mode("overwrite").parquet(dir)
+        Tables.stampScratch(d, "embeddings", dir)
+      }
+      val hist = s.read.parquet(dir)
+      val batch = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), expr(
+          """transform(v, (x, i) -> x +
+            |  CASE WHEN i = 0 THEN CAST(0.25 AS DOUBLE)
+            |       ELSE CAST(0 AS DOUBLE) END)""".stripMargin).as("v"))
+      val bAssigned = batch.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"),
+          struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"),
+          first(col("v")).as("v"))
+        .localCheckpoint() // reused as candidate side AND output spine
+      val idx = hist
+        .select(col("cell"), col("vec_id").as("va"), col("v").as("xa"))
+        .union(bAssigned
+          .select(col("cell"), col("vec_id").as("va"), col("v").as("xa")))
+      val dropped = idx
+        .join(bAssigned.select(col("cell"), col("vec_id").as("vb"),
+          col("v").as("xb")), "cell")
+        .filter(col("va") < col("vb"))
+        .filter(expr(cosExpr("xa", "xb")) >= 0.9)
+        .select(col("vb").as("vec_id")).distinct()
+        .withColumn("isdup", lit(1))
+      bAssigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("isdup").isNotNull, "drop")
+            .otherwise("keep").as("status"))
+        .orderBy("vec_id")
+    }),
+
     // k-NN GRAPH construction (k=3) bounded by coarse-quantizer cells —
     // the input structure of SemDeDup clustering, graph-based pruning,
     // and kNN-retrieval eval sets. Same cell assignment as
@@ -1850,6 +1912,34 @@ object VectorOps extends QueryGroup {
          |SELECT g.vec_id, g.cell,
          |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status
          |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
+    // the incremental law: the full-corpus replay RESTRICTED to the
+    // batch (per-vector argmax and the pairwise predicate are
+    // corpus-independent, so restriction is exact)
+    "dedup_semantic_incremental" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |aug AS (SELECT vec_id, v FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 100000, LIST_TRANSFORM(v, (x, i) -> x +
+         |    CASE WHEN i = 1 THEN CAST(0.25 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END)
+         |  FROM e WHERE vec_id % 20 = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         WHERE vec_id % 29 = 0),
+         |sc AS (SELECT a.vec_id, a.v, c.cid, ${oCos("a.v", "c.cv")} AS ccos
+         |  FROM aug a CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${oCos("a.v", "b.v")} >= 0.9)
+         |SELECT g.vec_id, g.cell,
+         |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status
+         |FROM asg g LEFT JOIN drp d ON g.vec_id = d.vec_id
+         |WHERE g.vec_id >= 100000
          |ORDER BY g.vec_id""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH e AS (SELECT vec_id,

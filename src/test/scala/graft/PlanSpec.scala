@@ -214,7 +214,11 @@ class PlanSpec extends SparkSpec {
       // sim_ann_ivf_append / _retrain broadcast-NLJ the K-centroid set
       // for batch/sample assignment (the ml_kmeans_step quantizer
       // shape); every per-cell report aggregate is equi-keyed
-      "sim_ann_ivf_append", "sim_ann_ivf_retrain")
+      "sim_ann_ivf_append", "sim_ann_ivf_retrain",
+      // dedup_semantic_incremental broadcast-NLJs the seed-centroid
+      // set for BATCH assignment (the dedup_semantic quantizer shape);
+      // the candidate joins are equi on cell
+      "dedup_semantic_incremental")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
