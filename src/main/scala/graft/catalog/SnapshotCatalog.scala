@@ -880,7 +880,14 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .map(_.toLowerCase).getOrElse("parquet")
     require(Set("parquet", "orc", "csv", "json")(provider),
       s"provider '$provider' not servable by the snapshot catalog")
+    // an explicit LOCATION arrives QUALIFIED by Spark's parser
+    // ("file:/root/..."); java.io.File would treat that as a RELATIVE
+    // path and mkdirs a literal "file:" tree under the CWD (the r15
+    // fossil), while the table itself still resolves through Hadoop —
+    // i.e. a brand-new explicit location would never actually be
+    // created. Store and create the plain-path form.
     val loc = Option(properties.get("location")).filter(_.nonEmpty)
+      .map(_.replaceFirst("^file:/+", "/"))
       .getOrElse(s"$warehouseDir/$db/${ident.name}")
     // the location must exist for the first scan (Spark's file index
     // rejects missing roots); an empty dir is a valid empty table
