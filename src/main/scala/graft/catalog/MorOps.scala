@@ -59,12 +59,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Read-path cost model (the honest trade): a table with ZERO
   * outstanding deletes serves the UNWRAPPED stock parquet scan
-  * (vectorized, filter pushdown — [[MorScanBuilder.build]] returns the
-  * delegate verbatim); outstanding deletes force affected files onto
-  * the row-based path with a hash-set probe per row, and file-level
-  * partition splitting keeps CLEAN files columnar whenever the row-id
-  * column was already in the projection. Compaction restores the stock
-  * scan everywhere. Like the rest of the snapshot catalog, file ops use
+  * (vectorized, filter + aggregate pushdown — [[MorScanBuilder.build]]
+  * returns the delegate verbatim); ANY outstanding delete puts the
+  * WHOLE scan on the row-based path (Spark requires every partition of
+  * one scan to agree on columnar vs row), with file-level partition
+  * splitting so CLEAN files at least skip the per-row hash-set probe.
+  * Compaction restores the stock vectorized scan everywhere. Like the
+  * rest of the snapshot catalog, file ops use
   * local-posix java.io (the writeLocal discipline); a DFS deployment
   * swaps these for the Hadoop FileSystem API.
   *
@@ -107,6 +108,12 @@ private[catalog] object Mor {
     case other => String.valueOf(other)
   }
 
+  /** Fixed key-line prefix. Every key line carries it, so a STRING row
+    * id equal to the EMPTY string still round-trips: without the
+    * prefix its line would be blank and indistinguishable from
+    * padding, silently un-deletable. */
+  val KeyLinePrefix = "k:"
+
   def decodeKey(s: String, dt: DataType): Any = dt match {
     case LongType => java.lang.Long.valueOf(s)
     case IntegerType => java.lang.Integer.valueOf(s)
@@ -132,11 +139,12 @@ private[catalog] object Mor {
     files.map { f =>
       import scala.jdk.CollectionConverters._
       val lines = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
-      val (hdr, keys) = lines.span(_.startsWith("#applies-to:"))
+      val (hdr, rest) = lines.span(_.startsWith("#applies-to:"))
       DeleteSidecar(f.getName,
         hdr.map(l => java.net.URLDecoder
           .decode(l.stripPrefix("#applies-to:"), "UTF-8")).toSet,
-        keys.filter(_.nonEmpty).toArray)
+        rest.filter(_.startsWith(KeyLinePrefix))
+          .map(_.stripPrefix(KeyLinePrefix)).toArray)
     }.filter(s => s.applies.nonEmpty && s.keys.nonEmpty)
   }
 
@@ -175,6 +183,37 @@ private[catalog] object Mor {
   /** The property keys [[validateTableProps]] guards. */
   def dmlProps(key: String): Boolean =
     key == DeleteModeProp || key == MergeModeProp || key == RowIdProp
+
+  /** Refuse an ALTER that would break the SIDE CAR read path while the
+    * current generation still has outstanding `_deletes`: disabling
+    * merge-on-read (set back to copy-on-write, or UNSET) silently
+    * resurrects every sidecar-hidden row on the next read; re-pointing
+    * [[RowIdProp]] at a different column probes stored keys against
+    * the wrong values. Both are fine on a clean generation —
+    * compaction clears the sidecars, so the error names that way out.
+    * [[validateTableProps]] checks VALUES; this checks table STATE. */
+  def guardLiveSidecars(t: TableInfo, prop: String,
+      newValue: Option[String]): Unit = {
+    val wasMor = t.properties.exists(p =>
+      p.key == DeleteModeProp && p.value == ModeMergeOnRead)
+    if (!wasMor) return
+    val breaksReadPath = prop match {
+      case DeleteModeProp => !newValue.contains(ModeMergeOnRead)
+      case RowIdProp =>
+        newValue != t.properties.find(_.key == RowIdProp).map(_.value)
+      case _ => false // merge/update-mode flips don't touch the read path
+    }
+    if (breaksReadPath) {
+      val bytes = sidecarBytes(t.location)
+      require(bytes == 0L,
+        s"cannot ${newValue.fold("UNSET")(v => s"set $prop=$v")} on " +
+          s"${t.db}.${t.name}: $bytes bytes of delete sidecars are " +
+          "outstanding on the current generation and the change would " +
+          "resurrect the hidden rows (or probe stored keys against " +
+          "the wrong column). Compact first — rewrite the merged rows " +
+          "to a fresh generation and SET LOCATION — then retry")
+    }
+  }
 
   /** Validate the graft.* DML-mode properties against the declared
     * columns — called BEFORE a CREATE persists (a refused table must
@@ -452,15 +491,17 @@ private[catalog] class MorDeltaOperation(table: MorRowLevelTable,
 
 /** Scan builder merging outstanding sidecars out of the delegate
   * parquet scan. Zero sidecars → the delegate scan VERBATIM (stock
-  * vectorized path, nothing wrapped). Otherwise the row-id column
-  * rides the projection (appended if absent, dropped after the probe)
-  * and filter pushdown still forwards — deleted-row filtering composes
-  * with any pushed predicate conjunctively. Aggregate pushdown is
-  * deliberately NOT forwarded: a parquet-metadata COUNT cannot see
-  * delete vectors. */
+  * vectorized path, nothing wrapped) with aggregate pushdown forwarded
+  * — a freshly-compacted table keeps its parquet-metadata
+  * COUNT/MIN/MAX. Otherwise the row-id column rides the projection
+  * (appended if absent, dropped after the probe) and filter pushdown
+  * still forwards — deleted-row filtering composes with any pushed
+  * predicate conjunctively — but aggregate pushdown is REFUSED: a
+  * parquet-metadata COUNT cannot see delete vectors. */
 private[catalog] class MorScanBuilder(delegate: ScanBuilder,
     keyField: StructField, sidecars: Seq[DeleteSidecar])
   extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var addedKey = false
@@ -495,6 +536,28 @@ private[catalog] class MorScanBuilder(delegate: ScanBuilder,
       case _ => Array.empty
     }
 
+  // aggregate pushdown forwards ONLY on a clean generation (the
+  // builder knows the sidecar set at construction): a pushed COUNT
+  // answered from parquet footers cannot see delete vectors, but a
+  // just-compacted table must not pay for a mode it isn't using
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    sidecars.isEmpty && (delegate match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.supportCompletePushDown(agg)
+      case _ => false
+    })
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    sidecars.isEmpty && (delegate match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.pushAggregation(agg)
+      case _ => false
+    })
+
   override def build(): Scan = {
     val ds = delegate.build()
     if (sidecars.isEmpty) ds
@@ -504,8 +567,9 @@ private[catalog] class MorScanBuilder(delegate: ScanBuilder,
 
 /** The merging scan: splits file partitions so AFFECTED files (named in
   * some sidecar's applies-to set) and CLEAN files never share a reader
-  * — clean partitions skip the probe entirely and stay columnar when
-  * the row-id column was already projected. */
+  * — clean partitions skip the per-row probe entirely, though the
+  * whole scan rides the row path while any sidecar is outstanding
+  * (see [[MorReaderFactory.supportColumnarReads]]). */
 private[catalog] class MorScan(delegate: Scan, keyField: StructField,
     sidecars: Seq[DeleteSidecar], dropKey: Boolean) extends Scan {
 
@@ -765,7 +829,7 @@ private[catalog] class MorDeltaWriter(newRoot: String,
       "merge-on-read delta matched a row with a NULL row id — " +
         s"the ${Mor.RowIdProp} column must be non-null on every row")
     val w = writer()
-    w.write(Mor.encodeKey(id.get(0, keyType)))
+    w.write(Mor.KeyLinePrefix + Mor.encodeKey(id.get(0, keyType)))
     w.newLine()
     n += 1
   }

@@ -1080,17 +1080,24 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             .filterNot(_.key == sp.property) :+
             PropKV(sp.property, sp.value))
           // DML-mode properties validate against the resulting table
-          // — an ALTER must not poison later loads
-          if (Mor.dmlProps(sp.property))
+          // — an ALTER must not poison later loads — and against the
+          // table's current GENERATION: disabling merge-on-read (or
+          // re-pointing the row id) with outstanding sidecars would
+          // silently resurrect every hidden row on the next read
+          if (Mor.dmlProps(sp.property)) {
+            Mor.guardLiveSidecars(t, sp.property, Some(sp.value))
             Mor.validateTableProps(nt.db, nt.name, nt.properties,
               nt.columns)
+          }
           nt
         case rp: TableChange.RemoveProperty =>
           val nt = t.copy(properties =
             t.properties.filterNot(_.key == rp.property))
-          if (Mor.dmlProps(rp.property))
+          if (Mor.dmlProps(rp.property)) {
+            Mor.guardLiveSidecars(t, rp.property, None)
             Mor.validateTableProps(nt.db, nt.name, nt.properties,
               nt.columns)
+          }
           nt
         // CHECK constraints — the last HMS/lakehouse metadata object
         // family: persisted as a table property (metadata-only, one

@@ -2391,4 +2391,111 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.g.t").where("k % 10 <= 1").count() == 0,
       "gc resurrected sidecar-hidden rows")
   }
+
+  test("ALTER cannot disable merge-on-read or re-point the row id " +
+      "while delete sidecars are outstanding; compaction unblocks it") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_morguard_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmorguard"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t
+                 |(k BIGINT NOT NULL, k2 BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.t SELECT id, id, 1.0D FROM range(50)")
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 10 = 0")
+    assert(spark.table(s"$cat.m.t").count() == 45)
+    // all three read-path-breaking ALTERs refuse while sidecars live
+    val e1 = intercept[Exception](spark.sql(s"""ALTER TABLE $cat.m.t
+      |SET TBLPROPERTIES('graft.delete.mode'='copy-on-write')"""
+      .stripMargin))
+    assert(e1.getMessage.contains("outstanding"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.m.t UNSET TBLPROPERTIES('graft.delete.mode')"))
+    assert(e2.getMessage.contains("outstanding"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.m.t SET TBLPROPERTIES('graft.row.id'='k2')"))
+    assert(e3.getMessage.contains("outstanding"), e3.getMessage)
+    // the refusals must not have half-applied: reads still merge
+    assert(spark.table(s"$cat.m.t").count() == 45,
+      "a refused ALTER disturbed the sidecar read path")
+    // compact (merged rows -> clean generation, atomic swap), then the
+    // same ALTER goes through and the table serves the COW path
+    val head = new java.io.File(dir, "HEAD")
+    val rev = new String(java.nio.file.Files.readAllBytes(head.toPath))
+      .trim.split("\\s+")(0).toInt
+    val loc = CatalogTransfer.readLocal(s"$dir/revs/$rev").tables
+      .find(_.name == "t").get.location
+    val gen2 =
+      loc.stripPrefix("file:").stripSuffix("/") + "_rlguardcmp"
+    spark.table(s"$cat.m.t").write.parquet(gen2)
+    spark.sql(s"ALTER TABLE $cat.m.t SET LOCATION '$gen2'")
+    spark.sql(s"""ALTER TABLE $cat.m.t
+      |SET TBLPROPERTIES('graft.delete.mode'='copy-on-write')"""
+      .stripMargin)
+    assert(spark.table(s"$cat.m.t").count() == 45)
+  }
+
+  test("a STRING row id equal to the empty string round-trips the " +
+      "sidecar (key-line prefix) and the DELETE actually hides it") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_moremptyk_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmorek"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.e (k STRING NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.e VALUES ('', 1.0D), ('x', 2.0D)")
+    spark.sql(s"DELETE FROM $cat.m.e WHERE k = ''")
+    val left = spark.table(s"$cat.m.e").collect()
+      .map(_.getString(0)).toSeq
+    assert(left == Seq("x"),
+      s"empty-string row id was not deleted (got keys $left)")
+  }
+
+  test("parquet aggregate pushdown forwards on a clean merge-on-read " +
+      "generation and is refused while sidecars are outstanding") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_moragg_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmoragg"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.a (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.a SELECT id, 1.0D FROM range(100)")
+    def pushedCount(): (Boolean, Long) =
+      graft.operators.ScaleOps.withConfs(spark, Seq(
+          "spark.sql.parquet.aggregatePushdown" -> "true")) {
+        val df = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.m.a")
+        val plan = df.queryExecution.executedPlan.toString
+        (plan.contains("PushedAggregation: [COUNT(*)]"),
+          df.collect()(0).getLong(0))
+      }
+    val (pushedClean, nClean) = pushedCount()
+    assert(pushedClean,
+      "zero-sidecar MOR table lost parquet-metadata COUNT pushdown")
+    assert(nClean == 100L)
+    spark.sql(s"DELETE FROM $cat.m.a WHERE k % 4 = 0")
+    val (pushedDirty, nDirty) = pushedCount()
+    assert(!pushedDirty,
+      "COUNT pushdown with outstanding sidecars would overcount " +
+        "deleted rows")
+    assert(nDirty == 75L,
+      s"merged COUNT wrong with sidecars outstanding: $nDirty")
+  }
 }
