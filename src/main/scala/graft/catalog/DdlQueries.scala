@@ -1434,6 +1434,87 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // DELTA-based UPDATE (graft.update.mode=merge-on-read) — the last
+    // O(table) DML statement killed: the same statement the COW
+    // sibling above rewrites the whole table for now plans delta-based
+    // (SupportsDelta → WriteDelta) — old images hide via sidecar
+    // entries, new images land in FRESH per-task files, and no
+    // carry-over row is read, computed, or written. Same predicate
+    // overlap as the sibling (the update covers already-deleted keys,
+    // so the rewrite scan MUST be the merged read — no resurrection),
+    // same oracle; what changes is the cost: every pre-existing data
+    // file comes through as the SAME inode (hard link, zero rewrite,
+    // asserted) and the _deletes dir SURVIVES with the update's new
+    // sidecar accumulated next to the delete's.
+    "meta_v2_mor_update_delta" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_morupdd_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmudsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_mud
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.update.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_mud")
+      s.sql(s"""INSERT INTO $cat.corp.orders_mud
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_mud WHERE o_orderkey % 4 < 2""".stripMargin)
+      s.sql(s"DELETE FROM $cat.corp.orders_mud WHERE o_orderkey % 16 = 0")
+      def inodes(p: String): Map[String, Any] =
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))
+          .map(f => f.getName -> java.nio.file.Files
+            .getAttribute(f.toPath, "unix:ino")).toMap
+      def headLoc(): String = CatalogTransfer.readLocal(
+        s"$dir/revs/${new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, "HEAD").toPath)).trim
+          .split("\\s+")(0).toInt}").tables
+        .find(_.name == "orders_mud").get.location
+      val loc1 = headLoc()
+      val before = inodes(loc1)
+      require(before.nonEmpty, "fixture landed no data files")
+      // %4=0 ⊃ %16=0: the update predicate covers the deleted keys —
+      // a raw-file (unmerged) rewrite scan would resurrect them
+      s.sql(s"""UPDATE $cat.corp.orders_mud
+               |SET o_totalprice = o_totalprice * 1.10D
+               |WHERE o_orderkey % 4 = 0""".stripMargin)
+      val loc2 = headLoc()
+      require(loc2 != loc1, "UPDATE must publish a fresh generation")
+      val after = inodes(loc2)
+      // the delta contract, inode-asserted: every pre-existing data
+      // file is the SAME inode (hard link — zero rewrite); the updated
+      // images landed in FRESH files
+      require(before.forall { case (n, k) => after.get(n).contains(k) },
+        "delta UPDATE rewrote a pre-existing data file")
+      require(after.size > before.size,
+        "delta UPDATE landed no fresh data files")
+      // and unlike the COW sibling, the delete vectors are NOT
+      // materialized: the delete's sidecar carries forward and the
+      // update added its own
+      val sidecars = Option(
+        new java.io.File(loc2, "_deletes").list()).toSeq.flatten
+        .count(_.endsWith(".keys"))
+      require(sidecars >= 2,
+        s"expected the delete's + the update's sidecars, got $sidecars")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_mud")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Sidecar COMPACTION — the maintenance op that BOUNDS what readers
     // pay for merge-on-read (the sidecar probe is the price of O(|Δ|)
     // deletes; compaction is its amortization): rewrite the merged
@@ -2781,6 +2862,18 @@ object DdlQueries extends QueryGroup {
     // COW-over-MOR: delete applies FIRST (merged read), then the
     // update — a resurrected %16=0 row would land as an extra row here
     "meta_v2_mor_update" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 < 2),
+        |t1 AS (SELECT * FROM t0 WHERE NOT (o_orderkey % 16 = 0))
+        |SELECT o_orderkey, o_orderstatus,
+        |  ROUND(CASE WHEN o_orderkey % 4 = 0
+        |             THEN o_totalprice * 1.10
+        |             ELSE o_totalprice END, 4) AS o_totalprice
+        |FROM t1 ORDER BY o_orderkey""".stripMargin,
+
+    // same statement algebra as the COW sibling (delete first on the
+    // merged read, then the update) — only the execution cost differs
+    "meta_v2_mor_update_delta" ->
       """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |            FROM orders WHERE o_orderkey % 4 < 2),
         |t1 AS (SELECT * FROM t0 WHERE NOT (o_orderkey % 16 = 0))

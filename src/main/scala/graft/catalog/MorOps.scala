@@ -29,10 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * this scan builder like any data filter), and the delta writer
   * receives one (operation=DELETE, rowId) pair per matched row — no
   * carry-over rows are ever read, computed, or written. UPDATE and
-  * MERGE stay copy-on-write (the per-command mode split lakehouse
-  * formats expose as `write.delete.mode` / `write.update.mode`), but
-  * run over the MERGED read and land a clean generation — a COW
-  * statement MATERIALIZES the outstanding delete vectors.
+  * MERGE each carry their own opt-in (the per-command mode split
+  * lakehouse formats expose as `write.delete.mode` /
+  * `write.update.mode` / `write.merge.mode`): delta-based when set to
+  * merge-on-read — old images become sidecar entries, new images land
+  * in fresh files, O(delta) — otherwise copy-on-write over the MERGED
+  * read, landing a clean generation that MATERIALIZES the outstanding
+  * delete vectors.
   *
   * The sidecar (`_deletes/delete-*.keys` under the generation dir — an
   * underscore path, so the stock parquet file index never lists it):
@@ -92,6 +95,18 @@ private[catalog] object Mor {
     * updates/deletes become sidecar entries and inserted/updated rows
     * land in FRESH data files — O(delta), no carry-over rows touched. */
   val MergeModeProp = "graft.merge.mode"
+
+  /** Table property selecting the UPDATE execution mode (the third leg
+    * of the per-command split — Iceberg's `write.update.mode`):
+    * `copy-on-write` (default: the UPDATE rewrites the table and
+    * materializes outstanding delete vectors) or `merge-on-read`: the
+    * statement plans delta-based, old images hide via sidecar entries,
+    * new images land in fresh per-task files — O(delta), the last
+    * O(table) DML statement gone. Spark's own rewrite preserves the
+    * ORIGINAL row-id values when the SET list reassigns the row-id
+    * column itself (buildOriginalRowIdValues), so even a key-moving
+    * UPDATE deletes the old key and inserts the new one. */
+  val UpdateModeProp = "graft.update.mode"
 
   /** Sidecar directory under the generation dir (underscore-prefixed:
     * hidden from the stock parquet file index). */
@@ -182,7 +197,8 @@ private[catalog] object Mor {
 
   /** The property keys [[validateTableProps]] guards. */
   def dmlProps(key: String): Boolean =
-    key == DeleteModeProp || key == MergeModeProp || key == RowIdProp
+    key == DeleteModeProp || key == MergeModeProp ||
+      key == UpdateModeProp || key == RowIdProp
 
   /** Refuse an ALTER that would break the SIDE CAR read path while the
     * current generation still has outstanding `_deletes`: disabling
@@ -229,6 +245,10 @@ private[catalog] object Mor {
     require(mergeMode.forall(m =>
         m == ModeCopyOnWrite || m == ModeMergeOnRead),
       s"unknown $MergeModeProp '${mergeMode.get}' on $db.$name")
+    val updateMode = props.find(_.key == UpdateModeProp).map(_.value)
+    require(updateMode.forall(m =>
+        m == ModeCopyOnWrite || m == ModeMergeOnRead),
+      s"unknown $UpdateModeProp '${updateMode.get}' on $db.$name")
     if (mode.contains(ModeMergeOnRead)) {
       val rid = props.find(_.key == RowIdProp).map(_.value)
         .getOrElse(throw new IllegalArgumentException(
@@ -247,6 +267,10 @@ private[catalog] object Mor {
     } else {
       require(!mergeMode.contains(ModeMergeOnRead),
         s"$MergeModeProp=$ModeMergeOnRead on $db.$name requires " +
+          s"$DeleteModeProp=$ModeMergeOnRead too (the sidecar read " +
+          "path)")
+      require(!updateMode.contains(ModeMergeOnRead),
+        s"$UpdateModeProp=$ModeMergeOnRead on $db.$name requires " +
           s"$DeleteModeProp=$ModeMergeOnRead too (the sidecar read " +
           "path)")
     }
@@ -410,11 +434,13 @@ private[catalog] class MorReadTable(inner: Table, ti: TableInfo,
 
 /** Serves an unpartitioned parquet table whose DELETE mode is
   * merge-on-read. Plain reads merge outstanding sidecars; DELETE plans
-  * delta-based (zero data rewrite); UPDATE/MERGE/TRUNCATE inherit the
-  * COW path — over the merged read, materializing the deletes. */
+  * delta-based (zero data rewrite); UPDATE and MERGE each follow their
+  * own per-command mode — delta-based when opted in, otherwise the COW
+  * path over the merged read, materializing the deletes. TRUNCATE is
+  * always a COW generation swap. */
 private[catalog] class MorRowLevelTable(inner: Table,
     cat: WritableSnapshotCatalog, ti: TableInfo, keyField: StructField,
-    mergeMor: Boolean)
+    mergeMor: Boolean, updateMor: Boolean)
   extends RowLevelCowTable(inner, cat, ti) {
 
   // fresh per scan/statement: the sidecar set is generation state
@@ -442,14 +468,15 @@ private[catalog] class MorRowLevelTable(inner: Table,
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () =>
       if (info.command == RowLevelOperation.Command.DELETE ||
-          (info.command == RowLevelOperation.Command.MERGE && mergeMor))
+          (info.command == RowLevelOperation.Command.MERGE && mergeMor) ||
+          (info.command == RowLevelOperation.Command.UPDATE && updateMor))
         new MorDeltaOperation(this, cat, ti, keyField, info)
       else
-        // UPDATE (and MERGE without the opt-in) stays copy-on-write
-        // but reads through `this` (outstanding deletes apply to the
-        // rewrite scan — a deleted row must never resurrect), and its
-        // fresh generation carries no _deletes: a COW statement
-        // materializes the delete vectors
+        // a command without its merge-on-read opt-in stays
+        // copy-on-write but reads through `this` (outstanding deletes
+        // apply to the rewrite scan — a deleted row must never
+        // resurrect), and its fresh generation carries no _deletes: a
+        // COW statement materializes the delete vectors
         new GroupCowRowLevelOperation(this, cat, ti, info)
 }
 
@@ -565,15 +592,19 @@ private[catalog] class MorScanBuilder(delegate: ScanBuilder,
   }
 }
 
-/** The merging scan: splits file partitions so AFFECTED files (named in
-  * some sidecar's applies-to set) and CLEAN files never share a reader
-  * — clean partitions skip the per-row probe entirely, though the
-  * whole scan rides the row path while any sidecar is outstanding
-  * (see [[MorReaderFactory.supportColumnarReads]]). */
+/** The merging scan: splits file partitions so files sharing a reader
+  * always share the EXACT set of sidecars that apply to them. The
+  * per-row probe may only test a row against sidecars applying to the
+  * row's OWN file — a coarser (partition-level) union would hide a
+  * key's fresh re-image whenever an old file in the same reader still
+  * carries the hidden key (the multi-statement delta-UPDATE chain:
+  * statement 2's sidecar makes statement 1's fresh files "affected",
+  * but statement 1's keys must stay visible in them). CLEAN files
+  * (empty signature) skip the probe entirely, though the whole scan
+  * rides the row path while any sidecar is outstanding (see
+  * [[MorReaderFactory.supportColumnarReads]]). */
 private[catalog] class MorScan(delegate: Scan, keyField: StructField,
     sidecars: Seq[DeleteSidecar], dropKey: Boolean) extends Scan {
-
-  private val affected: Set[String] = sidecars.flatMap(_.applies).toSet
 
   override def readSchema(): StructType =
     if (dropKey) StructType(delegate.readSchema().fields.dropRight(1))
@@ -587,14 +618,16 @@ private[catalog] class MorScan(delegate: Scan, keyField: StructField,
 
     override def planInputPartitions(): Array[InputPartition] = {
       import org.apache.spark.sql.execution.datasources.FilePartition
+      // which sidecars hide keys in this file — the grouping signature
+      def sig(name: String): Seq[String] =
+        sidecars.filter(_.applies.contains(name)).map(_.name).sorted
       val out = scala.collection.mutable.ArrayBuffer
         .empty[Array[org.apache.spark.sql.execution.datasources.PartitionedFile]]
       db.planInputPartitions().foreach {
         case fp: FilePartition =>
-          val (hit, clean) =
-            fp.files.partition(f => affected.contains(Mor.fileName(f)))
-          if (hit.nonEmpty) out += hit
-          if (clean.nonEmpty) out += clean
+          fp.files.groupBy(f => sig(Mor.fileName(f))).toSeq
+            .sortBy(_._1.mkString(","))
+            .foreach { case (_, fs) => out += fs }
         case other => throw new IllegalStateException(
           "merge-on-read scan expected a parquet FilePartition, got " +
             other.getClass.getName)
@@ -621,6 +654,11 @@ private[catalog] class MorReaderFactory(delegate: PartitionReaderFactory,
     case _ => Set.empty
   }
 
+  // [[MorScan.planInputPartitions]] guarantees every file of one
+  // partition shares the SAME applicable-sidecar set, so this is the
+  // exact per-file set — never a union across differently-affected
+  // files (which would hide fresh re-images of a key still carried by
+  // an older file in the same reader)
   private def hitSidecars(p: InputPartition): Seq[DeleteSidecar] = {
     val names = partFileNames(p)
     sidecars.filter(_.applies.exists(names))

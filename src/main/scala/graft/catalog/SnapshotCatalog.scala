@@ -982,8 +982,10 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         val f = base.schema().fields.find(_.name == rid).get
         val mergeMor = ti.properties.exists(p =>
           p.key == Mor.MergeModeProp && p.value == Mor.ModeMergeOnRead)
+        val updateMor = ti.properties.exists(p =>
+          p.key == Mor.UpdateModeProp && p.value == Mor.ModeMergeOnRead)
         new MorRowLevelTable(withChecks, this, ti,
-          f.copy(nullable = false), mergeMor)
+          f.copy(nullable = false), mergeMor, updateMor)
       } else new RowLevelCowTable(withChecks, this, ti)
     } else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet"))
       new PartitionScopedRowLevelTable(withChecks, this, ti,

@@ -2498,4 +2498,79 @@ class CatalogSpec extends SparkSpec {
     assert(nDirty == 75L,
       s"merged COUNT wrong with sidecars outstanding: $nDirty")
   }
+
+  test("opted-in UPDATE plans delta-based (WriteDelta), keeps data " +
+      "inodes, and a row-id-reassigning UPDATE deletes the old key " +
+      "and inserts the new one") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_morupd_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmorupd"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    // t: the delta opt-in; cw: MOR deletes but COW updates (the
+    // default) — the plan split must key on graft.update.mode alone
+    for ((name, extra) <- Seq(
+        "t" -> ", 'graft.update.mode'='merge-on-read'", "cw" -> ""))
+      spark.sql(s"""CREATE TABLE $cat.m.$name
+                   |(k BIGINT NOT NULL, v DOUBLE) USING parquet
+                   |TBLPROPERTIES('graft.delete.mode'='merge-on-read',
+                   | 'graft.row.id'='k'$extra)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.t SELECT id, id * 1.0D FROM range(100)")
+    spark.sql(s"INSERT INTO $cat.m.cw SELECT id, id * 1.0D FROM range(100)")
+    val deltaPlan = spark.sql(
+      s"EXPLAIN EXTENDED UPDATE $cat.m.t SET v = v + 1.0D WHERE k < 10")
+      .first.getString(0)
+    assert(deltaPlan.contains("WriteDelta") &&
+      !deltaPlan.contains("ReplaceData"),
+      s"opted-in UPDATE did not plan delta-based:\n$deltaPlan")
+    val cowPlan = spark.sql(
+      s"EXPLAIN EXTENDED UPDATE $cat.m.cw SET v = v + 1.0D WHERE k < 10")
+      .first.getString(0)
+    assert(cowPlan.contains("ReplaceData") &&
+      !cowPlan.contains("WriteDelta"),
+      s"non-opted UPDATE must stay group-based COW:\n$cowPlan")
+    def headLoc(): String = CatalogTransfer.readLocal(
+      s"$dir/revs/${new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "HEAD").toPath)).trim
+        .split("\\s+")(0).toInt}").tables
+      .find(_.name == "t").get.location
+    def inodes(root: String): Map[String, AnyRef] =
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(f => f.getName -> java.nio.file.Files.readAttributes(
+          f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+          .fileKey()).toMap
+    val loc0 = headLoc()
+    val ino0 = inodes(loc0)
+    // the delta execution: inode-identical carry-over + fresh images
+    spark.sql(s"UPDATE $cat.m.t SET v = v * 2.0D WHERE k % 10 = 3")
+    val loc1 = headLoc()
+    val ino1 = inodes(loc1)
+    assert(ino0.forall { case (n, key) => ino1.get(n).contains(key) },
+      "delta UPDATE rewrote a pre-existing data file")
+    assert(ino1.size > ino0.size, "delta UPDATE landed no fresh files")
+    assert(Option(new java.io.File(loc1, "_deletes").list()).toSeq
+      .flatten.exists(_.endsWith(".keys")),
+      "delta UPDATE landed no sidecar for the old images")
+    // row-id reassignment: Spark's rewrite preserves ORIGINAL row-id
+    // values (buildOriginalRowIdValues), so the statement hides the
+    // OLD key and serves the row under the NEW one — a naive plan
+    // would sidecar the new key and leave both visible
+    spark.sql(s"UPDATE $cat.m.t SET k = k + 1000 WHERE k = 42")
+    val t = spark.table(s"$cat.m.t")
+    assert(t.where("k = 42").count() == 0,
+      "key-moving UPDATE left the old key visible")
+    assert(t.where("k = 1042").count() == 1,
+      "key-moving UPDATE lost the new key")
+    assert(t.count() == 100)
+    val vals = spark.table(s"$cat.m.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(vals(1042L) == 42.0 && vals(3L) == 6.0 && vals(13L) == 26.0
+        && vals(5L) == 5.0,
+      s"delta UPDATE content drifted: ${vals.toSeq.sortBy(_._1).take(8)}")
+  }
 }
