@@ -1595,6 +1595,78 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // AUTO-COMPACTION policy — the consumer of Mor.sidecarBytes, the
+    // signal the sidecar design documents as the compaction page-on:
+    // MorMaintenance.autoCompact walks the catalog's merge-on-read
+    // tables, measures (sidecar count, sidecar bytes, data bytes)
+    // against DECLARED thresholds, and compacts exactly the tables
+    // that page on — threshold → decision → action, the same shape as
+    // the IVF drift monitor's retrain flag. Fixture: two MOR tables in
+    // one catalog; ac1 accumulates two DELETE statements' sidecars
+    // (count >= 2 = the declared threshold → fires: merged rows to a
+    // clean generation, atomic swap, stock vectorized scan restored),
+    // ac2 deletes exactly ONE key (a single-task sidecar, under
+    // threshold → stays merge-on-read, sidecar outstanding). The
+    // report's decision columns and post-state are deterministic; the
+    // measured byte signals are engine-asserted (non-vacuous) but not
+    // returned — they vary with task layout.
+    "meta_v2_mor_autocompact" -> ((s, d) => {
+      import s.implicits._
+      val dir = new java.io.File(Tables.scratch(d, "v2_morac_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmacsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_mac")
+      for (t <- Seq("orders_ac1", "orders_ac2")) {
+        s.sql(s"""CREATE TABLE $cat.corp.$t
+                 |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+                 | o_totalprice DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='o_orderkey')""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.corp.$t
+                 |SELECT o_orderkey, o_orderstatus, o_totalprice
+                 |FROM orders_src_mac WHERE o_orderkey % 4 < 2"""
+          .stripMargin)
+      }
+      s.sql(s"DELETE FROM $cat.corp.orders_ac1 WHERE o_orderkey % 16 = 0")
+      s.sql(s"""DELETE FROM $cat.corp.orders_ac1
+               |WHERE o_orderstatus = 'F' AND o_orderkey % 16 = 5"""
+        .stripMargin)
+      // one key lives in one file -> exactly one single-task sidecar
+      s.sql(s"DELETE FROM $cat.corp.orders_ac2 WHERE o_orderkey = 1")
+      val report = MorMaintenance.autoCompact(s, cat, dir,
+        maxSidecars = 2, maxSidecarBytes = Long.MaxValue)
+      require(report.map(_.table) == Seq("orders_ac1", "orders_ac2"),
+        s"report must cover both MOR tables: $report")
+      val ac1 = report(0); val ac2 = report(1)
+      // the fired decision, end to end: signal measured, threshold
+      // crossed, compaction ran, read path restored to stock
+      require(ac1.sidecarCount >= 2 && ac1.sidecarBytes > 0L &&
+        ac1.dataBytes > 0L, s"ac1 signals vacuous: $ac1")
+      require(ac1.compacted && ac1.sidecarsAfter == 0 &&
+        ac1.scanBefore == "mor" && ac1.scanAfter == "stock",
+        s"ac1 must compact and restore the stock scan: $ac1")
+      // the held decision: signal present but under threshold, sidecar
+      // still outstanding, read path still merging
+      require(ac2.sidecarCount == 1 && ac2.sidecarBytes > 0L,
+        s"ac2 signals vacuous: $ac2")
+      require(!ac2.compacted && ac2.sidecarsAfter == 1 &&
+        ac2.scanBefore == "mor" && ac2.scanAfter == "mor",
+        s"ac2 must stay merge-on-read under threshold: $ac2")
+      report.map(r => (r.table, if (r.compacted) 1 else 0,
+          r.sidecarsAfter, r.scanBefore, r.scanAfter,
+          s.table(s"$cat.corp.${r.table}").count()))
+        .toDF("tbl", "compacted", "sidecars_after", "scan_before",
+          "scan_after", "n_rows")
+        .orderBy("tbl")
+    }),
+
     // MERGE-ON-READ stock MERGE — the capstone that makes the MOR
     // family complete (DELETE + MERGE both O(delta)): with
     // graft.merge.mode=merge-on-read the operation plans delta-based
@@ -2934,6 +3006,28 @@ object DdlQueries extends QueryGroup {
         |  SELECT 'insert', o_orderkey + 400000000, 'A', o_totalprice
         |  FROM orders WHERE o_orderkey % 16 = 9)
         |ORDER BY o_orderkey, op""".stripMargin,
+
+    // the decision columns and post-state are declared constants of
+    // the fixture (ac1 crosses the sidecar-count threshold, ac2 stays
+    // under); the row counts replay the DELETE algebra — compaction
+    // must be content-invariant and the held table must keep merging
+    "meta_v2_mor_autocompact" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |            WHERE o_orderkey % 4 < 2)
+        |SELECT tbl, compacted, sidecars_after, scan_before, scan_after,
+        |  n_rows
+        |FROM (
+        |  SELECT 'orders_ac1' AS tbl, 1 AS compacted,
+        |    0 AS sidecars_after, 'mor' AS scan_before,
+        |    'stock' AS scan_after,
+        |    (SELECT COUNT(*) FROM t0
+        |     WHERE NOT (o_orderkey % 16 = 0)
+        |       AND NOT (o_orderstatus = 'F' AND o_orderkey % 16 = 5))
+        |      AS n_rows
+        |  UNION ALL
+        |  SELECT 'orders_ac2', 0, 1, 'mor', 'mor',
+        |    (SELECT COUNT(*) FROM t0 WHERE o_orderkey <> 1))
+        |ORDER BY tbl""".stripMargin,
 
     // compaction is content-invariant: the merged pre-compaction rows
     "meta_v2_mor_compact" ->

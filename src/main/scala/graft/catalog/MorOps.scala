@@ -283,6 +283,82 @@ private[catalog] object Mor {
 private[catalog] case class DeleteSidecar(name: String,
     applies: Set[String], keys: Array[String])
 
+/** One table's row in the auto-compaction decision report: the
+  * measured read-tax signals, the threshold verdict, and — when the
+  * compaction actually ran — the before/after read-path class. */
+private[graft] case class AutoCompactDecision(table: String,
+    sidecarCount: Int, sidecarBytes: Long, dataBytes: Long,
+    compacted: Boolean, sidecarsAfter: Int,
+    scanBefore: String, scanAfter: String)
+
+/** MOR read-tax lifecycle policy — the consumer of
+  * [[Mor.sidecarBytes]], the signal the sidecar design documents as
+  * "the compaction page-on": outstanding delete sidecars are the price
+  * of O(delta) DML, and every reader pays the row-path + probe tax
+  * until a compaction rewrites the merged rows into a clean
+  * generation. [[autoCompact]] walks the catalog's merge-on-read
+  * tables, measures (sidecar count, sidecar bytes, data bytes) against
+  * the DECLARED thresholds, and compacts exactly the tables that page
+  * on — the same threshold→decision→action shape as the IVF index
+  * drift monitor (`sim_ann_ivf_append`'s retrain flag). The compaction
+  * itself is the catalog's one maintenance primitive: merged rows →
+  * fresh `_rl` generation (gc-recognized naming) → atomic SET LOCATION
+  * swap; a reader holding the old generation keeps a consistent file
+  * set. At 100 TB the policy runs table-parallel off the snapshot
+  * metadata (KiB per table — no data is read to DECIDE; only flagged
+  * tables pay the rewrite, which is the point of the thresholds). */
+private[graft] object MorMaintenance {
+  /** Scan class a table currently serves: "mor" (sidecar-merging row
+    * path) or "stock" (unwrapped vectorized parquet). */
+  private def scanClass(s: SparkSession, fqn: String): String = {
+    val scans = s.table(fqn).queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+    }
+    if (scans.exists(_.isInstanceOf[MorScan])) "mor" else "stock"
+  }
+
+  /** Decide and act for every merge-on-read table of the snapshot
+    * catalog registered as `catName` over `snapDir`. A table compacts
+    * when EITHER declared threshold pages on: outstanding sidecar
+    * count >= maxSidecars, or sidecar bytes > maxSidecarBytes. */
+  def autoCompact(s: SparkSession, catName: String, snapDir: String,
+      maxSidecars: Int, maxSidecarBytes: Long): Seq[AutoCompactDecision] = {
+    val head = new java.io.File(snapDir, "HEAD")
+    val rev = new String(java.nio.file.Files.readAllBytes(head.toPath))
+      .trim.split("\\s+")(0).toInt
+    val snap = CatalogTransfer.readLocal(s"$snapDir/revs/$rev")
+    val morTables = snap.tables.filter(t => t.properties.exists(p =>
+      p.key == Mor.DeleteModeProp && p.value == Mor.ModeMergeOnRead))
+    morTables.sortBy(t => (t.db, t.name)).map { t =>
+      val loc = Mor.normLoc(t.location)
+      val sidecars = Mor.loadSidecars(loc)
+      val scBytes = Mor.sidecarBytes(loc)
+      val dataBytes = Option(new java.io.File(loc).listFiles()).toSeq
+        .flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(_.length).sum
+      val fqn = s"$catName.${t.db}.${t.name}"
+      val before = scanClass(s, fqn)
+      val fire = sidecars.length >= maxSidecars ||
+        scBytes > maxSidecarBytes
+      val newLoc =
+        if (fire) {
+          // the compaction: merged rows -> clean generation, atomic swap
+          val gen2 =
+            loc + s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+          s.table(fqn).write.parquet(gen2)
+          s.sql(s"ALTER TABLE $fqn SET LOCATION '$gen2'")
+          gen2
+        } else loc
+      val after = scanClass(s, fqn)
+      AutoCompactDecision(t.name, sidecars.length, scBytes, dataBytes,
+        fire, Mor.loadSidecars(newLoc).length, before, after)
+    }
+  }
+}
+
 /** CHANGE DATA FEED between two generations of a merge-on-read table —
   * the CDC read the MOR artifacts give away for free: the range's NEW
   * sidecars name every key that disappeared (deletes and updated-away
