@@ -1834,6 +1834,102 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey", "op")
     }),
 
+    // CROSS-TABLE ATOMIC PUBLISH — the namespace-cutover form of the
+    // reference's migration (README_en.md:3): N tables re-point at
+    // freshly-staged generations in ONE catalog revision, so a reader
+    // pinned to any revision sees the WHOLE cutover or none of it —
+    // never a half-migrated namespace. Staging writes both new
+    // generations fully with nothing published; publishAll then issues
+    // one persist (one numbered revision, one atomic HEAD rename) with
+    // per-table OCC checked for the whole set before anything mutates.
+    // Engine-asserted: the txn is exactly ONE revision; the PAIR is
+    // consistent at both surrounding revisions (old+old via VERSION AS
+    // OF, new+new at head); a stale-staged retry fails all-or-nothing.
+    // The oracle replays both phases of both tables.
+    "meta_v2_txn_publish" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_txnpub_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gtxsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_tp
+               |(o_orderkey BIGINT, o_totalprice DOUBLE)
+               |USING parquet""".stripMargin)
+      s.sql(s"""CREATE TABLE $cat.corp.cust_tp
+               |(c_custkey BIGINT, c_acctbal DOUBLE)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_tp")
+      Tables(s, d, "customer").createOrReplaceTempView("cust_src_tp")
+      s.sql(s"""INSERT INTO $cat.corp.orders_tp
+               |SELECT o_orderkey, o_totalprice FROM orders_src_tp
+               |WHERE o_orderkey % 8 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.corp.cust_tp
+               |SELECT c_custkey, c_acctbal FROM cust_src_tp
+               |WHERE c_custkey % 4 = 0""".stripMargin)
+      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      val revA = headRev()
+      val snapA = CatalogTransfer.readLocal(s"$dir/revs/$revA")
+      val tiO = snapA.tables.find(_.name == "orders_tp").get
+      val tiC = snapA.tables.find(_.name == "cust_tp").get
+      def norm(l: String): String =
+        l.stripPrefix("file:").stripSuffix("/")
+      // stage BOTH migrated generations fully — nothing published yet
+      val genO = norm(tiO.location) + "_rltxa"
+      val genC = norm(tiC.location) + "_rltxb"
+      s.table(s"$cat.corp.orders_tp")
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .write.parquet(genO)
+      s.table(s"$cat.corp.cust_tp")
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .write.parquet(genC)
+      require(headRev() == revA,
+        "staging must not publish anything")
+      val plug = new WritableSnapshotCatalog
+      plug.initialize(cat + "_txn",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir)))
+      plug.publishAll(Seq(tiO -> genO, tiC -> genC))
+      val revB = headRev()
+      require(revB == revA + 1,
+        s"the cutover must be ONE atomic revision, got $revA -> $revB")
+      // all-or-nothing on failure: a retry staged against the now-
+      // stale TableInfos must refuse and re-point NOTHING
+      val stale =
+        try {
+          plug.publishAll(Seq(tiO -> (norm(tiO.location) + "_rltxc")))
+          false
+        } catch {
+          case _: java.util.ConcurrentModificationException => true
+        }
+      require(stale, "a stale-staged publish must fail loudly")
+      require(headRev() == revB,
+        "a refused publish must not land a revision")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      // the pair is consistent at BOTH revisions: old+old, new+new
+      def phase(rev: Int, tag: String): org.apache.spark.sql.DataFrame =
+        s.sql(s"""SELECT * FROM $cat2.corp.orders_tp
+                 |VERSION AS OF '$rev'""".stripMargin)
+          .select(lit(tag).as("phase"), lit("orders").as("tbl"),
+            col("o_orderkey").as("k"),
+            round(col("o_totalprice"), 4).as("val"))
+          .unionByName(
+            s.sql(s"""SELECT * FROM $cat2.corp.cust_tp
+                     |VERSION AS OF '$rev'""".stripMargin)
+              .select(lit(tag).as("phase"), lit("customer").as("tbl"),
+                col("c_custkey").as("k"),
+                round(col("c_acctbal"), 4).as("val")))
+      phase(revA, "pre").unionByName(phase(revB, "post"))
+        .orderBy("phase", "tbl", "k")
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -3038,6 +3134,24 @@ object DdlQueries extends QueryGroup {
         |  AND NOT (o_orderkey % 16 = 0)
         |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 16 = 5)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // both phases of both tables, replayed: pre = the raw subsets,
+    // post = the staged migration (prices doubled, balances +100)
+    "meta_v2_txn_publish" ->
+      """SELECT phase, tbl, k, ROUND(val, 4) AS val FROM (
+        |  SELECT 'pre' AS phase, 'orders' AS tbl,
+        |    o_orderkey AS k, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 8 = 0
+        |  UNION ALL
+        |  SELECT 'pre', 'customer', c_custkey, c_acctbal
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT 'post', 'orders', o_orderkey, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 8 = 0
+        |  UNION ALL
+        |  SELECT 'post', 'customer', c_custkey, c_acctbal + 100
+        |  FROM customer WHERE c_custkey % 4 = 0)
+        |ORDER BY phase, tbl, k""".stripMargin,
 
     // the zero-exchange plan is engine-asserted; the oracle checks the
     // join itself — co-partitioned layout must not change the answer

@@ -1014,6 +1014,43 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         else x)))
     }
 
+  /** Cross-table ATOMIC publish — the namespace-cutover form of the
+    * migration story: re-point N tables at freshly-staged generation
+    * dirs in ONE revision, so a reader pinned to any revision sees
+    * either every move or none (all-or-nothing; no reader ever
+    * observes a half-migrated namespace). The staging discipline is
+    * the row-level COW one, batched: write every new generation fully
+    * first (nothing published), then this single [[persist]] — one
+    * numbered revision, one atomic HEAD rename — publishes them all.
+    * OCC is per table against the location each staged generation was
+    * DERIVED from ([[swapLocation]]'s rule, checked for the whole set
+    * before anything mutates): if any table moved under a concurrent
+    * writer, the entire transaction fails loudly and NO table
+    * re-points — there is no partial-commit state to clean up because
+    * nothing was committed. */
+  private[graft] def publishAll(moves: Seq[(TableInfo, String)]): Unit =
+    this.synchronized {
+      val cur = snap // fresh head read (sets this thread's OCC token)
+      val keys = moves.map { case (ti, _) => (ti.db, ti.name) }
+      require(keys.distinct.size == keys.size,
+        s"duplicate table in transactional publish: $keys")
+      for ((ti, _) <- moves) {
+        val t = cur.tables.find(x => x.db == ti.db && x.name == ti.name)
+          .getOrElse(throw new NoSuchTableException(
+            Identifier.of(Array(ti.db), ti.name)))
+        if (t.location != ti.location)
+          throw new java.util.ConcurrentModificationException(
+            s"table ${ti.db}.${ti.name} moved generations during the " +
+              s"transactional publish (${ti.location} -> " +
+              s"${t.location}) — a concurrent commit won; NO table " +
+              "was re-pointed, re-stage against the new head and retry")
+      }
+      val newLocs = moves.map { case (ti, loc) =>
+        (ti.db, ti.name) -> loc }.toMap
+      persist(cur.copy(tables = cur.tables.map(x =>
+        newLocs.get((x.db, x.name)).fold(x)(l => x.copy(location = l)))))
+    }
+
   override def dropTable(ident: Identifier): Boolean =
     findTable(ident) match {
       case None => false

@@ -2573,4 +2573,85 @@ class CatalogSpec extends SparkSpec {
         && vals(5L) == 5.0,
       s"delta UPDATE content drifted: ${vals.toSeq.sortBy(_._1).take(8)}")
   }
+
+  test("publishAll: racing cross-table publishes serialize to exactly " +
+      "one winner, and NO revision ever shows a half-migrated pair") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_txnrace_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gtxnrace"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"CREATE TABLE $cat.m.a (k BIGINT, tag STRING) USING parquet")
+    spark.sql(s"CREATE TABLE $cat.m.b (k BIGINT, tag STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.m.a SELECT id, 'v1' FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.m.b SELECT id, 'v1' FROM range(10)")
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+    val revA = headRev()
+    val snapA = CatalogTransfer.readLocal(s"$dir/revs/$revA")
+    val tiA = snapA.tables.find(_.name == "a").get
+    val tiB = snapA.tables.find(_.name == "b").get
+    def norm(l: String): String = l.stripPrefix("file:").stripSuffix("/")
+    // two contenders stage full v2 generations from the SAME base rev
+    def stage(ti: TableInfo, who: String): String = {
+      val g = norm(ti.location) + s"_rltx$who"
+      spark.range(10).selectExpr("id AS k", s"'v2$who' AS tag")
+        .write.parquet(g)
+      g
+    }
+    val m1 = Seq(tiA -> stage(tiA, "p"), tiB -> stage(tiB, "q"))
+    val m2 = Seq(tiA -> stage(tiA, "r"), tiB -> stage(tiB, "s"))
+    def plug(n: String): graft.catalog.WritableSnapshotCatalog = {
+      val p = new graft.catalog.WritableSnapshotCatalog
+      p.initialize(n, new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir.getPath)))
+      p
+    }
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq("w1" -> m1, "w2" -> m2).map { case (n, m) =>
+      new Thread(() => {
+        val p = plug(n)
+        gate.await()
+        try { p.publishAll(m); outcomes.add(s"$n:ok"): Unit }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            outcomes.add(s"$n:occ"): Unit
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(60000))
+    val res = outcomes.toArray.map(_.toString).sorted.toSeq
+    assert(res.count(_.endsWith(":ok")) == 1 &&
+      res.count(_.endsWith(":occ")) == 1,
+      s"racing publishes must serialize to one winner: $res")
+    val revB = headRev()
+    assert(revB == revA + 1, "the winning txn must be ONE revision")
+    // the atomicity law, checked on EVERY revision that exists: the
+    // pair is (v1,v1) or (v2x,v2x) — never mixed versions
+    val ro = cat + "_ro"
+    spark.conf.set(s"spark.sql.catalog.$ro",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ro.path", dir.getPath)
+    for (r <- revA to revB) {
+      val pair = Seq("a", "b").map(t => spark.sql(
+        s"SELECT DISTINCT tag FROM $ro.m.$t VERSION AS OF '$r'")
+        .collect().map(_.getString(0)).toSeq.sorted)
+      assert(pair.forall(_.size == 1), s"torn table content at rev $r")
+      val Seq(ta, tb) = pair.map(_.head)
+      assert(ta.take(2) == tb.take(2),
+        s"rev $r shows a half-migrated pair: a=$ta b=$tb")
+      if (ta.startsWith("v2")) {
+        // the winner's BOTH tables, not a mix of the two contenders
+        val winner = res.find(_.endsWith(":ok")).get.take(2)
+        val exp = if (winner == "w1") Seq("v2p", "v2q") else Seq("v2r", "v2s")
+        assert(Seq(ta, tb) == exp,
+          s"rev $r mixed contenders: a=$ta b=$tb (winner $winner)")
+      }
+    }
+  }
 }
