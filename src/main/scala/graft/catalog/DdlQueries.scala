@@ -1382,6 +1382,106 @@ object DdlQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // MERGE-ON-READ × PARTITIONED — the composition production fact
+    // tables need (they are almost always partitioned): the
+    // hive-partitioned table opts into merge-on-read and a stock
+    // DELETE plans delta-based with sidecars under each touched
+    // partition's OWN dir. Proven here: (1) a partition-confined
+    // DELETE (predicate pins o_orderstatus='F') lands `_deletes`
+    // ONLY under the F partition — every other partition has no
+    // sidecar dir at all; (2) EVERY partition's data files come
+    // through the publish as the SAME inodes (hard links — zero
+    // rewrite even in the touched partition, the delta contract);
+    // (3) a second cross-partition DELETE routes keys to their own
+    // partitions' sidecars; (4) re-inserted keys return in fresh
+    // files no sidecar applies to (the per-partition applies-to /
+    // sequence-number rule). Reads apply only each file's partition's
+    // sidecars (partition-qualified file identity). Full machinery +
+    // cost model: MorOps.scala (MorPartitionedTable).
+    "meta_v2_mor_scoped_delete" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_morsd_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gmsdsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_msd
+               |(o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE,
+               | o_orderstatus STRING)
+               |USING parquet PARTITIONED BY (o_orderstatus)
+               |TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_msd")
+      s.sql(s"""INSERT INTO $cat.corp.orders_msd
+               |SELECT o_orderkey, o_totalprice, o_orderstatus
+               |FROM orders_src_msd WHERE o_orderkey % 4 < 2"""
+        .stripMargin)
+      def headLoc(): String = CatalogTransfer.readLocal(
+        s"$dir/revs/${new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, "HEAD").toPath)).trim
+          .split("\\s+")(0).toInt}").tables
+        .find(_.name == "orders_msd").get.location
+      def inodes(root: String): Map[String, Any] =
+        Option(new java.io.File(root).listFiles()).toSeq.flatten
+          .filter(d => d.isDirectory && d.getName.contains("="))
+          .flatMap(pd => Option(pd.listFiles()).toSeq.flatten
+            .filter(f => f.isFile && !f.getName.startsWith(".") &&
+              !f.getName.startsWith("_"))
+            .map(f => s"${pd.getName}/${f.getName}" ->
+              java.nio.file.Files.getAttribute(f.toPath, "unix:ino")))
+          .toMap
+      def sidecarDirs(root: String): Seq[String] =
+        Option(new java.io.File(root).listFiles()).toSeq.flatten
+          .filter(d => d.isDirectory && d.getName.contains("=") &&
+            new java.io.File(d, "_deletes").isDirectory)
+          .map(_.getName).sorted
+      val loc0 = headLoc()
+      val before = inodes(loc0)
+      require(before.keys.exists(_.startsWith("o_orderstatus=F/")) &&
+        before.keys.exists(_.startsWith("o_orderstatus=O/")),
+        "fixture landed no F/O partitions")
+      // 1. partition-confined DELETE: sidecar lands ONLY under F
+      s.sql(s"""DELETE FROM $cat.corp.orders_msd
+               |WHERE o_orderstatus = 'F' AND o_orderkey % 16 = 5"""
+        .stripMargin)
+      val loc1 = headLoc()
+      require(loc1 != loc0, "DELETE must publish a fresh generation")
+      require(inodes(loc1) == before,
+        "partition-confined MOR DELETE rewrote a data file")
+      require(sidecarDirs(loc1) == Seq("o_orderstatus=F"),
+        s"sidecars must live ONLY under the touched partition, got " +
+          s"${sidecarDirs(loc1)}")
+      // 2. cross-partition DELETE: keys route to their own partitions
+      s.sql(s"DELETE FROM $cat.corp.orders_msd WHERE o_orderkey % 16 = 0")
+      val loc2 = headLoc()
+      require(inodes(loc2) == before,
+        "cross-partition MOR DELETE rewrote a data file")
+      require(sidecarDirs(loc2).size > 1,
+        s"cross-partition DELETE must land per-partition sidecars, " +
+          s"got ${sidecarDirs(loc2)}")
+      // 3. re-insert the second delete's keys: fresh files are in no
+      // sidecar's applies-to set, so they are live while the original
+      // rows stay hidden
+      s.sql(s"""INSERT INTO $cat.corp.orders_msd
+               |SELECT o_orderkey, o_totalprice, o_orderstatus
+               |FROM orders_src_msd
+               |WHERE o_orderkey % 4 < 2 AND o_orderkey % 16 = 0"""
+        .stripMargin)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.orders_msd")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // COW-over-MOR: an UPDATE on a table with OUTSTANDING delete
     // sidecars — the correctness trap of per-command DML modes
     // (write.delete.mode=merge-on-read + write.update.mode=
@@ -3022,6 +3122,22 @@ object DdlQueries extends QueryGroup {
         |         AND NOT (o_orderstatus = 'F' AND o_orderkey % 16 = 5))
         |SELECT o_orderkey, o_orderstatus,
         |  ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM (SELECT * FROM t1
+        |      UNION ALL
+        |      SELECT * FROM t0 WHERE o_orderkey % 16 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // partitioned MOR DELETE replay: inserted subset, minus both
+    // DELETE predicates, plus the re-inserted second-delete keys (the
+    // per-partition applies-to rule: fresh files are never hidden)
+    "meta_v2_mor_scoped_delete" ->
+      """WITH t0 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |            FROM orders WHERE o_orderkey % 4 < 2),
+        |t1 AS (SELECT * FROM t0
+        |       WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 16 = 5)
+        |         AND NOT (o_orderkey % 16 = 0))
+        |SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+        |  o_orderstatus
         |FROM (SELECT * FROM t1
         |      UNION ALL
         |      SELECT * FROM t0 WHERE o_orderkey % 16 = 0)

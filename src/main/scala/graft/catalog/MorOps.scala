@@ -143,31 +143,66 @@ private[catalog] object Mor {
       : String =
     new org.apache.hadoop.fs.Path(f.filePath.toString).getName
 
-  /** Load every sidecar of the current generation — driver-side KiB
-    * (outstanding deletes between compactions; compaction is the
-    * bound). Sorted file order for determinism. */
-  def loadSidecars(loc: String): Seq[DeleteSidecar] = {
-    val dir = new java.io.File(normLoc(loc), DeletesDirName)
-    val files = Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".keys"))
-      .sortBy(_.getName)
-    files.map { f =>
-      import scala.jdk.CollectionConverters._
-      val lines = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
-      val (hdr, rest) = lines.span(_.startsWith("#applies-to:"))
-      DeleteSidecar(f.getName,
-        hdr.map(l => java.net.URLDecoder
-          .decode(l.stripPrefix("#applies-to:"), "UTF-8")).toSet,
-        rest.filter(_.startsWith(KeyLinePrefix))
-          .map(_.stripPrefix(KeyLinePrefix)).toArray)
-    }.filter(s => s.applies.nonEmpty && s.keys.nonEmpty)
+  /** Stable identity of a data file across hard-linked generations:
+    * the bare name for root files, `<col>=<val>/<name>` for files in a
+    * hive partition dir — partition dir names are generation-stable,
+    * the generation root's is not. Sidecar applies-to sets use exactly
+    * this form, so per-partition sidecars apply only to their own
+    * partition's files even when names repeat across partitions. */
+  def fileId(
+      f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : String = {
+    val p = new org.apache.hadoop.fs.Path(f.filePath.toString)
+    val parent = p.getParent
+    if (parent != null && parent.getName.contains("="))
+      s"${parent.getName}/${p.getName}"
+    else p.getName
   }
 
-  /** Outstanding sidecar volume — the compaction page-on signal. */
+  /** Load every sidecar of the current generation — driver-side KiB
+    * (outstanding deletes between compactions; compaction is the
+    * bound). Unpartitioned sidecars live under `<root>/_deletes`;
+    * partitioned ones under `<root>/<col>=<val>/_deletes` with their
+    * applies-to entries qualified by the partition dir (the [[fileId]]
+    * form). Sorted file order for determinism. */
+  def loadSidecars(loc: String): Seq[DeleteSidecar] = {
+    val root = new java.io.File(normLoc(loc))
+    def loadDir(dir: java.io.File, prefix: String): Seq[DeleteSidecar] = {
+      val files = Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".keys"))
+        .sortBy(_.getName)
+      files.map { f =>
+        import scala.jdk.CollectionConverters._
+        val lines = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+        val (hdr, rest) = lines.span(_.startsWith("#applies-to:"))
+        DeleteSidecar(prefix + f.getName,
+          hdr.map(l => prefix + java.net.URLDecoder
+            .decode(l.stripPrefix("#applies-to:"), "UTF-8")).toSet,
+          rest.filter(_.startsWith(KeyLinePrefix))
+            .map(_.stripPrefix(KeyLinePrefix)).toArray)
+      }
+    }
+    val rootCars = loadDir(new java.io.File(root, DeletesDirName), "")
+    val partCars = Option(root.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .sortBy(_.getName)
+      .flatMap(d => loadDir(new java.io.File(d, DeletesDirName),
+        d.getName + "/"))
+    (rootCars ++ partCars)
+      .filter(s => s.applies.nonEmpty && s.keys.nonEmpty)
+  }
+
+  /** Outstanding sidecar volume — the compaction page-on signal —
+    * summed over the root and every hive partition dir. */
   def sidecarBytes(loc: String): Long = {
-    val dir = new java.io.File(normLoc(loc), DeletesDirName)
-    Option(dir.listFiles()).toSeq.flatten.filter(_.isFile)
-      .map(_.length).sum
+    val root = new java.io.File(normLoc(loc))
+    def bytes(dir: java.io.File): Long =
+      Option(dir.listFiles()).toSeq.flatten.filter(_.isFile)
+        .map(_.length).sum
+    bytes(new java.io.File(root, DeletesDirName)) +
+      Option(root.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.contains("="))
+        .map(d => bytes(new java.io.File(d, DeletesDirName))).sum
   }
 
   /** Hard-link every visible file of `src` into `dst` (same inodes —
@@ -264,6 +299,29 @@ private[catalog] object Mor {
       require(!ci.nullable,
         s"$RowIdProp=$rid must be declared NOT NULL — merge-on-read " +
           "deletes key on it")
+      val partCols = cols.filter(_.isPartition)
+      if (partCols.nonEmpty) {
+        // partitioned MOR: DELETE is delta-based with per-partition
+        // sidecars; UPDATE/MERGE stay partition-scoped COW (their
+        // delta forms would need partition-routed fresh files — the
+        // COW path already tracks touched-partition volume)
+        require(!ci.isPartition,
+          s"$RowIdProp=$rid is the partition column of $db.$name — " +
+            "the row id must be a data column (partition values are " +
+            "not stored in data files)")
+        require(partCols.length == 1 && Set("string", "int", "bigint")(
+            partCols.head.dataType.toLowerCase),
+          s"merge-on-read on partitioned $db.$name needs a single " +
+            "STRING/INT/BIGINT partition column (the partition-scoped " +
+            s"DML class); got ${partCols.map(c =>
+              s"${c.name} ${c.dataType}").mkString(", ")}")
+        require(!mergeMode.contains(ModeMergeOnRead) &&
+            !updateMode.contains(ModeMergeOnRead),
+          s"$MergeModeProp/$UpdateModeProp=$ModeMergeOnRead are not " +
+            s"supported on partitioned $db.$name — UPDATE/MERGE run " +
+            "partition-scoped copy-on-write there; DELETE alone is " +
+            "delta-based")
+      }
     } else {
       require(!mergeMode.contains(ModeMergeOnRead),
         s"$MergeModeProp=$ModeMergeOnRead on $db.$name requires " +
@@ -458,12 +516,14 @@ private[catalog] object MorReadTable {
   /** Wrap ANY read-side serving of a merge-on-read table so its scans
     * merge the sidecars — the read-only catalog attach and time travel
     * go through here; the writable catalog serves the full
-    * [[MorRowLevelTable]]. No-op for tables not opted in (and for
-    * partitioned tables, where the mode is never honored). */
+    * [[MorRowLevelTable]] / [[MorPartitionedTable]]. No-op for tables
+    * not opted in. Partitioned tables merge their per-partition
+    * sidecars through the same scan (file identity is the
+    * partition-qualified [[Mor.fileId]]). */
   def maybeWrap(base: Table, ti: TableInfo): Table = {
     val mor = ti.properties.exists(p =>
       p.key == Mor.DeleteModeProp && p.value == Mor.ModeMergeOnRead)
-    if (!mor || ti.columns.exists(_.isPartition)) base
+    if (!mor) base
     else {
       val rid = ti.properties.find(_.key == Mor.RowIdProp).map(_.value)
         .getOrElse(throw new IllegalArgumentException(
@@ -701,7 +761,7 @@ private[catalog] class MorScan(delegate: Scan, keyField: StructField,
         .empty[Array[org.apache.spark.sql.execution.datasources.PartitionedFile]]
       db.planInputPartitions().foreach {
         case fp: FilePartition =>
-          fp.files.groupBy(f => sig(Mor.fileName(f))).toSeq
+          fp.files.groupBy(f => sig(Mor.fileId(f))).toSeq
             .sortBy(_._1.mkString(","))
             .foreach { case (_, fs) => out += fs }
         case other => throw new IllegalStateException(
@@ -726,7 +786,7 @@ private[catalog] class MorReaderFactory(delegate: PartitionReaderFactory,
 
   private def partFileNames(p: InputPartition): Set[String] = p match {
     case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-      fp.files.iterator.map(Mor.fileName).toSet
+      fp.files.iterator.map(Mor.fileId).toSet
     case _ => Set.empty
   }
 
@@ -978,6 +1038,376 @@ private[catalog] class MorDeltaWriter(newRoot: String,
       dataFile.delete(): Unit
     }
   }
+
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// MERGE-ON-READ × PARTITIONED — the composition production fact tables
+// need: a hive-partitioned table (single STRING/INT/BIGINT partition
+// column, the partition-scoped DML class) opts into
+// graft.delete.mode=merge-on-read and gets O(delta) DELETE — row ids
+// land in sidecars under THEIR OWN partition dir
+// (`<root>/<col>=<val>/_deletes/`), every data file of every partition
+// carries through the publish as a hard link (zero rewrite, even in the
+// touched partition), and reads apply only the sidecars of each file's
+// partition (file identity is the partition-qualified [[Mor.fileId]]).
+// UPDATE/MERGE stay partition-scoped COPY-ON-WRITE
+// ([[PartitionCowOperation]]) but read through the MERGED table, so a
+// COW statement materializes the delete vectors of the partitions it
+// touches while untouched partitions hard-link WITH their sidecars.
+// Partition pruning composes with the delta scan for free: the DELETE
+// condition pushes to parquet through the builder chain, and a
+// partition-column predicate prunes files at the parquet file index —
+// the rewrite touches exactly the matched partitions' matched rows.
+// ---------------------------------------------------------------------------
+
+/** Writable serving of a partitioned merge-on-read table: merged plain
+  * reads, delta DELETE with per-partition sidecars, partition-scoped
+  * COW UPDATE/MERGE over the merged read. */
+private[catalog] class MorPartitionedTable(inner: Table,
+    cat: WritableSnapshotCatalog, ti: TableInfo,
+    partField: StructField, keyField: StructField)
+  extends PartitionScopedRowLevelTable(inner, cat, ti, partField) {
+
+  // fresh per scan/statement: the sidecar set is generation state
+  private def sidecars: Seq[DeleteSidecar] = Mor.loadSidecars(ti.location)
+
+  // re-assert the catalog's declared NOT NULL on the row id (the file
+  // table relaxes every column; the delta rewrite refuses nullable ids)
+  override def schema(): StructType =
+    StructType(inner.schema().fields.map(f =>
+      if (f.name == keyField.name) f.copy(nullable = false) else f))
+
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    schema().fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column
+        .create(f.name, f.dataType, f.nullable))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MorScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options),
+      keyField, sidecars)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () =>
+      if (info.command == RowLevelOperation.Command.DELETE)
+        new MorPartDeltaOperation(this, cat, ti, partField, keyField, info)
+      else
+        // UPDATE/MERGE: partition-scoped COW, reading through `this`
+        // (the merged read — outstanding deletes must not resurrect);
+        // touched partitions rewrite clean, untouched ones hard-link
+        // with their sidecars (PartitionRoutedCowWrite carries them)
+        new PartitionCowOperation(this, cat, ti, partField, info)
+}
+
+/** Delta DELETE on a partitioned merge-on-read table: the rewrite scan
+  * is the merged read plus the `_partition` metadata column (origin
+  * partition of each matched row, required so the writer can route each
+  * key to its partition's sidecar with that partition's applies-to
+  * set). */
+private[catalog] class MorPartDeltaOperation(table: MorPartitionedTable,
+    cat: WritableSnapshotCatalog, ti: TableInfo, partField: StructField,
+    keyField: StructField, info: RowLevelOperationInfo)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = info.command
+
+  override def description(): String =
+    s"graft-mor-part-${info.command} ${ti.db}.${ti.name}"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(keyField.name))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(PartitionScoped.PartCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MorPartScanBuilder(table.newScanBuilder(options), partField)
+
+  override def newWriteBuilder(wInfo: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new MorPartDeltaWrite(cat, ti, keyField)
+    }
+}
+
+/** Scan builder serving `_partition` (hive dir name of each row's
+  * origin partition) on top of the MERGED scan. Filter pushdown
+  * forwards through — the DELETE condition, including any
+  * partition-column predicate, reaches the parquet file index, so the
+  * delta scan reads only matched partitions' matched rows. The
+  * partition COLUMN itself is appended to the delegate projection if
+  * the planner didn't ask for it (needed to derive `_partition`) and
+  * dropped again after. */
+private[catalog] class MorPartScanBuilder(delegate: ScanBuilder,
+    partField: StructField)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private var partRequested = false
+  private var addedPart = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    partRequested =
+      requiredSchema.fieldNames.contains(PartitionScoped.PartCol)
+    var pruned = StructType(requiredSchema.fields
+      .filterNot(_.name == PartitionScoped.PartCol))
+    if (partRequested) {
+      require(requiredSchema.fieldNames.last == PartitionScoped.PartCol,
+        s"metadata column ${PartitionScoped.PartCol} must be requested " +
+          s"last, got ${requiredSchema.fieldNames.mkString(", ")}")
+      if (!pruned.fieldNames.contains(partField.name)) {
+        addedPart = true
+        pruned = pruned.add(partField)
+      }
+    }
+    delegate match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(pruned)
+      case _ => ()
+    }
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushFilters(filters)
+      case _ => filters
+    }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def build(): Scan = {
+    val ds = delegate.build()
+    if (partRequested) new MorPartScan(ds, partField, addedPart) else ds
+  }
+}
+
+/** Appends the per-row `_partition` (hive dir name derived from the
+  * stored partition value) to the merged scan's rows; drops the
+  * partition column again when the builder had to append it. */
+private[catalog] class MorPartScan(delegate: Scan,
+    partField: StructField, dropPart: Boolean) extends Scan {
+
+  override def readSchema(): StructType = {
+    val base =
+      if (dropPart) StructType(delegate.readSchema().fields.dropRight(1))
+      else delegate.readSchema()
+    base.add(PartitionScoped.PartCol, StringType, nullable = true)
+  }
+
+  override def description(): String =
+    s"graft-mor-part-scan(${delegate.description()})"
+
+  override def toBatch: Batch = new Batch {
+    private val db = delegate.toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      db.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MorPartReaderFactory(db.createReaderFactory(),
+        delegate.readSchema(), partField, dropPart)
+  }
+}
+
+private[catalog] class MorPartReaderFactory(
+    delegate: PartitionReaderFactory, fullSchema: StructType,
+    partField: StructField, dropPart: Boolean)
+  extends PartitionReaderFactory {
+
+  private val partOrd = fullSchema.fieldIndex(partField.name)
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val dr = delegate.createReader(p)
+    val proj =
+      if (dropPart)
+        UnsafeProjection.create(fullSchema.fields.indices.dropRight(1)
+          .map(i => BoundReference(i, fullSchema(i).dataType,
+            fullSchema(i).nullable)))
+      else null
+    new PartitionReader[InternalRow] {
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = dr.next()
+      override def get(): InternalRow = {
+        val row = dr.get()
+        val dir = PartitionScoped.dirName(partField.name,
+          row.get(partOrd, partField.dataType))
+        val out = if (proj != null) proj(row) else row
+        joined(out, InternalRow(UTF8String.fromString(dir)))
+      }
+      override def close(): Unit = dr.close()
+    }
+  }
+}
+
+private[catalog] case class MorPartDeleteMsg(
+    files: Seq[(String, String)], keys: Long) extends WriterCommitMessage
+
+/** The partitioned delta write: tasks append row-id keys to per-task
+  * sidecar files under `<newRoot>/<partdir>/_deletes/`, each carrying
+  * ITS partition's applies-to file list; driver commit sweeps strays,
+  * hard-links every partition's data files and prior sidecars (same
+  * inodes — zero data movement, even in touched partitions), and
+  * publishes through the atomic location swap + OCC. */
+private[catalog] class MorPartDeltaWrite(cat: WritableSnapshotCatalog,
+    ti: TableInfo, keyField: StructField) extends DeltaWrite {
+
+  private val oldRoot = Mor.normLoc(ti.location)
+  private val newRoot =
+    oldRoot + s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+
+  override def description(): String =
+    s"graft-mor-part-delta ${ti.db}.${ti.name} -> $newRoot"
+
+  override def toBatch: DeltaBatchWrite = {
+    def partDirs(root: String): Seq[java.io.File] =
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.contains("="))
+        .sortBy(_.getName)
+    // per-partition applies-to: THAT partition's data files at delete
+    // time (bare names on disk; the loader re-qualifies with the
+    // partition dir). KiB of driver-side metadata per partition.
+    val appliesTo: Map[String, Seq[String]] = partDirs(oldRoot).map { d =>
+      d.getName -> Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.getName).sorted
+    }.toMap
+    new java.io.File(newRoot).mkdirs()
+    val marker = new java.io.File(newRoot, "_graftwriting")
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray): Unit
+
+    new DeltaBatchWrite {
+      override def createBatchWriterFactory(
+          pInfo: PhysicalWriteInfo): DeltaWriterFactory =
+        new MorPartDeltaWriterFactory(newRoot, appliesTo,
+          keyField.dataType)
+
+      override def useCommitCoordinator(): Boolean = true
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val authorized = messages
+          .collect { case m: MorPartDeleteMsg => m.files }.flatten
+          .map { case (d, f) => s"$d/$f" }.toSet
+        // sweep stray sidecars from attempts that died without abort
+        partDirs(newRoot).foreach { pd =>
+          val del = new java.io.File(pd, Mor.DeletesDirName)
+          Option(del.listFiles()).toSeq.flatten.filter(_.isFile)
+            .filterNot(f => authorized.contains(s"${pd.getName}/${f.getName}"))
+            .foreach(f => f.delete(): Unit)
+        }
+        // hard-link every partition's data files and prior sidecars
+        partDirs(oldRoot).foreach { src =>
+          val dst = new java.io.File(newRoot, src.getName)
+          dst.mkdirs()
+          Mor.linkAll(src, dst)
+          val srcDel = new java.io.File(src, Mor.DeletesDirName)
+          if (srcDel.isDirectory) {
+            val dstDel = new java.io.File(dst, Mor.DeletesDirName)
+            dstDel.mkdirs()
+            Option(srcDel.listFiles()).toSeq.flatten
+              .filter(f => f.isFile && f.getName.endsWith(".keys"))
+              .foreach(f =>
+                Mor.linkOne(f, new java.io.File(dstDel, f.getName)))
+          }
+        }
+        marker.delete(): Unit
+        cat.swapLocation(ti, newRoot) // the ONLY publish point (atomic)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(newRoot)): Unit
+    }
+  }
+}
+
+private[catalog] class MorPartDeltaWriterFactory(newRoot: String,
+    appliesTo: Map[String, Seq[String]], keyType: DataType)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new MorPartDeltaWriter(newRoot, appliesTo, keyType, partitionId,
+      taskId)
+}
+
+private[catalog] class MorPartDeltaWriter(newRoot: String,
+    appliesTo: Map[String, Seq[String]], keyType: DataType,
+    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private val uniq = java.util.UUID.randomUUID.toString.take(8)
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[String, (java.io.BufferedWriter, java.io.File)]
+  private var n = 0L
+
+  private def writer(partDir: String): java.io.BufferedWriter =
+    writers.getOrElseUpdate(partDir, {
+      val applies = appliesTo.getOrElse(partDir,
+        throw new IllegalStateException(
+          s"delta DELETE matched a row in partition $partDir, which " +
+            "has no data files in the generation the statement was " +
+            "planned against"))
+      val dir = new java.io.File(new java.io.File(newRoot, partDir),
+        Mor.DeletesDirName)
+      dir.mkdirs()
+      val f = new java.io.File(dir,
+        f"delete-$partitionId%05d-$taskId-$uniq.keys")
+      val w = java.nio.file.Files.newBufferedWriter(f.toPath)
+      applies.foreach { a =>
+        w.write("#applies-to:" + java.net.URLEncoder.encode(a, "UTF-8"))
+        w.newLine()
+      }
+      (w, f)
+    })._1
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    require(meta != null && !meta.isNullAt(0),
+      "partitioned merge-on-read delta matched a row without " +
+        s"${PartitionScoped.PartCol} provenance")
+    require(!id.isNullAt(0),
+      "merge-on-read delta matched a row with a NULL row id — " +
+        s"the ${Mor.RowIdProp} column must be non-null on every row")
+    val w = writer(meta.getUTF8String(0).toString)
+    w.write(Mor.KeyLinePrefix + Mor.encodeKey(id.get(0, keyType)))
+    w.newLine()
+    n += 1
+  }
+
+  override def insert(row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "partitioned merge-on-read plans only DELETE delta-based; " +
+        "UPDATE/MERGE run partition-scoped copy-on-write")
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    MorPartDeleteMsg(writers.toSeq.map { case (d, (_, f)) =>
+      d -> f.getName }, n)
+  }
+
+  override def abort(): Unit =
+    writers.values.foreach { case (w, f) =>
+      try w.close() catch { case _: Throwable => () }
+      f.delete(): Unit
+    }
 
   override def close(): Unit = ()
 }

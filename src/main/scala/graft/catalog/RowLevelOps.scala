@@ -661,6 +661,19 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
           // destination holds fresh files, and a REPLACE_EXISTING copy
           // fallback would silently clobber one with old bytes
           Mor.linkAll(src, dst)
+          // an untouched partition of a merge-on-read table keeps its
+          // delete sidecars (hidden rows must not resurrect); touched
+          // partitions were rewritten from the MERGED read, so their
+          // fresh files are clean by construction and carry none
+          val srcDel = new java.io.File(src, Mor.DeletesDirName)
+          if (srcDel.isDirectory) {
+            val dstDel = new java.io.File(dst, Mor.DeletesDirName)
+            dstDel.mkdirs()
+            Option(srcDel.listFiles()).toSeq.flatten
+              .filter(f => f.isFile && f.getName.endsWith(".keys"))
+              .foreach(f =>
+                Mor.linkOne(f, new java.io.File(dstDel, f.getName)))
+          }
         }
         marker.delete(): Unit
         cat.swapLocation(ti, newRoot) // the ONLY publish point (atomic)

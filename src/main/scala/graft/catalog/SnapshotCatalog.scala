@@ -987,10 +987,22 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         new MorRowLevelTable(withChecks, this, ti,
           f.copy(nullable = false), mergeMor, updateMor)
       } else new RowLevelCowTable(withChecks, this, ti)
-    } else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet"))
-      new PartitionScopedRowLevelTable(withChecks, this, ti,
-        base.schema().fields.find(_.name == partCols.head).get)
-    else withChecks
+    } else if (partTypeOk && ti.provider.equalsIgnoreCase("parquet")) {
+      // partitioned MOR composition: delta DELETE with per-partition
+      // sidecars when the table opts in; UPDATE/MERGE partition-scoped
+      // COW over the merged read either way — see MorOps.scala
+      Mor.validateTableProps(ti.db, ti.name, ti.properties, ti.columns)
+      val pf = base.schema().fields.find(_.name == partCols.head).get
+      val mode = ti.properties.find(_.key == Mor.DeleteModeProp)
+        .map(_.value)
+      if (mode.contains(Mor.ModeMergeOnRead)) {
+        val rid = ti.properties.find(_.key == Mor.RowIdProp).get.value
+        val kf = base.schema().fields.find(_.name == rid).get
+        new MorPartitionedTable(withChecks, this, ti, pf,
+          kf.copy(nullable = false))
+      } else
+        new PartitionScopedRowLevelTable(withChecks, this, ti, pf)
+    } else withChecks
   }
 
   /** Atomically re-point `ti` at a freshly-written generation dir — the

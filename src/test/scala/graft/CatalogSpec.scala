@@ -2574,6 +2574,92 @@ class CatalogSpec extends SparkSpec {
       s"delta UPDATE content drifted: ${vals.toSeq.sortBy(_._1).take(8)}")
   }
 
+  test("partitioned merge-on-read: DELETE plans WriteDelta; a COW " +
+      "UPDATE materializes the touched partition's sidecars while " +
+      "untouched partitions keep theirs; time travel merges " +
+      "historical sidecars") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_morpart_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gmorpart"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t
+                 |(k BIGINT NOT NULL, v DOUBLE, p STRING)
+                 |USING parquet PARTITIONED BY (p) TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.m.t
+                 |SELECT id, id * 1.0D,
+                 |  CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+                 |FROM range(100)""".stripMargin)
+    // plan split on the partitioned table: DELETE delta, UPDATE COW
+    val delPlan = spark.sql(
+      s"EXPLAIN EXTENDED DELETE FROM $cat.m.t WHERE k % 10 = 0")
+      .first.getString(0)
+    assert(delPlan.contains("WriteDelta") &&
+      !delPlan.contains("ReplaceData"),
+      s"partitioned MOR DELETE did not plan delta-based:\n$delPlan")
+    val updPlan = spark.sql(
+      s"EXPLAIN EXTENDED UPDATE $cat.m.t SET v = v + 1D WHERE k < 4")
+      .first.getString(0)
+    assert(updPlan.contains("ReplaceData"),
+      s"partitioned MOR UPDATE must stay partition-scoped COW:\n$updPlan")
+    // one delete per partition (sidecars in both a and b)
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 10 = 0") // even -> a
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 10 = 1") // odd  -> b
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+    def locAt(r: Int): String = CatalogTransfer
+      .readLocal(s"$dir/revs/$r").tables.find(_.name == "t").get.location
+    val revDel = headRev()
+    assert(spark.table(s"$cat.m.t").count() == 80)
+    def hasSidecars(root: String, part: String): Boolean =
+      Option(new java.io.File(s"$root/p=$part/_deletes").list())
+        .exists(_.exists(_.endsWith(".keys")))
+    assert(hasSidecars(locAt(revDel), "a") &&
+      hasSidecars(locAt(revDel), "b"))
+    // COW UPDATE confined to partition a: rewrites a from the MERGED
+    // read (deleted rows must not resurrect, sidecars materialized);
+    // untouched b hard-links WITH its sidecars
+    def inosIn(root: String, part: String): Map[String, AnyRef] =
+      Option(new java.io.File(s"$root/p=$part").listFiles()).toSeq
+        .flatten.filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(f => f.getName -> java.nio.file.Files.readAttributes(
+          f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+          .fileKey()).toMap
+    val bBefore = inosIn(locAt(revDel), "b")
+    spark.sql(
+      s"UPDATE $cat.m.t SET v = v * 100D WHERE p = 'a' AND k % 10 = 2")
+    val loc2 = locAt(headRev())
+    assert(!hasSidecars(loc2, "a"),
+      "the COW rewrite of partition a must materialize its sidecars")
+    assert(hasSidecars(loc2, "b"),
+      "untouched partition b must KEEP its sidecars through the swap")
+    assert(inosIn(loc2, "b") == bBefore,
+      "untouched partition b must hard-link file-for-file")
+    assert(spark.table(s"$cat.m.t").count() == 80,
+      "COW update resurrected or dropped rows")
+    assert(spark.table(s"$cat.m.t").where("k % 10 <= 1").count() == 0,
+      "a deleted row resurrected through the partition COW rewrite")
+    assert(spark.table(s"$cat.m.t")
+      .where("k % 10 = 2 AND v < 100").count() == 0,
+      "the COW update missed rows in its partition")
+    // time travel: the HISTORICAL generation's sidecars apply
+    val ro = cat + "_ro"
+    spark.conf.set(s"spark.sql.catalog.$ro",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ro.path", dir.getPath)
+    val hist = spark.sql(
+      s"SELECT COUNT(*) AS n FROM $ro.m.t VERSION AS OF '$revDel'")
+      .first.getLong(0)
+    assert(hist == 80,
+      s"time travel did not merge the historical sidecars: $hist")
+  }
+
   test("publishAll: racing cross-table publishes serialize to exactly " +
       "one winner, and NO revision ever shows a half-migrated pair") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_txnrace_snapshot"))
