@@ -112,6 +112,41 @@ private[catalog] object Mor {
     * hidden from the stock parquet file index). */
   val DeletesDirName = "_deletes"
 
+  /** Commit-time CDC directory under the generation dir: for every
+    * sidecar a delta statement lands, a parquet file of the SAME rows'
+    * full PRE-IMAGES (plus the data file each came from) lands here at
+    * the same publish — so a change-feed read between two revisions is
+    * O(delta) end to end, never a `VERSION AS OF` key-join against the
+    * table. The capture costs nothing extra at write time: the delta
+    * rewrite scan already read the matched rows; the [[CdcCol]]
+    * metadata column just carries them through to the writer. */
+  val CdcDirName = "_cdc"
+
+  /** Metadata column carrying each matched row's CDC provenance
+    * through a delta rewrite: struct(file = the data file serving the
+    * row, row = the full pre-image). Requested (and served) only by
+    * delta row-level operations — plain reads never pay for it. */
+  val CdcCol = "_cdc"
+
+  /** Column holding the source data file in CDC parquet files; the
+    * feed uses it to keep only pre-images of rows that existed at the
+    * range start (files of A), dropping mid-range churn. */
+  val CdcSrcFile = "_src_file"
+
+  def cdcStructType(tableSchema: StructType): StructType =
+    StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row", tableSchema, nullable = false)))
+
+  def cdcSchema(tableSchema: StructType): StructType =
+    StructType(StructField(CdcSrcFile, StringType, nullable = true) +:
+      tableSchema.fields)
+
+  /** CDC companion file of one sidecar (same base name — the pairing
+    * is how the feed detects CDC coverage of a revision range). */
+  def cdcFileName(sidecarName: String): String =
+    sidecarName + ".cdc.parquet"
+
   def normLoc(loc: String): String =
     loc.stripPrefix("file:").stripSuffix("/")
 
@@ -418,27 +453,49 @@ private[graft] object MorMaintenance {
 }
 
 /** CHANGE DATA FEED between two generations of a merge-on-read table —
-  * the CDC read the MOR artifacts give away for free: the range's NEW
-  * sidecars name every key that disappeared (deletes and updated-away
-  * images), and its FRESH data files hold every row that appeared
-  * (inserts and updated images). No state diffing, no commit-time CDC
-  * files:
+  * the CDC read the MOR artifacts give away: the range's NEW sidecars
+  * name every key that disappeared (deletes and updated-away images),
+  * and its FRESH data files hold every row that appeared (inserts and
+  * updated images):
   *  - post-images read the fresh files DIRECTLY — O(delta) — with
   *    per-(file, key) hiding for keys a later in-range sidecar removed
   *    from a fresh file (insert-then-delete nets out; the `_metadata`
   *    file-path column keys the hiding, so a re-insert after an
   *    in-range delete stays live);
-  *  - pre-images are a key-join against the caller-provided state-A
-  *    relation (serve it via the catalog's `VERSION AS OF` time
-  *    travel, which merges A's own sidecars) — the one non-delta term,
-  *    prunable by broadcast/bloom on the delta keys; formats that must
-  *    avoid even that write CDC files at commit time, the documented
-  *    trade. Keys hidden in-range that never existed at A (mid-range
-  *    insert-then-delete) drop out of the inner pre-image join.
+  *  - pre-images read the range's COMMIT-TIME CDC FILES — the `_cdc/`
+  *    parquet each delta statement lands next to its sidecar, holding
+  *    the matched rows' full pre-images plus their source data file.
+  *    Filtering to pre-images whose source file existed at A keeps
+  *    exactly the A-state image of every key hidden in-range (later
+  *    re-image churn comes from fresh files and drops out), so the
+  *    pre-image leg is O(delta) too — no table-proportional term
+  *    remains. For ranges whose statements predate CDC capture (some
+  *    new sidecar lacks its CDC companion), the feed falls back to the
+  *    key-join against the caller-provided state-A relation (serve it
+  *    via `VERSION AS OF` time travel) — correct, but table-reading.
   * The feed is the NET range diff: a key touched multiple times
   * in-range emits its A-vs-B classification (delete / insert /
-  * update_preimage+update_postimage), not per-statement events. */
+  * update_preimage+update_postimage), not per-statement events. At
+  * 100 TB the driver-side file-set metadata (names at A and B) is the
+  * same KiB-per-generation listing every other catalog op reads. */
 private[graft] object MorChangeFeed {
+  /** True iff every sidecar new in (locA, locB] carries its CDC
+    * companion — i.e. [[between]] will take the O(delta) CDC path. */
+  def cdcCovered(locA: String, locB: String): Boolean = {
+    val oldSidecars = sidecarNames(locA)
+    val cdcDir = new java.io.File(Mor.normLoc(locB), Mor.CdcDirName)
+    Mor.loadSidecars(locB)
+      .filterNot(sc => oldSidecars.contains(sc.name))
+      .forall(sc => new java.io.File(cdcDir,
+        Mor.cdcFileName(sc.name)).isFile)
+  }
+
+  private def sidecarNames(loc: String): Set[String] =
+    Option(new java.io.File(Mor.normLoc(loc), Mor.DeletesDirName)
+      .listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".keys"))
+      .map(_.getName).toSet
+
   def between(s: SparkSession, stateA: org.apache.spark.sql.DataFrame,
       locA: String, locB: String, keyName: String)
       : org.apache.spark.sql.DataFrame = {
@@ -447,11 +504,6 @@ private[graft] object MorChangeFeed {
       Option(new java.io.File(Mor.normLoc(loc)).listFiles()).toSeq.flatten
         .filter(f => f.isFile && !f.getName.startsWith("_") &&
           !f.getName.startsWith("."))
-        .map(_.getName).toSet
-    def sidecarNames(loc: String): Set[String] =
-      Option(new java.io.File(Mor.normLoc(loc), Mor.DeletesDirName)
-        .listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.endsWith(".keys"))
         .map(_.getName).toSet
     val filesA = dataFiles(locA)
     val freshNames = (dataFiles(locB) -- filesA).toSeq.sorted
@@ -491,21 +543,43 @@ private[graft] object MorChangeFeed {
     val keyStr = col(keyName).cast("string")
     val live = freshRows.withColumn("_k", keyStr)
       .join(hiddenPairs, Seq("_fname", "_k"), "left_anti")
-    val inserted = live
-      .join(deletedKeys.withColumnRenamed("_k", "_dk"),
-        live("_k") === col("_dk"), "left")
-      .withColumn("_op",
-        when(col("_dk").isNull, lit("insert"))
-          .otherwise(lit("update_postimage")))
-      .drop("_fname", "_k", "_dk")
-    val pre = stateA.withColumn("_k", keyStr)
-      .join(deletedKeys, "_k") // inner: mid-range churn w/o an A row drops
+    // pre-images of every key that existed at A and was hidden
+    // in-range, WITH the `_k` join column; CDC path when covered
+    val pre0: org.apache.spark.sql.DataFrame =
+      if (newSidecars.isEmpty)
+        stateA.withColumn("_k", keyStr).limit(0)
+      else if (cdcCovered(locA, locB)) {
+        val cdcDir = s"${Mor.normLoc(locB)}/${Mor.CdcDirName}"
+        val paths = newSidecars.map(sc =>
+          s"$cdcDir/${Mor.cdcFileName(sc.name)}")
+        // keep pre-images whose source file existed at A: exactly the
+        // A-state image of each key (mid-range re-image churn lives in
+        // fresh files and drops out); delta-sized read, no state join
+        s.read.parquet(paths: _*)
+          .where(col(Mor.CdcSrcFile).isInCollection(filesA.toSeq))
+          .drop(Mor.CdcSrcFile)
+          .withColumn("_k", keyStr)
+      } else
+        // pre-CDC revisions: the documented fallback — key-join the
+        // range's deleted keys against the caller-provided A state
+        stateA.withColumn("_k", keyStr).join(deletedKeys, "_k")
+    val pre = pre0
       .join(live.select(col("_k").as("_lk")).distinct(),
         col("_k") === col("_lk"), "left")
       .withColumn("_op",
         when(col("_lk").isNull, lit("delete"))
           .otherwise(lit("update_preimage")))
       .drop("_k", "_lk")
+    // fresh-row classification keys on the A-existing pre-image set
+    // (not on raw sidecar keys: a key inserted AND deleted mid-range
+    // then re-inserted never existed at A — its net class is insert)
+    val hadPre = pre0.select(col("_k").as("_pk")).distinct()
+    val inserted = live
+      .join(hadPre, col("_k") === col("_pk"), "left")
+      .withColumn("_op",
+        when(col("_pk").isNull, lit("insert"))
+          .otherwise(lit("update_postimage")))
+      .drop("_fname", "_k", "_pk")
     val cols = col("_op").as("op") +:
       stateA.schema.fieldNames.toSeq.map(col)
     pre.select(cols: _*).unionByName(inserted.select(cols: _*))
@@ -600,6 +674,21 @@ private[catalog] class MorRowLevelTable(inner: Table,
       inner.asInstanceOf[SupportsRead].newScanBuilder(options),
       keyField, sidecars)
 
+  // next to the COW path's `_gen`: the CDC provenance struct the delta
+  // operations require (served only by their own scans — see CdcScan)
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    super.metadataColumns() :+
+      (new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name: String = Mor.CdcCol
+        override def dataType: org.apache.spark.sql.types.DataType =
+          Mor.cdcStructType(schema())
+        override def isNullable: Boolean = true
+        override def comment: String =
+          "CDC provenance of a delta-rewritten row: (source data " +
+            "file, full pre-image)"
+      })
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () =>
@@ -640,16 +729,158 @@ private[catalog] class MorDeltaOperation(table: MorRowLevelTable,
   // as sidecar-delete + fresh-file insert itself — no split needed
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
+  // each matched row carries its CDC provenance (source file + full
+  // pre-image) to the writer, which lands pre-images as commit-time
+  // CDC files — the rewrite scan read these rows anyway, so the feed's
+  // O(delta) pre-image leg costs the statement nothing extra
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(Mor.CdcCol))
+
   // the rewrite scan is the table's merged read: already-hidden rows
   // are never re-matched, so a sidecar records each key at most once
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    table.newScanBuilder(options)
+    new CdcScanBuilder(table.newScanBuilder(options), table.schema())
 
   override def newWriteBuilder(wInfo: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new MorDeltaWrite(cat, ti, keyField, table.schema())
     }
+}
+
+/** Scan builder serving the [[Mor.CdcCol]] provenance struct on top of
+  * the MERGED scan. When the planner requests it (delta rewrites
+  * only), the delegate is pruned to the FULL table schema (the struct
+  * carries the whole pre-image) while the scan's own output keeps
+  * exactly the requested shape; filter pushdown forwards through, so
+  * the delta scan still reads only matched row groups. */
+private[catalog] class CdcScanBuilder(delegate: ScanBuilder,
+    tableSchema: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private var cdcRequested = false
+  private var requested: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    cdcRequested = requiredSchema.fieldNames.contains(Mor.CdcCol)
+    if (cdcRequested) {
+      require(requiredSchema.fieldNames.last == Mor.CdcCol,
+        s"metadata column ${Mor.CdcCol} must be requested last, got " +
+          requiredSchema.fieldNames.mkString(", "))
+      requested = StructType(requiredSchema.fields.dropRight(1))
+      delegate match {
+        case p: SupportsPushDownRequiredColumns =>
+          p.pruneColumns(tableSchema) // the struct needs every column
+        case _ => ()
+      }
+    } else {
+      requested = requiredSchema
+      delegate match {
+        case p: SupportsPushDownRequiredColumns =>
+          p.pruneColumns(requiredSchema)
+        case _ => ()
+      }
+    }
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushFilters(filters)
+      case _ => filters
+    }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def build(): Scan = {
+    val ds = delegate.build()
+    if (cdcRequested) new CdcScan(ds, tableSchema, requested) else ds
+  }
+}
+
+/** Appends the per-row CDC provenance struct: file partitions are
+  * split one-file-per-reader so the source file name is a per-reader
+  * constant, and each emitted row carries (requested columns...,
+  * struct(file, full pre-image)). Delta-scan only — its input is
+  * already filtered to the statement's matched row groups. */
+private[catalog] class CdcScan(delegate: Scan, tableSchema: StructType,
+    requested: StructType) extends Scan {
+
+  override def readSchema(): StructType =
+    requested.add(Mor.CdcCol, Mor.cdcStructType(tableSchema),
+      nullable = true)
+
+  override def description(): String =
+    s"graft-cdc-scan(${delegate.description()})"
+
+  override def toBatch: Batch = new Batch {
+    private val db = delegate.toBatch
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      db.planInputPartitions().flatMap {
+        case fp: FilePartition =>
+          fp.files.map(f => Array(f))
+        case other => throw new IllegalStateException(
+          "CDC scan expected a parquet FilePartition, got " +
+            other.getClass.getName)
+      }.zipWithIndex.map { case (fs, i) =>
+        FilePartition(i, fs): InputPartition }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcReaderFactory(db.createReaderFactory(), tableSchema,
+        requested)
+  }
+}
+
+private[catalog] class CdcReaderFactory(delegate: PartitionReaderFactory,
+    tableSchema: StructType, requested: StructType)
+  extends PartitionReaderFactory {
+
+  private val idx = requested.fields.map(f =>
+    tableSchema.fieldIndex(f.name))
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = p match {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        require(fp.files.length == 1,
+          "CDC reader expects single-file partitions")
+        Mor.fileName(fp.files.head)
+      case other => throw new IllegalStateException(
+        s"CDC reader got ${other.getClass.getName}")
+    }
+    val fileUtf8 = UTF8String.fromString(file)
+    val dr = delegate.createReader(p)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = dr.next()
+      override def get(): InternalRow = {
+        // copy: the delegate reuses its row buffer, and the struct
+        // must stay valid through the exec's downstream projections
+        val r = dr.get().copy()
+        val out = new Array[Any](idx.length + 1)
+        var i = 0
+        while (i < idx.length) {
+          out(i) = r.get(idx(i), tableSchema(idx(i)).dataType)
+          i += 1
+        }
+        out(idx.length) = InternalRow(fileUtf8, r)
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(out)
+      }
+      override def close(): Unit = dr.close()
+    }
+  }
 }
 
 /** Scan builder merging outstanding sidecars out of the delegate
@@ -841,7 +1072,8 @@ private[catalog] class MorReaderFactory(delegate: PartitionReaderFactory,
 }
 
 private[catalog] case class MorDeleteMsg(file: Option[String], keys: Long,
-    dataFile: Option[String] = None) extends WriterCommitMessage
+    dataFile: Option[String] = None,
+    cdcFile: Option[String] = None) extends WriterCommitMessage
 
 /** The delta write: tasks append encoded row-id keys to per-task
   * sidecar files under the fresh generation's `_deletes/` and land
@@ -891,14 +1123,29 @@ private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
     val owf = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, tableSchema)
+    // CDC pre-image files get their own factory (schema = _src_file +
+    // the table's columns); prepared on a separate Job so the two
+    // schemas don't clobber each other's conf
+    val cdcJob = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sessionState.newHadoopConf())
+    cdcJob.setOutputKeyClass(classOf[Void])
+    cdcJob.setOutputValueClass(classOf[InternalRow])
+    val cdcOwf = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat()
+      .prepareWrite(spark, cdcJob, Map.empty, Mor.cdcSchema(tableSchema))
+    val cdcDir = new java.io.File(newRoot, Mor.CdcDirName)
+    cdcDir.mkdirs()
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       job.getConfiguration)
+    val cdcSerConf = new org.apache.spark.util.SerializableConfiguration(
+      cdcJob.getConfiguration)
 
     new DeltaBatchWrite {
       override def createBatchWriterFactory(
           pInfo: PhysicalWriteInfo): DeltaWriterFactory =
         new MorDeltaWriterFactory(newRoot, dataFiles,
-          keyField.dataType, tableSchema, owf, serConf)
+          keyField.dataType, tableSchema, owf, serConf, cdcOwf,
+          cdcSerConf)
 
       override def useCommitCoordinator(): Boolean = true
 
@@ -907,6 +1154,11 @@ private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
         val authorized = msgs.flatMap(_.file).toSet
         Option(delDir.listFiles()).toSeq.flatten.filter(_.isFile)
           .filterNot(f => authorized.contains(f.getName))
+          .foreach(f => f.delete(): Unit)
+        // sweep stray CDC files the same way (one per sidecar)
+        val authorizedCdc = msgs.flatMap(_.cdcFile).toSet
+        Option(cdcDir.listFiles()).toSeq.flatten.filter(_.isFile)
+          .filterNot(f => authorizedCdc.contains(f.getName))
           .foreach(f => f.delete(): Unit)
         // sweep stray DATA files from attempts that died without abort
         val authorizedData = msgs.flatMap(_.dataFile).toSet
@@ -926,6 +1178,15 @@ private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
             .foreach(f =>
               Mor.linkOne(f, new java.io.File(delDir, f.getName)))
         }
+        // prior CDC files carry forward too — the feed reads the
+        // range's NEW ones as the locB-minus-locA set difference
+        val oldCdc = new java.io.File(oldRoot, Mor.CdcDirName)
+        if (oldCdc.isDirectory) {
+          Option(oldCdc.listFiles()).toSeq.flatten
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .foreach(f =>
+              Mor.linkOne(f, new java.io.File(cdcDir, f.getName)))
+        }
         marker.delete(): Unit
         cat.swapLocation(ti, newRoot) // the ONLY publish point (atomic)
       }
@@ -940,18 +1201,22 @@ private[catalog] class MorDeltaWrite(cat: WritableSnapshotCatalog,
 private[catalog] class MorDeltaWriterFactory(newRoot: String,
     appliesTo: Seq[String], keyType: DataType, schema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    cdcOwf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    cdcConf: org.apache.spark.util.SerializableConfiguration)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new MorDeltaWriter(newRoot, appliesTo, keyType, schema, owf,
-      conf.value, partitionId, taskId)
+      conf.value, cdcOwf, cdcConf.value, partitionId, taskId)
 }
 
 private[catalog] class MorDeltaWriter(newRoot: String,
     appliesTo: Seq[String], keyType: DataType, schema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: org.apache.hadoop.conf.Configuration, partitionId: Int,
+    conf: org.apache.hadoop.conf.Configuration,
+    cdcOwf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    cdcConf: org.apache.hadoop.conf.Configuration, partitionId: Int,
     taskId: Long) extends DeltaWriter[InternalRow] {
 
   import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
@@ -962,6 +1227,9 @@ private[catalog] class MorDeltaWriter(newRoot: String,
   private var dataOut
       : org.apache.spark.sql.execution.datasources.OutputWriter = _
   private var dataFile: java.io.File = _
+  private var cdcOut
+      : org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var cdcFile: java.io.File = _
   // (partitionId, taskId) repeat across Spark APPLICATIONS (the task
   // counter resets per session) — without a per-writer nonce a fresh
   // file could collide with a prior generation's name, landing it in
@@ -998,6 +1266,25 @@ private[catalog] class MorDeltaWriter(newRoot: String,
     dataOut
   }
 
+  private def cdcWriter()
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    if (cdcOut == null) {
+      // the CDC file pairs with THIS task's sidecar by name — the feed
+      // detects CDC coverage of a revision range via that pairing
+      val base = writer() // ensure the sidecar file (and its name) exist
+      require(base != null && file != null)
+      val attempt = new org.apache.hadoop.mapreduce.task
+        .TaskAttemptContextImpl(cdcConf,
+          new TaskAttemptID(new TaskID(new JobID("graftcdc", 0),
+            TaskType.MAP, partitionId), taskId.toInt))
+      cdcFile = new java.io.File(new java.io.File(newRoot, Mor.CdcDirName),
+        Mor.cdcFileName(file.getName))
+      cdcOut = cdcOwf.newInstance(cdcFile.getPath,
+        Mor.cdcSchema(schema), attempt)
+    }
+    cdcOut
+  }
+
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     require(!id.isNullAt(0),
       "merge-on-read delta matched a row with a NULL row id — " +
@@ -1006,6 +1293,21 @@ private[catalog] class MorDeltaWriter(newRoot: String,
     w.write(Mor.KeyLinePrefix + Mor.encodeKey(id.get(0, keyType)))
     w.newLine()
     n += 1
+    // commit-time CDC: the row's full pre-image + source file, carried
+    // by the _cdc metadata struct the rewrite scan served
+    require(meta != null && !meta.isNullAt(0),
+      "merge-on-read delta row arrived without its _cdc provenance")
+    val cdc = meta.getStruct(0, 2)
+    val pre = cdc.getStruct(1, schema.length)
+    val rowOut = new Array[Any](schema.length + 1)
+    rowOut(0) = cdc.getUTF8String(0)
+    var i = 0
+    while (i < schema.length) {
+      rowOut(i + 1) = pre.get(i, schema(i).dataType)
+      i += 1
+    }
+    cdcWriter().write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(rowOut))
   }
 
   // MERGE inserts land in a fresh per-task data file — never listed in
@@ -1014,7 +1316,8 @@ private[catalog] class MorDeltaWriter(newRoot: String,
     dataWriter().write(row)
 
   // an update is sidecar-delete (hides the row in its OLD file) plus a
-  // fresh-file insert of the new image — served exactly once
+  // fresh-file insert of the new image — served exactly once; the
+  // delete half captures the pre-image CDC row
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
     delete(meta, id)
@@ -1024,8 +1327,10 @@ private[catalog] class MorDeltaWriter(newRoot: String,
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     if (dataOut != null) dataOut.close()
+    if (cdcOut != null) cdcOut.close()
     MorDeleteMsg(Option(file).map(_.getName), n,
-      Option(dataFile).map(_.getName))
+      Option(dataFile).map(_.getName),
+      Option(cdcFile).map(_.getName))
   }
 
   override def abort(): Unit = {
@@ -1036,6 +1341,10 @@ private[catalog] class MorDeltaWriter(newRoot: String,
     if (dataOut != null) {
       try dataOut.close() catch { case _: Throwable => () }
       dataFile.delete(): Unit
+    }
+    if (cdcOut != null) {
+      try cdcOut.close() catch { case _: Throwable => () }
+      cdcFile.delete(): Unit
     }
   }
 

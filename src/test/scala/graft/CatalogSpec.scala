@@ -2660,6 +2660,76 @@ class CatalogSpec extends SparkSpec {
       s"time travel did not merge the historical sidecars: $hist")
   }
 
+  test("change feed: commit-time CDC files serve the pre-images " +
+      "without touching state A; removing them falls back to the " +
+      "VERSION AS OF key-join with identical results") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_cdcfile_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "gcdcf"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet TBLPROPERTIES(
+                 | 'graft.delete.mode'='merge-on-read',
+                 | 'graft.merge.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.t SELECT id, id * 1.0D FROM range(40)")
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+    def locAt(r: Int): String = CatalogTransfer
+      .readLocal(s"$dir/revs/$r").tables.find(_.name == "t").get.location
+    val revA = headRev()
+    val locA = locAt(revA)
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 10 = 0")
+    // 4 matched updates (k%10=4) + 3 unmatched inserts (k+200)
+    spark.range(40)
+      .selectExpr("CASE WHEN id % 10 = 4 THEN id ELSE id + 200 END AS k",
+        "id * 3.0D AS v")
+      .filter("k % 10 = 4 OR k IN (200, 201, 202)")
+      .createOrReplaceTempView("cdcf_delta")
+    spark.sql(s"""MERGE INTO $cat.m.t t USING cdcf_delta u ON t.k = u.k
+                 |WHEN MATCHED THEN UPDATE SET v = u.v
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.m.t SELECT id + 100, 1.0D FROM range(2)")
+    val locB = locAt(headRev())
+    assert(graft.catalog.MorChangeFeed.cdcCovered(locA, locB),
+      "every new sidecar must carry its commit-time CDC companion")
+    val ro = cat + "_ro"
+    spark.conf.set(s"spark.sql.catalog.$ro",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ro.path", dir.getPath)
+    val stateA = spark.sql(
+      s"SELECT * FROM $ro.m.t VERSION AS OF '$revA'")
+    // a state-A relation that EXPLODES if any task evaluates it: the
+    // CDC path must assemble the feed without reading state A at all
+    val poisonA = stateA.filter(
+      org.apache.spark.sql.functions.expr(
+        "assert_true(k IS NULL, 'CDC path read state A') IS NULL"))
+    def feed(a: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      graft.catalog.MorChangeFeed.between(spark, a, locA, locB, "k")
+        .select("op", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val viaCdc = feed(poisonA)
+    assert(viaCdc.count(_._1 == "delete") == 4 &&
+      viaCdc.count(_._1 == "update_preimage") == 4 &&
+      viaCdc.count(_._1 == "update_postimage") == 4 &&
+      viaCdc.count(_._1 == "insert") == 5,
+      s"CDC feed classes wrong: $viaCdc")
+    // strip the CDC companions from locB (a pre-CDC range, simulated)
+    // -> the feed must fall back to the state-A key-join and agree
+    val cdcDir = new java.io.File(
+      locB.stripPrefix("file:").stripSuffix("/"), "_cdc")
+    Option(cdcDir.listFiles()).toSeq.flatten
+      .foreach(f => assert(f.delete(), s"could not remove $f"))
+    assert(!graft.catalog.MorChangeFeed.cdcCovered(locA, locB))
+    val viaFallback = feed(stateA)
+    assert(viaFallback == viaCdc,
+      s"fallback feed diverged:\n cdc=$viaCdc\n fb =$viaFallback")
+  }
+
   test("publishAll: racing cross-table publishes serialize to exactly " +
       "one winner, and NO revision ever shows a half-migrated pair") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_txnrace_snapshot"))
