@@ -14,7 +14,8 @@ object PlanProbe {
     // as a data directory
     val flags = Set("full", "warm")
     val positional = args.drop(1)
-      .filterNot(a => flags(a) || a.startsWith("cpus="))
+      .filterNot(a => flags(a) || a.startsWith("cpus=") ||
+        a.startsWith("runs="))
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
     // cpus=N reproduces the bench's local[N] / N-shuffle-partition config
     val cpus = args.collectFirst { case a if a.startsWith("cpus=") =>
@@ -31,14 +32,22 @@ object PlanProbe {
     // caches cold, JVM warm — a persist() inside the key would otherwise
     // hand the timed run the warmup's materialized blocks (CacheManager
     // matches canonicalized plans across separate DataFrame builds)
-    RunCaches.reset()
-    spark.catalog.clearCache()
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(key)(spark, sfDir)
-    df.collect()
-    val secs = (System.nanoTime() - t0) / 1e9
+    // runs=N: report the MEDIAN of N timed runs in this one JVM — the
+    // bench's own statistic; single-shot streaming keys swing 2×
+    val runs = args.collectFirst { case a if a.startsWith("runs=") =>
+      a.stripPrefix("runs=").toInt }.getOrElse(1)
+    var df: org.apache.spark.sql.DataFrame = null
+    val times = Seq.fill(runs) {
+      RunCaches.reset()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      df = SparkEntry.queries(key)(spark, sfDir)
+      df.collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val secs = times(runs / 2)
     val p = df.queryExecution.executedPlan.toString
-    println(f"KEY=$key SECS=$secs%.2f")
+    println(f"KEY=$key SECS=$secs%.2f RUNS=${times.map(t => f"$t%.2f").mkString(",")}")
     println("EXCHANGES=" + "Exchange hashpartitioning".r.findAllIn(p).length)
     println("REUSED=" + "ReusedExchange".r.findAllIn(p).length)
     println("SCANS=" + "FileScan parquet".r.findAllIn(p).length)
