@@ -2030,6 +2030,86 @@ object DdlQueries extends QueryGroup {
         .orderBy("phase", "tbl", "k")
     }),
 
+    // FILE-LEVEL MIN/MAX SKIPPING ([[FileSkipping]]) — the zone-map
+    // half of a lakehouse manifest, catalog-side: analyze() persists
+    // per-file footer stats (driver metadata, no row read); a filtered
+    // scan then drops whole FILES the stats refute BEFORE tasks are
+    // scheduled. The fixture lays orders out as 8 key-range files
+    // (deterministic: one coalesced append per explicit range), so the
+    // one-range predicate below must plan exactly 1 of 8 files — that
+    // count is engine-asserted from the EXECUTING scan's own
+    // planInputPartitions and emitted as oracled columns. Correctness
+    // never depends on stats freshness (absent file/column/shape =>
+    // read), so the oracle replaying the query over raw parquet proves
+    // the pruned scan loses no rows. At 100 TB: parquet row-group
+    // skipping still pays one task + one footer GET per file per
+    // query; file skipping never schedules those tasks — a key-range
+    // query over a clustered table touches only files that can match
+    // (the Iceberg-manifest / Delta-add-file-stats design, re-expressed
+    // over this catalog's KiB-per-table driver metadata).
+    "meta_v2_file_skipping" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_skip_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gskip_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_skip"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_skip
+               |(o_orderkey BIGINT, o_orderstatus STRING,
+               | o_totalprice DOUBLE, o_orderdate DATE)
+               |USING parquet LOCATION '$loc'""".stripMargin)
+      val src = Tables(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+      val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
+      val step = maxKey / 8 + 1
+      // 8 files with explicit contiguous key ranges — the clustered
+      // layout a sorted write / zorder compaction would produce
+      for (i <- 0L until 8L)
+        src.filter(col("o_orderkey") >= i * step &&
+            col("o_orderkey") < (i + 1) * step)
+          .coalesce(1)
+          .writeTo(s"$cat.corp.orders_skip").append()
+      val covered = FileSkipping.analyze(loc)
+      require(covered == 8,
+        s"expected exactly 8 stats-covered files, got $covered")
+      // the filtered read — served through a SECOND read-only attach,
+      // so pruning rides the plain serving path, not a writer cache
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      val q = s.table(s"$cat2.corp.orders_skip")
+        .filter(col("o_orderkey") < step)
+      // pruning evidence from the EXECUTING scan's plan: the pruned
+      // batch must keep exactly the one file whose range can match
+      val scans = q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan
+      }
+      val pruned = scans.collectFirst { case sp: StatsPrunedScan => sp }
+        .getOrElse(throw new IllegalStateException(
+          "analyzed table must serve a stats-pruned scan, got " +
+            scans.map(_.getClass.getName).mkString(",")))
+      val filesRead = pruned.toBatch.planInputPartitions().map {
+        case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp.files.length
+        case _ => 0
+      }.sum
+      q.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd")
+            .as("min_date"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd")
+            .as("max_date"))
+        .withColumn("files_total", lit(covered.toLong))
+        .withColumn("files_read", lit(filesRead.toLong))
+    }),
+
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
     // catalog tables — the shuffle-elimination feature of a catalog at
     // 100 TB: both tables are laid out on the same bucket column
@@ -3268,6 +3348,19 @@ object DdlQueries extends QueryGroup {
         |  SELECT 'post', 'customer', c_custkey, c_acctbal + 100
         |  FROM customer WHERE c_custkey % 4 = 0)
         |ORDER BY phase, tbl, k""".stripMargin,
+
+    // the pruned scan must lose no rows (the data aggregate replays
+    // over raw parquet) AND must read exactly the 1 of 8 range files
+    // the predicate admits (the engine emitted its executing scan's
+    // planned file count as a column; the oracle pins it)
+    "meta_v2_file_skipping" ->
+      """WITH b AS (SELECT MAX(o_orderkey) // 8 + 1 AS step FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+        |  STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
+        |  8 AS files_total, 1 AS files_read
+        |FROM orders, b WHERE o_orderkey < b.step""".stripMargin,
 
     // the zero-exchange plan is engine-asserted; the oracle checks the
     // join itself — co-partitioned layout must not change the answer

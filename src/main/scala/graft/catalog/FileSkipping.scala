@@ -1,0 +1,566 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** FILE-LEVEL MIN/MAX SKIPPING for snapshot-catalog parquet tables —
+  * the zone-map half of a lakehouse manifest, kept catalog-side.
+  *
+  * `analyze(location)` reads every data file's parquet FOOTER (driver
+  * side, metadata only — no row is touched) and persists per-file
+  * min/max/nullCount for every supported top-level column into one
+  * `_graft_stats.json` under the table root. Serving wraps the stock
+  * DSv2 parquet table so that a filtered scan drops whole FILES whose
+  * stats refute the pushed predicates BEFORE tasks are scheduled.
+  *
+  * Why this matters at 100 TB: Spark's parquet reader already skips
+  * ROW GROUPS from footers, but only inside a task that was already
+  * scheduled against the file — the cluster still pays one task (and
+  * one footer round-trip, on object storage one GET) per file per
+  * query. With file-level stats the planner never emits those tasks:
+  * a time- or key-range query over a sorted/clustered table touches
+  * the files that can match and nothing else, exactly like an Iceberg
+  * manifest or a Delta add-file stats prune (public designs; see
+  * SNIPPETS.md). The stats doc is KiB-per-file driver metadata — the
+  * same cost class as every other catalog resolution here.
+  *
+  * SAFETY MODEL (pruning must never change results):
+  *  - a file ABSENT from the stats doc is always read — files appended
+  *    after the last analyze are never pruned, only unoptimized (new
+  *    writes land under fresh UUID part names, never reusing a
+  *    stats-covered name; a COW generation swap changes the directory
+  *    itself, leaving the new generation statless until re-analyzed);
+  *  - a COLUMN absent from a file's entry never prunes that file
+  *    (unsupported physical type, truncated/absent footer stats, or a
+  *    post-analyze schema change);
+  *  - string bounds prune only when bounds and literal are pure ASCII
+  *    (parquet orders strings by unsigned UTF-8 byte; JVM compareTo
+  *    orders by UTF-16 unit — they agree exactly on ASCII);
+  *  - float/double bounds never prune when a NaN is anywhere in play;
+  *  - any unrecognized predicate shape keeps the file.
+  * Correctness therefore never depends on stats freshness; only the
+  * amount of skipping does.
+  */
+object FileSkipping {
+
+  val StatsFileName = "_graft_stats.json"
+
+  /** One column's footer stats for one file. min/max are rendered to
+    * string (dtype says how to parse back); hasMinMax=false means the
+    * column had no usable value bounds (all-null file, truncated
+    * binary stats, NaN pollution) — nullCount may still prune
+    * IS [NOT] NULL. nullCount = -1 means unknown. */
+  case class ColStat(dtype: String, min: String, max: String,
+      nullCount: Long, hasMinMax: Boolean)
+
+  case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  private case class StatsDoc(version: Int, files: Map[String, FileStat])
+
+  // ---- collection (driver-side, footers only) ----
+
+  /** Relative paths of the data files under `location` (recursive —
+    * hive-partitioned layouts keep stats per leaf file), skipping
+    * metadata/hidden files and graft sidecar/cdc dirs. */
+  private def dataFiles(root: java.io.File): Seq[String] = {
+    def walk(dir: java.io.File, prefix: String): Seq[String] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (f.isDirectory) walk(f, s"$prefix$n/")
+        else if (n.endsWith(".parquet")) Seq(s"$prefix$n")
+        else Nil
+      }
+    walk(root, "").sorted
+  }
+
+  /** Read one parquet footer into per-column stats. Returns None for a
+    * file whose footer cannot be read (treated as stats-less: always
+    * scanned, never pruned). */
+  private def footerStats(path: java.io.File): Option[FileStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path.toURI), conf))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // (dtype, minStr, maxStr, nulls, hasMinMax) folded across row
+        // groups; None = column disqualified for this file
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Option[ColStat]]
+        for (b <- blocks; cc <- b.getColumns.asScala) {
+          val name = cc.getPath.toDotString
+          if (!name.contains('.')) pruneKey(name).foreach { key =>
+            val pt = cc.getPrimitiveType
+            val ann = pt.getLogicalTypeAnnotation
+            val dtype: Option[String] = pt.getPrimitiveTypeName match {
+              case INT32 => ann match {
+                case null => Some("long")
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                  Some("date")
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                    if i.isSigned => Some("long")
+                case _ => None
+              }
+              case INT64 => ann match {
+                case null => Some("long")
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                    if i.isSigned => Some("long")
+                case _ => None // timestamps: tz/unit semantics — out of v1
+              }
+              case FLOAT => Some("double")
+              case DOUBLE => Some("double")
+              case BOOLEAN => Some("boolean")
+              case BINARY => ann match {
+                case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                  Some("string")
+                case _ => None
+              }
+              case _ => None
+            }
+            dtype match {
+              case None => acc(key) = None
+              case Some(dt) =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) acc(key) = None
+                else {
+                  val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+                  val (mn, mx, has) =
+                    if (!st.hasNonNullValue) ("", "", false)
+                    else {
+                      val m0 = render(dt,
+                        st.genericGetMin.asInstanceOf[AnyRef])
+                      val m1 = render(dt,
+                        st.genericGetMax.asInstanceOf[AnyRef])
+                      (m0.getOrElse(""), m1.getOrElse(""),
+                        m0.isDefined && m1.isDefined)
+                    }
+                  val cur = ColStat(dt, mn, mx, nulls, has)
+                  acc.get(key) match {
+                    case None => acc(key) = Some(cur)
+                    case Some(None) => ()
+                    case Some(Some(prev)) =>
+                      if (prev.dtype != dt) acc(key) = None
+                      else acc(key) = Some(merge(prev, cur))
+                  }
+                }
+            }
+          }
+        }
+        Some(FileStat(rows,
+          acc.collect { case (k, Some(v)) => k -> v }.toMap))
+      } finally rdr.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Case-insensitive stat key (Spark's default resolution). A name
+    * that would COLLIDE case-insensitively is dropped by the caller
+    * being keyed last-wins — acceptable: collisions only exist under
+    * case-sensitive mode, where we simply never prune. */
+  private def pruneKey(name: String): Option[String] =
+    Some(name.toLowerCase(java.util.Locale.ROOT))
+
+  private def merge(a: ColStat, b: ColStat): ColStat = {
+    val nulls =
+      if (a.nullCount < 0 || b.nullCount < 0) -1L
+      else a.nullCount + b.nullCount
+    val (mn, mx, has) =
+      if (!a.hasMinMax) (b.min, b.max, b.hasMinMax)
+      else if (!b.hasMinMax) (a.min, a.max, a.hasMinMax)
+      else (minOf(a.dtype, a.min, b.min), maxOf(a.dtype, a.max, b.max),
+        true)
+    ColStat(a.dtype, mn, mx, nulls, has)
+  }
+
+  private def cmp(dtype: String, x: String, y: String): Int = dtype match {
+    case "long" | "date" => java.lang.Long.compare(x.toLong, y.toLong)
+    case "double" => java.lang.Double.compare(x.toDouble, y.toDouble)
+    case "boolean" => java.lang.Boolean.compare(x.toBoolean, y.toBoolean)
+    case _ => x.compareTo(y)
+  }
+  private def minOf(dt: String, x: String, y: String): String =
+    if (cmp(dt, x, y) <= 0) x else y
+  private def maxOf(dt: String, x: String, y: String): String =
+    if (cmp(dt, x, y) >= 0) x else y
+
+  /** Render a footer min/max into its persisted string; None rejects
+    * the bound (NaN floats, non-ASCII strings — see SAFETY MODEL). */
+  private def render(dtype: String, v: AnyRef): Option[String] = v match {
+    case null => None
+    case b: org.apache.parquet.io.api.Binary =>
+      val s = b.toStringUsingUTF8
+      if (s.forall(_ < 128)) Some(s) else None
+    case f: java.lang.Float =>
+      if (f.isNaN) None else Some(f.doubleValue.toString)
+    case d: java.lang.Double => if (d.isNaN) None else Some(d.toString)
+    case n: java.lang.Number => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  // ---- persistence ----
+
+  /** Collect footer stats for every data file under `location` and
+    * atomically publish `_graft_stats.json`. Returns the number of
+    * files covered. Underscore name => invisible to Spark/DuckDB file
+    * listings; a reader attached mid-rewrite sees old or new doc,
+    * never a torn one (temp + ATOMIC_MOVE). */
+  def analyze(location: String): Int = {
+    val root = new java.io.File(stripScheme(location))
+    val files = dataFiles(root)
+    val stats = files.flatMap(rel =>
+      footerStats(new java.io.File(root, rel)).map(rel -> _)).toMap
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val body = org.json4s.jackson.Serialization.write(StatsDoc(1, stats))
+    val tmp = java.nio.file.Files.createTempFile(root.toPath,
+      ".graft_stats", ".tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp,
+      new java.io.File(root, StatsFileName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stats.size
+  }
+
+  private def stripScheme(loc: String): String =
+    if (loc.startsWith("file:")) new java.io.File(
+      java.net.URI.create(loc.replace(" ", "%20"))).getPath
+    else loc
+
+  def load(location: String): Option[Map[String, FileStat]] = {
+    val f = new java.io.File(stripScheme(location), StatsFileName)
+    if (!f.isFile) None
+    else try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val doc = org.json4s.jackson.JsonMethods
+        .parse(java.nio.file.Files.readString(f.toPath))
+        .extract[StatsDoc]
+      Some(doc.files)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // ---- serving ----
+
+  /** Wrap a served parquet table with stats-pruned scanning when the
+    * location carries a stats doc; identity otherwise. Reads the KiB
+    * doc once per table RESOLUTION (same cost class as the snapshot
+    * read that served the table). Writes pass through untouched. */
+  def maybeWrap(inner: Table, location: String): Table =
+    load(location) match {
+      case Some(stats) if stats.nonEmpty => new StatsTable(inner, stats)
+      case _ => inner
+    }
+
+  // ---- pruning decision ----
+
+  /** True iff some row of a file with stats `fs` COULD satisfy `e`.
+    * Conservative: every unhandled shape returns true. */
+  private[catalog] def mayMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fs: FileStat): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def stat(a: Expression): Option[ColStat] = a match {
+      case ar: AttributeReference =>
+        fs.cols.get(ar.name.toLowerCase(java.util.Locale.ROOT))
+      case _ => None
+    }
+    /** literal internal value -> comparable string in `dtype` space */
+    def lit(dtype: String, v: Any): Option[String] = (dtype, v) match {
+      case (_, null) => None
+      case ("long", n: Byte) => Some(n.toString)
+      case ("long", n: Short) => Some(n.toString)
+      case ("long", n: Int) => Some(n.toString)
+      case ("long", n: Long) => Some(n.toString)
+      case ("date", n: Int) => Some(n.toString) // DateType internal: days
+      case ("double", n: Float) =>
+        if (n.isNaN) None else Some(n.toDouble.toString)
+      case ("double", n: Double) =>
+        if (n.isNaN) None else Some(n.toString)
+      case ("string", s: org.apache.spark.unsafe.types.UTF8String) =>
+        val j = s.toString
+        if (j.forall(_ < 128)) Some(j) else None
+      case ("boolean", b: Boolean) => Some(b.toString)
+      case _ => None
+    }
+    /** could any value in [min,max] relate to v as `test` demands? */
+    def bound(a: Expression, v: Any)(
+        test: (Int, Int) => Boolean): Boolean =
+      stat(a) match {
+        case Some(cs) if cs.hasMinMax =>
+          lit(cs.dtype, v) match {
+            case Some(l) =>
+              test(cmp(cs.dtype, cs.min, l), cmp(cs.dtype, cs.max, l))
+            case None => true
+          }
+        case _ => true
+      }
+    e match {
+      case And(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
+      case Or(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
+      case EqualTo(a, Literal(v, _)) => bound(a, v)((mn, mx) =>
+        mn <= 0 && mx >= 0)
+      case EqualTo(Literal(v, _), a) => bound(a, v)((mn, mx) =>
+        mn <= 0 && mx >= 0)
+      case EqualNullSafe(a, Literal(v, _)) =>
+        if (v == null) mayMatch(IsNull(a), fs)
+        else bound(a, v)((mn, mx) => mn <= 0 && mx >= 0)
+      case GreaterThan(a, Literal(v, _)) => bound(a, v)((_, mx) => mx > 0)
+      case GreaterThan(Literal(v, _), a) => bound(a, v)((mn, _) => mn < 0)
+      case GreaterThanOrEqual(a, Literal(v, _)) =>
+        bound(a, v)((_, mx) => mx >= 0)
+      case GreaterThanOrEqual(Literal(v, _), a) =>
+        bound(a, v)((mn, _) => mn <= 0)
+      case LessThan(a, Literal(v, _)) => bound(a, v)((mn, _) => mn < 0)
+      case LessThan(Literal(v, _), a) => bound(a, v)((_, mx) => mx > 0)
+      case LessThanOrEqual(a, Literal(v, _)) =>
+        bound(a, v)((mn, _) => mn <= 0)
+      case LessThanOrEqual(Literal(v, _), a) =>
+        bound(a, v)((_, mx) => mx >= 0)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(l => bound(a, l.asInstanceOf[Literal].value)(
+          (mn, mx) => mn <= 0 && mx >= 0))
+      case InSet(a, hset) =>
+        hset.exists(v => bound(a, v)((mn, mx) => mn <= 0 && mx >= 0))
+      case IsNull(a) => stat(a) match {
+        case Some(cs) if cs.nullCount == 0L => false
+        case _ => true
+      }
+      case IsNotNull(a) => stat(a) match {
+        case Some(cs) if cs.nullCount >= 0 => cs.nullCount < fs.rows
+        case _ => true
+      }
+      case StartsWith(a, Literal(v, _)) => stat(a) match {
+        case Some(cs) if cs.hasMinMax && cs.dtype == "string" =>
+          lit("string", v) match {
+            case Some(p) =>
+              // lexicographic truncation is monotone: min<=x<=max and
+              // x.startsWith(p) force min.take(|p|) <= p <= max.take(|p|)
+              cs.min.take(p.length) <= p && p <= cs.max.take(p.length)
+            case None => true
+          }
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+
+  /** Count of `files` a scan with `filters` must read under `stats` —
+    * the spec/report hook (exactly the predicate [[StatsPrunedScan]]
+    * applies). */
+  private[graft] def filesToRead(
+      stats: Map[String, FileStat], files: Seq[String],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[String] =
+    files.filter { f =>
+      stats.get(f) match {
+        case Some(fs) => filters.forall(e =>
+          try mayMatch(e, fs)
+          catch { case scala.util.control.NonFatal(_) => true })
+        case None => true
+      }
+    }
+}
+
+/** Serving wrapper: identical table, stats-pruned scans. Forwards
+  * reads, writes and metadata columns so every outer wrapper
+  * (constraints, partitioned writes, row-level COW/MOR) composes
+  * unchanged — like [[MorRowLevelTable]], this hides the inner
+  * FileTable from FallBackFileSourceV2 (harmless: the V2 path is the
+  * served path). */
+private[catalog] class StatsTable(inner: Table,
+    stats: Map[String, FileSkipping.FileStat])
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    inner match {
+      case m: org.apache.spark.sql.connector.catalog.SupportsMetadataColumns =>
+        m.metadataColumns()
+      case _ => Array.empty
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new StatsScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options), stats)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+}
+
+/** Forwards pushdown to the stock parquet builder, REMEMBERS the
+  * pushed predicates, and wraps the built scan with the file pruner.
+  * Skipped when an aggregate was pushed (the delegate then serves
+  * footer-computed rows, not file partitions). */
+private[catalog] class StatsScanBuilder(delegate: ScanBuilder,
+    stats: Map[String, FileSkipping.FileStat])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private var filters
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+  private var aggPushed = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+
+  override def pushFilters(
+      fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    // every incoming conjunct is a required condition on scan output —
+    // all are sound pruning evidence regardless of what the delegate
+    // reports back as post-scan residue
+    filters = fs
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushFilters(fs)
+      case _ => fs
+    }
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      a.supportCompletePushDown(agg)
+    case _ => false
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      val ok = a.pushAggregation(agg)
+      if (ok) aggPushed = true
+      ok
+    case _ => false
+  }
+
+  override def build(): Scan = {
+    val ds = delegate.build()
+    if (aggPushed || filters.isEmpty) ds
+    else new StatsPrunedScan(ds, stats, filters)
+  }
+}
+
+/** The pruning scan: drops whole files whose stats refute the pushed
+  * conjuncts, then renumbers the surviving [[FilePartition]]s.
+  * Runtime filters (DPP / row-level group filtering) and reported
+  * statistics forward to the delegate untouched. */
+private[graft] class StatsPrunedScan(delegate: Scan,
+    stats: Map[String, FileSkipping.FileStat],
+    filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def readSchema(): StructType = delegate.readSchema()
+
+  override def description(): String =
+    s"graft-stats-scan(${delegate.description()}, " +
+      s"statsFiles=${stats.size})"
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = delegate match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    delegate match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    delegate match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filter(predicates)
+      case _ => ()
+    }
+
+  /** stats key for a planned file: path relative to the deepest
+    * ancestor the stats doc knows — matched by suffix, longest
+    * (most-specific) candidate first, so hive-partitioned relative
+    * keys (`p=1/part-0.parquet`) resolve exactly. */
+  private def statKey(filePath: String): Option[String] = {
+    val norm = java.net.URLDecoder.decode(filePath, "UTF-8")
+    stats.keys.filter(k => norm.endsWith("/" + k))
+      .toSeq.sortBy(-_.length).headOption
+  }
+
+  override def toBatch: Batch = new Batch {
+    private val db = delegate.toBatch
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      val planned = db.planInputPartitions()
+      // non-file partitions (unexpected under a parquet delegate):
+      // serve the whole plan unpruned rather than guess
+      if (!planned.forall(_.isInstanceOf[FilePartition])) planned
+      else {
+        val kept = planned.iterator
+          .map(_.asInstanceOf[FilePartition].files.filter { f =>
+            statKey(f.filePath.toString).flatMap(stats.get) match {
+              case Some(st) => filters.forall(e =>
+                try FileSkipping.mayMatch(e, st)
+                catch { case scala.util.control.NonFatal(_) => true })
+              case None => true
+            }
+          })
+          .filter(_.nonEmpty).toSeq
+        kept.zipWithIndex
+          .map { case (fs, i) => FilePartition(i, fs) }.toArray
+      }
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      db.createReaderFactory()
+  }
+}

@@ -272,9 +272,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
     import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
     ti.provider.toLowerCase match {
-      case "parquet" => ParquetTable(fullName, spark, opts,
-        Seq(ti.location), Some(schema),
-        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      // parquet tables additionally serve file-level min/max skipping
+      // when their location carries an analyzed stats doc — the wrap
+      // sits INSIDE every other layer (constraints, partitioned
+      // writes, COW/MOR row-level), so all serving paths prune
+      case "parquet" => FileSkipping.maybeWrap(
+        ParquetTable(fullName, spark, opts,
+          Seq(ti.location), Some(schema),
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]),
+        ti.location)
       case "orc" => OrcTable(fullName, spark, opts,
         Seq(ti.location), Some(schema),
         classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat])

@@ -738,6 +738,76 @@ class CatalogSpec extends SparkSpec {
     c
   }
 
+  test("file-level min/max skipping: refuted files pruned, safety " +
+      "guards never drop rows") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_fskip_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "fskip_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    val loc = s"${dir.getPath}/_data/t"
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, s STRING, v DOUBLE)
+                 |USING parquet LOCATION '$loc'""".stripMargin)
+    import org.apache.spark.sql.functions._
+    def file(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).writeTo(s"$cat.m.t").append()
+    file(spark.range(0, 10).select(col("id").as("k"),
+      concat(lit("low"), col("id")).as("s"), lit(1.0).as("v")))
+    file(spark.range(10, 20).select(col("id").as("k"),
+      concat(lit("mid"), col("id")).as("s"), lit(2.0).as("v")))
+    file(spark.range(5).select(lit(null).cast("bigint").as("k"),
+      lit("znull").as("s"), lit(3.0).as("v")))
+    assert(FileSkipping.analyze(loc) == 3)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Int = {
+      val scans = df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan
+      }
+      val sp = scans.collectFirst {
+        case p: graft.catalog.StatsPrunedScan => p }
+      assert(sp.nonEmpty, s"expected a stats-pruned scan, got " +
+        scans.map(_.getClass.getSimpleName).mkString(","))
+      sp.get.toBatch.planInputPartitions().map {
+        case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp.files.length
+        case _ => 0
+      }.sum
+    }
+    val t = () => spark.table(s"$cat.m.t")
+    // range prune: only the [10,20) file can satisfy the predicate
+    val mid = t().filter(col("k") >= 12 && col("k") <= 15)
+    assert(filesRead(mid) == 1)
+    assert(mid.count() == 4)
+    // null-count prunes: IS NOT NULL refutes the all-null file,
+    // IS NULL refutes both value files
+    assert(filesRead(t().filter(col("k").isNotNull)) == 2)
+    assert(filesRead(t().filter(col("k").isNull)) == 1)
+    assert(t().filter(col("k").isNull).count() == 5)
+    // string bounds prune ASCII predicates; a non-ASCII literal
+    // disables pruning on that conjunct (UTF-16 vs unsigned-UTF-8
+    // order disagree off-ASCII) rather than risking a wrong drop
+    assert(filesRead(t().filter(col("s").startsWith("mid"))) == 1)
+    assert(filesRead(t().filter(col("s") === "héllo")) == 3)
+    // a file appended AFTER analyze has no stats: never pruned, so
+    // its rows are always visible even under a refuting predicate
+    spark.range(1).select(lit(999L).as("k"), lit("post").as("s"),
+        lit(9.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    val late = t().filter(col("k") === 999L)
+    assert(filesRead(late) == 1) // 3 stats files refuted, 1 statless kept
+    assert(late.count() == 1)
+    // row-level DML composes: the COW rewrite wraps the stats table;
+    // the swapped generation is statless (fresh dir) => correct reads
+    spark.sql(s"UPDATE $cat.m.t SET v = 42.0 WHERE k = 12")
+    val after = spark.table(s"$cat.m.t")
+    assert(after.filter(col("k") === 12).select("v")
+      .head.getDouble(0) == 42.0)
+    assert(after.count() == 26)
+  }
+
   test("CHECK constraint: full lifecycle through the writable catalog") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_ckspec_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
