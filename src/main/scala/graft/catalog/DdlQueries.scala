@@ -2030,6 +2030,68 @@ object DdlQueries extends QueryGroup {
         .orderBy("phase", "tbl", "k")
     }),
 
+    // CATALOG ROLLBACK ([[WritableSnapshotCatalog.rollback]]) — undo
+    // as a FORWARD commit: rolling back to revision A publishes a new
+    // revision whose content is byte-identical to A's, so the history
+    // stays append-only (`VERSION AS OF` into the undone span keeps
+    // serving, and the log shows the rollback itself — the Iceberg
+    // rollback shape). Data is never touched: the COW location swap
+    // runs backwards onto the still-live pre-mutation generation, with
+    // every target location validated on disk first (a rollback past a
+    // GC'd generation refuses loudly). Engine-asserted: the rollback
+    // is exactly ONE revision; head serves the original rows while
+    // VERSION AS OF the pre-rollback revision still serves the
+    // mutation. The oracle replays both phases from the fixture. At
+    // 100 TB the whole operation is the usual KiB metadata publish —
+    // cost independent of table size, the entire point of undo-by-
+    // repointing over undo-by-rewriting.
+    "meta_v2_rollback" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_rollback_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "grbsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corp.nation_rb")
+      s.sql(s"""CREATE TABLE $cat.corp.nation_rb
+               |(n_nationkey INT, n_name STRING, n_regionkey INT)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_rb")
+      s.sql(s"""INSERT INTO $cat.corp.nation_rb
+               |SELECT n_nationkey, n_name, n_regionkey
+               |FROM nation_src_rb""".stripMargin)
+      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      val revA = headRev()
+      // the mutation to undo: a COW UPDATE (new generation, rev B)
+      s.sql(s"UPDATE $cat.corp.nation_rb SET n_name = lower(n_name)")
+      val revB = headRev()
+      require(revB > revA, s"UPDATE must publish a revision " +
+        s"($revA -> $revB)")
+      val plug = new WritableSnapshotCatalog
+      plug.initialize(cat + "_rb",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir)))
+      val revC = plug.rollback(revA)
+      require(revC == revB + 1,
+        s"rollback must be ONE forward revision, got $revB -> $revC")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      def ph(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(tag).as("phase"), col("n_nationkey").as("k"),
+          col("n_name").as("name"))
+      // head = the undo; the undone revision still time-travels
+      ph("head", s.table(s"$cat2.corp.nation_rb"))
+        .unionByName(ph("pre_rollback", s.sql(
+          s"SELECT * FROM $cat2.corp.nation_rb VERSION AS OF '$revB'")))
+        .orderBy("phase", "k")
+    }),
+
     // FILE-LEVEL MIN/MAX SKIPPING ([[FileSkipping]]) — the zone-map
     // half of a lakehouse manifest, catalog-side: analyze() persists
     // per-file footer stats (driver metadata, no row read); a filtered
@@ -3348,6 +3410,17 @@ object DdlQueries extends QueryGroup {
         |  SELECT 'post', 'customer', c_custkey, c_acctbal + 100
         |  FROM customer WHERE c_custkey % 4 = 0)
         |ORDER BY phase, tbl, k""".stripMargin,
+
+    // head replays the original fixture (the undo), the pre-rollback
+    // revision replays the mutation (history preserved)
+    "meta_v2_rollback" ->
+      """SELECT phase, k, name FROM (
+        |  SELECT 'head' AS phase, n_nationkey AS k, n_name AS name
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'pre_rollback', n_nationkey, LOWER(n_name)
+        |  FROM nation)
+        |ORDER BY phase, k""".stripMargin,
 
     // the pruned scan must lose no rows (the data aggregate replays
     // over raw parquet) AND must read exactly the 1 of 8 range files

@@ -770,6 +770,46 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     (drop, keep)
   }
 
+  /** Roll the catalog back to revision `toRev` — published as a NEW
+    * revision whose content is byte-identical to the target's (the
+    * lakehouse rollback shape: history is append-only, an undo is a
+    * forward commit, so `VERSION AS OF` into the undone span keeps
+    * working and the revision log shows the rollback itself). Data is
+    * untouched: re-pointing a table at its pre-mutation generation is
+    * exactly the COW location swap run backwards, valid while the old
+    * generation dir survives ([[gcGenerations]] is what retires it) —
+    * every non-empty table location of the target snapshot is
+    * validated on disk first, so a rollback past a GC'd generation
+    * refuses LOUDLY instead of publishing dangling metadata. OCC rides
+    * [[persist]] unchanged: a concurrent writer fails one side of the
+    * race cleanly. Returns the new head revision. */
+  def rollback(toRev: Int): Int = this.synchronized {
+    val revDir = new java.io.File(s"$snapshotDir/revs/$toRev")
+    if (!revDir.isDirectory) {
+      val have = Option(new java.io.File(s"$snapshotDir/revs").list())
+        .map(_.flatMap(_.toIntOption).sorted.mkString(", "))
+        .getOrElse("<none>")
+      throw new IllegalArgumentException(
+        s"catalog ${name()} has no revision $toRev to roll back to " +
+          s"(available: $have) — vacuumed revisions cannot be " +
+          "rollback targets")
+    }
+    val target = CatalogTransfer.readLocal(revDir.getPath)
+    val missing = target.tables.filter(t =>
+      t.tableType != "VIEW" && t.location.nonEmpty &&
+        !new java.io.File(
+          t.location.stripPrefix("file:").stripSuffix("/")).isDirectory)
+    require(missing.isEmpty,
+      s"rollback to revision $toRev would dangle: " +
+        missing.map(t => s"${t.db}.${t.name} -> ${t.location}")
+          .mkString("; ") +
+        " — the generation dir(s) no longer exist (gcGenerations ran " +
+        "past them)")
+    snap // refresh this thread's OCC base to the current head
+    persist(target)
+    headRevOnDisk
+  }
+
   /** Remove copy-on-write GENERATION directories no longer referenced
     * by any surviving snapshot — the file-removal half of the lakehouse
     * VACUUM ([[vacuum]] is the metadata-retention half; run it first,

@@ -738,6 +738,45 @@ class CatalogSpec extends SparkSpec {
     c
   }
 
+  test("rollback: forward-commit undo, loud on vacuumed targets and " +
+      "GC'd generations") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_rbspec_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "rb_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m") // rev 1
+    val locA = new java.io.File(dir, "_data/tA")
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT) USING parquet
+                 |LOCATION '${locA.getPath}'""".stripMargin) // rev 2
+    spark.range(3).toDF("k").coalesce(1).writeTo(s"$cat.m.t").append()
+    val locB = new java.io.File(dir, "_data/tB")
+    spark.range(10, 15).toDF("k").write.parquet(locB.getPath)
+    spark.sql(s"ALTER TABLE $cat.m.t SET LOCATION '${locB.getPath}'") // rev 3
+    val c = attachWritable("rb_spec2", dir.getPath)
+    // unknown / never-existed revision refuses
+    intercept[IllegalArgumentException](c.rollback(99))
+    // the undo: one forward revision, old location restored, the
+    // undone revision still time-travels
+    assert(c.rollback(2) == 4)
+    assert(spark.table(s"$cat.m.t").count() == 3)
+    assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF '3'")
+      .count() == 5)
+    // a rollback whose target generation is gone refuses loudly and
+    // publishes nothing (head still 4 pointing at locA)
+    org.apache.commons.io.FileUtils.deleteDirectory(locB)
+    val e = intercept[IllegalArgumentException](c.rollback(3))
+    assert(e.getMessage.contains("dangle"))
+    assert(spark.table(s"$cat.m.t").count() == 3)
+    // a vacuumed revision is not a rollback target
+    c.createNamespace(Array("pad1"), java.util.Collections.emptyMap())
+    c.createNamespace(Array("pad2"), java.util.Collections.emptyMap())
+    c.vacuum(2)
+    intercept[IllegalArgumentException](c.rollback(2))
+  }
+
   test("file-level min/max skipping: refuted files pruned, safety " +
       "guards never drop rows") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_fskip_spec"))
