@@ -2030,6 +2030,88 @@ object DdlQueries extends QueryGroup {
         .orderBy("phase", "tbl", "k")
     }),
 
+    // WRITE-AUDIT-PUBLISH over catalog BRANCHES
+    // ([[WritableSnapshotCatalog.createBranch]]/`fastForward`) — the
+    // staging-ref pattern (Iceberg wap.branch) on this catalog's
+    // directory model: a branch is a full catalog dir bootstrapped
+    // from head, branch DDL is the ordinary writable catalog attached
+    // there (the whole revision/claim/OCC protocol applies verbatim),
+    // and publish is ONE atomic fast-forward of main's head to the
+    // audited branch snapshot — refused loudly if main advanced since
+    // the fork. Engine-asserted: the branch COW UPDATE is INVISIBLE to
+    // main while staged (isolation probe between write and publish);
+    // the audit runs against branch state; the publish is exactly one
+    // main revision. The oracle replays both phases. At 100 TB this is
+    // the migration cutover discipline the reference's transfer story
+    // needs: stage, validate against real reads, then one pointer swap
+    // — a reader never sees an unaudited row.
+    "meta_v2_branch_wap" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_wap_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gwapsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_wap
+               |(o_orderkey BIGINT, o_orderstatus STRING,
+               | o_totalprice DOUBLE) USING parquet""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_wap")
+      s.sql(s"""INSERT INTO $cat.corp.orders_wap
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_wap WHERE o_orderkey % 8 = 2""".stripMargin)
+      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      val revA = headRev()
+      val preSum = s.table(s"$cat.corp.orders_wap")
+        .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+      val plug = new WritableSnapshotCatalog
+      plug.initialize(cat + "_wap",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir)))
+      require(plug.createBranch("audit") == revA,
+        "branch must fork at the current head")
+      // WRITE: the staged mutation runs on the BRANCH attach
+      val bcat = cat + "_br"
+      s.conf.set(s"spark.sql.catalog.$bcat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$bcat.path", plug.branchDir("audit"))
+      s.sql(s"""UPDATE $bcat.corp.orders_wap
+               |SET o_totalprice = o_totalprice * 1.05
+               |WHERE o_orderstatus = 'F'""".stripMargin)
+      // ISOLATION: main serves the unaudited state untouched
+      val mainSum = s.table(s"$cat.corp.orders_wap")
+        .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+      require(mainSum == preSum && headRev() == revA,
+        s"staged branch write leaked into main " +
+          s"($preSum -> $mainSum, rev $revA -> ${headRev()})")
+      // AUDIT: quality gates evaluated against BRANCH state
+      val audited = s.table(s"$bcat.corp.orders_wap")
+      require(audited.filter(col("o_totalprice") <= 0).isEmpty,
+        "audit gate: non-positive price staged")
+      require(audited.filter(col("o_orderstatus") === "F").count() > 0,
+        "audit gate vacuous: no updated rows staged")
+      // PUBLISH: one atomic fast-forward of main's head
+      val revB = plug.fastForward("audit")
+      require(revB == revA + 1,
+        s"publish must be ONE revision, got $revA -> $revB")
+      plug.dropBranch("audit"): Unit
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      def ph(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(tag).as("phase"), col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          round(col("o_totalprice"), 4).as("price"))
+      ph("pre", s.sql(
+          s"SELECT * FROM $cat2.corp.orders_wap VERSION AS OF '$revA'"))
+        .unionByName(ph("post", s.table(s"$cat2.corp.orders_wap")))
+        .orderBy("phase", "k")
+    }),
+
     // CATALOG ROLLBACK ([[WritableSnapshotCatalog.rollback]]) — undo
     // as a FORWARD commit: rolling back to revision A publishes a new
     // revision whose content is byte-identical to A's, so the history
@@ -3410,6 +3492,20 @@ object DdlQueries extends QueryGroup {
         |  SELECT 'post', 'customer', c_custkey, c_acctbal + 100
         |  FROM customer WHERE c_custkey % 4 = 0)
         |ORDER BY phase, tbl, k""".stripMargin,
+
+    // pre = the raw staged subset, post = the audited publish (prices
+    // of 'F' rows lifted 5%); both phases replay from the fixture
+    "meta_v2_branch_wap" ->
+      """SELECT phase, k, status, ROUND(price, 4) AS price FROM (
+        |  SELECT 'pre' AS phase, o_orderkey AS k,
+        |    o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 8 = 2
+        |  UNION ALL
+        |  SELECT 'post', o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.05
+        |         ELSE o_totalprice END
+        |  FROM orders WHERE o_orderkey % 8 = 2)
+        |ORDER BY phase, k""".stripMargin,
 
     // head replays the original fixture (the undo), the pre-rollback
     // revision replays the mutation (history preserved)

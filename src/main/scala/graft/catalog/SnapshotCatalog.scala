@@ -770,6 +770,100 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     (drop, keep)
   }
 
+  // ---- branches / write-audit-publish ----------------------------
+
+  private def branchPath(branch: String): java.io.File = {
+    require(branch.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"branch name '$branch' — use [A-Za-z0-9_.-], starting with a " +
+        "word character")
+    new java.io.File(s"$snapshotDir/branches/$branch")
+  }
+
+  /** Create branch `name` from the current head — the staging ref of
+    * the WRITE-AUDIT-PUBLISH pattern (Iceberg's wap.branch, rendered
+    * on this catalog's directory model). A branch is a full catalog
+    * directory under `branches/<name>`, bootstrapped with a COPY of
+    * the head snapshot (KiB of metadata — never data) plus a `BASE`
+    * marker recording the main revision it forked from. Branch DDL is
+    * the ordinary [[WritableSnapshotCatalog]] attached at that path —
+    * the whole hardened revision/claim/OCC protocol applies on the
+    * branch verbatim, including time travel across branch revisions.
+    *
+    * ISOLATION CONTRACT: the branch isolates METADATA. COW/MOR DML on
+    * branch tables lands in fresh generation dirs main never
+    * references, so main readers cannot see it — but an in-place
+    * APPEND to a location both refs share is visible to both (same as
+    * any external-table write behind the metastore's back). Branch-
+    * side bulk loads therefore stage a new dir + SET LOCATION, the
+    * catalog's own generation discipline. Returns the fork revision. */
+  def createBranch(name: String): Int = this.synchronized {
+    val dir = branchPath(name)
+    if (dir.exists())
+      throw new IllegalArgumentException(
+        s"catalog ${this.name()} already has branch '$name'")
+    val cur = snap
+    val base = headRevOnDisk
+    val stage = new java.io.File(s"$snapshotDir/branches/.stage-$name-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    CatalogTransfer.writeLocal(cur, stage.getPath)
+    java.nio.file.Files.write(stage.toPath.resolve("BASE"),
+      base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.createDirectories(dir.getParentFile.toPath)
+    java.nio.file.Files.move(stage.toPath, dir.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    base
+  }
+
+  /** Directory to attach a [[WritableSnapshotCatalog]] at for branch
+    * DDL/reads (the audit half of write-audit-publish). */
+  def branchDir(name: String): String = {
+    val dir = branchPath(name)
+    require(dir.isDirectory,
+      s"catalog ${this.name()} has no branch '$name'")
+    dir.getPath
+  }
+
+  /** PUBLISH a branch: fast-forward main's head to the branch's
+    * current snapshot in ONE atomic revision. Allowed only while main
+    * still sits at the branch's fork revision — a diverged main
+    * refuses loudly (re-branch to rebase); the publish itself rides
+    * [[persist]], so a writer racing this commit loses one side of
+    * the OCC cleanly. Readers see the whole audited state or none of
+    * it. Returns the new main head revision. */
+  def fastForward(name: String): Int = this.synchronized {
+    val bdir = branchDir(name)
+    val base = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bdir, "BASE")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    val bHeadFile = new java.io.File(bdir, "HEAD")
+    val bRev =
+      if (!bHeadFile.isFile) 0
+      else new String(java.nio.file.Files.readAllBytes(
+        bHeadFile.toPath)).trim.toInt
+    val bSnap = CatalogTransfer.readLocal(
+      if (bRev == 0) bdir else s"$bdir/revs/$bRev")
+    snap // refresh this thread's OCC base
+    val mainRev = headRevOnDisk
+    if (mainRev != base)
+      throw new java.util.ConcurrentModificationException(
+        s"catalog ${this.name()} advanced to revision $mainRev since " +
+          s"branch '$name' forked at $base — the fast-forward is no " +
+          "longer a fast-forward; re-branch from the current head and " +
+          "re-apply the staged changes")
+    persist(bSnap)
+    headRevOnDisk
+  }
+
+  /** Remove a branch ref (after publish, or to abandon an audit that
+    * failed). The branch's metadata directory is deleted; COW
+    * generations its tables pointed at become unreferenced and fall to
+    * [[gcGenerations]]. */
+  def dropBranch(name: String): Boolean = this.synchronized {
+    val dir = branchPath(name)
+    if (!dir.isDirectory) false
+    else { org.apache.commons.io.FileUtils.deleteDirectory(dir); true }
+  }
+
   /** Roll the catalog back to revision `toRev` — published as a NEW
     * revision whose content is byte-identical to the target's (the
     * lakehouse rollback shape: history is append-only, an undo is a
@@ -827,8 +921,21 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .flatMap(_.toIntOption).sorted
     def norm(p: String): String =
       p.stripPrefix("file:").stripSuffix("/")
+    // live BRANCHES pin their generations too: a branch's staged COW
+    // dirs are referenced by branch revisions only — wiping them would
+    // tear an audit in progress (dropBranch is what releases them)
+    val branchSnapDirs = Option(
+        new java.io.File(s"$snapshotDir/branches").listFiles())
+      .toSeq.flatten.filter(d => d.isDirectory &&
+        !d.getName.startsWith("."))
+      .flatMap { b =>
+        val bRevs = Option(new java.io.File(b, "revs").list()).toSeq
+          .flatten.flatMap(_.toIntOption)
+        b.getPath +: bRevs.map(r => s"${b.getPath}/revs/$r")
+      }
     val snaps = CatalogTransfer.readLocal(snapshotDir) +:
-      revs.map(r => CatalogTransfer.readLocal(s"$snapshotDir/revs/$r"))
+      (revs.map(r => s"$snapshotDir/revs/$r") ++ branchSnapDirs)
+        .map(CatalogTransfer.readLocal)
     val referenced = snaps.flatMap(_.tables.map(t => norm(t.location)))
       .filter(_.nonEmpty).toSet
     val genName = ".*_rl[0-9a-f]{8}$"

@@ -738,6 +738,56 @@ class CatalogSpec extends SparkSpec {
     c
   }
 
+  test("branch WAP: staged writes pin their generations; a diverged " +
+      "main refuses the fast-forward") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_wapspec_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "wap_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, v DOUBLE)
+                 |USING parquet
+                 |LOCATION '${dir.getPath}/_data/t'""".stripMargin)
+    import org.apache.spark.sql.functions._
+    spark.range(10).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    val c = attachWritable("wap_spec2", dir.getPath)
+    c.createBranch("b")
+    intercept[IllegalArgumentException](c.createBranch("b"))
+    val bcat = "wap_spec_br"
+    spark.conf.set(s"spark.sql.catalog.$bcat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$bcat.path", c.branchDir("b"))
+    spark.sql(s"UPDATE $bcat.m.t SET v = 2.0 WHERE k < 5")
+    // main untouched; branch serves the staged state
+    assert(spark.table(s"$cat.m.t").filter(col("v") === 2.0).count() == 0)
+    assert(spark.table(s"$bcat.m.t").filter(col("v") === 2.0).count() == 5)
+    // the staged generation is referenced ONLY by the branch — gc must
+    // pin it while the branch lives (grace window zeroed so only the
+    // branch reference protects it), then release it after dropBranch
+    c.claimGraceMs = 0L
+    val (dropped1, kept1) = c.gcGenerations()
+    assert(dropped1.isEmpty && kept1.exists(_.contains("_rl")),
+      s"live branch generation not pinned: dropped=$dropped1 kept=$kept1")
+    // main diverges -> the publish is no longer a fast-forward
+    spark.sql(s"""CREATE TABLE $cat.m.t2 (k BIGINT) USING parquet
+                 |LOCATION '${dir.getPath}/_data/t2'""".stripMargin)
+    intercept[java.util.ConcurrentModificationException](
+      c.fastForward("b"))
+    assert(spark.table(s"$cat.m.t").filter(col("v") === 2.0).count() == 0,
+      "refused publish must leak nothing")
+    // abandoning the audit releases the staged generation to gc
+    assert(c.dropBranch("b"))
+    assert(!c.dropBranch("b"))
+    val (dropped2, _) = c.gcGenerations()
+    assert(dropped2.exists(_.contains("_rl")),
+      s"dropped branch generation not reclaimed: $dropped2")
+    c.claimGraceMs = 10000L
+  }
+
   test("rollback: forward-commit undo, loud on vacuumed targets and " +
       "GC'd generations") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_rbspec_snapshot"))
