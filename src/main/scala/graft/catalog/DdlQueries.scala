@@ -2030,6 +2030,67 @@ object DdlQueries extends QueryGroup {
         .orderBy("phase", "tbl", "k")
     }),
 
+    // CLUSTERED COMPACTION × AUTO STATS — the lifecycle composition
+    // that makes file skipping pay at 100 TB. Phase 1 is the honest
+    // NEGATIVE result: on an append-interleaved layout (every file
+    // spans the whole key range) perfect per-file stats prune NOTHING
+    // — a range predicate still reads all 8 files, because skipping is
+    // a property of stats × CLUSTERING, not stats alone. Phase 2
+    // compacts into a key-range-clustered generation and publishes it
+    // with ALTER SET LOCATION on a table carrying graft.stats.auto —
+    // the swap itself re-analyzes the new generation (no manual
+    // analyze anywhere after the swap; a StatsPrunedScan serving at
+    // all is the proof), closing the statless window every COW swap
+    // otherwise opens. Both planned-file counts ride the oracle:
+    // 8-of-8 interleaved, 1-of-8 clustered — same data, same stats
+    // machinery, layout is the lever. The oracle replays the data
+    // aggregate over raw parquet.
+    "meta_v2_cluster_stats" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_clstat_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gclsnap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_cl"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_cl
+               |(o_orderkey BIGINT, o_totalprice DOUBLE)
+               |USING parquet LOCATION '$loc'
+               |TBLPROPERTIES ('${FileSkipping.AutoProp}' = 'true')
+               |""".stripMargin)
+      val src = Tables(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      // 8 append-interleaved files: residue classes, so EVERY file
+      // spans [0, maxKey] — the worst case for min/max skipping
+      for (i <- 0L until 8L)
+        src.filter(col("o_orderkey") % 8 === i)
+          .coalesce(1).writeTo(s"$cat.corp.orders_cl").append()
+      require(FileSkipping.analyze(loc) == 8,
+        "expected 8 interleaved files")
+      val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
+      val step = maxKey / 8 + 1
+      def probe(): org.apache.spark.sql.DataFrame =
+        s.table(s"$cat.corp.orders_cl").filter(col("o_orderkey") < step)
+      val readsInterleaved = FileSkipping.plannedFiles(probe())
+      // clustered compaction: stage a key-range generation, then ONE
+      // atomic swap — the auto property re-analyzes the new dir
+      val gen2 = loc + "_clustered"
+      for (i <- 0L until 8L)
+        s.read.parquet(loc)
+          .filter(col("o_orderkey") >= i * step &&
+            col("o_orderkey") < (i + 1) * step)
+          .coalesce(1).write.mode("append").parquet(gen2)
+      s.sql(s"ALTER TABLE $cat.corp.orders_cl SET LOCATION '$gen2'")
+      val readsClustered = FileSkipping.plannedFiles(probe())
+      probe().agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("files_read_interleaved", lit(readsInterleaved.toLong))
+        .withColumn("files_read_clustered", lit(readsClustered.toLong))
+    }),
+
     // WRITE-AUDIT-PUBLISH over catalog BRANCHES
     // ([[WritableSnapshotCatalog.createBranch]]/`fastForward`) — the
     // staging-ref pattern (Iceberg wap.branch) on this catalog's
@@ -2231,19 +2292,7 @@ object DdlQueries extends QueryGroup {
         .filter(col("o_orderkey") < step)
       // pruning evidence from the EXECUTING scan's plan: the pruned
       // batch must keep exactly the one file whose range can match
-      val scans = q.queryExecution.sparkPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2
-            .BatchScanExec => b.scan
-      }
-      val pruned = scans.collectFirst { case sp: StatsPrunedScan => sp }
-        .getOrElse(throw new IllegalStateException(
-          "analyzed table must serve a stats-pruned scan, got " +
-            scans.map(_.getClass.getName).mkString(",")))
-      val filesRead = pruned.toBatch.planInputPartitions().map {
-        case fp: org.apache.spark.sql.execution.datasources
-            .FilePartition => fp.files.length
-        case _ => 0
-      }.sum
+      val filesRead = FileSkipping.plannedFiles(q)
       q.agg(count(lit(1)).as("n_rows"),
           round(sum(col("o_totalprice")), 4).as("sum_price"),
           date_format(min(col("o_orderdate")), "yyyy-MM-dd")
@@ -3492,6 +3541,15 @@ object DdlQueries extends QueryGroup {
         |  SELECT 'post', 'customer', c_custkey, c_acctbal + 100
         |  FROM customer WHERE c_custkey % 4 = 0)
         |ORDER BY phase, tbl, k""".stripMargin,
+
+    // same data, same stats machinery: the interleaved layout reads
+    // all 8 files, the clustered one reads 1 — both counts pinned
+    "meta_v2_cluster_stats" ->
+      """WITH b AS (SELECT MAX(o_orderkey) // 8 + 1 AS step FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  8 AS files_read_interleaved, 1 AS files_read_clustered
+        |FROM orders, b WHERE o_orderkey < b.step""".stripMargin,
 
     // pre = the raw staged subset, post = the audited publish (prices
     // of 'F' rows lifted 5%); both phases replay from the fixture

@@ -52,6 +52,28 @@ object FileSkipping {
 
   val StatsFileName = "_graft_stats.json"
 
+  /** Opt-in table property: when "true", every generation swap the
+    * catalog publishes (SET LOCATION, COW row-level commit, cross-
+    * table publish) immediately re-analyzes the NEW location, so a
+    * freshly-compacted/rewritten table never serves a statless window.
+    * Failure is non-fatal by design — the publish already committed,
+    * and a missing stats doc only disables pruning, never correctness. */
+  val AutoProp = "graft.stats.auto"
+
+  private[catalog] def isAuto(props: Seq[PropKV]): Boolean =
+    props.exists(p => p.key == AutoProp && p.value.equalsIgnoreCase("true"))
+
+  private[catalog] def autoAnalyze(props: Seq[PropKV],
+      location: String): Unit =
+    if (isAuto(props))
+      try { analyze(location); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] $AutoProp: post-publish analyze " +
+            s"of $location failed (pruning disabled until the next " +
+            s"successful analyze): $e")
+      }
+
   /** One column's footer stats for one file. min/max are rendered to
     * string (dtype says how to parse back); hasMinMax=false means the
     * column had no usable value bounds (all-null file, truncated
@@ -354,6 +376,26 @@ object FileSkipping {
       }
       case _ => true
     }
+  }
+
+  /** Planned file count of `df`'s stats-pruned scan — the evidence
+    * hook oracled keys and specs pin (throws when the plan carries no
+    * [[StatsPrunedScan]]: the caller expected pruning to be wired). */
+  private[graft] def plannedFiles(df: org.apache.spark.sql.DataFrame)
+      : Int = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+    }
+    val sp = scans.collectFirst { case p: StatsPrunedScan => p }
+      .getOrElse(throw new IllegalStateException(
+        "expected a stats-pruned scan, got " +
+          scans.map(_.getClass.getName).mkString(",")))
+    sp.toBatch.planInputPartitions().map {
+      case fp: org.apache.spark.sql.execution.datasources
+          .FilePartition => fp.files.length
+      case _ => 0
+    }.sum
   }
 
   /** Count of `files` a scan with `filters` must read under `stats` —

@@ -1177,6 +1177,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       persist(cur.copy(tables = cur.tables.map(x =>
         if (x.db == ti.db && x.name == ti.name) x.copy(location = newLoc)
         else x)))
+      FileSkipping.autoAnalyze(t.properties, newLoc)
     }
 
   /** Cross-table ATOMIC publish — the namespace-cutover form of the
@@ -1214,6 +1215,8 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         (ti.db, ti.name) -> loc }.toMap
       persist(cur.copy(tables = cur.tables.map(x =>
         newLocs.get((x.db, x.name)).fold(x)(l => x.copy(location = l)))))
+      for ((ti, loc) <- moves)
+        FileSkipping.autoAnalyze(ti.properties, loc)
     }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -1344,6 +1347,10 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     }
     persist(snap.copy(tables = snap.tables.map(x =>
       if (x.db == ti.db && x.name == ti.name) updated else x)))
+    // opted-in tables re-analyze on a generation swap so compaction /
+    // relocation never opens a statless (pruning-disabled) window
+    if (updated.location != ti.location)
+      FileSkipping.autoAnalyze(updated.properties, updated.location)
     loadTable(ident)
   }
 

@@ -738,6 +738,41 @@ class CatalogSpec extends SparkSpec {
     c
   }
 
+  test("graft.stats.auto: a COW swap re-analyzes the new generation " +
+      "instead of opening a statless window") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_autostat_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "autostat_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    val loc = s"${dir.getPath}/_data/t"
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, v DOUBLE)
+                 |USING parquet LOCATION '$loc'
+                 |TBLPROPERTIES ('${FileSkipping.AutoProp}' = 'true')
+                 |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    spark.range(10).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    assert(FileSkipping.analyze(loc) == 1)
+    // COW UPDATE swaps the generation; the hook must re-analyze the
+    // NEW dir, so the post-swap read still serves a stats-pruned scan
+    spark.sql(s"UPDATE $cat.m.t SET v = 2.0 WHERE k = 3")
+    val df = spark.table(s"$cat.m.t").filter(col("k") === 3)
+    assert(FileSkipping.plannedFiles(df) >= 1) // throws if not wired
+    assert(df.head.getDouble(1) == 2.0)
+    // and the fresh generation's own stats doc exists on disk
+    val head = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.toInt
+    val newLoc = CatalogTransfer.readLocal(s"${dir.getPath}/revs/$head")
+      .tables.find(t => t.db == "m" && t.name == "t").get.location
+    assert(newLoc.stripPrefix("file:") != loc)
+    assert(new java.io.File(newLoc.stripPrefix("file:"),
+      FileSkipping.StatsFileName).isFile)
+  }
+
   test("branch WAP: staged writes pin their generations; a diverged " +
       "main refuses the fast-forward") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_wapspec_snapshot"))
