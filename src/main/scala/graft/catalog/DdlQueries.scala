@@ -2030,6 +2030,83 @@ object DdlQueries extends QueryGroup {
         .orderBy("phase", "tbl", "k")
     }),
 
+    // CHANGE DATA FEED for PARTITION-SCOPED COW tables
+    // ([[PartitionCowChangeFeed]]) — CDC derived from artifacts the
+    // DML already leaves behind: untouched partitions hard-link
+    // file-for-file across generations, so per-file INODE identity is
+    // a proof their bytes did not change. The feed diffs the two
+    // generations' partition dirs driver-side (names + inodes, KiB),
+    // then key-joins ONLY the touched partitions' rows at A vs B into
+    // the NET range diff. Engine-asserted: the fixture's two
+    // statements (a MERGE and a DELETE, both confined to partition P)
+    // leave F and O inode-identical and the diff names exactly P as
+    // touched — the feed never opens an untouched partition. The
+    // oracle replays both statements and classifies every key. At
+    // 100 TB a CDC consumer of a partitioned fact table pays
+    // touched-partition cost per window, never a table scan — the
+    // partitioned complement of meta_v2_changefeed's commit-time CDC.
+    "meta_v2_cdf_scoped" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_cdfsc_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gcdfsc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_pc
+               |(o_orderkey BIGINT, o_totalprice DOUBLE,
+               | o_orderstatus STRING)
+               |USING parquet PARTITIONED BY (o_orderstatus)""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_pc")
+      s.sql(s"""INSERT INTO $cat.corp.orders_pc
+               |SELECT o_orderkey, o_totalprice, o_orderstatus
+               |FROM orders_src_pc""".stripMargin)
+      val locA = s"$dir/_warehouse/corp/orders_pc"
+      // statement 1: MERGE confined to partition P (evens re-priced,
+      // odd keys re-inserted under new ids)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice * 1.05D AS o_totalprice,
+          | 'P' AS o_orderstatus
+          |FROM orders_src_pc
+          |WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT o_orderkey + 100000000, o_totalprice, 'P'
+          |FROM orders_src_pc
+          |WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 1""".stripMargin)
+        .createOrReplaceTempView("delta_pc")
+      s.sql(s"""MERGE INTO $cat.corp.orders_pc t
+               |USING delta_pc u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // statement 2: DELETE, still confined to P
+      s.sql(s"""DELETE FROM $cat.corp.orders_pc
+               |WHERE o_orderstatus = 'P' AND o_orderkey % 16 = 3
+               |""".stripMargin)
+      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      val locB = CatalogTransfer.readLocal(s"$dir/revs/${headRev()}")
+        .tables.find(_.name == "orders_pc").get.location
+      // the inode proof: exactly P touched, F and O byte-identical
+      val pd = PartitionCowChangeFeed.diff(locA, locB)
+      require(pd.touched == Seq("o_orderstatus=P") &&
+        pd.untouched.toSet ==
+          Set("o_orderstatus=F", "o_orderstatus=O"),
+        s"partition diff drifted: touched=${pd.touched} " +
+          s"untouched=${pd.untouched}")
+      val feed = PartitionCowChangeFeed.between(s, locA, locB,
+        "o_orderkey")
+      val ops = feed.select("op").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(ops == Set("delete", "insert", "update_preimage",
+        "update_postimage"), s"feed op classes vacuous: $ops")
+      feed.select(col("op"), col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey", "op")
+    }),
+
     // CLUSTERED COMPACTION × AUTO STATS — the lifecycle composition
     // that makes file skipping pay at 100 TB. Phase 1 is the honest
     // NEGATIVE result: on an append-interleaved layout (every file
@@ -3541,6 +3618,35 @@ object DdlQueries extends QueryGroup {
         |  SELECT 'post', 'customer', c_custkey, c_acctbal + 100
         |  FROM customer WHERE c_custkey % 4 = 0)
         |ORDER BY phase, tbl, k""".stripMargin,
+
+    // replay both P-confined statements and classify every key of the
+    // net A->B diff (untouched F/O rows are equal on both sides and
+    // fall out of every branch)
+    "meta_v2_cdf_scoped" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |             o_orderstatus AS st FROM orders),
+        |t1 AS (
+        |  SELECT k, CASE WHEN st = 'P' AND k % 2 = 0
+        |                 THEN p * 1.05 ELSE p END AS p, st
+        |  FROM a
+        |  UNION ALL
+        |  SELECT k + 100000000, p, 'P' FROM a
+        |  WHERE st = 'P' AND k % 2 = 1),
+        |c AS (SELECT * FROM t1 WHERE NOT (st = 'P' AND k % 16 = 3))
+        |SELECT op, k AS o_orderkey, st AS o_orderstatus,
+        |  ROUND(p, 4) AS o_totalprice FROM (
+        |  SELECT 'delete' AS op, a.k, a.st, a.p FROM a
+        |  WHERE a.k NOT IN (SELECT k FROM c)
+        |  UNION ALL
+        |  SELECT 'insert', c.k, c.st, c.p FROM c
+        |  WHERE c.k NOT IN (SELECT k FROM a)
+        |  UNION ALL
+        |  SELECT 'update_preimage', a.k, a.st, a.p
+        |  FROM a JOIN c ON a.k = c.k WHERE a.p <> c.p
+        |  UNION ALL
+        |  SELECT 'update_postimage', c.k, c.st, c.p
+        |  FROM a JOIN c ON a.k = c.k WHERE a.p <> c.p)
+        |ORDER BY o_orderkey, op""".stripMargin,
 
     // same data, same stats machinery: the interleaved layout reads
     // all 8 files, the clustered one reads 1 — both counts pinned

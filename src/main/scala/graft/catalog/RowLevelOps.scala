@@ -779,3 +779,111 @@ private[catalog] class PartitionRoutedDataWriter(newRoot: String,
 
   override def close(): Unit = ()
 }
+
+/** CHANGE DATA FEED between two generations of a PARTITION-SCOPED
+  * copy-on-write table — the partitioned counterpart of
+  * [[MorChangeFeed]], deriving CDC from the artifacts the DML already
+  * leaves behind instead of new writer machinery: every statement
+  * publishes a fresh generation whose UNTOUCHED partitions are
+  * hard-linked file-for-file, so per-file inode identity is a PROOF a
+  * partition's bytes did not change. The feed therefore
+  *  1. diffs the two generations' partition dirs driver-side (names +
+  *     inodes — KiB of metadata, the catalog's usual cost class), and
+  *  2. key-joins ONLY the touched partitions' rows at A vs at B,
+  * emitting the NET range diff (delete / insert / update_preimage +
+  * update_postimage); untouched partitions contribute zero I/O and
+  * zero join rows. At 100 TB a CDC consumer of a partitioned fact
+  * table pays touched-partition cost per window, never a table scan —
+  * and the partition-scoped writer refuses cross-partition moves, so
+  * a row's identity never silently leaves the compared set.
+  * Inode equality is conservative by construction: a copied (not
+  * linked) identical file reads as "touched" and merely costs the
+  * join; correctness never depends on the linker having run. */
+private[graft] object PartitionCowChangeFeed {
+
+  final case class PartDiff(touched: Seq[String], untouched: Seq[String])
+
+  private def norm(loc: String): String =
+    loc.stripPrefix("file:").stripSuffix("/")
+
+  private def partDirs(root: String): Map[String, java.io.File] =
+    Option(new java.io.File(norm(root)).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .map(d => d.getName -> d).toMap
+
+  /** name -> inode for a partition dir's data files; inode identity
+    * across generations == the hard-link carry-over's byte identity. */
+  private def fileIds(d: java.io.File): Map[String, Long] =
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => f.getName -> java.nio.file.Files
+        .getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toMap
+
+  /** Partition dirs that MAY differ between generations (everything
+    * not proven identical by name+inode equality). */
+  def diff(locA: String, locB: String): PartDiff = {
+    val a = partDirs(locA)
+    val b = partDirs(locB)
+    val (untouched, touched) = (a.keySet ++ b.keySet).toSeq.sorted
+      .partition { p =>
+        (a.get(p), b.get(p)) match {
+          case (Some(da), Some(db)) =>
+            val ia = fileIds(da)
+            ia.nonEmpty && ia == fileIds(db)
+          case _ => false
+        }
+      }
+    PartDiff(touched, untouched)
+  }
+
+  /** NET row diff A -> B over the touched partitions only. `keyName`
+    * is the row identity (unique per row, partition-stable — the
+    * partition-scoped writer enforces the latter). Output: `op`
+    * (delete / insert / update_preimage / update_postimage) + the
+    * table's columns; a key present and byte-equal on both sides
+    * emits nothing. */
+  def between(s: SparkSession, locA: String, locB: String,
+      keyName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = diff(locA, locB)
+    def read(loc: String, parts: Seq[String])
+        : Option[org.apache.spark.sql.DataFrame] = {
+      val dirs = parts.map(p => new java.io.File(norm(loc), p))
+        .filter(_.isDirectory)
+      if (dirs.isEmpty) None
+      else Some(s.read.option("basePath", norm(loc))
+        .parquet(dirs.map(_.getPath): _*))
+    }
+    // schema template (op + table columns) from generation B's layout
+    val template = s.read.parquet(norm(locB))
+    val cols = template.columns.toSeq
+    val empty = template.limit(0)
+      .select(lit("").as("op") +: cols.map(col): _*).limit(0)
+    if (d.touched.isEmpty) return empty
+    val a = read(locA, d.touched).getOrElse(template.limit(0))
+    val b = read(locB, d.touched).getOrElse(template.limit(0))
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"generation schemas diverge: ${a.columns.mkString(",")} vs " +
+        s"${b.columns.mkString(",")}")
+    val aK = a.select(cols.map(col): _*)
+      .withColumn("_k", col(keyName).cast("string"))
+      .withColumn("_pa", lit(true))
+    val bK = b.select(cols.map(col): _*)
+      .withColumn("_k", col(keyName).cast("string"))
+      .withColumn("_pb", lit(true))
+    val j = aK.as("a").join(bK.as("b"), Seq("_k"), "full_outer")
+    val rowEq = cols.map(c => col(s"a.$c") <=> col(s"b.$c"))
+      .reduce(_ && _)
+    def side(tag: String, p: String) =
+      (df: org.apache.spark.sql.DataFrame) =>
+        df.select(lit(tag).as("op") +: cols.map(c => col(s"$p.$c")): _*)
+    val del = side("delete", "a")(j.filter(col("b._pb").isNull))
+    val ins = side("insert", "b")(j.filter(col("a._pa").isNull))
+    val changed = j.filter(col("a._pa").isNotNull &&
+      col("b._pb").isNotNull && !rowEq)
+    del.unionByName(ins)
+      .unionByName(side("update_preimage", "a")(changed))
+      .unionByName(side("update_postimage", "b")(changed))
+  }
+}

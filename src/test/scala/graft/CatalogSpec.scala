@@ -738,6 +738,40 @@ class CatalogSpec extends SparkSpec {
     c
   }
 
+  test("partition-scoped CDC: inode identity is conservative — a " +
+      "copied-identical partition costs the join, never wrong rows") {
+    val root = new java.io.File(Tables.scratch(sf, "pcdc_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    import org.apache.spark.sql.functions._
+    val genA = new java.io.File(root, "genA").getPath
+    spark.range(10).select(col("id").as("k"),
+        (col("id") % 2).cast("string").as("p"))
+      .write.partitionBy("p").parquet(genA)
+    // genB: partition p=0 hard-linked (untouched), p=1 COPIED byte-
+    // for-byte (identical content, fresh inodes)
+    val genB = new java.io.File(root, "genB")
+    for (p <- Seq("p=0", "p=1")) {
+      val src = new java.io.File(genA, p)
+      val dst = new java.io.File(genB, p)
+      dst.mkdirs()
+      for (f <- src.listFiles() if f.isFile && !f.getName.startsWith("_")
+           && !f.getName.startsWith(".")) {
+        if (p == "p=0")
+          java.nio.file.Files.createLink(
+            new java.io.File(dst, f.getName).toPath, f.toPath)
+        else
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(dst, f.getName).toPath)
+      }
+    }
+    val d = graft.catalog.PartitionCowChangeFeed.diff(genA, genB.getPath)
+    assert(d.untouched == Seq("p=0") && d.touched == Seq("p=1"),
+      s"expected the copy to read as touched: $d")
+    // ...but the join finds every row byte-equal: the net feed is empty
+    assert(graft.catalog.PartitionCowChangeFeed
+      .between(spark, genA, genB.getPath, "k").count() == 0)
+  }
+
   test("graft.stats.auto: a COW swap re-analyzes the new generation " +
       "instead of opening a statless window") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_autostat_snapshot"))
