@@ -393,8 +393,8 @@ object TextOps extends QueryGroup {
       // VERDICT r16). Durability is unchanged: the persisted view is
       // the scratch history dir + the per-drop appends under idxB/idxG
       // below; a restarted query rebuilds the handle from those.
-      var accBands = hBands.localCheckpoint()
-      var accGroups = hGroups.localCheckpoint()
+      var accBands = hBands.coalesce(1).localCheckpoint()
+      var accGroups = hGroups.coalesce(1).localCheckpoint()
       var accPairs: DataFrame = null // per-round outputs are already
       // localCheckpointed by incMinhashRound — accumulating the result
       // in memory costs zero extra jobs, vs a write+read-back per drop
@@ -750,9 +750,16 @@ object TextOps extends QueryGroup {
     val bSh = batch.select(col("doc_id"), col("sh"))
     // index-side shingles: recomputed ONLY for candidate reps — the
     // candidate-id join lands before the shingle projection by
-    // construction, so the lambda cost is collision-proportional
-    val hShCand = shingled(corpusDocs
-        .join(cross.select(col("ra").as("doc_id")).distinct(), "doc_id"))
+    // construction, so the lambda cost is collision-proportional.
+    // broadcast() is explicit because the candidate ids derive from
+    // localCheckpointed index frames whose size the planner cannot
+    // estimate — without the hint it falls back to a sort-merge join
+    // that SHUFFLES the corpus text (measured 3.6x growth at 10 docs
+    // under local[32]); the id set is collision-proportional KiB by
+    // design, the textbook broadcast side
+    val hShCand = shingled(corpusDocs.join(
+        broadcast(cross.select(col("ra").as("doc_id")).distinct()),
+        "doc_id"))
       .select(col("doc_id").as("ra"), col("sh").as("sha"))
     def verified(pairs: DataFrame, shA: DataFrame): DataFrame =
       pairs
@@ -789,10 +796,14 @@ object TextOps extends QueryGroup {
           col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
+    // coalesce(1) before each checkpoint: these are KiB-scale frames,
+    // and under local[32] every materialization/union otherwise carries
+    // 32 near-empty partitions whose task-scheduling floor dominates
+    // the streaming key (measured 2x of its whole budget)
     val out = crossPairs.union(inbPairs).union(withinGroup)
-      .localCheckpoint()
-    val outBands = bBands.localCheckpoint()
-    val outGroups = bGroups.localCheckpoint()
+      .coalesce(1).localCheckpoint()
+    val outBands = bBands.coalesce(1).localCheckpoint()
+    val outGroups = bGroups.coalesce(1).localCheckpoint()
     batch.unpersist(blocking = false)
     bGroups.unpersist(blocking = false)
     bBands.unpersist(blocking = false)
