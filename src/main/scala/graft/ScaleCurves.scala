@@ -133,7 +133,22 @@ object ScaleCurves {
     // index), with the 3-micro-batch trigger machinery as fixed floor
     "stream_dedup_minhash" -> "documents",
     "stream_ivf_append" -> "embeddings",
-    "dedup_semantic_incremental" -> "embeddings")
+    "dedup_semantic_incremental" -> "embeddings",
+    // r17: the delta-UPDATE line must stay FLAT against meta_v2_mor_
+    // update's COW-over-MOR rewrite; the partitioned-MOR delete tracks
+    // its touched partition; the CDC/WAP/rollback/publish/autocompact
+    // family is KiB-metadata-bound over fixture-proportional staging
+    // writes; the skipping pair measures layout+stats lifecycle cost
+    // (fixture writes dominate — the PRUNED read itself is the point)
+    "meta_v2_mor_update_delta" -> "orders",
+    "meta_v2_mor_scoped_delete" -> "orders",
+    "meta_v2_mor_autocompact" -> "orders",
+    "meta_v2_txn_publish" -> "orders",
+    "meta_v2_file_skipping" -> "orders",
+    "meta_v2_cluster_stats" -> "orders",
+    "meta_v2_cdf_scoped" -> "orders",
+    "meta_v2_rollback" -> "nation",
+    "meta_v2_branch_wap" -> "orders")
 
   private val RunsPerKey = 3
 
