@@ -34,8 +34,10 @@ object PlanProbe {
     // matches canonicalized plans across separate DataFrame builds)
     // runs=N: report the MEDIAN of N timed runs in this one JVM — the
     // bench's own statistic; single-shot streaming keys swing 2×
-    val runs = args.collectFirst { case a if a.startsWith("runs=") =>
-      a.stripPrefix("runs=").toInt }.getOrElse(1)
+    // (clamped to >=1; for even N this reports the upper-middle run)
+    val runs = math.max(1,
+      args.collectFirst { case a if a.startsWith("runs=") =>
+        a.stripPrefix("runs=").toInt }.getOrElse(1))
     var df: org.apache.spark.sql.DataFrame = null
     val times = Seq.fill(runs) {
       RunCaches.reset()

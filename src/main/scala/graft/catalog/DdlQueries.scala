@@ -28,6 +28,13 @@ object DdlQueries extends QueryGroup {
   private def freshDb(s: SparkSession, db: String): Unit =
     s.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
 
+  /** Published head revision of a snapshot dir (the `HEAD` pointer the
+    * writable catalog swaps atomically) — shared by every fixture that
+    * asserts revision arithmetic. */
+  private def headRevAt(dir: String): Int =
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+
   private def deleteTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteTree))
     f.delete(): Unit
@@ -1889,8 +1896,7 @@ object DdlQueries extends QueryGroup {
       s.sql(s"""INSERT INTO $cat.corp.orders_cf
                |SELECT o_orderkey, o_orderstatus, o_totalprice
                |FROM orders_src_cf WHERE o_orderkey % 4 < 2""".stripMargin)
-      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      def headRev(): Int = headRevAt(dir)
       def locAt(rev: Int): String = CatalogTransfer
         .readLocal(s"$dir/revs/$rev").tables
         .find(_.name == "orders_cf").get.location
@@ -1970,8 +1976,7 @@ object DdlQueries extends QueryGroup {
       s.sql(s"""INSERT INTO $cat.corp.cust_tp
                |SELECT c_custkey, c_acctbal FROM cust_src_tp
                |WHERE c_custkey % 4 = 0""".stripMargin)
-      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      def headRev(): Int = headRevAt(dir)
       val revA = headRev()
       val snapA = CatalogTransfer.readLocal(s"$dir/revs/$revA")
       val tiO = snapA.tables.find(_.name == "orders_tp").get
@@ -2085,8 +2090,7 @@ object DdlQueries extends QueryGroup {
       s.sql(s"""DELETE FROM $cat.corp.orders_pc
                |WHERE o_orderstatus = 'P' AND o_orderkey % 16 = 3
                |""".stripMargin)
-      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      def headRev(): Int = headRevAt(dir)
       val locB = CatalogTransfer.readLocal(s"$dir/revs/${headRev()}")
         .tables.find(_.name == "orders_pc").get.location
       // the inode proof: exactly P touched, F and O byte-identical
@@ -2200,8 +2204,7 @@ object DdlQueries extends QueryGroup {
       s.sql(s"""INSERT INTO $cat.corp.orders_wap
                |SELECT o_orderkey, o_orderstatus, o_totalprice
                |FROM orders_src_wap WHERE o_orderkey % 8 = 2""".stripMargin)
-      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      def headRev(): Int = headRevAt(dir)
       val revA = headRev()
       val preSum = s.table(s"$cat.corp.orders_wap")
         .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
@@ -2283,8 +2286,7 @@ object DdlQueries extends QueryGroup {
       s.sql(s"""INSERT INTO $cat.corp.nation_rb
                |SELECT n_nationkey, n_name, n_regionkey
                |FROM nation_src_rb""".stripMargin)
-      def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+      def headRev(): Int = headRevAt(dir)
       val revA = headRev()
       // the mutation to undo: a COW UPDATE (new generation, rev B)
       s.sql(s"UPDATE $cat.corp.nation_rb SET n_name = lower(n_name)")

@@ -122,9 +122,16 @@ object FileSkipping {
         // groups; None = column disqualified for this file
         val acc = scala.collection.mutable.LinkedHashMap
           .empty[String, Option[ColStat]]
+        // original-case spelling per key: two DISTINCT columns that
+        // collide case-insensitively (legal under case-sensitive mode)
+        // must disqualify the key — merging their stats would publish
+        // a combined nullCount/bounds belonging to neither column
+        val spelling = scala.collection.mutable.HashMap.empty[String, String]
         for (b <- blocks; cc <- b.getColumns.asScala) {
           val name = cc.getPath.toDotString
           if (!name.contains('.')) pruneKey(name).foreach { key =>
+            if (spelling.getOrElseUpdate(key, name) != name)
+              acc(key) = None
             val pt = cc.getPrimitiveType
             val ann = pt.getLogicalTypeAnnotation
             val dtype: Option[String] = pt.getPrimitiveTypeName match {
@@ -159,23 +166,37 @@ object FileSkipping {
                 if (st == null || st.isEmpty) acc(key) = None
                 else {
                   val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
-                  val (mn, mx, has) =
-                    if (!st.hasNonNullValue) ("", "", false)
+                  // hasMinMax=false is reserved for "no non-null value
+                  // exists" (all-null row group — safe for a sibling's
+                  // bounds to stand alone). A row group that HAS values
+                  // but whose bounds were render-REJECTED (NaN floats,
+                  // non-ASCII strings, writer-truncated binary stats)
+                  // must DISQUALIFY the whole column instead: its rows
+                  // are not covered by any other group's bounds, and
+                  // publishing those as the file's bounds would prune
+                  // files containing matching rows
+                  val rendered =
+                    if (!st.hasNonNullValue) Some(("", "", false))
                     else {
                       val m0 = render(dt,
                         st.genericGetMin.asInstanceOf[AnyRef])
                       val m1 = render(dt,
                         st.genericGetMax.asInstanceOf[AnyRef])
-                      (m0.getOrElse(""), m1.getOrElse(""),
-                        m0.isDefined && m1.isDefined)
+                      if (m0.isDefined && m1.isDefined)
+                        Some((m0.get, m1.get, true))
+                      else None
                     }
-                  val cur = ColStat(dt, mn, mx, nulls, has)
-                  acc.get(key) match {
-                    case None => acc(key) = Some(cur)
-                    case Some(None) => ()
-                    case Some(Some(prev)) =>
-                      if (prev.dtype != dt) acc(key) = None
-                      else acc(key) = Some(merge(prev, cur))
+                  rendered match {
+                    case None => acc(key) = None
+                    case Some((mn, mx, has)) =>
+                      val cur = ColStat(dt, mn, mx, nulls, has)
+                      acc.get(key) match {
+                        case None => acc(key) = Some(cur)
+                        case Some(None) => ()
+                        case Some(Some(prev)) =>
+                          if (prev.dtype != dt) acc(key) = None
+                          else acc(key) = Some(merge(prev, cur))
+                      }
                   }
                 }
             }
@@ -187,10 +208,10 @@ object FileSkipping {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Case-insensitive stat key (Spark's default resolution). A name
-    * that would COLLIDE case-insensitively is dropped by the caller
-    * being keyed last-wins — acceptable: collisions only exist under
-    * case-sensitive mode, where we simply never prune. */
+  /** Case-insensitive stat key (Spark's default resolution). Distinct
+    * names that collide case-insensitively (legal only under
+    * case-sensitive mode) disqualify the key at collection time — the
+    * caller tracks spellings and poisons the entry. */
   private def pruneKey(name: String): Option[String] =
     Some(name.toLowerCase(java.util.Locale.ROOT))
 
@@ -567,14 +588,23 @@ private[graft] class StatsPrunedScan(delegate: Scan,
       case _ => ()
     }
 
+  /** stats keys grouped by file basename: the planning loop must not
+    * scan the whole key set per planned file (O(files × keys) on the
+    * driver defeats the feature at manifest scale) — basename lookup
+    * is O(1), then only same-named candidates suffix-match. */
+  private val keysByBase: Map[String, Seq[String]] =
+    stats.keys.toSeq.groupBy(k => k.substring(k.lastIndexOf('/') + 1))
+
   /** stats key for a planned file: path relative to the deepest
     * ancestor the stats doc knows — matched by suffix, longest
     * (most-specific) candidate first, so hive-partitioned relative
     * keys (`p=1/part-0.parquet`) resolve exactly. */
   private def statKey(filePath: String): Option[String] = {
     val norm = java.net.URLDecoder.decode(filePath, "UTF-8")
-    stats.keys.filter(k => norm.endsWith("/" + k))
-      .toSeq.sortBy(-_.length).headOption
+    val base = norm.substring(norm.lastIndexOf('/') + 1)
+    keysByBase.getOrElse(base, Nil)
+      .filter(k => norm.endsWith("/" + k))
+      .sortBy(-_.length).headOption
   }
 
   override def toBatch: Batch = new Batch {

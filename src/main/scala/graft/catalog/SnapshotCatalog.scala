@@ -802,7 +802,11 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       throw new IllegalArgumentException(
         s"catalog ${this.name()} already has branch '$name'")
     val cur = snap
-    val base = headRevOnDisk
+    // the fork revision MUST be the one `snap` resolved (loadedRev) —
+    // a second disk read could see a concurrent writer's newer HEAD
+    // and stamp BASE one ahead of the copied content, letting a later
+    // fastForward silently drop that writer's revision
+    val base = loadedRev
     val stage = new java.io.File(s"$snapshotDir/branches/.stage-$name-" +
       java.util.UUID.randomUUID.toString.take(8))
     CatalogTransfer.writeLocal(cur, stage.getPath)

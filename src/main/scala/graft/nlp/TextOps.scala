@@ -417,7 +417,18 @@ object TextOps extends QueryGroup {
         }
         .start()
       q.awaitTermination()
-      accPairs.orderBy("doc_a", "doc_b")
+      // zero micro-batches (an empty feed variant) must yield an empty
+      // result, not an NPE on the never-assigned accumulator
+      if (accPairs == null)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("doc_b",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+      else accPairs.orderBy("doc_a", "doc_b")
     }),
 
     // exact n-gram Jaccard dedup via the scalable inverted-index plan:

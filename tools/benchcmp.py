@@ -37,7 +37,7 @@ def main():
             if new[k] / max(old[k], 1e-9) > 1.5 and new[k] - old[k] > 0.3]
     print(f"regression bar ({len(bars)}):")
     for k, o, n in sorted(bars, key=lambda t: t[1] - t[2]):
-        print(f"  ! {k}: {o:.2f} -> {n:.2f} ({n / o:.2f}x)")
+        print(f"  ! {k}: {o:.2f} -> {n:.2f} ({n / max(o, 1e-9):.2f}x)")
     for p in prefixes:
         ko = [k for k in old if k.startswith(p)]
         kn = [k for k in new if k.startswith(p)]
