@@ -107,7 +107,12 @@ object Bench {
     val qs = headline.map(k => s"\"$k\":${r3(results(k))}")
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"runs":$RunsPerKey,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+    // drift control: agg_hash_group (untouched since round 2) as a
+    // first-class field, so cross-round ratios can be normalized for
+    // ambient machine drift mechanically instead of forensically
+    // (r17's 1.22x headline was a 2.87x control reading)
+    val control = results.getOrElse("agg_hash_group", 0.0)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"runs":$RunsPerKey,"stat":"median","control_sec":${r3(control)},"queries":$qs,"sf":"$sfDir"}"""
     // The driver records only a ~2000-char stdout tail; a longer line
     // loses its HEAD (including "value":) and the round's bench record
     // parses as null. Abort loudly rather than silently losing the round.

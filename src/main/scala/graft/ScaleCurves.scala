@@ -148,7 +148,21 @@ object ScaleCurves {
     "meta_v2_cluster_stats" -> "orders",
     "meta_v2_cdf_scoped" -> "orders",
     "meta_v2_rollback" -> "nation",
-    "meta_v2_branch_wap" -> "orders")
+    "meta_v2_branch_wap" -> "orders",
+    // r18: the incremental-analyze line — the key's second analyze
+    // must track the 4-file DELTA (executor-parallel footer reads),
+    // never the table; the transform-layout pair is fixture-write
+    // dominated (the pruned probe is the point); the rebase/widen
+    // lines are KiB-metadata-bound; the streaming consumer pays
+    // 3 × O(delta) feed applications + trigger floor; the filtered
+    // ANN line must track the shrunken candidate set
+    "meta_v2_stats_incremental" -> "orders",
+    "meta_v2_part_bucket" -> "orders",
+    "meta_v2_part_days" -> "orders",
+    "meta_v2_branch_rebase" -> "nation",
+    "meta_v2_alter_widen" -> "nation",
+    "stream_changefeed_upsert" -> "orders",
+    "sim_ann_ivf_filtered" -> "embeddings")
 
   private val RunsPerKey = 3
 

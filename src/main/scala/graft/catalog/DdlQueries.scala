@@ -40,6 +40,22 @@ object DdlQueries extends QueryGroup {
     f.delete(): Unit
   }
 
+  /** Hive partition dir names of the files the EXECUTING scan plans —
+    * the partition-pruning evidence hook (the transform keys pin the
+    * planned dir set against what the predicate implies). */
+  private def plannedPartDirs(
+      df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+    }.flatMap(_.toBatch.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources
+          .FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty[String]
+    }).flatMap(p =>
+      p.split('/').filter(_.contains("=")).lastOption).toSet
+
   /** Export the fixture catalog to a snapshot, DROP it from the
     * session, and register a read-only [[SnapshotCatalog]] over the
     * snapshot — the "second cluster attaches to the shared metastore"
@@ -2049,6 +2065,127 @@ object DdlQueries extends QueryGroup {
     // oracle replays both statements and classifies every key. At
     // 100 TB a CDC consumer of a partitioned fact table pays
     // touched-partition cost per window, never a table scan — the
+    // STREAMING CHANGE-FEED CONSUMER ([[ChangeFeedStream]]) — the CDC
+    // composition that turns the batch feed into a topology: a
+    // Structured Streaming foreachBatch consumer pages the catalog's
+    // own MorChangeFeed revision-by-revision into an incremental
+    // downstream materialization (the stream_cdc_upsert idiom fed by
+    // the catalog), exactly-once via a revision ledger + idempotent
+    // net-diff upserts. The fixture commits three delta statements
+    // (DELETE, two MERGEs), drops one marker per revision into a file
+    // stream, and the consumer — bootstrapped from the base snapshot —
+    // must converge the materialization to EXACTLY the table's head
+    // (engine-required via symmetric except; the ledger must show each
+    // revision applied once). StreamingSpec proves the other half:
+    // restart-from-checkpoint resumes at the right revision. At 100 TB
+    // each micro-batch costs one O(delta) feed read + a keyed upsert —
+    // the downstream stays continuously fresh without ever re-reading
+    // the table.
+    "stream_changefeed_upsert" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_scf_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gscf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_scf
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.merge.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_scf")
+      s.sql(s"""INSERT INTO $cat.corp.orders_scf
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_scf WHERE o_orderkey % 4 < 2""".stripMargin)
+      val revBase = headRevAt(dir)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      def stateAt(ss: SparkSession)(r: Int) = ss.sql(
+        s"SELECT * FROM $cat2.corp.orders_scf VERSION AS OF '$r'")
+      val out = Tables.scratch(d, "stream_scf_state")
+      deleteTree(new java.io.File(out))
+      deleteTree(new java.io.File(out + "_applied"))
+      ChangeFeedStream.bootstrap(out, revBase, stateAt(s)(revBase))
+      // three delta commits — each publishes one revision
+      s.sql(s"DELETE FROM $cat.corp.orders_scf WHERE o_orderkey % 16 = 0")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_src_scf
+          |WHERE o_orderkey % 8 = 4
+          |UNION ALL
+          |SELECT o_orderkey + 300000000, o_totalprice
+          |FROM orders_src_scf WHERE o_orderkey % 8 = 5""".stripMargin)
+        .createOrReplaceTempView("delta_scf1")
+      s.sql(s"""MERGE INTO $cat.corp.orders_scf t
+               |USING delta_scf1 u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice * 1.10D,
+               |  o_orderstatus = 'U'
+               |WHEN NOT MATCHED THEN INSERT
+               |  (o_orderkey, o_orderstatus, o_totalprice)
+               |  VALUES (u.o_orderkey, 'N', u.o_totalprice)""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_src_scf
+          |WHERE o_orderkey % 8 = 1
+          |UNION ALL
+          |SELECT o_orderkey + 400000000, o_totalprice
+          |FROM orders_src_scf WHERE o_orderkey % 16 = 9""".stripMargin)
+        .createOrReplaceTempView("delta_scf2")
+      s.sql(s"""MERGE INTO $cat.corp.orders_scf t
+               |USING delta_scf2 u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice * 0.90D,
+               |  o_orderstatus = 'V'
+               |WHEN NOT MATCHED THEN INSERT
+               |  (o_orderkey, o_orderstatus, o_totalprice)
+               |  VALUES (u.o_orderkey, 'M', u.o_totalprice)""".stripMargin)
+      val revHead = headRevAt(dir)
+      require(revHead == revBase + 3,
+        s"expected 3 delta revisions, got $revBase -> $revHead")
+      // one marker per revision into the stream source
+      val src = Tables.scratch(d, "stream_scf_marks")
+      deleteTree(new java.io.File(src))
+      new java.io.File(src).mkdirs()
+      for (r <- (revBase + 1) to revHead)
+        java.nio.file.Files.writeString(
+          new java.io.File(src, f"r$r%05d.txt").toPath, r.toString)
+      val cp = Tables.scratch(d, "stream_scf_cp")
+      deleteTree(new java.io.File(cp))
+      val q = s.readStream.format("text")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          val ss = batch.sparkSession
+          val upTo = batch.agg(max(col("value").cast("int"))).head()
+          if (!upTo.isNullAt(0))
+            ChangeFeedStream.applyUpTo(ss, dir, "corp", "orders_scf",
+              "o_orderkey", out, upTo.getInt(0), stateAt(ss)): Unit
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // exactly-once: each revision applied once, and the downstream
+      // converged to EXACTLY the table's head state
+      val ledger = ChangeFeedStream.applied(out)
+      require(ledger == (revBase to revHead),
+        s"ledger must show each revision applied once: $ledger")
+      val head = s.table(s"$cat2.corp.orders_scf")
+      val mat = s.read.parquet(out)
+      require(mat.except(head).isEmpty && head.except(mat).isEmpty,
+        "materialization diverged from the table head")
+      mat.select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // partitioned complement of meta_v2_changefeed's commit-time CDC.
     "meta_v2_cdf_scoped" -> ((s, d) => {
       val dir = new java.io.File(Tables.scratch(d, "v2_cdfsc_snapshot"))
@@ -2149,7 +2286,7 @@ object DdlQueries extends QueryGroup {
       for (i <- 0L until 8L)
         src.filter(col("o_orderkey") % 8 === i)
           .coalesce(1).writeTo(s"$cat.corp.orders_cl").append()
-      require(FileSkipping.analyze(loc) == 8,
+      require(FileSkipping.analyze(loc).covered == 8,
         "expected 8 interleaved files")
       val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
       val step = maxKey / 8 + 1
@@ -2208,6 +2345,7 @@ object DdlQueries extends QueryGroup {
       val revA = headRev()
       val preSum = s.table(s"$cat.corp.orders_wap")
         .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+      val preCount = s.table(s"$cat.corp.orders_wap").count()
       val plug = new WritableSnapshotCatalog
       plug.initialize(cat + "_wap",
         new org.apache.spark.sql.util.CaseInsensitiveStringMap(
@@ -2222,18 +2360,30 @@ object DdlQueries extends QueryGroup {
       s.sql(s"""UPDATE $bcat.corp.orders_wap
                |SET o_totalprice = o_totalprice * 1.05
                |WHERE o_orderstatus = 'F'""".stripMargin)
-      // ISOLATION: main serves the unaudited state untouched
+      // APPEND through the branch: [[BranchCowAppendTable]] must stage
+      // it copy-on-write — a stock in-place INSERT would drop files
+      // into the fork-shared directory and leak past the audit gate
+      s.sql(s"""INSERT INTO $bcat.corp.orders_wap
+               |SELECT o_orderkey + 500000000, 'B', o_totalprice
+               |FROM orders_src_wap WHERE o_orderkey % 16 = 6""".stripMargin)
+      // ISOLATION: main serves the unaudited state untouched — neither
+      // the UPDATE's rewrite nor the INSERT's appended rows visible
       val mainSum = s.table(s"$cat.corp.orders_wap")
         .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
-      require(mainSum == preSum && headRev() == revA,
+      val mainCount = s.table(s"$cat.corp.orders_wap").count()
+      require(mainSum == preSum && mainCount == preCount &&
+          headRev() == revA,
         s"staged branch write leaked into main " +
-          s"($preSum -> $mainSum, rev $revA -> ${headRev()})")
+          s"($preSum -> $mainSum, $preCount -> $mainCount rows, " +
+          s"rev $revA -> ${headRev()})")
       // AUDIT: quality gates evaluated against BRANCH state
       val audited = s.table(s"$bcat.corp.orders_wap")
       require(audited.filter(col("o_totalprice") <= 0).isEmpty,
         "audit gate: non-positive price staged")
       require(audited.filter(col("o_orderstatus") === "F").count() > 0,
         "audit gate vacuous: no updated rows staged")
+      require(audited.filter(col("o_orderstatus") === "B").count() > 0,
+        "audit gate vacuous: no appended rows staged")
       // PUBLISH: one atomic fast-forward of main's head
       val revB = plug.fastForward("audit")
       require(revB == revA + 1,
@@ -2251,6 +2401,91 @@ object DdlQueries extends QueryGroup {
           s"SELECT * FROM $cat2.corp.orders_wap VERSION AS OF '$revA'"))
         .unionByName(ph("post", s.table(s"$cat2.corp.orders_wap")))
         .orderBy("phase", "k")
+    }),
+
+    // BRANCH REBASE ([[WritableSnapshotCatalog.rebaseBranch]]) — the
+    // divergence recourse write-audit-publish needs: main advances on
+    // a DISJOINT table while the audit stages its mutation, so the
+    // publish is no longer a fast-forward (engine-required refusal
+    // below); rebase three-way-merges main's head + the branch's
+    // table-level changes into a new branch revision, advances the
+    // fork marker, and the SAME fastForward then publishes atomically.
+    // A genuine conflict (both sides changed one table differently)
+    // refuses loudly naming the object — engine-required on a second
+    // branch. At 100 TB all of this is KiB metadata arithmetic; the
+    // audit's staged data generations ride along untouched.
+    "meta_v2_branch_rebase" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_rebase_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "grbase_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.nation_rbb
+               |(n_nationkey INT, n_name STRING, n_regionkey INT)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_rbb")
+      s.sql(s"""INSERT INTO $cat.corp.nation_rbb
+               |SELECT n_nationkey, n_name, n_regionkey
+               |FROM nation_src_rbb""".stripMargin)
+      val plug = new WritableSnapshotCatalog
+      plug.initialize(cat + "_rb",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir)))
+      plug.createBranch("audit"): Unit
+      val bcat = cat + "_br"
+      s.conf.set(s"spark.sql.catalog.$bcat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$bcat.path", plug.branchDir("audit"))
+      // the audit stages its mutation on the branch...
+      s.sql(s"""UPDATE $bcat.corp.nation_rbb SET n_name = lower(n_name)
+               |WHERE n_regionkey = 2""".stripMargin)
+      // ...while main advances on a DISJOINT table
+      s.sql(s"""CREATE TABLE $cat.corp.region_rbb
+               |(r_regionkey INT, r_name STRING) USING parquet""".stripMargin)
+      Tables(s, d, "region").createOrReplaceTempView("region_src_rbb")
+      s.sql(s"""INSERT INTO $cat.corp.region_rbb
+               |SELECT r_regionkey, r_name FROM region_src_rbb""".stripMargin)
+      // the publish is no longer a fast-forward — refused loudly
+      val ff = scala.util.Try(plug.fastForward("audit"))
+      require(ff.isFailure, "diverged fastForward must refuse")
+      // REBASE: three-way merge, new fork = main's head; then publish
+      val newBase = plug.rebaseBranch("audit")
+      require(newBase == headRevAt(dir),
+        s"rebase must advance the fork to main's head")
+      val pubRev = plug.fastForward("audit")
+      require(pubRev == newBase + 1,
+        s"post-rebase publish must be ONE revision ($newBase -> $pubRev)")
+      plug.dropBranch("audit"): Unit
+      // CONFLICT path: a second branch and main both mutate the SAME
+      // table differently — rebase must refuse naming the object
+      plug.createBranch("audit2"): Unit
+      val b2 = cat + "_br2"
+      s.conf.set(s"spark.sql.catalog.$b2",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$b2.path", plug.branchDir("audit2"))
+      s.sql(s"ALTER TABLE $b2.corp.region_rbb ADD COLUMN note STRING")
+      s.sql(s"ALTER TABLE $cat.corp.region_rbb ADD COLUMN audit STRING")
+      val c = scala.util.Try(plug.rebaseBranch("audit2"))
+      require(c.isFailure && c.failed.get.getMessage.contains("region_rbb"),
+        s"conflicting rebase must refuse naming the table: $c")
+      plug.dropBranch("audit2"): Unit
+      // published state through a read-only attach: branch's UPDATE
+      // and main's new table BOTH present
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      s.table(s"$cat2.corp.nation_rbb")
+        .select(lit("nation").as("src"), col("n_nationkey").as("k"),
+          col("n_name").as("name"))
+        .unionByName(s.table(s"$cat2.corp.region_rbb")
+          .select(lit("region").as("src"), col("r_regionkey").as("k"),
+            col("r_name").as("name")))
+        .orderBy("src", "k")
     }),
 
     // CATALOG ROLLBACK ([[WritableSnapshotCatalog.rollback]]) — undo
@@ -2358,7 +2593,7 @@ object DdlQueries extends QueryGroup {
             col("o_orderkey") < (i + 1) * step)
           .coalesce(1)
           .writeTo(s"$cat.corp.orders_skip").append()
-      val covered = FileSkipping.analyze(loc)
+      val covered = FileSkipping.analyze(loc).covered
       require(covered == 8,
         s"expected exactly 8 stats-covered files, got $covered")
       // the filtered read — served through a SECOND read-only attach,
@@ -2380,6 +2615,68 @@ object DdlQueries extends QueryGroup {
             .as("max_date"))
         .withColumn("files_total", lit(covered.toLong))
         .withColumn("files_read", lit(filesRead.toLong))
+    }),
+
+    // INCREMENTAL SHARDED STATS HARVEST ([[FileSkipping.analyze]] v2)
+    // — the manifest maintenance leg of file skipping at manifest
+    // scale: footers are read EXECUTOR-PARALLEL (one Spark job over
+    // the file list, never a driver loop), persisted as immutable
+    // uuid-named shards under `_graft_stats.d/` behind one atomic
+    // pointer swap, and re-analyze is O(delta) — the second analyze
+    // below re-reads exactly the 4 appended files' footers and
+    // re-references the first shard byte-identical (engine-required,
+    // and the harvested/reused counts ride out as oracled columns).
+    // The pruned read then proves the incrementally-built manifest
+    // serves exactly like a full one: 1 of 8 range files planned.
+    // At 100 TB (~10⁵–10⁶ files) this is the difference between a
+    // per-swap driver stall re-footering the world and a KiB-sized
+    // job over the delta — the Iceberg manifest-list shape.
+    "meta_v2_stats_incremental" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_incstats_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gincst_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_inc"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_inc
+               |(o_orderkey BIGINT, o_totalprice DOUBLE)
+               |USING parquet LOCATION '$loc'""".stripMargin)
+      val src = Tables(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
+      val step = maxKey / 8 + 1
+      def appendRange(i: Long): Unit =
+        src.filter(col("o_orderkey") >= i * step &&
+            col("o_orderkey") < (i + 1) * step)
+          .coalesce(1)
+          .writeTo(s"$cat.corp.orders_inc").append()
+      (0L until 4L).foreach(appendRange)
+      val r1 = FileSkipping.analyze(loc)
+      require(r1 == FileSkipping.AnalyzeResult(4, 4, 0),
+        s"first analyze must harvest all 4 files, got $r1")
+      (4L until 8L).foreach(appendRange)
+      val r2 = FileSkipping.analyze(loc)
+      require(r2 == FileSkipping.AnalyzeResult(8, 4, 4),
+        s"incremental analyze must harvest ONLY the 4 appended " +
+          s"files and reuse the first shard, got $r2")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      val q = s.table(s"$cat2.corp.orders_inc")
+        .filter(col("o_orderkey") >= 6 * step &&
+          col("o_orderkey") < 7 * step)
+      val filesRead = FileSkipping.plannedFiles(q)
+      q.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("files_total", lit(8L))
+        .withColumn("files_read", lit(filesRead.toLong))
+        .withColumn("harvested_2nd", lit(r2.harvested.toLong))
+        .withColumn("reused_2nd", lit(r2.reused.toLong))
     }),
 
     // STORAGE-PARTITIONED JOIN between two co-partitioned shared-
@@ -2527,6 +2824,155 @@ object DdlQueries extends QueryGroup {
     // table and PRUNES partitions on the filter below (PartitionFilters
     // asserted in CatalogSpec). The oracle proves the partition-split
     // write loses and duplicates nothing.
+    // HIDDEN BUCKET PARTITIONING ([[TransformPartition]]) — CREATE
+    // TABLE ... PARTITIONED BY (bucket(4, o_custkey)): the catalog
+    // derives `o_custkey_bucket=k` directories engine-side on INSERT
+    // (users never write the derived column), TRANSLATES a pushed
+    // `o_custkey = K` into the implied bucket predicate so the stock
+    // scan partition-prunes (engine-asserted: the probe plans files
+    // from exactly ONE bucket dir, through a second read-only attach),
+    // and composes with row-level DML: the scoped DELETE below
+    // rewrites ONLY the matched bucket — an untouched bucket's file
+    // survives BY INODE (hard-link carry-over, engine-asserted). At
+    // 100 TB this is how a fact table keyed on a high-cardinality id
+    // is laid out: point lookups touch 1/N of the files, bucket-local
+    // DML rewrites 1/N of the bytes, and no user query ever mentions
+    // the derived column. Bucket fn = pmod (oracle-replayable; murmur
+    // would drop in behind the same PartDeriver seam).
+    "meta_v2_part_bucket" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_pbkt_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpbkt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_pb"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_pb
+               |(o_orderkey BIGINT, o_custkey BIGINT,
+               | o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (bucket(4, o_custkey))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_pb")
+      s.sql(s"""INSERT INTO $cat.corp.orders_pb
+               |SELECT o_orderkey, o_custkey, o_totalprice
+               |FROM orders_src_pb""".stripMargin)
+      // the engine laid out bucket dirs — no user-visible derived col
+      val dirs = Option(new java.io.File(loc).list()).toSeq.flatten
+        .filter(_.startsWith("o_custkey_bucket=")).sorted
+      require(dirs == (0 to 3).map(i => s"o_custkey_bucket=$i"),
+        s"bucket layout missing: $dirs")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      require(!s.table(s"$cat2.corp.orders_pb").columns
+          .contains("o_custkey_bucket"),
+        "derived bucket column must stay hidden")
+      // point-lookup pruning: the pushed o_custkey = K implies ONE
+      // bucket dir — asserted on the executing scan's planned files
+      val probeKey = s.sql(
+        "SELECT min(o_custkey) FROM orders_src_pb").head.getLong(0)
+      val probe = s.table(s"$cat2.corp.orders_pb")
+        .filter(col("o_custkey") === probeKey)
+      val probeDirs = plannedPartDirs(probe)
+      require(probeDirs == Set(s"o_custkey_bucket=${probeKey % 4}"),
+        s"bucket pruning failed: planned $probeDirs for key $probeKey")
+      // scoped DML: the DELETE matches exactly bucket 1; untouched
+      // buckets carry over BY INODE (hard link, zero bytes moved)
+      def inodesOf(location: String, bucket: Int): Set[Long] = {
+        val bd = new java.io.File(Mor.normLoc(location),
+          s"o_custkey_bucket=$bucket")
+        Option(bd.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) // .crc checksum litter
+          .map(f => java.nio.file.Files.getAttribute(f.toPath,
+            "unix:ino").asInstanceOf[Long]).toSet
+      }
+      val inodes0 = inodesOf(loc, 0)
+      require(inodes0.nonEmpty, "bucket 0 empty before the delete")
+      s.sql(s"DELETE FROM $cat.corp.orders_pb WHERE o_custkey % 4 = 1")
+      val newLoc = CatalogTransfer.readLocal(
+          s"$dir/revs/${headRevAt(dir)}").tables
+        .find(_.name == "orders_pb").get.location
+      require(Mor.normLoc(newLoc) != Mor.normLoc(loc),
+        "scoped DELETE must publish a fresh generation")
+      require(inodesOf(newLoc, 0) == inodes0,
+        s"untouched bucket 0 must carry over by hard link: " +
+          s"$inodes0 -> ${inodesOf(newLoc, 0)} (newLoc=$newLoc)")
+      require(Option(new java.io.File(Mor.normLoc(newLoc),
+          "o_custkey_bucket=1").listFiles()).toSeq.flatten
+          .forall(f => !f.isFile || f.getName.startsWith("_")),
+        "matched bucket 1 must be rewritten empty")
+      s.table(s"$cat2.corp.orders_pb")
+        .groupBy(pmod(col("o_custkey"), lit(4L)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("probe_dirs", lit(probeDirs.size.toLong))
+        .orderBy("bucket")
+    }),
+
+    // HIDDEN TIME PARTITIONING — PARTITIONED BY (days(o_orderdate)):
+    // the catalog lands `o_orderdate_day=yyyy-MM-dd` directories
+    // engine-side, and a pushed TIMESTAMP RANGE on the source column
+    // translates into the implied day range (days is monotone), so
+    // the stock scan prunes to the window's directories —
+    // engine-asserted below: a one-week probe plans files from ≤ 7
+    // day dirs out of the table's thousands. This is THE layout for
+    // time-series fact tables at 100 TB (every retention sweep, every
+    // backfill, every dashboard window is a directory subset), with
+    // no user-written derived column anywhere.
+    "meta_v2_part_days" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_pday_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpday_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_pd"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_pd
+               |(o_orderkey BIGINT, o_orderdate TIMESTAMP,
+               | o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (days(o_orderdate))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_pd")
+      s.sql(s"""INSERT INTO $cat.corp.orders_pd
+               |SELECT o_orderkey, o_orderdate, o_totalprice
+               |FROM orders_src_pd""".stripMargin)
+      val allDirs = Option(new java.io.File(loc).list()).toSeq.flatten
+        .count(_.startsWith("o_orderdate_day="))
+      require(allDirs > 30, s"day layout missing: $allDirs dirs")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      val lo = "1995-03-01"
+      val hi = "1995-03-08" // exclusive
+      val q = s.table(s"$cat2.corp.orders_pd")
+        .filter(col("o_orderdate") >=
+            to_timestamp(lit(s"$lo 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit(s"$hi 00:00:00")))
+      val probeDirs = plannedPartDirs(q)
+      require(probeDirs.nonEmpty && probeDirs.size <= 7 &&
+          probeDirs.forall { p =>
+            val day = p.stripPrefix("o_orderdate_day=")
+            day >= lo && day < hi
+          } && probeDirs.size < allDirs,
+        s"day-range pruning failed: $probeDirs of $allDirs dirs")
+      q.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("dirs_planned", lit(probeDirs.size.toLong))
+        .orderBy("day")
+    }),
+
     "meta_v2_partitioned" -> ((s, d) => {
       val dir = new java.io.File(Tables.scratch(d, "v2_part_snapshot"))
         .getAbsolutePath
@@ -2953,6 +3399,70 @@ object DdlQueries extends QueryGroup {
           min("n_nationkey").as("lo_key"),
           max("n_nationkey").as("hi_key"))
         .orderBy("src")
+    }),
+
+    // TYPE-WIDENING SCHEMA EVOLUTION (ALTER COLUMN ... TYPE BIGINT /
+    // DOUBLE) — the metadata-only promotion long-lived tables need:
+    // files written under the NARROW type stay untouched on disk and
+    // resolve through the widened read schema (Spark 4 parquet readers
+    // up-convert int32→int64 / float→double per file, SPARK-40876);
+    // rows inserted AFTER the widen land wide — including values that
+    // OVERFLOW the old type, the proof the widen is real. Unsafe
+    // narrowing refuses loudly ([[WritableSnapshotCatalog.alterTable]]
+    // names the CTAS way out). The aggregate below spans both file
+    // generations under the widened schema; a second read-only attach
+    // serves it, so the evolution is metastore state, not session
+    // state. At 100 TB: zero bytes rewritten — the entire point.
+    "meta_v2_alter_widen" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_widen_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gwiden_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.widen_t
+               |(n_nationkey INT, n_name STRING, bal FLOAT)
+               |USING parquet""".stripMargin)
+      Tables(s, d, "nation").createOrReplaceTempView("nation_src_w")
+      s.sql(s"""INSERT INTO $cat.corp.widen_t
+               |SELECT n_nationkey, n_name,
+               |  CAST(n_regionkey AS FLOAT) FROM nation_src_w""".stripMargin)
+      // narrowing refuses loudly, nothing published (a same-type ALTER
+      // never reaches the catalog — the analyzer folds it away)
+      val narrow = scala.util.Try(s.sql(s"ALTER TABLE $cat.corp.widen_t " +
+        "ALTER COLUMN n_nationkey TYPE SMALLINT"))
+      require(narrow.isFailure, "narrowing ALTER must refuse")
+      val lossy = scala.util.Try(s.sql(s"ALTER TABLE $cat.corp.widen_t " +
+        "ALTER COLUMN n_nationkey TYPE DOUBLE"))
+      require(lossy.isFailure, "int->double ALTER must refuse (2^53)")
+      s.sql(s"ALTER TABLE $cat.corp.widen_t " +
+        "ALTER COLUMN n_nationkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.corp.widen_t " +
+        "ALTER COLUMN bal TYPE DOUBLE")
+      // post-widen rows overflow INT on purpose: 5e9 > 2^31
+      s.sql(s"""INSERT INTO $cat.corp.widen_t
+               |SELECT CAST(n_nationkey + 5000000000 AS BIGINT), n_name,
+               |  CAST(n_regionkey AS DOUBLE) + 0.25D
+               |FROM nation_src_w""".stripMargin)
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      val t = s.table(s"$cat2.corp.widen_t")
+      require(t.schema("n_nationkey").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        t.schema("bal").dataType ==
+          org.apache.spark.sql.types.DoubleType,
+        s"widened schema not served: ${t.schema.simpleString}")
+      t.groupBy(when(col("n_nationkey") >= 5000000000L, "wide")
+          .otherwise("narrow").as("gen"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).as("key_sum"),
+          round(sum(col("bal")), 4).as("bal_sum"))
+        .orderBy("gen")
     }),
 
     // SQL-over-the-wire: the reference's other service surface — a
@@ -3670,8 +4180,25 @@ object DdlQueries extends QueryGroup {
         |  SELECT 'post', o_orderkey, o_orderstatus,
         |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.05
         |         ELSE o_totalprice END
-        |  FROM orders WHERE o_orderkey % 8 = 2)
+        |  FROM orders WHERE o_orderkey % 8 = 2
+        |  UNION ALL
+        |  SELECT 'post', o_orderkey + 500000000, 'B', o_totalprice
+        |  FROM orders WHERE o_orderkey % 16 = 6)
         |ORDER BY phase, k""".stripMargin,
+
+    // post-publish state: the branch's scoped UPDATE landed on nation
+    // AND main's independently-created region table survived the
+    // rebase — the refusals (diverged fast-forward, conflicting
+    // rebase) are engine-required inside the fixture
+    "meta_v2_branch_rebase" ->
+      """SELECT src, k, name FROM (
+        |  SELECT 'nation' AS src, n_nationkey AS k,
+        |    CASE WHEN n_regionkey = 2 THEN LOWER(n_name)
+        |         ELSE n_name END AS name
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'region', r_regionkey, r_name FROM region)
+        |ORDER BY src, k""".stripMargin,
 
     // head replays the original fixture (the undo), the pre-rollback
     // revision replays the mutation (history preserved)
@@ -3696,6 +4223,82 @@ object DdlQueries extends QueryGroup {
         |  STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
         |  8 AS files_total, 1 AS files_read
         |FROM orders, b WHERE o_orderkey < b.step""".stripMargin,
+
+    // post-delete bucket totals replay as pmod arithmetic (the graft
+    // bucket transform is modulo by design — oracle-replayable); the
+    // 1-dir probe evidence is engine-required and pinned as a constant
+    "meta_v2_part_bucket" ->
+      """SELECT (o_custkey % 4) AS bucket, COUNT(*) AS n_rows,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price, 1 AS probe_dirs
+        |FROM orders WHERE o_custkey % 4 <> 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the one-week window replays over raw timestamps; the ≤7-dir
+    // planned evidence is engine-required, its exact count pinned by
+    // the day-distinct subquery
+    "meta_v2_part_days" ->
+      """WITH w AS (SELECT o_orderdate, o_totalprice FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-03-08 00:00:00')
+        |SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  (SELECT COUNT(DISTINCT STRFTIME(o_orderdate, '%Y-%m-%d'))
+        |   FROM w) AS dirs_planned
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the materialized state replays the base insert + three delta
+    // statements relationally; the engine additionally required
+    // state == head via symmetric except and a once-per-revision ledger
+    "stream_changefeed_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 4 < 2),
+        |d1 AS (SELECT * FROM base WHERE k % 16 <> 0),
+        |m1 AS (SELECT k,
+        |    CASE WHEN k % 8 = 4 THEN 'U' ELSE status END AS status,
+        |    CASE WHEN k % 8 = 4 THEN price * 1.10 ELSE price END AS price
+        |  FROM d1
+        |  UNION ALL
+        |  SELECT o_orderkey + 300000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 = 5),
+        |m2 AS (SELECT k,
+        |    CASE WHEN k % 8 = 1 THEN 'V' ELSE status END AS status,
+        |    CASE WHEN k % 8 = 1 THEN price * 0.90 ELSE price END AS price
+        |  FROM m1
+        |  UNION ALL
+        |  SELECT o_orderkey + 400000000, 'M', o_totalprice
+        |  FROM orders WHERE o_orderkey % 16 = 9)
+        |SELECT k AS o_orderkey, status AS o_orderstatus,
+        |  ROUND(price, 4) AS o_totalprice
+        |FROM m2 ORDER BY o_orderkey""".stripMargin,
+
+    // both file generations replay from nation: the narrow one as-is
+    // (INT values, float bal), the wide one shifted past 2^31
+    "meta_v2_alter_widen" ->
+      """SELECT gen, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  ROUND(SUM(bal), 4) AS bal_sum FROM (
+        |  SELECT 'narrow' AS gen, CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(CAST(n_regionkey AS FLOAT) AS DOUBLE) AS bal
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'wide', CAST(n_nationkey AS BIGINT) + 5000000000,
+        |    CAST(n_regionkey AS DOUBLE) + 0.25
+        |  FROM nation)
+        |GROUP BY gen ORDER BY gen""".stripMargin,
+
+    // the pruned read over the incrementally-built manifest loses no
+    // rows; harvested/reused counts and the 1-of-8 planned file count
+    // are engine-required and pinned here as constants
+    "meta_v2_stats_incremental" ->
+      """WITH b AS (SELECT MAX(o_orderkey) // 8 + 1 AS step FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  8 AS files_total, 1 AS files_read,
+        |  4 AS harvested_2nd, 4 AS reused_2nd
+        |FROM orders, b
+        |WHERE o_orderkey >= 6 * b.step
+        |  AND o_orderkey < 7 * b.step""".stripMargin,
 
     // the zero-exchange plan is engine-asserted; the oracle checks the
     // join itself — co-partitioned layout must not change the answer

@@ -13,12 +13,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** FILE-LEVEL MIN/MAX SKIPPING for snapshot-catalog parquet tables —
   * the zone-map half of a lakehouse manifest, kept catalog-side.
   *
-  * `analyze(location)` reads every data file's parquet FOOTER (driver
-  * side, metadata only — no row is touched) and persists per-file
-  * min/max/nullCount for every supported top-level column into one
-  * `_graft_stats.json` under the table root. Serving wraps the stock
-  * DSv2 parquet table so that a filtered scan drops whole FILES whose
-  * stats refute the pushed predicates BEFORE tasks are scheduled.
+  * `analyze(location)` reads data-file parquet FOOTERS (metadata only —
+  * no row is touched) and persists per-file min/max/nullCount for
+  * every supported top-level column as a SHARDED MANIFEST: immutable
+  * uuid-named shard files under `_graft_stats.d/`, published by one
+  * atomic swap of the `_graft_stats.json` pointer (the Iceberg
+  * metadata.json → manifest-list shape, rendered on this catalog's
+  * directory model). Serving wraps the stock DSv2 parquet table so a
+  * filtered scan drops whole FILES whose stats refute the pushed
+  * predicates BEFORE tasks are scheduled.
   *
   * Why this matters at 100 TB: Spark's parquet reader already skips
   * ROW GROUPS from footers, but only inside a task that was already
@@ -28,8 +31,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a time- or key-range query over a sorted/clustered table touches
   * the files that can match and nothing else, exactly like an Iceberg
   * manifest or a Delta add-file stats prune (public designs; see
-  * SNIPPETS.md). The stats doc is KiB-per-file driver metadata — the
-  * same cost class as every other catalog resolution here.
+  * SNIPPETS.md).
+  *
+  * ANALYZE COST MODEL (the part that must survive 10⁵–10⁶ files):
+  *  - footer reads fan out EXECUTOR-PARALLEL (one Spark job over the
+  *    file list — the multimodal mapPartitions discipline) whenever a
+  *    session is active; the driver-serial loop remains only as the
+  *    no-session fallback;
+  *  - re-analyze is INCREMENTAL: every shard entry records its file's
+  *    identity fingerprint (inode:size:mtime), so an analyze after an
+  *    append re-reads ONLY the new files' footers and re-references
+  *    the existing shards byte-untouched; a COW generation swap that
+  *    hard-links N files and adds M passes the OLD location as
+  *    `previous` and re-harvests M footers, not N+M — the old shards
+  *    are hard-linked across (inode links, zero bytes);
+  *  - resolution cost is pointer + uncached shards: shards are
+  *    immutable and uuid-named, so a driver-side cache keyed on
+  *    (path, size, mtime) makes repeated resolutions O(pointer).
   *
   * SAFETY MODEL (pruning must never change results):
   *  - a file ABSENT from the stats doc is always read — files appended
@@ -52,21 +70,29 @@ object FileSkipping {
 
   val StatsFileName = "_graft_stats.json"
 
+  /** Directory (next to the pointer) holding the immutable, uuid-named
+    * manifest shards a version-2 pointer references. */
+  val ShardDirName = "_graft_stats.d"
+
   /** Opt-in table property: when "true", every generation swap the
     * catalog publishes (SET LOCATION, COW row-level commit, cross-
     * table publish) immediately re-analyzes the NEW location, so a
     * freshly-compacted/rewritten table never serves a statless window.
-    * Failure is non-fatal by design — the publish already committed,
-    * and a missing stats doc only disables pruning, never correctness. */
+    * The swap passes the OLD location as `previous`, so the re-analyze
+    * is O(delta): hard-linked carry-over files reuse their shard
+    * entries by identity fingerprint; only the swap's fresh files pay
+    * a footer read. Failure is non-fatal by design — the publish
+    * already committed, and a missing stats doc only disables pruning,
+    * never correctness. */
   val AutoProp = "graft.stats.auto"
 
   private[catalog] def isAuto(props: Seq[PropKV]): Boolean =
     props.exists(p => p.key == AutoProp && p.value.equalsIgnoreCase("true"))
 
   private[catalog] def autoAnalyze(props: Seq[PropKV],
-      location: String): Unit =
+      location: String, previous: Option[String] = None): Unit =
     if (isAuto(props))
-      try { analyze(location); () }
+      try { analyze(location, previous); () }
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] $AutoProp: post-publish analyze " +
@@ -84,7 +110,26 @@ object FileSkipping {
 
   case class FileStat(rows: Long, cols: Map[String, ColStat])
 
+  /** Legacy version-1 inline document (still readable — a v1 doc left
+    * by an older analyze keeps pruning until the next analyze). */
   private case class StatsDoc(version: Int, files: Map[String, FileStat])
+
+  /** Version-2 pointer: the atomic root document naming the shard
+    * files that together form the manifest. */
+  private case class PointerDoc(version: Int, shards: Seq[String])
+
+  /** One shard entry: the file's footer stats plus the identity
+    * fingerprint (`inode:size:mtime`) incremental re-analyze keys
+    * reuse on. */
+  private[catalog] case class ShardEntry(ident: String, stat: FileStat)
+
+  private case class ShardDoc(version: Int,
+      files: Map[String, ShardEntry])
+
+  /** What one analyze did: `covered` files carry stats in the
+    * published manifest; `harvested` had their footer read this call;
+    * `reused` rode in from existing shards by identity fingerprint. */
+  case class AnalyzeResult(covered: Int, harvested: Int, reused: Int)
 
   // ---- collection (driver-side, footers only) ----
 
@@ -253,20 +298,163 @@ object FileSkipping {
     case _ => None
   }
 
-  // ---- persistence ----
+  // ---- persistence (sharded manifest + atomic pointer) ----
 
-  /** Collect footer stats for every data file under `location` and
-    * atomically publish `_graft_stats.json`. Returns the number of
-    * files covered. Underscore name => invisible to Spark/DuckDB file
-    * listings; a reader attached mid-rewrite sees old or new doc,
-    * never a torn one (temp + ATOMIC_MOVE). */
-  def analyze(location: String): Int = {
+  /** Identity fingerprint of a data file: `inode:size:mtimeMillis`. A
+    * hard-linked carry-over (the COW generation discipline) keeps all
+    * three, so its stats reuse across generations; any rewrite moves
+    * at least one. Filesystems without the unix view degrade to
+    * `-:size:mtime` — reuse merely gets more conservative. */
+  private def identOf(f: java.io.File): String = {
+    val p = f.toPath
+    val ino =
+      try java.nio.file.Files.getAttribute(p, "unix:ino").toString
+      catch { case scala.util.control.NonFatal(_) => "-" }
+    s"$ino:${f.length}:${f.lastModified}"
+  }
+
+  /** Read one shard through the driver-side cache. Shards are
+    * immutable and uuid-named, so (size, mtime) validates a hit; a
+    * missing/corrupt shard reads as empty (its files merely lose
+    * pruning — the safety model's absent-file rule). */
+  private val shardCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Map[String, ShardEntry])]()
+
+  private def readShard(dir: java.io.File, name: String)
+      : Map[String, ShardEntry] = {
+    val f = new java.io.File(dir, name)
+    if (!f.isFile) return Map.empty
+    val key = f.getAbsolutePath
+    val (sz, mt) = (f.length, f.lastModified)
+    val hit = shardCache.get(key)
+    if (hit != null && hit._1 == sz && hit._2 == mt) return hit._3
+    val entries =
+      try {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        org.json4s.jackson.JsonMethods
+          .parse(java.nio.file.Files.readString(f.toPath))
+          .extract[ShardDoc].files
+      } catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, ShardEntry] }
+    if (shardCache.size > 4096) shardCache.clear() // crude, driver-side
+    shardCache.put(key, (sz, mt, entries))
+    entries
+  }
+
+  /** The live manifest of `root` as (shardName -> entries); empty for
+    * none/v1 (a v1 doc carries no idents to reuse). */
+  private def liveShards(root: java.io.File)
+      : Seq[(String, Map[String, ShardEntry])] = {
+    val f = new java.io.File(root, StatsFileName)
+    if (!f.isFile) return Nil
+    try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val jv = org.json4s.jackson.JsonMethods
+        .parse(java.nio.file.Files.readString(f.toPath))
+      if ((jv \ "version").extract[Int] != 2) Nil
+      else {
+        val dir = new java.io.File(root, ShardDirName)
+        jv.extract[PointerDoc].shards.map(n => n -> readShard(dir, n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Footer harvest for `rels` under `root`: executor-parallel (one
+    * Spark job over the file list) when a session is active, serial
+    * driver loop otherwise. Unreadable footers drop out (stats-less =
+    * never pruned). */
+  private def harvest(root: java.io.File, rels: Seq[String])
+      : Map[String, FileStat] =
+    if (rels.isEmpty) Map.empty
+    else org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if rels.size > 1 =>
+        val rootPath = root.getAbsolutePath
+        s.sparkContext
+          .parallelize(rels, math.min(rels.size, 32))
+          .map(rel => rel ->
+            footerStats(new java.io.File(rootPath, rel)))
+          .collect().collect { case (r, Some(st)) => r -> st }.toMap
+      case _ =>
+        rels.flatMap(rel =>
+          footerStats(new java.io.File(root, rel)).map(rel -> _)).toMap
+    }
+
+  /** Back-compat entry point: full analyze of `location`. */
+  def analyze(location: String): AnalyzeResult = analyze(location, None)
+
+  /** Analyze `location` INCREMENTALLY and atomically publish the
+    * sharded manifest. Reuse sources, consulted per current data file
+    * by identity fingerprint:
+    *  - the location's own live manifest (re-analyze after an append
+    *    re-reads only the new files; untouched shards are re-referenced
+    *    byte-identical);
+    *  - `previous` — the generation this one was hard-linked from
+    *    (COW swaps pass it): matching shards are HARD-LINKED across
+    *    (inode links, zero bytes) and only genuinely new files pay a
+    *    footer read.
+    * A shard is reusable iff every entry whose path exists on disk
+    * still fingerprint-matches it (fresh-UUID part naming makes a
+    * mismatch pathological; entries for since-removed files are inert
+    * — the pruner only ever consults planned files). Files not covered
+    * by a reused shard are harvested (executor-parallel) into one new
+    * shard, and the pointer swap publishes the whole set atomically.
+    * Unreferenced shards older than a minute are swept — a reader
+    * racing the sweep merely loses pruning for that resolution. */
+  def analyze(location: String,
+      previous: Option[String]): AnalyzeResult = {
     val root = new java.io.File(stripScheme(location))
     val files = dataFiles(root)
-    val stats = files.flatMap(rel =>
-      footerStats(new java.io.File(root, rel)).map(rel -> _)).toMap
+    val idents = files.map(rel =>
+      rel -> identOf(new java.io.File(root, rel))).toMap
+    val shardDir = new java.io.File(root, ShardDirName)
+    val prevRoot = previous.map(p => new java.io.File(stripScheme(p)))
+      .filter(p => p.getAbsolutePath != root.getAbsolutePath)
+    // candidate shards: own manifest first (already in our shard dir),
+    // then the previous generation's (would need linking across)
+    val own = liveShards(root).map { case (n, e) => (n, e, false) }
+    val foreign = prevRoot.toSeq.flatMap(liveShards)
+      .map { case (n, e) => (n, e, true) }
+    val reusable = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Map[String, ShardEntry], Boolean)]
+    val covered = scala.collection.mutable.HashSet.empty[String]
+    for ((name, entries, isForeign) <- own ++ foreign
+         if entries.nonEmpty && !reusable.exists(_._1 == name)) {
+      val ok = entries.forall { case (rel, e) =>
+        idents.get(rel).forall(_ == e.ident) }
+      val fresh = entries.keysIterator
+        .filter(rel => idents.contains(rel) && !covered.contains(rel))
+      if (ok && fresh.nonEmpty) {
+        reusable += ((name, entries, isForeign))
+        entries.keysIterator.filter(idents.contains)
+          .foreach(covered += _)
+      }
+    }
+    val toHarvest = files.filterNot(covered.contains)
+    val harvested = harvest(root, toHarvest)
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val body = org.json4s.jackson.Serialization.write(StatsDoc(1, stats))
+    shardDir.mkdirs()
+    // link foreign (previous-generation) shards into our shard dir
+    for ((name, _, isForeign) <- reusable if isForeign) {
+      val dst = new java.io.File(shardDir, name)
+      if (!dst.isFile)
+        Mor.linkOne(new java.io.File(
+          new java.io.File(prevRoot.get, ShardDirName), name), dst)
+    }
+    val newShard =
+      if (harvested.isEmpty) None
+      else {
+        val name =
+          s"shard-${java.util.UUID.randomUUID.toString.take(12)}.json"
+        val body = org.json4s.jackson.Serialization.write(ShardDoc(2,
+          harvested.map { case (rel, st) =>
+            rel -> ShardEntry(idents(rel), st) }))
+        java.nio.file.Files.writeString(
+          new java.io.File(shardDir, name).toPath, body)
+        Some(name)
+      }
+    val shardNames = reusable.map(_._1).toSeq ++ newShard
+    val body = org.json4s.jackson.Serialization.write(
+      PointerDoc(2, shardNames))
     val tmp = java.nio.file.Files.createTempFile(root.toPath,
       ".graft_stats", ".tmp")
     java.nio.file.Files.writeString(tmp, body)
@@ -274,7 +462,16 @@ object FileSkipping {
       new java.io.File(root, StatsFileName).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    stats.size
+    // sweep unreferenced shards (aged — a reader mid-resolution on the
+    // old pointer degrades to unpruned, never wrong)
+    val live = shardNames.toSet
+    Option(shardDir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !live.contains(f.getName) &&
+        System.currentTimeMillis - f.lastModified > 60000L)
+      .foreach(f => f.delete(): Unit)
+    val reusedCount = covered.size
+    AnalyzeResult(reusedCount + harvested.size, harvested.size,
+      reusedCount)
   }
 
   private def stripScheme(loc: String): String =
@@ -283,14 +480,22 @@ object FileSkipping {
     else loc
 
   def load(location: String): Option[Map[String, FileStat]] = {
-    val f = new java.io.File(stripScheme(location), StatsFileName)
+    val root = new java.io.File(stripScheme(location))
+    val f = new java.io.File(root, StatsFileName)
     if (!f.isFile) None
     else try {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      val doc = org.json4s.jackson.JsonMethods
+      val jv = org.json4s.jackson.JsonMethods
         .parse(java.nio.file.Files.readString(f.toPath))
-        .extract[StatsDoc]
-      Some(doc.files)
+      (jv \ "version").extract[Int] match {
+        case 2 =>
+          val dir = new java.io.File(root, ShardDirName)
+          val merged = jv.extract[PointerDoc].shards
+            .foldLeft(Map.empty[String, FileStat]) { (acc, n) =>
+              acc ++ readShard(dir, n).view.mapValues(_.stat) }
+          Some(merged)
+        case _ => Some(jv.extract[StatsDoc].files)
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -417,6 +622,39 @@ object FileSkipping {
           .FilePartition => fp.files.length
       case _ => 0
     }.sum
+  }
+
+  /** Decode %XX percent-escapes ONLY — unlike URLDecoder's
+    * application/x-www-form-urlencoded decoding, a literal '+' stays a
+    * '+'. Multi-byte UTF-8 escape runs are buffered and decoded
+    * together; a malformed escape (non-hex, truncated) passes through
+    * verbatim — worst case a missed stats match (file merely unpruned,
+    * never wrong). */
+  private[catalog] def pctDecode(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val sb = new StringBuilder(s.length)
+    val buf = new java.io.ByteArrayOutputStream(8)
+    def flush(): Unit = if (buf.size() > 0) {
+      sb.append(new String(buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      buf.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && hex(s.charAt(i + 1)) >= 0 &&
+          hex(s.charAt(i + 2)) >= 0) {
+        buf.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
+        i += 3
+      } else { flush(); sb.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
   }
 
   /** Count of `files` a scan with `filters` must read under `stats` —
@@ -547,14 +785,31 @@ private[catalog] class StatsScanBuilder(delegate: ScanBuilder,
   * conjuncts, then renumbers the surviving [[FilePartition]]s.
   * Runtime filters (DPP / row-level group filtering) and reported
   * statistics forward to the delegate untouched. */
-private[graft] class StatsPrunedScan(delegate: Scan,
-    stats: Map[String, FileSkipping.FileStat],
-    filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+private[graft] class StatsPrunedScan(
+    private val delegate: Scan,
+    private val stats: Map[String, FileSkipping.FileStat],
+    private val filters: Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression])
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = delegate.readSchema()
+
+  // value-based equality so two resolutions of the same stats-wrapped
+  // table canonicalize EQUAL — without this, self-join/multi-reference
+  // plans lose scan+exchange reuse (reference equality never matches
+  // across resolutions). Delegates are Spark's own FileScan case-ish
+  // classes with structural equals; filters compare canonicalized.
+  override def equals(other: Any): Boolean = other match {
+    case o: StatsPrunedScan =>
+      delegate == o.delegate && stats == o.stats &&
+        filters.map(_.canonicalized) == o.filters.map(_.canonicalized)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(delegate,
+      Integer.valueOf(filters.map(_.canonicalized).hashCode()))
 
   override def description(): String =
     s"graft-stats-scan(${delegate.description()}, " +
@@ -598,9 +853,14 @@ private[graft] class StatsPrunedScan(delegate: Scan,
   /** stats key for a planned file: path relative to the deepest
     * ancestor the stats doc knows — matched by suffix, longest
     * (most-specific) candidate first, so hive-partitioned relative
-    * keys (`p=1/part-0.parquet`) resolve exactly. */
+    * keys (`p=1/part-0.parquet`) resolve exactly. Decoding is
+    * percent-escapes ONLY ([[FileSkipping.pctDecode]]): form decoding
+    * (URLDecoder) would turn a literal '+' — which Spark does not
+    * escape in partition values — into a space, silently disabling
+    * pruning for such paths (and theoretically borrowing another
+    * file's stats). */
   private def statKey(filePath: String): Option[String] = {
-    val norm = java.net.URLDecoder.decode(filePath, "UTF-8")
+    val norm = FileSkipping.pctDecode(filePath)
     val base = norm.substring(norm.lastIndexOf('/') + 1)
     keysByBase.getOrElse(base, Nil)
       .filter(k => norm.endsWith("/" + k))

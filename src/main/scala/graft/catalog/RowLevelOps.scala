@@ -340,6 +340,40 @@ private[catalog] object PartitionScoped {
   }
 }
 
+/** How a row maps to its hive partition directory — the one seam that
+  * lets the partition-scoped COW machinery serve BOTH identity layouts
+  * (`col=value`, the HMS partition object) and TRANSFORM layouts
+  * (`col_bucket=k` / `col_day=d` — hidden partitioning, where the
+  * directory value DERIVES from a stored data column). The scan reads
+  * and runtime-group-filters on the SOURCE column; the writer derives
+  * each row's directory; the file pruner compares the file index's
+  * partition values (typed [[derivedType]]) against derived scope
+  * values. */
+private[catalog] trait PartDeriver extends Serializable {
+  def srcField: org.apache.spark.sql.types.StructField
+  def derivedName: String
+  def derivedType: org.apache.spark.sql.types.DataType
+  /** source catalyst value -> derived catalyst partition value */
+  def derive(v: Any): Any
+  /** identity layouts drop the partition column from data files (the
+    * directory carries it); transform layouts store the source. */
+  final def srcStoredInFiles: Boolean = derivedName != srcField.name
+  final def dirName(srcValue: Any): String = {
+    require(srcValue != null,
+      s"NULL value in partition source column ${srcField.name} — " +
+        "partition-scoped row-level DML refuses the default partition")
+    PartitionScoped.dirName(derivedName, derive(srcValue).toString)
+  }
+}
+
+private[catalog] case class IdentityDeriver(
+    srcField: org.apache.spark.sql.types.StructField) extends PartDeriver {
+  override def derivedName: String = srcField.name
+  override def derivedType: org.apache.spark.sql.types.DataType =
+    srcField.dataType
+  override def derive(v: Any): Any = v
+}
+
 /** Serves a single-column-partitioned parquet table with stock
   * row-level DML at PARTITION granularity. Plain reads/writes and the
   * partition-management surface forward to the wrapped
@@ -383,7 +417,8 @@ private[catalog] class PartitionScopedRowLevelTable(inner: Table,
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new PartitionCowOperation(inner, cat, ti, partField, info)
+    () => new PartitionCowOperation(inner, cat, ti,
+      IdentityDeriver(partField), info)
 
   // ---- partition management, forwarded ----
   import org.apache.spark.sql.catalyst.InternalRow
@@ -412,12 +447,13 @@ private[catalog] class PartitionScopedRowLevelTable(inner: Table,
   * after every scan task, so the handoff is race-free. */
 private[catalog] class PartitionCowOperation(inner: Table,
     cat: WritableSnapshotCatalog, ti: TableInfo,
-    partField: org.apache.spark.sql.types.StructField,
+    deriver: PartDeriver,
     info: RowLevelOperationInfo) extends RowLevelOperation {
 
-  /** Touched partition VALUES (catalyst form) per the runtime group
-    * filter; None = the filter never fired → every partition was read
-    * and every partition is replaced (correct, unscoped fallback). */
+  /** Touched DERIVED partition values (catalyst form) per the runtime
+    * group filter; None = the filter never fired → every partition was
+    * read and every partition is replaced (correct, unscoped
+    * fallback). */
   @volatile private[catalog] var scope: Option[Set[Any]] = None
 
   override def command(): RowLevelOperation.Command = info.command
@@ -431,13 +467,13 @@ private[catalog] class PartitionCowOperation(inner: Table,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PartScanBuilder(
       inner.asInstanceOf[SupportsRead].newScanBuilder(options),
-      this, partField)
+      this, deriver)
 
   override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new PartitionRoutedCowWrite(cat, ti, PartitionCowOperation.this,
-          partField, inner.schema())
+          deriver, inner.schema())
     }
 }
 
@@ -448,7 +484,7 @@ private[catalog] class PartitionCowOperation(inner: Table,
   * equals the replaced group set). */
 private[catalog] class PartScanBuilder(delegate: ScanBuilder,
     op: PartitionCowOperation,
-    partField: org.apache.spark.sql.types.StructField)
+    deriver: PartDeriver)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var partRequested = false
@@ -460,9 +496,9 @@ private[catalog] class PartScanBuilder(delegate: ScanBuilder,
       require(requiredSchema.fieldNames.last == PartitionScoped.PartCol,
         s"metadata column ${PartitionScoped.PartCol} must be requested " +
           s"last, got ${requiredSchema.fieldNames.mkString(", ")}")
-      require(requiredSchema.fieldNames.contains(partField.name),
-        s"row-level rewrite scan must read partition column " +
-          s"${partField.name} to derive ${PartitionScoped.PartCol}")
+      require(requiredSchema.fieldNames.contains(deriver.srcField.name),
+        s"row-level rewrite scan must read partition source column " +
+          s"${deriver.srcField.name} to derive ${PartitionScoped.PartCol}")
     }
     val pruned = StructType(requiredSchema.fields
       .filterNot(_.name == PartitionScoped.PartCol))
@@ -474,7 +510,7 @@ private[catalog] class PartScanBuilder(delegate: ScanBuilder,
 
   override def build(): Scan = {
     val ds = delegate.build()
-    if (partRequested) new PartScan(ds, op, partField) else ds
+    if (partRequested) new PartScan(ds, op, deriver) else ds
   }
 }
 
@@ -485,8 +521,10 @@ private[catalog] class PartScanBuilder(delegate: ScanBuilder,
   * [[filter]], and [[toBatch]] prunes the delegate's parquet file list
   * to exactly those hive partitions. */
 private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
-    partField: org.apache.spark.sql.types.StructField) extends Scan
+    deriver: PartDeriver) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private val partField = deriver.srcField
 
   override def readSchema(): StructType =
     delegate.readSchema().add(PartitionScoped.PartCol, StringType,
@@ -523,7 +561,10 @@ private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
         case _ => None
       }
     }
-    if (sets.nonEmpty) op.scope = Some(sets.reduce(_ intersect _))
+    // scope holds DERIVED partition values (identity: the value
+    // itself) — exactly what the file index's partitionValues carry
+    if (sets.nonEmpty)
+      op.scope = Some(sets.reduce(_ intersect _).map(deriver.derive))
   }
 
   override def toBatch: Batch = new Batch {
@@ -537,7 +578,7 @@ private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
           parts.flatMap {
             case fp: FilePartition =>
               val fs = fp.files.filter(f => vals.contains(
-                f.partitionValues.get(0, partField.dataType)))
+                f.partitionValues.get(0, deriver.derivedType)))
               if (fs.isEmpty) None else Some(fs)
             case other => throw new IllegalStateException(
               "partition-scoped rewrite expected a parquet FilePartition" +
@@ -547,15 +588,13 @@ private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
     }
     override def createReaderFactory(): PartitionReaderFactory = {
       val ord = delegate.readSchema().fieldIndex(partField.name)
-      new PartReaderFactory(db.createReaderFactory(), ord,
-        partField.name, partField.dataType)
+      new PartReaderFactory(db.createReaderFactory(), ord, deriver)
     }
   }
 }
 
 private[catalog] class PartReaderFactory(delegate: PartitionReaderFactory,
-    partOrdinal: Int, partColName: String,
-    partType: org.apache.spark.sql.types.DataType)
+    partOrdinal: Int, deriver: PartDeriver)
   extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = false
   override def createReader(
@@ -566,8 +605,8 @@ private[catalog] class PartReaderFactory(delegate: PartitionReaderFactory,
       override def next(): Boolean = dr.next()
       override def get(): InternalRow = {
         val row = dr.get()
-        val dir = PartitionScoped.dirName(partColName,
-          row.get(partOrdinal, partType))
+        val dir = deriver.dirName(
+          row.get(partOrdinal, deriver.srcField.dataType))
         joined(row, InternalRow(UTF8String.fromString(dir)))
       }
       override def close(): Unit = dr.close()
@@ -588,8 +627,10 @@ private[catalog] case class PartFilesMsg(files: Seq[(String, String)])
   * then publishes via the catalog's atomic location swap. */
 private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
     ti: TableInfo, op: PartitionCowOperation,
-    partField: org.apache.spark.sql.types.StructField,
+    deriver: PartDeriver,
     tableSchema: StructType) extends Write {
+
+  private val partField = deriver.srcField
 
   private val oldRoot = ti.location.stripPrefix("file:").stripSuffix("/")
   private val newRoot =
@@ -600,8 +641,12 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
-    val fileSchema = StructType(
-      tableSchema.fields.filterNot(_.name == partField.name))
+    // identity layouts omit the partition column from data files (the
+    // directory carries it); transform layouts store the source column
+    val fileSchema =
+      if (deriver.srcStoredInFiles) tableSchema
+      else StructType(
+        tableSchema.fields.filterNot(_.name == partField.name))
     val job = org.apache.hadoop.mapreduce.Job
       .getInstance(spark.sessionState.newHadoopConf())
     job.setOutputKeyClass(classOf[Void])
@@ -622,7 +667,7 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
           pInfo: PhysicalWriteInfo): DataWriterFactory =
         new PartitionRoutedWriterFactory(newRoot, tableSchema,
           tableSchema.fieldIndex(partField.name), fileSchema,
-          factory, serConf)
+          factory, serConf, deriver)
 
       // exactly one attempt per task may commit — with direct-to-final
       // file writes this is what makes speculative duplicates safe
@@ -645,8 +690,9 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
           .flatten.filter(d => d.isDirectory &&
             d.getName.contains("=")).map(_.getName)
         val replaced: Set[String] = op.scope match {
-          case Some(vals) =>
-            vals.map(v => PartitionScoped.dirName(partField.name, v))
+          case Some(vals) => // scope already holds DERIVED values
+            vals.map(v =>
+              PartitionScoped.dirName(deriver.derivedName, v))
           case None => oldDirs.toSet
         }
         // hard-link untouched partitions file-for-file (same inodes —
@@ -690,31 +736,35 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
 private[catalog] class PartitionRoutedWriterFactory(newRoot: String,
     schema: StructType, partOrdinal: Int, fileSchema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    deriver: PartDeriver)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new PartitionRoutedDataWriter(newRoot, schema, partOrdinal,
-      fileSchema, owf, conf.value, partitionId, taskId)
+      fileSchema, owf, conf.value, partitionId, taskId, deriver)
 }
 
 private[catalog] class PartitionRoutedDataWriter(newRoot: String,
     schema: StructType, partOrdinal: Int, fileSchema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.hadoop.conf.Configuration,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, deriver: PartDeriver)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
 
   private val partField = schema(partOrdinal)
-  // rows land in files WITHOUT the partition column (hive layout);
-  // carry-over and updated rows alike — directory discovery serves it
+  // identity: rows land WITHOUT the partition column (the directory
+  // carries it); transform: the source column is ordinary data and
+  // stays in the file — the derived value lives only in the dir name
   private val proj = org.apache.spark.sql.catalyst.expressions
     .UnsafeProjection.create(
-      schema.fields.indices.filterNot(_ == partOrdinal).map(i =>
-        org.apache.spark.sql.catalyst.expressions.BoundReference(
-          i, schema(i).dataType, schema(i).nullable)))
+      schema.fields.indices
+        .filter(i => deriver.srcStoredInFiles || i != partOrdinal)
+        .map(i =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, schema(i).dataType, schema(i).nullable)))
   private val attempt = new org.apache.hadoop.mapreduce.task
     .TaskAttemptContextImpl(conf,
       new TaskAttemptID(new TaskID(new JobID("graftcow", 0),
@@ -740,8 +790,7 @@ private[catalog] class PartitionRoutedDataWriter(newRoot: String,
     })._1
 
   private def currentDir(row: InternalRow): String =
-    PartitionScoped.dirName(partField.name,
-      row.get(partOrdinal, partField.dataType))
+    deriver.dirName(row.get(partOrdinal, partField.dataType))
 
   // ReplaceDataExec's DataAndMetadataWritingSparkTask path: metadata =
   // the required `_partition` (origin group; NULL on inserted rows)
@@ -866,11 +915,19 @@ private[graft] object PartitionCowChangeFeed {
     require(a.columns.sorted.sameElements(b.columns.sorted),
       s"generation schemas diverge: ${a.columns.mkString(",")} vs " +
         s"${b.columns.mkString(",")}")
+    // the row-identity contract demands a NON-NULL key: under the
+    // plain equi-join below a NULL-keyed row byte-identical in both
+    // generations would never match itself and surface as a spurious
+    // delete+insert pair. Enforce lazily (no extra job): any NULL key
+    // fails the scan loudly instead of corrupting the feed.
+    def keyOrFail = coalesce(col(keyName).cast("string"),
+      raise_error(lit(s"change feed key column '$keyName' is NULL — " +
+        "the row-identity contract requires a non-null, unique key")))
     val aK = a.select(cols.map(col): _*)
-      .withColumn("_k", col(keyName).cast("string"))
+      .withColumn("_k", keyOrFail)
       .withColumn("_pa", lit(true))
     val bK = b.select(cols.map(col): _*)
-      .withColumn("_k", col(keyName).cast("string"))
+      .withColumn("_k", keyOrFail)
       .withColumn("_pb", lit(true))
     val j = aK.as("a").join(bK.as("b"), Seq("_k"), "full_outer")
     val rowEq = cols.map(c => col(s"a.$c") <=> col(s"b.$c"))

@@ -192,6 +192,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val ti = findTable(ident)
       .getOrElse(throw new NoSuchTableException(ident))
     val base = serveTable(ti)
+    // transform-partitioned tables serve through the hiding/translating
+    // wrapper on every attach (read-only included)
+    TransformPartition.of(ti) match {
+      case Some(deriver) =>
+        return new TransformPartitionTable(base, ti, deriver, None,
+          branchAttach = false)
+      case None => ()
+    }
     // storage-partitioned-join serving: strictly opt-in via the stock
     // SPJ flag — with the flag off this is exactly the stock file
     // table (bin-packed splits, full pushdown); see [[CoPartitioned]]
@@ -789,13 +797,19 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     * the whole hardened revision/claim/OCC protocol applies on the
     * branch verbatim, including time travel across branch revisions.
     *
-    * ISOLATION CONTRACT: the branch isolates METADATA. COW/MOR DML on
-    * branch tables lands in fresh generation dirs main never
-    * references, so main readers cannot see it — but an in-place
-    * APPEND to a location both refs share is visible to both (same as
-    * any external-table write behind the metastore's back). Branch-
-    * side bulk loads therefore stage a new dir + SET LOCATION, the
-    * catalog's own generation discipline. Returns the fork revision. */
+    * ISOLATION CONTRACT: the branch isolates DATA as well as metadata.
+    * COW/MOR DML on branch tables lands in fresh generation dirs main
+    * never references — and plain INSERT INTO / INSERT OVERWRITE
+    * through a branch attach is ROUTED COPY-ON-WRITE too
+    * ([[BranchCowAppendTable]], keyed off this BASE marker): the
+    * append hard-links the current generation into a fresh sibling,
+    * lands the new rows there, and swaps the BRANCH snapshot's
+    * location — main readers keep resolving the shared directory
+    * untouched, so a reader never sees an unaudited row (Iceberg's
+    * wap.branch isolates appends the same way). Only a write behind
+    * the catalog's back (direct file drop into a shared location) can
+    * still leak, as for any external table. Returns the fork
+    * revision. */
   def createBranch(name: String): Int = this.synchronized {
     val dir = branchPath(name)
     if (dir.exists())
@@ -856,6 +870,112 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           "re-apply the staged changes")
     persist(bSnap)
     headRevOnDisk
+  }
+
+  /** REBASE a branch whose main advanced past its fork — the recourse
+    * a losing write-audit-publish branch needs (without it, a diverged
+    * audit's only path is re-staging from scratch). Semantics are a
+    * table-granular THREE-WAY MERGE, metadata only:
+    *  - diff branch-vs-base and main-vs-base per object (tables+views
+    *    keyed (db, name), functions, namespaces);
+    *  - an object changed on BOTH sides with DIFFERENT results is a
+    *    CONFLICT — refuse loudly, naming every conflicted object
+    *    (identical changes merge silently);
+    *  - otherwise publish main's head content + the branch's changes
+    *    as a NEW branch revision, and advance the branch's BASE marker
+    *    to main's current head — after which [[fastForward]] succeeds.
+    * Branch DATA needs no rework: branch-side DML lives in generation
+    * dirs only branch metadata references, and re-pointing rides along
+    * with the table entries. Crash-safe: if the merge publishes but
+    * the BASE swap is lost, a re-run re-derives the same merge
+    * (identical changes are not conflicts) — rebase is idempotent.
+    * Returns the new fork revision (main's current head). */
+  def rebaseBranch(name: String): Int = this.synchronized {
+    val bdir = branchDir(name)
+    val basePath = java.nio.file.Paths.get(bdir, "BASE")
+    val base = new String(java.nio.file.Files.readAllBytes(basePath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    val mainSnap = snap // fresh head read
+    val mainRev = loadedRev
+    if (mainRev == base) return base // still a fast-forward; no-op
+    val baseDir = if (base == 0) snapshotDir else s"$snapshotDir/revs/$base"
+    require(base == 0 || new java.io.File(baseDir).isDirectory,
+      s"branch '$name' forked at revision $base, which was vacuumed — " +
+        "no three-way base exists; re-branch from the current head")
+    val baseSnap = CatalogTransfer.readLocal(baseDir)
+    val bHeadFile = new java.io.File(bdir, "HEAD")
+    val bRev =
+      if (!bHeadFile.isFile) 0
+      else new String(java.nio.file.Files.readAllBytes(
+        bHeadFile.toPath)).trim.toInt
+    val bSnap = CatalogTransfer.readLocal(
+      if (bRev == 0) bdir else s"$bdir/revs/$bRev")
+    // generic three-way per keyed object family: Map(key -> value)
+    def merge3[K, V](tag: String, b: Map[K, V], m: Map[K, V],
+        o: Map[K, V]): (Map[K, V], Seq[String]) = {
+      val keys = b.keySet ++ m.keySet ++ o.keySet
+      val out = scala.collection.mutable.LinkedHashMap.empty[K, V]
+      val conflicts = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (k <- keys.toSeq.sortBy(_.toString)) {
+        val (bv, mv, ov) = (b.get(k), m.get(k), o.get(k))
+        val branchChanged = bv != ov
+        val mainChanged = mv != ov
+        val merged =
+          if (!branchChanged) mv // main's side (changed or not)
+          else if (!mainChanged) bv // branch's change rides through
+          else if (bv == mv) mv // identical change on both sides
+          else { conflicts += s"$tag $k"; None }
+        merged.foreach(v => out(k) = v)
+      }
+      (out.toMap, conflicts.toSeq)
+    }
+    val (mt, ct) = merge3("table",
+      bSnap.tables.map(t => (t.db, t.name) -> t).toMap,
+      mainSnap.tables.map(t => (t.db, t.name) -> t).toMap,
+      baseSnap.tables.map(t => (t.db, t.name) -> t).toMap)
+    val (mf, cf) = merge3("function",
+      bSnap.functions.map(f => (f.db, f.name) -> f).toMap,
+      mainSnap.functions.map(f => (f.db, f.name) -> f).toMap,
+      baseSnap.functions.map(f => (f.db, f.name) -> f).toMap)
+    val (md, cd) = merge3("namespace",
+      bSnap.databases.map(d => d.name -> d).toMap,
+      mainSnap.databases.map(d => d.name -> d).toMap,
+      baseSnap.databases.map(d => d.name -> d).toMap)
+    val conflicts = ct ++ cf ++ cd
+    if (conflicts.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' cannot rebase onto revision $mainRev: both " +
+          s"sides changed [${conflicts.mkString("; ")}] since fork " +
+          s"revision $base — resolve by re-staging those objects on a " +
+          "fresh branch")
+    // deterministic object order: keep each side's relative order,
+    // main first, then branch-introduced keys
+    def ordered[K, V](m: Map[K, V], mainOrder: Seq[K],
+        branchOrder: Seq[K]): Seq[V] =
+      ((mainOrder ++ branchOrder).distinct.filter(m.contains))
+        .map(m(_))
+    val merged = CatalogSnapshot(
+      ordered(md, mainSnap.databases.map(_.name),
+        bSnap.databases.map(_.name)),
+      ordered(mt, mainSnap.tables.map(t => (t.db, t.name)),
+        bSnap.tables.map(t => (t.db, t.name))),
+      ordered(mf, mainSnap.functions.map(f => (f.db, f.name)),
+        bSnap.functions.map(f => (f.db, f.name))))
+    // publish the merge as a NEW branch revision (the branch's own
+    // hardened claim/OCC protocol), then advance BASE atomically
+    val bplug = new WritableSnapshotCatalog
+    bplug.initialize(s"${this.name()}_rebase_$name",
+      new CaseInsensitiveStringMap(java.util.Map.of("path", bdir)))
+    bplug.snap // set the branch writer's OCC token
+    bplug.persist(merged)
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(bdir), ".BASE", ".tmp")
+    java.nio.file.Files.write(tmp, mainRev.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, basePath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    mainRev
   }
 
   /** Remove a branch ref (after publish, or to abandon an audit that
@@ -1018,19 +1138,76 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     if (tableExists(ident) || viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    // identity partition transforms only — the metastore's partition
-    // model IS hive-layout identity columns; bucket/days/years
-    // transforms belong to table formats, not an HMS-shaped catalog
+    // identity partition columns (the HMS partition model) plus the
+    // two lakehouse transforms this catalog derives engine-side:
+    // bucket(N, integral) and days(timestamp) — see
+    // [[TransformPartition]]. Anything else refuses loudly.
+    var transformProps = Seq.empty[PropKV]
+    var derivedCols = Seq.empty[ColumnInfo]
     val partNames = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
-          t.references()(0).fieldNames.length == 1,
-        s"snapshot catalog supports identity partition columns only, " +
-          s"got transform '$t' on $ident")
-      t.references()(0).fieldNames()(0)
+      t.name match {
+        case "identity" =>
+          require(t.references.length == 1 &&
+              t.references()(0).fieldNames.length == 1,
+            s"unsupported identity transform shape '$t' on $ident")
+          val p = t.references()(0).fieldNames()(0)
+          require(schema.fieldNames.contains(p),
+            s"partition column $p is not in the schema of $ident")
+          p
+        case kind @ ("bucket" | "days") =>
+          require(partitions.length == 1,
+            s"snapshot catalog supports ONE partition transform per " +
+              s"table, got ${partitions.length} on $ident")
+          require(t.references.length == 1 &&
+            t.references()(0).fieldNames.length == 1,
+            s"unsupported $kind transform shape '$t' on $ident")
+          val src = t.references()(0).fieldNames()(0)
+          val sf = schema.fields.find(_.name == src).getOrElse(
+            throw new IllegalArgumentException(
+              s"$kind source column $src is not in the schema of $ident"))
+          val n =
+            if (kind == "bucket") {
+              require(Set("tinyint", "smallint", "int", "bigint")(
+                  sf.dataType.sql.toLowerCase),
+                s"bucket($src) needs an integral source column on " +
+                  s"$ident, got ${sf.dataType.sql}")
+              val lit = t.arguments.collectFirst {
+                case l: org.apache.spark.sql.connector.expressions
+                    .Literal[_] => l.value.toString.toInt }
+              require(lit.exists(_ > 0),
+                s"bucket transform on $ident needs a positive bucket " +
+                  s"count, got '$t'")
+              lit.get
+            } else {
+              require(sf.dataType.sql.toLowerCase.startsWith("timestamp"),
+                s"days($src) needs a timestamp source column on " +
+                  s"$ident, got ${sf.dataType.sql}")
+              0
+            }
+          val dn = TransformPartition.derivedName(kind, src)
+          require(!schema.fieldNames.contains(dn),
+            s"derived partition column $dn collides with a schema " +
+              s"column of $ident")
+          require(!properties.asScala.keys.exists(Mor.dmlProps),
+            s"merge-on-read modes are not supported on transform-" +
+              s"partitioned $ident — DML is partition-scoped COW")
+          transformProps = Seq(
+            PropKV(TransformPartition.KindProp, kind),
+            PropKV(TransformPartition.SrcProp, src)) ++
+            (if (kind == "bucket")
+              Seq(PropKV(TransformPartition.BucketsProp, n.toString))
+            else Nil)
+          derivedCols = Seq(ColumnInfo(dn,
+            TransformPartition.derivedSqlType(kind), nullable = false,
+            isPartition = true,
+            s"derived by $kind($src) — engine-managed"))
+          dn
+        case _ => throw new IllegalArgumentException(
+          s"snapshot catalog supports identity, bucket(N, col) and " +
+            s"days(ts) partition transforms only, got '$t' on $ident")
+      }
     }
-    partNames.foreach(p => require(schema.fieldNames.contains(p),
-      s"partition column $p is not in the schema of $ident"))
-    require(partNames.size < schema.fields.length,
+    require(partNames.size < schema.fields.length + derivedCols.size,
       s"table $ident cannot be partitioned by every column")
     val db = ident.namespace()(0)
     val provider = Option(properties.get("provider"))
@@ -1061,13 +1238,14 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         else ""
       ColumnInfo(f.name, f.dataType.sql.toLowerCase, f.nullable,
         isPartition = partNames.contains(f.name), "", dft)
-    }
+    } ++ derivedCols
     // engine-directed behavior properties (graft.*) persist from
     // CREATE — e.g. graft.delete.mode=merge-on-read; Spark-internal
     // bookkeeping keys (provider/location/owner) are handled above
-    val keepProps = properties.asScala.toSeq
-      .filter(_._1.startsWith("graft.")).sortBy(_._1)
-      .map { case (k, v) => PropKV(k, v) }
+    val keepProps = (properties.asScala.toSeq
+      .filter(_._1.startsWith("graft."))
+      .map { case (k, v) => PropKV(k, v) } ++ transformProps)
+      .sortBy(_.key)
     // refuse an invalid DML-mode configuration BEFORE persisting — a
     // failed CREATE must not register a permanently unloadable table
     Mor.validateTableProps(db, ident.name, keepProps, cols)
@@ -1096,9 +1274,41 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .getOrElse(throw new NoSuchTableException(ident))
     val partCols = ti.columns.filter(_.isPartition).map(_.name)
     val base = serveTable(ti)
-    val served =
+    // transform-partitioned tables: hiding/translating read + deriving
+    // write + partition-scoped row-level DML via the transform deriver
+    TransformPartition.of(ti) match {
+      case Some(deriver) =>
+        val tpt = new TransformPartitionTable(base, ti, deriver,
+          Some(this), BranchCow.isBranchAttach(snapshotDir))
+        val tChecks = ti.properties
+          .filter(_.key.startsWith(WritableSnapshotCatalog.ConstraintProp))
+          .map(p => p.key.stripPrefix(
+            WritableSnapshotCatalog.ConstraintProp) -> p.value)
+        val tGuarded =
+          if (tChecks.isEmpty) tpt else new ConstraintTable(tpt, tChecks)
+        return new TransformRowLevelTable(tGuarded, this, ti, deriver)
+      case None => ()
+    }
+    val direct =
       if (partCols.isEmpty) base
       else new PartitionedWriteTable(base, ti, partCols)
+    // BRANCH attach (BASE marker present): plain appends/overwrites
+    // must not land bytes in a directory main still references — route
+    // them copy-on-write (fresh generation + branch-local location
+    // swap). Row-level DML already stages generations on its own.
+    val served =
+      if (!BranchCow.isBranchAttach(snapshotDir)) direct
+      else direct match {
+        case pm: org.apache.spark.sql.connector.catalog.SupportsPartitionManagement =>
+          new BranchCowAppendPartitionedTable(pm, this, ti, partCols)
+        case _ if ti.provider.equalsIgnoreCase("parquet") =>
+          // unpartitioned parquet sits under the row-level wrappers,
+          // whose TRUNCATE builds V2 writes — declaring V1_BATCH_WRITE
+          // there would poison the whole table, so appends route
+          // through a V2 link-and-swap write instead
+          new BranchCowAppendV2Table(direct, this, ti)
+        case _ => new BranchCowAppendTable(direct, this, ti, partCols)
+      }
     val checks = ti.properties
       .filter(_.key.startsWith(WritableSnapshotCatalog.ConstraintProp))
       .map(p => p.key.stripPrefix(WritableSnapshotCatalog.ConstraintProp)
@@ -1181,7 +1391,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       persist(cur.copy(tables = cur.tables.map(x =>
         if (x.db == ti.db && x.name == ti.name) x.copy(location = newLoc)
         else x)))
-      FileSkipping.autoAnalyze(t.properties, newLoc)
+      FileSkipping.autoAnalyze(t.properties, newLoc, Some(t.location))
     }
 
   /** Cross-table ATOMIC publish — the namespace-cutover form of the
@@ -1220,7 +1430,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       persist(cur.copy(tables = cur.tables.map(x =>
         newLocs.get((x.db, x.name)).fold(x)(l => x.copy(location = l)))))
       for ((ti, loc) <- moves)
-        FileSkipping.autoAnalyze(ti.properties, loc)
+        FileSkipping.autoAnalyze(ti.properties, loc, Some(ti.location))
     }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -1343,6 +1553,42 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
               s"no constraint ${dc.name()} on ${t.db}.${t.name}")
             t
           } else t.copy(properties = t.properties.filterNot(_.key == key))
+        // TYPE WIDENING (ALTER COLUMN ... TYPE) — metadata-only schema
+        // evolution for the SAFE promotions a long-lived table needs:
+        // existing parquet files keep their narrow physical type and
+        // resolve through the widened read schema (Spark 4's parquet
+        // readers up-convert int32→int64 / float→double per file —
+        // SPARK-40876, the mechanism lakehouse type widening rides);
+        // new writes land the wide type. Anything lossy (narrowing,
+        // int→double where 2⁵³ < long loses bits, string↔numeric) is
+        // refused loudly — a metadata-only lie about bytes on disk is
+        // the one thing a catalog must never publish.
+        case ut: TableChange.UpdateColumnType =>
+          require(ut.fieldNames.length == 1,
+            "nested column type changes are not supported by the " +
+              "snapshot catalog")
+          val cn = ut.fieldNames()(0)
+          val cur = t.columns.find(_.name == cn).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column $cn on ${t.db}.${t.name}"))
+          require(!cur.isPartition,
+            s"cannot widen partition column $cn of ${t.db}.${t.name} " +
+              "— directory values are text, re-layout instead")
+          val to = ut.newDataType.sql.toLowerCase
+          val widens = Map(
+            "tinyint" -> Set("smallint", "int", "bigint"),
+            "smallint" -> Set("int", "bigint"),
+            "int" -> Set("bigint"),
+            "float" -> Set("double"))
+          require(widens.get(cur.dataType.toLowerCase)
+              .exists(_.contains(to)),
+            s"ALTER COLUMN $cn TYPE ${cur.dataType} -> $to on " +
+              s"${t.db}.${t.name} is not a safe widening — only " +
+              "tinyint/smallint/int->bigint chains and float->double " +
+              "resolve losslessly over existing parquet files; " +
+              "anything else needs a rewrite (CTAS)")
+          t.copy(columns = t.columns.map(c =>
+            if (c.name == cn) c.copy(dataType = to) else c))
         case other => throw new UnsupportedOperationException(
           s"snapshot catalog cannot apply ${other.getClass.getSimpleName} " +
             s"to ${t.db}.${t.name} (column renames silently null " +
@@ -1354,7 +1600,8 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     // opted-in tables re-analyze on a generation swap so compaction /
     // relocation never opens a statless (pruning-disabled) window
     if (updated.location != ti.location)
-      FileSkipping.autoAnalyze(updated.properties, updated.location)
+      FileSkipping.autoAnalyze(updated.properties, updated.location,
+        Some(ti.location))
     loadTable(ident)
   }
 
@@ -1721,6 +1968,282 @@ private[catalog] class PartitionedWriteTable(inner: Table, ti: TableInfo,
                   else org.apache.spark.sql.SaveMode.Append)
                 .save(ti.location)
           }
+      }
+    }
+}
+
+/** Branch-attach copy-on-write append routing (the data half of
+  * write-audit-publish — see [[WritableSnapshotCatalog.createBranch]]).
+  *
+  * A branch catalog bootstraps with tables still pointing at MAIN's
+  * live locations, so a stock in-place INSERT through the branch would
+  * drop files into a directory main readers resolve — an unaudited row
+  * leaking past the audit gate. This helper detects a branch attach by
+  * its `BASE` marker and turns every plain append/overwrite into the
+  * catalog's own generation discipline: hard-link the current
+  * generation into a fresh sibling (inode links — KiB of metadata,
+  * bytes shared), land the new rows there, publish by swapping the
+  * BRANCH snapshot's location. Main's snapshot never references the
+  * new dir; [[WritableSnapshotCatalog.fastForward]] is what publishes
+  * it, and [[WritableSnapshotCatalog.gcGenerations]] reclaims it if
+  * the audit is abandoned. Row-level DML (UPDATE/DELETE/MERGE) already
+  * stages fresh generations on every path and needs no routing.
+  *
+  * Scale note (100 TB): the link pass is one inode link per live data
+  * file of the table — metadata-speed, zero bytes moved; the append
+  * itself is the same executor-parallel file write as anywhere else.
+  * Iceberg's wap.branch isolates appends identically (new snapshot
+  * files referenced only by the branch ref). */
+private[catalog] object BranchCow {
+  def isBranchAttach(snapshotDir: String): Boolean =
+    new java.io.File(snapshotDir, "BASE").isFile
+
+  /** Hard-link one generation's live contents into a fresh sibling:
+    * visible data files, hive partition subtrees (with their nested
+    * MOR sidecars), top-level `_deletes` sidecars and `_cdc` pre-image
+    * files. Committer/engine litter (`_SUCCESS`, `_temporary`,
+    * `_graftwriting`, stats docs — re-derivable) is never carried. */
+  def linkGeneration(oldRoot: String, newRoot: String): Unit = {
+    def linkSidecars(src: java.io.File, dst: java.io.File): Unit =
+      for (dn <- Seq(Mor.DeletesDirName, Mor.CdcDirName)) {
+        val sd = new java.io.File(src, dn)
+        if (sd.isDirectory) {
+          val dd = new java.io.File(dst, dn)
+          dd.mkdirs()
+          Option(sd.listFiles()).toSeq.flatten.filter(_.isFile)
+            .foreach(f => Mor.linkOne(f, new java.io.File(dd, f.getName)))
+        }
+      }
+    def walk(src: java.io.File, dst: java.io.File): Unit = {
+      Mor.linkAll(src, dst) // visible files only
+      linkSidecars(src, dst)
+      Option(src.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.contains("=") &&
+          !d.getName.startsWith(".") && !d.getName.startsWith("_"))
+        .foreach { d =>
+          val nd = new java.io.File(dst, d.getName)
+          nd.mkdirs()
+          walk(d, nd)
+        }
+    }
+    walk(new java.io.File(oldRoot), new java.io.File(newRoot))
+  }
+}
+
+/** Serving wrapper a BRANCH attach puts around the direct table:
+  * reads delegate untouched; plain INSERT INTO / INSERT OVERWRITE
+  * route through a V1 write that stages a fresh hard-linked generation
+  * and swaps the branch snapshot's location at the end — never a byte
+  * into the fork-shared directory (see [[BranchCow]]). */
+private[catalog] class BranchCowAppendTable(inner: Table,
+    cat: WritableSnapshotCatalog, ti: TableInfo, partCols: Seq[String])
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    inner.constraints()
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    inner match {
+      case m: org.apache.spark.sql.connector.catalog.SupportsMetadataColumns =>
+        m.metadataColumns()
+      case _ => Array.empty
+    }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.noneOf(classOf[TableCapability])
+    caps.addAll(inner.capabilities())
+    // writes route V1 here, whatever the inner table speaks
+    caps.remove(TableCapability.BATCH_WRITE)
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              val oldRoot = Mor.normLoc(ti.location)
+              val newRoot = oldRoot +
+                s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+              new java.io.File(newRoot).mkdirs()
+              // in-flight marker for gcGenerations (no _temporary
+              // until the V1 writer starts; present from first byte)
+              val marker = new java.io.File(newRoot, "_graftwriting")
+              java.nio.file.Files.write(marker.toPath,
+                Array.emptyByteArray): Unit
+              try {
+                val w = data.write.format(ti.provider)
+                  .mode(org.apache.spark.sql.SaveMode.Append)
+                (if (partCols.nonEmpty) w.partitionBy(partCols: _*)
+                 else w).save(newRoot)
+                // OVERWRITE = fresh generation with only the new rows;
+                // APPEND additionally carries the old generation over
+                // by hard link (bytes shared, names disjoint — fresh
+                // writes use fresh UUID part names)
+                if (!(overwrite || legacyOverwrite))
+                  BranchCow.linkGeneration(oldRoot, newRoot)
+                marker.delete(): Unit
+                cat.swapLocation(ti, newRoot) // the ONLY publish point
+              } catch {
+                case e: Throwable =>
+                  org.apache.commons.io.FileUtils
+                    .deleteQuietly(new java.io.File(newRoot)): Unit
+                  throw e
+              }
+            }
+          }
+      }
+    }
+}
+
+/** [[BranchCowAppendTable]] for partitioned inners — preserves the
+  * partition-management surface the outer wrappers cast for. */
+private[catalog] class BranchCowAppendPartitionedTable(
+    inner: Table
+      with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement,
+    cat: WritableSnapshotCatalog, ti: TableInfo, partCols: Seq[String])
+  extends BranchCowAppendTable(inner, cat, ti, partCols)
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def partitionSchema(): StructType = inner.partitionSchema()
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    inner.createPartition(ident, properties)
+  override def dropPartition(ident: InternalRow): Boolean =
+    inner.dropPartition(ident)
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    inner.replacePartitionMetadata(ident, properties)
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] = inner.loadPartitionMetadata(ident)
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] =
+    inner.listPartitionIdentifiers(names, ident)
+  override def partitionExists(ident: InternalRow): Boolean =
+    inner.partitionExists(ident)
+}
+
+/** The V2 rendering of branch copy-on-write appends, for unpartitioned
+  * PARQUET tables (which are served under the row-level DML wrappers —
+  * those build V2 writes for TRUNCATE, so this wrapper must keep the
+  * BATCH_WRITE capability; declaring V1_BATCH_WRITE would make the
+  * planner reject every V2 write on the table). The append itself is
+  * Spark's stock executor-parallel V2 parquet write into a FRESH
+  * generation dir; commit hard-links the current generation in (append
+  * semantics) and publishes via the branch catalog's atomic location
+  * swap — the [[SwapOnCommitWrite]] discipline plus one link pass. */
+private[catalog] class BranchCowAppendV2Table(inner: Table,
+    cat: WritableSnapshotCatalog, ti: TableInfo)
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    inner.constraints()
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.noneOf(classOf[TableCapability])
+    caps.addAll(inner.capabilities())
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    inner match {
+      case m: org.apache.spark.sql.connector.catalog.SupportsMetadataColumns =>
+        m.metadataColumns()
+      case _ => Array.empty
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = {
+        val spark = SparkSession.active
+        val oldRoot = Mor.normLoc(ti.location)
+        val newLoc = oldRoot +
+          s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+        val target = org.apache.spark.sql.execution.datasources.v2.parquet
+          .ParquetTable(s"${ti.db}.${ti.name}_branch_cow", spark,
+            CaseInsensitiveStringMap.empty(), Seq(newLoc),
+            Some(inner.schema()),
+            classOf[org.apache.spark.sql.execution.datasources
+              .parquet.ParquetFileFormat])
+        val d = target
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+          .newWriteBuilder(info).build()
+        val linkOld = !overwrite
+        new Write {
+          override def description(): String =
+            s"graft-branch-cow-append ${ti.db}.${ti.name} -> $newLoc"
+          override def toBatch: BatchWrite = new BatchWrite {
+            private val db = d.toBatch
+            override def createBatchWriterFactory(
+                pInfo: PhysicalWriteInfo): DataWriterFactory =
+              db.createBatchWriterFactory(pInfo)
+            override def useCommitCoordinator(): Boolean =
+              db.useCommitCoordinator()
+            override def onDataWriterCommit(
+                message: WriterCommitMessage): Unit =
+              db.onDataWriterCommit(message)
+            override def commit(messages: Array[WriterCommitMessage])
+                : Unit = {
+              db.commit(messages) // fresh rows final, nothing published
+              if (linkOld) // append: carry the old generation by link
+                BranchCow.linkGeneration(oldRoot, newLoc)
+              cat.swapLocation(ti, newLoc) // the ONLY publish point
+            }
+            override def abort(messages: Array[WriterCommitMessage])
+                : Unit = {
+              db.abort(messages)
+              org.apache.commons.io.FileUtils
+                .deleteQuietly(new java.io.File(newLoc)): Unit
+            }
+          }
+        }
       }
     }
 }

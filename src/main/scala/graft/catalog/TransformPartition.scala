@@ -1,0 +1,402 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NON-IDENTITY PARTITION TRANSFORMS — hidden partitioning for the
+  * writable snapshot catalog: `PARTITIONED BY (bucket(N, col))` and
+  * `PARTITIONED BY (days(ts))`, the lakehouse-standard layouts for a
+  * 100 TB fact table (the HMS partition object generalized — users
+  * never write, insert, or even see a derived column).
+  *
+  * Model: the catalog persists ONE derived partition column
+  * (`<src>_bucket` INT / `<src>_day` STRING) next to the user schema,
+  * plus `graft.part.*` properties recording the transform. The file
+  * layout is ordinary hive `derived=value` directories, so the READ
+  * side is the stock file table + stock partition pruning; the catalog
+  * contributes three things:
+  *  - WRITES derive the directory value engine-side
+  *    ([[TransformPartitionTable]]'s V1 write computes the derived
+  *    column and `partitionBy`s it — a NULL source refuses loudly);
+  *  - SCANS hide the derived column from the table schema and
+  *    TRANSLATE pushed predicates on the source column into implied
+  *    predicates on the derived one (`k = 42` additionally pushes
+  *    `k_bucket = 42 mod N`; a timestamp range pushes a day range —
+  *    [[TransformScanBuilder]]), which the stock builder turns into
+  *    partition pruning exactly as if the user had written the
+  *    derived predicate;
+  *  - row-level DML scopes at PARTITION granularity through the same
+  *    [[PartitionCowOperation]] machinery as identity layouts, with a
+  *    [[PartDeriver]] mapping each row's SOURCE value to its directory
+  *    (a DELETE touching one bucket rewrites one bucket and hard-links
+  *    the rest).
+  *
+  * Deliberate scope (loud refusals, SURVEY §2 discipline): one
+  * transform per table; bucket sources must be integral, days sources
+  * timestamps; no MOR modes on transform tables (partition-scoped COW
+  * serves their DML); `days` requires a UTC session (the directory
+  * value pins the UTC day boundary).
+  *
+  * The bucket function is `((v mod N) + N) mod N` — deliberately
+  * modulo, not murmur3 (Iceberg's choice): the transform must replay
+  * exactly in the DuckDB oracle, and modulo keeps key-range fixtures
+  * deterministic. A murmur bucket would drop in behind the same
+  * [[PartDeriver]] seam. */
+private[catalog] object TransformPartition {
+  val KindProp = "graft.part.kind" // bucket | days
+  val SrcProp = "graft.part.src"
+  val BucketsProp = "graft.part.buckets"
+
+  def derivedName(kind: String, src: String): String = kind match {
+    case "bucket" => s"${src}_bucket"
+    case "days" => s"${src}_day"
+  }
+
+  def derivedSqlType(kind: String): String = kind match {
+    case "bucket" => "int"
+    case "days" => "string"
+  }
+
+  /** The deriver for a transform-partitioned table, built against the
+    * SERVED schema (None for plain tables). */
+  def of(ti: TableInfo): Option[PartDeriver] = {
+    val kind = ti.properties.find(_.key == KindProp).map(_.value)
+    kind.map { k =>
+      val src = ti.properties.find(_.key == SrcProp).get.value
+      val sc = ti.columns.find(_.name == src).getOrElse(
+        throw new IllegalStateException(
+          s"transform source column $src missing on ${ti.db}.${ti.name}"))
+      val f = StructField(sc.name,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(sc.dataType), sc.nullable)
+      k match {
+        case "bucket" =>
+          val n = ti.properties.find(_.key == BucketsProp).get.value.toInt
+          BucketDeriver(f, n)
+        case "days" => DaysDeriver(f)
+        case other => throw new IllegalStateException(
+          s"unknown partition transform '$other' on ${ti.db}.${ti.name}")
+      }
+    }
+  }
+}
+
+private[catalog] case class BucketDeriver(
+    srcField: StructField, n: Int) extends PartDeriver {
+  override def derivedName: String =
+    TransformPartition.derivedName("bucket", srcField.name)
+  override def derivedType: DataType = IntegerType
+  override def derive(v: Any): Any = {
+    val l = v match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"bucket(${srcField.name}) on non-integral value $other")
+    }
+    (((l % n) + n) % n).toInt
+  }
+}
+
+private[catalog] case class DaysDeriver(srcField: StructField)
+    extends PartDeriver {
+  override def derivedName: String =
+    TransformPartition.derivedName("days", srcField.name)
+  override def derivedType: DataType = StringType
+  /** UTC day of the timestamp (internal micros since epoch). */
+  override def derive(v: Any): Any = {
+    val micros = v match {
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"days(${srcField.name}) on non-timestamp value $other")
+    }
+    UTF8String.fromString(java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(micros, 86400000000L)).toString)
+  }
+}
+
+/** Serving wrapper for a transform-partitioned table: hides the
+  * derived column, translates predicates, derives directory values on
+  * write. Reads otherwise delegate to the stock file table. */
+private[catalog] class TransformPartitionTable(inner: Table,
+    ti: TableInfo, deriver: PartDeriver,
+    cat: Option[WritableSnapshotCatalog], branchAttach: Boolean)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name()
+
+  override def schema(): StructType = StructType(
+    inner.schema().fields.filterNot(_.name == deriver.derivedName))
+
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    schema().fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column
+        .create(f.name, f.dataType, f.nullable))
+
+  override def partitioning(): Array[Transform] = deriver match {
+    case BucketDeriver(f, n) => Array(Expressions.bucket(n, f.name))
+    case d: DaysDeriver => Array(Expressions.days(d.srcField.name))
+    case _ => Array.empty
+  }
+
+  override def properties(): util.Map[String, String] = inner.properties()
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new TransformScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options), deriver)
+
+  /** V1 write deriving the directory column engine-side. Appends land
+    * in place (the hive-partitioned discipline); on a BRANCH attach
+    * they stage a hard-linked generation + branch-local swap instead
+    * ([[BranchCow]]); OVERWRITE is static full-table semantics — a
+    * fresh generation when the catalog can swap, in-place rewrite
+    * otherwise. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              import org.apache.spark.sql.functions._
+              val ow = overwrite || legacyOverwrite
+              val src = col(deriver.srcField.name)
+              val dexp = deriver match {
+                case BucketDeriver(_, n) =>
+                  pmod(src.cast("long"), lit(n.toLong)).cast("int")
+                case _: DaysDeriver => date_format(src, "yyyy-MM-dd")
+              }
+              val guarded = when(src.isNull, raise_error(lit(
+                  s"NULL in partition source ${deriver.srcField.name} " +
+                    "— transform-partitioned tables refuse the default " +
+                    "partition")))
+                .otherwise(dexp)
+              val withDerived =
+                data.withColumn(deriver.derivedName, guarded)
+              def save(target: String): Unit =
+                withDerived.write.format(ti.provider)
+                  .partitionBy(deriver.derivedName)
+                  .mode(org.apache.spark.sql.SaveMode.Append)
+                  .save(target)
+              if (!branchAttach) {
+                if (ow) {
+                  // static overwrite: fresh generation + atomic swap
+                  // when this attach owns the catalog; else rewrite in
+                  // place (read-only attaches shouldn't write at all)
+                  cat match {
+                    case Some(c) =>
+                      val newRoot = Mor.normLoc(ti.location) +
+                        s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+                      save(newRoot)
+                      c.swapLocation(ti, newRoot)
+                    case None =>
+                      withDerived.write.format(ti.provider)
+                        .partitionBy(deriver.derivedName)
+                        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                        .save(Mor.normLoc(ti.location))
+                  }
+                } else save(Mor.normLoc(ti.location))
+              } else {
+                // branch attach: never a byte into the shared dir
+                val oldRoot = Mor.normLoc(ti.location)
+                val newRoot = oldRoot +
+                  s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+                try {
+                  save(newRoot)
+                  if (!ow) BranchCow.linkGeneration(oldRoot, newRoot)
+                  cat.get.swapLocation(ti, newRoot)
+                } catch {
+                  case e: Throwable =>
+                    org.apache.commons.io.FileUtils.deleteQuietly(
+                      new java.io.File(newRoot)): Unit
+                    throw e
+                }
+              }
+            }
+          }
+      }
+    }
+}
+
+/** Forwards pushdown to the stock file builder, ADDING the implied
+  * derived-column conjuncts ([[TransformPartition]] scaladoc). The
+  * synthesized predicates are implied by the originals, so results
+  * never change — they only let the stock builder prune partitions.
+  * Synthesized conjuncts are stripped from the reported residue
+  * (Spark cannot evaluate a hidden attribute post-scan). */
+private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
+    deriver: PartDeriver)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate match {
+      case p: SupportsPushDownRequiredColumns =>
+        p.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+
+  private def translate(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def onSrc(a: Expression): Boolean = a match {
+      case ar: AttributeReference =>
+        ar.name.equalsIgnoreCase(deriver.srcField.name)
+      case _ => false
+    }
+    def dAttr = AttributeReference(deriver.derivedName,
+      deriver.derivedType)()
+    def dLit(v: Any): Literal =
+      Literal(deriver.derive(v), deriver.derivedType)
+    // an un-derivable literal (wrong runtime type) just skips the
+    // synthesized conjunct — the original predicate still evaluates
+    def guard(e: => Expression): Option[Expression] =
+      try Some(e)
+      catch { case scala.util.control.NonFatal(_) => None }
+    // days is monotone (range predicates imply day ranges); bucket is
+    // not (only point predicates translate)
+    val monotone = deriver.isInstanceOf[DaysDeriver]
+    // ts < exact-midnight M excludes M's own day entirely — the tight
+    // bound the one-week-window shape deserves; any other literal
+    // keeps the conservative <= (its day may still hold earlier rows)
+    def dayStart(v: Any): Boolean = v match {
+      case l: Long => Math.floorMod(l, 86400000000L) == 0L
+      case _ => false
+    }
+    e match {
+      case EqualTo(a, Literal(v, _)) if onSrc(a) && v != null =>
+        guard(EqualTo(dAttr, dLit(v)))
+      case EqualTo(Literal(v, _), a) if onSrc(a) && v != null =>
+        guard(EqualTo(dAttr, dLit(v)))
+      case In(a, vs) if onSrc(a) && vs.nonEmpty && vs.forall {
+          case Literal(v, _) => v != null
+          case _ => false } =>
+        guard(In(dAttr, vs.map(l =>
+          dLit(l.asInstanceOf[Literal].value))))
+      case GreaterThan(a, Literal(v, _))
+          if monotone && onSrc(a) && v != null =>
+        guard(GreaterThanOrEqual(dAttr, dLit(v)))
+      case GreaterThanOrEqual(a, Literal(v, _))
+          if monotone && onSrc(a) && v != null =>
+        guard(GreaterThanOrEqual(dAttr, dLit(v)))
+      case LessThan(a, Literal(v, _))
+          if monotone && onSrc(a) && v != null =>
+        guard(if (dayStart(v)) LessThan(dAttr, dLit(v))
+          else LessThanOrEqual(dAttr, dLit(v)))
+      case LessThanOrEqual(a, Literal(v, _))
+          if monotone && onSrc(a) && v != null =>
+        guard(LessThanOrEqual(dAttr, dLit(v)))
+      // symmetric literal-first range forms
+      case GreaterThan(Literal(v, _), a)
+          if monotone && onSrc(a) && v != null =>
+        guard(if (dayStart(v)) LessThan(dAttr, dLit(v))
+          else LessThanOrEqual(dAttr, dLit(v)))
+      case GreaterThanOrEqual(Literal(v, _), a)
+          if monotone && onSrc(a) && v != null =>
+        guard(LessThanOrEqual(dAttr, dLit(v)))
+      case LessThan(Literal(v, _), a)
+          if monotone && onSrc(a) && v != null =>
+        guard(GreaterThanOrEqual(dAttr, dLit(v)))
+      case LessThanOrEqual(Literal(v, _), a)
+          if monotone && onSrc(a) && v != null =>
+        guard(GreaterThanOrEqual(dAttr, dLit(v)))
+      case _ => None
+    }
+  }
+
+  private var synthesized
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
+  override def pushFilters(
+      fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    synthesized = fs.flatMap(translate)
+    val res = delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters =>
+        f.pushFilters(fs ++ synthesized)
+      case _ => fs
+    }
+    // never report a hidden-attribute conjunct back as residue
+    res.filterNot(r => synthesized.exists(_ fastEquals r))
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def build(): Scan = delegate.build()
+}
+
+/** Row-level DML for transform-partitioned tables: the identical
+  * partition-scoped COW machinery as identity layouts
+  * ([[PartitionCowOperation]]), parameterized by the transform's
+  * [[PartDeriver]] — a DELETE touching K buckets/days rewrites K
+  * directories and hard-links the rest. */
+private[catalog] class TransformRowLevelTable(inner: Table,
+    cat: WritableSnapshotCatalog, ti: TableInfo, deriver: PartDeriver)
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    inner.constraints()
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = PartitionScoped.PartCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = true // NULL on inserted rows
+      override def comment: String =
+        "hive partition directory that served this row (row-level " +
+          "rewrites; derived from the transform source column)"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new PartitionCowOperation(inner, cat, ti, deriver, info)
+}

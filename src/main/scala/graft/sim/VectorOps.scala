@@ -1183,6 +1183,53 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // FILTERED ANN — the serve shape every production vector search
+    // actually runs: "nearest neighbor AMONG rows matching a metadata
+    // predicate" (lang/tenant/date filters). The predicate is pushed
+    // into the CANDIDATE side BEFORE the cell-probe join — the
+    // assignment table filters first, so the per-query work is
+    // Σ |probed cell ∩ filter|, never the corpus and never a
+    // post-filter of an unfiltered top-k (which silently returns
+    // FEWER than k — the classic filtered-ANN bug this key refuses by
+    // construction: filtering candidates, not results, keeps the
+    // top-1 exact over the filtered candidate set). Queries are
+    // unfiltered; a query whose probed cells hold no matching
+    // candidate drops out on both engine and oracle. At 100 TB the
+    // filter column lives in the fixed-width assignment index (vec_id,
+    // cell, label), so the probe touches vectors only for surviving
+    // candidates — AnnRecallSpec pins recall vs FILTERED brute force.
+    "sim_ann_ivf_filtered" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = ivfCentroids(s, d)
+      val scored = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+      val cells = scored.groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cell"))
+      // the metadata predicate, applied to the assignment/corpus side
+      // BEFORE the probe join — candidates shrink, results stay exact
+      val corpus = e.filter(col("label") % 3 === 1)
+        .select(col("vec_id"), col("v")).join(cells, "vec_id")
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val probes = scored.filter(col("vec_id") % 100 === 0)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(probes, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(q, "qid")
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("cell"), col("vec_id").as("nn"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid")
+    }),
+
     // LATE-INTERACTION retrieval (the ColBERT serve shape) — the
     // multi-vector family the single-vector stack lacks: query and doc
     // are each a BAG of token vectors, and relevance is MaxSim =
@@ -2067,6 +2114,37 @@ object VectorOps extends QueryGroup {
          |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
          |                    JOIN e qe ON qe.vec_id = c.qid))
          |WHERE rn = 1 ORDER BY qid""".stripMargin,
+    // filtered serve: same quantizer/probe re-derivation as
+    // sim_ann_ivf, with the metadata predicate joined into the
+    // CANDIDATE set before scoring — never a post-filter of results
+    "sim_ann_ivf_filtered" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oKmeans,
+         |scored AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored
+         |  WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |flt AS (SELECT vec_id FROM embeddings WHERE label % 3 = 1),
+         |cand AS (SELECT p.qid, s.vec_id, s.cell
+         |  FROM probes p JOIN cells s ON s.cell = p.cell
+         |                JOIN flt f ON f.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.qid)
+         |SELECT qid, cell, vec_id AS nn, ROUND(cos, 4) AS cos FROM (
+         |  SELECT qid, cell, vec_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM (SELECT c.qid, c.cell, c.vec_id,
+         |          ${oCos("qe.v", "ce.v")} AS cos
+         |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
+         |                    JOIN e qe ON qe.vec_id = c.qid))
+         |WHERE rn = 1 ORDER BY qid""".stripMargin,
+
     // MaxSim late interaction: slice norms precompute per side, every
     // dot fold / division / GREATEST / left-assoc sum replays the
     // engine's exact double-op order — raw-score ranks agree bitwise

@@ -37,6 +37,47 @@ class AnnRecallSpec extends SparkSpec {
     check("sim_ann_ivf", 0.9)
   }
 
+  test("filtered ANN: every answer satisfies the predicate, and the " +
+      "found cosine tracks the FILTERED brute-force optimum") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val res = SparkEntry.queries("sim_ann_ivf_filtered")(spark, sf)
+      .select("qid", "nn", "cos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.nonEmpty)
+    // law 1: every returned neighbor matches the metadata predicate
+    val labels = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((q, (nn, _)) <- res)
+      assert(labels(nn) % 3 == 1, s"query $q answered with nn=$nn " +
+        s"label=${labels(nn)} — predicate violated")
+    // law 2: candidate filtering (not result post-filtering) keeps the
+    // answer close to the FILTERED brute-force top-1
+    val e = Tables(spark, sf, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+      .select(col("vec_id"), col("v"), col("label"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val truthF = e.filter(col("label") % 3 === 1)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
+      .groupBy("qid").agg(max("cos").as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res.keySet.subsetOf(truthF.keySet))
+    val ratios = res.map { case (qid, (_, c)) => c / truthF(qid) }
+    val avg = ratios.sum / ratios.size
+    assert(avg >= 0.85,
+      s"filtered avg found/true cosine ratio $avg < 0.85")
+    // law 3: the probe answers (nearly) every query the filtered
+    // brute force can answer — nprobe=4 cells may genuinely hold no
+    // matching candidate for a few queries, but a collapse here would
+    // mean the filter was applied after top-k
+    assert(res.size >= truthF.size * 7 / 10,
+      s"only ${res.size} of ${truthF.size} filtered queries answered")
+  }
+
   test("sim_maxsim_late: ranks agree positively with single-vector " +
       "cosine, scores bounded by the token count") {
     import org.apache.spark.sql.functions.{col, expr}

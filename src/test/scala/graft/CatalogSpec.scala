@@ -700,12 +700,14 @@ class CatalogSpec extends SparkSpec {
     val t = plugin.loadTable(Identifier.of(Array("corp"), "orders_p"))
     assert(t.partitioning().toSeq.map(
         _.references()(0).fieldNames()(0)) == Seq("o_orderstatus"))
-    // non-identity transforms are refused loudly, not silently dropped
+    // unsupported transforms are refused loudly, not silently dropped
+    // (bucket/days are now first-class — meta_v2_part_bucket/_days;
+    // years is not)
     val e = intercept[Exception] {
       spark.sql(s"""CREATE TABLE $wcat.corp.bad_p (x INT, ts TIMESTAMP)
-                   |USING parquet PARTITIONED BY (days(ts))""".stripMargin)
+                   |USING parquet PARTITIONED BY (years(ts))""".stripMargin)
     }
-    assert(e.getMessage.toLowerCase.contains("identity"),
+    assert(e.getMessage.toLowerCase.contains("identity, bucket"),
       s"unhelpful refusal: ${e.getMessage}")
     // partition management: SHOW PARTITIONS lists the layout; the
     // exists probe agrees; EXTERNAL drop refuses
@@ -790,7 +792,7 @@ class CatalogSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     spark.range(10).select(col("id").as("k"), lit(1.0).as("v"))
       .coalesce(1).writeTo(s"$cat.m.t").append()
-    assert(FileSkipping.analyze(loc) == 1)
+    assert(FileSkipping.analyze(loc).covered == 1)
     // COW UPDATE swaps the generation; the hook must re-analyze the
     // NEW dir, so the post-swap read still serves a stats-pruned scan
     spark.sql(s"UPDATE $cat.m.t SET v = 2.0 WHERE k = 3")
@@ -857,6 +859,133 @@ class CatalogSpec extends SparkSpec {
     c.claimGraceMs = 10000L
   }
 
+  test("branch WAP: plain INSERT through a branch attach routes " +
+      "copy-on-write — main never sees an unaudited row") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_wapins_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "wapins_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    import org.apache.spark.sql.functions._
+    // unpartitioned MOR table WITH an outstanding delete sidecar: the
+    // COW-routed append must carry the sidecar forward (hidden rows
+    // stay hidden on the branch) while main keeps its exact file set
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet LOCATION '${dir.getPath}/_data/t'
+                 |TBLPROPERTIES('graft.delete.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.range(10).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k = 7")
+    // partitioned table too — the V1 partitioned append is a separate
+    // write path and must route the same way
+    spark.sql(s"""CREATE TABLE $cat.m.p (k BIGINT, p INT)
+                 |USING parquet PARTITIONED BY (p)
+                 |LOCATION '${dir.getPath}/_data/p'""".stripMargin)
+    spark.range(6).select(col("id").as("k"),
+        (col("id") % 2).cast("int").as("p"))
+      .writeTo(s"$cat.m.p").append()
+    val mainLoc = new java.io.File(s"${dir.getPath}/_data/t")
+    def mainFiles(): Set[String] =
+      Option(mainLoc.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(_.getName).toSet
+    val filesBefore = mainFiles()
+    val c = attachWritable("wapins_spec2", dir.getPath)
+    c.createBranch("b")
+    val bcat = "wapins_spec_br"
+    spark.conf.set(s"spark.sql.catalog.$bcat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$bcat.path", c.branchDir("b"))
+    spark.range(5).select((col("id") + 100).as("k"), lit(9.0).as("v"))
+      .writeTo(s"$bcat.m.t").append()
+    spark.range(3).select((col("id") + 100).as("k"), lit(5).as("p"))
+      .writeTo(s"$bcat.m.p").append()
+    // main's directory and row set are byte-untouched
+    assert(mainFiles() == filesBefore,
+      "branch append dropped files into the fork-shared directory")
+    assert(spark.table(s"$cat.m.t").count() == 9)
+    assert(spark.table(s"$cat.m.p").count() == 6)
+    // the branch serves old + new rows, with the sidecar still applied
+    assert(spark.table(s"$bcat.m.t").count() == 14)
+    assert(spark.table(s"$bcat.m.t").filter(col("k") === 7).count() == 0,
+      "MOR sidecar lost across the branch COW append")
+    assert(spark.table(s"$bcat.m.p").filter(col("p") === 5).count() == 3)
+    assert(spark.table(s"$bcat.m.p").count() == 9)
+    // INSERT OVERWRITE on the branch: fresh generation, main untouched
+    spark.sql(s"INSERT OVERWRITE $bcat.m.t SELECT 1L, 0.5D")
+    assert(spark.table(s"$bcat.m.t").count() == 1)
+    assert(spark.table(s"$cat.m.t").count() == 9)
+    assert(mainFiles() == filesBefore)
+    // publish: main now serves the audited branch state
+    c.fastForward("b")
+    assert(spark.table(s"$cat.m.t").count() == 1)
+    assert(spark.table(s"$cat.m.p").count() == 9)
+    c.dropBranch("b")
+  }
+
+  test("branch rebase: a losing WAP branch merges onto the advanced " +
+      "head and publishes all-or-nothing; conflicts and vacuumed " +
+      "bases refuse") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_rbspec_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "rbase_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    import org.apache.spark.sql.functions._
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, v DOUBLE)
+                 |USING parquet
+                 |LOCATION '${dir.getPath}/_data/t'""".stripMargin)
+    spark.range(10).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    val c = attachWritable("rbase_spec2", dir.getPath)
+    c.createBranch("b")
+    val bcat = "rbase_spec_br"
+    spark.conf.set(s"spark.sql.catalog.$bcat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$bcat.path", c.branchDir("b"))
+    // branch stages DATA (COW generation) + main advances disjointly
+    spark.sql(s"UPDATE $bcat.m.t SET v = 2.0 WHERE k < 3")
+    spark.sql(s"""CREATE TABLE $cat.m.u (k BIGINT) USING parquet
+                 |LOCATION '${dir.getPath}/_data/u'""".stripMargin)
+    spark.range(4).select(col("id").as("k")).writeTo(s"$cat.m.u").append()
+    intercept[java.util.ConcurrentModificationException](
+      c.fastForward("b"))
+    // rebase is idempotent: a second call after the first is a no-op
+    val nb = c.rebaseBranch("b")
+    assert(c.rebaseBranch("b") == nb)
+    c.fastForward("b")
+    // all-or-nothing: branch's staged generation AND main's table
+    assert(spark.table(s"$cat.m.t").filter(col("v") === 2.0).count() == 3)
+    assert(spark.table(s"$cat.m.u").count() == 4)
+    c.dropBranch("b")
+    // conflict: both sides alter the same table differently
+    c.createBranch("b2")
+    val b2 = "rbase_spec_br2"
+    spark.conf.set(s"spark.sql.catalog.$b2",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$b2.path", c.branchDir("b2"))
+    spark.sql(s"ALTER TABLE $b2.m.u ADD COLUMN a STRING")
+    spark.sql(s"ALTER TABLE $cat.m.u ADD COLUMN z STRING")
+    val e = intercept[java.util.ConcurrentModificationException](
+      c.rebaseBranch("b2"))
+    assert(e.getMessage.contains("(m,u)"),
+      s"conflict must name the object: ${e.getMessage}")
+    // the refused rebase changed NOTHING: publish still refuses, and
+    // main still serves its own alter
+    intercept[java.util.ConcurrentModificationException](
+      c.fastForward("b2"))
+    assert(spark.table(s"$cat.m.u").columns.contains("z"))
+    assert(!spark.table(s"$cat.m.u").columns.contains("a"))
+    c.dropBranch("b2")
+  }
+
   test("rollback: forward-commit undo, loud on vacuumed targets and " +
       "GC'd generations") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_rbspec_snapshot"))
@@ -918,7 +1047,7 @@ class CatalogSpec extends SparkSpec {
       concat(lit("mid"), col("id")).as("s"), lit(2.0).as("v")))
     file(spark.range(5).select(lit(null).cast("bigint").as("k"),
       lit("znull").as("s"), lit(3.0).as("v")))
-    assert(FileSkipping.analyze(loc) == 3)
+    assert(FileSkipping.analyze(loc).covered == 3)
     def filesRead(df: org.apache.spark.sql.DataFrame): Int = {
       val scans = df.queryExecution.sparkPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2
@@ -964,6 +1093,52 @@ class CatalogSpec extends SparkSpec {
     assert(after.filter(col("k") === 12).select("v")
       .head.getDouble(0) == 42.0)
     assert(after.count() == 26)
+  }
+
+  test("incremental analyze: an append re-harvests only the new " +
+      "files; a hard-linked generation swap re-harvests only the delta") {
+    val root = new java.io.File(Tables.scratch(sf, "v2_incstat_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    import org.apache.spark.sql.functions._
+    val genA = new java.io.File(root, "genA").getPath
+    def file(loc: String, a: Long, b: Long): Unit =
+      spark.range(a, b).select(col("id").as("k"), lit(1.0).as("v"))
+        .coalesce(1).write.mode("append").parquet(loc)
+    file(genA, 0, 10); file(genA, 10, 20)
+    file(genA, 20, 30); file(genA, 30, 40)
+    val r1 = FileSkipping.analyze(genA)
+    assert(r1 == FileSkipping.AnalyzeResult(4, 4, 0), s"full: $r1")
+    // append two files -> ONLY they are harvested; the old shard is
+    // re-referenced byte-identical
+    file(genA, 40, 50); file(genA, 50, 60)
+    val r2 = FileSkipping.analyze(genA)
+    assert(r2 == FileSkipping.AnalyzeResult(6, 2, 4), s"append: $r2")
+    // idempotent re-analyze: nothing harvested at all
+    val r3 = FileSkipping.analyze(genA)
+    assert(r3 == FileSkipping.AnalyzeResult(6, 0, 6), s"noop: $r3")
+    // generation swap: hard-link all 6 + one genuinely new file — the
+    // O(delta) law the auto-stats hook rides (analyze(new, Some(old)))
+    val genB = new java.io.File(root, "genB")
+    genB.mkdirs()
+    for (f <- new java.io.File(genA).listFiles()
+         if f.isFile && !f.getName.startsWith("_") &&
+           !f.getName.startsWith("."))
+      java.nio.file.Files.createLink(
+        new java.io.File(genB, f.getName).toPath, f.toPath)
+    file(genB.getPath, 60, 70)
+    val r4 = FileSkipping.analyze(genB.getPath, Some(genA))
+    assert(r4 == FileSkipping.AnalyzeResult(7, 1, 6), s"swap: $r4")
+    // the reused stats are REAL: pruning works on the swapped side
+    val stats = FileSkipping.load(genB.getPath).get
+    assert(stats.size == 7)
+    val eq = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "k", org.apache.spark.sql.types.LongType)(),
+      org.apache.spark.sql.catalyst.expressions.Literal(15L))
+    assert(FileSkipping.filesToRead(stats, stats.keys.toSeq.sorted,
+      Seq(eq)).size == 1)
+    // and the merged manifest loses no rows vs a raw read
+    assert(spark.read.parquet(genB.getPath).count() == 70)
   }
 
   test("CHECK constraint: full lifecycle through the writable catalog") {

@@ -218,7 +218,11 @@ class PlanSpec extends SparkSpec {
       // dedup_semantic_incremental broadcast-NLJs the seed-centroid
       // set for BATCH assignment (the dedup_semantic quantizer shape);
       // the candidate joins are equi on cell
-      "dedup_semantic_incremental")
+      "dedup_semantic_incremental",
+      // sim_ann_ivf_filtered broadcast-NLJs the tiny centroid set for
+      // cell assignment (the sim_ann_ivf quantizer shape); the
+      // metadata filter + candidate joins are all equi-keyed
+      "sim_ann_ivf_filtered")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {

@@ -260,6 +260,90 @@ class StreamingSpec extends SparkSpec {
       "key-cadence timestamps off closed form")
   }
 
+
+  test("change-feed consumer: restart from checkpoint resumes at the " +
+      "right revision, each revision applied exactly once") {
+    import graft.catalog.{CatalogSnapshot, CatalogTransfer, ChangeFeedStream}
+    val dir = new java.io.File(Tables.scratch(sf, "v2_scfspec_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "scf_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet LOCATION '${dir.getPath}/_data/t'
+                 |TBLPROPERTIES('graft.delete.mode'='merge-on-read',
+                 | 'graft.merge.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.range(20).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.toInt
+    val base = headRev()
+    def stateAt(s2: org.apache.spark.sql.SparkSession)(r: Int) =
+      s2.sql(s"SELECT * FROM $cat.m.t VERSION AS OF '$r'")
+    val out = Tables.scratch(sf, "scf_spec_state")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(out + "_applied"))
+    ChangeFeedStream.bootstrap(out, base, stateAt(spark)(base))
+    val src = Tables.scratch(sf, "scf_spec_marks")
+    val cp = Tables.scratch(sf, "scf_spec_cp")
+    for (p <- Seq(src, cp))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    new java.io.File(src).mkdirs()
+    def mark(r: Int): Unit = java.nio.file.Files.writeString(
+      new java.io.File(src, f"r$r%05d.txt").toPath, r.toString): Unit
+    def runStream(): Unit = {
+      val q = spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          val ss = batch.sparkSession
+          val upTo = batch.agg(max(col("value").cast("int"))).head()
+          if (!upTo.isNullAt(0))
+            ChangeFeedStream.applyUpTo(ss, dir.getPath, "m", "t", "k",
+              out, upTo.getInt(0), stateAt(ss)): Unit
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: two delta revisions consumed. The MERGE must carry a
+    // genuinely-matched branch — an insert-only MERGE plans as a plain
+    // APPEND (no catalog revision to feed on)
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 5 = 0")
+    spark.range(3).select((col("id") + 18).as("k"), lit(7.0).as("v"))
+      .createOrReplaceTempView("scf_spec_d1")
+    spark.sql(s"""MERGE INTO $cat.m.t t USING scf_spec_d1 u ON t.k = u.k
+                 |WHEN MATCHED THEN UPDATE SET v = u.v
+                 |WHEN NOT MATCHED THEN INSERT (k, v)
+                 |VALUES (u.k, u.v)""".stripMargin)
+    mark(base + 1); mark(base + 2)
+    runStream()
+    assert(ChangeFeedStream.applied(out) == (base to base + 2))
+    // phase 2: another revision lands AFTER the stream stopped; a
+    // fresh stream over the SAME checkpoint must resume past the
+    // already-consumed markers and apply exactly the new revision
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k = 20")
+    mark(base + 3)
+    runStream()
+    assert(ChangeFeedStream.applied(out) == (base to base + 3),
+      s"restart must resume at revision ${base + 3}: " +
+        ChangeFeedStream.applied(out))
+    val head = spark.table(s"$cat.m.t")
+    val mat = spark.read.parquet(out)
+    assert(mat.except(head).isEmpty && head.except(mat).isEmpty,
+      "materialization diverged after restart")
+    // 20 - 4 deleted (0,5,10,15) + 1 inserted (20) - 1 deleted (20)
+    assert(mat.count() == 16)
+    assert(mat.filter(col("k") === 18).head.getDouble(1) == 7.0,
+      "merged update lost in the feed application")
+  }
+
   test("streaming minhash dedup: 3 real micro-batches against a " +
       "growing index, final pair set invariant to the split") {
     val streamed = SparkEntry.queries("stream_dedup_minhash")(spark, sf)
