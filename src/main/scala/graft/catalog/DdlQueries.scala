@@ -2943,9 +2943,14 @@ object DdlQueries extends QueryGroup {
                |PARTITIONED BY (days(o_orderdate))
                |LOCATION '$loc'""".stripMargin)
       Tables(s, d, "orders").createOrReplaceTempView("orders_src_pd")
+      // half a year of days — plenty of dirs to prove pruning without
+      // the fixture write itself dominating the key
       s.sql(s"""INSERT INTO $cat.corp.orders_pd
                |SELECT o_orderkey, o_orderdate, o_totalprice
-               |FROM orders_src_pd""".stripMargin)
+               |FROM orders_src_pd
+               |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               |  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+               |""".stripMargin)
       val allDirs = Option(new java.io.File(loc).list()).toSeq.flatten
         .count(_.startsWith("o_orderdate_day="))
       require(allDirs > 30, s"day layout missing: $allDirs dirs")
@@ -2971,6 +2976,58 @@ object DdlQueries extends QueryGroup {
           round(sum(col("o_totalprice")), 4).as("sum_price"))
         .withColumn("dirs_planned", lit(probeDirs.size.toLong))
         .orderBy("day")
+    }),
+
+    // MONTH GRANULARITY — the same [[TimeDeriver]] seam at calendar-
+    // month resolution (`o_orderdate_month=yyyy-MM` dirs; years(ts)
+    // shares the code path and differs only in the rendered unit).
+    // Hidden partitioning's granularity ladder matters at 100 TB:
+    // month dirs keep the directory count bounded for decade-deep
+    // retention while a quarter-window probe still prunes to 3 of the
+    // table's months (engine-asserted below, incl. the tight `<` at
+    // an exact month boundary). DML composes through the identical
+    // deriver-generalized partition-scoped COW as bucket/days.
+    "meta_v2_part_months" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_pmon_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpmon_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_pm"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_pm
+               |(o_orderkey BIGINT, o_orderdate TIMESTAMP,
+               | o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (months(o_orderdate))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_pm")
+      s.sql(s"""INSERT INTO $cat.corp.orders_pm
+               |SELECT o_orderkey, o_orderdate, o_totalprice
+               |FROM orders_src_pm""".stripMargin)
+      val allDirs = Option(new java.io.File(loc).list()).toSeq.flatten
+        .count(_.startsWith("o_orderdate_month="))
+      require(allDirs > 24, s"month layout missing: $allDirs dirs")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      val q = s.table(s"$cat2.corp.orders_pm")
+        .filter(col("o_orderdate") >=
+            to_timestamp(lit("1995-04-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-07-01 00:00:00")))
+      val probeDirs = plannedPartDirs(q)
+      require(probeDirs == Set("o_orderdate_month=1995-04",
+          "o_orderdate_month=1995-05", "o_orderdate_month=1995-06"),
+        s"month-range pruning failed: $probeDirs of $allDirs dirs")
+      q.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("dirs_planned", lit(probeDirs.size.toLong))
+        .orderBy("month")
     }),
 
     "meta_v2_partitioned" -> ((s, d) => {
@@ -4244,6 +4301,17 @@ object DdlQueries extends QueryGroup {
         |  COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 4) AS sum_price,
         |  (SELECT COUNT(DISTINCT STRFTIME(o_orderdate, '%Y-%m-%d'))
         |   FROM w) AS dirs_planned
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the one-quarter window replays over raw timestamps; the exact
+    // 3-month planned-dir set is engine-required, its count pinned
+    "meta_v2_part_months" ->
+      """WITH w AS (SELECT o_orderdate, o_totalprice FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00')
+        |SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  3 AS dirs_planned
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the materialized state replays the base insert + three delta

@@ -1154,7 +1154,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           require(schema.fieldNames.contains(p),
             s"partition column $p is not in the schema of $ident")
           p
-        case kind @ ("bucket" | "days") =>
+        case kind @ ("bucket" | "days" | "months" | "years") =>
           require(partitions.length == 1,
             s"snapshot catalog supports ONE partition transform per " +
               s"table, got ${partitions.length} on $ident")
@@ -1180,7 +1180,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
               lit.get
             } else {
               require(sf.dataType.sql.toLowerCase.startsWith("timestamp"),
-                s"days($src) needs a timestamp source column on " +
+                s"$kind($src) needs a timestamp source column on " +
                   s"$ident, got ${sf.dataType.sql}")
               0
             }
@@ -1203,8 +1203,9 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             s"derived by $kind($src) — engine-managed"))
           dn
         case _ => throw new IllegalArgumentException(
-          s"snapshot catalog supports identity, bucket(N, col) and " +
-            s"days(ts) partition transforms only, got '$t' on $ident")
+          s"snapshot catalog supports identity, bucket(N, col), " +
+            s"days(ts), months(ts) and years(ts) partition transforms " +
+            s"only, got '$t' on $ident")
       }
     }
     require(partNames.size < schema.fields.length + derivedCols.size,

@@ -60,11 +60,13 @@ private[catalog] object TransformPartition {
   def derivedName(kind: String, src: String): String = kind match {
     case "bucket" => s"${src}_bucket"
     case "days" => s"${src}_day"
+    case "months" => s"${src}_month"
+    case "years" => s"${src}_year"
   }
 
   def derivedSqlType(kind: String): String = kind match {
     case "bucket" => "int"
-    case "days" => "string"
+    case _ => "string" // days/months/years: lexicographic == chrono
   }
 
   /** The deriver for a transform-partitioned table, built against the
@@ -83,7 +85,7 @@ private[catalog] object TransformPartition {
         case "bucket" =>
           val n = ti.properties.find(_.key == BucketsProp).get.value.toInt
           BucketDeriver(f, n)
-        case "days" => DaysDeriver(f)
+        case "days" | "months" | "years" => TimeDeriver(f, k)
         case other => throw new IllegalStateException(
           s"unknown partition transform '$other' on ${ti.db}.${ti.name}")
       }
@@ -109,20 +111,42 @@ private[catalog] case class BucketDeriver(
   }
 }
 
-private[catalog] case class DaysDeriver(srcField: StructField)
-    extends PartDeriver {
+/** days / months / years over a timestamp column — all render the
+  * UTC calendar unit as a STRING whose lexicographic order equals the
+  * chronological one ('2021-03-05' / '2021-03' / '2021'), so range
+  * predicates translate into pushable string ranges. */
+private[catalog] case class TimeDeriver(srcField: StructField,
+    unit: String) extends PartDeriver {
   override def derivedName: String =
-    TransformPartition.derivedName("days", srcField.name)
+    TransformPartition.derivedName(unit, srcField.name)
   override def derivedType: DataType = StringType
-  /** UTC day of the timestamp (internal micros since epoch). */
-  override def derive(v: Any): Any = {
+  private def dateOf(v: Any): java.time.LocalDate = {
     val micros = v match {
       case l: Long => l
       case other => throw new IllegalArgumentException(
-        s"days(${srcField.name}) on non-timestamp value $other")
+        s"$unit(${srcField.name}) on non-timestamp value $other")
     }
-    UTF8String.fromString(java.time.LocalDate.ofEpochDay(
-      Math.floorDiv(micros, 86400000000L)).toString)
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, 86400000000L))
+  }
+  override def derive(v: Any): Any = {
+    val d = dateOf(v)
+    UTF8String.fromString(unit match {
+      case "days" => d.toString
+      case "months" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
+      case "years" => f"${d.getYear}%04d"
+    })
+  }
+  /** True iff `v` sits EXACTLY on the unit boundary — a strict `<`
+    * against such a literal excludes the literal's own unit. */
+  def unitStart(v: Any): Boolean = v match {
+    case l: Long if Math.floorMod(l, 86400000000L) == 0L =>
+      val d = dateOf(v)
+      unit match {
+        case "days" => true
+        case "months" => d.getDayOfMonth == 1
+        case "years" => d.getDayOfYear == 1
+      }
+    case _ => false
   }
 }
 
@@ -147,7 +171,9 @@ private[catalog] class TransformPartitionTable(inner: Table,
 
   override def partitioning(): Array[Transform] = deriver match {
     case BucketDeriver(f, n) => Array(Expressions.bucket(n, f.name))
-    case d: DaysDeriver => Array(Expressions.days(d.srcField.name))
+    case TimeDeriver(f, "days") => Array(Expressions.days(f.name))
+    case TimeDeriver(f, "months") => Array(Expressions.months(f.name))
+    case TimeDeriver(f, "years") => Array(Expressions.years(f.name))
     case _ => Array.empty
   }
 
@@ -184,15 +210,38 @@ private[catalog] class TransformPartitionTable(inner: Table,
               val dexp = deriver match {
                 case BucketDeriver(_, n) =>
                   pmod(src.cast("long"), lit(n.toLong)).cast("int")
-                case _: DaysDeriver => date_format(src, "yyyy-MM-dd")
+                case TimeDeriver(_, "days") =>
+                  date_format(src, "yyyy-MM-dd")
+                case TimeDeriver(_, "months") =>
+                  date_format(src, "yyyy-MM")
+                case TimeDeriver(_, "years") =>
+                  date_format(src, "yyyy")
+                case other => throw new IllegalStateException(
+                  s"no write expression for deriver $other")
               }
               val guarded = when(src.isNull, raise_error(lit(
                   s"NULL in partition source ${deriver.srcField.name} " +
                     "— transform-partitioned tables refuse the default " +
                     "partition")))
                 .otherwise(dexp)
-              val withDerived =
-                data.withColumn(deriver.derivedName, guarded)
+              val derived0 = data.withColumn(deriver.derivedName, guarded)
+              // HIGH-CARDINALITY transforms (days: hundreds-thousands
+              // of dirs) must cluster the write by the derived value —
+              // without it every task writes a sliver into every day
+              // it sees (tasks × days tiny files, the classic
+              // over-partitioned write; measured 54 s vs ~3 s on the
+              // fixture). One shuffle, one file per day per statement
+              // — exactly what downstream compaction wants. LOW-
+              // cardinality transforms (bucket(4)) skip it: clustering
+              // would cap write parallelism at N buckets, and
+              // tasks × N files is already fine.
+              val withDerived = deriver match {
+                // years = a handful of dirs; clustering would cap
+                // write parallelism at that handful, like bucket
+                case TimeDeriver(_, "days") | TimeDeriver(_, "months") =>
+                  derived0.repartition(col(deriver.derivedName))
+                case _ => derived0
+              }
               def save(target: String): Unit =
                 withDerived.write.format(ti.provider)
                   .partitionBy(deriver.derivedName)
@@ -274,14 +323,14 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
     def guard(e: => Expression): Option[Expression] =
       try Some(e)
       catch { case scala.util.control.NonFatal(_) => None }
-    // days is monotone (range predicates imply day ranges); bucket is
-    // not (only point predicates translate)
-    val monotone = deriver.isInstanceOf[DaysDeriver]
-    // ts < exact-midnight M excludes M's own day entirely — the tight
-    // bound the one-week-window shape deserves; any other literal
-    // keeps the conservative <= (its day may still hold earlier rows)
-    def dayStart(v: Any): Boolean = v match {
-      case l: Long => Math.floorMod(l, 86400000000L) == 0L
+    // time units are monotone (range predicates imply unit ranges);
+    // bucket is not (only point predicates translate)
+    val monotone = deriver.isInstanceOf[TimeDeriver]
+    // ts < exact-unit-boundary M excludes M's own unit entirely — the
+    // tight bound window shapes deserve; any other literal keeps the
+    // conservative <= (its unit may still hold earlier rows)
+    def dayStart(v: Any): Boolean = deriver match {
+      case t: TimeDeriver => t.unitStart(v)
       case _ => false
     }
     e match {

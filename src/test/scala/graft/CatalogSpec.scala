@@ -701,11 +701,11 @@ class CatalogSpec extends SparkSpec {
     assert(t.partitioning().toSeq.map(
         _.references()(0).fieldNames()(0)) == Seq("o_orderstatus"))
     // unsupported transforms are refused loudly, not silently dropped
-    // (bucket/days are now first-class — meta_v2_part_bucket/_days;
-    // years is not)
+    // (bucket/days/months/years are first-class — meta_v2_part_*;
+    // hours is not)
     val e = intercept[Exception] {
       spark.sql(s"""CREATE TABLE $wcat.corp.bad_p (x INT, ts TIMESTAMP)
-                   |USING parquet PARTITIONED BY (years(ts))""".stripMargin)
+                   |USING parquet PARTITIONED BY (hours(ts))""".stripMargin)
     }
     assert(e.getMessage.toLowerCase.contains("identity, bucket"),
       s"unhelpful refusal: ${e.getMessage}")
