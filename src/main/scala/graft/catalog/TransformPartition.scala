@@ -85,7 +85,22 @@ private[catalog] object TransformPartition {
         case "bucket" =>
           val n = ti.properties.find(_.key == BucketsProp).get.value.toInt
           BucketDeriver(f, n)
-        case "days" | "months" | "years" => TimeDeriver(f, k)
+        case "days" | "months" | "years" =>
+          // the directory value pins the UTC unit boundary; under a
+          // non-UTC session the write expression (date_format, session
+          // tz) and the deriver/translator (UTC math) would disagree —
+          // a silent wrong-pruning hazard, so refuse loudly instead
+          val tz = org.apache.spark.sql.SparkSession.active
+            .sessionState.conf.sessionLocalTimeZone
+          val utc =
+            try java.time.ZoneId.of(tz).normalized() ==
+              java.time.ZoneOffset.UTC
+            catch { case scala.util.control.NonFatal(_) => false }
+          require(utc,
+            s"time partition transforms on ${ti.db}.${ti.name} pin " +
+              s"the UTC unit boundary; set " +
+              s"spark.sql.session.timeZone=UTC (session has '$tz')")
+          TimeDeriver(f, k)
         case other => throw new IllegalStateException(
           s"unknown partition transform '$other' on ${ti.db}.${ti.name}")
       }
@@ -296,6 +311,7 @@ private[catalog] class TransformPartitionTable(inner: Table,
 private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
     deriver: PartDeriver)
   extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -304,6 +320,24 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
         p.pruneColumns(requiredSchema)
       case _ => ()
     }
+
+  // aggregate pushdown (COUNT/MIN/MAX from footers) forwards — the
+  // wrapper must not cost a clean table its metadata-only aggregates
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      a.supportCompletePushDown(agg)
+    case _ => false
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      a.pushAggregation(agg)
+    case _ => false
+  }
 
   private def translate(
       e: org.apache.spark.sql.catalyst.expressions.Expression)

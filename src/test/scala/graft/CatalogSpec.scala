@@ -927,6 +927,30 @@ class CatalogSpec extends SparkSpec {
     c.dropBranch("b")
   }
 
+  test("time partition transforms refuse a non-UTC session (the " +
+      "directory value pins the UTC unit boundary)") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_tztx_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "tztx_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, ts TIMESTAMP)
+                 |USING parquet PARTITIONED BY (days(ts))
+                 |LOCATION '${dir.getPath}/_data/t'""".stripMargin)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[Exception](spark.table(s"$cat.m.t").count())
+      assert(e.getMessage.contains("UTC"),
+        s"unhelpful tz refusal: ${e.getMessage}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // back under UTC the table serves normally
+    assert(spark.table(s"$cat.m.t").count() == 0)
+  }
+
   test("branch rebase: a losing WAP branch merges onto the advanced " +
       "head and publishes all-or-nothing; conflicts and vacuumed " +
       "bases refuse") {
