@@ -927,6 +927,53 @@ class CatalogSpec extends SparkSpec {
     c.dropBranch("b")
   }
 
+  test("transform pruning composes with file-level stats skipping: " +
+      "a point probe plans one file of one bucket") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_bktstat_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "bktstat_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    val loc = s"${dir.getPath}/_data/t"
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, v DOUBLE)
+                 |USING parquet PARTITIONED BY (bucket(4, k))
+                 |LOCATION '$loc'""".stripMargin)
+    import org.apache.spark.sql.functions._
+    // two KEY-RANGE files per bucket (each insert coalesces to one
+    // file per touched bucket dir): [0,400) and [400,800)
+    for (lo <- Seq(0L, 400L))
+      spark.range(lo, lo + 400)
+        .select(col("id").as("k"), lit(1.0).as("v"))
+        .coalesce(1).writeTo(s"$cat.m.t").append()
+    // stats over the hive layout: 4 buckets × 2 range files
+    assert(FileSkipping.analyze(loc).covered == 8)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan
+      }.collectFirst { case p: graft.catalog.StatsPrunedScan =>
+        p.toBatch.planInputPartitions().map {
+          case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+      }.getOrElse(fail("no stats-pruned scan in the plan"))
+    // the point probe: bucket translation drops 3 of 4 dirs, then the
+    // k-range zone map drops 1 of the surviving bucket's 2 files —
+    // LAYERED pruning, 1 of 8 files planned
+    val q = spark.table(s"$cat.m.t").filter(col("k") === 42L)
+    assert(plannedFiles(q) == 1,
+      "expected bucket pruning x stats skipping to plan exactly 1 file")
+    assert(q.count() == 1)
+    // safety: a key outside every range plans 0 files and returns 0
+    val none = spark.table(s"$cat.m.t").filter(col("k") === 9999L)
+    assert(plannedFiles(none) == 0)
+    assert(none.count() == 0)
+  }
+
   test("time partition transforms refuse a non-UTC session (the " +
       "directory value pins the UTC unit boundary)") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_tztx_snapshot"))
