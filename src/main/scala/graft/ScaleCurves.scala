@@ -160,6 +160,7 @@ object ScaleCurves {
     "meta_v2_part_bucket" -> "orders",
     "meta_v2_part_days" -> "orders",
     "meta_v2_part_months" -> "orders",
+    "meta_v2_part_truncate" -> "orders",
     "meta_v2_branch_rebase" -> "nation",
     "meta_v2_alter_widen" -> "nation",
     "stream_changefeed_upsert" -> "orders",

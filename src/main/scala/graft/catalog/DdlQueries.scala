@@ -3030,6 +3030,68 @@ object DdlQueries extends QueryGroup {
         .orderBy("month")
     }),
 
+    // STRING-PREFIX PARTITIONING — truncate(W, str), the last member
+    // of the lakehouse transform set (identity/bucket/days/months/
+    // years/truncate — Iceberg's ladder minus hours): dirs keyed by
+    // the W-char prefix, derived engine-side. Prefix truncation is
+    // MONOTONE in lexicographic order, so both the pinned equality
+    // probe (1 of 5 dirs) and range predicates translate into stock
+    // partition pruning. The layout a URL/tenant/category-keyed 100 TB
+    // corpus uses when the key's prefix is its natural shard.
+    "meta_v2_part_truncate" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_ptrc_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gptrc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_pt"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_pt
+               |(o_orderkey BIGINT, o_orderpriority STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (truncate(1, o_orderpriority))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_pt")
+      s.sql(s"""INSERT INTO $cat.corp.orders_pt
+               |SELECT o_orderkey, o_orderpriority, o_totalprice
+               |FROM orders_src_pt""".stripMargin)
+      val dirs = Option(new java.io.File(loc).list()).toSeq.flatten
+        .filter(_.startsWith("o_orderpriority_trunc=")).sorted
+      require(dirs.size == 5, s"prefix layout missing: $dirs")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      require(!s.table(s"$cat2.corp.orders_pt").columns
+          .contains("o_orderpriority_trunc"),
+        "derived prefix column must stay hidden")
+      // equality probe: translated to the 1-char prefix dir
+      val probe = s.table(s"$cat2.corp.orders_pt")
+        .filter(col("o_orderpriority") === "3-MEDIUM")
+      val probeDirs = plannedPartDirs(probe)
+      require(probeDirs == Set("o_orderpriority_trunc=3"),
+        s"prefix pruning failed: $probeDirs")
+      // range probe: monotone translation keeps at most prefixes 2..4
+      val range = s.table(s"$cat2.corp.orders_pt")
+        .filter(col("o_orderpriority") >= "2" &&
+          col("o_orderpriority") < "4")
+      val rangeDirs = plannedPartDirs(range)
+      require(rangeDirs.nonEmpty && rangeDirs.subsetOf(Set(
+          "o_orderpriority_trunc=2", "o_orderpriority_trunc=3",
+          "o_orderpriority_trunc=4")),
+        s"prefix range pruning failed: $rangeDirs")
+      s.table(s"$cat2.corp.orders_pt")
+        .groupBy(substring(col("o_orderpriority"), 1, 1).as("pfx"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("probe_dirs", lit(probeDirs.size.toLong))
+        .orderBy("pfx")
+    }),
+
     "meta_v2_partitioned" -> ((s, d) => {
       val dir = new java.io.File(Tables.scratch(d, "v2_part_snapshot"))
         .getAbsolutePath
@@ -4302,6 +4364,14 @@ object DdlQueries extends QueryGroup {
         |  (SELECT COUNT(DISTINCT STRFTIME(o_orderdate, '%Y-%m-%d'))
         |   FROM w) AS dirs_planned
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-prefix totals replay as a substring group; the 1-dir
+    // equality-probe evidence is engine-required and pinned
+    "meta_v2_part_truncate" ->
+      """SELECT SUBSTRING(o_orderpriority, 1, 1) AS pfx,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price, 1 AS probe_dirs
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the one-quarter window replays over raw timestamps; the exact
     // 3-month planned-dir set is engine-required, its count pinned

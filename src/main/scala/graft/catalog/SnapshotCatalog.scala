@@ -1154,7 +1154,8 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           require(schema.fieldNames.contains(p),
             s"partition column $p is not in the schema of $ident")
           p
-        case kind @ ("bucket" | "days" | "months" | "years") =>
+        case kind @ ("bucket" | "days" | "months" | "years" |
+            "truncate") =>
           require(partitions.length == 1,
             s"snapshot catalog supports ONE partition transform per " +
               s"table, got ${partitions.length} on $ident")
@@ -1166,17 +1167,22 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             throw new IllegalArgumentException(
               s"$kind source column $src is not in the schema of $ident"))
           val n =
-            if (kind == "bucket") {
-              require(Set("tinyint", "smallint", "int", "bigint")(
-                  sf.dataType.sql.toLowerCase),
-                s"bucket($src) needs an integral source column on " +
-                  s"$ident, got ${sf.dataType.sql}")
+            if (kind == "bucket" || kind == "truncate") {
+              if (kind == "bucket")
+                require(Set("tinyint", "smallint", "int", "bigint")(
+                    sf.dataType.sql.toLowerCase),
+                  s"bucket($src) needs an integral source column on " +
+                    s"$ident, got ${sf.dataType.sql}")
+              else
+                require(sf.dataType.sql.toLowerCase == "string",
+                  s"truncate($src) needs a string source column on " +
+                    s"$ident, got ${sf.dataType.sql}")
               val lit = t.arguments.collectFirst {
                 case l: org.apache.spark.sql.connector.expressions
                     .Literal[_] => l.value.toString.toInt }
               require(lit.exists(_ > 0),
-                s"bucket transform on $ident needs a positive bucket " +
-                  s"count, got '$t'")
+                s"$kind transform on $ident needs a positive " +
+                  s"count/width, got '$t'")
               lit.get
             } else {
               require(sf.dataType.sql.toLowerCase.startsWith("timestamp"),
@@ -1194,7 +1200,7 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           transformProps = Seq(
             PropKV(TransformPartition.KindProp, kind),
             PropKV(TransformPartition.SrcProp, src)) ++
-            (if (kind == "bucket")
+            (if (kind == "bucket" || kind == "truncate")
               Seq(PropKV(TransformPartition.BucketsProp, n.toString))
             else Nil)
           derivedCols = Seq(ColumnInfo(dn,
@@ -1204,8 +1210,8 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           dn
         case _ => throw new IllegalArgumentException(
           s"snapshot catalog supports identity, bucket(N, col), " +
-            s"days(ts), months(ts) and years(ts) partition transforms " +
-            s"only, got '$t' on $ident")
+            s"days(ts), months(ts), years(ts) and truncate(W, str) " +
+            s"partition transforms only, got '$t' on $ident")
       }
     }
     require(partNames.size < schema.fields.length + derivedCols.size,

@@ -53,15 +53,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic. A murmur bucket would drop in behind the same
   * [[PartDeriver]] seam. */
 private[catalog] object TransformPartition {
-  val KindProp = "graft.part.kind" // bucket | days
+  val KindProp = "graft.part.kind" // bucket | days | months | years | truncate
   val SrcProp = "graft.part.src"
-  val BucketsProp = "graft.part.buckets"
+  val BucketsProp = "graft.part.buckets" // bucket count / truncate width
 
   def derivedName(kind: String, src: String): String = kind match {
     case "bucket" => s"${src}_bucket"
     case "days" => s"${src}_day"
     case "months" => s"${src}_month"
     case "years" => s"${src}_year"
+    case "truncate" => s"${src}_trunc"
   }
 
   def derivedSqlType(kind: String): String = kind match {
@@ -85,6 +86,9 @@ private[catalog] object TransformPartition {
         case "bucket" =>
           val n = ti.properties.find(_.key == BucketsProp).get.value.toInt
           BucketDeriver(f, n)
+        case "truncate" =>
+          val w = ti.properties.find(_.key == BucketsProp).get.value.toInt
+          TruncateDeriver(f, w)
         case "days" | "months" | "years" =>
           // the directory value pins the UTC unit boundary; under a
           // non-UTC session the write expression (date_format, session
@@ -123,6 +127,24 @@ private[catalog] case class BucketDeriver(
         s"bucket(${srcField.name}) on non-integral value $other")
     }
     (((l % n) + n) % n).toInt
+  }
+}
+
+/** truncate(width, stringCol) — the prefix layout (Iceberg's truncate
+  * transform, restricted to STRING sources where it is exactly the
+  * character prefix): `url_trunc=http` style dirs. Prefix truncation
+  * is MONOTONE in lexicographic order (a <= b implies trunc(a) <=
+  * trunc(b) at equal width), so range predicates translate like the
+  * time units'. */
+private[catalog] case class TruncateDeriver(srcField: StructField,
+    width: Int) extends PartDeriver {
+  override def derivedName: String =
+    TransformPartition.derivedName("truncate", srcField.name)
+  override def derivedType: DataType = StringType
+  override def derive(v: Any): Any = v match {
+    case s: UTF8String => s.substring(0, width)
+    case other => throw new IllegalArgumentException(
+      s"truncate(${srcField.name}) on non-string value $other")
   }
 }
 
@@ -186,6 +208,9 @@ private[catalog] class TransformPartitionTable(inner: Table,
 
   override def partitioning(): Array[Transform] = deriver match {
     case BucketDeriver(f, n) => Array(Expressions.bucket(n, f.name))
+    case TruncateDeriver(f, w) =>
+      Array(Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(f.name)))
     case TimeDeriver(f, "days") => Array(Expressions.days(f.name))
     case TimeDeriver(f, "months") => Array(Expressions.months(f.name))
     case TimeDeriver(f, "years") => Array(Expressions.years(f.name))
@@ -225,6 +250,7 @@ private[catalog] class TransformPartitionTable(inner: Table,
               val dexp = deriver match {
                 case BucketDeriver(_, n) =>
                   pmod(src.cast("long"), lit(n.toLong)).cast("int")
+                case TruncateDeriver(_, w) => substring(src, 1, w)
                 case TimeDeriver(_, "days") =>
                   date_format(src, "yyyy-MM-dd")
                 case TimeDeriver(_, "months") =>
@@ -357,9 +383,10 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
     def guard(e: => Expression): Option[Expression] =
       try Some(e)
       catch { case scala.util.control.NonFatal(_) => None }
-    // time units are monotone (range predicates imply unit ranges);
-    // bucket is not (only point predicates translate)
-    val monotone = deriver.isInstanceOf[TimeDeriver]
+    // time units and string prefixes are monotone (range predicates
+    // imply unit/prefix ranges); bucket is not (points only)
+    val monotone = deriver.isInstanceOf[TimeDeriver] ||
+      deriver.isInstanceOf[TruncateDeriver]
     // ts < exact-unit-boundary M excludes M's own unit entirely — the
     // tight bound window shapes deserve; any other literal keeps the
     // conservative <= (its unit may still hold earlier rows)
