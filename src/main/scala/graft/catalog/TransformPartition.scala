@@ -260,10 +260,19 @@ private[catalog] class TransformPartitionTable(inner: Table,
                 case other => throw new IllegalStateException(
                   s"no write expression for deriver $other")
               }
-              val guarded = when(src.isNull, raise_error(lit(
-                  s"NULL in partition source ${deriver.srcField.name} " +
-                    "— transform-partitioned tables refuse the default " +
-                    "partition")))
+              // EMPTY strings are refused next to NULLs: the hive
+              // layout renders an empty partition value as the default
+              // partition (read back as NULL), while the predicate
+              // translator would derive '' — a pruned-away row. Loud
+              // refusal keeps layout and translation bijective.
+              val badSrc = deriver match {
+                case _: TruncateDeriver => src.isNull || length(src) === 0
+                case _ => src.isNull
+              }
+              val guarded = when(badSrc, raise_error(lit(
+                  s"NULL/empty in partition source " +
+                    s"${deriver.srcField.name} — transform-partitioned " +
+                    "tables refuse the default partition")))
                 .otherwise(dexp)
               val derived0 = data.withColumn(deriver.derivedName, guarded)
               // HIGH-CARDINALITY transforms (days: hundreds-thousands
@@ -376,8 +385,17 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
     }
     def dAttr = AttributeReference(deriver.derivedName,
       deriver.derivedType)()
-    def dLit(v: Any): Literal =
-      Literal(deriver.derive(v), deriver.derivedType)
+    def dLit(v: Any): Literal = {
+      val d = deriver.derive(v)
+      // an EMPTY derived prefix has no directory form (hive renders
+      // empty as the default partition) — never synthesize on it
+      d match {
+        case u: UTF8String if u.numChars() == 0 =>
+          throw new IllegalArgumentException("empty derived prefix")
+        case _ => ()
+      }
+      Literal(d, deriver.derivedType)
+    }
     // an un-derivable literal (wrong runtime type) just skips the
     // synthesized conjunct — the original predicate still evaluates
     def guard(e: => Expression): Option[Expression] =
