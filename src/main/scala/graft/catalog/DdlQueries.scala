@@ -2110,8 +2110,12 @@ object DdlQueries extends QueryGroup {
       def stateAt(ss: SparkSession)(r: Int) = ss.sql(
         s"SELECT * FROM $cat2.corp.orders_scf VERSION AS OF '$r'")
       val out = Tables.scratch(d, "stream_scf_state")
+      if (java.nio.file.Files.isSymbolicLink( // generation symlink
+          java.nio.file.Paths.get(out)))
+        java.nio.file.Files.delete(java.nio.file.Paths.get(out))
       deleteTree(new java.io.File(out))
       deleteTree(new java.io.File(out + "_applied"))
+      deleteTree(new java.io.File(out + "_gen"))
       ChangeFeedStream.bootstrap(out, revBase, stateAt(s)(revBase))
       // three delta commits — each publishes one revision
       s.sql(s"DELETE FROM $cat.corp.orders_scf WHERE o_orderkey % 16 = 0")

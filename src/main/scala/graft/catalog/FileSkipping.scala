@@ -304,7 +304,13 @@ object FileSkipping {
     * hard-linked carry-over (the COW generation discipline) keeps all
     * three, so its stats reuse across generations; any rewrite moves
     * at least one. Filesystems without the unix view degrade to
-    * `-:size:mtime` — reuse merely gets more conservative. */
+    * `-:size:mtime` — and reuse is DISABLED for such fingerprints
+    * (matched in [[analyze]]): without the inode, an in-place rewrite
+    * of the same length inside mtime granularity would fingerprint-
+    * match its stale shard entry, and stale min/max could wrongly
+    * prune files containing matching rows — the one failure mode the
+    * safety model forbids. Paying a fresh footer read is the safe
+    * degradation. */
   private def identOf(f: java.io.File): String = {
     val p = f.toPath
     val ino =
@@ -419,8 +425,12 @@ object FileSkipping {
     val covered = scala.collection.mutable.HashSet.empty[String]
     for ((name, entries, isForeign) <- own ++ foreign
          if entries.nonEmpty && !reusable.exists(_._1 == name)) {
+      // no-inode fingerprints never validate a reuse (scaladoc at
+      // [[identOf]]) — the entry re-harvests instead of risking a
+      // stale-stats wrong prune
       val ok = entries.forall { case (rel, e) =>
-        idents.get(rel).forall(_ == e.ident) }
+        idents.get(rel).forall(cur =>
+          cur == e.ident && !cur.startsWith("-:")) }
       val fresh = entries.keysIterator
         .filter(rel => idents.contains(rel) && !covered.contains(rel))
       if (ok && fresh.nonEmpty) {

@@ -1731,7 +1731,7 @@ private[catalog] class MorPartDeltaWriter(newRoot: String,
   * Exactly-once discipline: a LEDGER directory next to the
   * materialization records every applied revision (`rev-<n>` marker).
   * Redelivered batches (restart-from-checkpoint, speculative re-runs)
-  * skip already-applied revisions; a crash between the state overwrite
+  * skip already-applied revisions; a crash between the state publish
   * and the ledger append merely re-applies a net diff whose
   * application is IDEMPOTENT by construction — deletes of absent keys
   * are no-ops, and upserts remove their key before inserting. Batches
@@ -1739,16 +1739,55 @@ private[catalog] class MorPartDeltaWriter(newRoot: String,
   * revision N applies every unapplied revision ≤ N from the catalog's
   * own revision log, in order.
   *
+  * PUBLISH is atomic, never an in-place overwrite: each application
+  * stages the new state into a fresh GENERATION directory
+  * (`<out>_gen/g-<uuid>`) and publishes by atomically swapping the
+  * materialization path — a symlink — onto it (tmp-link +
+  * `ATOMIC_MOVE`, the catalog's own generation discipline). A crash
+  * mid-stage leaves the previous generation fully served and the
+  * ledger truthful; there is NO window where the recovery baseline is
+  * a deleted/partial directory (the in-place `SaveMode.Overwrite`
+  * hazard). Superseded generations are swept after the swap.
+  *
   * Scale note (100 TB): each application is one O(delta) feed read
   * (commit-time CDC files + fresh data files — [[MorChangeFeed]])
   * joined against the materialization by key; the materialization
-  * overwrite is the consumer's own cost model to improve (partitioned
+  * rewrite is the consumer's own cost model to improve (partitioned
   * or MOR downstream tables compose — this helper keeps the simple
-  * full-overwrite shape of `stream_cdc_upsert`). */
+  * full-rewrite shape of `stream_cdc_upsert`). */
 private[graft] object ChangeFeedStream {
 
   private def ledgerDir(outDir: String) = new java.io.File(
     outDir.stripSuffix("/") + "_applied")
+
+  private def genRoot(outDir: String) = new java.io.File(
+    outDir.stripSuffix("/") + "_gen")
+
+  /** Stage `state` into a fresh generation dir and atomically point
+    * the materialization symlink at it; then sweep superseded
+    * generations (only after the swap — a reader mid-scan on the old
+    * generation keeps it until its own resolution ends on local fs
+    * semantics; the sweep is the same post-publish discipline the
+    * catalog's location swaps use). */
+  private def publish(outDir: String,
+      state: org.apache.spark.sql.DataFrame): Unit = {
+    val root = genRoot(outDir)
+    root.mkdirs()
+    val gen = new java.io.File(root,
+      s"g-${java.util.UUID.randomUUID.toString.take(12)}")
+    state.write.mode("overwrite").parquet(gen.getPath)
+    val link = java.nio.file.Paths.get(outDir.stripSuffix("/"))
+    val tmp = new java.io.File(root, s".lnk-${gen.getName}").toPath
+    java.nio.file.Files.deleteIfExists(tmp)
+    java.nio.file.Files.createSymbolicLink(tmp, gen.toPath.toAbsolutePath)
+    // first publish: nothing to replace; later: atomic symlink swap
+    java.nio.file.Files.move(tmp, link,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("g-") && f.getName != gen.getName)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly(_): Unit)
+  }
 
   /** Revisions recorded as applied (sorted). */
   def applied(outDir: String): Seq[Int] =
@@ -1760,7 +1799,16 @@ private[graft] object ChangeFeedStream {
     * and stamp the ledger so consumption starts at `base + 1`. */
   def bootstrap(outDir: String, base: Int,
       state: org.apache.spark.sql.DataFrame): Unit = {
-    state.write.mode("overwrite").parquet(outDir)
+    // a stale plain directory at the materialization path would block
+    // the symlink publish — refuse loudly rather than delete data we
+    // did not write
+    val at = java.nio.file.Paths.get(outDir.stripSuffix("/"))
+    require(!java.nio.file.Files.exists(
+        at, java.nio.file.LinkOption.NOFOLLOW_LINKS) ||
+        java.nio.file.Files.isSymbolicLink(at),
+      s"change-feed bootstrap target $outDir exists and is not a " +
+        "generation symlink — remove it first")
+    publish(outDir, state)
     val l = ledgerDir(outDir)
     l.mkdirs()
     java.nio.file.Files.write(
@@ -1801,9 +1849,9 @@ private[graft] object ChangeFeedStream {
         .filter(col("op").isin("insert", "update_postimage")).drop("op")
       state = state.join(gone, state(keyName) === col("_dk"), "left_anti")
         .unionByName(adds)
-        .localCheckpoint() // sever lineage from the dir we overwrite
+        .localCheckpoint() // sever lineage from the generation we swap
     }
-    state.write.mode("overwrite").parquet(outDir)
+    publish(outDir, state)
     val l = ledgerDir(outDir)
     revs.foreach(r => java.nio.file.Files.write(
       new java.io.File(l, s"rev-$r").toPath, Array.emptyByteArray))

@@ -1177,11 +1177,16 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
                 require(sf.dataType.sql.toLowerCase == "string",
                   s"truncate($src) needs a string source column on " +
                     s"$ident, got ${sf.dataType.sql}")
+              // a non-integer literal (truncate('a', col)) routes
+              // through the same loud refusal as a missing/negative
+              // one, never a bare NumberFormatException
               val lit = t.arguments.collectFirst {
                 case l: org.apache.spark.sql.connector.expressions
-                    .Literal[_] => l.value.toString.toInt }
+                    .Literal[_] => l.value }
+                .flatMap(v =>
+                  scala.util.Try(v.toString.trim.toInt).toOption)
               require(lit.exists(_ > 0),
-                s"$kind transform on $ident needs a positive " +
+                s"$kind transform on $ident needs a positive integer " +
                   s"count/width, got '$t'")
               lit.get
             } else {

@@ -219,9 +219,16 @@ private[catalog] class TransformPartitionTable(inner: Table,
 
   override def properties(): util.Map[String, String] = inner.properties()
 
+  /** A READ-ONLY attach (cat=None, non-branch) must not declare write
+    * capabilities: an INSERT through it would mutate the shared live
+    * directory behind every other attach's back, bypassing generation
+    * discipline. Writes belong to the writable/branch attaches. */
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    if (cat.isEmpty && !branchAttach)
+      Set[TableCapability](TableCapability.BATCH_READ).asJava
+    else
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -231,9 +238,9 @@ private[catalog] class TransformPartitionTable(inner: Table,
   /** V1 write deriving the directory column engine-side. Appends land
     * in place (the hive-partitioned discipline); on a BRANCH attach
     * they stage a hard-linked generation + branch-local swap instead
-    * ([[BranchCow]]); OVERWRITE is static full-table semantics — a
-    * fresh generation when the catalog can swap, in-place rewrite
-    * otherwise. */
+    * ([[BranchCow]]); OVERWRITE is static full-table semantics —
+    * always a fresh generation + atomic location swap (read-only
+    * attaches have no write path at all). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -245,6 +252,15 @@ private[catalog] class TransformPartitionTable(inner: Table,
             override def insert(data: org.apache.spark.sql.DataFrame,
                 legacyOverwrite: Boolean): Unit = {
               import org.apache.spark.sql.functions._
+              // capabilities() already hides writes from read-only
+              // attaches; throw too in case a caller builds the write
+              // directly
+              if (cat.isEmpty && !branchAttach)
+                throw new UnsupportedOperationException(
+                  s"${ti.db}.${ti.name} is served through a READ-ONLY " +
+                    "attach — writes to a transform-partitioned table " +
+                    "require the writable catalog (generation " +
+                    "discipline owns the live directory)")
               val ow = overwrite || legacyOverwrite
               val src = col(deriver.srcField.name)
               val dexp = deriver match {
@@ -302,18 +318,13 @@ private[catalog] class TransformPartitionTable(inner: Table,
                   // static overwrite: fresh generation + atomic swap
                   // when this attach owns the catalog; else rewrite in
                   // place (read-only attaches shouldn't write at all)
-                  cat match {
-                    case Some(c) =>
-                      val newRoot = Mor.normLoc(ti.location) +
-                        s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
-                      save(newRoot)
-                      c.swapLocation(ti, newRoot)
-                    case None =>
-                      withDerived.write.format(ti.provider)
-                        .partitionBy(deriver.derivedName)
-                        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-                        .save(Mor.normLoc(ti.location))
-                  }
+                  val c = cat.getOrElse(throw new IllegalStateException(
+                    s"overwrite of ${ti.db}.${ti.name} without a " +
+                      "writable catalog attach"))
+                  val newRoot = Mor.normLoc(ti.location) +
+                    s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+                  save(newRoot)
+                  c.swapLocation(ti, newRoot)
                 } else save(Mor.normLoc(ti.location))
               } else {
                 // branch attach: never a byte into the shared dir

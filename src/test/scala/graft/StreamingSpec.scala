@@ -285,9 +285,14 @@ class StreamingSpec extends SparkSpec {
     def stateAt(s2: org.apache.spark.sql.SparkSession)(r: Int) =
       s2.sql(s"SELECT * FROM $cat.m.t VERSION AS OF '$r'")
     val out = Tables.scratch(sf, "scf_spec_state")
+    if (java.nio.file.Files.isSymbolicLink( // generation symlink
+        java.nio.file.Paths.get(out)))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(out))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(out + "_applied"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(out + "_gen"))
     ChangeFeedStream.bootstrap(out, base, stateAt(spark)(base))
     val src = Tables.scratch(sf, "scf_spec_marks")
     val cp = Tables.scratch(sf, "scf_spec_cp")
