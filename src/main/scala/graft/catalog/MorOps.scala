@@ -1394,10 +1394,16 @@ private[catalog] class MorPartitionedTable(inner: Table,
       org.apache.spark.sql.connector.catalog.Column
         .create(f.name, f.dataType, f.nullable))
 
+  // the merged read, plus `_partition` service on top (the runtime
+  // group filter's build side reads the metadata column through this
+  // REGULAR scan — without it a COW UPDATE's scope collapses to the
+  // empty set and the rewrite silently no-ops)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MorScanBuilder(
-      inner.asInstanceOf[SupportsRead].newScanBuilder(options),
-      keyField, sidecars)
+    new PartMetaScanBuilder(
+      new MorScanBuilder(
+        inner.asInstanceOf[SupportsRead].newScanBuilder(options),
+        keyField, sidecars),
+      Seq(IdentityDeriver(partField)))
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo)

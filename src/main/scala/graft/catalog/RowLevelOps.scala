@@ -410,7 +410,9 @@ private[catalog] class PartitionScopedRowLevelTable(inner: Table,
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+    new PartMetaScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options),
+      Seq(IdentityDeriver(partField)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
@@ -444,17 +446,33 @@ private[catalog] class PartitionScopedRowLevelTable(inner: Table,
   * object is the rendezvous between its scan (which learns the touched
   * partition set from Spark's runtime group filter) and its write
   * (whose commit replaces exactly that set): commit runs strictly
-  * after every scan task, so the handoff is race-free. */
+  * after every scan task, so the handoff is race-free.
+  *
+  * A COMPOSITE transform sequence (`days(ts), bucket(N, id)`) scopes
+  * at the (day, bucket) CELL: [[scopes]] holds one independent
+  * component set per deriver, a leaf dir is replaced iff every SCOPED
+  * component matches, and an unscoped component ranges over all its
+  * values. The replaced set is therefore the cross product of the
+  * scoped components restricted to dirs that exist — exactly the dirs
+  * the runtime-group-filtered scan served, so served == replaced
+  * holds composite-wide. */
 private[catalog] class PartitionCowOperation(inner: Table,
     cat: WritableSnapshotCatalog, ti: TableInfo,
-    deriver: PartDeriver,
+    derivers: Seq[PartDeriver],
     info: RowLevelOperationInfo) extends RowLevelOperation {
 
-  /** Touched DERIVED partition values (catalyst form) per the runtime
-    * group filter; None = the filter never fired → every partition was
-    * read and every partition is replaced (correct, unscoped
-    * fallback). */
-  @volatile private[catalog] var scope: Option[Set[Any]] = None
+  /** Single-transform convenience constructor (identity layouts). */
+  def this(inner: Table, cat: WritableSnapshotCatalog, ti: TableInfo,
+      deriver: PartDeriver, info: RowLevelOperationInfo) =
+    this(inner, cat, ti, Seq(deriver), info)
+
+  private[catalog] val derivs: Seq[PartDeriver] = derivers
+
+  /** Touched partition cells (RELATIVE dir paths, one `name=value`
+    * component per deriver) per the runtime group filter; None = the
+    * filter never fired → every cell was read and every cell is
+    * replaced (correct, unscoped fallback). */
+  @volatile private[catalog] var scopeDirs: Option[Set[String]] = None
 
   override def command(): RowLevelOperation.Command = info.command
 
@@ -467,13 +485,13 @@ private[catalog] class PartitionCowOperation(inner: Table,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PartScanBuilder(
       inner.asInstanceOf[SupportsRead].newScanBuilder(options),
-      this, deriver)
+      this, derivers)
 
   override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new PartitionRoutedCowWrite(cat, ti, PartitionCowOperation.this,
-          deriver, inner.schema())
+          derivers, inner.schema())
     }
 }
 
@@ -484,7 +502,7 @@ private[catalog] class PartitionCowOperation(inner: Table,
   * equals the replaced group set). */
 private[catalog] class PartScanBuilder(delegate: ScanBuilder,
     op: PartitionCowOperation,
-    deriver: PartDeriver)
+    derivers: Seq[PartDeriver])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var partRequested = false
@@ -492,25 +510,96 @@ private[catalog] class PartScanBuilder(delegate: ScanBuilder,
   override def pruneColumns(requiredSchema: StructType): Unit = {
     partRequested =
       requiredSchema.fieldNames.contains(PartitionScoped.PartCol)
-    if (partRequested) {
-      require(requiredSchema.fieldNames.last == PartitionScoped.PartCol,
-        s"metadata column ${PartitionScoped.PartCol} must be requested " +
-          s"last, got ${requiredSchema.fieldNames.mkString(", ")}")
-      require(requiredSchema.fieldNames.contains(deriver.srcField.name),
-        s"row-level rewrite scan must read partition source column " +
-          s"${deriver.srcField.name} to derive ${PartitionScoped.PartCol}")
-    }
+    // the delegate reads every partition SOURCE column next to the
+    // requested ones — the reader derives _partition from them (a
+    // composite DELETE condition needn't mention every source, so
+    // missing ones are ADDED, not required). The scan's readSchema is
+    // declared from the delegate's actual schema, and Spark matches
+    // V2 output by name, so extra served columns are just pruned by
+    // the plan above.
     val pruned = StructType(requiredSchema.fields
       .filterNot(_.name == PartitionScoped.PartCol))
+    val withSrcs =
+      if (!partRequested) pruned
+      else StructType(pruned.fields ++ derivers.map(_.srcField)
+        .filterNot(f => pruned.fieldNames.contains(f.name)))
     delegate match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(pruned)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(withSrcs)
       case _ => ()
     }
   }
 
   override def build(): Scan = {
     val ds = delegate.build()
-    if (partRequested) new PartScan(ds, op, deriver) else ds
+    if (partRequested) new PartScan(ds, Some(op), derivers) else ds
+  }
+}
+
+/** REGULAR-path scan builder for DML-capable partitioned tables:
+  * serves the `_partition` metadata column when requested (the
+  * runtime group filter's build side reads it through the table's
+  * ordinary scan — [[PartScan.filterAttributes]]) and forwards full
+  * pushdown to the delegate otherwise, so plain reads keep their
+  * filters, partition pruning and metadata-only aggregates. */
+private[catalog] class PartMetaScanBuilder(delegate: ScanBuilder,
+    derivers: Seq[PartDeriver])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private var partRequested = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    partRequested =
+      requiredSchema.fieldNames.contains(PartitionScoped.PartCol)
+    val pruned = StructType(requiredSchema.fields
+      .filterNot(_.name == PartitionScoped.PartCol))
+    val withSrcs =
+      if (!partRequested) pruned
+      else StructType(pruned.fields ++ derivers.map(_.srcField)
+        .filterNot(f => pruned.fieldNames.contains(f.name)))
+    delegate match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(withSrcs)
+      case _ => ()
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      a.supportCompletePushDown(agg)
+    case _ => false
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      a.pushAggregation(agg)
+    case _ => false
+  }
+
+  override def pushFilters(
+      fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushFilters(fs)
+      case _ => fs
+    }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector
+          .SupportsPushDownCatalystFilters => f.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def build(): Scan = {
+    val ds = delegate.build()
+    if (partRequested) new PartScan(ds, None, derivers) else ds
   }
 }
 
@@ -520,11 +609,10 @@ private[catalog] class PartScanBuilder(delegate: ScanBuilder,
   * RowLevelOperationRuntimeGroupFiltering hands the touched values to
   * [[filter]], and [[toBatch]] prunes the delegate's parquet file list
   * to exactly those hive partitions. */
-private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
-    deriver: PartDeriver) extends Scan
+private[catalog] class PartScan(delegate: Scan,
+    op: Option[PartitionCowOperation],
+    derivers: Seq[PartDeriver]) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-
-  private val partField = deriver.srcField
 
   override def readSchema(): StructType =
     delegate.readSchema().add(PartitionScoped.PartCol, StringType,
@@ -532,19 +620,32 @@ private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
   override def description(): String =
     s"graft-partition-scan(${delegate.description()})"
 
+  /** The runtime group filter runs on the `_partition` METADATA
+    * column itself (Iceberg's `_file` discipline): Spark's
+    * RowLevelOperationRuntimeGroupFiltering builds ONE multi-column
+    * `InSubquery` over all filter attributes, and
+    * `translateRuntimeFilterV2` only translates the single-column
+    * form — so filtering on the source columns of a COMPOSITE
+    * transform would deliver nothing and silently force unscoped
+    * full rewrites. One attribute whose value IS the cell keeps the
+    * translation single-column, scopes exactly (a predicate on any
+    * column — even a non-partition one — still scopes to the cells
+    * holding matching rows), and needs no per-deriver predicate
+    * algebra. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(partField.name))
+    Array(Expressions.column(PartitionScoped.PartCol))
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    // conjunctive predicates on the partition column; the group filter
-    // arrives as IN (or = for one group). Anything unrecognized leaves
-    // the scope at None — unscoped full rewrite, never wrong results.
+    // the group filter arrives as IN (or = for one group) on the
+    // metadata column; values are the composite cell paths the reader
+    // emitted. Anything unrecognized leaves the scope at None —
+    // unscoped full rewrite, never wrong results.
     def onPartCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Boolean = e match {
       case r: NamedReference =>
         r.fieldNames.length == 1 &&
-          r.fieldNames()(0).equalsIgnoreCase(partField.name)
+          r.fieldNames()(0).equalsIgnoreCase(PartitionScoped.PartCol)
       case _ => false
     }
     val sets = predicates.toSeq.flatMap { p =>
@@ -552,33 +653,56 @@ private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
       p.name() match {
         case "IN" if kids.nonEmpty && onPartCol(kids.head) &&
             kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
-          Some(kids.tail.map(
-            _.asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]).toSet)
+          // a NULL literal names no cell (cell paths are never null)
+          Some(kids.tail.flatMap(k =>
+            Option(k.asInstanceOf[V2Literal[_]].value).map(_.toString))
+            .toSet)
         case "=" if kids.length == 2 && onPartCol(kids.head) &&
             kids(1).isInstanceOf[V2Literal[_]] =>
-          Some(Set[Any](kids(1).asInstanceOf[V2Literal[_]]
-            .value.asInstanceOf[Any]))
+          Some(Option(kids(1).asInstanceOf[V2Literal[_]].value)
+            .map(_.toString).toSet)
         case _ => None
       }
     }
-    // scope holds DERIVED partition values (identity: the value
-    // itself) — exactly what the file index's partitionValues carry
+    // a regular serving scan (op=None — e.g. the group filter's own
+    // build side) records no scope
     if (sets.nonEmpty)
-      op.scope = Some(sets.reduce(_ intersect _).map(deriver.derive))
+      op.foreach(_.scopeDirs = Some(sets.reduce(_ intersect _)))
   }
 
   override def toBatch: Batch = new Batch {
     private val db = delegate.toBatch
     override def planInputPartitions(): Array[InputPartition] = {
       val parts = db.planInputPartitions()
-      op.scope match {
+      op.flatMap(_.scopeDirs) match {
         case None => parts
-        case Some(vals) =>
+        case Some(cells) =>
           import org.apache.spark.sql.execution.datasources.FilePartition
+          // the cell is read off the FILE PATH (last N dir
+          // components), NOT off PartitionedFile.partitionValues:
+          // transform tables HIDE the derived column, so it is never
+          // in the pruned schema and partitionValues arrives EMPTY —
+          // relying on it silently plans zero files (a partial-cell
+          // DELETE would then drop every surviving row of the cell).
+          // Both the path components and the scope strings render
+          // through the same hive escaping, so the comparison is
+          // byte-exact.
+          def cellOf(path: String): String = {
+            val comps = path.split('/')
+            require(comps.length > derivers.length,
+              s"data file $path too shallow for ${derivers.length} " +
+                "partition levels")
+            val cell = comps.slice(comps.length - 1 - derivers.length,
+              comps.length - 1)
+            require(cell.forall(_.contains("=")),
+              s"data file $path not under ${derivers.length} " +
+                "hive partition dirs")
+            cell.mkString("/")
+          }
           parts.flatMap {
             case fp: FilePartition =>
-              val fs = fp.files.filter(f => vals.contains(
-                f.partitionValues.get(0, deriver.derivedType)))
+              val fs = fp.files.filter(f =>
+                cells.contains(cellOf(f.filePath.toString)))
               if (fs.isEmpty) None else Some(fs)
             case other => throw new IllegalStateException(
               "partition-scoped rewrite expected a parquet FilePartition" +
@@ -587,14 +711,16 @@ private[catalog] class PartScan(delegate: Scan, op: PartitionCowOperation,
       }
     }
     override def createReaderFactory(): PartitionReaderFactory = {
-      val ord = delegate.readSchema().fieldIndex(partField.name)
-      new PartReaderFactory(db.createReaderFactory(), ord, deriver)
+      val ords = derivers.map(d =>
+        delegate.readSchema().fieldIndex(d.srcField.name)).toArray
+      new PartReaderFactory(db.createReaderFactory(), ords,
+        derivers.toArray)
     }
   }
 }
 
 private[catalog] class PartReaderFactory(delegate: PartitionReaderFactory,
-    partOrdinal: Int, deriver: PartDeriver)
+    partOrdinals: Array[Int], derivers: Array[PartDeriver])
   extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = false
   override def createReader(
@@ -605,8 +731,12 @@ private[catalog] class PartReaderFactory(delegate: PartitionReaderFactory,
       override def next(): Boolean = dr.next()
       override def get(): InternalRow = {
         val row = dr.get()
-        val dir = deriver.dirName(
-          row.get(partOrdinal, deriver.srcField.dataType))
+        // composite cell path: one component per deriver, nested in
+        // sequence order ("ts_day=2021-03-05/id_bucket=3")
+        val dir = derivers.indices.map { i =>
+          derivers(i).dirName(
+            row.get(partOrdinals(i), derivers(i).srcField.dataType))
+        }.mkString("/")
         joined(row, InternalRow(UTF8String.fromString(dir)))
       }
       override def close(): Unit = dr.close()
@@ -627,10 +757,8 @@ private[catalog] case class PartFilesMsg(files: Seq[(String, String)])
   * then publishes via the catalog's atomic location swap. */
 private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
     ti: TableInfo, op: PartitionCowOperation,
-    deriver: PartDeriver,
+    derivers: Seq[PartDeriver],
     tableSchema: StructType) extends Write {
-
-  private val partField = deriver.srcField
 
   private val oldRoot = ti.location.stripPrefix("file:").stripSuffix("/")
   private val newRoot =
@@ -639,14 +767,27 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
   override def description(): String =
     s"graft-partition-cow-swap ${ti.db}.${ti.name} -> $newRoot"
 
+  /** Leaf partition dirs (RELATIVE paths, one `name=value` component
+    * per deriver, nesting order) under `root`. */
+  private def leafDirs(root: java.io.File): Seq[String] = {
+    def walk(d: java.io.File, depth: Int): Seq[String] =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(c => c.isDirectory && c.getName.contains("="))
+        .flatMap { c =>
+          if (depth == derivers.length - 1) Seq(c.getName)
+          else walk(c, depth + 1).map(rel => s"${c.getName}/$rel")
+        }
+    walk(root, 0)
+  }
+
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
     // identity layouts omit the partition column from data files (the
     // directory carries it); transform layouts store the source column
-    val fileSchema =
-      if (deriver.srcStoredInFiles) tableSchema
-      else StructType(
-        tableSchema.fields.filterNot(_.name == partField.name))
+    val identityCols = derivers.filterNot(_.srcStoredInFiles)
+      .map(_.srcField.name).toSet
+    val fileSchema = StructType(
+      tableSchema.fields.filterNot(f => identityCols.contains(f.name)))
     val job = org.apache.hadoop.mapreduce.Job
       .getInstance(spark.sessionState.newHadoopConf())
     job.setOutputKeyClass(classOf[Void])
@@ -666,8 +807,9 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
       override def createBatchWriterFactory(
           pInfo: PhysicalWriteInfo): DataWriterFactory =
         new PartitionRoutedWriterFactory(newRoot, tableSchema,
-          tableSchema.fieldIndex(partField.name), fileSchema,
-          factory, serConf, deriver)
+          derivers.map(d =>
+            tableSchema.fieldIndex(d.srcField.name)).toArray,
+          fileSchema, factory, serConf, derivers.toArray)
 
       // exactly one attempt per task may commit — with direct-to-final
       // file writes this is what makes speculative duplicates safe
@@ -678,21 +820,17 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
           .flatten.toSeq
         // sweep strays: files from attempts that died without abort()
         val authorized = committed.map { case (d, f) => s"$d/$f" }.toSet
-        Option(new java.io.File(newRoot).listFiles()).toSeq.flatten
-          .filter(_.isDirectory).foreach { d =>
-            Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
-              .filterNot(f => authorized.contains(s"${d.getName}/${f.getName}"))
-              .foreach { f => f.delete(): Unit }
-          }
-        // replaced groups: what the scan served (every partition when
-        // the runtime group filter never fired)
-        val oldDirs = Option(new java.io.File(oldRoot).listFiles()).toSeq
-          .flatten.filter(d => d.isDirectory &&
-            d.getName.contains("=")).map(_.getName)
-        val replaced: Set[String] = op.scope match {
-          case Some(vals) => // scope already holds DERIVED values
-            vals.map(v =>
-              PartitionScoped.dirName(deriver.derivedName, v))
+        for (rel <- leafDirs(new java.io.File(newRoot)))
+          Option(new java.io.File(newRoot, rel).listFiles()).toSeq
+            .flatten.filter(_.isFile)
+            .filterNot(f => authorized.contains(s"$rel/${f.getName}"))
+            .foreach { f => f.delete(): Unit }
+        // replaced groups: what the scan served (every cell when the
+        // runtime group filter never fired) — scope already holds the
+        // rendered relative cell paths
+        val oldDirs = leafDirs(new java.io.File(oldRoot))
+        val replaced: Set[String] = op.scopeDirs match {
+          case Some(cells) => cells
           case None => oldDirs.toSet
         }
         // hard-link untouched partitions file-for-file (same inodes —
@@ -701,7 +839,7 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
         // their old files AND the new ones
         for (dir <- oldDirs if !replaced.contains(dir)) {
           val src = new java.io.File(oldRoot, dir)
-          val dst = new java.io.File(newRoot, dir)
+          val dst = new java.io.File(newRoot, dir) // nested rel path
           dst.mkdirs()
           // linkOne rethrows name collisions loudly — an insert-only
           // destination holds fresh files, and a REPLACE_EXISTING copy
@@ -734,34 +872,36 @@ private[catalog] class PartitionRoutedCowWrite(cat: WritableSnapshotCatalog,
 }
 
 private[catalog] class PartitionRoutedWriterFactory(newRoot: String,
-    schema: StructType, partOrdinal: Int, fileSchema: StructType,
+    schema: StructType, partOrdinals: Array[Int], fileSchema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration,
-    deriver: PartDeriver)
+    derivers: Array[PartDeriver])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new PartitionRoutedDataWriter(newRoot, schema, partOrdinal,
-      fileSchema, owf, conf.value, partitionId, taskId, deriver)
+    new PartitionRoutedDataWriter(newRoot, schema, partOrdinals,
+      fileSchema, owf, conf.value, partitionId, taskId, derivers)
 }
 
 private[catalog] class PartitionRoutedDataWriter(newRoot: String,
-    schema: StructType, partOrdinal: Int, fileSchema: StructType,
+    schema: StructType, partOrdinals: Array[Int], fileSchema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.hadoop.conf.Configuration,
-    partitionId: Int, taskId: Long, deriver: PartDeriver)
+    partitionId: Int, taskId: Long, derivers: Array[PartDeriver])
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
 
-  private val partField = schema(partOrdinal)
   // identity: rows land WITHOUT the partition column (the directory
   // carries it); transform: the source column is ordinary data and
   // stays in the file — the derived value lives only in the dir name
+  private val droppedOrds = derivers.indices
+    .filterNot(i => derivers(i).srcStoredInFiles)
+    .map(partOrdinals(_)).toSet
   private val proj = org.apache.spark.sql.catalyst.expressions
     .UnsafeProjection.create(
       schema.fields.indices
-        .filter(i => deriver.srcStoredInFiles || i != partOrdinal)
+        .filterNot(droppedOrds.contains)
         .map(i =>
           org.apache.spark.sql.catalyst.expressions.BoundReference(
             i, schema(i).dataType, schema(i).nullable)))
@@ -790,7 +930,9 @@ private[catalog] class PartitionRoutedDataWriter(newRoot: String,
     })._1
 
   private def currentDir(row: InternalRow): String =
-    deriver.dirName(row.get(partOrdinal, partField.dataType))
+    derivers.indices.map(i =>
+      derivers(i).dirName(row.get(partOrdinals(i),
+        derivers(i).srcField.dataType))).mkString("/")
 
   // ReplaceDataExec's DataAndMetadataWritingSparkTask path: metadata =
   // the required `_partition` (origin group; NULL on inserted rows)

@@ -194,12 +194,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val base = serveTable(ti)
     // transform-partitioned tables serve through the hiding/translating
     // wrapper on every attach (read-only included)
-    TransformPartition.of(ti) match {
-      case Some(deriver) =>
-        return new TransformPartitionTable(base, ti, deriver, None,
-          branchAttach = false)
-      case None => ()
-    }
+    val tds = TransformPartition.derivers(ti)
+    if (tds.nonEmpty)
+      return new TransformPartitionTable(base, ti, tds, None,
+        branchAttach = false)
     // storage-partitioned-join serving: strictly opt-in via the stock
     // SPJ flag — with the flag off this is exactly the stock file
     // table (bin-packed splits, full pushdown); see [[CoPartitioned]]
@@ -1139,10 +1137,13 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     // identity partition columns (the HMS partition model) plus the
-    // two lakehouse transforms this catalog derives engine-side:
-    // bucket(N, integral) and days(timestamp) — see
-    // [[TransformPartition]]. Anything else refuses loudly.
-    var transformProps = Seq.empty[PropKV]
+    // lakehouse transforms this catalog derives engine-side —
+    // bucket(N, integral), days/months/years(timestamp),
+    // truncate(W, string) — singly or as a COMPOSITE SEQUENCE
+    // (`days(ts), bucket(16, id)`: nested derived dirs, the canonical
+    // fact-table layout). See [[TransformPartition]]. Anything else
+    // refuses loudly.
+    var transformSpecs = Seq.empty[(String, String, Int)] // kind,src,n
     var derivedCols = Seq.empty[ColumnInfo]
     val partNames = partitions.toSeq.map { t =>
       t.name match {
@@ -1156,9 +1157,6 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           p
         case kind @ ("bucket" | "days" | "months" | "years" |
             "truncate") =>
-          require(partitions.length == 1,
-            s"snapshot catalog supports ONE partition transform per " +
-              s"table, got ${partitions.length} on $ident")
           require(t.references.length == 1 &&
             t.references()(0).fieldNames.length == 1,
             s"unsupported $kind transform shape '$t' on $ident")
@@ -1202,16 +1200,11 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           require(!properties.asScala.keys.exists(Mor.dmlProps),
             s"merge-on-read modes are not supported on transform-" +
               s"partitioned $ident — DML is partition-scoped COW")
-          transformProps = Seq(
-            PropKV(TransformPartition.KindProp, kind),
-            PropKV(TransformPartition.SrcProp, src)) ++
-            (if (kind == "bucket" || kind == "truncate")
-              Seq(PropKV(TransformPartition.BucketsProp, n.toString))
-            else Nil)
-          derivedCols = Seq(ColumnInfo(dn,
+          transformSpecs = transformSpecs :+ ((kind, src, n))
+          derivedCols = derivedCols :+ ColumnInfo(dn,
             TransformPartition.derivedSqlType(kind), nullable = false,
             isPartition = true,
-            s"derived by $kind($src) — engine-managed"))
+            s"derived by $kind($src) — engine-managed")
           dn
         case _ => throw new IllegalArgumentException(
           s"snapshot catalog supports identity, bucket(N, col), " +
@@ -1219,6 +1212,32 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             s"partition transforms only, got '$t' on $ident")
       }
     }
+    // a composite sequence is all-transform: identity columns read
+    // from the directory only (not stored in files), transforms store
+    // the source — mixing the two in one nesting would fork the COW
+    // writer's file schema per level. Refuse loudly (documented scope).
+    require(transformSpecs.isEmpty ||
+        transformSpecs.length == partitions.length,
+      s"partition transforms cannot mix with identity partition " +
+        s"columns on $ident — use transforms for every level or none")
+    require(transformSpecs.map(_._2).distinct.length ==
+        transformSpecs.length,
+      s"each partition transform on $ident needs a distinct source " +
+        s"column, got ${transformSpecs.map(_._2)}")
+    val transformProps =
+      if (transformSpecs.isEmpty) Seq.empty[PropKV]
+      else Seq(
+        PropKV(TransformPartition.KindProp,
+          transformSpecs.map(_._1).mkString(",")),
+        PropKV(TransformPartition.SrcProp,
+          transformSpecs.map(_._2).mkString(","))) ++
+        (if (transformSpecs.exists(s =>
+            s._1 == "bucket" || s._1 == "truncate"))
+          Seq(PropKV(TransformPartition.BucketsProp,
+            transformSpecs.map(s =>
+              if (s._1 == "bucket" || s._1 == "truncate") s._3.toString
+              else "-").mkString(",")))
+        else Nil)
     require(partNames.size < schema.fields.length + derivedCols.size,
       s"table $ident cannot be partitioned by every column")
     val db = ident.namespace()(0)
@@ -1287,19 +1306,19 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     val partCols = ti.columns.filter(_.isPartition).map(_.name)
     val base = serveTable(ti)
     // transform-partitioned tables: hiding/translating read + deriving
-    // write + partition-scoped row-level DML via the transform deriver
-    TransformPartition.of(ti) match {
-      case Some(deriver) =>
-        val tpt = new TransformPartitionTable(base, ti, deriver,
-          Some(this), BranchCow.isBranchAttach(snapshotDir))
-        val tChecks = ti.properties
-          .filter(_.key.startsWith(WritableSnapshotCatalog.ConstraintProp))
-          .map(p => p.key.stripPrefix(
-            WritableSnapshotCatalog.ConstraintProp) -> p.value)
-        val tGuarded =
-          if (tChecks.isEmpty) tpt else new ConstraintTable(tpt, tChecks)
-        return new TransformRowLevelTable(tGuarded, this, ti, deriver)
-      case None => ()
+    // write + partition-scoped row-level DML via the transform
+    // deriver sequence (composite transforms scope DML at the cell)
+    val tds = TransformPartition.derivers(ti)
+    if (tds.nonEmpty) {
+      val tpt = new TransformPartitionTable(base, ti, tds,
+        Some(this), BranchCow.isBranchAttach(snapshotDir))
+      val tChecks = ti.properties
+        .filter(_.key.startsWith(WritableSnapshotCatalog.ConstraintProp))
+        .map(p => p.key.stripPrefix(
+          WritableSnapshotCatalog.ConstraintProp) -> p.value)
+      val tGuarded =
+        if (tChecks.isEmpty) tpt else new ConstraintTable(tpt, tChecks)
+      return new TransformRowLevelTable(tGuarded, this, ti, tds)
     }
     val direct =
       if (partCols.isEmpty) base

@@ -41,11 +41,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (a DELETE touching one bucket rewrites one bucket and hard-links
   *    the rest).
   *
-  * Deliberate scope (loud refusals, SURVEY §2 discipline): one
-  * transform per table; bucket sources must be integral, days sources
-  * timestamps; no MOR modes on transform tables (partition-scoped COW
-  * serves their DML); `days` requires a UTC session (the directory
-  * value pins the UTC day boundary).
+  * COMPOSITE transforms compose by SEQUENCE: `PARTITIONED BY
+  * (days(ts), bucket(16, id))` — the canonical 100 TB fact-table
+  * layout (time pruning AND write fan-in control together) — lays out
+  * NESTED `ts_day=.../id_bucket=k` directories. Each transform in the
+  * sequence contributes its own derived column, its own predicate
+  * translation (the conjuncts compose — a time-range AND key-point
+  * probe plans the intersected dir set), and its own component of the
+  * (day,bucket) CELL that scopes row-level DML.
+  *
+  * Deliberate scope (loud refusals, SURVEY §2 discipline): bucket
+  * sources must be integral, days sources timestamps; transform
+  * sequences mix transforms only (no identity columns in a composite);
+  * no MOR modes on transform tables (partition-scoped COW serves
+  * their DML); `days` requires a UTC session (the directory value
+  * pins the UTC day boundary).
   *
   * The bucket function is `((v mod N) + N) mod N` — deliberately
   * modulo, not murmur3 (Iceberg's choice): the transform must replay
@@ -53,6 +63,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic. A murmur bucket would drop in behind the same
   * [[PartDeriver]] seam. */
 private[catalog] object TransformPartition {
+  // comma-aligned lists, one entry per transform in sequence order
+  // (a single transform is the 1-element degenerate case, so r18
+  // tables parse unchanged); BucketsProp holds '-' for time units
   val KindProp = "graft.part.kind" // bucket | days | months | years | truncate
   val SrcProp = "graft.part.src"
   val BucketsProp = "graft.part.buckets" // bucket count / truncate width
@@ -70,25 +83,38 @@ private[catalog] object TransformPartition {
     case _ => "string" // days/months/years: lexicographic == chrono
   }
 
-  /** The deriver for a transform-partitioned table, built against the
-    * SERVED schema (None for plain tables). */
-  def of(ti: TableInfo): Option[PartDeriver] = {
-    val kind = ti.properties.find(_.key == KindProp).map(_.value)
-    kind.map { k =>
-      val src = ti.properties.find(_.key == SrcProp).get.value
+  /** The deriver SEQUENCE for a transform-partitioned table, in
+    * directory-nesting order (empty for plain tables; one element for
+    * a single transform). */
+  def derivers(ti: TableInfo): Seq[PartDeriver] = {
+    val kindsOpt = ti.properties.find(_.key == KindProp).map(_.value)
+    if (kindsOpt.isEmpty) return Nil
+    val kinds = kindsOpt.get.split(",").toSeq
+    val srcs = ti.properties.find(_.key == SrcProp).getOrElse(
+      throw new IllegalStateException(
+        s"$SrcProp missing on transform table ${ti.db}.${ti.name}"))
+      .value.split(",").toSeq
+    val counts = ti.properties.find(_.key == BucketsProp)
+      .map(_.value.split(",").toSeq).getOrElse(Nil)
+    require(kinds.length == srcs.length,
+      s"misaligned transform properties on ${ti.db}.${ti.name}: " +
+        s"kinds=$kinds srcs=$srcs")
+    kinds.indices.map { i =>
+      val k = kinds(i)
+      val src = srcs(i)
       val sc = ti.columns.find(_.name == src).getOrElse(
         throw new IllegalStateException(
           s"transform source column $src missing on ${ti.db}.${ti.name}"))
       val f = StructField(sc.name,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(sc.dataType), sc.nullable)
+      def count: Int = counts.lift(i).filter(_ != "-").map(_.toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"$k transform on ${ti.db}.${ti.name} misses its count in " +
+            s"$BucketsProp=$counts"))
       k match {
-        case "bucket" =>
-          val n = ti.properties.find(_.key == BucketsProp).get.value.toInt
-          BucketDeriver(f, n)
-        case "truncate" =>
-          val w = ti.properties.find(_.key == BucketsProp).get.value.toInt
-          TruncateDeriver(f, w)
+        case "bucket" => BucketDeriver(f, count)
+        case "truncate" => TruncateDeriver(f, count)
         case "days" | "months" | "years" =>
           // the directory value pins the UTC unit boundary; under a
           // non-UTC session the write expression (date_format, session
@@ -188,17 +214,20 @@ private[catalog] case class TimeDeriver(srcField: StructField,
 }
 
 /** Serving wrapper for a transform-partitioned table: hides the
-  * derived column, translates predicates, derives directory values on
-  * write. Reads otherwise delegate to the stock file table. */
+  * derived column(s), translates predicates, derives directory values
+  * on write. Reads otherwise delegate to the stock file table. A
+  * composite transform sequence nests dirs in sequence order. */
 private[catalog] class TransformPartitionTable(inner: Table,
-    ti: TableInfo, deriver: PartDeriver,
+    ti: TableInfo, derivers: Seq[PartDeriver],
     cat: Option[WritableSnapshotCatalog], branchAttach: Boolean)
   extends Table with SupportsRead with SupportsWrite {
+
+  private val derivedNames = derivers.map(_.derivedName).toSet
 
   override def name(): String = inner.name()
 
   override def schema(): StructType = StructType(
-    inner.schema().fields.filterNot(_.name == deriver.derivedName))
+    inner.schema().fields.filterNot(f => derivedNames.contains(f.name)))
 
   override def columns()
       : Array[org.apache.spark.sql.connector.catalog.Column] =
@@ -206,16 +235,16 @@ private[catalog] class TransformPartitionTable(inner: Table,
       org.apache.spark.sql.connector.catalog.Column
         .create(f.name, f.dataType, f.nullable))
 
-  override def partitioning(): Array[Transform] = deriver match {
-    case BucketDeriver(f, n) => Array(Expressions.bucket(n, f.name))
+  override def partitioning(): Array[Transform] = derivers.map {
+    case BucketDeriver(f, n) => Expressions.bucket(n, f.name)
     case TruncateDeriver(f, w) =>
-      Array(Expressions.apply("truncate",
-        Expressions.literal(w), Expressions.column(f.name)))
-    case TimeDeriver(f, "days") => Array(Expressions.days(f.name))
-    case TimeDeriver(f, "months") => Array(Expressions.months(f.name))
-    case TimeDeriver(f, "years") => Array(Expressions.years(f.name))
-    case _ => Array.empty
-  }
+      Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(f.name))
+    case TimeDeriver(f, "days") => Expressions.days(f.name)
+    case TimeDeriver(f, "months") => Expressions.months(f.name)
+    case TimeDeriver(f, "years") => Expressions.years(f.name)
+    case d => throw new IllegalStateException(s"unreportable deriver $d")
+  }.toArray
 
   override def properties(): util.Map[String, String] = inner.properties()
 
@@ -233,7 +262,7 @@ private[catalog] class TransformPartitionTable(inner: Table,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new TransformScanBuilder(
-      inner.asInstanceOf[SupportsRead].newScanBuilder(options), deriver)
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options), derivers)
 
   /** V1 write deriving the directory column engine-side. Appends land
     * in place (the hive-partitioned discipline); on a BRANCH attach
@@ -262,55 +291,63 @@ private[catalog] class TransformPartitionTable(inner: Table,
                     "require the writable catalog (generation " +
                     "discipline owns the live directory)")
               val ow = overwrite || legacyOverwrite
-              val src = col(deriver.srcField.name)
-              val dexp = deriver match {
-                case BucketDeriver(_, n) =>
-                  pmod(src.cast("long"), lit(n.toLong)).cast("int")
-                case TruncateDeriver(_, w) => substring(src, 1, w)
-                case TimeDeriver(_, "days") =>
-                  date_format(src, "yyyy-MM-dd")
-                case TimeDeriver(_, "months") =>
-                  date_format(src, "yyyy-MM")
-                case TimeDeriver(_, "years") =>
-                  date_format(src, "yyyy")
-                case other => throw new IllegalStateException(
-                  s"no write expression for deriver $other")
+              val derived0 = derivers.foldLeft(data) { (df, deriver) =>
+                val src = col(deriver.srcField.name)
+                val dexp = deriver match {
+                  case BucketDeriver(_, n) =>
+                    pmod(src.cast("long"), lit(n.toLong)).cast("int")
+                  case TruncateDeriver(_, w) => substring(src, 1, w)
+                  case TimeDeriver(_, "days") =>
+                    date_format(src, "yyyy-MM-dd")
+                  case TimeDeriver(_, "months") =>
+                    date_format(src, "yyyy-MM")
+                  case TimeDeriver(_, "years") =>
+                    date_format(src, "yyyy")
+                  case other => throw new IllegalStateException(
+                    s"no write expression for deriver $other")
+                }
+                // EMPTY strings are refused next to NULLs: the hive
+                // layout renders an empty partition value as the
+                // default partition (read back as NULL), while the
+                // predicate translator would derive '' — a pruned-away
+                // row. Loud refusal keeps layout/translation bijective.
+                val badSrc = deriver match {
+                  case _: TruncateDeriver =>
+                    src.isNull || length(src) === 0
+                  case _ => src.isNull
+                }
+                val guarded = when(badSrc, raise_error(lit(
+                    s"NULL/empty in partition source " +
+                      s"${deriver.srcField.name} — transform-" +
+                      "partitioned tables refuse the default partition")))
+                  .otherwise(dexp)
+                df.withColumn(deriver.derivedName, guarded)
               }
-              // EMPTY strings are refused next to NULLs: the hive
-              // layout renders an empty partition value as the default
-              // partition (read back as NULL), while the predicate
-              // translator would derive '' — a pruned-away row. Loud
-              // refusal keeps layout and translation bijective.
-              val badSrc = deriver match {
-                case _: TruncateDeriver => src.isNull || length(src) === 0
-                case _ => src.isNull
-              }
-              val guarded = when(badSrc, raise_error(lit(
-                  s"NULL/empty in partition source " +
-                    s"${deriver.srcField.name} — transform-partitioned " +
-                    "tables refuse the default partition")))
-                .otherwise(dexp)
-              val derived0 = data.withColumn(deriver.derivedName, guarded)
               // HIGH-CARDINALITY transforms (days: hundreds-thousands
               // of dirs) must cluster the write by the derived value —
               // without it every task writes a sliver into every day
               // it sees (tasks × days tiny files, the classic
               // over-partitioned write; measured 54 s vs ~3 s on the
-              // fixture). One shuffle, one file per day per statement
-              // — exactly what downstream compaction wants. LOW-
-              // cardinality transforms (bucket(4)) skip it: clustering
-              // would cap write parallelism at N buckets, and
-              // tasks × N files is already fine.
-              val withDerived = deriver match {
-                // years = a handful of dirs; clustering would cap
-                // write parallelism at that handful, like bucket
+              // fixture). One shuffle, one file per leaf dir per
+              // statement — exactly what downstream compaction wants.
+              // LOW-cardinality transforms (bucket(4), years) skip it:
+              // clustering would cap write parallelism at N dirs, and
+              // tasks × N files is already fine. A COMPOSITE clusters
+              // on ALL derived columns whenever any member is high-
+              // cardinality (the leaf count is the product, and the
+              // product of a days term is always high).
+              val highCard = derivers.exists {
                 case TimeDeriver(_, "days") | TimeDeriver(_, "months") =>
-                  derived0.repartition(col(deriver.derivedName))
-                case _ => derived0
+                  true
+                case _ => false
               }
+              val dcols = derivers.map(d => col(d.derivedName))
+              val withDerived =
+                if (highCard) derived0.repartition(dcols: _*)
+                else derived0
               def save(target: String): Unit =
                 withDerived.write.format(ti.provider)
-                  .partitionBy(deriver.derivedName)
+                  .partitionBy(derivers.map(_.derivedName): _*)
                   .mode(org.apache.spark.sql.SaveMode.Append)
                   .save(target)
               if (!branchAttach) {
@@ -349,13 +386,15 @@ private[catalog] class TransformPartitionTable(inner: Table,
 }
 
 /** Forwards pushdown to the stock file builder, ADDING the implied
-  * derived-column conjuncts ([[TransformPartition]] scaladoc). The
-  * synthesized predicates are implied by the originals, so results
-  * never change — they only let the stock builder prune partitions.
+  * derived-column conjuncts ([[TransformPartition]] scaladoc) — one
+  * translation pass PER deriver in a composite, so a time-range AND
+  * key-point probe pushes both implied conjuncts and the stock
+  * builder prunes to the intersected dir set. The synthesized
+  * predicates are implied by the originals, so results never change.
   * Synthesized conjuncts are stripped from the reported residue
   * (Spark cannot evaluate a hidden attribute post-scan). */
 private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
-    deriver: PartDeriver)
+    derivers: Seq[PartDeriver])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -385,7 +424,7 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
     case _ => false
   }
 
-  private def translate(
+  private def translate(deriver: PartDeriver,
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -470,7 +509,8 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
   override def pushFilters(
       fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    synthesized = fs.flatMap(translate)
+    synthesized =
+      derivers.flatMap(d => fs.flatMap(f => translate(d, f)))
     val res = delegate match {
       case f: org.apache.spark.sql.internal.connector
           .SupportsPushDownCatalystFilters =>
@@ -495,10 +535,11 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
 /** Row-level DML for transform-partitioned tables: the identical
   * partition-scoped COW machinery as identity layouts
   * ([[PartitionCowOperation]]), parameterized by the transform's
-  * [[PartDeriver]] — a DELETE touching K buckets/days rewrites K
-  * directories and hard-links the rest. */
+  * [[PartDeriver]] sequence — a DELETE touching K buckets/days/cells
+  * rewrites K leaf directories and hard-links the rest. */
 private[catalog] class TransformRowLevelTable(inner: Table,
-    cat: WritableSnapshotCatalog, ti: TableInfo, deriver: PartDeriver)
+    cat: WritableSnapshotCatalog, ti: TableInfo,
+    derivers: Seq[PartDeriver])
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -529,7 +570,8 @@ private[catalog] class TransformRowLevelTable(inner: Table,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+    new PartMetaScanBuilder(
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options), derivers)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
@@ -537,5 +579,5 @@ private[catalog] class TransformRowLevelTable(inner: Table,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new PartitionCowOperation(inner, cat, ti, deriver, info)
+    () => new PartitionCowOperation(inner, cat, ti, derivers, info)
 }
