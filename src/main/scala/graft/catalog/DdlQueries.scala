@@ -56,6 +56,25 @@ object DdlQueries extends QueryGroup {
     }).flatMap(p =>
       p.split('/').filter(_.contains("=")).lastOption).toSet
 
+  /** Like [[plannedPartDirs]] but for COMPOSITE transform layouts:
+    * the relative CELL path (last `levels` dir components) per planned
+    * file. */
+  private def plannedCellDirs(df: org.apache.spark.sql.DataFrame,
+      levels: Int): Set[String] =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+    }.flatMap(_.toBatch.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources
+          .FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty[String]
+    }).map { p =>
+      val comps = p.split('/')
+      comps.slice(comps.length - 1 - levels, comps.length - 1)
+        .mkString("/")
+    }.toSet
+
   /** Export the fixture catalog to a snapshot, DROP it from the
     * session, and register a read-only [[SnapshotCatalog]] over the
     * snapshot — the "second cluster attaches to the shared metastore"
@@ -3034,6 +3053,170 @@ object DdlQueries extends QueryGroup {
         .orderBy("month")
     }),
 
+    // COMPOSITE HIDDEN PARTITIONING — PARTITIONED BY (days(ts),
+    // bucket(4, key)): the canonical 100 TB fact-table layout, time
+    // pruning AND write fan-in control on ONE table as nested
+    // `ts_day=.../key_bucket=k` dirs. Everything composes per level:
+    // a (time-range AND key-point) probe pushes BOTH implied derived
+    // conjuncts and the stock scan plans exactly the intersected cell
+    // set (engine-asserted: 7 day dirs x 1 bucket); row-level DML
+    // scopes at the (day,bucket) CELL via the _partition-keyed runtime
+    // group filter — a partial-cell DELETE rewrites ONE cell keeping
+    // its survivors while sibling cells of the same day and every
+    // other day carry over BY INODE. At scale: a daily retention sweep
+    // or GDPR key purge touches days x 1 bucket of directories, never
+    // the table.
+    "meta_v2_part_multi" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_pmul_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpmul_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_px"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_px
+               |(o_orderkey BIGINT, o_custkey BIGINT,
+               | o_orderdate TIMESTAMP, o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (days(o_orderdate), bucket(4, o_custkey))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_px")
+      // six weeks of days x 4 buckets — enough cells to prove
+      // intersected pruning without the layout write dominating. Each
+      // row also lands a parity-flipped twin (odd key shift, same
+      // cell), so every nonempty cell deterministically holds BOTH
+      // orderkey parities — the partial-cell delete below always has
+      // matches AND survivors, at any scale factor.
+      s.sql(s"""INSERT INTO $cat.corp.orders_px
+               |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+               |FROM orders_src_px
+               |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               |  AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00'
+               |UNION ALL
+               |SELECT o_orderkey + 200000001, o_custkey, o_orderdate,
+               |  o_totalprice
+               |FROM orders_src_px
+               |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               |  AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00'
+               |""".stripMargin)
+      // the engine laid out NESTED derived dirs (day above bucket)
+      val dayDirs = Option(new java.io.File(loc).listFiles()).toSeq
+        .flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("o_orderdate_day="))
+      require(dayDirs.size > 30, s"day layout missing: ${dayDirs.size}")
+      require(dayDirs.forall(dd => Option(dd.list()).toSeq.flatten
+          .exists(_.startsWith("o_custkey_bucket="))),
+        "bucket dirs missing under day dirs")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      require(!s.table(s"$cat2.corp.orders_px").columns.exists(c =>
+          c == "o_orderdate_day" || c == "o_custkey_bucket"),
+        "derived columns must stay hidden")
+      // INTERSECTED pruning: one week AND one key -> exactly the
+      // (day in week) x (key's bucket) cells that exist
+      val probeKey = s.sql(
+        """SELECT min(o_custkey) FROM orders_src_px
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |  AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00'"""
+          .stripMargin).head.getLong(0)
+      val lo = "1995-01-15"
+      val hi = "1995-01-22" // exclusive
+      val probe = s.table(s"$cat2.corp.orders_px")
+        .filter(col("o_orderdate") >=
+            to_timestamp(lit(s"$lo 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit(s"$hi 00:00:00")) &&
+          col("o_custkey") === probeKey)
+      val probeCells = plannedCellDirs(probe, 2)
+      require(probeCells.nonEmpty && probeCells.size <= 7 &&
+          probeCells.forall { c =>
+            val Array(dayC, bktC) = c.split('/')
+            val day = dayC.stripPrefix("o_orderdate_day=")
+            day >= lo && day < hi &&
+              bktC == s"o_custkey_bucket=${probeKey % 4}"
+          },
+        s"intersected pruning failed: $probeCells for key $probeKey")
+      // CELL-scoped partial DELETE: one (day, bucket) cell rewritten
+      // with its survivors kept; the SAME day's sibling bucket and a
+      // different day carry over by inode (hard link, zero bytes)
+      def inodesOf(location: String, rel: String): Set[Long] = {
+        val bd = new java.io.File(Mor.normLoc(location), rel)
+        Option(bd.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(f => java.nio.file.Files.getAttribute(f.toPath,
+            "unix:ino").asInstanceOf[Long]).toSet
+      }
+      // touched/sibling days chosen PROGRAMMATICALLY (first two days
+      // whose bucket-0 AND bucket-1 cells are both nonempty) — no
+      // data luck at small scale factors; the oracle replays the same
+      // deterministic choice
+      val qualDays = s.sql(
+        s"""SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS d
+           |FROM $cat.corp.orders_px GROUP BY 1
+           |HAVING sum(CASE WHEN o_custkey % 4 = 1 THEN 1 ELSE 0 END)
+           |    > 0
+           |  AND sum(CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE 0 END)
+           |    > 0
+           |ORDER BY d LIMIT 2""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      require(qualDays.size == 2,
+        s"need two days with both buckets populated, got $qualDays")
+      val tDay = qualDays.head
+      val touched = s"o_orderdate_day=$tDay/o_custkey_bucket=1"
+      val sibling = s"o_orderdate_day=$tDay/o_custkey_bucket=0"
+      val otherDay =
+        s"o_orderdate_day=${qualDays(1)}/o_custkey_bucket=1"
+      val sibInodes = inodesOf(loc, sibling)
+      val otherInodes = inodesOf(loc, otherDay)
+      require(sibInodes.nonEmpty && otherInodes.nonEmpty,
+        "fixture cells empty before the delete")
+      val survivors = s.sql(
+        s"""SELECT count(*) FROM $cat.corp.orders_px
+           |WHERE date_format(o_orderdate, 'yyyy-MM-dd') = '$tDay'
+           |  AND o_custkey % 4 = 1 AND o_orderkey % 2 = 1"""
+          .stripMargin).head.getLong(0)
+      require(survivors > 0, "parity twin missing from the fixture")
+      s.sql(s"""DELETE FROM $cat.corp.orders_px
+               |WHERE o_orderdate >= TIMESTAMP '$tDay 00:00:00'
+               |  AND o_orderdate < TIMESTAMP '$tDay 00:00:00'
+               |    + INTERVAL 1 DAY
+               |  AND o_custkey % 4 = 1 AND o_orderkey % 2 = 0"""
+        .stripMargin)
+      val newLoc = CatalogTransfer.readLocal(
+          s"$dir/revs/${headRevAt(dir)}").tables
+        .find(_.name == "orders_px").get.location
+      require(Mor.normLoc(newLoc) != Mor.normLoc(loc),
+        "cell-scoped DELETE must publish a fresh generation")
+      require(inodesOf(newLoc, sibling) == sibInodes,
+        "same-day sibling bucket must carry over by hard link")
+      require(inodesOf(newLoc, otherDay) == otherInodes,
+        "untouched day must carry over by hard link")
+      require(inodesOf(newLoc, touched).intersect(
+          inodesOf(loc, touched)).isEmpty,
+        "touched cell must be rewritten, not linked")
+      // the partial-cell rewrite KEPT the cell's survivors (the bug
+      // class where a scoped rewrite serves zero rows would drop them)
+      val after = s.sql(
+        s"""SELECT count(*) FROM $cat.corp.orders_px
+           |WHERE date_format(o_orderdate, 'yyyy-MM-dd') = '$tDay'
+           |  AND o_custkey % 4 = 1""".stripMargin).head.getLong(0)
+      require(after == survivors,
+        s"partial-cell rewrite lost survivors: $after != $survivors")
+      s.table(s"$cat2.corp.orders_px")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd")
+            .as("day"),
+          pmod(col("o_custkey"), lit(4L)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("probe_cells", lit(probeCells.size.toLong))
+        .orderBy("day", "bucket")
+    }),
+
     // STRING-PREFIX PARTITIONING — truncate(W, str), the last member
     // of the lakehouse transform set (identity/bucket/days/months/
     // years/truncate — Iceberg's ladder minus hours): dirs keyed by
@@ -4387,6 +4570,43 @@ object DdlQueries extends QueryGroup {
         |  COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 4) AS sum_price,
         |  3 AS dirs_planned
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the composite layout replays relationally: the six-week window
+    // minus the cell-scoped delete, grouped by (day, bucket); the
+    // intersected probe-cell count replays as the distinct probed
+    // days carrying the probe key's bucket. The nested-dir layout,
+    // exact planned-cell set, sibling/other-day hard links and the
+    // partial-cell survivor count are engine-required in the fixture.
+    "meta_v2_part_multi" ->
+      """WITH w0 AS (SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00'),
+        |w AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |    FROM w0
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000001, o_custkey, o_orderdate,
+        |    o_totalprice FROM w0),
+        |pk AS (SELECT MIN(o_custkey) % 4 AS b FROM w),
+        |pc AS (SELECT COUNT(DISTINCT STRFTIME(o_orderdate,
+        |    '%Y-%m-%d')) AS n
+        |  FROM w, pk WHERE o_custkey % 4 = pk.b
+        |    AND o_orderdate >= TIMESTAMP '1995-01-15 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-01-22 00:00:00'),
+        |td AS (SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS d
+        |  FROM w GROUP BY 1
+        |  HAVING SUM(CASE WHEN o_custkey % 4 = 1 THEN 1 ELSE 0 END)
+        |      > 0
+        |    AND SUM(CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE 0 END)
+        |      > 0
+        |  ORDER BY d LIMIT 1),
+        |kept AS (SELECT * FROM w WHERE NOT (
+        |    STRFTIME(o_orderdate, '%Y-%m-%d') = (SELECT d FROM td)
+        |    AND o_custkey % 4 = 1 AND o_orderkey % 2 = 0))
+        |SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
+        |  (o_custkey % 4) AS bucket, COUNT(*) AS n_rows,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  (SELECT n FROM pc) AS probe_cells
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the materialized state replays the base insert + three delta
     // statements relationally; the engine additionally required

@@ -974,6 +974,116 @@ class CatalogSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("composite transform (days x bucket): layered pruning plans " +
+      "one file of one cell; partial-cell DELETE keeps the cell's " +
+      "survivors and hard-links every sibling") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_cmp_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "cmp_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    val loc = s"${dir.getPath}/_data/t"
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, ts TIMESTAMP,
+                 |v DOUBLE)
+                 |USING parquet
+                 |PARTITIONED BY (days(ts), bucket(4, k))
+                 |LOCATION '$loc'""".stripMargin)
+    import org.apache.spark.sql.functions._
+    // two KEY-RANGE generations of files per cell: [0,400) and
+    // [400,800), each spread over 3 days x 4 buckets (the clustered
+    // composite write lands one file per cell per statement)
+    def batch(lo: Long) = spark.range(lo, lo + 400)
+      .select(col("id").as("k"),
+        timestamp_add("HOUR", (col("id") % 72).cast("int"),
+          lit("2024-03-01 00:00:00").cast("timestamp")).as("ts"),
+        lit(1.0).as("v"))
+    for (lo <- Seq(0L, 400L)) batch(lo).writeTo(s"$cat.m.t").append()
+    // 3 days x 4 buckets x 2 range files
+    assert(FileSkipping.analyze(loc).covered == 24)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan
+      }.collectFirst { case p: graft.catalog.StatsPrunedScan =>
+        p.toBatch.planInputPartitions().map {
+          case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+      }.getOrElse(fail("no stats-pruned scan in the plan"))
+    // LAYERED: day translation x bucket translation x k zone map —
+    // 1 of 24 files planned for a (day-range AND key-point) probe
+    val q = spark.table(s"$cat.m.t")
+      .filter(col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-03-03 00:00:00").cast("timestamp")
+        && col("k") === 42L)
+    assert(plannedFiles(q) == 1,
+      "day x bucket x zone-map pruning must plan exactly 1 file")
+    assert(q.count() == 1)
+    // a key outside every range plans 0 files and returns 0 safely
+    val none = spark.table(s"$cat.m.t").filter(col("k") === 9999L)
+    assert(plannedFiles(none) == 0)
+    assert(none.count() == 0)
+    // partial-cell DELETE: survivors stay, siblings hard-link
+    def inodes(root: String, rel: String): Set[Long] =
+      Option(new java.io.File(root + "/" + rel).listFiles()).toSeq
+        .flatten.filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => java.nio.file.Files.getAttribute(f.toPath,
+          "unix:ino").asInstanceOf[Long]).toSet
+    val touched = "ts_day=2024-03-02/k_bucket=1"
+    val sibling = "ts_day=2024-03-02/k_bucket=0"
+    val otherDay = "ts_day=2024-03-01/k_bucket=1"
+    val sib0 = inodes(loc, sibling)
+    val oth0 = inodes(loc, otherDay)
+    assert(sib0.nonEmpty && oth0.nonEmpty)
+    // day 2 = hours [24,48) = k%72 in [24,48); bucket 1 = k%4==1,
+    // which splits into k%8 in {1,5}: the k%8==1 half is deleted,
+    // the k%8==5 half of the SAME cell must survive the rewrite
+    val cellRows = spark.table(s"$cat.m.t")
+      .filter(col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-03-03 00:00:00").cast("timestamp")
+        && pmod(col("k"), lit(4L)) === 1L)
+    val survivors = cellRows.filter(col("k") % 8 === 5).count()
+    assert(survivors > 0)
+    assert(cellRows.filter(col("k") % 8 === 1).count() > 0,
+      "delete target empty — fixture shape broken")
+    spark.sql(s"""DELETE FROM $cat.m.t
+                 |WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'
+                 |  AND ts < TIMESTAMP '2024-03-03 00:00:00'
+                 |  AND k % 8 = 1""".stripMargin)
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+    val newLoc = CatalogTransfer.readLocal(
+        s"${dir.getPath}/revs/${headRev()}").tables
+      .find(_.name == "t").get.location
+      .stripPrefix("file:").stripSuffix("/")
+    assert(newLoc != loc, "cell-scoped DELETE must publish a fresh gen")
+    assert(inodes(newLoc, sibling) == sib0,
+      "same-day sibling bucket must hard-link")
+    assert(inodes(newLoc, otherDay) == oth0,
+      "untouched day must hard-link")
+    assert(inodes(newLoc, touched).intersect(inodes(loc, touched))
+        .isEmpty, "touched cell must be rewritten, not linked")
+    val after = spark.table(s"$cat.m.t")
+      .filter(col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-03-03 00:00:00").cast("timestamp")
+        && pmod(col("k"), lit(4L)) === 1L)
+    assert(after.count() == survivors,
+      "partial-cell rewrite lost the cell's surviving rows")
+    assert(after.filter(col("k") % 8 === 1).count() == 0)
+    // cross-cell move refusal: an UPDATE moving ts across days aborts
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $cat.m.t SET ts = ts + INTERVAL 10 DAYS WHERE k = 42"))
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("move") || Option(e.getCause)
+        .exists(_.getMessage.contains("move"))),
+      s"cross-cell move must refuse loudly: ${e.getMessage}")
+  }
+
   test("time partition transforms refuse a non-UTC session (the " +
       "directory value pins the UTC unit boundary)") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_tztx_snapshot"))
