@@ -3217,6 +3217,115 @@ object DdlQueries extends QueryGroup {
         .orderBy("day", "bucket")
     }),
 
+    // PARTITION SPEC EVOLUTION — ALTER TABLE ... SET TBLPROPERTIES(
+    // 'graft.part.evolve'='months(ts)'): a days(ts) table ages into
+    // months(ts) WITHOUT rewriting a byte ([[SpecEvolution]]). Old
+    // files keep serving under the spec they were written with (the
+    // frozen days leg), new writes lay out the new spec (a fresh
+    // months leg), and every read UNIONS the legs with EACH SIDE'S
+    // OWN predicate translation — engine-asserted per side below: a
+    // January week plans ≤7 day files on the days leg and ZERO files
+    // on the months leg (its 1995-01 dir does not exist), a February
+    // probe plans zero day files and exactly the 1995-02 month dir.
+    // This is the Iceberg spec-id idea at generation granularity —
+    // the year-two problem (day dirs forever) solved as one metadata
+    // revision.
+    "meta_v2_part_evolve" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_pevo_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpevo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_pe"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_pe
+               |(o_orderkey BIGINT, o_orderdate TIMESTAMP,
+               | o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (days(o_orderdate))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_pe")
+      // year one: January lands under the days spec
+      s.sql(s"""INSERT INTO $cat.corp.orders_pe
+               |SELECT o_orderkey, o_orderdate, o_totalprice
+               |FROM orders_src_pe
+               |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               |  AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+               |""".stripMargin)
+      // the table ages: one metadata revision, zero data movement
+      s.sql(s"""ALTER TABLE $cat.corp.orders_pe SET TBLPROPERTIES(
+               |'graft.part.evolve'='months(o_orderdate)')""".stripMargin)
+      // year two: February + March land under the months spec
+      s.sql(s"""INSERT INTO $cat.corp.orders_pe
+               |SELECT o_orderkey, o_orderdate, o_totalprice
+               |FROM orders_src_pe
+               |WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+               |  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+               |""".stripMargin)
+      // each leg carries ONLY its own spec's layout
+      def dirsIn(p: String): Seq[String] =
+        Option(new java.io.File(p).list()).toSeq.flatten
+          .filter(_.contains("=")).sorted
+      require(dirsIn(loc).forall(_.startsWith("o_orderdate_day=")) &&
+          dirsIn(loc).size > 25,
+        s"days leg layout broken: ${dirsIn(loc).take(3)}")
+      require(dirsIn(loc + "_spec1") ==
+          Seq("o_orderdate_month=1995-02", "o_orderdate_month=1995-03"),
+        s"months leg layout broken: ${dirsIn(loc + "_spec1")}")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      require(!s.table(s"$cat2.corp.orders_pe").columns.exists(c =>
+          c == "o_orderdate_day" || c == "o_orderdate_month"),
+        "derived columns must stay hidden across the evolution")
+      // per-side pruning evidence through the read-only attach
+      def legDirs(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] =
+        df.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan
+        }.collectFirst { case e: EvolvedScan =>
+          e.plannedByLeg().map(_.flatMap(p =>
+            p.split('/').filter(_.contains("=")).lastOption).toSet)
+        }.getOrElse(Seq.empty)
+      val lo = "1995-01-10"
+      val hi = "1995-01-17" // exclusive
+      val qa = s.table(s"$cat2.corp.orders_pe")
+        .filter(col("o_orderdate") >=
+            to_timestamp(lit(s"$lo 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit(s"$hi 00:00:00")))
+      val la = legDirs(qa)
+      require(la.length == 2, s"expected 2 legs, got $la")
+      require(la(0).nonEmpty && la(0).size <= 7 && la(0).forall { p =>
+          val day = p.stripPrefix("o_orderdate_day=")
+          day >= lo && day < hi
+        }, s"days-leg week pruning failed: ${la(0)}")
+      require(la(1).isEmpty,
+        s"months leg must plan ZERO files for a January probe: ${la(1)}")
+      val qb = s.table(s"$cat2.corp.orders_pe")
+        .filter(col("o_orderdate") >=
+            to_timestamp(lit("1995-02-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-03-01 00:00:00")))
+      val lb = legDirs(qb)
+      require(lb(0).isEmpty,
+        s"days leg must plan ZERO files for a February probe: ${lb(0)}")
+      require(lb(1) == Set("o_orderdate_month=1995-02"),
+        s"months-leg pruning failed: ${lb(1)}")
+      // the union aggregates across BOTH spec generations
+      s.table(s"$cat2.corp.orders_pe")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("probe_a_days", lit(la(0).size.toLong))
+        .withColumn("probe_a_months", lit(la(1).size.toLong))
+        .withColumn("probe_b_days", lit(lb(0).size.toLong))
+        .withColumn("probe_b_months", lit(lb(1).size.toLong))
+        .orderBy("month")
+    }),
+
     // STRING-PREFIX PARTITIONING — truncate(W, str), the last member
     // of the lakehouse transform set (identity/bucket/days/months/
     // years/truncate — Iceberg's ladder minus hours): dirs keyed by
@@ -4607,6 +4716,24 @@ object DdlQueries extends QueryGroup {
         |  ROUND(SUM(o_totalprice), 4) AS sum_price,
         |  (SELECT n FROM pc) AS probe_cells
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the union across both spec generations replays as one window
+    // aggregate; the per-side pruning evidence is engine-required,
+    // with the days-leg probe count pinned by the distinct probed
+    // days and the cross-leg zeroes / singleton pinned as constants
+    "meta_v2_part_evolve" ->
+      """WITH w AS (SELECT o_orderdate, o_totalprice FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'),
+        |pa AS (SELECT COUNT(DISTINCT STRFTIME(o_orderdate,
+        |    '%Y-%m-%d')) AS n FROM w
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-10 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-01-17 00:00:00')
+        |SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  (SELECT n FROM pa) AS probe_a_days, 0 AS probe_a_months,
+        |  0 AS probe_b_days, 1 AS probe_b_months
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the materialized state replays the base insert + three delta
     // statements relationally; the engine additionally required

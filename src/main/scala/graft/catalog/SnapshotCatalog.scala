@@ -192,6 +192,21 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val ti = findTable(ident)
       .getOrElse(throw new NoSuchTableException(ident))
     val base = serveTable(ti)
+    // spec-evolved tables: union every leg, each under its own spec
+    // (read-only attach — no writes)
+    val prevLegs = SpecEvolution.prevLegs(ti)
+    if (prevLegs.nonEmpty) {
+      val tds0 = TransformPartition.derivers(ti)
+      val cur = new TransformPartitionTable(base, ti, tds0, None,
+        branchAttach = false)
+      val legTables: Seq[(Table, Seq[PartDeriver])] =
+        prevLegs.map { leg =>
+          val lti = SpecEvolution.legTableInfo(ti, leg)
+          (serveTable(lti), TransformPartition.derivers(lti))
+        } :+ ((cur, Seq.empty[PartDeriver])) // cur translates itself
+      return new EvolvedPartitionTable(ti.name, cur.schema(),
+        legTables, cur)
+    }
     // transform-partitioned tables serve through the hiding/translating
     // wrapper on every attach (read-only included)
     val tds = TransformPartition.derivers(ti)
@@ -1058,8 +1073,12 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
     val snaps = CatalogTransfer.readLocal(snapshotDir) +:
       (revs.map(r => s"$snapshotDir/revs/$r") ++ branchSnapDirs)
         .map(CatalogTransfer.readLocal)
-    val referenced = snaps.flatMap(_.tables.map(t => norm(t.location)))
-      .filter(_.nonEmpty).toSet
+    // spec-evolution prev-leg locations are live data exactly like
+    // table locations — a prev leg that was itself a COW generation
+    // (_rl naming) must never be reclaimed while referenced
+    val referenced = snaps.flatMap(_.tables.flatMap(t =>
+        t.location +: SpecEvolution.legLocations(t)))
+      .map(norm).filter(_.nonEmpty).toSet
     val genName = ".*_rl[0-9a-f]{8}$"
     val candidates = referenced.toSeq.sorted
       .map(l => new java.io.File(l).getParentFile).distinct
@@ -1305,6 +1324,22 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
       .getOrElse(throw new NoSuchTableException(ident))
     val partCols = ti.columns.filter(_.isPartition).map(_.name)
     val base = serveTable(ti)
+    // spec-evolved tables: union every leg for reads; writes land in
+    // the current leg through its deriving write. Row-level DML is
+    // not offered ([[SpecEvolution]] scope).
+    val prevLegs = SpecEvolution.prevLegs(ti)
+    if (prevLegs.nonEmpty) {
+      val tds0 = TransformPartition.derivers(ti)
+      val cur = new TransformPartitionTable(base, ti, tds0, Some(this),
+        BranchCow.isBranchAttach(snapshotDir))
+      val legTables: Seq[(Table, Seq[PartDeriver])] =
+        prevLegs.map { leg =>
+          val lti = SpecEvolution.legTableInfo(ti, leg)
+          (serveTable(lti), TransformPartition.derivers(lti))
+        } :+ ((cur, Seq.empty[PartDeriver])) // cur translates itself
+      return new EvolvedPartitionTable(ti.name, cur.schema(),
+        legTables, cur)
+    }
     // transform-partitioned tables: hiding/translating read + deriving
     // write + partition-scoped row-level DML via the transform
     // deriver sequence (composite transforms scope DML at the cell)
@@ -1519,6 +1554,12 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
               s"cannot drop the last data column of ${t.db}.${t.name}")
             t.copy(columns = t.columns.filterNot(_.name == cn))
           }
+        case sp: TableChange.SetProperty
+            if sp.property == SpecEvolution.EvolveProp =>
+          // partition spec evolution: freeze the current layout as a
+          // prev leg, install the new transform over a fresh location
+          // — metadata-only, one revision ([[SpecEvolution]])
+          SpecEvolution.evolve(t, sp.value)
         case sp: TableChange.SetProperty if sp.property == "location" =>
           // ALTER TABLE ... SET LOCATION: re-point the table at a new
           // file generation — the atomic swap behind location-based

@@ -1084,6 +1084,76 @@ class CatalogSpec extends SparkSpec {
       s"cross-cell move must refuse loudly: ${e.getMessage}")
   }
 
+  test("partition spec evolution: identity -> bucket serves both " +
+      "legs, writes land under the new spec, refusals stay loud") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_evo_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "evo_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    import org.apache.spark.sql.functions._
+    val loc = s"${dir.getPath}/_data/t"
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, p STRING, v DOUBLE)
+                 |USING parquet PARTITIONED BY (p)
+                 |LOCATION '$loc'""".stripMargin)
+    spark.range(100).select(col("id").as("k"),
+        concat(lit("r"), (col("id") % 3).cast("string")).as("p"),
+        lit(1.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    spark.sql(s"""ALTER TABLE $cat.m.t SET TBLPROPERTIES(
+                 |'graft.part.evolve'='bucket(4, k)')""".stripMargin)
+    spark.range(100, 180).select(col("id").as("k"),
+        concat(lit("r"), (col("id") % 3).cast("string")).as("p"),
+        lit(2.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    // legs: identity p=... dirs untouched; new leg bucket dirs only
+    def dirs(p: String) = Option(new java.io.File(p).list()).toSeq
+      .flatten.filter(_.contains("=")).sorted
+    assert(dirs(loc) == Seq("p=r0", "p=r1", "p=r2"))
+    assert(dirs(loc + "_spec1").forall(_.startsWith("k_bucket=")) &&
+      dirs(loc + "_spec1").nonEmpty)
+    // union correctness: both legs, all columns (identity leg reads p
+    // from its directories; new leg stores it in files)
+    assert(spark.table(s"$cat.m.t").count() == 180)
+    assert(spark.table(s"$cat.m.t")
+      .filter(col("p") === "r1" && col("v") === 2.0).count() ==
+      (100 until 180).count(_ % 3 == 1))
+    assert(spark.table(s"$cat.m.t")
+      .agg(sum(col("k"))).head.getLong(0) == (0 until 180).map(_.toLong).sum)
+    // derived column hidden; identity column still a data column
+    assert(spark.table(s"$cat.m.t").columns.sorted
+      .sameElements(Array("k", "p", "v")))
+    // second evolution stacks another leg
+    spark.sql(s"""ALTER TABLE $cat.m.t SET TBLPROPERTIES(
+                 |'graft.part.evolve'='bucket(2, k)')""".stripMargin)
+    spark.range(180, 200).select(col("id").as("k"),
+        lit("r9").as("p"), lit(3.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    assert(dirs(loc + "_spec2").forall(_.startsWith("k_bucket=")))
+    assert(spark.table(s"$cat.m.t").count() == 200)
+    // refusals: same spec, MOR table, unknown transform, bad source
+    val e1 = intercept[Exception](spark.sql(
+      s"""ALTER TABLE $cat.m.t SET TBLPROPERTIES(
+         |'graft.part.evolve'='bucket(2, k)')""".stripMargin))
+    assert(e1.getMessage.contains("already uses spec"))
+    val e2 = intercept[Exception](spark.sql(
+      s"""ALTER TABLE $cat.m.t SET TBLPROPERTIES(
+         |'graft.part.evolve'='hours(k)')""".stripMargin))
+    assert(e2.getMessage.contains("unknown partition transform") ||
+      e2.getMessage.contains("cannot parse"))
+    val e3 = intercept[Exception](spark.sql(
+      s"""ALTER TABLE $cat.m.t SET TBLPROPERTIES(
+         |'graft.part.evolve'='bucket(4, missing)')""".stripMargin))
+    assert(e3.getMessage.contains("missing"))
+    // DML refuses on evolved tables (documented scope)
+    val e4 = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.m.t WHERE k = 1"))
+    assert(e4.getMessage.toLowerCase.contains("delete"))
+  }
+
   test("time partition transforms refuse a non-UTC session (the " +
       "directory value pins the UTC unit boundary)") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_tztx_snapshot"))
