@@ -70,6 +70,8 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (sys.env.contains("SPARK_GRAFT_VERIFY_TRACE"))
+          e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -3217,6 +3217,109 @@ object DdlQueries extends QueryGroup {
         .orderBy("day", "bucket")
     }),
 
+    // TRANSFORM-AWARE COMPACTION ([[TransformCompaction]]) — the
+    // small-file story for hidden-partitioned tables: each clustered
+    // statement write lands ONE file per day, so three statements
+    // leave three files per January day while a single February
+    // statement leaves one. Compaction rewrites exactly the >= 2-file
+    // cells to one file each IN the derived layout (one Spark job,
+    // single-file cells never opened), hard-links the rest, swaps the
+    // location atomically — and the incremental stats path re-reads
+    // ONLY the freshly-compacted files (AnalyzeResult law asserted:
+    // harvested == compacted cells, reused == linked files). The
+    // daily-append maintenance loop at 100 TB: O(small cells) work,
+    // never a table rewrite.
+    "meta_v2_part_compact" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_pcmp_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpcmp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_pc"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_pc
+               |(o_orderkey BIGINT, o_orderdate TIMESTAMP,
+               | o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (days(o_orderdate))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_pc")
+      // three statements over January (one file per day per
+      // statement) + one statement over early February (one file per
+      // day — the always-linked cells)
+      for (i <- 0 to 2)
+        s.sql(s"""INSERT INTO $cat.corp.orders_pc
+                 |SELECT o_orderkey, o_orderdate, o_totalprice
+                 |FROM orders_src_pc
+                 |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                 |  AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+                 |  AND o_orderkey % 3 = $i""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.corp.orders_pc
+               |SELECT o_orderkey, o_orderdate, o_totalprice
+               |FROM orders_src_pc
+               |WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+               |  AND o_orderdate <  TIMESTAMP '1995-02-05 00:00:00'
+               |""".stripMargin)
+      def cellFiles(root: String): Map[String, Seq[java.io.File]] =
+        Option(new java.io.File(root).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.contains("="))
+          .map(f => f.getName -> Option(f.listFiles()).toSeq.flatten
+            .filter(c => c.isFile && !c.getName.startsWith("_") &&
+              !c.getName.startsWith("."))).toMap
+      val before = cellFiles(loc)
+      val multi = before.filter(_._2.size >= 2).keySet
+      val single = before.keySet -- multi
+      require(multi.nonEmpty && single.nonEmpty,
+        s"fixture needs both multi-file and single-file days: " +
+          s"${multi.size}/${single.size}")
+      // prime the manifest on the pre-compaction generation
+      val pre = FileSkipping.analyze(loc)
+      require(pre.covered == before.values.map(_.size).sum,
+        s"manifest must cover every statement file: $pre")
+      val plug = new WritableSnapshotCatalog
+      plug.initialize(cat + "_pc",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir)))
+      val ti = CatalogTransfer.readLocal(s"$dir/revs/${headRevAt(dir)}")
+        .tables.find(_.name == "orders_pc").get
+      val res = TransformCompaction.compact(s, plug, ti, minFiles = 2)
+      require(res.compacted.toSet == multi &&
+          res.linked.toSet == single,
+        s"compaction partitioned cells wrong: $res")
+      val after = cellFiles(res.newRoot)
+      // every compacted day holds exactly ONE file now
+      require(multi.forall(c => after(c).size == 1),
+        s"compacted cells not single-file: " +
+          multi.map(c => c -> after(c).size).toMap)
+      // every linked day carried over BY INODE
+      def inos(fs: Seq[java.io.File]): Set[Long] = fs.map(f =>
+        java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+          .asInstanceOf[Long]).toSet
+      require(single.forall(c => inos(after(c)) == inos(before(c))),
+        "single-file cells must hard-link, not rewrite")
+      // DELTA-ONLY stats law: only the fresh compacted files pay a
+      // footer read; every linked file rides in from the previous
+      // generation's shards by fingerprint
+      val ar = FileSkipping.analyze(res.newRoot, Some(loc))
+      require(ar.harvested == multi.size &&
+          ar.reused == single.size &&
+          ar.covered == multi.size + single.size,
+        s"delta-only re-analyze law broken: $ar for " +
+          s"${multi.size} compacted + ${single.size} linked")
+      // table content is byte-identical through the compaction
+      s.table(s"$cat.corp.orders_pc")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .withColumn("cells_compacted", lit(multi.size.toLong))
+        .withColumn("cells_linked", lit(single.size.toLong))
+        .orderBy("day")
+    }),
+
     // PARTITION SPEC EVOLUTION — ALTER TABLE ... SET TBLPROPERTIES(
     // 'graft.part.evolve'='months(ts)'): a days(ts) table ages into
     // months(ts) WITHOUT rewriting a byte ([[SpecEvolution]]). Old
@@ -4716,6 +4819,34 @@ object DdlQueries extends QueryGroup {
         |  ROUND(SUM(o_totalprice), 4) AS sum_price,
         |  (SELECT n FROM pc) AS probe_cells
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the per-day totals replay over the two insert windows (content
+    // is byte-identical through compaction); the cell partition
+    // replays as per-day distinct statement classes (a January day
+    // holds one file per residue class present, a February day one);
+    // the single-file-after, hard-link and delta-only-analyze laws
+    // are engine-required in the fixture
+    "meta_v2_part_compact" ->
+      """WITH w AS (SELECT o_orderkey, o_orderdate, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-02-05 00:00:00'),
+        |f AS (SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+        |      THEN COUNT(DISTINCT o_orderkey % 3) ELSE 1 END AS nf
+        |  FROM w GROUP BY 1,
+        |    o_orderdate < TIMESTAMP '1995-02-01 00:00:00'),
+        |cc AS (SELECT
+        |    CAST(SUM(CASE WHEN nf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS compacted,
+        |    CAST(SUM(CASE WHEN nf < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS linked
+        |  FROM f)
+        |SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  (SELECT compacted FROM cc) AS cells_compacted,
+        |  (SELECT linked FROM cc) AS cells_linked
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the union across both spec generations replays as one window
     // aggregate; the per-side pruning evidence is engine-required,

@@ -532,6 +532,94 @@ private[catalog] class TransformScanBuilder(delegate: ScanBuilder,
   override def build(): Scan = delegate.build()
 }
 
+/** TRANSFORM-AWARE COMPACTION — the small-file coalesce for hidden-
+  * partitioned layouts: every clustered statement write lands one
+  * file per derived cell ([[TransformPartitionTable]]'s write path),
+  * so a daily-append table accumulates K files per day. This rewrites
+  * each cell with >= `minFiles` data files into ONE file, PRESERVING
+  * the derived directory layout, and publishes through the same COW
+  * discipline as row-level DML: fresh `_rl` generation, untouched
+  * cells hard-linked file-for-file (zero bytes moved), one atomic
+  * location swap — which also routes the incremental stats path, so
+  * only the freshly-compacted files pay a footer read
+  * ([[FileSkipping.analyze]]'s previous-generation reuse).
+  *
+  * Scale: ONE Spark job regardless of cell count — the multi-file
+  * cells are read with the root as basePath (derived columns ride in
+  * from the directories), clustered by the full derived tuple, and
+  * written back `partitionBy` the same tuple; single-file cells are
+  * never opened. */
+private[graft] object TransformCompaction {
+
+  /** What one compaction did (cell paths relative to the root). */
+  final case class CompactResult(newRoot: String,
+      compacted: Seq[String], linked: Seq[String])
+
+  private def leafDirs(root: java.io.File, depth: Int): Seq[String] = {
+    def walk(d: java.io.File, lvl: Int): Seq[String] =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(c => c.isDirectory && c.getName.contains("="))
+        .flatMap { c =>
+          if (lvl == depth - 1) Seq(c.getName)
+          else walk(c, lvl + 1).map(rel => s"${c.getName}/$rel")
+        }
+    walk(root, 0)
+  }
+
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).toSeq.flatten.filter(f =>
+      f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  def compact(s: SparkSession, cat: WritableSnapshotCatalog,
+      ti: TableInfo, minFiles: Int = 2): CompactResult = {
+    val derivers = TransformPartition.derivers(ti)
+    require(derivers.nonEmpty,
+      s"${ti.db}.${ti.name} is not transform-partitioned — " +
+        "meta_v2_compact's location-swap compaction serves identity " +
+        "and unpartitioned tables")
+    require(minFiles >= 2,
+      s"minFiles must be >= 2, got $minFiles")
+    val root = Mor.normLoc(ti.location)
+    val cells = leafDirs(new java.io.File(root), derivers.length)
+      .map(rel => rel -> dataFiles(new java.io.File(root, rel)))
+    val (toCompact, toLink) =
+      cells.partition(_._2.length >= minFiles)
+    if (toCompact.isEmpty)
+      return CompactResult(root, Nil, toLink.map(_._1))
+    val newRoot =
+      root + s"_rl${java.util.UUID.randomUUID.toString.take(8)}"
+    new java.io.File(newRoot).mkdirs()
+    try {
+      import org.apache.spark.sql.functions.col
+      // one job over ONLY the multi-file cells; basePath restores the
+      // derived partition columns from the directory names
+      val df = s.read.option("basePath", root).format(ti.provider)
+        .load(toCompact.map(c => s"$root/${c._1}"): _*)
+      val dcols = derivers.map(d => col(d.derivedName))
+      df.repartition(dcols: _*)
+        .write.format(ti.provider)
+        .partitionBy(derivers.map(_.derivedName): _*)
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .save(newRoot)
+      // untouched cells carry over by inode — byte-identical proof,
+      // and the stats shards covering them reuse across the swap
+      for ((rel, _) <- toLink) {
+        val dst = new java.io.File(newRoot, rel)
+        dst.mkdirs()
+        Mor.linkAll(new java.io.File(root, rel), dst)
+      }
+      cat.swapLocation(ti, newRoot)
+      CompactResult(newRoot, toCompact.map(_._1), toLink.map(_._1))
+    } catch {
+      case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(newRoot)): Unit
+        throw e
+    }
+  }
+}
+
 /** Row-level DML for transform-partitioned tables: the identical
   * partition-scoped COW machinery as identity layouts
   * ([[PartitionCowOperation]]), parameterized by the transform's

@@ -1084,6 +1084,70 @@ class CatalogSpec extends SparkSpec {
       s"cross-cell move must refuse loudly: ${e.getMessage}")
   }
 
+  test("transform compaction on a composite layout: nested cells " +
+      "coalesce to one file each, content identical, delta-only " +
+      "re-analyze") {
+    val dir = new java.io.File(Tables.scratch(sf, "v2_cmpc_snapshot"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "cmpc_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    import org.apache.spark.sql.functions._
+    val loc = s"${dir.getPath}/_data/t"
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT, ts TIMESTAMP,
+                 |v DOUBLE)
+                 |USING parquet
+                 |PARTITIONED BY (days(ts), bucket(2, k))
+                 |LOCATION '$loc'""".stripMargin)
+    def batch(lo: Long) = spark.range(lo, lo + 96)
+      .select(col("id").as("k"),
+        timestamp_add("HOUR", (col("id") % 48).cast("int"),
+          lit("2024-05-01 00:00:00").cast("timestamp")).as("ts"),
+        lit(1.0).as("v"))
+    // three statements -> 3 files per (day, bucket) cell
+    for (lo <- Seq(0L, 96L, 192L)) batch(lo).writeTo(s"$cat.m.t").append()
+    val preSum = spark.table(s"$cat.m.t").agg(sum("k")).head.getLong(0)
+    assert(FileSkipping.analyze(loc).covered == 2 * 2 * 3)
+    val plug = new graft.catalog.WritableSnapshotCatalog
+    plug.initialize("cmpc_plug",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir.getPath)))
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.split("\\s+")(0).toInt
+    val ti = CatalogTransfer.readLocal(s"${dir.getPath}/revs/${headRev()}")
+      .tables.find(_.name == "t").get
+    val res = graft.catalog.TransformCompaction.compact(spark, plug, ti)
+    assert(res.compacted.size == 4 && res.linked.isEmpty)
+    assert(res.compacted.forall(c =>
+      c.matches("ts_day=2024-05-0[12]/k_bucket=[01]")))
+    // one file per nested cell in the new generation
+    for (c <- res.compacted) {
+      val files = Option(new java.io.File(res.newRoot, c).listFiles())
+        .toSeq.flatten.filter(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files.size == 1, s"cell $c has ${files.size} files")
+    }
+    // content identical; delta law: 4 fresh footers, nothing reused
+    // (every cell was compacted), manifest covers exactly 4
+    assert(spark.table(s"$cat.m.t").agg(sum("k")).head.getLong(0)
+      == preSum)
+    assert(spark.table(s"$cat.m.t").count() == 288)
+    val ar = FileSkipping.analyze(res.newRoot, Some(loc))
+    assert(ar == FileSkipping.AnalyzeResult(4, 4, 0), s"got $ar")
+    // refusal: identity/unpartitioned tables route to meta_v2_compact
+    spark.sql(s"""CREATE TABLE $cat.m.plain (k BIGINT) USING parquet
+                 |LOCATION '${dir.getPath}/_data/plain'""".stripMargin)
+    val ti2 = CatalogTransfer.readLocal(
+        s"${dir.getPath}/revs/${headRev()}")
+      .tables.find(_.name == "plain").get
+    val e = intercept[IllegalArgumentException](
+      graft.catalog.TransformCompaction.compact(spark, plug, ti2))
+    assert(e.getMessage.contains("not transform-partitioned"))
+  }
+
   test("partition spec evolution: identity -> bucket serves both " +
       "legs, writes land under the new spec, refusals stay loud") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_evo_snapshot"))
