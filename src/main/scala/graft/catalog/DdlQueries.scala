@@ -2100,6 +2100,125 @@ object DdlQueries extends QueryGroup {
     // each micro-batch costs one O(delta) feed read + a keyed upsert —
     // the downstream stays continuously fresh without ever re-reading
     // the table.
+    // DSv2 STREAMING CHANGE-FEED SOURCE
+    // ([[graft.streaming.ChangeFeedSourceProvider]]) — the feed as a
+    // first-class `spark.readStream.format("graft-changefeed")`
+    // micro-batch source: offset == catalog revision id, admission
+    // control (`maxRevisionsPerTrigger`) bounds each trigger, and any
+    // stock streaming operator or sink composes downstream — no hand-
+    // written consumer loop. Engine-asserted: with
+    // maxRevisionsPerTrigger=1 the three pending revisions arrive as
+    // exactly three single-revision batches (the admission law); a
+    // RESTART over the same checkpoint after a fourth commit consumes
+    // ONLY revision 4 (offset-resume law). The oracle replays all
+    // four revisions' row-level diffs relationally. Batches stage
+    // their range to parquet before serving — an exactly-once sink
+    // replaying a batch after vacuum still reads it byte-identical.
+    "stream_changefeed_source" -> ((s, d) => {
+      val dir = new java.io.File(Tables.scratch(d, "v2_scfsrc_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gscfsrc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      s.sql(s"""CREATE TABLE $cat.corp.orders_cs
+               |(o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+               | o_totalprice DOUBLE)
+               |USING parquet TBLPROPERTIES(
+               | 'graft.delete.mode'='merge-on-read',
+               | 'graft.merge.mode'='merge-on-read',
+               | 'graft.row.id'='o_orderkey')""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_cs")
+      s.sql(s"""INSERT INTO $cat.corp.orders_cs
+               |SELECT o_orderkey, o_orderstatus, o_totalprice
+               |FROM orders_src_cs WHERE o_orderkey % 4 < 2""".stripMargin)
+      val revBase = headRevAt(dir)
+      // three delta revisions: delete, merge (update + insert), insert
+      s.sql(s"DELETE FROM $cat.corp.orders_cs WHERE o_orderkey % 16 = 0")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_src_cs
+          |WHERE o_orderkey % 8 = 4
+          |UNION ALL
+          |SELECT o_orderkey + 300000000, o_totalprice
+          |FROM orders_src_cs WHERE o_orderkey % 8 = 5""".stripMargin)
+        .createOrReplaceTempView("delta_cs")
+      s.sql(s"""MERGE INTO $cat.corp.orders_cs t
+               |USING delta_cs u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice * 1.10D,
+               |  o_orderstatus = 'U'
+               |WHEN NOT MATCHED THEN INSERT
+               |  (o_orderkey, o_orderstatus, o_totalprice)
+               |  VALUES (u.o_orderkey, 'N', u.o_totalprice)""".stripMargin)
+      // a plain INSERT appends in place (no catalog revision), so the
+      // third revision is a matched MERGE like the second
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_src_cs
+          |WHERE o_orderkey % 8 = 1""".stripMargin)
+        .createOrReplaceTempView("delta_cs2")
+      s.sql(s"""MERGE INTO $cat.corp.orders_cs t
+               |USING delta_cs2 u ON t.o_orderkey = u.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET
+               |  o_totalprice = u.o_totalprice * 0.90D,
+               |  o_orderstatus = 'V'""".stripMargin)
+      require(headRevAt(dir) == revBase + 3,
+        s"expected 3 delta revisions past $revBase")
+      val out = Tables.scratch(d, "stream_cs_out")
+      val cp = Tables.scratch(d, "stream_cs_cp")
+      deleteTree(new java.io.File(out))
+      deleteTree(new java.io.File(cp))
+      val batchRevs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Set[Int]]()
+      def run(): Unit = {
+        val q = s.readStream.format("graft-changefeed")
+          .option("snapshot", dir).option("db", "corp")
+          .option("table", "orders_cs").option("key", "o_orderkey")
+          .option("startRevision", revBase.toString)
+          .option("maxRevisionsPerTrigger", "1")
+          .load()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+              _: Long) =>
+            val revs = b.select("_rev").distinct().collect()
+              .map(_.getInt(0)).toSet
+            if (revs.nonEmpty) batchRevs.add(revs): Unit
+            b.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      // ADMISSION LAW: three pending revisions, one per trigger
+      val seen1 =
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          batchRevs.iterator()).asScala.toSeq
+      require(seen1.length == 3 && seen1.forall(_.size == 1) &&
+          seen1.flatten.toSet ==
+            (revBase + 1 to revBase + 3).toSet,
+        s"admission control must deliver 3 single-revision batches: " +
+          s"$seen1")
+      // a fourth revision lands AFTER the stream stopped; the restart
+      // must resume at the committed offset and consume ONLY it
+      s.sql(s"DELETE FROM $cat.corp.orders_cs WHERE o_orderkey % 16 = 4")
+      batchRevs.clear()
+      run()
+      val seen2 =
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          batchRevs.iterator()).asScala.toSeq
+      require(seen2 == Seq(Set(revBase + 4)),
+        s"restart must consume exactly revision ${revBase + 4}: $seen2")
+      s.read.parquet(out)
+        .select(col("op"), col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          (col("_rev") - lit(revBase)).cast("int").as("rev_seq"))
+        .orderBy("rev_seq", "o_orderkey", "op")
+    }),
+
     "stream_changefeed_upsert" -> ((s, d) => {
       val dir = new java.io.File(Tables.scratch(d, "v2_scf_snapshot"))
         .getAbsolutePath
@@ -4865,6 +4984,39 @@ object DdlQueries extends QueryGroup {
         |  (SELECT n FROM pa) AS probe_a_days, 0 AS probe_a_months,
         |  0 AS probe_b_days, 1 AS probe_b_months
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // all four revisions' row-level diffs replay relationally (the
+    // rev-4 delete emits the post-merge state of its rows); the
+    // one-revision-per-trigger admission law and the restart-resumes-
+    // at-the-committed-offset law are engine-required in the fixture
+    "stream_changefeed_source" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 < 2)
+        |SELECT op, o_orderkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS o_totalprice, rev_seq
+        |FROM (
+        |  SELECT 'delete' AS op, o_orderkey, o_orderstatus,
+        |    o_totalprice, 1 AS rev_seq
+        |  FROM t0 WHERE o_orderkey % 16 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderkey, o_orderstatus,
+        |    o_totalprice, 2 FROM t0 WHERE o_orderkey % 8 = 4
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderkey, 'U',
+        |    o_totalprice * 1.10, 2 FROM t0 WHERE o_orderkey % 8 = 4
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 300000000, 'N',
+        |    o_totalprice, 2 FROM orders WHERE o_orderkey % 8 = 5
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderkey, o_orderstatus,
+        |    o_totalprice, 3 FROM t0 WHERE o_orderkey % 8 = 1
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderkey, 'V',
+        |    o_totalprice * 0.90, 3 FROM t0 WHERE o_orderkey % 8 = 1
+        |  UNION ALL
+        |  SELECT 'delete', o_orderkey, 'U', o_totalprice * 1.10, 4
+        |  FROM t0 WHERE o_orderkey % 16 = 4)
+        |ORDER BY rev_seq, o_orderkey, op""".stripMargin,
 
     // the materialized state replays the base insert + three delta
     // statements relationally; the engine additionally required

@@ -349,6 +349,85 @@ class StreamingSpec extends SparkSpec {
       "merged update lost in the feed application")
   }
 
+  test("DSv2 change-feed source: checkpoint offsets ARE revision ids, " +
+      "admission pages in bounded batches, restart resumes mid-log") {
+    import graft.catalog.{CatalogSnapshot, CatalogTransfer}
+    val dir = new java.io.File(Tables.scratch(sf, "v2_cfsrc_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir.getPath)
+    val cat = "cfsrc_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.WritableSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir.getPath)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"""CREATE TABLE $cat.m.t (k BIGINT NOT NULL, v DOUBLE)
+                 |USING parquet
+                 |LOCATION '${dir.getPath}/_data/t'
+                 |TBLPROPERTIES('graft.delete.mode'='merge-on-read',
+                 | 'graft.merge.mode'='merge-on-read',
+                 | 'graft.row.id'='k')""".stripMargin)
+    spark.range(40).select(col("id").as("k"), lit(1.0).as("v"))
+      .coalesce(1).writeTo(s"$cat.m.t").append()
+    def headRev(): Int = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "HEAD").toPath)).trim.toInt
+    val base = headRev()
+    // four delta revisions
+    for (m <- Seq(5, 7, 9, 11))
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k % 20 = $m")
+    assert(headRev() == base + 4)
+    val out = Tables.scratch(sf, "cfsrc_spec_out")
+    val cp = Tables.scratch(sf, "cfsrc_spec_cp")
+    for (p <- Seq(out, cp))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    def run(maxPerTrigger: Int): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("snapshot", dir.getPath).option("db", "m")
+        .option("table", "t").option("key", "k")
+        .option("startRevision", base.toString)
+        .option("maxRevisionsPerTrigger", maxPerTrigger.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val revs = b.select("_rev").distinct().collect()
+            .map(_.getInt(0)).toSet
+          batches.synchronized { batches += revs: Unit }
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // maxRevisionsPerTrigger=2 pages the 4 pending revisions as 2+2
+    run(2)
+    assert(batches.toSeq == Seq(
+        Set(base + 1, base + 2), Set(base + 3, base + 4)),
+      s"admission paging wrong: $batches")
+    // OFFSET = REVISION ID, verbatim, in the checkpoint's offset log
+    val offsetsDir = new java.io.File(cp, "offsets")
+    val lastBatch = offsetsDir.list().filter(_.forall(_.isDigit))
+      .map(_.toInt).max
+    val offLines = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(offsetsDir, lastBatch.toString).toPath))
+      .split("\n").toSeq
+    assert(offLines.last.trim == (base + 4).toString,
+      s"checkpoint offset must be the bare revision id: $offLines")
+    // restart mid-log: a fifth revision, same checkpoint
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 20 = 13")
+    batches.clear()
+    run(2)
+    assert(batches.toSeq == Seq(Set(base + 5)),
+      s"restart must resume at revision ${base + 5}: $batches")
+    // the accumulated feed equals the four+one deletes' pre-images
+    val got = spark.read.parquet(out)
+    assert(got.count() ==
+      Seq(5, 7, 9, 11, 13).map(m => (0 until 40).count(_ % 20 == m)).sum)
+    assert(got.select("op").distinct().collect()
+      .map(_.getString(0)).toSet == Set("delete"))
+  }
+
   test("streaming minhash dedup: 3 real micro-batches against a " +
       "growing index, final pair set invariant to the split") {
     val streamed = SparkEntry.queries("stream_dedup_minhash")(spark, sf)
