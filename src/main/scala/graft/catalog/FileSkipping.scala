@@ -86,6 +86,14 @@ object FileSkipping {
     * never correctness. */
   val AutoProp = "graft.stats.auto"
 
+  /** Max entries per freshly-written stats shard — keeps every JSON
+    * doc KiB-bounded regardless of table size (a 10^6-file cold
+    * analyze writes ~250 shards, each independently reusable). The
+    * system property exists so the spec can exercise multi-shard
+    * cold analyzes on small fixtures. */
+  private def ShardCap: Int = sys.props.get("graft.stats.shardCap")
+    .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4096)
+
   private[catalog] def isAuto(props: Seq[PropKV]): Boolean =
     props.exists(p => p.key == AutoProp && p.value.equalsIgnoreCase("true"))
 
@@ -402,8 +410,11 @@ object FileSkipping {
     * still fingerprint-matches it (fresh-UUID part naming makes a
     * mismatch pathological; entries for since-removed files are inert
     * — the pruner only ever consults planned files). Files not covered
-    * by a reused shard are harvested (executor-parallel) into one new
-    * shard, and the pointer swap publishes the whole set atomically.
+    * by a reused shard are harvested (executor-parallel) into
+    * size-capped shards ([[ShardCap]] entries each, written as the
+    * chunks stream back — no O(#files) doc or driver buffer even on
+    * a cold first analyze), and the pointer swap publishes the whole
+    * set atomically.
     * Unreferenced shards older than a minute are swept — a reader
     * racing the sweep merely loses pruning for that resolution. */
   def analyze(location: String,
@@ -440,7 +451,6 @@ object FileSkipping {
       }
     }
     val toHarvest = files.filterNot(covered.contains)
-    val harvested = harvest(root, toHarvest)
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     shardDir.mkdirs()
     // link foreign (previous-generation) shards into our shard dir
@@ -450,7 +460,16 @@ object FileSkipping {
         Mor.linkOne(new java.io.File(
           new java.io.File(prevRoot.get, ShardDirName), name), dst)
     }
-    val newShard =
+    // SIZE-CAPPED harvest: a cold analyze of an N-file table streams
+    // its footer stats back in ≤[[ShardCap]]-entry chunks, each
+    // written out as its own shard the moment it lands — no JSON doc
+    // and no driver buffer is ever O(#files). Incremental analyzes
+    // then reuse the capped shards naturally (a delta touching one
+    // shard's files re-harvests only that delta).
+    var harvestedCount = 0
+    val newShards = toHarvest.grouped(ShardCap).flatMap { chunk =>
+      val harvested = harvest(root, chunk)
+      harvestedCount += harvested.size
       if (harvested.isEmpty) None
       else {
         val name =
@@ -462,7 +481,8 @@ object FileSkipping {
           new java.io.File(shardDir, name).toPath, body)
         Some(name)
       }
-    val shardNames = reusable.map(_._1).toSeq ++ newShard
+    }.toSeq
+    val shardNames = reusable.map(_._1).toSeq ++ newShards
     val body = org.json4s.jackson.Serialization.write(
       PointerDoc(2, shardNames))
     val tmp = java.nio.file.Files.createTempFile(root.toPath,
@@ -480,7 +500,7 @@ object FileSkipping {
         System.currentTimeMillis - f.lastModified > 60000L)
       .foreach(f => f.delete(): Unit)
     val reusedCount = covered.size
-    AnalyzeResult(reusedCount + harvested.size, harvested.size,
+    AnalyzeResult(reusedCount + harvestedCount, harvestedCount,
       reusedCount)
   }
 

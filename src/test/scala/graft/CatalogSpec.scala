@@ -1456,6 +1456,49 @@ class CatalogSpec extends SparkSpec {
     assert(spark.read.parquet(genB.getPath).count() == 70)
   }
 
+  test("cold analyze is shard-capped: a first analyze writes multiple " +
+      "KiB-bounded shards, one pointer references all, laws intact") {
+    val root = new java.io.File(Tables.scratch(sf, "v2_capstat_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    import org.apache.spark.sql.functions._
+    val gen = new java.io.File(root, "gen").getPath
+    def file(a: Long, b: Long): Unit =
+      spark.range(a, b).select(col("id").as("k"), lit(1.0).as("v"))
+        .coalesce(1).write.mode("append").parquet(gen)
+    for (i <- 0L until 8L) file(i * 10, i * 10 + 10)
+    sys.props.put("graft.stats.shardCap", "3")
+    try {
+      // COLD analyze: 8 files at cap 3 -> ceil(8/3) = 3 shards, no
+      // doc or driver chunk ever holding more than 3 entries
+      val r1 = FileSkipping.analyze(gen)
+      assert(r1 == FileSkipping.AnalyzeResult(8, 8, 0), s"cold: $r1")
+      val shardDir = new java.io.File(gen,
+        graft.catalog.FileSkipping.ShardDirName)
+      val shards = Option(shardDir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("shard-"))
+      assert(shards.size == 3,
+        s"capped cold analyze must write 3 shards: ${shards.size}")
+      // the pointer references all of them; the merged view is whole
+      val stats = FileSkipping.load(gen).get
+      assert(stats.size == 8)
+      // capped shards reuse like any others: idempotent re-analyze
+      // harvests nothing, an append harvests only the delta
+      assert(FileSkipping.analyze(gen) ==
+        FileSkipping.AnalyzeResult(8, 0, 8))
+      file(80, 90)
+      assert(FileSkipping.analyze(gen) ==
+        FileSkipping.AnalyzeResult(9, 1, 8))
+      // pruning over the capped manifest: one file per point key
+      val eq = org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "k", org.apache.spark.sql.types.LongType)(),
+        org.apache.spark.sql.catalyst.expressions.Literal(42L))
+      val all = FileSkipping.load(gen).get
+      assert(FileSkipping.filesToRead(all, all.keys.toSeq.sorted,
+        Seq(eq)).size == 1)
+    } finally sys.props.remove("graft.stats.shardCap"): Unit
+  }
+
   test("CHECK constraint: full lifecycle through the writable catalog") {
     val dir = new java.io.File(Tables.scratch(sf, "v2_ckspec_snapshot"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
