@@ -3057,6 +3057,108 @@ object DdlQueries extends QueryGroup {
         .orderBy("bucket")
     }),
 
+    // MURMUR3 BUCKET — PARTITIONED BY (bucket_hash(8, key)): Iceberg's
+    // production bucket function ((murmur3_x86_32(LE64(v)) & max) % N,
+    // [[BucketHashDeriver]]) behind the same PartDeriver seam as the
+    // oracle-replayable pmod bucket. Skew resistance is the point:
+    // correlated keys (sequential ids, hot tenants) fold straight into
+    // a pmod layout, while murmur decorrelates them. DuckDB cannot
+    // replay murmur3-32, so the layout laws are GOLDEN-PINNED engine-
+    // side (the BPE discipline): Iceberg's published vector
+    // hash(34L) == 2017239379 pins the hash itself; the dir set must
+    // equal the deriver's image of the key set; a point probe plans
+    // exactly 1 of the N dirs; scoped DML rewrites one bucket and
+    // hard-links the rest. The SQL-replayable CONTENT (post-delete
+    // rows) still oracles in DuckDB.
+    "meta_v2_part_bucket_hash" -> ((s, d) => {
+      require(BucketHashDeriver.hash(34L) == 2017239379,
+        "murmur3-32 bucket hash diverges from Iceberg's published " +
+          s"vector: hash(34L) = ${BucketHashDeriver.hash(34L)}")
+      val dir = new java.io.File(Tables.scratch(d, "v2_pbh_snapshot"))
+        .getAbsolutePath
+      deleteTree(new java.io.File(dir))
+      CatalogTransfer.writeLocal(CatalogSnapshot(Nil, Nil), dir)
+      val cat = "gpbh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[WritableSnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corp")
+      val loc = s"$dir/_data/orders_ph"
+      s.sql(s"""CREATE TABLE $cat.corp.orders_ph
+               |(o_orderkey BIGINT, o_custkey BIGINT,
+               | o_totalprice DOUBLE)
+               |USING parquet
+               |PARTITIONED BY (bucket_hash(8, o_custkey))
+               |LOCATION '$loc'""".stripMargin)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_src_ph")
+      s.sql(s"""INSERT INTO $cat.corp.orders_ph
+               |SELECT o_orderkey, o_custkey, o_totalprice
+               |FROM orders_src_ph""".stripMargin)
+      // LAYOUT LAW: the dir set equals the deriver's image of the
+      // actual key set — write expression and scalar deriver agree
+      val deriver = BucketHashDeriver(
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType), 8)
+      val expected = s.sql(
+          "SELECT DISTINCT o_custkey FROM orders_src_ph")
+        .collect().map(r => deriver.derive(r.getLong(0))).toSet
+      val dirs = Option(new java.io.File(loc).list()).toSeq.flatten
+        .filter(_.startsWith("o_custkey_bhash=")).toSet
+      require(dirs == expected.map(b => s"o_custkey_bhash=$b"),
+        s"layout diverges from the deriver image: $dirs")
+      val cat2 = cat + "_ro"
+      s.conf.set(s"spark.sql.catalog.$cat2",
+        classOf[SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat2.path", dir)
+      // POINT-PROBE LAW: 1 of the N dirs
+      val probeKey = s.sql(
+        "SELECT min(o_custkey) FROM orders_src_ph").head.getLong(0)
+      val probe = s.table(s"$cat2.corp.orders_ph")
+        .filter(col("o_custkey") === probeKey)
+      val probeDirs = plannedPartDirs(probe)
+      require(probeDirs ==
+          Set(s"o_custkey_bhash=${deriver.derive(probeKey)}"),
+        s"hash-bucket pruning failed: $probeDirs for key $probeKey")
+      // SCOPED DML: deleting one key rewrites its bucket only; a
+      // sibling bucket carries over by inode
+      val delBucket = deriver.derive(probeKey).asInstanceOf[Int]
+      val sibling = dirs.find(_ !=
+        s"o_custkey_bhash=$delBucket").getOrElse(
+        throw new IllegalStateException("need a sibling bucket"))
+      def inodesOf(location: String, rel: String): Set[Long] =
+        Option(new java.io.File(Mor.normLoc(location), rel)
+          .listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(f => java.nio.file.Files.getAttribute(f.toPath,
+            "unix:ino").asInstanceOf[Long]).toSet
+      val sibInodes = inodesOf(loc, sibling)
+      s.sql(s"DELETE FROM $cat.corp.orders_ph " +
+        s"WHERE o_custkey = $probeKey")
+      val newLoc = CatalogTransfer.readLocal(
+          s"$dir/revs/${headRevAt(dir)}").tables
+        .find(_.name == "orders_ph").get.location
+      require(Mor.normLoc(newLoc) != Mor.normLoc(loc),
+        "scoped DELETE must publish a fresh generation")
+      require(inodesOf(newLoc, sibling) == sibInodes,
+        "sibling hash bucket must carry over by hard link")
+      require(inodesOf(newLoc,
+          s"o_custkey_bhash=$delBucket").intersect(
+          inodesOf(loc, s"o_custkey_bhash=$delBucket")).isEmpty,
+        "the deleted key's bucket must be rewritten, not linked")
+      // SQL-replayable content: the post-delete subset + pinned laws
+      s.table(s"$cat2.corp.orders_ph")
+        .filter(col("o_custkey") % 8 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .withColumn("probe_dirs", lit(probeDirs.size.toLong))
+        .withColumn("golden_hash_34",
+          lit(BucketHashDeriver.hash(34L).toLong))
+        .withColumn("deleted_left", lit(s.table(s"$cat2.corp.orders_ph")
+          .filter(col("o_custkey") === probeKey).count()))
+        .orderBy("o_orderkey")
+    }),
+
     // HIDDEN TIME PARTITIONING — PARTITIONED BY (days(o_orderdate)):
     // the catalog lands `o_orderdate_day=yyyy-MM-dd` directories
     // engine-side, and a pushed TIMESTAMP RANGE on the source column
@@ -4869,6 +4971,19 @@ object DdlQueries extends QueryGroup {
         |  ROUND(SUM(o_totalprice), 4) AS sum_price, 1 AS probe_dirs
         |FROM orders WHERE o_custkey % 4 <> 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // murmur3 is not SQL-replayable, so the layout/pruning/DML laws
+    // are engine-required golden pins (incl. Iceberg's published
+    // hash(34L) vector); the CONTENT replays: the %8=3 key subset
+    // minus the deleted min-key's rows, plus the pinned constants
+    "meta_v2_part_bucket_hash" ->
+      """WITH mk AS (SELECT MIN(o_custkey) AS k FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  ROUND(o_totalprice, 4) AS o_totalprice, 1 AS probe_dirs,
+        |  2017239379 AS golden_hash_34, 0 AS deleted_left
+        |FROM orders, mk
+        |WHERE o_custkey % 8 = 3 AND o_custkey <> mk.k
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the one-week window replays over raw timestamps; the ≤7-dir
     // planned evidence is engine-required, its exact count pinned by

@@ -1174,8 +1174,8 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           require(schema.fieldNames.contains(p),
             s"partition column $p is not in the schema of $ident")
           p
-        case kind @ ("bucket" | "days" | "months" | "years" |
-            "truncate") =>
+        case kind @ ("bucket" | "bucket_hash" | "days" | "months" |
+            "years" | "truncate") =>
           require(t.references.length == 1 &&
             t.references()(0).fieldNames.length == 1,
             s"unsupported $kind transform shape '$t' on $ident")
@@ -1184,11 +1184,12 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
             throw new IllegalArgumentException(
               s"$kind source column $src is not in the schema of $ident"))
           val n =
-            if (kind == "bucket" || kind == "truncate") {
-              if (kind == "bucket")
+            if (kind == "bucket" || kind == "bucket_hash" ||
+                kind == "truncate") {
+              if (kind != "truncate")
                 require(Set("tinyint", "smallint", "int", "bigint")(
                     sf.dataType.sql.toLowerCase),
-                  s"bucket($src) needs an integral source column on " +
+                  s"$kind($src) needs an integral source column on " +
                     s"$ident, got ${sf.dataType.sql}")
               else
                 require(sf.dataType.sql.toLowerCase == "string",
@@ -1227,8 +1228,9 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
           dn
         case _ => throw new IllegalArgumentException(
           s"snapshot catalog supports identity, bucket(N, col), " +
-            s"days(ts), months(ts), years(ts) and truncate(W, str) " +
-            s"partition transforms only, got '$t' on $ident")
+            s"bucket_hash(N, col), days(ts), months(ts), years(ts) " +
+            s"and truncate(W, str) partition transforms only, " +
+            s"got '$t' on $ident")
       }
     }
     // a composite sequence is all-transform: identity columns read
@@ -1251,10 +1253,12 @@ class WritableSnapshotCatalog extends SnapshotCatalog {
         PropKV(TransformPartition.SrcProp,
           transformSpecs.map(_._2).mkString(","))) ++
         (if (transformSpecs.exists(s =>
-            s._1 == "bucket" || s._1 == "truncate"))
+            s._1 == "bucket" || s._1 == "bucket_hash" ||
+              s._1 == "truncate"))
           Seq(PropKV(TransformPartition.BucketsProp,
             transformSpecs.map(s =>
-              if (s._1 == "bucket" || s._1 == "truncate") s._3.toString
+              if (s._1 == "bucket" || s._1 == "bucket_hash" ||
+                s._1 == "truncate") s._3.toString
               else "-").mkString(",")))
         else Nil)
     require(partNames.size < schema.fields.length + derivedCols.size,

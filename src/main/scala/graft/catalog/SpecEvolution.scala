@@ -94,7 +94,7 @@ private[graft] object SpecEvolution {
           require(args.length == 1,
             s"$kind takes one column on $ident, got '${g.matched}'")
           (kind, args(0), 0)
-        case "bucket" | "truncate" =>
+        case "bucket" | "bucket_hash" | "truncate" =>
           require(args.length == 2,
             s"$kind takes (count, column) on $ident, " +
               s"got '${g.matched}'")
@@ -132,7 +132,8 @@ private[graft] object SpecEvolution {
     require(!(curKinds == specs.map(_._1) &&
         curSrcs == specs.map(_._2) &&
         (curCounts.isEmpty || curCounts == specs.map(s =>
-          if (s._1 == "bucket" || s._1 == "truncate") s._3.toString
+          if (s._1 == "bucket" || s._1 == "bucket_hash" ||
+            s._1 == "truncate") s._3.toString
           else "-"))),
       s"$ident already uses spec '$spec' — evolution must change it")
     val identityCols = ti.columns.filter(c => c.isPartition &&
@@ -152,9 +153,9 @@ private[graft] object SpecEvolution {
           s"$kind source column $src is not a column of $ident"))
       val dt = sc.dataType.toLowerCase
       kind match {
-        case "bucket" => require(
+        case "bucket" | "bucket_hash" => require(
           Set("tinyint", "smallint", "int", "bigint")(dt),
-          s"bucket($src) needs an integral source on $ident, got $dt")
+          s"$kind($src) needs an integral source on $ident, got $dt")
         case "truncate" => require(dt == "string",
           s"truncate($src) needs a string source on $ident, got $dt")
         case _ => require(dt.startsWith("timestamp"),
@@ -184,9 +185,11 @@ private[graft] object SpecEvolution {
     val transformProps = Seq(
       PropKV(TransformPartition.KindProp, specs.map(_._1).mkString(",")),
       PropKV(TransformPartition.SrcProp, specs.map(_._2).mkString(","))) ++
-      (if (specs.exists(s => s._1 == "bucket" || s._1 == "truncate"))
+      (if (specs.exists(s => s._1 == "bucket" || s._1 == "bucket_hash" ||
+            s._1 == "truncate"))
         Seq(PropKV(TransformPartition.BucketsProp, specs.map(s =>
-          if (s._1 == "bucket" || s._1 == "truncate") s._3.toString
+          if (s._1 == "bucket" || s._1 == "bucket_hash" ||
+            s._1 == "truncate") s._3.toString
           else "-").mkString(",")))
       else Nil)
     ti.copy(

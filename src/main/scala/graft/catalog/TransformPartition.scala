@@ -72,6 +72,7 @@ private[catalog] object TransformPartition {
 
   def derivedName(kind: String, src: String): String = kind match {
     case "bucket" => s"${src}_bucket"
+    case "bucket_hash" => s"${src}_bhash"
     case "days" => s"${src}_day"
     case "months" => s"${src}_month"
     case "years" => s"${src}_year"
@@ -79,7 +80,7 @@ private[catalog] object TransformPartition {
   }
 
   def derivedSqlType(kind: String): String = kind match {
-    case "bucket" => "int"
+    case "bucket" | "bucket_hash" => "int"
     case _ => "string" // days/months/years: lexicographic == chrono
   }
 
@@ -114,6 +115,7 @@ private[catalog] object TransformPartition {
             s"$BucketsProp=$counts"))
       k match {
         case "bucket" => BucketDeriver(f, count)
+        case "bucket_hash" => BucketHashDeriver(f, count)
         case "truncate" => TruncateDeriver(f, count)
         case "days" | "months" | "years" =>
           // the directory value pins the UTC unit boundary; under a
@@ -154,6 +156,45 @@ private[catalog] case class BucketDeriver(
     }
     (((l % n) + n) % n).toInt
   }
+}
+
+/** bucket_hash(N, integralCol) — the PRODUCTION bucket function:
+  * Iceberg's bucket transform verbatim,
+  * `(murmur3_x86_32(littleEndian64(v)) & Int.MaxValue) % N`, for skew
+  * resistance on correlated keys (sequential ids, zipfian customers —
+  * where modulo folds the correlation straight into the layout).
+  * `Murmur3_x86_32.hashLong(v, 0)` IS the murmur3-32 of the 8
+  * little-endian bytes (same block decomposition), so the scalar
+  * deriver here and the codegen'd write expression
+  * (`Murmur3Hash(seed=0)` — Spark's own hash over the identical
+  * static function) agree bit-for-bit, and both match Iceberg's
+  * published vector `hash(34L) == 2017239379` (engine-asserted in
+  * the fixture — the golden pin that replaces SQL oracle replay,
+  * since DuckDB has no murmur3-32). pmod [[BucketDeriver]] stays the
+  * default for oracle-replayable fixtures. */
+private[catalog] case class BucketHashDeriver(
+    srcField: StructField, n: Int) extends PartDeriver {
+  override def derivedName: String =
+    TransformPartition.derivedName("bucket_hash", srcField.name)
+  override def derivedType: DataType = IntegerType
+  override def derive(v: Any): Any = {
+    val l = v match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"bucket_hash(${srcField.name}) on non-integral value $other")
+    }
+    (BucketHashDeriver.hash(l) & Int.MaxValue) % n
+  }
+}
+
+private[graft] object BucketHashDeriver {
+  /** murmur3-x86-32 of the little-endian 64-bit value, seed 0 —
+    * Iceberg's bucket hash for int/long sources. */
+  def hash(l: Long): Int =
+    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(l, 0)
 }
 
 /** truncate(width, stringCol) — the prefix layout (Iceberg's truncate
@@ -237,6 +278,9 @@ private[catalog] class TransformPartitionTable(inner: Table,
 
   override def partitioning(): Array[Transform] = derivers.map {
     case BucketDeriver(f, n) => Expressions.bucket(n, f.name)
+    case BucketHashDeriver(f, n) =>
+      Expressions.apply("bucket_hash",
+        Expressions.literal(n), Expressions.column(f.name))
     case TruncateDeriver(f, w) =>
       Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(f.name))
@@ -296,6 +340,22 @@ private[catalog] class TransformPartitionTable(inner: Table,
                 val dexp = deriver match {
                   case BucketDeriver(_, n) =>
                     pmod(src.cast("long"), lit(n.toLong)).cast("int")
+                  case bh @ BucketHashDeriver(_, _) =>
+                    // the SAME scalar deriver, as a udf — bit-parity
+                    // by construction. Deliberate deviation from the
+                    // functions-not-udfs rule: Spark's public surface
+                    // pins murmur3 at seed 42 (`hash()`), Iceberg's
+                    // bucket needs seed 0, and the private Column
+                    // bridge is off-limits; this runs on the WRITE
+                    // path only (shuffle+IO bound — the udf is noise)
+                    // and the read side never evaluates it (predicate
+                    // translation calls the deriver directly).
+                    org.apache.spark.sql.functions.udf(
+                      (l: java.lang.Long) =>
+                        if (l == null) null
+                        else java.lang.Integer.valueOf(
+                          bh.derive(l.longValue()).asInstanceOf[Int]))
+                      .apply(src.cast("long"))
                   case TruncateDeriver(_, w) => substring(src, 1, w)
                   case TimeDeriver(_, "days") =>
                     date_format(src, "yyyy-MM-dd")
