@@ -1230,6 +1230,67 @@ object VectorOps extends QueryGroup {
         .orderBy("qid")
     }),
 
+    // ADAPTIVE FILTERED ANN — the production fallback
+    // sim_ann_ivf_filtered's ≥70% law deliberately leaves open: under
+    // a HIGHLY selective predicate (here 1%: label % 100 = 7) the
+    // nprobe-bounded candidate set can hold no matching row for many
+    // queries. The adaptive serve ESCALATES exactly those queries to
+    // a brute-force scan of the FILTERED subset — bounded by the
+    // filter's cardinality (1% of the corpus), not the corpus — so
+    // every answerable query answers while cheap queries keep the
+    // probe's cost. Both paths are declarative (anti-join splits the
+    // query set; no driver loop), the `path` column is part of the
+    // oracled output, and AnnRecallSpec pins: 100% of answerable
+    // queries answered, escalated answers EQUAL the filtered optimum,
+    // and the escalation path genuinely taken. At 100 TB the
+    // escalation cost is |filter| per escalated query — the right
+    // trade exactly when the filter is selective enough to starve the
+    // probe, which is also when |filter| is smallest.
+    "sim_ann_ivf_filtered_adaptive" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = ivfCentroids(s, d)
+      val scored = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(cosExpr("v", "cv")))
+      val cells = scored.groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cell"))
+      val fe = e.filter(col("label") % 100 === 7 &&
+          col("vec_id") % 11 === 3)
+        .select(col("vec_id"), col("v"))
+      val fcorpus = fe.join(cells, "vec_id")
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val probes = scored.filter(col("vec_id") % 100 === 0)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val probed = fcorpus.join(probes, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(q, "qid")
+        .withColumn("path", lit("probe"))
+      // escalation: queries whose probed cells hold NO matching
+      // candidate brute-force the filtered subset (|filter|-bounded)
+      val missing = q.join(probed.select("qid").distinct(),
+        Seq("qid"), "left_anti")
+      val brute = missing.crossJoin(broadcast(fe))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("path", lit("brute"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      probed.select(col("qid"), col("qv"), col("vec_id"), col("v"),
+          col("path"))
+        .unionByName(brute.select(col("qid"), col("qv"),
+          col("vec_id"), col("v"), col("path")))
+        .withColumn("cos", expr(cosExpr("qv", "v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("path"), col("vec_id").as("nn"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid")
+    }),
+
     // LATE-INTERACTION retrieval (the ColBERT serve shape) — the
     // multi-vector family the single-vector stack lacks: query and doc
     // are each a BAG of token vectors, and relevance is MaxSim =
@@ -2140,6 +2201,47 @@ object VectorOps extends QueryGroup {
          |  SELECT qid, cell, vec_id, cos, ROW_NUMBER() OVER (
          |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM (SELECT c.qid, c.cell, c.vec_id,
+         |          ${oCos("qe.v", "ce.v")} AS cos
+         |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
+         |                    JOIN e qe ON qe.vec_id = c.qid))
+         |WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    // adaptive filtered serve: the probe/candidate replay of
+    // sim_ann_ivf_filtered at 1% selectivity, plus the escalation
+    // replayed relationally — queries absent from the probed
+    // candidate set brute-force the filtered subset, and the chosen
+    // path rides in the output
+    "sim_ann_ivf_filtered_adaptive" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$oKmeans,
+         |scored AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cent2 c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM scored
+         |  WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |flt AS (SELECT vec_id FROM embeddings
+         |  WHERE label % 100 = 7 AND vec_id % 11 = 3),
+         |qs AS (SELECT vec_id AS qid FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |pcand AS (SELECT p.qid, s.vec_id, 'probe' AS path
+         |  FROM probes p JOIN cells s ON s.cell = p.cell
+         |                JOIN flt f ON f.vec_id = s.vec_id
+         |  WHERE s.vec_id <> p.qid),
+         |missing AS (SELECT qid FROM qs
+         |  WHERE qid NOT IN (SELECT qid FROM pcand)),
+         |bcand AS (SELECT m.qid, f.vec_id, 'brute' AS path
+         |  FROM missing m CROSS JOIN flt f WHERE f.vec_id <> m.qid),
+         |cand AS (SELECT * FROM pcand UNION ALL SELECT * FROM bcand)
+         |SELECT qid, path, vec_id AS nn, ROUND(cos, 4) AS cos FROM (
+         |  SELECT qid, path, vec_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM (SELECT c.qid, c.path, c.vec_id,
          |          ${oCos("qe.v", "ce.v")} AS cos
          |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
          |                    JOIN e qe ON qe.vec_id = c.qid))
