@@ -164,7 +164,20 @@ object ScaleCurves {
     "meta_v2_branch_rebase" -> "nation",
     "meta_v2_alter_widen" -> "nation",
     "stream_changefeed_upsert" -> "orders",
-    "sim_ann_ivf_filtered" -> "embeddings")
+    "sim_ann_ivf_filtered" -> "embeddings",
+    // r19: the composite/evolve/compact family is fixture-write
+    // dominated (nested clustered layouts staged per run — the
+    // intersected pruning and cell-scoped DML are the point); the
+    // DSv2 source pays per-revision O(delta) staging + trigger
+    // machinery; bucket_hash mirrors the pmod bucket's shape; the
+    // adaptive ANN line must track the shrunken (1%-selective)
+    // candidate set plus a |filter|-bounded escalation
+    "meta_v2_part_multi" -> "orders",
+    "meta_v2_part_evolve" -> "orders",
+    "meta_v2_part_compact" -> "orders",
+    "meta_v2_part_bucket_hash" -> "orders",
+    "stream_changefeed_source" -> "orders",
+    "sim_ann_ivf_filtered_adaptive" -> "embeddings")
 
   private val RunsPerKey = 3
 

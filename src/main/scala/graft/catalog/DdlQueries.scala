@@ -3305,29 +3305,36 @@ object DdlQueries extends QueryGroup {
                |PARTITIONED BY (days(o_orderdate), bucket(4, o_custkey))
                |LOCATION '$loc'""".stripMargin)
       Tables(s, d, "orders").createOrReplaceTempView("orders_src_px")
-      // six weeks of days x 4 buckets — enough cells to prove
-      // intersected pruning without the layout write dominating. Each
-      // row also lands a parity-flipped twin (odd key shift, same
-      // cell), so every nonempty cell deterministically holds BOTH
-      // orderkey parities — the partial-cell delete below always has
-      // matches AND survivors, at any scale factor.
-      s.sql(s"""INSERT INTO $cat.corp.orders_px
-               |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
-               |FROM orders_src_px
-               |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-               |  AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00'
+      // six weeks of days x buckets. Each source row lands FOUR
+      // variants — both orderkey parities in the row's own bucket AND
+      // in the adjacent bucket — so every populated day
+      // deterministically holds >= 2 buckets and every populated cell
+      // holds BOTH parities, at any scale factor: the partial-cell
+      // delete below always has matches AND survivors, and the
+      // same-day sibling-bucket hard-link law always has a sibling.
+      s.sql(s"""WITH w AS (
+               |  SELECT o_orderkey, o_custkey, o_orderdate,
+               |    o_totalprice FROM orders_src_px
+               |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               |    AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00')
+               |INSERT INTO $cat.corp.orders_px
+               |SELECT o_orderkey * 2, o_custkey, o_orderdate,
+               |  o_totalprice FROM w
                |UNION ALL
-               |SELECT o_orderkey + 200000001, o_custkey, o_orderdate,
-               |  o_totalprice
-               |FROM orders_src_px
-               |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-               |  AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00'
+               |SELECT o_orderkey * 2 + 1, o_custkey, o_orderdate,
+               |  o_totalprice FROM w
+               |UNION ALL
+               |SELECT o_orderkey * 2 + 600000000, o_custkey + 1,
+               |  o_orderdate, o_totalprice FROM w
+               |UNION ALL
+               |SELECT o_orderkey * 2 + 800000001, o_custkey + 1,
+               |  o_orderdate, o_totalprice FROM w
                |""".stripMargin)
       // the engine laid out NESTED derived dirs (day above bucket)
       val dayDirs = Option(new java.io.File(loc).listFiles()).toSeq
         .flatten.filter(f => f.isDirectory &&
           f.getName.startsWith("o_orderdate_day="))
-      require(dayDirs.size > 30, s"day layout missing: ${dayDirs.size}")
+      require(dayDirs.size > 10, s"day layout missing: ${dayDirs.size}")
       require(dayDirs.forall(dd => Option(dd.list()).toSeq.flatten
           .exists(_.startsWith("o_custkey_bucket="))),
         "bucket dirs missing under day dirs")
@@ -3353,7 +3360,9 @@ object DdlQueries extends QueryGroup {
           col("o_orderdate") < to_timestamp(lit(s"$hi 00:00:00")) &&
           col("o_custkey") === probeKey)
       val probeCells = plannedCellDirs(probe, 2)
-      require(probeCells.nonEmpty && probeCells.size <= 7 &&
+      // (0 planned cells is legitimate at tiny SFs — the key's bucket
+      // may hold no rows in the probed week; the count stays pinned)
+      require(probeCells.size <= 7 &&
           probeCells.forall { c =>
             val Array(dayC, bktC) = c.split('/')
             val day = dayC.stripPrefix("o_orderdate_day=")
@@ -3372,26 +3381,32 @@ object DdlQueries extends QueryGroup {
           .map(f => java.nio.file.Files.getAttribute(f.toPath,
             "unix:ino").asInstanceOf[Long]).toSet
       }
-      // touched/sibling days chosen PROGRAMMATICALLY (first two days
-      // whose bucket-0 AND bucket-1 cells are both nonempty) — no
-      // data luck at small scale factors; the oracle replays the same
-      // deterministic choice
-      val qualDays = s.sql(
-        s"""SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS d
-           |FROM $cat.corp.orders_px GROUP BY 1
-           |HAVING sum(CASE WHEN o_custkey % 4 = 1 THEN 1 ELSE 0 END)
-           |    > 0
-           |  AND sum(CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE 0 END)
-           |    > 0
-           |ORDER BY d LIMIT 2""".stripMargin)
-        .collect().map(_.getString(0)).toSeq
-      require(qualDays.size == 2,
-        s"need two days with both buckets populated, got $qualDays")
-      val tDay = qualDays.head
-      val touched = s"o_orderdate_day=$tDay/o_custkey_bucket=1"
-      val sibling = s"o_orderdate_day=$tDay/o_custkey_bucket=0"
+      // touched cell chosen PROGRAMMATICALLY: the first day with >= 2
+      // populated buckets (guaranteed by the 4-variant synthesis),
+      // its smallest bucket; sibling = the same day's next bucket;
+      // other-day = any cell from a different day. The oracle replays
+      // the identical deterministic choice.
+      val cellList = s.sql(
+        s"""SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS dd,
+           |  o_custkey % 4 AS b
+           |FROM $cat.corp.orders_px GROUP BY 1, 2""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val byDay = cellList.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      val multiDays = byDay.filter(_._2.size >= 2).keys.toSeq.sorted
+      require(multiDays.nonEmpty && byDay.size >= 2,
+        s"fixture needs a two-bucket day and a second day: $byDay")
+      val tDay = multiDays.head
+      val tBucket = byDay(tDay).head
+      val sBucket = byDay(tDay)(1)
+      val (oDay, oBucket) = cellList.filter(_._1 != tDay)
+        .minBy(c => (c._1, c._2))
+      val touched =
+        s"o_orderdate_day=$tDay/o_custkey_bucket=$tBucket"
+      val sibling =
+        s"o_orderdate_day=$tDay/o_custkey_bucket=$sBucket"
       val otherDay =
-        s"o_orderdate_day=${qualDays(1)}/o_custkey_bucket=1"
+        s"o_orderdate_day=$oDay/o_custkey_bucket=$oBucket"
       val sibInodes = inodesOf(loc, sibling)
       val otherInodes = inodesOf(loc, otherDay)
       require(sibInodes.nonEmpty && otherInodes.nonEmpty,
@@ -3399,14 +3414,14 @@ object DdlQueries extends QueryGroup {
       val survivors = s.sql(
         s"""SELECT count(*) FROM $cat.corp.orders_px
            |WHERE date_format(o_orderdate, 'yyyy-MM-dd') = '$tDay'
-           |  AND o_custkey % 4 = 1 AND o_orderkey % 2 = 1"""
+           |  AND o_custkey % 4 = $tBucket AND o_orderkey % 2 = 1"""
           .stripMargin).head.getLong(0)
-      require(survivors > 0, "parity twin missing from the fixture")
+      require(survivors > 0, "parity variant missing from the fixture")
       s.sql(s"""DELETE FROM $cat.corp.orders_px
                |WHERE o_orderdate >= TIMESTAMP '$tDay 00:00:00'
                |  AND o_orderdate < TIMESTAMP '$tDay 00:00:00'
                |    + INTERVAL 1 DAY
-               |  AND o_custkey % 4 = 1 AND o_orderkey % 2 = 0"""
+               |  AND o_custkey % 4 = $tBucket AND o_orderkey % 2 = 0"""
         .stripMargin)
       val newLoc = CatalogTransfer.readLocal(
           s"$dir/revs/${headRevAt(dir)}").tables
@@ -3425,7 +3440,8 @@ object DdlQueries extends QueryGroup {
       val after = s.sql(
         s"""SELECT count(*) FROM $cat.corp.orders_px
            |WHERE date_format(o_orderdate, 'yyyy-MM-dd') = '$tDay'
-           |  AND o_custkey % 4 = 1""".stripMargin).head.getLong(0)
+           |  AND o_custkey % 4 = $tBucket""".stripMargin)
+        .head.getLong(0)
       require(after == survivors,
         s"partial-cell rewrite lost survivors: $after != $survivors")
       s.table(s"$cat2.corp.orders_px")
@@ -3594,7 +3610,7 @@ object DdlQueries extends QueryGroup {
         Option(new java.io.File(p).list()).toSeq.flatten
           .filter(_.contains("=")).sorted
       require(dirsIn(loc).forall(_.startsWith("o_orderdate_day=")) &&
-          dirsIn(loc).size > 25,
+          dirsIn(loc).size > 10, // ~14 populated days at sf0.001
         s"days leg layout broken: ${dirsIn(loc).take(3)}")
       require(dirsIn(loc + "_spec1") ==
           Seq("o_orderdate_month=1995-02", "o_orderdate_month=1995-03"),
@@ -5027,27 +5043,31 @@ object DdlQueries extends QueryGroup {
       """WITH w0 AS (SELECT * FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |    AND o_orderdate <  TIMESTAMP '1995-02-12 00:00:00'),
-        |w AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
-        |    FROM w0
+        |w AS (SELECT o_orderkey * 2 AS o_orderkey, o_custkey,
+        |    o_orderdate, o_totalprice FROM w0
         |  UNION ALL
-        |  SELECT o_orderkey + 200000001, o_custkey, o_orderdate,
-        |    o_totalprice FROM w0),
-        |pk AS (SELECT MIN(o_custkey) % 4 AS b FROM w),
+        |  SELECT o_orderkey * 2 + 1, o_custkey, o_orderdate,
+        |    o_totalprice FROM w0
+        |  UNION ALL
+        |  SELECT o_orderkey * 2 + 600000000, o_custkey + 1,
+        |    o_orderdate, o_totalprice FROM w0
+        |  UNION ALL
+        |  SELECT o_orderkey * 2 + 800000001, o_custkey + 1,
+        |    o_orderdate, o_totalprice FROM w0),
+        |pk AS (SELECT MIN(o_custkey) % 4 AS b FROM w0),
         |pc AS (SELECT COUNT(DISTINCT STRFTIME(o_orderdate,
         |    '%Y-%m-%d')) AS n
         |  FROM w, pk WHERE o_custkey % 4 = pk.b
         |    AND o_orderdate >= TIMESTAMP '1995-01-15 00:00:00'
         |    AND o_orderdate <  TIMESTAMP '1995-01-22 00:00:00'),
-        |td AS (SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS d
-        |  FROM w GROUP BY 1
-        |  HAVING SUM(CASE WHEN o_custkey % 4 = 1 THEN 1 ELSE 0 END)
-        |      > 0
-        |    AND SUM(CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE 0 END)
-        |      > 0
-        |  ORDER BY d LIMIT 1),
+        |cl AS (SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS dd,
+        |    o_custkey % 4 AS b FROM w GROUP BY 1, 2),
+        |td AS (SELECT dd, MIN(b) AS tb FROM cl GROUP BY dd
+        |  HAVING COUNT(*) >= 2 ORDER BY dd LIMIT 1),
         |kept AS (SELECT * FROM w WHERE NOT (
-        |    STRFTIME(o_orderdate, '%Y-%m-%d') = (SELECT d FROM td)
-        |    AND o_custkey % 4 = 1 AND o_orderkey % 2 = 0))
+        |    STRFTIME(o_orderdate, '%Y-%m-%d') = (SELECT dd FROM td)
+        |    AND o_custkey % 4 = (SELECT tb FROM td)
+        |    AND o_orderkey % 2 = 0))
         |SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
         |  (o_custkey % 4) AS bucket, COUNT(*) AS n_rows,
         |  ROUND(SUM(o_totalprice), 4) AS sum_price,

@@ -222,7 +222,12 @@ class PlanSpec extends SparkSpec {
       // sim_ann_ivf_filtered broadcast-NLJs the tiny centroid set for
       // cell assignment (the sim_ann_ivf quantizer shape); the
       // metadata filter + candidate joins are all equi-keyed
-      "sim_ann_ivf_filtered")
+      "sim_ann_ivf_filtered",
+      // the adaptive sibling adds the sanctioned escalation: the
+      // probe-starved query slice broadcast-NLJs the |filter|-bounded
+      // subset (1% of the corpus — the brute-force-serve shape,
+      // deliberately bounded by the predicate's cardinality)
+      "sim_ann_ivf_filtered_adaptive")
     val skip = Set("join_cross") ++
       SparkEntry.queries.keySet.filter(_.startsWith("stream_")) // streaming: plan differs
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
