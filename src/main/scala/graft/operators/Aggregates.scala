@@ -422,19 +422,26 @@ object Aggregates extends QueryGroup {
       val buckets = posexplode(array((0 to 3).map(i =>
         conv(substring(col("h"), i * 8 + 1, 8), 16, 10)
           .cast("long") % 4096): _*))
-      val cnt = Tables(s, d, "lineitem")
-        .select(md5(col("l_partkey").cast("string")).as("h"))
-        .select(buckets.as(Seq("r", "b")))
-        .groupBy("r", "b").agg(count(lit(1)).as("n"))
+      // r19 opt (guide §2.3/§2.4): the grid is DERIVED from the exact
+      // per-key counts instead of a second raw scan — CMS counters are
+      // additive (counter(r,b) = Σ over keys hashing there of that
+      // key's count), so summing `ex` over the distinct keys is
+      // bit-identical to counting raw rows, while hashing |keys| values
+      // (20 k) instead of |rows| (600 k) and scanning lineitem ONCE
+      // (the shared partial-agg exchange is reused across both legs).
+      val exact = Tables(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("ex"))
+      val cnt = exact
+        .select(md5(col("k").cast("string")).as("h"), col("ex"))
+        .select(col("ex"), buckets.as(Seq("r", "b")))
+        .groupBy("r", "b").agg(sum("ex").as("n"))
       val cand = Tables(s, d, "part")
         .select(col("p_partkey").as("k"),
           md5(col("p_partkey").cast("string")).as("h"))
         .select(col("k"), buckets.as(Seq("r", "b")))
       val est = cand.join(cnt, Seq("r", "b"))
         .groupBy("k").agg(min("n").as("est"))
-      val exact = Tables(s, d, "lineitem")
-        .groupBy(col("l_partkey").as("k"))
-        .agg(count(lit(1)).as("ex"))
       est.join(exact, Seq("k"), "left")
         .select(col("k"), col("est"),
           coalesce(col("ex"), lit(0L)).as("exact"))
