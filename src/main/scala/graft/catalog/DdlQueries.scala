@@ -40,6 +40,36 @@ object DdlQueries extends QueryGroup {
     f.delete(): Unit
   }
 
+  /** Stage a deterministic K-class file layout in ONE Spark job
+    * (r19 opt, guide §2.6/§6): derive the class, hash-cluster so every
+    * class lands whole in one task (⇒ exactly one file per class),
+    * write partitioned to a scratch dir, then move the part files flat
+    * into `target` with a `c<class>-` name prefix. File CONTENTS match
+    * the former one-serial-append-per-class staging (same rows per
+    * file, order immaterial to footer stats and scans); the 8×
+    * scan+commit+analyze statement overhead does not. */
+  private def stageClassFiles(df: org.apache.spark.sql.DataFrame,
+      cls: org.apache.spark.sql.Column, nClasses: Int,
+      target: String): Unit = {
+    val stage = target + "_stage" +
+      java.util.UUID.randomUUID.toString.take(8)
+    deleteTree(new java.io.File(stage))
+    df.withColumn("_c", cls)
+      .repartition(nClasses, org.apache.spark.sql.functions.col("_c"))
+      .write.partitionBy("_c").parquet(stage)
+    new java.io.File(target).mkdirs()
+    for {
+      cd <- Option(new java.io.File(stage).listFiles()).toSeq.flatten
+      if cd.isDirectory && cd.getName.startsWith("_c=")
+      f <- Option(cd.listFiles()).toSeq.flatten
+      if f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")
+    } java.nio.file.Files.move(f.toPath,
+      new java.io.File(target,
+        s"c${cd.getName.stripPrefix("_c=")}-${f.getName}").toPath)
+    deleteTree(new java.io.File(stage))
+  }
+
   /** Hive partition dir names of the files the EXECUTING scan plans —
     * the partition-pruning evidence hook (the transform keys pin the
     * planned dir set against what the predicate implies). */
@@ -2424,10 +2454,13 @@ object DdlQueries extends QueryGroup {
       val src = Tables(s, d, "orders")
         .select("o_orderkey", "o_totalprice")
       // 8 append-interleaved files: residue classes, so EVERY file
-      // spans [0, maxKey] — the worst case for min/max skipping
-      for (i <- 0L until 8L)
-        src.filter(col("o_orderkey") % 8 === i)
-          .coalesce(1).writeTo(s"$cat.corp.orders_cl").append()
+      // spans [0, maxKey] — the worst case for min/max skipping.
+      // r19 opt (guide §2.6/§6): staged as ONE clustered job (each
+      // class hashes whole to one task ⇒ one file per class, identical
+      // bytes-modulo-row-order to the former 8 serial
+      // filter+coalesce(1) appends, which cost 8 scans + 8 commits +
+      // 8 incremental analyzes) and published with one analyze.
+      stageClassFiles(src, pmod(col("o_orderkey"), lit(8L)), 8, loc)
       require(FileSkipping.analyze(loc).covered == 8,
         "expected 8 interleaved files")
       val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
@@ -2435,14 +2468,12 @@ object DdlQueries extends QueryGroup {
       def probe(): org.apache.spark.sql.DataFrame =
         s.table(s"$cat.corp.orders_cl").filter(col("o_orderkey") < step)
       val readsInterleaved = FileSkipping.plannedFiles(probe())
-      // clustered compaction: stage a key-range generation, then ONE
-      // atomic swap — the auto property re-analyzes the new dir
+      // clustered compaction: stage a key-range generation (one job,
+      // ranges are floor-division classes of the same 8 steps), then
+      // ONE atomic swap — the auto property re-analyzes the new dir
       val gen2 = loc + "_clustered"
-      for (i <- 0L until 8L)
-        s.read.parquet(loc)
-          .filter(col("o_orderkey") >= i * step &&
-            col("o_orderkey") < (i + 1) * step)
-          .coalesce(1).write.mode("append").parquet(gen2)
+      stageClassFiles(s.read.parquet(loc),
+        expr(s"o_orderkey div $step"), 8, gen2)
       s.sql(s"ALTER TABLE $cat.corp.orders_cl SET LOCATION '$gen2'")
       val readsClustered = FileSkipping.plannedFiles(probe())
       probe().agg(count(lit(1)).as("n_rows"),
@@ -2723,18 +2754,19 @@ object DdlQueries extends QueryGroup {
                |(o_orderkey BIGINT, o_orderstatus STRING,
                | o_totalprice DOUBLE, o_orderdate DATE)
                |USING parquet LOCATION '$loc'""".stripMargin)
+      // cast to the TABLE schema (o_orderdate DATE) — the staged write
+      // lands files directly, so the store-assignment cast the former
+      // per-range INSERTs applied must happen here
       val src = Tables(s, d, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice",
-          "o_orderdate")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date")
+            .as("o_orderdate"))
       val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
       val step = maxKey / 8 + 1
       // 8 files with explicit contiguous key ranges — the clustered
       // layout a sorted write / zorder compaction would produce
-      for (i <- 0L until 8L)
-        src.filter(col("o_orderkey") >= i * step &&
-            col("o_orderkey") < (i + 1) * step)
-          .coalesce(1)
-          .writeTo(s"$cat.corp.orders_skip").append()
+      // (staged in one clustered job, [[stageClassFiles]])
+      stageClassFiles(src, expr(s"o_orderkey div $step"), 8, loc)
       val covered = FileSkipping.analyze(loc).covered
       require(covered == 8,
         s"expected exactly 8 stats-covered files, got $covered")
@@ -2791,16 +2823,18 @@ object DdlQueries extends QueryGroup {
         .select("o_orderkey", "o_totalprice")
       val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
       val step = maxKey / 8 + 1
-      def appendRange(i: Long): Unit =
-        src.filter(col("o_orderkey") >= i * step &&
-            col("o_orderkey") < (i + 1) * step)
-          .coalesce(1)
-          .writeTo(s"$cat.corp.orders_inc").append()
-      (0L until 4L).foreach(appendRange)
+      // each append wave staged as ONE clustered job; the two waves
+      // stay separate statements — the (4,4,0)/(8,4,4) incremental law
+      // is about analyze generations, not how a wave's files landed
+      def appendWave(lo: Long, hi: Long): Unit =
+        stageClassFiles(src.filter(col("o_orderkey") >= lo * step &&
+            col("o_orderkey") < hi * step),
+          expr(s"o_orderkey div $step"), (hi - lo).toInt, loc)
+      appendWave(0L, 4L)
       val r1 = FileSkipping.analyze(loc)
       require(r1 == FileSkipping.AnalyzeResult(4, 4, 0),
         s"first analyze must harvest all 4 files, got $r1")
-      (4L until 8L).foreach(appendRange)
+      appendWave(4L, 8L)
       val r2 = FileSkipping.analyze(loc)
       require(r2 == FileSkipping.AnalyzeResult(8, 4, 4),
         s"incremental analyze must harvest ONLY the 4 appended " +
