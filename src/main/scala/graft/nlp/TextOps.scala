@@ -655,7 +655,15 @@ object TextOps extends QueryGroup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explicit repartition (r19 opt, guide §2.5): the posting list is
+    // small in BYTES but the bucket self-join is the compute-heavy
+    // stage — AQE coalesces the advisory exchange to ~1 task and
+    // serializes it (measured 1.45 s single-task stage at sf0.1,
+    // parallel once pinned). Both sides share the partitioning, so the
+    // join adds no further exchange.
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+      .repartition(sets.sparkSession.sessionState.conf
+        .numShufflePartitions, col("g"))
     val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -574,13 +574,30 @@ object Analytics extends QueryGroup {
     // graph_jaccard_neighbors applied to the natural key). The ≥2
     // support threshold is the standard noise floor.
     "graph_copurchase" -> ((s, d) => {
-      val items = Tables(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = items.select(col("ok"), col("pk").as("pa"))
-      val b = items.select(col("ok"), col("pk").as("pb"))
-      a.join(b, "ok")
-        .filter(col("pa") < col("pb"))
+      // r19 opt (guide §2.4): the former distinct()+self-join computed
+      // the 600 k-row distinct item list TWICE (two scans, two
+      // aggregate exchanges) and broadcast one copy. One basket pass
+      // (groupBy order, collect_set of parts — domain-bounded baskets)
+      // plus in-basket pair expansion produces the identical pair
+      // multiset (sort_array gives pa < pb; per-order pairs are unique
+      // because the set is distinct) in ONE lineitem scan and one
+      // basket-keyed exchange before the pair aggregation.
+      val baskets = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+      // explicit repartition: the basket frame is small in BYTES but
+      // the pair expansion is the compute-heavy part — AQE coalesces
+      // the advisory exchange to ~4 tasks and serializes it (§2.5's
+      // cheap-input/expensive-stage case)
+      baskets
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ps) - 1),
+            |  i -> transform(slice(ps, i + 1, size(ps) - i),
+            |       j -> struct(element_at(ps, i) AS pa, j AS pb))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy("pa", "pb")
         .agg(count(lit(1)).as("n_co"))
         .filter(col("n_co") >= 2)
