@@ -317,7 +317,13 @@ object TextOps extends QueryGroup {
     // without giving up LSH's collision-proportional cost — that
     // trade is the entire point of the operator at 100 TB.
     "dedup_minhash" -> ((s, d) =>
-      minhashPairs(shingled(docs(s, d)))),
+      // early round-robin repartition (r19 opt, guide §2.5/§6): the
+      // corpus arrives as ~3 input splits, so the compute-heavy
+      // shingle+persist stage ran 3-wide; spreading the raw (doc_id,
+      // text) rows first costs one small shuffle and unlocks full-core
+      // shingling. Pair SET unchanged (row placement only).
+      minhashPairs(shingled(docs(s, d).repartition(
+        s.sessionState.conf.numShufflePartitions)))),
 
     // INCREMENTAL MinHash — the crawl reality: yesterday's corpus is
     // already signed; today's batch must find its near-dups against
@@ -458,7 +464,11 @@ object TextOps extends QueryGroup {
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), col("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pinned posting-join parallelism — the ngramJaccardPairs
+      // cheap-bytes/heavy-stage AQE-coalesce fix (guide §2.5)
       val inv = sub.select(col("doc_id"), explode(col("sh")).as("g"))
+        .repartition(sub.sparkSession.sessionState.conf
+          .numShufflePartitions, col("g"))
       val inter = inv.as("x").join(inv.as("y"), col("x.g") === col("y.g"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
