@@ -298,10 +298,17 @@ object FeatureOps extends QueryGroup {
     val m = raw.agg(avg("v").as("mv"), stddev_samp(col("v")).as("sv"),
       avg("c").as("mc"), stddev_samp(col("c")).as("sc"),
       avg("pv").as("mp")).head()
+    // coalesce(1) before the checkpoint (r19 opt): the standardized
+    // frame is KiB-scale (3 doubles per user) but inherited the
+    // aggregation's partitioning, so all 25 GD steps scheduled a task
+    // per partition; one block makes each step a single-task job (the
+    // TextOps accumulator discipline). At production scale the frame
+    // is partition-proportional and this coalesce is sized accordingly.
     val feats = raw.select(
         ((col("v") - m.getDouble(0)) / m.getDouble(1)).as("x1"),
         ((col("c") - m.getDouble(2)) / m.getDouble(3)).as("x2"),
         when(col("pv") > m.getDouble(4), 1.0).otherwise(0.0).as("y"))
+      .coalesce(1)
       .localCheckpoint()
     val nRows = feats.count().toDouble
     var w = Array(0.0, 0.0, 0.0) // bias, w1, w2

@@ -209,19 +209,24 @@ object Relational extends QueryGroup {
     }),
 
     // as-of: latest order of the same synthetic user at/before event time.
+    // r19 opt (guide §2.3 "aggregate before you shuffle"): the pick of
+    // the latest match is a composite arg-max, so max_by with the SAME
+    // (o_orderdate, o_orderkey) lexicographic order replaces the
+    // row_number window — the range join's blow-up is collapsed
+    // map-side to one partial row per event instead of shuffling and
+    // sorting every joined row. Identical pick, identical output.
     "join_asof" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables(s, d, "events")
         .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
       val o = Tables(s, d, "orders")
-      val joined = e.join(o,
-        col("user_id") === col("o_custkey")
-          && col("o_orderdate") <= col("ts2"))
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      e.join(o,
+          col("user_id") === col("o_custkey")
+            && col("o_orderdate") <= col("ts2"))
+        .groupBy(col("event_id"))
+        .agg(max_by(struct(col("o_orderkey"), col("o_orderdate")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("m.o_orderkey"),
+          col("m.o_orderdate"))
         .orderBy("event_id")
     }),
 
@@ -233,18 +238,19 @@ object Relational extends QueryGroup {
     // same 100 TB upgrade applies (bound the horizon, bin to
     // equi-join — join_interval_binned's recipe).
     "join_asof_forward" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      // min_by composite arg-min replaces the row_number window — the
+      // join_asof partial-aggregation rationale, direction reversed
       val e = Tables(s, d, "events")
         .withColumn("ts2", col("ts") - expr("INTERVAL 29 YEARS"))
       val o = Tables(s, d, "orders")
-      val joined = e.join(o,
-        col("user_id") === col("o_custkey")
-          && col("o_orderdate") >= col("ts2"))
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      e.join(o,
+          col("user_id") === col("o_custkey")
+            && col("o_orderdate") >= col("ts2"))
+        .groupBy(col("event_id"))
+        .agg(min_by(struct(col("o_orderkey"), col("o_orderdate")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("m.o_orderkey"),
+          col("m.o_orderdate"))
         .orderBy("event_id")
     }),
 

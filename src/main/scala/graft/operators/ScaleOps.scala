@@ -473,14 +473,17 @@ object ScaleOps extends QueryGroup {
     val joined = e.join(o,
       col("user_id") === col("o_custkey")
         && col("ebin") === col("obin") && range)
-    val w =
-      if (forward) Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      else Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+    // composite arg-min/arg-max instead of a row_number window (r19
+    // opt, guide §2.3): map-side partial aggregation collapses the
+    // bin join's matches to one row per event before the exchange —
+    // same lexicographic pick, same output
+    val pick =
+      if (forward) min_by(struct(col("o_orderkey"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey")))
+      else max_by(struct(col("o_orderkey"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey")))
+    joined.groupBy(col("event_id")).agg(pick.as("m"))
+      .select(col("event_id"), col("m.o_orderkey"), col("m.o_orderdate"))
       .orderBy("event_id")
   }
 
