@@ -242,16 +242,26 @@ object Scans extends QueryGroup {
     // oracle proves the split lost nothing.
     "sink_max_records_per_file" -> ((s, d) => {
       val dir = Tables.scratch(d, "customer_rolled")
-      Tables(s, d, "customer")
+      val base = Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-        .coalesce(1) // one task, so ONLY maxRecordsPerFile splits it
+      // r19 opt: the single coalesce(1) task wrote every rollover file
+      // serially (measured 2.6 s for ~150 file opens at sf0.1). Task
+      // count derives from the row count so every task still holds ≥ 2
+      // rollover windows — the strengthened require proves the
+      // SPLITTING came from maxRecordsPerFile, not from task
+      // parallelism, at every scale factor (sf0.001's 150 rows → 1
+      // task, exactly the old shape).
+      val rows = base.count()
+      val tasks = math.max(1, math.min(8, (rows / 200L).toInt))
+      base.coalesce(tasks)
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", 100) // splits even sf0.001's 150 rows
+        .option("maxRecordsPerFile", 100)
         .parquet(dir)
       val nFiles = new java.io.File(dir).listFiles()
         .count(f => f.getName.endsWith(".parquet"))
-      require(nFiles > 1,
-        s"maxRecordsPerFile produced a single file ($nFiles)")
+      require(nFiles > tasks,
+        s"maxRecordsPerFile must split beyond the $tasks write tasks, " +
+          s"got $nFiles files")
       s.read.parquet(dir).orderBy("c_custkey")
     }),
 
