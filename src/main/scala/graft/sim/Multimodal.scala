@@ -261,6 +261,7 @@ object Multimodal extends QueryGroup {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           val (w, h) = imgDims(id, nChars)
@@ -298,6 +299,7 @@ object Multimodal extends QueryGroup {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           val (w, h) = imgDims(id, nChars)
@@ -326,6 +328,7 @@ object Multimodal extends QueryGroup {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) => WavRow(id, makeWav(id, nChars)) }
       media.mapPartitions { rows =>
@@ -365,8 +368,13 @@ object Multimodal extends QueryGroup {
     // decoder hoisting shape. 1→N row expansion per doc, zero shuffles.
     "mm_video_frames" -> ((s, d) => {
       import s.implicits._
+      // r19 opt (guide §2.5): the GIF encode+decode is compute-bound
+      // but the input is 16 B/row, so the stage ran at the corpus's ~3
+      // input splits; an explicit repartition of the tiny key rows
+      // spreads the codec work across every core
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) => GifRow(id, makeGif(id, nChars)) }
       media.mapPartitions { rows =>
@@ -415,8 +423,10 @@ object Multimodal extends QueryGroup {
     // container parse per blob, one output row per doc, zero shuffles.
     "mm_video_scene_cut" -> ((s, d) => {
       import s.implicits._
+      // spread the codec work — see mm_video_frames
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) => GifRow(id, makeGif(id, nChars)) }
       media.mapPartitions { rows =>
@@ -480,6 +490,7 @@ object Multimodal extends QueryGroup {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           val (w, h) = imgDims(id, nChars)
@@ -500,6 +511,7 @@ object Multimodal extends QueryGroup {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           val (w, h) = imgDims(id, nChars)
@@ -547,6 +559,7 @@ object Multimodal extends QueryGroup {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, Long)]
         .map { case (id, nChars) => WavRow(id, makeWav(id, nChars)) }
       media.mapPartitions { rows =>
