@@ -113,9 +113,13 @@ object CorpusOps extends QueryGroup {
     val edges = pairs.toDF("src", "dst")
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LAZY checkpoints (r19 opt, the trainBpe discipline at
+    // [[trainBpeUncached]]): materialization rides the convergence
+    // sum's job instead of scheduling its own — halves the job count
+    // of a loop that is job-overhead-bound at fixture scale.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // coalesce: sum over ZERO rows is NULL — an empty pair list (no
     // near-dups in the corpus) must yield an empty result, not an NPE.
     def lblSum(df: DataFrame): Long =
@@ -127,7 +131,7 @@ object CorpusOps extends QueryGroup {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(edges("dst").as("id"), col("lbl"))
       val next = labels.union(prop).groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = lblSum(next)
       labels = next
       converged = nextSum == prevSum
