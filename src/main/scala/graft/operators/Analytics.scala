@@ -285,9 +285,15 @@ object Analytics extends QueryGroup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // LAZY checkpoints (r19 opt): the plan is cut per round (lineage
+      // control unchanged) but materialization rides the final action
+      // instead of one pure-materialize job per round — 4 jobs -> 1
+      // for a loop whose rounds are job-overhead-bound at fixture
+      // scale. Each round references its predecessor once (linear, not
+      // exponential), so deferral is safe.
       var ranks = base.select(col("doc_id").as("node"),
         (lit(1.0) / col("nl").cast("double")).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       for (_ <- 1 to 3) {
         val contrib = edges
           .join(ranks, edges("src") === ranks("node"))
@@ -298,7 +304,7 @@ object Analytics extends QueryGroup {
           .select(col("doc_id").as("node"),
             round(lit(0.15) / col("nl").cast("double") +
               lit(0.85) * coalesce(col("c"), lit(0.0)), 10).as("pr"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       edges.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -355,16 +361,19 @@ object Analytics extends QueryGroup {
     // table partitioning is reused across rounds via the checkpoint.
     "graph_shortest_path" -> ((s, d) => {
       val (_, edgesRaw) = linkGraph(s, d)
-      val e = edgesRaw.localCheckpoint()
+      // lazy checkpoints — the graph_pagerank rationale: per-round
+      // lineage cut, single materialization at the final action
+      val e = edgesRaw.localCheckpoint(false)
       var dist = s.range(1)
-        .select(lit(0L).as("node"), lit(0).as("dist")).localCheckpoint()
+        .select(lit(0L).as("node"), lit(0).as("dist"))
+        .localCheckpoint(false)
       var frontier = dist
       for (k <- 1 to 6) {
         val next = frontier.join(e, frontier("node") === e("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
-          .select(col("node"), lit(k).as("dist")).localCheckpoint()
-        dist = dist.union(next).localCheckpoint()
+          .select(col("node"), lit(k).as("dist")).localCheckpoint(false)
+        dist = dist.union(next).localCheckpoint(false)
         frontier = next
       }
       dist.orderBy("node")
