@@ -15,16 +15,22 @@ object PlanProbe {
     val flags = Set("full", "warm")
     val positional = args.drop(1)
       .filterNot(a => flags(a) || a.startsWith("cpus=") ||
-        a.startsWith("runs="))
+        a.startsWith("runs=") || a.startsWith("conf:"))
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
     // cpus=N reproduces the bench's local[N] / N-shuffle-partition config
     val cpus = args.collectFirst { case a if a.startsWith("cpus=") =>
       a.stripPrefix("cpus=") }.getOrElse("8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    var b = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // conf:key=value — ad-hoc session conf for optimization experiments
+    args.filter(_.startsWith("conf:")).foreach { a =>
+      val Array(k, v) = a.stripPrefix("conf:").split("=", 2)
+      b = b.config(k, v)
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm: run once first so SECS measures steady-state, not JVM/codegen
     if (args.contains("warm"))

