@@ -35,7 +35,12 @@ object VectorOps extends QueryGroup {
   private def coef(plane: Int, i: Int): Long =
     ((1103515245L * (plane * dim + i) + 12345L) % 2048L) - 1024L
 
-  /** embeddings with the vector cast to double. */
+  /** embeddings with the vector cast to double. (r19: examined a
+    * conditional repartition to spread the single fixture split before
+    * the vector×centroid stages — measured SLOWER across the family,
+    * e.g. sim_ann_ivf 1.08 s → 1.50 s: emb() is consumed many times
+    * per key and the added exchange + planning outweighed the map-side
+    * parallelism. Left zero-shuffle deliberately.) */
   private def emb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     Tables(s, d, "embeddings")
